@@ -1,0 +1,17 @@
+"""Codec registry — the engine's extension surface (SURVEY.md §2.2)."""
+
+from .base import Codec
+from .bitpack import BitpackCodec
+from .dictionary import DictCodec
+from .forref import ForCodec
+from .fsst import FsstCodec
+from .plain import PlainCodec
+from .rle import RleCodec
+
+REGISTRY: dict[str, Codec] = {
+    c.id: c for c in (PlainCodec(), RleCodec(), BitpackCodec(), ForCodec(),
+                      DictCodec(), FsstCodec())
+}
+
+__all__ = ["Codec", "REGISTRY", "PlainCodec", "RleCodec", "BitpackCodec",
+           "ForCodec", "DictCodec", "FsstCodec"]

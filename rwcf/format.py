@@ -1,0 +1,270 @@
+"""Physical format: dtypes, page index, column footers, single-file layout.
+
+Two container modes share one page/footer philosophy:
+
+- **reference mode** (codecs ``plain`` / ``rle`` only): byte-exact
+  reproduction of the reference column file ``page_1..page_n | bincode(Footer)
+  | u64le footer_size`` (/root/reference/wills-columnar-format.org:591-601,
+  src/lib.rs:52-73). Used by the parity tests.
+- **extended mode (v1)**: same trailer-last layout, but the footer carries a
+  marker byte (0xF5 — impossible as a reference ``DataType`` discriminant,
+  which is 0..4 per src/lib.rs:59-66), a concrete-width dtype code, a codec
+  id, a codec metadata blob (dictionary values, FSST symbol table) and a
+  per-page byte length (enables page-parallel decode; the reference derives
+  page extents implicitly, src/decode.rs:52-66).
+
+A partition file concatenates one column section per column; the manifest
+row records each section's (offset, length) so decode reads one byte range
+per column.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from . import oracle, varint
+
+MIN_TARGET_PAGE_SIZE = oracle.MIN_TARGET_PAGE_SIZE  # 2048, reference parity
+ENGINE_PAGE_SIZE = 256 * 1024  # default page target for engine mode
+
+_V1_MARKER = 0xF5
+_V1_VERSION = 1
+
+#: dtype code -> (reference category, pyarrow type, numpy type)
+DTYPES: dict[str, tuple[str, pa.DataType, np.dtype]] = {
+    "u8": (oracle.UNSIGNED_BYTE, pa.uint8(), np.dtype(np.uint8)),
+    "i8": (oracle.SIGNED_BYTE, pa.int8(), np.dtype(np.int8)),
+    "u16": (oracle.UNSIGNED_INT, pa.uint16(), np.dtype(np.uint16)),
+    "u32": (oracle.UNSIGNED_INT, pa.uint32(), np.dtype(np.uint32)),
+    "u64": (oracle.UNSIGNED_INT, pa.uint64(), np.dtype(np.uint64)),
+    "i16": (oracle.SIGNED_INT, pa.int16(), np.dtype(np.int16)),
+    "i32": (oracle.SIGNED_INT, pa.int32(), np.dtype(np.int32)),
+    "i64": (oracle.SIGNED_INT, pa.int64(), np.dtype(np.int64)),
+    "str": (oracle.STRING, pa.large_utf8(), None),
+}
+
+_DTYPE_ORDER = list(DTYPES)  # stable numeric ids for serialization
+
+#: reference DataType discriminants (src/lib.rs:59-66)
+_REF_DT_CODE = {"u8": 0, "i8": 1, "u16": 2, "u32": 2, "u64": 2,
+                "i16": 3, "i32": 3, "i64": 3, "str": 4}
+_REF_CATEGORY_FOR_CODE = {0: "u8", 1: "i8", 2: "u64", 3: "i64", 4: "str"}
+
+CODEC_IDS = ["plain", "rle", "bitpack", "for", "dict", "fsst"]
+
+
+def dtype_code_for_arrow(t: pa.DataType) -> str:
+    for code, (_, patype, _) in DTYPES.items():
+        if t == patype:
+            return code
+    if t == pa.string() or t == pa.large_string():
+        return "str"
+    raise ValueError(f"unsupported arrow type {t}")
+
+
+def is_signed(dtype: str) -> bool:
+    return dtype in ("i8", "i16", "i32", "i64")
+
+
+def is_string(dtype: str) -> bool:
+    return dtype == "str"
+
+
+@dataclass
+class PageInfo:
+    file_offset: int
+    values_count: int
+    encoded_values_count: int
+    byte_length: int
+
+
+@dataclass
+class EncodedColumn:
+    dtype: str
+    codec: str
+    meta: bytes
+    pages: list[PageInfo]
+    payload: np.ndarray  # uint8
+    n_values: int
+
+    @property
+    def encoded_bytes(self) -> int:
+        """payload + meta; footer accounted separately by the writers."""
+        return int(self.payload.size) + len(self.meta)
+
+
+# ---------------------------------------------------------------------------
+# chunk <-> arrow helpers. A "chunk" is the codec-facing in-memory value
+# stream: numpy array for numerics, (lengths:int64, payload:uint8) for strings.
+# ---------------------------------------------------------------------------
+
+def chunk_from_arrow(arr: pa.Array | pa.ChunkedArray):
+    """Zero-copy-ish extraction of a codec chunk from an Arrow array."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        if pa.types.is_string(t):
+            arr = arr.cast(pa.large_utf8())
+        raw = np.frombuffer(arr.buffers()[1], dtype=np.int64)
+        offsets = raw[arr.offset: arr.offset + len(arr) + 1]
+        data_buf = arr.buffers()[2]
+        payload = (np.frombuffer(data_buf, dtype=np.uint8)[offsets[0]:offsets[-1]]
+                   if data_buf is not None else np.empty(0, dtype=np.uint8))
+        lengths = np.diff(offsets)
+        return lengths, payload
+    return arr.to_numpy(zero_copy_only=False)
+
+
+def chunk_to_arrow(chunk, dtype: str) -> pa.Array:
+    if is_string(dtype):
+        lengths, payload = chunk
+        offsets = np.concatenate(([0], np.cumsum(lengths))).astype(np.int64)
+        return pa.Array.from_buffers(
+            pa.large_utf8(), len(lengths),
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(payload.tobytes())])
+    np_t = DTYPES[dtype][2]
+    return pa.array(np.asarray(chunk, dtype=np_t), type=DTYPES[dtype][1])
+
+
+def chunk_len(chunk, dtype: str) -> int:
+    return len(chunk[0]) if is_string(dtype) else len(chunk)
+
+
+# ---------------------------------------------------------------------------
+# footer serialization
+# ---------------------------------------------------------------------------
+
+def _pages_to_bincode(pages: list[PageInfo], with_lengths: bool) -> bytes:
+    parts = [varint.encode_uvarint(np.array([len(pages)], dtype=np.uint64))]
+    if pages:
+        offs = np.array([p.file_offset for p in pages], dtype=np.int64)
+        vc = np.array([p.values_count for p in pages], dtype=np.uint64)
+        ec = np.array([p.encoded_values_count for p in pages], dtype=np.uint64)
+        # reference field order: file_offset, values_count, encoded_values_count
+        # (src/lib.rs:68-73) — interleaved per page
+        fields = [varint.encode_svarint(offs[i:i + 1]).tobytes()
+                  + varint.encode_uvarint(vc[i:i + 1]).tobytes()
+                  + varint.encode_uvarint(ec[i:i + 1]).tobytes()
+                  + (varint.encode_uvarint(np.array([p.byte_length], dtype=np.uint64)).tobytes()
+                     if with_lengths else b"")
+                  for i, p in enumerate(pages)]
+        parts.append(np.frombuffer(b"".join(fields), dtype=np.uint8))
+    return b"".join(p.tobytes() for p in parts)
+
+
+class _Reader:
+    def __init__(self, buf: np.ndarray, pos: int = 0):
+        self.buf = buf
+        self.pos = pos
+
+    def uvarint(self) -> int:
+        b = int(self.buf[self.pos])
+        if b < 251:
+            self.pos += 1
+            return b
+        width = {251: 2, 252: 4, 253: 8}[b]
+        v = int.from_bytes(self.buf[self.pos + 1:self.pos + 1 + width].tobytes(), "little")
+        self.pos += 1 + width
+        return v
+
+    def svarint(self) -> int:
+        u = self.uvarint()
+        return (u >> 1) ^ -(u & 1)
+
+    def take(self, n: int) -> bytes:
+        out = self.buf[self.pos:self.pos + n].tobytes()
+        self.pos += n
+        return out
+
+
+def _pages_from_reader(r: _Reader, with_lengths: bool) -> list[PageInfo]:
+    n = r.uvarint()
+    pages = []
+    for _ in range(n):
+        off = r.svarint()
+        vc = r.uvarint()
+        ec = r.uvarint()
+        bl = r.uvarint() if with_lengths else -1
+        pages.append(PageInfo(off, vc, ec, bl))
+    return pages
+
+
+def footer_bytes_reference(dtype: str, use_rle: bool, pages: list[PageInfo]) -> bytes:
+    """Byte-exact reference Footer bincode (src/lib.rs:52-73)."""
+    head = bytes([_REF_DT_CODE[dtype], 1 if use_rle else 0])
+    return head + _pages_to_bincode(pages, with_lengths=False)
+
+
+def footer_bytes_v1(enc: EncodedColumn) -> bytes:
+    head = bytes([_V1_MARKER, _V1_VERSION,
+                  _DTYPE_ORDER.index(enc.dtype), CODEC_IDS.index(enc.codec)])
+    meta = varint.encode_uvarint(np.array([len(enc.meta)], dtype=np.uint64)).tobytes() + enc.meta
+    return head + meta + _pages_to_bincode(enc.pages, with_lengths=True)
+
+
+def write_column_file(enc: EncodedColumn, reference_mode: bool = False) -> bytes:
+    """pages | footer | u64le(footer_size) — trailer-last like the reference."""
+    if reference_mode:
+        if enc.codec not in ("plain", "rle"):
+            raise ValueError("reference mode supports only plain/rle")
+        footer = footer_bytes_reference(enc.dtype, enc.codec == "rle", enc.pages)
+    else:
+        footer = footer_bytes_v1(enc)
+    return enc.payload.tobytes() + footer + len(footer).to_bytes(8, "little")
+
+
+def read_column_file(data: bytes | np.ndarray, n_values: int | None = None) -> EncodedColumn:
+    """Parse a column file (either mode; self-detecting via the marker byte).
+
+    For reference-mode files the concrete width is not recorded (the
+    reference checks only the type *category* at decode, src/decode.rs:44-50
+    — width is not stored); the widest dtype of the category is used.
+    """
+    buf = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray)) else data
+    footer_size = int.from_bytes(buf[-8:].tobytes(), "little")
+    footer_start = buf.size - 8 - footer_size
+    r = _Reader(buf, footer_start)
+    first = int(buf[footer_start])
+    if first == _V1_MARKER:
+        r.pos += 1
+        version = int(buf[r.pos]); r.pos += 1
+        assert version == _V1_VERSION
+        dtype = _DTYPE_ORDER[int(buf[r.pos])]; r.pos += 1
+        codec = CODEC_IDS[int(buf[r.pos])]; r.pos += 1
+        meta = r.take(r.uvarint())
+        pages = _pages_from_reader(r, with_lengths=True)
+    else:
+        dtype = _REF_CATEGORY_FOR_CODE[first]
+        r.pos += 1
+        use_rle = bool(buf[r.pos]); r.pos += 1
+        codec = "rle" if use_rle else "plain"
+        meta = b""
+        pages = _pages_from_reader(r, with_lengths=False)
+        # derive byte lengths from consecutive offsets
+        for i, p in enumerate(pages):
+            end = pages[i + 1].file_offset if i + 1 < len(pages) else footer_start
+            p.byte_length = end - p.file_offset
+    n = sum(p.values_count for p in pages)
+    return EncodedColumn(dtype=dtype, codec=codec, meta=meta, pages=pages,
+                         payload=buf[:footer_start], n_values=n)
+
+
+# high-level dispatch -------------------------------------------------------
+
+def encode_chunk(chunk, dtype: str, codec_id: str,
+                 page_target: int = ENGINE_PAGE_SIZE) -> EncodedColumn:
+    from .codecs import REGISTRY
+    codec = REGISTRY[codec_id]
+    meta, payload, pages = codec.encode(chunk, dtype, page_target)
+    return EncodedColumn(dtype=dtype, codec=codec_id, meta=meta, pages=pages,
+                         payload=payload, n_values=chunk_len(chunk, dtype))
+
+
+def decode_chunk(enc: EncodedColumn):
+    from .codecs import REGISTRY
+    codec = REGISTRY[enc.codec]
+    return codec.decode(enc.payload, enc.pages, enc.meta, enc.dtype, enc.n_values)

@@ -37,6 +37,15 @@ SIGNED_INT = "int"
 STRING = "str"
 
 
+def _as_ints(values, dtype) -> np.ndarray:
+    """Exact Python-int -> numpy conversion (no float64 round-trip, which
+    would corrupt values near 2**64)."""
+    arr = np.asarray(values)
+    if arr.dtype.kind in ("i", "u"):
+        return arr.astype(dtype, copy=False)
+    return np.fromiter((int(v) for v in values), dtype=dtype, count=len(values))
+
+
 @dataclass
 class PageSpec:
     file_offset: int
@@ -50,9 +59,9 @@ def value_widths(values, kind: str) -> np.ndarray:
     if kind in (UNSIGNED_BYTE, SIGNED_BYTE):
         return np.ones(len(values), dtype=np.int64)
     if kind == UNSIGNED_INT:
-        return varint.uvarint_width(np.asarray(values, dtype=np.uint64))
+        return varint.uvarint_width(_as_ints(values, np.uint64))
     if kind == SIGNED_INT:
-        return varint.svarint_width(np.asarray(values, dtype=np.int64))
+        return varint.svarint_width(_as_ints(values, np.int64))
     if kind == STRING:
         lens = np.array([len(s.encode() if isinstance(s, str) else s) for s in values],
                         dtype=np.uint64)
@@ -68,7 +77,7 @@ def run_lengths(values) -> tuple[np.ndarray, np.ndarray]:
     n = len(values)
     if n == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-    arr = np.asarray(values)
+    arr = values if isinstance(values, np.ndarray) else np.asarray(values, dtype=object)
     change = np.flatnonzero(arr[1:] != arr[:-1]) + 1
     starts = np.concatenate(([0], change))
     lens = np.diff(np.concatenate((starts, [n])))
@@ -128,8 +137,7 @@ def plan_column(values, kind: str, use_rle: bool,
     if use_rle:
         starts, lens = run_lengths(values)
         if starts.size:
-            vw = value_widths([values[i] for i in starts], kind) if kind == STRING \
-                else value_widths(np.asarray(values)[starts], kind)
+            vw = value_widths([values[int(i)] for i in starts], kind)
             rw = varint.uvarint_width(lens.astype(np.uint64))
             item_w = vw + rw
         else:

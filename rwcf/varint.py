@@ -227,6 +227,25 @@ def encode_str_column(lengths: np.ndarray, payload: np.ndarray) -> np.ndarray:
     return out
 
 
+def interleave_streams(a_buf: np.ndarray, a_widths: np.ndarray,
+                       b_buf: np.ndarray, b_widths: np.ndarray) -> np.ndarray:
+    """Merge two per-item byte streams into records of (a_item, b_item)."""
+    aw = a_widths.astype(np.int64, copy=False)
+    bw = b_widths.astype(np.int64, copy=False)
+    rec = aw + bw
+    rec_starts = np.cumsum(rec) - rec
+    out = np.empty(int(rec.sum()), dtype=np.uint8)
+    a_src = np.cumsum(aw) - aw
+    b_src = np.cumsum(bw) - bw
+    if a_buf.size:
+        dest = np.arange(a_buf.size, dtype=np.int64) + np.repeat(rec_starts - a_src, aw)
+        out[dest] = a_buf
+    if b_buf.size:
+        dest = np.arange(b_buf.size, dtype=np.int64) + np.repeat(rec_starts + aw - b_src, bw)
+        out[dest] = b_buf
+    return out
+
+
 def decode_str_column(buf: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
     """Decode n length-prefixed strings. Returns (lengths:int64, payload:uint8)."""
     if n == 0:
