@@ -1,0 +1,412 @@
+"""Ray-Data encode/decode jobs with per-partition lineage + resume.
+
+Architecture (SURVEY.md §3-4), deliberately unlike the reference's
+single-threaded shared-iterator loop (src/encode.rs:8-40): each input
+parquet row-group is an independent fragment task; fragments are sub-split
+*inside* the task by cumulative-token budget (size-aware partitioning — a
+few 256k-token rows can't starve the pool); every sub-partition encodes its
+four columns through the sampling codec selector, writes one partition file
+(column sections, each in the v1 trailer-last container) atomically, and
+commits a JSON lineage row (input fragment, codec per column, byte counts,
+checksum) to the manifest directory. Resume = skip fragments/partitions
+whose manifest rows already exist.
+
+There is NO shuffle on this path — encode is embarrassingly parallel per
+fragment, which is exactly what unlocks 100TB scale. The optional
+``encode_grouped_by_source`` pipeline demonstrates the explicit
+groupby-on-source shuffle with salted keys for skew flattening
+(north_star), at the cost of an all-to-all exchange.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from . import format as fmt
+from . import selector
+
+TOKEN_COLUMNS = ["doc_id", "tokens", "n_tok", "source"]
+
+#: logical schema of the decoded table (input_hint shape)
+TOKENS_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("tokens", pa.list_(pa.int32())),
+    ("n_tok", pa.int32()),
+    ("source", pa.string()),
+])
+
+
+@dataclass
+class EncodeConfig:
+    out_dir: str
+    page_target: int = fmt.ENGINE_PAGE_SIZE
+    codecs: list[str] | None = None          # candidate codec ids (None = all)
+    partition_token_budget: int = 4_000_000  # size-aware sub-split budget
+    columns: list[str] = field(default_factory=lambda: list(TOKEN_COLUMNS))
+
+    @property
+    def parts_dir(self) -> str:
+        return os.path.join(self.out_dir, "parts")
+
+    @property
+    def manifest_dir(self) -> str:
+        return os.path.join(self.out_dir, "manifest")
+
+
+# ---------------------------------------------------------------------------
+# planning (driver side, metadata only — no data bytes read)
+# ---------------------------------------------------------------------------
+
+def plan_fragments(input_paths: list[str] | str) -> list[dict]:
+    """One fragment descriptor per parquet row-group (deterministic ids)."""
+    if isinstance(input_paths, str):
+        input_paths = [input_paths]
+    frags = []
+    for path in sorted(input_paths):
+        meta = pq.ParquetFile(path).metadata
+        stem = os.path.splitext(os.path.basename(path))[0]
+        for rg in range(meta.num_row_groups):
+            frags.append({
+                "fragment_id": f"{stem}-rg{rg:05d}",
+                "path": path,
+                "row_group": rg,
+                "num_rows": meta.row_group(rg).num_rows,
+            })
+    return frags
+
+
+# ---------------------------------------------------------------------------
+# column extraction / reassembly
+# ---------------------------------------------------------------------------
+
+def _table_chunks(tbl: pa.Table) -> dict[str, tuple]:
+    """Split the tokens table into codec chunks: (chunk, dtype) per stream.
+    ``tokens`` becomes a flattened int32 value stream; row lengths ride in
+    ``n_tok`` (list-offset handling, SURVEY.md §7 hard part c)."""
+    out = {}
+    la = tbl.column("tokens").combine_chunks()
+    lengths = pc.list_value_length(la).to_numpy().astype(np.int64)
+    flat = la.flatten().to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
+    out["tokens"] = (flat, "i32")
+    out["n_tok"] = (tbl.column("n_tok").combine_chunks().to_numpy().astype(np.int32),
+                    "i32")
+    if not np.array_equal(lengths, out["n_tok"][0].astype(np.int64)):
+        raise ValueError("n_tok != len(tokens): input invariant violated")
+    out["doc_id"] = (fmt.chunk_from_arrow(tbl.column("doc_id")), "str")
+    out["source"] = (fmt.chunk_from_arrow(tbl.column("source")), "str")
+    return out
+
+
+def _chunks_to_table(chunks: dict[str, object]) -> pa.Table:
+    n_tok = np.asarray(chunks["n_tok"], dtype=np.int32)
+    flat = np.asarray(chunks["tokens"], dtype=np.int32)
+    offsets = np.concatenate(([0], np.cumsum(n_tok.astype(np.int64))))
+    tokens = pa.LargeListArray.from_arrays(offsets.astype(np.int64),
+                                           pa.array(flat, type=pa.int32()))
+    return pa.table({
+        "doc_id": fmt.chunk_to_arrow(chunks["doc_id"], "str").cast(pa.string()),
+        "tokens": tokens.cast(pa.list_(pa.int32())),
+        "n_tok": pa.array(n_tok, type=pa.int32()),
+        "source": fmt.chunk_to_arrow(chunks["source"], "str").cast(pa.string()),
+    })
+
+
+def _chunk_crc(chunk, dtype: str) -> int:
+    if fmt.is_string(dtype):
+        lengths, payload = chunk
+        crc = zlib.crc32(np.ascontiguousarray(lengths).tobytes())
+        return zlib.crc32(np.ascontiguousarray(payload).tobytes(), crc)
+    return zlib.crc32(np.ascontiguousarray(chunk).tobytes())
+
+
+# ---------------------------------------------------------------------------
+# partition encode / decode (pure functions, used by Ray stages + tests)
+# ---------------------------------------------------------------------------
+
+def encode_partition(tbl: pa.Table, pid: str, cfg: EncodeConfig,
+                     lineage: dict | None = None) -> dict:
+    """Encode one partition's columns, write the partition file + manifest
+    row atomically. Returns the manifest row (codec choices, byte counts,
+    checksums — the north rule's lineage record)."""
+    t0 = time.perf_counter()
+    chunks = _table_chunks(tbl)
+    sections = []
+    col_meta = []
+    offset = 0
+    decoded_bytes = 0
+    for name in ["doc_id", "tokens", "n_tok", "source"]:
+        chunk, dtype = chunks[name]
+        enc, choice = selector.encode_auto(chunk, dtype, cfg.page_target, cfg.codecs)
+        blob = fmt.write_column_file(enc)
+        if fmt.is_string(dtype):
+            dec_b = int(chunk[1].size) + 8 * len(chunk[0])
+        else:
+            dec_b = int(np.asarray(chunk).nbytes)
+        decoded_bytes += dec_b
+        col_meta.append({
+            "column": name, "dtype": dtype, "codec": enc.codec,
+            "n_values": enc.n_values, "offset": offset, "length": len(blob),
+            "crc": _chunk_crc(chunk, dtype),
+            "estimate": choice.estimate, "decoded_bytes": dec_b,
+        })
+        sections.append(blob)
+        offset += len(blob)
+
+    os.makedirs(cfg.parts_dir, exist_ok=True)
+    os.makedirs(cfg.manifest_dir, exist_ok=True)
+    file_path = os.path.join(cfg.parts_dir, f"{pid}.rwcf")
+    tmp = file_path + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        for s in sections:
+            f.write(s)
+    os.replace(tmp, file_path)
+
+    n_tok = chunks["n_tok"][0]
+    row = {
+        "pid": pid,
+        "file": file_path,
+        "n_rows": tbl.num_rows,
+        "n_tokens": int(n_tok.astype(np.int64).sum()),
+        "encoded_bytes": offset,
+        "decoded_bytes": decoded_bytes,
+        "columns": col_meta,
+        "lineage": lineage or {},
+        "codec_by_column": {c["column"]: c["codec"] for c in col_meta},
+        "encode_seconds": round(time.perf_counter() - t0, 4),
+        "status": "committed",
+    }
+    mpath = os.path.join(cfg.manifest_dir, f"{pid}.json")
+    mtmp = mpath + f".tmp{os.getpid()}"
+    with open(mtmp, "w") as f:
+        json.dump(row, f)
+    os.replace(mtmp, mpath)  # commit point: manifest row lands last
+    return row
+
+
+def decode_partition(row: dict, columns: list[str] | None = None,
+                     with_tokens: bool = True) -> pa.Table:
+    """Read + decode one partition from its manifest row (column-pruned:
+    only requested sections are read from disk)."""
+    want = set(columns or TOKEN_COLUMNS)
+    need = set(want)
+    if "tokens" in want:
+        need.add("n_tok")
+    chunks = {}
+    with open(row["file"], "rb") as f:
+        for cm in row["columns"]:
+            if cm["column"] not in need:
+                continue
+            f.seek(cm["offset"])
+            blob = f.read(cm["length"])
+            enc = fmt.read_column_file(blob)
+            enc.dtype = cm["dtype"]  # concrete width from lineage
+            chunk = fmt.decode_chunk(enc)
+            if cm.get("crc") is not None and _chunk_crc(chunk, cm["dtype"]) != cm["crc"]:
+                raise IOError(f"checksum mismatch in {row['pid']}:{cm['column']}")
+            chunks[cm["column"]] = chunk
+    cols = {}
+    for name in TOKEN_COLUMNS:
+        if name not in want or name not in need:
+            continue
+        if name == "tokens":
+            n_tok = np.asarray(chunks["n_tok"], dtype=np.int32)
+            offsets = np.concatenate(([0], np.cumsum(n_tok.astype(np.int64))))
+            la = pa.LargeListArray.from_arrays(
+                offsets, pa.array(np.asarray(chunks["tokens"], dtype=np.int32),
+                                  type=pa.int32()))
+            cols["tokens"] = la.cast(pa.list_(pa.int32()))
+        elif name in ("doc_id", "source"):
+            cols[name] = fmt.chunk_to_arrow(chunks[name], "str").cast(pa.string())
+        else:
+            cols[name] = pa.array(np.asarray(chunks[name], dtype=np.int32),
+                                  type=pa.int32())
+    return pa.table({k: cols[k] for k in TOKEN_COLUMNS if k in cols})
+
+
+def split_by_token_budget(n_tok: np.ndarray, budget: int) -> list[tuple[int, int]]:
+    """Size-aware sub-partitioning: cut [start,end) row spans so each span's
+    token sum ~<= budget (always >=1 row). Deterministic."""
+    csum = np.cumsum(n_tok.astype(np.int64))
+    spans = []
+    start = 0
+    n = n_tok.size
+    while start < n:
+        base = csum[start - 1] if start else 0
+        # cut BEFORE the row that would overshoot (giant rows isolate into
+        # their own partition instead of bloating a neighbor's)
+        end = int(np.searchsorted(csum, base + budget, side="right"))
+        end = min(max(end, start + 1), n)
+        spans.append((start, end))
+        start = end
+    return spans
+
+
+# ---------------------------------------------------------------------------
+# Ray Data stages
+# ---------------------------------------------------------------------------
+
+class EncodeFragmentWorker:
+    """Actor-pool stage: one call encodes one fragment descriptor batch.
+    Stateful per SURVEY.md §2.2 — codec registry / selector state lives for
+    the actor's lifetime, not per batch."""
+
+    def __init__(self, cfg: EncodeConfig, resume: bool = True):
+        self.cfg = cfg
+        self.resume = resume
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for desc in batch.to_pylist():
+            rows.extend(self.encode_fragment(desc))
+        return manifest_rows_to_table(rows)
+
+    def encode_fragment(self, desc: dict) -> list[dict]:
+        pf = pq.ParquetFile(desc["path"])
+        tbl = pf.read_row_group(desc["row_group"], columns=self.cfg.columns)
+        n_tok = tbl.column("n_tok").combine_chunks().to_numpy().astype(np.int64)
+        spans = split_by_token_budget(n_tok, self.cfg.partition_token_budget)
+        out = []
+        for k, (a, b) in enumerate(spans):
+            pid = f"{desc['fragment_id']}-p{k:04d}"
+            mpath = os.path.join(self.cfg.manifest_dir, f"{pid}.json")
+            if self.resume and os.path.exists(mpath):
+                with open(mpath) as f:
+                    out.append(json.load(f))  # already committed — skip work
+                continue
+            lineage = {"path": desc["path"], "row_group": desc["row_group"],
+                       "row_start": a, "row_count": b - a}
+            out.append(encode_partition(tbl.slice(a, b - a), pid, self.cfg, lineage))
+        return out
+
+
+class DecodePartitionWorker:
+    """Actor-pool stage: manifest rows in, decoded Arrow rows out."""
+
+    def __init__(self, columns: list[str] | None = None):
+        self.columns = columns
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tables = [decode_partition(row, self.columns)
+                  for row in manifest_table_to_rows(batch)]
+        return pa.concat_tables(tables)
+
+
+class VerifyPartitionWorker:
+    """Decode each partition and compare bit-exactly against its input
+    fragment rows (per-partition verification — no global order assumption,
+    no shuffle join; SURVEY.md §4.2 'Ordering')."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"pid": [], "n_rows": [], "n_tokens": [], "equal": []}
+        for row in manifest_table_to_rows(batch):
+            dec = decode_partition(row)
+            lin = row["lineage"]
+            src = pq.ParquetFile(lin["path"]).read_row_group(
+                lin["row_group"], columns=TOKEN_COLUMNS)
+            src = src.slice(lin["row_start"], lin["row_count"])
+            eq = dec.cast(src.schema).equals(src)
+            out["pid"].append(row["pid"])
+            out["n_rows"].append(row["n_rows"])
+            out["n_tokens"].append(row["n_tokens"])
+            out["equal"].append(bool(eq))
+        return pa.table(out)
+
+
+def manifest_rows_to_table(rows: list[dict]) -> pa.Table:
+    return pa.table({
+        "pid": pa.array([r["pid"] for r in rows], pa.string()),
+        "file": pa.array([r["file"] for r in rows], pa.string()),
+        "n_rows": pa.array([r["n_rows"] for r in rows], pa.int64()),
+        "n_tokens": pa.array([r["n_tokens"] for r in rows], pa.int64()),
+        "encoded_bytes": pa.array([r["encoded_bytes"] for r in rows], pa.int64()),
+        "decoded_bytes": pa.array([r["decoded_bytes"] for r in rows], pa.int64()),
+        "encode_seconds": pa.array([r["encode_seconds"] for r in rows], pa.float64()),
+        "detail": pa.array([json.dumps({k: r[k] for k in
+                                        ("columns", "lineage", "codec_by_column",
+                                         "status")})
+                            for r in rows], pa.string()),
+    })
+
+
+def manifest_table_to_rows(tbl: pa.Table) -> list[dict]:
+    rows = []
+    for r in tbl.to_pylist():
+        detail = json.loads(r.pop("detail"))
+        r.update(detail)
+        rows.append(r)
+    return rows
+
+
+def _default_concurrency() -> int:
+    import ray
+    try:
+        return max(1, int(ray.cluster_resources().get("CPU", 4)))
+    except Exception:
+        return 4
+
+
+def encode_job(input_paths, cfg: EncodeConfig, resume: bool = True,
+               concurrency: int | None = None):
+    """Full encode pipeline: plan fragments (metadata only) -> actor-pool
+    encode -> manifest Dataset. Returns the manifest as a ray Dataset."""
+    import ray.data as rd
+    frags = plan_fragments(input_paths)
+    n = concurrency or _default_concurrency()
+    ds = rd.from_items(frags)
+    if ds.num_blocks() < n:
+        ds = ds.repartition(min(len(frags), n * 2) or 1)
+    return ds.map_batches(EncodeFragmentWorker, batch_size=1,
+                          batch_format="pyarrow",
+                          fn_constructor_args=(cfg, resume),
+                          concurrency=(1, n), num_cpus=1)
+
+
+def manifest_dataset(out_dir: str):
+    """Resume/metadata entry: read committed lineage rows (the decode_footer
+    analogue, src/lib.rs:45-48 — metadata only, no payload bytes)."""
+    import ray.data as rd
+    rows = load_manifest(out_dir)
+    return rd.from_arrow(manifest_rows_to_table(rows))
+
+
+def load_manifest(out_dir: str) -> list[dict]:
+    mdir = os.path.join(out_dir, "manifest")
+    rows = []
+    if os.path.isdir(mdir):
+        for name in sorted(os.listdir(mdir)):
+            if name.endswith(".json"):
+                with open(os.path.join(mdir, name)) as f:
+                    rows.append(json.load(f))
+    return rows
+
+
+def decode_job(out_dir: str, columns: list[str] | None = None,
+               concurrency: int | None = None):
+    """Decode pipeline: manifest Dataset -> actor-pool decode -> rows."""
+    n = concurrency or _default_concurrency()
+    ds = manifest_dataset(out_dir)
+    if ds.num_blocks() < n:
+        ds = ds.repartition(max(1, min(ds.count(), n * 2)))
+    return ds.map_batches(DecodePartitionWorker, batch_size=1,
+                          batch_format="pyarrow",
+                          fn_constructor_args=(columns,),
+                          concurrency=(1, n), num_cpus=1)
+
+
+def verify_job(out_dir: str, concurrency: int | None = None):
+    n = concurrency or _default_concurrency()
+    ds = manifest_dataset(out_dir)
+    if ds.num_blocks() < n:
+        ds = ds.repartition(max(1, min(ds.count(), n * 2)))
+    return ds.map_batches(VerifyPartitionWorker, batch_size=1,
+                          batch_format="pyarrow",
+                          concurrency=(1, n), num_cpus=1)

@@ -1,0 +1,151 @@
+"""End-to-end pipeline: encode -> manifest -> decode round trip, size-aware
+partitioning, resume-from-manifest, reference-footprint bound."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from rwcf import fixtures, oracle, pipeline
+from rwcf import format as fmt
+
+
+@pytest.fixture(scope="module")
+def small_parquet(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("tokens"))
+    path = fixtures.tokens_parquet(2000, seed=42, cache_dir=d, row_group_size=500)
+    return path
+
+
+def test_fixture_invariants(small_parquet):
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(small_parquet)
+    assert tbl.schema.equals(pipeline.TOKENS_SCHEMA)
+    import pyarrow.compute as pc
+    lens = pc.list_value_length(tbl.column("tokens"))
+    assert pc.all(pc.equal(lens.cast(pa.int32()),
+                           tbl.column("n_tok"))).as_py()
+    # skew tail planted
+    assert pc.max(tbl.column("n_tok")).as_py() >= 64_000
+    # determinism
+    t2 = fixtures.tokens_table(2000, seed=42)
+    assert t2.equals(pq.read_table(small_parquet))
+
+
+def test_split_by_token_budget():
+    n_tok = np.array([10, 10, 500, 10, 1000, 10, 10], dtype=np.int64)
+    spans = pipeline.split_by_token_budget(n_tok, 500)
+    # every span >=1 row; budget respected modulo one-row overshoot
+    assert spans[0][0] == 0 and spans[-1][1] == 7
+    assert all(b > a for a, b in spans)
+    joined = [i for a, b in spans for i in range(a, b)]
+    assert joined == list(range(7))
+    # a giant row gets its own span rather than blocking
+    big = pipeline.split_by_token_budget(np.array([5, 10_000, 5]), 100)
+    assert (1, 2) in big
+
+
+def test_encode_decode_partition_pure(small_parquet, tmp_path):
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(small_parquet).slice(0, 300)
+    cfg = pipeline.EncodeConfig(out_dir=str(tmp_path / "out"))
+    row = pipeline.encode_partition(tbl, "t-p0000", cfg)
+    assert row["status"] == "committed"
+    assert os.path.exists(row["file"])
+    assert set(row["codec_by_column"]) == set(pipeline.TOKEN_COLUMNS)
+    dec = pipeline.decode_partition(row)
+    assert dec.cast(tbl.schema).equals(tbl)
+    # column pruning decodes a subset
+    only = pipeline.decode_partition(row, columns=["doc_id", "n_tok"])
+    assert only.column_names == ["doc_id", "n_tok"]
+    assert only.column("doc_id").equals(tbl.column("doc_id"))
+
+
+def test_checksum_detects_corruption(small_parquet, tmp_path):
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(small_parquet).slice(0, 100)
+    cfg = pipeline.EncodeConfig(out_dir=str(tmp_path / "out"))
+    row = pipeline.encode_partition(tbl, "c-p0000", cfg)
+    with open(row["file"], "r+b") as f:
+        f.seek(10)
+        b = f.read(1)
+        f.seek(10)
+        f.write(bytes([b[0] ^ 0xFF]))
+    with pytest.raises(Exception):
+        pipeline.decode_partition(row)
+
+
+def test_footprint_beats_reference(small_parquet, tmp_path):
+    """Total encoded bytes (incl. manifest overhead) <= oracle footprint =
+    sum over columns of min(plain, rle) reference file size (BASELINE.md)."""
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(small_parquet)
+    cfg = pipeline.EncodeConfig(out_dir=str(tmp_path / "out"))
+    chunks = pipeline._table_chunks(tbl)
+    ref_total = 0
+    for name, (chunk, dtype) in chunks.items():
+        kind = fmt.DTYPES[dtype][0]
+        if fmt.is_string(dtype):
+            lengths, payload = chunk
+            offs = np.cumsum(lengths) - lengths
+            vals = [payload[o:o + l].tobytes().decode()
+                    for o, l in zip(offs, lengths)]
+        else:
+            vals = np.asarray(chunk)
+        ref_total += oracle.reference_footprint(vals, kind)
+    n_tok = tbl.column("n_tok").combine_chunks().to_numpy().astype(np.int64)
+    spans = pipeline.split_by_token_budget(n_tok, cfg.partition_token_budget)
+    ours = 0
+    for k, (a, b) in enumerate(spans):
+        row = pipeline.encode_partition(tbl.slice(a, b - a), f"f-p{k:04d}", cfg)
+        ours += row["encoded_bytes"]
+        ours += os.path.getsize(os.path.join(cfg.manifest_dir, f"f-p{k:04d}.json"))
+    assert ours <= ref_total, (ours, ref_total)
+
+
+def test_ray_encode_decode_verify_resume(small_parquet, tmp_path, ray_session):
+    out = str(tmp_path / "rayout")
+    cfg = pipeline.EncodeConfig(out_dir=out, partition_token_budget=100_000)
+    mds = pipeline.encode_job(small_parquet, cfg, concurrency=4)
+    man = mds.to_pandas()
+    assert man["n_rows"].sum() == 2000
+    assert (man["encoded_bytes"] > 0).all()
+    n_parts = len(man)
+    assert n_parts > 4  # size-aware split produced real parallelism
+
+    # decode round trip (order-insensitive: sort by doc_id)
+    dec = pipeline.decode_job(out, concurrency=4).to_pandas()
+    import pyarrow.parquet as pq
+    src = pq.read_table(small_parquet).to_pandas()
+    dec = dec.sort_values("doc_id").reset_index(drop=True)
+    src = src.sort_values("doc_id").reset_index(drop=True)
+    assert dec["doc_id"].tolist() == src["doc_id"].tolist()
+    assert dec["source"].tolist() == src["source"].tolist()
+    assert all(np.array_equal(a, b) for a, b in zip(dec["tokens"], src["tokens"]))
+
+    # verify job: per-partition bit-identical
+    ver = pipeline.verify_job(out, concurrency=4).to_pandas()
+    assert ver["equal"].all()
+    assert ver["n_rows"].sum() == 2000
+
+    # resume: delete 2 committed partitions, rerun, only those re-encoded
+    rows = pipeline.load_manifest(out)
+    victims = [r["pid"] for r in rows[:2]]
+    keep_mtime = {}
+    for r in rows:
+        if r["pid"] in victims:
+            os.remove(os.path.join(out, "manifest", f"{r['pid']}.json"))
+            os.remove(r["file"])
+        else:
+            keep_mtime[r["pid"]] = os.path.getmtime(r["file"])
+    man2 = pipeline.encode_job(small_parquet, cfg, concurrency=4).to_pandas()
+    assert len(man2) == n_parts
+    rows2 = pipeline.load_manifest(out)
+    assert len(rows2) == n_parts
+    for r in rows2:
+        if r["pid"] not in victims:
+            assert os.path.getmtime(r["file"]) == keep_mtime[r["pid"]], \
+                "untouched partition was re-encoded"
