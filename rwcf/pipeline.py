@@ -32,7 +32,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from . import format as fmt
-from . import selector
+from . import rayenv, selector
 
 TOKEN_COLUMNS = ["doc_id", "tokens", "n_tok", "source"]
 
@@ -367,7 +367,8 @@ def encode_job(input_paths, cfg: EncodeConfig, resume: bool = True,
     return ds.map_batches(EncodeFragmentWorker, batch_size=1,
                           batch_format="pyarrow",
                           fn_constructor_args=(cfg, resume),
-                          concurrency=(1, n), num_cpus=1)
+                          concurrency=(1, n), num_cpus=1,
+                          **rayenv.remote_args())
 
 
 def manifest_dataset(out_dir: str):
@@ -399,7 +400,8 @@ def decode_job(out_dir: str, columns: list[str] | None = None,
     return ds.map_batches(DecodePartitionWorker, batch_size=1,
                           batch_format="pyarrow",
                           fn_constructor_args=(columns,),
-                          concurrency=(1, n), num_cpus=1)
+                          concurrency=(1, n), num_cpus=1,
+                          **rayenv.remote_args())
 
 
 def verify_job(out_dir: str, concurrency: int | None = None):
@@ -409,4 +411,5 @@ def verify_job(out_dir: str, concurrency: int | None = None):
         ds = ds.repartition(max(1, min(ds.count(), n * 2)))
     return ds.map_batches(VerifyPartitionWorker, batch_size=1,
                           batch_format="pyarrow",
-                          concurrency=(1, n), num_cpus=1)
+                          concurrency=(1, n), num_cpus=1,
+                          **rayenv.remote_args())
