@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""rwcf benchmark harness.
+
+Headline pipeline (BASELINE.json metric): synthetic F1 tokens table at the
+scale factor of ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) ->
+size-aware encode (auto codec selection, lineage manifest) -> streaming
+decode -> per-partition bit-exact verify. Prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {"encode": s, "decode": s, "verify": s}, "sf": ..., "num_cpus": N,
+   ... throughput/size extras ...}
+
+``--scaling``: reruns the plain bench in two fresh subprocesses at
+num_cpus=8 and num_cpus=32 on the same input and reports both throughputs
+plus the N->4N scaling efficiency (the in-sandbox stand-in for the north
+rule's two-cluster-size criterion), appending the result to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def sf_of(sf_dir: str) -> float:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(tag.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    from rwcf import rayenv
+    rayenv.export_pythonpath()  # workers inherit; no runtime_env respawns
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from rwcf import fixtures, pipeline, rayenv
+
+    sf = sf_of(sf_dir)
+    n_rows = fixtures.rows_for_sf(sf)
+    path = fixtures.tokens_parquet(n_rows)  # cached, deterministic
+    # warm the page cache so we measure compute, not first-touch disk reads
+    with open(path, "rb") as f:
+        while f.read(1 << 24):
+            pass
+
+    out_dir = f"/tmp/rwcf_bench/out-n{n_rows}-c{num_cpus}"
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    cfg = pipeline.EncodeConfig(out_dir=out_dir)
+
+    queries: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    man = pipeline.encode_job(path, cfg, resume=False).to_pandas()
+    queries["encode"] = round(time.perf_counter() - t0, 3)
+
+    n_tokens = int(man["n_tokens"].sum())
+    encoded_bytes = int(man["encoded_bytes"].sum())
+    decoded_bytes = int(man["decoded_bytes"].sum())
+
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        s = pc.sum(pc.list_value_length(t.column("tokens"))).as_py() or 0
+        return pa.table({"toks": pa.array([s], type=pa.int64())})
+
+    t0 = time.perf_counter()
+    dec_total = (pipeline.decode_job(out_dir)
+                 .map_batches(count_tokens, batch_format="pyarrow",
+                              **rayenv.remote_args())
+                 .aggregate(Sum("toks", alias_name="toks")))["toks"]
+    queries["decode"] = round(time.perf_counter() - t0, 3)
+    assert dec_total == n_tokens, (dec_total, n_tokens)
+
+    t0 = time.perf_counter()
+    ver = pipeline.verify_job(out_dir).to_pandas()
+    queries["verify"] = round(time.perf_counter() - t0, 3)
+    assert ver["equal"].all(), "bit-exact verification failed"
+
+    total = round(queries["encode"] + queries["decode"], 3)
+    result = {
+        "metric": "encode+decode wall seconds (synthetic F1 tokens table)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "n_rows": n_rows,
+        "n_tokens": n_tokens,
+        "encode_tokens_per_sec": round(n_tokens / queries["encode"]),
+        "decode_tokens_per_sec": round(n_tokens / queries["decode"]),
+        "encoded_bytes": encoded_bytes,
+        "decoded_bytes": decoded_bytes,
+        "bytes_per_token": round(encoded_bytes / max(1, n_tokens), 4),
+        "compression_ratio": round(decoded_bytes / max(1, encoded_bytes), 3),
+        "n_partitions": len(man),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    def sub(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                             env=env, capture_output=True, text=True, check=True)
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    r_lo = sub(lo)
+    r_hi = sub(hi)
+    thr_lo = r_lo["n_tokens"] / r_lo["value"]
+    thr_hi = r_hi["n_tokens"] / r_hi["value"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    result = {
+        "metric": f"scaling efficiency {lo}->{hi} cpus",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": sf_of(sf_dir),
+        "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+        "cpus_lo": lo, "cpus_hi": hi,
+        "tokens_per_sec_lo": round(thr_lo), "tokens_per_sec_hi": round(thr_hi),
+        "detail_lo": r_lo["queries"], "detail_hi": r_hi["queries"],
+    }
+    _record_scaling(result)
+    return result
+
+
+def _record_scaling(result: dict) -> None:
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    header = "# BENCH/BASELINE.md — measured numbers\n\n"
+    line = (f"- sf={result['sf']}: {result['cpus_lo']} cpus -> "
+            f"{result['tokens_per_sec_lo']:,} tok/s ({result['sec_lo']}s); "
+            f"{result['cpus_hi']} cpus -> {result['tokens_per_sec_hi']:,} tok/s "
+            f"({result['sec_hi']}s); scaling efficiency "
+            f"{result['cpus_lo']}->{result['cpus_hi']} = **{result['value']}** "
+            f"(target >=0.8)\n")
+    if os.path.exists(path):
+        with open(path) as f:
+            content = f.read()
+    else:
+        content = header
+    with open(path, "w") as f:
+        f.write(content + line)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        print(json.dumps(run_bench(sf_dir, num_cpus)))
+
+
+if __name__ == "__main__":
+    main()

@@ -61,10 +61,15 @@ def tokens_table(n_rows: int, seed: int = 42) -> pa.Table:
 
 def tokens_parquet(n_rows: int, seed: int = 42,
                    cache_dir: str = "/tmp/rwcf_data",
-                   row_group_size: int = 20_000) -> str:
-    """Materialize (once) the F1 table as parquet; returns the path."""
+                   row_group_size: int = 2500) -> str:
+    """Materialize (once) the F1 table as parquet; returns the path.
+
+    Small row groups on purpose: a fragment (row group) is the unit of
+    encode parallelism, and at the 100TB design point fragments vastly
+    outnumber cores — the bench input must reproduce that, not starve a
+    32-cpu pool with 10 giant row groups."""
     os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, f"tokens_n{n_rows}_s{seed}.parquet")
+    path = os.path.join(cache_dir, f"tokens_n{n_rows}_s{seed}_rg{row_group_size}.parquet")
     if not os.path.exists(path):
         tbl = tokens_table(n_rows, seed)
         tmp = path + f".tmp{os.getpid()}"

@@ -50,7 +50,7 @@ class EncodeConfig:
     out_dir: str
     page_target: int = fmt.ENGINE_PAGE_SIZE
     codecs: list[str] | None = None          # candidate codec ids (None = all)
-    partition_token_budget: int = 4_000_000  # size-aware sub-split budget
+    partition_token_budget: int = 2_000_000  # size-aware sub-split budget
     columns: list[str] = field(default_factory=lambda: list(TOKEN_COLUMNS))
 
     @property
@@ -288,24 +288,25 @@ class EncodeFragmentWorker:
         return out
 
 
-class DecodePartitionWorker:
-    """Actor-pool stage: manifest rows in, decoded Arrow rows out."""
+def decode_partition_batch(batch: pa.Table,
+                           columns: list[str] | None = None) -> pa.Table:
+    """Stateless decode stage: manifest rows in, decoded Arrow rows out.
+    A plain function on purpose — decode holds no cross-batch state, and
+    stateless tasks reuse warm worker processes across pipeline stages
+    instead of paying an actor-pool process spawn per stage."""
+    tables = [decode_partition(row, columns)
+              for row in manifest_table_to_rows(batch)]
+    return pa.concat_tables(tables)
 
-    def __init__(self, columns: list[str] | None = None):
-        self.columns = columns
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        tables = [decode_partition(row, self.columns)
-                  for row in manifest_table_to_rows(batch)]
-        return pa.concat_tables(tables)
-
-
-class VerifyPartitionWorker:
+def verify_partition_batch(batch: pa.Table) -> pa.Table:
     """Decode each partition and compare bit-exactly against its input
     fragment rows (per-partition verification — no global order assumption,
     no shuffle join; SURVEY.md §4.2 'Ordering')."""
+    return _verify_rows(batch)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+
+def _verify_rows(batch: pa.Table) -> pa.Table:
         out = {"pid": [], "n_rows": [], "n_tokens": [], "equal": []}
         for row in manifest_table_to_rows(batch):
             dec = decode_partition(row)
@@ -347,11 +348,15 @@ def manifest_table_to_rows(tbl: pa.Table) -> list[dict]:
 
 
 def _default_concurrency() -> int:
+    """Actor-pool size: total CPUs minus headroom so downstream stages
+    (aggregates, counts) are never starved by a pool that reserves every
+    CPU (streaming-executor deadlock)."""
     import ray
     try:
-        return max(1, int(ray.cluster_resources().get("CPU", 4)))
+        cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
-        return 4
+        cpus = 4
+    return max(1, cpus - 2)
 
 
 def encode_job(input_paths, cfg: EncodeConfig, resume: bool = True,
@@ -367,7 +372,7 @@ def encode_job(input_paths, cfg: EncodeConfig, resume: bool = True,
     return ds.map_batches(EncodeFragmentWorker, batch_size=1,
                           batch_format="pyarrow",
                           fn_constructor_args=(cfg, resume),
-                          concurrency=(1, n), num_cpus=1,
+                          concurrency=n, num_cpus=1,
                           **rayenv.remote_args())
 
 
@@ -397,11 +402,10 @@ def decode_job(out_dir: str, columns: list[str] | None = None,
     ds = manifest_dataset(out_dir)
     if ds.num_blocks() < n:
         ds = ds.repartition(max(1, min(ds.count(), n * 2)))
-    return ds.map_batches(DecodePartitionWorker, batch_size=1,
-                          batch_format="pyarrow",
-                          fn_constructor_args=(columns,),
-                          concurrency=(1, n), num_cpus=1,
-                          **rayenv.remote_args())
+    import functools
+    fn = functools.partial(decode_partition_batch, columns=columns)
+    return ds.map_batches(fn, batch_size=1, batch_format="pyarrow",
+                          num_cpus=1, **rayenv.remote_args())
 
 
 def verify_job(out_dir: str, concurrency: int | None = None):
@@ -409,7 +413,6 @@ def verify_job(out_dir: str, concurrency: int | None = None):
     ds = manifest_dataset(out_dir)
     if ds.num_blocks() < n:
         ds = ds.repartition(max(1, min(ds.count(), n * 2)))
-    return ds.map_batches(VerifyPartitionWorker, batch_size=1,
-                          batch_format="pyarrow",
-                          concurrency=(1, n), num_cpus=1,
+    return ds.map_batches(verify_partition_batch, batch_size=1,
+                          batch_format="pyarrow", num_cpus=1,
                           **rayenv.remote_args())
