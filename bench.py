@@ -58,6 +58,17 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         while f.read(1 << 24):
             pass
 
+    # warm the worker pool (process spawn + imports) before any timed stage
+    import ray.data as rd
+
+    def _warm(t):
+        import rwcf.codecs  # noqa: F401
+        import rwcf.pipeline  # noqa: F401
+        return t
+
+    rd.range(num_cpus * 2, override_num_blocks=num_cpus * 2).map_batches(
+        _warm, batch_format="pyarrow", num_cpus=1).materialize()
+
     out_dir = f"/tmp/rwcf_bench/out-n{n_rows}-c{num_cpus}"
     if os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
@@ -116,8 +127,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     return result
 
 
-def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+def run_scaling(sf_dir: str, lo: int | None = None, hi: int | None = None) -> dict:
+    lo = lo or int(os.environ.get("RWCF_SCALING_LO", "8"))
+    hi = hi or int(os.environ.get("RWCF_SCALING_HI", "32"))
+
     def sub(ncpu: int) -> dict:
+        time.sleep(int(os.environ.get("RWCF_SCALING_SETTLE", "30")))  # let the
+        # host's load from the previous level drain before timing
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                              env=env, capture_output=True, text=True, check=True)

@@ -70,43 +70,62 @@ def bit_width(max_val: int) -> int:
 
 
 def pack_bits(vals: np.ndarray, width: int) -> np.ndarray:
-    """LSB-first fixed-width packing of uint64 values into bytes.
+    """LSB-first fixed-width packing into bytes.
 
-    Word-arithmetic scatter (no per-bit matrix): each value is shifted to
-    its bit offset and OR-ed into up to 9 destination bytes. ~100x faster
-    than an unpackbits-style bit matrix at 1M values."""
+    Group-reshape scheme: 8 consecutive values occupy exactly ``width``
+    output bytes, so each output byte column is a fixed shift/or combination
+    of at most 3 value columns — sequential vectorized writes, no scattered
+    ``ufunc.at``, and uint32 arithmetic when the width allows (halves memory
+    traffic for token-sized ints)."""
     n = vals.size
     if width == 0 or n == 0:
         return np.empty(0, dtype=np.uint8)
-    v = vals.astype(np.uint64, copy=False)
-    bit_pos = np.arange(n, dtype=np.int64) * width
-    byte_pos = bit_pos >> 3
-    shift = (bit_pos & 7).astype(np.uint64)
-    nbytes = (n * width + 7) // 8
-    out = np.zeros(nbytes + 9, dtype=np.uint8)
-    low = v << shift  # uint64 wraps: keeps bits 0..63 of the shifted value
-    nspan = min(8, (width + 7 + 7) // 8)
-    for b in range(nspan):
-        np.bitwise_or.at(out, byte_pos + b,
-                         ((low >> np.uint64(8 * b)) & np.uint64(0xFF)).astype(np.uint8))
-    if width + 7 > 64:  # bits beyond the 64-bit word land in a 9th byte
-        nz = shift > 0
-        high = np.zeros(n, dtype=np.uint64)
-        high[nz] = v[nz] >> (np.uint64(64) - shift[nz])
-        np.bitwise_or.at(out, byte_pos + 8,
-                         (high & np.uint64(0xFF)).astype(np.uint8))
-    return out[:nbytes]
+    dt = np.uint32 if width <= 24 else np.uint64
+    pad = (-n) % 8
+    v = vals.astype(dt, copy=False)
+    if pad:
+        v = np.concatenate([v, np.zeros(pad, dtype=dt)])
+    g = v.reshape(-1, 8)
+    out = np.empty((g.shape[0], width), dtype=np.uint8)
+    for j in range(width):
+        bitlo = 8 * j
+        acc = None
+        k = bitlo // width
+        while k < 8 and k * width < bitlo + 8:
+            off = k * width - bitlo
+            term = (g[:, k] << dt(off)) if off >= 0 else (g[:, k] >> dt(-off))
+            acc = term if acc is None else acc | term
+            k += 1
+        out[:, j] = acc.astype(np.uint8) if acc is not None else 0
+    return out.reshape(-1)[: (n * width + 7) // 8]
 
 
-def unpack_bits(buf: np.ndarray, width: int, n: int) -> np.ndarray:
+def unpack_bits(buf: np.ndarray, width: int, n: int,
+                out_dtype=np.uint64) -> np.ndarray:
+    """Inverse of :func:`pack_bits`; ``out_dtype`` avoids widening copies
+    when the caller works in a narrow native dtype."""
     if width == 0:
-        return np.zeros(n, dtype=np.uint64)
-    bits = np.unpackbits(buf, count=n * width, bitorder="little").reshape(n, width)
-    shifts = np.arange(width, dtype=np.uint64)
-    out = np.zeros(n, dtype=np.uint64)
-    for j in range(width):  # width <= 64 iterations, each vectorized over n
-        out |= bits[:, j].astype(np.uint64) << shifts[j]
-    return out
+        return np.zeros(n, dtype=out_dtype)
+    dt = np.uint32 if width <= 24 else np.uint64
+    ngroups = (n + 7) // 8
+    need = ngroups * width
+    b = np.zeros(need, dtype=np.uint8)
+    b[: buf.size] = buf[:need] if buf.size >= need else buf
+    b = b.reshape(ngroups, width).astype(dt)
+    out = np.empty((ngroups, 8), dtype=dt)
+    mask = dt((1 << width) - 1) if width < (32 if dt is np.uint32 else 64) \
+        else dt(np.iinfo(dt).max)
+    for k in range(8):
+        bitlo = k * width
+        j0 = bitlo // 8
+        j1 = (bitlo + width - 1) // 8
+        acc = None
+        for j in range(j0, j1 + 1):
+            off = 8 * j - bitlo
+            term = (b[:, j] << dt(off)) if off >= 0 else (b[:, j] >> dt(-off))
+            acc = term if acc is None else acc | term
+        out[:, k] = acc & mask
+    return out.reshape(-1)[:n].astype(out_dtype, copy=False)
 
 
 def paginate_widths(item_widths: np.ndarray, item_values: np.ndarray,

@@ -2,7 +2,9 @@
 LSB-first packing of the zigzag/unsigned value stream. Page layout:
 ``[width:u8][packed bits]`` with a fixed value count per page so pages decode
 independently (page-parallel, unlike the reference's sequential reader,
-src/decode.rs:52-66)."""
+src/decode.rs:52-66). All arithmetic stays in the column's native width —
+an int32 token stream is never widened to int64, which halves memory traffic
+on the hot path."""
 
 from __future__ import annotations
 
@@ -13,6 +15,30 @@ import numpy as np
 from .. import format as fmt
 from . import base
 
+_UNSIGNED = {"u8": np.uint8, "i8": np.uint8, "u16": np.uint16, "i16": np.uint16,
+             "u32": np.uint32, "i32": np.uint32, "u64": np.uint64, "i64": np.uint64}
+
+
+def to_unsigned_native(vals: np.ndarray, dtype: str) -> np.ndarray:
+    """Zigzag (signed) / reinterpret (unsigned) in the column's own width."""
+    np_t = fmt.DTYPES[dtype][2]
+    ut = _UNSIGNED[dtype]
+    v = np.ascontiguousarray(vals, dtype=np_t)
+    if fmt.is_signed(dtype):
+        bits = np_t.itemsize * 8 - 1
+        return ((v << 1) ^ (v >> bits)).view(ut)
+    return v.view(ut)
+
+
+def from_unsigned_native(u: np.ndarray, dtype: str) -> np.ndarray:
+    np_t = fmt.DTYPES[dtype][2]
+    ut = _UNSIGNED[dtype]
+    u = u.astype(ut, copy=False)
+    if fmt.is_signed(dtype):
+        st = np.dtype(np_t)
+        return ((u >> 1).view(st.type)) ^ -((u & 1).view(st.type))
+    return u.view(np_t)
+
 
 def _plan_values_per_page(global_width: int, page_target: int) -> int:
     if global_width == 0:
@@ -21,7 +47,7 @@ def _plan_values_per_page(global_width: int, page_target: int) -> int:
 
 
 def _encode_packed_pages(u: np.ndarray, page_target: int):
-    """Shared by bitpack/for-style codecs: per-page width + packed payload."""
+    """Shared by bitpack/dict: per-page width + packed payload."""
     n = u.size
     gw = base.bit_width(int(u.max())) if n else 0
     vpp = _plan_values_per_page(gw, page_target)
@@ -40,13 +66,14 @@ def _encode_packed_pages(u: np.ndarray, page_target: int):
     return payload, pages
 
 
-def _decode_packed_pages(payload: np.ndarray, pages) -> np.ndarray:
+def _decode_packed_pages(payload: np.ndarray, pages,
+                         out_dtype=np.uint64) -> np.ndarray:
     outs = []
     for p in pages:
         w = int(payload[p.file_offset])
         body = payload[p.file_offset + 1: p.file_offset + p.byte_length]
-        outs.append(base.unpack_bits(body, w, p.values_count))
-    return np.concatenate(outs) if outs else np.empty(0, dtype=np.uint64)
+        outs.append(base.unpack_bits(body, w, p.values_count, out_dtype))
+    return np.concatenate(outs) if outs else np.empty(0, dtype=out_dtype)
 
 
 class BitpackCodec(base.Codec):
@@ -56,13 +83,13 @@ class BitpackCodec(base.Codec):
         return not fmt.is_string(dtype)
 
     def encode(self, chunk, dtype: str, page_target: int):
-        u = base.to_unsigned_stream(np.asarray(chunk), dtype)
+        u = to_unsigned_native(np.asarray(chunk), dtype)
         payload, pages = _encode_packed_pages(u, page_target)
         return b"", payload, pages
 
     def decode(self, payload, pages, meta, dtype: str, n: int):
-        u = _decode_packed_pages(payload, pages)
-        return base.from_unsigned_stream(u[:n], dtype)
+        u = _decode_packed_pages(payload, pages, _UNSIGNED[dtype])
+        return from_unsigned_native(u[:n], dtype)
 
     def estimate_size(self, sample, dtype: str, n_total: int,
                       payload_total: int) -> float:
@@ -71,6 +98,6 @@ class BitpackCodec(base.Codec):
         vals = np.asarray(sample)
         if vals.size == 0:
             return 11.0
-        u = base.to_unsigned_stream(vals, dtype)
+        u = to_unsigned_native(vals, dtype)
         w = base.bit_width(int(u.max()))
         return w / 8.0 * n_total

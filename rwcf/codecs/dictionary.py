@@ -41,7 +41,8 @@ class DictCodec(base.Codec):
             n_uniq = uniq.size
         meta = varint.encode_uvarint(np.array([n_uniq], dtype=np.uint64)).tobytes() \
             + dict_payload.tobytes()
-        payload_out, pages = _encode_packed_pages(codes.astype(np.uint64), page_target)
+        code_dt = np.uint32 if n_uniq <= (1 << 32) else np.uint64
+        payload_out, pages = _encode_packed_pages(codes.astype(code_dt), page_target)
         return meta, payload_out, pages
 
     def decode(self, payload, pages, meta, dtype: str, n: int):
@@ -49,7 +50,7 @@ class DictCodec(base.Codec):
         r = fmt._Reader(mbuf)
         n_uniq = r.uvarint()
         dict_buf = mbuf[r.pos:]
-        codes = _decode_packed_pages(payload, pages)[:n].astype(np.int64)
+        codes = _decode_packed_pages(payload, pages, np.int64)[:n]
         if fmt.is_string(dtype):
             ulens, upayload = varint.decode_str_column(dict_buf, n_uniq)
             out_lens = ulens[codes]

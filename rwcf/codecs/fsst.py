@@ -26,7 +26,6 @@ bytes]``.
 from __future__ import annotations
 
 import math
-from collections import Counter
 
 import numpy as np
 
@@ -45,9 +44,44 @@ def _free_codes(payload: np.ndarray) -> np.ndarray:
     return np.flatnonzero(hist == 0)
 
 
+def _candidate_gains(corpus: bytes) -> list[tuple[int, bytes]]:
+    """(gain, substring) candidates via vectorized window counting.
+
+    Windows are keyed as little-endian uint64 integers (length <= 8 bytes),
+    so the unique/count pass is an integer sort, ~5x faster than memcmp
+    sorting of void views."""
+    buf = np.frombuffer(corpus, dtype=np.uint8)
+    n = buf.size
+    padded = np.zeros(n + 8, dtype=np.uint8)
+    padded[:n] = buf
+    # w64[i] = 8 bytes starting at i, as LE uint64
+    w64 = np.zeros(n, dtype=np.uint64)
+    for j in range(8):
+        w64 |= padded[j:j + n].astype(np.uint64) << np.uint64(8 * j)
+    out: list[tuple[int, bytes]] = []
+    for L in range(2, _MAX_SYM_LEN + 1):
+        if n < L:
+            break
+        keys = w64[: n - L + 1]
+        if L < 8:
+            keys = keys & np.uint64((1 << (8 * L)) - 1)
+        uniq, first, counts = np.unique(keys, return_index=True,
+                                        return_counts=True)
+        gains = (L - 1) * counts.astype(np.int64) - (L + 2)
+        good = np.flatnonzero(gains > 0)
+        if good.size > 4 * _BATCH:  # only the top slice can ever be picked
+            good = good[np.argpartition(gains[good], -4 * _BATCH)[-4 * _BATCH:]]
+        for i in good:
+            s = int(first[i])
+            out.append((int(gains[i]), buf[s:s + L].tobytes()))
+    out.sort(reverse=True)
+    return out
+
+
 def _train(sample_corpus: bytes, codes: list[int], sep: int) -> list[tuple[int, bytes]]:
     """Greedy symbol selection; returns [(code_byte, symbol_bytes)] in
-    application order."""
+    application order. Counting is numpy-vectorized (sliding windows +
+    unique) — the Python-level cost per round is only the top-K pick."""
     symbols: list[tuple[int, bytes]] = []
     corpus = sample_corpus
     forbidden = {sep} | set(codes)
@@ -55,16 +89,10 @@ def _train(sample_corpus: bytes, codes: list[int], sep: int) -> list[tuple[int, 
     for _ in range(_ROUNDS):
         if not avail:
             break
-        counts: Counter[bytes] = Counter()
-        n = len(corpus)
-        for L in range(2, _MAX_SYM_LEN + 1):
-            counts.update(corpus[i:i + L] for i in range(n - L + 1))
+        ranked = _candidate_gains(corpus)
         picks = []
-        ranked = sorted(((len(s) - 1) * c - (len(s) + 2), s)
-                        for s, c in counts.items() if c > 1)
-        ranked.reverse()
         for gain, sym in ranked:
-            if gain <= 0 or len(picks) >= min(_BATCH, len(avail)):
+            if len(picks) >= min(_BATCH, len(avail)):
                 break
             if any(b in forbidden for b in sym):
                 continue
@@ -110,8 +138,30 @@ def _with_separators(lengths: np.ndarray, payload: np.ndarray, sep: int) -> byte
 class FsstCodec(base.Codec):
     id = "fsst"
 
+    def __init__(self):
+        # symbols trained during estimate_size, reusable by encode for the
+        # same chunk (keyed by the full chunk's row/byte totals — a miss or
+        # stale hit only costs optimality, never correctness, because codes
+        # are revalidated against the full payload's free-byte set below)
+        self._memo: dict[tuple, list[tuple[int, bytes]]] = {}
+
     def supports(self, dtype: str) -> bool:
         return fmt.is_string(dtype)
+
+    def _usable_cached(self, key, free: np.ndarray):
+        cached = self._memo.get(key)
+        if not cached:
+            return None, None
+        free_set = {int(c) for c in free}
+        if any(code not in free_set for code, _ in cached):
+            return None, None  # sample missed bytes present in the full chunk
+        used = {code for code, _ in cached}
+        sym_bytes = {b for _, s in cached for b in s}
+        for c in free:
+            ci = int(c)
+            if ci not in used and ci not in sym_bytes:
+                return cached, ci  # (symbols, separator)
+        return None, None
 
     def encode(self, chunk, dtype: str, page_target: int):
         lengths, payload = chunk
@@ -119,10 +169,13 @@ class FsstCodec(base.Codec):
         symbols: list[tuple[int, bytes]] = []
         enc_lengths, enc_payload = lengths, payload
         if free.size >= 2 and payload.size:
-            sep = int(free[0])
-            codes = [int(c) for c in free[1:]]
-            sample = _with_separators(*_sample_rows(lengths, payload), sep)[:_TRAIN_BYTES]
-            symbols = _train(sample, codes, sep)
+            symbols, sep = self._usable_cached((lengths.size, payload.size), free)
+            if symbols is None:
+                sep = int(free[0])
+                codes = [int(c) for c in free[1:]]
+                sample = _with_separators(*_sample_rows(lengths, payload),
+                                          sep)[:_TRAIN_BYTES]
+                symbols = _train(sample, codes, sep)
             if symbols:
                 corpus = _with_separators(lengths, payload, sep)
                 for code, sym in symbols:
@@ -170,12 +223,23 @@ class FsstCodec(base.Codec):
         free = _free_codes(payload)
         if free.size < 2:
             return math.inf
+        # low-cardinality early-out: dictionary strictly dominates FSST when
+        # few distinct values exist — skip the (expensive) training pass
+        probe = min(256, lengths.size)
+        offs = np.cumsum(lengths) - lengths
+        distinct = {payload[offs[i]:offs[i] + lengths[i]].tobytes()
+                    for i in range(probe)}
+        if len(distinct) < max(2, probe // 16):
+            return math.inf
         sep = int(free[0])
         codes = [int(c) for c in free[1:]]
         corpus = _with_separators(lengths, payload, sep)[:_TRAIN_BYTES]
         symbols = _train(corpus, codes, sep)
         if not symbols:
             return math.inf
+        if len(self._memo) > 16:
+            self._memo.clear()
+        self._memo[(n_total, payload_total)] = symbols  # reused by encode
         enc = corpus
         for code, sym in symbols:
             enc = enc.replace(sym, bytes([code]))

@@ -155,7 +155,10 @@ def encode_partition(tbl: pa.Table, pid: str, cfg: EncodeConfig,
         col_meta.append({
             "column": name, "dtype": dtype, "codec": enc.codec,
             "n_values": enc.n_values, "offset": offset, "length": len(blob),
-            "crc": _chunk_crc(chunk, dtype),
+            # checksum over the ENCODED section: detects file corruption at
+            # decode time for half the bytes of a decoded-chunk crc; codec
+            # fidelity itself is proven by verify_job + the codec test suite
+            "crc": zlib.crc32(blob),
             "estimate": choice.estimate, "decoded_bytes": dec_b,
         })
         sections.append(blob)
@@ -207,12 +210,11 @@ def decode_partition(row: dict, columns: list[str] | None = None,
                 continue
             f.seek(cm["offset"])
             blob = f.read(cm["length"])
+            if cm.get("crc") is not None and zlib.crc32(blob) != cm["crc"]:
+                raise IOError(f"checksum mismatch in {row['pid']}:{cm['column']}")
             enc = fmt.read_column_file(blob)
             enc.dtype = cm["dtype"]  # concrete width from lineage
-            chunk = fmt.decode_chunk(enc)
-            if cm.get("crc") is not None and _chunk_crc(chunk, cm["dtype"]) != cm["crc"]:
-                raise IOError(f"checksum mismatch in {row['pid']}:{cm['column']}")
-            chunks[cm["column"]] = chunk
+            chunks[cm["column"]] = fmt.decode_chunk(enc)
     cols = {}
     for name in TOKEN_COLUMNS:
         if name not in want or name not in need:
@@ -254,38 +256,51 @@ def split_by_token_budget(n_tok: np.ndarray, budget: int) -> list[tuple[int, int
 # Ray Data stages
 # ---------------------------------------------------------------------------
 
-class EncodeFragmentWorker:
-    """Actor-pool stage: one call encodes one fragment descriptor batch.
-    Stateful per SURVEY.md §2.2 — codec registry / selector state lives for
-    the actor's lifetime, not per batch."""
+def encode_fragment(desc: dict, cfg: EncodeConfig, resume: bool = True) -> list[dict]:
+    """Encode one fragment: read its row group (column-pruned), sub-split by
+    token budget, encode + commit each sub-partition."""
+    pf = pq.ParquetFile(desc["path"])
+    tbl = pf.read_row_group(desc["row_group"], columns=cfg.columns)
+    n_tok = tbl.column("n_tok").combine_chunks().to_numpy().astype(np.int64)
+    spans = split_by_token_budget(n_tok, cfg.partition_token_budget)
+    out = []
+    for k, (a, b) in enumerate(spans):
+        pid = f"{desc['fragment_id']}-p{k:04d}"
+        mpath = os.path.join(cfg.manifest_dir, f"{pid}.json")
+        if resume and os.path.exists(mpath):
+            with open(mpath) as f:
+                out.append(json.load(f))  # already committed — skip work
+            continue
+        lineage = {"path": desc["path"], "row_group": desc["row_group"],
+                   "row_start": a, "row_count": b - a}
+        out.append(encode_partition(tbl.slice(a, b - a), pid, cfg, lineage))
+    return out
+
+
+def encode_fragment_batch(batch: pa.Table, cfg: EncodeConfig,
+                          resume: bool = True) -> pa.Table:
+    """Stateless encode stage. Plain function on purpose: per-partition codec
+    state (FSST tables, dictionaries) is rebuilt per partition by design, so
+    tasks on warm reused workers beat an actor-pool process spawn per stage.
+    ``EncoderActorPool`` below keeps the actor-pool variant for pipelines
+    that carry genuinely cross-partition state."""
+    rows = []
+    for desc in batch.to_pylist():
+        rows.extend(encode_fragment(desc, cfg, resume))
+    return manifest_rows_to_table(rows)
+
+
+class EncoderActorPool:
+    """Actor-pool encode stage (stateful variant): holds config + could hold
+    shared dictionaries/symbol tables across partitions. Same semantics as
+    ``encode_fragment_batch``."""
 
     def __init__(self, cfg: EncodeConfig, resume: bool = True):
         self.cfg = cfg
         self.resume = resume
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = []
-        for desc in batch.to_pylist():
-            rows.extend(self.encode_fragment(desc))
-        return manifest_rows_to_table(rows)
-
-    def encode_fragment(self, desc: dict) -> list[dict]:
-        pf = pq.ParquetFile(desc["path"])
-        tbl = pf.read_row_group(desc["row_group"], columns=self.cfg.columns)
-        n_tok = tbl.column("n_tok").combine_chunks().to_numpy().astype(np.int64)
-        spans = split_by_token_budget(n_tok, self.cfg.partition_token_budget)
-        out = []
-        for k, (a, b) in enumerate(spans):
-            pid = f"{desc['fragment_id']}-p{k:04d}"
-            mpath = os.path.join(self.cfg.manifest_dir, f"{pid}.json")
-            if self.resume and os.path.exists(mpath):
-                with open(mpath) as f:
-                    out.append(json.load(f))  # already committed — skip work
-                continue
-            lineage = {"path": desc["path"], "row_group": desc["row_group"],
-                       "row_start": a, "row_count": b - a}
-            out.append(encode_partition(tbl.slice(a, b - a), pid, self.cfg, lineage))
-        return out
+        return encode_fragment_batch(batch, self.cfg, self.resume)
 
 
 def decode_partition_batch(batch: pa.Table,
@@ -369,11 +384,13 @@ def encode_job(input_paths, cfg: EncodeConfig, resume: bool = True,
     ds = rd.from_items(frags)
     if ds.num_blocks() < n:
         ds = ds.repartition(min(len(frags), n * 2) or 1)
-    return ds.map_batches(EncodeFragmentWorker, batch_size=1,
-                          batch_format="pyarrow",
-                          fn_constructor_args=(cfg, resume),
-                          concurrency=n, num_cpus=1,
-                          **rayenv.remote_args())
+    import functools
+    fn = functools.partial(encode_fragment_batch, cfg=cfg, resume=resume)
+    # ~4 task waves per cpu: big enough to amortize dispatch, small enough
+    # to load-balance stragglers
+    bs = max(1, len(frags) // (n * 4))
+    return ds.map_batches(fn, batch_size=bs, batch_format="pyarrow",
+                          num_cpus=1, **rayenv.remote_args())
 
 
 def manifest_dataset(out_dir: str):

@@ -1,0 +1,53 @@
+"""Grouped-by-source salted encode: skew flattening + lineage stats."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from rwcf import fixtures, grouped, pipeline
+
+
+@pytest.fixture(scope="module")
+def tokens_path(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("gtokens"))
+    return fixtures.tokens_parquet(3000, seed=7, cache_dir=d, row_group_size=500)
+
+
+def test_grouped_encode_and_stats(tokens_path, tmp_path, ray_session):
+    out = str(tmp_path / "g")
+    cfg = pipeline.EncodeConfig(out_dir=out, partition_token_budget=150_000)
+    man = grouped.encode_grouped_by_source(tokens_path, cfg).to_pandas()
+    src_tbl = pq.read_table(tokens_path)
+    assert man["n_rows"].sum() == 3000
+
+    # skew flattening: the dominant source must be salted into several
+    # partitions, each within ~2x budget (one giant row may overshoot)
+    rows = pipeline.load_manifest(out)
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r["lineage"]["source"], []).append(r)
+    dominant = max(by_source, key=lambda s: sum(x["n_tokens"] for x in by_source[s]))
+    assert len(by_source[dominant]) >= 3, "dominant source was not salted"
+
+    # lineage stats equal ground truth per source
+    stats = grouped.per_source_manifest_stats(out).set_index("source")
+    df = src_tbl.select(["source", "n_tok"]).to_pandas()
+    truth = df.groupby("source").agg(n_rows=("n_tok", "size"), n_tokens=("n_tok", "sum"))
+    for s in truth.index:
+        assert stats.loc[s, "n_rows"] == truth.loc[s, "n_rows"]
+        assert stats.loc[s, "n_tokens"] == truth.loc[s, "n_tokens"]
+
+    # decoded rows reassemble the exact table (order-insensitive by doc_id)
+    dec = pipeline.decode_job(out, concurrency=2).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    src = src_tbl.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert dec["doc_id"].tolist() == src["doc_id"].tolist()
+    assert all(np.array_equal(a, b) for a, b in zip(dec["tokens"], src["tokens"]))
+
+    # grouped resume: rerun skips committed groups (file mtimes unchanged)
+    mtimes = {r["pid"]: os.path.getmtime(r["file"]) for r in rows}
+    grouped.encode_grouped_by_source(tokens_path, cfg).materialize()
+    for pid, mt in mtimes.items():
+        assert os.path.getmtime(os.path.join(out, "parts", f"{pid}.rwcf")) == mt
