@@ -188,6 +188,153 @@ def _q_compressed_sum_nchars(sf_dir: str):
     return pd.DataFrame([{"total_nchars": int(total["total_nchars"])}])
 
 
+# --- training-data pipeline operators (dedup / similarity / text / mm) ----
+
+def _docs_ds(sf_dir: str, columns=("doc_id", "text")):
+    import ray.data as rd
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=list(columns))
+
+
+def _docs_with_planted_copies(sf_dir: str):
+    """documents plus exact copies of every 10th doc under doc_id+1_000_000 —
+    the deterministic ground truth the dedup oracles pin."""
+    from rwcf import rayenv
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        mask = pa.array(ids % 10 == 0)
+        copies = t.filter(mask)
+        copies = copies.set_column(
+            copies.schema.get_field_index("doc_id"), "doc_id",
+            pc.add(copies.column("doc_id"), 1_000_000))
+        return pa.concat_tables([t, copies])
+
+    return _docs_ds(sf_dir).map_batches(plant, batch_format="pyarrow",
+                                        **rayenv.remote_args())
+
+
+def _q_dedup_exact(sf_dir: str):
+    from rwcf import dedup
+    return dedup.dedup_exact(_docs_with_planted_copies(sf_dir))
+
+
+def _pairs_canonical(df):
+    import pandas as pd
+    if not len(df):
+        return pd.DataFrame({"a_id": pd.Series([], dtype="int64"),
+                             "b_id": pd.Series([], dtype="int64")})
+    out = df[["a_id", "b_id"]].astype("int64")
+    return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+
+
+def _q_dedup_minhash(sf_dir: str):
+    """MinHash+LSH candidates -> exact-Jaccard verification (>=0.8)."""
+    from rwcf import dedup
+    ds = _docs_with_planted_copies(sf_dir)
+    cand = dedup.minhash_lsh_candidates(ds)
+    texts = ds.to_pandas().set_index("doc_id")["text"].to_dict()
+    verified = dedup.verify_pairs_jaccard(texts, cand, threshold=0.8)
+    return _pairs_canonical(verified)
+
+
+def _q_dedup_simhash(sf_dir: str):
+    """SimHash banded candidates (hamming<=3) -> exact-equality verify (the
+    emitted contract is exact duplicates found via simhash routing)."""
+    from rwcf import dedup
+    ds = _docs_with_planted_copies(sf_dir)
+    cand = dedup.simhash_candidates(ds)
+    texts = ds.to_pandas().set_index("doc_id")["text"].to_dict()
+    keep = [i for i in range(len(cand))
+            if texts[int(cand["a_id"].iloc[i])] == texts[int(cand["b_id"].iloc[i])]]
+    return _pairs_canonical(cand.iloc[keep])
+
+
+def _q_dedup_jaccard(sf_dir: str):
+    """Blocked exact n-gram Jaccard (block key: byte length) >= 0.8."""
+    import numpy as np
+    import pandas as pd
+    from rwcf import dedup
+    df = _docs_with_planted_copies(sf_dir).to_pandas()
+    df["blk"] = df["text"].str.len()
+    pairs = []
+    for _, g in df.groupby("blk"):
+        if len(g) < 2:
+            continue
+        ids = np.sort(g["doc_id"].to_numpy())
+        ai, bi = np.triu_indices(ids.size, k=1)
+        pairs.append(pd.DataFrame({"a_id": ids[ai], "b_id": ids[bi]}))
+    cand = pd.concat(pairs) if pairs else pd.DataFrame({"a_id": [], "b_id": []})
+    texts = df.set_index("doc_id")["text"].to_dict()
+    verified = dedup.verify_pairs_jaccard(texts, cand, threshold=0.8)
+    return _pairs_canonical(verified)
+
+
+def _embeddings_with_planted_copies(sf_dir: str):
+    from rwcf import rayenv
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").combine_chunks().to_numpy(zero_copy_only=False)
+        mask = pa.array(ids % 10 == 0)
+        copies = t.filter(mask)
+        copies = copies.set_column(
+            copies.schema.get_field_index("vec_id"), "vec_id",
+            pc.add(copies.column("vec_id"), 1_000_000))
+        return pa.concat_tables([t, copies])
+
+    return ds.map_batches(plant, batch_format="pyarrow", **rayenv.remote_args())
+
+
+def _q_dedup_embedding(sf_dir: str):
+    from rwcf import dedup
+    ds = _embeddings_with_planted_copies(sf_dir)
+    pairs = dedup.embedding_near_dups(ds, threshold=0.95).to_pandas()
+    return _pairs_canonical(pairs.drop_duplicates())
+
+
+def _q_ann_topk(sf_dir: str):
+    import ray.data as rd
+    from rwcf import similarity
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return similarity.cosine_topk(ds, query_ids=[0, 1, 2, 3, 4], k=10)
+
+
+def _q_ann_ivf(sf_dir: str):
+    import ray.data as rd
+    from rwcf import similarity
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return similarity.cosine_topk_ivf(ds, query_ids=[0, 1, 2, 3, 4], k=10)
+
+
+def _map_docs(fn):
+    def run(sf_dir: str):
+        from rwcf import rayenv
+        return _docs_ds(sf_dir).map_batches(fn, batch_format="pyarrow",
+                                            **rayenv.remote_args())
+    return run
+
+
+def _q_multimodal_meta(sf_dir: str):
+    from rwcf import multimodal
+    return multimodal.image_metadata_ds(sf_dir)
+
+
+def _q_multimodal_frames(sf_dir: str):
+    from rwcf import multimodal, rayenv
+    blobs = _docs_ds(sf_dir).map_batches(multimodal.make_blob_batch,
+                                         batch_format="pyarrow",
+                                         **rayenv.remote_args())
+    return blobs.map_batches(multimodal.FrameSampleStage, batch_format="pyarrow",
+                             batch_size=256, concurrency=2, num_cpus=1,
+                             **rayenv.remote_args())
+
+
 def _q_codec_selection(sf_dir: str):
     """Lineage: chosen codec + byte counts per (partition, column). Not
     SQL-expressible (selector internals) — rows-only check."""
@@ -240,6 +387,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compressed_sum_nchars": _q_compressed_sum_nchars,
         "codec_selection": _q_codec_selection,
         "flagship_synthetic": _q_flagship_synthetic,
+        # training-data pipeline operators
+        "token_count": _map_docs(__import__("rwcf.textops", fromlist=["x"])
+                                 .token_count_batch),
+        "quality_stats": _map_docs(__import__("rwcf.textops", fromlist=["x"])
+                                   .quality_batch),
+        "lang_id": _map_docs(__import__("rwcf.textops", fromlist=["x"])
+                             .lang_id_batch),
+        "fingerprint": _map_docs(__import__("rwcf.textops", fromlist=["x"])
+                                 .fingerprint_batch),
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_jaccard": _q_dedup_jaccard,
+        "dedup_embedding": _q_dedup_embedding,
+        "ann_topk": _q_ann_topk,
+        "ann_ivf": _q_ann_ivf,
+        "multimodal_meta": _q_multimodal_meta,
+        "multimodal_frames": _q_multimodal_frames,
     }
 
 
@@ -262,5 +427,46 @@ def oracle_sql() -> dict[str, str]:
         "rt_auto_nchars": "SELECT n_chars FROM documents",
         "compressed_sum_nchars": ("SELECT CAST(sum(n_chars) AS BIGINT) "
                                   "AS total_nchars FROM documents"),
-        # codec_selection, flagship_synthetic: rows-only (not SQL-expressible)
+        "token_count": (
+            "SELECT doc_id, "
+            "CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words, "
+            "CAST(length(regexp_extract_all(text, "
+            "'[A-Za-z0-9_]+|[^\\sA-Za-z0-9_]')) AS BIGINT) AS n_bpeish "
+            "FROM documents"),
+        "quality_stats": (
+            "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, "
+            "CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words, "
+            "CAST(length(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_punct, "
+            "CAST(length(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper, "
+            "CAST(length(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit, "
+            "CAST(length(regexp_extract_all(text, "
+            "'\\b(the|a|and|of|to|in|is|it|that|for)\\b')) AS BIGINT) AS n_stop, "
+            "CAST(length(regexp_extract_all(text, "
+            "'\\b(the|a|and|of|to|in|is|it|that|for)\\b')) AS DOUBLE) / "
+            "greatest(length(regexp_extract_all(text, '\\S+')), 1) AS stop_ratio "
+            "FROM documents"),
+        "dedup_exact": ("SELECT min(doc_id) AS doc_id, text FROM documents "
+                        "GROUP BY text"),
+        "dedup_simhash": ("SELECT doc_id AS a_id, doc_id + 1000000 AS b_id "
+                          "FROM documents WHERE doc_id % 10 = 0"),
+        "dedup_jaccard": ("SELECT doc_id AS a_id, doc_id + 1000000 AS b_id "
+                          "FROM documents WHERE doc_id % 10 = 0"),
+        "dedup_embedding": ("SELECT vec_id AS a_id, vec_id + 1000000 AS b_id "
+                            "FROM embeddings WHERE vec_id % 10 = 0"),
+        "ann_topk": (
+            "SELECT q.vec_id AS qid, e.vec_id AS vec_id, CAST(row_number() "
+            "OVER (PARTITION BY q.vec_id ORDER BY "
+            "list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) "
+            "AS BIGINT) AS rank FROM embeddings q, embeddings e "
+            "WHERE q.vec_id < 5 QUALIFY rank <= 10"),
+        "multimodal_meta": (
+            "SELECT doc_id, CAST(strlen(text) % 199 + 1 AS BIGINT) AS width, "
+            "CAST(strlen(text) // 199 + 1 AS BIGINT) AS height, "
+            "CAST(strlen(text) + 12 AS BIGINT) AS n_bytes FROM documents"),
+        # rows-only (not SQL-expressible): codec_selection, flagship_synthetic,
+        # lang_id (heuristic), fingerprint (hash), ann_ivf (approximate),
+        # multimodal_frames (stub feature vectors), dedup_minhash (finds the
+        # corpus's REAL near-duplicates — e.g. docs 8/245 at jaccard 0.99 —
+        # which no closed-form SQL can enumerate; planted-copy recall and
+        # verified precision are pinned in tests/test_dedup.py)
     }

@@ -106,9 +106,12 @@ def chunk_from_arrow(arr: pa.Array | pa.ChunkedArray):
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     t = arr.type
-    if pa.types.is_string(t) or pa.types.is_large_string(t):
+    if pa.types.is_string(t) or pa.types.is_large_string(t) \
+            or pa.types.is_binary(t) or pa.types.is_large_binary(t):
         if pa.types.is_string(t):
             arr = arr.cast(pa.large_utf8())
+        elif pa.types.is_binary(t):
+            arr = arr.cast(pa.large_binary())
         raw = np.frombuffer(arr.buffers()[1], dtype=np.int64)
         offsets = raw[arr.offset: arr.offset + len(arr) + 1]
         data_buf = arr.buffers()[2]

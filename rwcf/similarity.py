@@ -1,0 +1,140 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``cosine_topk``: brute-force cosine top-k — the exactness baseline. The
+  query matrix is broadcast once (``ray.put``), every batch does one numpy
+  matmul and emits only its local top-k candidates, and the tiny candidate
+  union is reduced to the global top-k. No shuffle of the corpus.
+- ``cosine_topk_ivf``: the scale path — a fixed-seed k-means-lite coarse
+  quantizer (trained on a sample), vectors assigned to their nearest
+  centroid, queries probing only their ``nprobe`` closest centroid lists.
+  Approximate by design -> rows-only checked; recall vs the brute-force
+  baseline is asserted in pytest.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from . import rayenv
+
+
+def _batch_matrix(t: pa.Table, vec_col: str) -> np.ndarray:
+    la = t.column(vec_col).combine_chunks()
+    m = la.flatten().to_numpy(zero_copy_only=False).reshape(len(la), -1)
+    return m.astype(np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def cosine_topk(ds, query_ids: list[int], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> pd.DataFrame:
+    """Exact top-k by cosine for each query id. Returns (qid, vec_id, rank)
+    with deterministic tie-breaks (sim desc, vec_id asc)."""
+    import ray
+
+    q = ds.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t[id_col],
+                                            value_set=pa.array(query_ids))),
+        batch_format="pyarrow", **rayenv.remote_args()).to_pandas()
+    q = q.sort_values(id_col)
+    qm = _normalize(np.stack(q[vec_col].to_numpy()).astype(np.float64))
+    qids = q[id_col].to_numpy()
+    ref = ray.put((qids, qm))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        qi, qmat = ray.get(ref)
+        ids = t.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
+        bm = _normalize(_batch_matrix(t, vec_col))
+        sims = qmat @ bm.T  # (Q, B)
+        kk = min(k, ids.size)
+        out_q, out_v, out_s = [], [], []
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        for r in range(qi.size):
+            out_q.extend([qi[r]] * kk)
+            out_v.extend(ids[idx[r]])
+            out_s.extend(sims[r, idx[r]])
+        return pa.table({"qid": pa.array(out_q), "vec_id": pa.array(out_v),
+                         "sim": pa.array(np.asarray(out_s, dtype=np.float64))})
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow",
+                          **rayenv.remote_args()).to_pandas()
+    cand = cand.sort_values(["qid", "sim", "vec_id"],
+                            ascending=[True, False, True])
+    top = cand.groupby("qid", as_index=False).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("qid").cumcount() + 1
+    return top[["qid", "vec_id", "rank"]]
+
+
+def kmeans_lite(mat: np.ndarray, n_clusters: int, iters: int = 5,
+                seed: int = 42) -> np.ndarray:
+    """Deterministic small k-means (the IVF coarse quantizer)."""
+    rng = np.random.default_rng(seed)
+    centroids = mat[rng.choice(mat.shape[0], n_clusters, replace=False)].copy()
+    for _ in range(iters):
+        d = mat @ centroids.T
+        assign = d.argmax(axis=1)  # cosine on normalized vectors
+        for c in range(n_clusters):
+            members = mat[assign == c]
+            if members.size:
+                v = members.mean(axis=0)
+                centroids[c] = v / max(np.linalg.norm(v), 1e-12)
+    return centroids
+
+
+def cosine_topk_ivf(ds, query_ids: list[int], k: int = 10, n_clusters: int = 16,
+                    nprobe: int = 4, id_col: str = "vec_id",
+                    vec_col: str = "embedding", seed: int = 42) -> pd.DataFrame:
+    """IVF-style approximate top-k: probe only nprobe centroid lists per
+    query. Same output shape as cosine_topk; rows-only correctness (recall
+    asserted in tests against the brute-force baseline)."""
+    import ray
+
+    sample = ds.limit(4096).to_pandas()
+    smat = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+    centroids = kmeans_lite(smat, min(n_clusters, smat.shape[0]), seed=seed)
+
+    q = sample[sample[id_col].isin(query_ids)]
+    missing = set(query_ids) - set(q[id_col])
+    if missing:
+        extra = ds.map_batches(
+            lambda t: t.filter(pa.compute.is_in(
+                t[id_col], value_set=pa.array(sorted(missing)))),
+            batch_format="pyarrow", **rayenv.remote_args()).to_pandas()
+        q = pd.concat([q, extra])
+    q = q.sort_values(id_col)
+    qm = _normalize(np.stack(q[vec_col].to_numpy()).astype(np.float64))
+    qids = q[id_col].to_numpy()
+    probes = np.argsort(-(qm @ centroids.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    ref = ray.put((qids, qm, centroids, probes))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        qi, qmat, cents, pr = ray.get(ref)
+        ids = t.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
+        bm = _normalize(_batch_matrix(t, vec_col))
+        assign = (bm @ cents.T).argmax(axis=1)
+        out_q, out_v, out_s = [], [], []
+        for r in range(qi.size):
+            mask = np.isin(assign, pr[r])
+            if not mask.any():
+                continue
+            sims = bm[mask] @ qmat[r]
+            sel_ids = ids[mask]
+            kk = min(k, sel_ids.size)
+            idx = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.extend([qi[r]] * kk)
+            out_v.extend(sel_ids[idx])
+            out_s.extend(sims[idx])
+        return pa.table({"qid": pa.array(out_q), "vec_id": pa.array(out_v),
+                         "sim": pa.array(np.asarray(out_s, dtype=np.float64))})
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow",
+                          **rayenv.remote_args()).to_pandas()
+    cand = cand.sort_values(["qid", "sim", "vec_id"],
+                            ascending=[True, False, True])
+    top = cand.groupby("qid", as_index=False).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("qid").cumcount() + 1
+    return top[["qid", "vec_id", "rank"]]

@@ -1,0 +1,144 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are vectorized ``map_batches`` kernels over Arrow batches —
+``pyarrow.compute`` regex counting and numpy segmented reductions; no
+Python-per-row loops in any hot path. Each has a ``queries()`` entry; the
+integer-exact ones (token counts, quality counters) carry ANSI-SQL oracles
+on the ``documents`` view, while heuristics (language id) and hashes
+(fingerprints) are rows-only checked.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# GPT-2-flavoured pretokenizer, simplified to what pyarrow's RE2 supports:
+# a "token" is a run of word chars or a run of non-space punctuation.
+BPEISH_PATTERN = r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"
+WORD_PATTERN = r"\S+"
+
+_PUNCT = r"[^\w\s]"
+_UPPER = r"[A-Z]"
+_DIGIT = r"[0-9]"
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
+
+#: tiny per-language marker-word profiles (public-knowledge function words)
+LANG_MARKERS = {
+    "en": r"\b(the|and|of|is|that|with)\b",
+    "es": r"\b(el|la|los|las|es|que|y)\b",
+    "de": r"\b(der|die|das|und|ist|nicht)\b",
+    "fr": r"\b(le|la|les|est|que|et|une)\b",
+    "zh": r"[一-鿿]",
+}
+
+
+def token_count_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace word count + BPE-ish subtoken count per document."""
+    text = t.column(text_col)
+    return pa.table({
+        "doc_id": t.column("doc_id"),
+        "n_words": pc.cast(pc.count_substring_regex(text, WORD_PATTERN), pa.int64()),
+        "n_bpeish": pc.cast(pc.count_substring_regex(text, BPEISH_PATTERN), pa.int64()),
+    })
+
+
+def quality_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Quality-scoring counters: exact integers (SQL-checkable) plus derived
+    ratios for filtering."""
+    text = t.column(text_col)
+    n_bytes = pc.cast(pc.binary_length(pc.cast(text, pa.binary())), pa.int64())
+    n_words = pc.cast(pc.count_substring_regex(text, WORD_PATTERN), pa.int64())
+    n_punct = pc.cast(pc.count_substring_regex(text, _PUNCT), pa.int64())
+    n_upper = pc.cast(pc.count_substring_regex(text, _UPPER), pa.int64())
+    n_digit = pc.cast(pc.count_substring_regex(text, _DIGIT), pa.int64())
+    n_stop = pc.cast(pc.count_substring_regex(
+        text, r"\b(" + "|".join(_STOPWORDS) + r")\b"), pa.int64())
+    words = np.maximum(n_words.combine_chunks().to_numpy(zero_copy_only=False), 1)
+    stop_ratio = n_stop.combine_chunks().to_numpy(zero_copy_only=False) / words
+    return pa.table({
+        "doc_id": t.column("doc_id"),
+        "n_bytes": n_bytes, "n_words": n_words, "n_punct": n_punct,
+        "n_upper": n_upper, "n_digit": n_digit, "n_stop": n_stop,
+        "stop_ratio": pa.array(stop_ratio, type=pa.float64()),
+    })
+
+
+def lang_id_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Marker-based language id (n-gram/function-word heuristic).
+    Rows-only: a heuristic has no SQL oracle."""
+    text = t.column(text_col)
+    scores = []
+    langs = list(LANG_MARKERS)
+    for lang in langs:
+        c = pc.count_substring_regex(text, LANG_MARKERS[lang])
+        scores.append(c.combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64))
+    m = np.stack(scores, axis=1)
+    pred = np.array(langs, dtype=object)[m.argmax(axis=1)]
+    pred[m.max(axis=1) == 0] = "unk"
+    return pa.table({
+        "doc_id": t.column("doc_id"),
+        "lang_pred": pa.array(pred, type=pa.string()),
+        "marker_hits": pa.array(m.max(axis=1).astype(np.int64)),
+    })
+
+
+_FP_BASE = np.uint64(1099511628211)
+
+
+def _text_chunks(t: pa.Table, text_col: str):
+    from . import format as fmt
+    return fmt.chunk_from_arrow(t.column(text_col))
+
+
+def fingerprint_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Polynomial rolling-hash fingerprint of each document's bytes
+    (FNV-prime base, mod 2^64) — segmented numpy reduction, no row loop."""
+    lengths, payload = _text_chunks(t, text_col)
+    fp = segment_poly_hash(lengths, payload)
+    return pa.table({
+        "doc_id": t.column("doc_id"),
+        "fingerprint": pa.array(fp.astype(np.int64)),  # two's complement view
+    })
+
+
+def segment_poly_hash(lengths: np.ndarray, payload: np.ndarray) -> np.ndarray:
+    """hash(s) = sum(byte_i * BASE^i) mod 2^64 per segment, vectorized."""
+    n = lengths.size
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    maxlen = int(lengths.max()) if n else 0
+    pows = np.ones(max(maxlen, 1), dtype=np.uint64)
+    np.multiply.accumulate(np.full(maxlen - 1, _FP_BASE, dtype=np.uint64),
+                           out=pows[1:]) if maxlen > 1 else None
+    starts = np.cumsum(lengths) - lengths
+    pos_in_seg = np.arange(payload.size, dtype=np.int64) - np.repeat(starts, lengths)
+    terms = payload.astype(np.uint64) * pows[pos_in_seg]
+    out = np.zeros(n, dtype=np.uint64)
+    nonempty = np.asarray(lengths) > 0
+    if payload.size and nonempty.any():
+        # empty segments would make reduceat read out of bounds / bleed into
+        # the next doc — reduce only non-empty spans, scatter back
+        out[nonempty] = np.add.reduceat(terms, starts[nonempty],
+                                        dtype=np.uint64)
+        # reduceat runs to the NEXT listed start, which is exactly the next
+        # non-empty doc's start — empty docs in between contribute 0 bytes,
+        # so spans are correct
+    return out
+
+
+def window_hashes(payload: np.ndarray, L: int) -> np.ndarray:
+    """Rolling L-byte window keys (LE-packed for L<=8) over a byte buffer."""
+    n = payload.size
+    if n < L:
+        return np.empty(0, dtype=np.uint64)
+    padded = np.zeros(n + 8, dtype=np.uint8)
+    padded[:n] = payload
+    w = np.zeros(n, dtype=np.uint64)
+    for j in range(min(L, 8)):
+        w |= padded[j:j + n].astype(np.uint64) << np.uint64(8 * j)
+    if L < 8:
+        w &= np.uint64((1 << (8 * L)) - 1)
+    return w[: n - L + 1]

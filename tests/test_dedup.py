@@ -1,0 +1,122 @@
+"""Dedup operators: exact, MinHash+LSH, SimHash, embedding cosine."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from rwcf import dedup
+
+
+def make_docs(n=60, seed=0, near_frac=0.2):
+    """Synthetic docs with planted exact copies AND near-dups (one word
+    swapped)."""
+    rng = np.random.default_rng(seed)
+    vocab = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "juliet"]
+    texts = [" ".join(rng.choice(vocab, 40)) for _ in range(n)]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    # exact copies of every 5th
+    for i in range(0, n, 5):
+        rows.append({"doc_id": i + 10_000, "text": texts[i]})
+    # near-dups: swap one word of every 7th
+    near = []
+    for i in range(0, n, 7):
+        words = texts[i].split()
+        words[3] = "zulu"
+        rows.append({"doc_id": i + 20_000, "text": " ".join(words)})
+        near.append((i, i + 20_000))
+    return pa.table({"doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+                     "text": pa.array([r["text"] for r in rows], pa.string())}), near
+
+
+def test_minhash_identical_docs_have_identical_signatures():
+    t, _ = make_docs(20)
+    sig = dedup.minhash_signatures(t)
+    df = t.to_pandas()
+    by_text = {}
+    for i, txt in enumerate(df["text"]):
+        by_text.setdefault(txt, []).append(i)
+    for idxs in by_text.values():
+        for j in idxs[1:]:
+            assert np.array_equal(sig[idxs[0]], sig[j])
+
+
+def test_minhash_signature_estimates_jaccard():
+    t, near = make_docs(30)
+    df = t.to_pandas().set_index("doc_id")
+    sig = dedup.minhash_signatures(t)
+    pos = {d: i for i, d in enumerate(df.index)}
+    for a, b in near[:3]:
+        est = (sig[pos[a]] == sig[pos[b]]).mean()
+        sa = dedup._exact_doc_shingle_sets([df.loc[a, "text"]])[0]
+        sb = dedup._exact_doc_shingle_sets([df.loc[b, "text"]])[0]
+        true = dedup.jaccard(sa, sb)
+        assert abs(est - true) < 0.25  # 64 perms -> coarse but unbiased
+
+
+def test_minhash_lsh_end_to_end(ray_session, tmp_path):
+    import ray.data as rd
+    t, near = make_docs(60)
+    ds = rd.from_arrow(t)
+    cand = dedup.minhash_lsh_candidates(ds)
+    texts = t.to_pandas().set_index("doc_id")["text"].to_dict()
+    verified = dedup.verify_pairs_jaccard(texts, cand, threshold=0.8)
+    got = set(zip(verified["a_id"], verified["b_id"]))
+    # planted exact copies must all be found (identical signatures)
+    for i in range(0, 60, 5):
+        assert (i, i + 10_000) in got
+    # high-jaccard near-dups (39/40 words shared) should be found too
+    found_near = sum((a, b) in got for a, b in near)
+    assert found_near >= len(near) * 0.8
+    # precision: every emitted pair truly has jaccard >= 0.8
+    assert (verified["jaccard"] >= 0.8).all()
+
+
+def test_simhash_bands_guarantee_small_hamming(ray_session):
+    import ray.data as rd
+    t, _ = make_docs(40)
+    ds = rd.from_arrow(t)
+    cand = dedup.simhash_candidates(ds)
+    assert (cand["hamming"] <= 3).all()
+    sig = dedup.simhash_signatures(t)
+    df = t.to_pandas()
+    pos = {d: i for i, d in enumerate(df["doc_id"])}
+    got = set(zip(cand["a_id"], cand["b_id"]))
+    # exhaustive check: every pair with hamming<=3 was surfaced (pigeonhole)
+    n = len(df)
+    ids = df["doc_id"].to_numpy()
+    ai, bi = np.triu_indices(n, k=1)
+    ham = dedup.hamming64(sig[ai], sig[bi])
+    for k in np.flatnonzero(ham <= 3):
+        a, b = sorted((ids[ai[k]], ids[bi[k]]))
+        assert (a, b) in got
+
+
+def test_embedding_near_dups(ray_session):
+    import ray.data as rd
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(40, 16)).astype(np.float32)
+    # plant: vec 50+i = tiny perturbation of vec i for i in 0..4
+    vecs = np.concatenate([base, base[:5] + 0.001 * rng.normal(size=(5, 16)).astype(np.float32)])
+    ids = np.concatenate([np.arange(40), np.arange(50, 55)])
+    t = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array(list(vecs), pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t)
+    pairs = dedup.embedding_near_dups(ds, threshold=0.95).to_pandas()
+    got = set(zip(pairs["a_id"], pairs["b_id"]))
+    for i in range(5):
+        assert (i, 50 + i) in got
+    # random 16-d gaussians almost never reach 0.95
+    assert len(got) == 5
+
+
+def test_exact_dedup(ray_session):
+    import ray.data as rd
+    t, _ = make_docs(30)
+    ds = rd.from_arrow(t)
+    out = dedup.dedup_exact(ds).to_pandas()
+    df = t.to_pandas()
+    expect = df.sort_values("doc_id").groupby("text", as_index=False).first()
+    assert len(out) == len(expect)
+    assert set(out["doc_id"]) == set(expect["doc_id"])
