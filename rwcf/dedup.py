@@ -193,6 +193,34 @@ def verify_pairs_jaccard(texts_by_id: dict, pairs: pd.DataFrame,
     return pd.DataFrame({"a_id": keep_a, "b_id": keep_b, "jaccard": sims})
 
 
+def minhash_tokens_batch(t: pa.Table, num_perm: int = NUM_PERM,
+                         seed: int = 42) -> pa.Table:
+    """Per-row minhash over the *token id* sequence of a tokens table —
+    near-dup detection for pre-tokenized corpora. Emits (doc_id,
+    sig_hash): the 64-perm signature folded to one u64 (band keys would be
+    emitted the same way for LSH). Compute-dense: num_perm multiply+min
+    passes over the flattened token stream."""
+    import pyarrow.compute as pc
+    la = t.column("tokens").combine_chunks()
+    lengths = pc.list_value_length(la).to_numpy().astype(np.int64)
+    flat = la.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+    n = lengths.size
+    starts = np.cumsum(lengths) - lengths
+    a, b = _perm_params(num_perm, seed)
+    bounds = _segment_bounds(starts[lengths > 0], lengths[lengths > 0], flat.size)
+    sig = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    ne = lengths > 0
+    if flat.size:
+        for j in range(num_perm):
+            h = flat * a[j] + b[j]
+            sig[ne, j] = np.minimum.reduceat(h, bounds)[::2]
+    folded = np.zeros(n, dtype=np.uint64)
+    for j in range(num_perm):
+        folded = folded * textops._FP_BASE + sig[:, j]
+    return pa.table({"doc_id": t.column("doc_id"),
+                     "sig_hash": pa.array(folded.astype(np.int64))})
+
+
 def simhash_signatures(t: pa.Table, text_col: str = "text") -> np.ndarray:
     """64-bit simhash per doc: sign of summed ±1 bit weights over char-4-gram
     feature hashes; vectorized via unpackbits + add.reduceat."""

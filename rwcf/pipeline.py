@@ -375,16 +375,19 @@ def manifest_table_to_rows(tbl: pa.Table) -> list[dict]:
     return rows
 
 
-def _default_concurrency() -> int:
-    """Actor-pool size: total CPUs minus headroom so downstream stages
-    (aggregates, counts) are never starved by a pool that reserves every
-    CPU (streaming-executor deadlock)."""
+def _cluster_cpus() -> int:
     import ray
     try:
-        cpus = int(ray.cluster_resources().get("CPU", 4))
+        return int(ray.cluster_resources().get("CPU", 4))
     except Exception:
-        cpus = 4
-    return max(1, cpus - 2)
+        return 4
+
+
+def _default_concurrency() -> int:
+    """Task-slot budget: total CPUs minus headroom so downstream stages
+    (aggregates, counts) are never starved by a stage that fills every
+    CPU (streaming-executor starvation)."""
+    return max(1, _cluster_cpus() - 2)
 
 
 def encode_job(input_paths, cfg: EncodeConfig, resume: bool = True,
@@ -399,11 +402,15 @@ def encode_job(input_paths, cfg: EncodeConfig, resume: bool = True,
         ds = ds.repartition(min(len(frags), n * 2) or 1)
     import functools
     fn = functools.partial(encode_fragment_batch, cfg=cfg, resume=resume)
-    # ~4 task waves per cpu: big enough to amortize dispatch, small enough
-    # to load-balance stragglers
-    bs = max(1, len(frags) // (n * 4))
+    # ~4 task waves per slot: big enough to amortize dispatch, small enough
+    # to load-balance stragglers. The explicit `concurrency` cap (not a fat
+    # num_cpus reservation) keeps downstream stages schedulable while
+    # limiting how many bandwidth-bound encode tasks run at once.
+    cap = max(1, _cluster_cpus() // task_cpus) if task_cpus > 1 else None
+    bs = max(1, len(frags) // ((cap or n) * 4))
     return ds.map_batches(fn, batch_size=bs, batch_format="pyarrow",
-                          num_cpus=task_cpus, **rayenv.remote_args())
+                          num_cpus=1, concurrency=cap,
+                          **rayenv.remote_args())
 
 
 def manifest_dataset(out_dir: str):
@@ -426,23 +433,27 @@ def load_manifest(out_dir: str) -> list[dict]:
 
 
 def decode_job(out_dir: str, columns: list[str] | None = None,
-               concurrency: int | None = None):
-    """Decode pipeline: manifest Dataset -> actor-pool decode -> rows."""
+               concurrency: int | None = None, task_cpus: int = 1):
+    """Decode pipeline: manifest Dataset -> stateless decode tasks -> rows."""
     n = concurrency or _default_concurrency()
     ds = manifest_dataset(out_dir)
     if ds.num_blocks() < n:
         ds = ds.repartition(max(1, min(ds.count(), n * 2)))
     import functools
     fn = functools.partial(decode_partition_batch, columns=columns)
+    cap = max(1, _cluster_cpus() // task_cpus) if task_cpus > 1 else None
     return ds.map_batches(fn, batch_size=1, batch_format="pyarrow",
-                          num_cpus=1, **rayenv.remote_args())
+                          num_cpus=1, concurrency=cap,
+                          **rayenv.remote_args())
 
 
-def verify_job(out_dir: str, concurrency: int | None = None):
+def verify_job(out_dir: str, concurrency: int | None = None,
+               task_cpus: int = 1):
     n = concurrency or _default_concurrency()
     ds = manifest_dataset(out_dir)
     if ds.num_blocks() < n:
         ds = ds.repartition(max(1, min(ds.count(), n * 2)))
+    cap = max(1, _cluster_cpus() // task_cpus) if task_cpus > 1 else None
     return ds.map_batches(verify_partition_batch, batch_size=1,
                           batch_format="pyarrow", num_cpus=1,
-                          **rayenv.remote_args())
+                          concurrency=cap, **rayenv.remote_args())

@@ -120,3 +120,19 @@ def test_exact_dedup(ray_session):
     expect = df.sort_values("doc_id").groupby("text", as_index=False).first()
     assert len(out) == len(expect)
     assert set(out["doc_id"]) == set(expect["doc_id"])
+
+
+def test_minhash_tokens_batch():
+    import pyarrow as pa
+    toks = [[1, 2, 3, 4], [1, 2, 3, 4], [9, 9], []]
+    t = pa.table({
+        "doc_id": pa.array(["a", "b", "c", "d"], pa.string()),
+        "tokens": pa.array(toks, pa.list_(pa.int32())),
+    })
+    out = dedup.minhash_tokens_batch(t).to_pandas()
+    # identical token sequences -> identical folded signatures
+    assert out["sig_hash"].iloc[0] == out["sig_hash"].iloc[1]
+    assert out["sig_hash"].iloc[0] != out["sig_hash"].iloc[2]
+    # deterministic
+    out2 = dedup.minhash_tokens_batch(t).to_pandas()
+    assert out["sig_hash"].tolist() == out2["sig_hash"].tolist()
