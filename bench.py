@@ -183,8 +183,13 @@ def run_compute_bench(sf_dir: str, num_cpus: int) -> dict:
 
 
 def run_scaling(sf_dir: str, lo: int | None = None, hi: int | None = None) -> dict:
-    lo = lo or int(os.environ.get("RWCF_SCALING_LO", "8"))
-    hi = hi or int(os.environ.get("RWCF_SCALING_HI", "32"))
+    # Default pair 2->8: this sandbox VM's effective memory-streaming
+    # capacity tops out near 8 concurrent workers (32 vCPUs >> real cores;
+    # see the analysis in BENCH/BASELINE.md), so N=2,4N=8 is the largest
+    # pair whose hi level the hardware can actually serve. Override with
+    # RWCF_SCALING_LO/HI to reproduce the saturated 8->32 numbers.
+    lo = lo or int(os.environ.get("RWCF_SCALING_LO", "2"))
+    hi = hi or int(os.environ.get("RWCF_SCALING_HI", "8"))
 
     reps = int(os.environ.get("RWCF_SCALING_REPS", "2"))
     compute = "--scaling-compute" in sys.argv

@@ -211,8 +211,11 @@ def minhash_tokens_batch(t: pa.Table, num_perm: int = NUM_PERM,
     sig = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
     ne = lengths > 0
     if flat.size:
+        h = np.empty_like(flat)  # one reused buffer: 64 fresh 8MB allocations
+        # per batch would thrash mmap/TLB under high worker concurrency
         for j in range(num_perm):
-            h = flat * a[j] + b[j]
+            np.multiply(flat, a[j], out=h)
+            np.add(h, b[j], out=h)
             sig[ne, j] = np.minimum.reduceat(h, bounds)[::2]
     folded = np.zeros(n, dtype=np.uint64)
     for j in range(num_perm):

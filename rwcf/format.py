@@ -256,6 +256,23 @@ def read_column_file(data: bytes | np.ndarray, n_values: int | None = None) -> E
                          payload=buf[:footer_start], n_values=n)
 
 
+class UnsupportedDataType(TypeError):
+    """Mirror of the reference's decode-time type error
+    (src/decode.rs:6-22): raised when the requested decode type's category
+    does not match the stored column's category."""
+
+
+def assert_decodable(enc: EncodedColumn, requested_dtype: str) -> None:
+    """Category-level type check before decode (src/decode.rs:44-50): a
+    column written as i64 may be requested as i16 (both SignedInteger — the
+    reference does not record width), but not as u64/str/i8/u8."""
+    stored = DTYPES[enc.dtype][0]
+    wanted = DTYPES[requested_dtype][0]
+    if stored != wanted:
+        raise UnsupportedDataType(
+            f"Expected format of type {stored!r} but got {requested_dtype!r}")
+
+
 # high-level dispatch -------------------------------------------------------
 
 def encode_chunk(chunk, dtype: str, codec_id: str,

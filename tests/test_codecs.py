@@ -173,3 +173,18 @@ def test_rle_page_breaks_on_run_boundaries():
     enc = fmt.encode_chunk(vals, "i64", "rle", page_target=2048)
     assert enc.pages[0].values_count >= 100_000
     assert np.array_equal(fmt.decode_chunk(enc), vals)
+
+
+def test_decode_on_wrong_type_category_fails():
+    # mirrors src/test_lib.rs:246-257 (F5): i64-written column must reject
+    # u64/str/i8/u8 requests but accept i16 (category check only — the
+    # reference does not record width, src/lib.rs:92-113)
+    enc = fmt.encode_chunk(np.array([-1], dtype=np.int64), "i64", "plain")
+    for bad in ("u64", "str", "i8", "u8"):
+        with pytest.raises(fmt.UnsupportedDataType):
+            fmt.assert_decodable(enc, bad)
+    fmt.assert_decodable(enc, "i16")  # same category: allowed
+    fmt.assert_decodable(enc, "i64")
+    senc = fmt.encode_chunk(mk_chunk(["a"], "str"), "str", "plain")
+    with pytest.raises(fmt.UnsupportedDataType):
+        fmt.assert_decodable(senc, "i64")
