@@ -1,0 +1,138 @@
+"""rwcf CLI: ``python -m rwcf <encode|decode|verify|stats|resume-status> ...``
+
+The operational entry points a user of the reference format would need to
+switch: encode a parquet tokens table into rwcf partitions, decode them back
+to parquet, verify bit-exactness against the source, and inspect lineage.
+Owns its Ray session (scripts may init; the driver contract never does).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    from . import rayenv
+    rayenv.export_pythonpath()
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def _input_files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        return sorted(os.path.join(path, f) for f in os.listdir(path)
+                      if f.endswith(".parquet"))
+    return [path]
+
+
+def cmd_encode(args) -> int:
+    from . import pipeline
+    ray = _init_ray(args.num_cpus)
+    cfg = pipeline.EncodeConfig(
+        out_dir=args.out, partition_token_budget=args.token_budget,
+        codecs=args.codecs.split(",") if args.codecs else None,
+        transport=None if args.no_transport else "zstd")
+    man = pipeline.encode_job(_input_files(args.input), cfg,
+                              resume=not args.no_resume).to_pandas()
+    print(json.dumps({
+        "partitions": len(man),
+        "rows": int(man["n_rows"].sum()),
+        "tokens": int(man["n_tokens"].sum()),
+        "encoded_bytes": int(man["encoded_bytes"].sum()),
+        "bytes_per_token": round(float(man["encoded_bytes"].sum())
+                                 / max(1, int(man["n_tokens"].sum())), 4),
+        "out_dir": args.out,
+    }))
+    ray.shutdown()
+    return 0
+
+
+def cmd_decode(args) -> int:
+    from . import pipeline
+    ray = _init_ray(args.num_cpus)
+    cols = args.columns.split(",") if args.columns else None
+    ds = pipeline.decode_job(args.input, columns=cols)
+    ds.write_parquet(args.out)
+    print(json.dumps({"rows": ds.count(), "out_dir": args.out}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_verify(args) -> int:
+    from . import pipeline
+    ray = _init_ray(args.num_cpus)
+    ver = pipeline.verify_job(args.input).to_pandas()
+    ok = bool(ver["equal"].all())
+    print(json.dumps({"partitions": len(ver), "rows": int(ver["n_rows"].sum()),
+                      "tokens": int(ver["n_tokens"].sum()),
+                      "bit_identical": ok}))
+    ray.shutdown()
+    return 0 if ok else 1
+
+
+def cmd_stats(args) -> int:
+    from . import pipeline
+    rows = pipeline.load_manifest(args.input)
+    by_codec: dict[str, int] = {}
+    enc = dec = toks = 0
+    for r in rows:
+        enc += r["encoded_bytes"]
+        dec += r["decoded_bytes"]
+        toks += r["n_tokens"]
+        for c in r["columns"]:
+            key = f"{c['column']}:{c['codec']}"
+            by_codec[key] = by_codec.get(key, 0) + c["length"]
+    print(json.dumps({
+        "partitions": len(rows), "tokens": toks,
+        "encoded_bytes": enc, "decoded_bytes": dec,
+        "compression_ratio": round(dec / max(1, enc), 3),
+        "bytes_per_token": round(enc / max(1, toks), 4),
+        "bytes_by_column_codec": dict(sorted(by_codec.items())),
+    }, indent=2))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="rwcf")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    e = sub.add_parser("encode", help="parquet tokens table -> rwcf partitions")
+    e.add_argument("input")
+    e.add_argument("--out", required=True)
+    e.add_argument("--token-budget", type=int, default=2_000_000)
+    e.add_argument("--codecs", default=None,
+                   help="comma list restricting codec candidates")
+    e.add_argument("--no-transport", action="store_true")
+    e.add_argument("--no-resume", action="store_true")
+    e.add_argument("--num-cpus", type=int, default=None)
+    e.set_defaults(fn=cmd_encode)
+
+    d = sub.add_parser("decode", help="rwcf partitions -> parquet")
+    d.add_argument("input")
+    d.add_argument("--out", required=True)
+    d.add_argument("--columns", default=None)
+    d.add_argument("--num-cpus", type=int, default=None)
+    d.set_defaults(fn=cmd_decode)
+
+    v = sub.add_parser("verify", help="bit-exact check vs source fragments")
+    v.add_argument("input")
+    v.add_argument("--num-cpus", type=int, default=None)
+    v.set_defaults(fn=cmd_verify)
+
+    s = sub.add_parser("stats", help="lineage roll-up (no Ray, no decode)")
+    s.add_argument("input")
+    s.set_defaults(fn=cmd_stats)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
