@@ -296,6 +296,30 @@ def _q_dedup_embedding(sf_dir: str):
     return _pairs_canonical(pairs.drop_duplicates())
 
 
+def _q_dedup_cluster_survivors(sf_dir: str):
+    """Pairs -> connected components -> keep-one-per-cluster. With planted
+    exact copies the survivor set is exactly the original corpus."""
+    import pandas as pd
+    from rwcf import dedup
+    ds = _docs_with_planted_copies(sf_dir)
+    cand = dedup.simhash_candidates(ds)
+    texts = ds.to_pandas().set_index("doc_id")["text"].to_dict()
+    keep = [i for i in range(len(cand))
+            if texts[int(cand["a_id"].iloc[i])] == texts[int(cand["b_id"].iloc[i])]]
+    pairs = _pairs_canonical(cand.iloc[keep])
+    surv = dedup.dedup_survivors(pairs, ids=list(texts))
+    return surv.astype({"doc_id": "int64"}).sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_dedup_embedding_lsh(sf_dir: str):
+    """Sign-LSH bucketed cosine near-dup (the 10^12-scale path; no
+    broadcast). Rows-only: probabilistic recall (pinned in tests)."""
+    from rwcf import dedup
+    ds = _embeddings_with_planted_copies(sf_dir)
+    pairs = dedup.embedding_near_dups_lsh(ds, threshold=0.95)
+    return _pairs_canonical(pairs)
+
+
 def _q_ann_topk(sf_dir: str):
     import ray.data as rd
     from rwcf import similarity
@@ -401,6 +425,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_embedding": _q_dedup_embedding,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        "dedup_cluster_survivors": _q_dedup_cluster_survivors,
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
         "multimodal_meta": _q_multimodal_meta,
@@ -453,6 +479,7 @@ def oracle_sql() -> dict[str, str]:
                           "FROM documents WHERE doc_id % 10 = 0"),
         "dedup_embedding": ("SELECT vec_id AS a_id, vec_id + 1000000 AS b_id "
                             "FROM embeddings WHERE vec_id % 10 = 0"),
+        "dedup_cluster_survivors": "SELECT doc_id FROM documents",
         "ann_topk": (
             "SELECT q.vec_id AS qid, e.vec_id AS vec_id, CAST(row_number() "
             "OVER (PARTITION BY q.vec_id ORDER BY "

@@ -297,6 +297,102 @@ def simhash_candidates(ds, text_col: str = "text") -> pd.DataFrame:
     return cand.drop_duplicates(subset=["a_id", "b_id"]).reset_index(drop=True)
 
 
+def cluster_pairs(pairs: pd.DataFrame, ids=None) -> pd.DataFrame:
+    """Connected components over verified duplicate pairs -> (doc_id,
+    cluster_id) with cluster_id = min doc_id of the component. Union-find on
+    the driver — valid because the verified pair set is small relative to
+    the corpus (candidates were already banded + verified); the at-scale
+    alternative is a few rounds of min-label propagation via groupby."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    for a, b in zip(pairs["a_id"], pairs["b_id"]):
+        union(a, b)
+    members = set(pairs["a_id"]) | set(pairs["b_id"])
+    if ids is not None:
+        members |= set(ids)
+    rows = sorted((m, find(m)) for m in members)
+    return pd.DataFrame(rows, columns=["doc_id", "cluster_id"])
+
+
+def dedup_survivors(pairs: pd.DataFrame, ids) -> pd.DataFrame:
+    """Keep-one-per-cluster policy: survivor = min doc_id of each duplicate
+    cluster; singletons survive unchanged."""
+    cl = cluster_pairs(pairs, ids)
+    return (cl.groupby("cluster_id", as_index=False)
+              .agg(doc_id=("doc_id", "min"))[["doc_id"]])
+
+
+def embedding_near_dups_lsh(ds, threshold: float = 0.95, n_planes: int = 16,
+                            bands: int = 4, id_col: str = "vec_id",
+                            vec_col: str = "embedding", seed: int = 42):
+    """Scale path for embedding near-dup: random-hyperplane sign signatures
+    -> banded buckets (one groupby of (id, band, key) rows) -> exact cosine
+    verify inside each bucket. Nothing is broadcast; only 3-column rows
+    shuffle. Recall is probabilistic (tested vs the brute-force baseline);
+    emitted pairs are exactly verified."""
+    rng = np.random.default_rng(seed)
+    planes_by_dim: dict[int, np.ndarray] = {}
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
+        la = t.column(vec_col).combine_chunks()
+        m = la.flatten().to_numpy(zero_copy_only=False).reshape(len(la), -1)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        dim = m.shape[1]
+        if dim not in planes_by_dim:
+            planes_by_dim[dim] = np.random.default_rng(seed).normal(
+                size=(dim, n_planes))
+        bits = (m @ planes_by_dim[dim]) > 0  # (n, n_planes)
+        r = n_planes // bands
+        n = ids.size
+        keys = np.zeros((n, bands), dtype=np.int64)
+        for bi in range(bands):
+            for c in range(r):
+                keys[:, bi] = keys[:, bi] * 2 + bits[:, bi * r + c]
+        flat_vec = np.repeat(np.arange(n), bands)
+        return pa.table({
+            "vid": pa.array(np.repeat(ids, bands)),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            "key": pa.array(keys.reshape(-1)),
+            "vec": pa.array(list(m[flat_vec].astype(np.float32)),
+                            pa.list_(pa.float32())),
+        })
+
+    def pairs_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a_id": pd.Series([], dtype="int64"),
+                                 "b_id": pd.Series([], dtype="int64")})
+        g = g.sort_values("vid")
+        ids = g["vid"].to_numpy()
+        m = np.stack(g["vec"].to_numpy()).astype(np.float64)
+        sims = m @ m.T
+        ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
+        return pd.DataFrame({"a_id": ids[ai], "b_id": ids[bi]})
+
+    out = (ds.map_batches(band_rows, batch_format="pyarrow",
+                          **rayenv.remote_args())
+           .groupby(["band", "key"])
+           .map_groups(pairs_per_bucket, batch_format="pandas",
+                       **rayenv.remote_args())
+           .to_pandas())
+    del rng
+    return out.drop_duplicates().reset_index(drop=True)
+
+
 def embedding_near_dups(ds, threshold: float = 0.95,
                         id_col: str = "vec_id", vec_col: str = "embedding"):
     """Cosine near-dup pairs. The (normalized) full matrix is broadcast once

@@ -136,3 +136,31 @@ def test_minhash_tokens_batch():
     # deterministic
     out2 = dedup.minhash_tokens_batch(t).to_pandas()
     assert out["sig_hash"].tolist() == out2["sig_hash"].tolist()
+
+
+def test_cluster_pairs_and_survivors():
+    pairs = pd.DataFrame({"a_id": [1, 2, 10], "b_id": [2, 3, 11]})
+    cl = dedup.cluster_pairs(pairs)
+    by = dict(zip(cl["doc_id"], cl["cluster_id"]))
+    assert by[1] == by[2] == by[3] == 1
+    assert by[10] == by[11] == 10
+    surv = dedup.dedup_survivors(pairs, ids=[1, 2, 3, 10, 11, 99])
+    assert set(surv["doc_id"]) == {1, 10, 99}
+
+
+def test_embedding_near_dups_lsh(ray_session):
+    import ray.data as rd
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(60, 32)).astype(np.float32)
+    vecs = np.concatenate([base, base[:8] + 0.001 * rng.normal(size=(8, 32)).astype(np.float32)])
+    ids = np.concatenate([np.arange(60), np.arange(100, 108)])
+    t = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array(list(vecs), pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t).repartition(4)
+    pairs = dedup.embedding_near_dups_lsh(ds, threshold=0.95)
+    got = set(zip(pairs["a_id"], pairs["b_id"]))
+    # near-identical vectors share all band keys -> found with certainty
+    found = sum((i, 100 + i) in got for i in range(8))
+    assert found == 8
+    # precision: verified-exact, so no random pair sneaks in
+    assert len(got) == 8
