@@ -60,7 +60,8 @@ def cmd_decode(args) -> int:
     cols = args.columns.split(",") if args.columns else None
     ds = pipeline.decode_job(args.input, columns=cols)
     ds.write_parquet(args.out)
-    print(json.dumps({"rows": ds.count(), "out_dir": args.out}))
+    n_rows = sum(r["n_rows"] for r in pipeline.load_manifest(args.input))
+    print(json.dumps({"rows": n_rows, "out_dir": args.out}))
     ray.shutdown()
     return 0
 

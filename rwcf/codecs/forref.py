@@ -47,7 +47,11 @@ class ForCodec(base.Codec):
             mn = int(pv.min())
             w = base.bit_width(int(pv.max()) - mn)
             deltas = u[s:s + vpp] - ut(mn & (np.iinfo(ut).max))
-            header = varint.encode_svarint(np.array([mn], dtype=np.int64))
+            # store the min as its two's-complement int64 view: u64 minima
+            # >= 2**63 don't fit a positive int64, but decode adds the min
+            # back modulo the type width, so the wrapped value is exact
+            mn_store = mn - (1 << 64) if mn >= (1 << 63) else mn
+            header = varint.encode_svarint(np.array([mn_store], dtype=np.int64))
             body = base.pack_bits(deltas, w)
             chunks.append(np.concatenate((header, [np.uint8(w)], body)))
             byte_lengths.append(header.size + 1 + body.size)

@@ -350,6 +350,11 @@ def embedding_near_dups_lsh(ds, threshold: float = 0.95, n_planes: int = 16,
     def band_rows(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
         la = t.column(vec_col).combine_chunks()
+        if len(la) == 0:
+            return pa.table({"vid": pa.array([], pa.int64()),
+                             "band": pa.array([], pa.int32()),
+                             "key": pa.array([], pa.int64()),
+                             "vec": pa.array([], pa.list_(pa.float32()))})
         m = la.flatten().to_numpy(zero_copy_only=False).reshape(len(la), -1)
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         dim = m.shape[1]
@@ -412,6 +417,9 @@ def embedding_near_dups(ds, threshold: float = 0.95,
         import pyarrow.compute as pc  # noqa: F401
         b_ids = t.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
         la = t.column(vec_col).combine_chunks()
+        if len(la) == 0:
+            return pa.table({"a_id": pa.array([], pa.int64()),
+                             "b_id": pa.array([], pa.int64())})
         bm = la.flatten().to_numpy(zero_copy_only=False).reshape(
             len(la), -1).astype(np.float64)
         bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)

@@ -102,9 +102,17 @@ class EncodedColumn:
 # ---------------------------------------------------------------------------
 
 def chunk_from_arrow(arr: pa.Array | pa.ChunkedArray):
-    """Zero-copy-ish extraction of a codec chunk from an Arrow array."""
+    """Zero-copy-ish extraction of a codec chunk from an Arrow array.
+
+    Nulls are rejected loudly: the reference format has no null
+    representation (src/lib.rs:59-66 — plain values only), and silently
+    flattening nulls to '' / 0 would corrupt a round trip."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if arr.null_count:
+        raise ValueError(
+            f"null values are not supported by the columnar format "
+            f"({arr.null_count} nulls in a {arr.type} column)")
     t = arr.type
     if pa.types.is_string(t) or pa.types.is_large_string(t) \
             or pa.types.is_binary(t) or pa.types.is_large_binary(t):
@@ -220,7 +228,7 @@ def write_column_file(enc: EncodedColumn, reference_mode: bool = False) -> bytes
     return enc.payload.tobytes() + footer + len(footer).to_bytes(8, "little")
 
 
-def read_column_file(data: bytes | np.ndarray, n_values: int | None = None) -> EncodedColumn:
+def read_column_file(data: bytes | np.ndarray) -> EncodedColumn:
     """Parse a column file (either mode; self-detecting via the marker byte).
 
     For reference-mode files the concrete width is not recorded (the

@@ -125,14 +125,6 @@ def _chunks_to_table(chunks: dict[str, object]) -> pa.Table:
     })
 
 
-def _chunk_crc(chunk, dtype: str) -> int:
-    if fmt.is_string(dtype):
-        lengths, payload = chunk
-        crc = zlib.crc32(np.ascontiguousarray(lengths).tobytes())
-        return zlib.crc32(np.ascontiguousarray(payload).tobytes(), crc)
-    return zlib.crc32(np.ascontiguousarray(chunk).tobytes())
-
-
 # ---------------------------------------------------------------------------
 # partition encode / decode (pure functions, used by Ray stages + tests)
 # ---------------------------------------------------------------------------
@@ -335,18 +327,27 @@ def verify_partition_batch(batch: pa.Table) -> pa.Table:
 
 
 def _verify_rows(batch: pa.Table) -> pa.Table:
-        out = {"pid": [], "n_rows": [], "n_tokens": [], "equal": []}
+        out = {"pid": [], "n_rows": [], "n_tokens": [], "equal": [], "mode": []}
         for row in manifest_table_to_rows(batch):
-            dec = decode_partition(row)
+            dec = decode_partition(row)  # validates section checksums
             lin = row["lineage"]
-            src = pq.ParquetFile(lin["path"]).read_row_group(
-                lin["row_group"], columns=TOKEN_COLUMNS)
-            src = src.slice(lin["row_start"], lin["row_count"])
-            eq = dec.cast(src.schema).equals(src)
+            if "path" in lin:  # fragment lineage: bit-exact vs source rows
+                src = pq.ParquetFile(lin["path"]).read_row_group(
+                    lin["row_group"], columns=TOKEN_COLUMNS)
+                src = src.slice(lin["row_start"], lin["row_count"])
+                eq = dec.cast(src.schema).equals(src)
+                mode = "source"
+            else:  # grouped lineage carries no input fragment reference:
+                # self-verify (checksums passed + decoded totals match)
+                import pyarrow.compute as pc
+                toks = pc.sum(pc.list_value_length(dec.column("tokens"))).as_py() or 0
+                eq = dec.num_rows == row["n_rows"] and toks == row["n_tokens"]
+                mode = "self"
             out["pid"].append(row["pid"])
             out["n_rows"].append(row["n_rows"])
             out["n_tokens"].append(row["n_tokens"])
             out["equal"].append(bool(eq))
+            out["mode"].append(mode)
         return pa.table(out)
 
 

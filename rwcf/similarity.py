@@ -22,6 +22,8 @@ from . import rayenv
 
 def _batch_matrix(t: pa.Table, vec_col: str) -> np.ndarray:
     la = t.column(vec_col).combine_chunks()
+    if len(la) == 0:
+        return np.empty((0, 1), dtype=np.float64)
     m = la.flatten().to_numpy(zero_copy_only=False).reshape(len(la), -1)
     return m.astype(np.float64)
 

@@ -188,3 +188,23 @@ def test_decode_on_wrong_type_category_fails():
     senc = fmt.encode_chunk(mk_chunk(["a"], "str"), "str", "plain")
     with pytest.raises(fmt.UnsupportedDataType):
         fmt.assert_decodable(senc, "i64")
+
+
+def test_for_u64_high_range():
+    # regression: u64 page minimum >= 2**63 must not overflow the svarint
+    # min header (stored as the two's-complement int64 view)
+    vals = np.array([2**63 + 5, 2**63 + 100, 2**64 - 1, 2**63], dtype=np.uint64)
+    enc = fmt.encode_chunk(vals, "u64", "for")
+    assert np.array_equal(fmt.decode_chunk(enc), vals)
+    data = fmt.write_column_file(enc)
+    assert np.array_equal(fmt.decode_chunk(fmt.read_column_file(data)), vals)
+
+
+def test_nulls_rejected_loudly():
+    import pyarrow as pa
+    arr = pa.array(["a", None, "c"], pa.string())
+    with pytest.raises(ValueError, match="null"):
+        fmt.chunk_from_arrow(arr)
+    iarr = pa.array([1, None, 3], pa.int64())
+    with pytest.raises(ValueError, match="null"):
+        fmt.chunk_from_arrow(iarr)

@@ -51,3 +51,14 @@ def test_grouped_encode_and_stats(tokens_path, tmp_path, ray_session):
     grouped.encode_grouped_by_source(tokens_path, cfg).materialize()
     for pid, mt in mtimes.items():
         assert os.path.getmtime(os.path.join(out, "parts", f"{pid}.rwcf")) == mt
+
+
+def test_verify_job_on_grouped_output_self_mode(tokens_path, tmp_path, ray_session):
+    # grouped lineage has no source-fragment reference; verify_job must fall
+    # back to self-verification (checksums + decoded totals), not crash
+    out = str(tmp_path / "gv")
+    cfg = pipeline.EncodeConfig(out_dir=out, partition_token_budget=300_000)
+    grouped.encode_grouped_by_source(tokens_path, cfg).materialize()
+    ver = pipeline.verify_job(out, concurrency=2).to_pandas()
+    assert ver["equal"].all()
+    assert (ver["mode"] == "self").all()
