@@ -359,6 +359,29 @@ def _q_multimodal_frames(sf_dir: str):
                              **rayenv.remote_args())
 
 
+def _q_filter_large_docs(sf_dir: str):
+    """Zone-map-pruned decode: partitions whose max n_tok stat rules them
+    out are never read from disk; the exact row filter runs after decode."""
+    from rwcf import pipeline, rayenv
+    out = _encoded_run(sf_dir)
+    thresh = 300
+
+    dec = pipeline.decode_job(
+        out, columns=["doc_id", "n_tok"],
+        where=lambda r: r.get("stats", {}).get("n_tok", {}).get("max", thresh)
+        >= thresh)
+
+    def rowfilter(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("n_tok"), thresh))
+        return pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "n_tok": pc.cast(t.column("n_tok"), pa.int64()),
+        })
+
+    return dec.map_batches(rowfilter, batch_format="pyarrow",
+                           **rayenv.remote_args())
+
+
 def _q_codec_selection(sf_dir: str):
     """Lineage: chosen codec + byte counts per (partition, column). Not
     SQL-expressible (selector internals) — rows-only check."""
@@ -410,6 +433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rt_auto_nchars": _rt_query("n_chars", None),
         "compressed_sum_nchars": _q_compressed_sum_nchars,
         "codec_selection": _q_codec_selection,
+        "filter_large_docs": _q_filter_large_docs,
         "flagship_synthetic": _q_flagship_synthetic,
         # training-data pipeline operators
         "token_count": _map_docs(__import__("rwcf.textops", fromlist=["x"])
@@ -480,6 +504,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": ("SELECT vec_id AS a_id, vec_id + 1000000 AS b_id "
                             "FROM embeddings WHERE vec_id % 10 = 0"),
         "dedup_cluster_survivors": "SELECT doc_id FROM documents",
+        "filter_large_docs": ("SELECT doc_id, CAST(strlen(text) AS BIGINT) "
+                              "AS n_tok FROM documents "
+                              "WHERE strlen(text) >= 300"),
         "ann_topk": (
             "SELECT q.vec_id AS qid, e.vec_id AS vec_id, CAST(row_number() "
             "OVER (PARTITION BY q.vec_id ORDER BY "

@@ -166,6 +166,12 @@ def encode_partition(tbl: pa.Table, pid: str, cfg: EncodeConfig,
         sections.append(blob)
         offset += len(blob)
 
+    stats = {}
+    for name in ("n_tok", "doc_id", "source"):
+        if name in tbl.column_names:
+            col = tbl.column(name)
+            mm = pc.min_max(col)
+            stats[name] = {"min": mm["min"].as_py(), "max": mm["max"].as_py()}
     os.makedirs(cfg.parts_dir, exist_ok=True)
     os.makedirs(cfg.manifest_dir, exist_ok=True)
     file_path = os.path.join(cfg.parts_dir, f"{pid}.rwcf")
@@ -184,6 +190,7 @@ def encode_partition(tbl: pa.Table, pid: str, cfg: EncodeConfig,
         "encoded_bytes": offset,
         "decoded_bytes": decoded_bytes,
         "columns": col_meta,
+        "stats": stats,
         "lineage": lineage or {},
         "codec_by_column": {c["column"]: c["codec"] for c in col_meta},
         "encode_seconds": round(time.perf_counter() - t0, 4),
@@ -316,6 +323,11 @@ def decode_partition_batch(batch: pa.Table,
     instead of paying an actor-pool process spawn per stage."""
     tables = [decode_partition(row, columns)
               for row in manifest_table_to_rows(batch)]
+    if not tables:
+        keep = [f for f in TOKENS_SCHEMA if f.name in (columns or
+                                                       TOKEN_COLUMNS)]
+        return pa.Table.from_arrays([pa.array([], f.type) for f in keep],
+                                    schema=pa.schema(keep))
     return pa.concat_tables(tables)
 
 
@@ -360,9 +372,9 @@ def manifest_rows_to_table(rows: list[dict]) -> pa.Table:
         "encoded_bytes": pa.array([r["encoded_bytes"] for r in rows], pa.int64()),
         "decoded_bytes": pa.array([r["decoded_bytes"] for r in rows], pa.int64()),
         "encode_seconds": pa.array([r["encode_seconds"] for r in rows], pa.float64()),
-        "detail": pa.array([json.dumps({k: r[k] for k in
+        "detail": pa.array([json.dumps({k: r.get(k) for k in
                                         ("columns", "lineage", "codec_by_column",
-                                         "status")})
+                                         "status", "stats")})
                             for r in rows], pa.string()),
     })
 
@@ -434,10 +446,24 @@ def load_manifest(out_dir: str) -> list[dict]:
 
 
 def decode_job(out_dir: str, columns: list[str] | None = None,
-               concurrency: int | None = None, task_cpus: int = 1):
-    """Decode pipeline: manifest Dataset -> stateless decode tasks -> rows."""
+               concurrency: int | None = None, task_cpus: int = 1,
+               where=None):
+    """Decode pipeline: manifest Dataset -> stateless decode tasks -> rows.
+
+    ``where`` is a partition-pruning predicate over manifest rows (zone-map
+    pruning — the scaled-up version of the reference's planned per-page
+    "efficient row skipping", wills-columnar-format.org:187-194): partitions
+    whose lineage stats rule them out are never read from disk. The caller
+    still applies the exact row filter after decode; pruning is purely a
+    conservative skip."""
     n = concurrency or _default_concurrency()
-    ds = manifest_dataset(out_dir)
+    rows = load_manifest(out_dir)
+    if where is not None:
+        kept = [r for r in rows if where(r)]
+    else:
+        kept = rows
+    import ray.data as rd
+    ds = rd.from_arrow(manifest_rows_to_table(kept))
     if ds.num_blocks() < n:
         ds = ds.repartition(max(1, min(ds.count(), n * 2)))
     import functools

@@ -149,3 +149,24 @@ def test_ray_encode_decode_verify_resume(small_parquet, tmp_path, ray_session):
         if r["pid"] not in victims:
             assert os.path.getmtime(r["file"]) == keep_mtime[r["pid"]], \
                 "untouched partition was re-encoded"
+
+
+def test_zone_map_pruning(small_parquet, tmp_path, ray_session):
+    out = str(tmp_path / "zm")
+    cfg = pipeline.EncodeConfig(out_dir=out, partition_token_budget=100_000)
+    pipeline.encode_job(small_parquet, cfg, concurrency=4).materialize()
+    rows = pipeline.load_manifest(out)
+    assert all("stats" in r and "n_tok" in r["stats"] for r in rows)
+    # prune to partitions that can contain a skew row (n_tok >= 64000)
+    thresh = 64_000
+    kept = [r for r in rows
+            if r["stats"]["n_tok"]["max"] >= thresh]
+    assert 0 < len(kept) < len(rows), "pruning must actually skip partitions"
+    dec = pipeline.decode_job(
+        out, columns=["doc_id", "n_tok"], concurrency=2,
+        where=lambda r: r["stats"]["n_tok"]["max"] >= thresh).to_pandas()
+    import pyarrow.parquet as pq
+    src = pq.read_table(small_parquet).to_pandas()
+    expect = set(src.loc[src["n_tok"] >= thresh, "doc_id"])
+    got = set(dec.loc[dec["n_tok"] >= thresh, "doc_id"])
+    assert got == expect
