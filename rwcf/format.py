@@ -264,6 +264,48 @@ def read_column_file(data: bytes | np.ndarray) -> EncodedColumn:
                          payload=buf[:footer_start], n_values=n)
 
 
+def slice_pages(enc: EncodedColumn, indices) -> EncodedColumn:
+    """Selective-page view of an encoded column — the reference's planned
+    "efficient row skipping" (PageInfo.file_offset exists for exactly this,
+    wills-columnar-format.org:187-194; its V0 decoder never seeks). Every
+    rwcf codec's pages are self-contained (packed codecs carry per-page
+    width/min headers; varint codecs carry per-page counts; dict/fsst state
+    lives in the shared meta blob), so any page subset decodes independently.
+    """
+    idx = sorted(int(i) for i in indices)
+    sel = [enc.pages[i] for i in idx]
+    parts = [enc.payload[p.file_offset:p.file_offset + p.byte_length]
+             for p in sel]
+    payload = np.concatenate(parts) if parts else np.empty(0, dtype=np.uint8)
+    pages = []
+    off = 0
+    for p in sel:
+        pages.append(PageInfo(off, p.values_count, p.encoded_values_count,
+                              p.byte_length))
+        off += p.byte_length
+    return EncodedColumn(dtype=enc.dtype, codec=enc.codec, meta=enc.meta,
+                         pages=pages, payload=payload,
+                         n_values=sum(p.values_count for p in pages))
+
+
+def page_value_stats(chunk, dtype: str, pages: list[PageInfo]):
+    """Per-page (min, max) for numeric chunks, aligned to the encoder's page
+    boundaries (values_count spans) — the zone-map index for page skipping."""
+    if is_string(dtype):
+        return None
+    vals = np.asarray(chunk)
+    out = []
+    pos = 0
+    for p in pages:
+        seg = vals[pos:pos + p.values_count]
+        pos += p.values_count
+        if seg.size:
+            out.append([int(seg.min()), int(seg.max())])
+        else:
+            out.append([0, 0])
+    return out
+
+
 class UnsupportedDataType(TypeError):
     """Mirror of the reference's decode-time type error
     (src/decode.rs:6-22): raised when the requested decode type's category

@@ -170,3 +170,51 @@ def test_zone_map_pruning(small_parquet, tmp_path, ray_session):
     expect = set(src.loc[src["n_tok"] >= thresh, "doc_id"])
     got = set(dec.loc[dec["n_tok"] >= thresh, "doc_id"])
     assert got == expect
+
+
+def test_page_slice_and_stats():
+    rng = np.random.default_rng(9)
+    vals = rng.integers(0, 1 << 15, 500_000).astype(np.int32)
+    enc = fmt.encode_chunk(vals, "i32", "for")
+    assert len(enc.pages) > 2
+    stats = fmt.page_value_stats(vals, "i32", enc.pages)
+    assert len(stats) == len(enc.pages)
+    # per-page stats are exact
+    pos = 0
+    for (lo, hi), p in zip(stats, enc.pages):
+        seg = vals[pos:pos + p.values_count]
+        pos += p.values_count
+        assert lo == seg.min() and hi == seg.max()
+    # selective decode of pages 1 and 3 equals those value spans
+    sub = fmt.slice_pages(enc, [1, 3])
+    out = fmt.decode_chunk(sub)
+    c0 = enc.pages[0].values_count
+    c1 = enc.pages[1].values_count
+    c2 = enc.pages[2].values_count
+    c3 = enc.pages[3].values_count
+    expect = np.concatenate([vals[c0:c0 + c1], vals[c0 + c1 + c2:c0 + c1 + c2 + c3]])
+    assert np.array_equal(out, expect)
+
+
+def test_scan_column_pages_skips(small_parquet, tmp_path, ray_session):
+    out = str(tmp_path / "scan")
+    cfg = pipeline.EncodeConfig(out_dir=out, partition_token_budget=100_000,
+                                page_target=16 * 1024)
+    pipeline.encode_job(small_parquet, cfg, concurrency=4).materialize()
+    # scan the token stream itself: the fixture's sorted-run rows produce
+    # pages with narrow value ranges, so a high-value predicate can skip
+    thresh = 50_000
+    scanned = pipeline.scan_column_pages(
+        out, "tokens", lambda lo, hi: hi >= thresh, concurrency=2).to_pandas()
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    flat = pq.read_table(small_parquet).column("tokens").combine_chunks() \
+        .flatten().to_numpy(zero_copy_only=False)
+    expect_n = int((flat >= thresh).sum())
+    expect_sum = int(flat[flat >= thresh].astype(np.int64).sum())
+    got = scanned["tokens"].to_numpy()
+    kept = got[got >= thresh]
+    assert kept.size == expect_n
+    assert int(kept.astype(np.int64).sum()) == expect_sum
+    # and pages were actually skipped somewhere
+    assert (scanned["_pages_kept"] < scanned["_pages_total"]).any()
