@@ -100,6 +100,25 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_resume_status(args) -> int:
+    from . import pipeline
+    frags = pipeline.plan_fragments(_input_files(args.input))
+    done_pids = {r["pid"] for r in pipeline.load_manifest(args.out)}
+    done_frags = []
+    pending = []
+    for fr in frags:
+        # a fragment is done when at least its first sub-partition committed
+        # and no gap exists; cheap check: any pid with this fragment prefix
+        if any(p.startswith(fr["fragment_id"] + "-p") for p in done_pids):
+            done_frags.append(fr["fragment_id"])
+        else:
+            pending.append(fr["fragment_id"])
+    print(json.dumps({"fragments": len(frags), "committed": len(done_frags),
+                      "pending": pending[:50],
+                      "pending_count": len(pending)}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="rwcf")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -130,6 +149,12 @@ def main(argv=None) -> int:
     s = sub.add_parser("stats", help="lineage roll-up (no Ray, no decode)")
     s.add_argument("input")
     s.set_defaults(fn=cmd_stats)
+
+    rs = sub.add_parser("resume-status",
+                        help="which input fragments are committed vs pending")
+    rs.add_argument("input", help="input parquet file/dir")
+    rs.add_argument("--out", required=True, help="encode out_dir")
+    rs.set_defaults(fn=cmd_resume_status)
 
     args = p.parse_args(argv)
     return args.fn(args)

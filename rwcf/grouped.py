@@ -97,6 +97,58 @@ def encode_grouped_by_source(input_paths, cfg: EncodeConfig,
         encode_group, batch_format="pyarrow", **rayenv.remote_args())
 
 
+def verify_grouped_job(out_dir: str, input_paths):
+    """Bit-exact verification for grouped-encode outputs, whose lineage has
+    no source-fragment reference: a bucketed hash-join on doc_id between the
+    decoded rows and the source rows. Both sides shuffle once on
+    ``hash(doc_id) % B``; each bucket compares its pairs vectorized. No
+    driver-side collect of data rows — only (bucket, n_rows, n_equal)
+    summaries return."""
+    import ray.data as rd
+
+    from . import pipeline
+
+    buckets = 32
+
+    def tag_and_bucket(side):
+        def fn(t: pa.Table) -> pa.Table:
+            h = pd.util.hash_array(
+                np.asarray(t.column("doc_id")).astype(object))
+            return (t.append_column("bucket",
+                                    pa.array((h % buckets).astype(np.int32)))
+                    .append_column("side",
+                                   pa.array([side] * t.num_rows, pa.string())))
+        return fn
+
+    src = rd.read_parquet(input_paths, columns=pipeline.TOKEN_COLUMNS) \
+        .map_batches(tag_and_bucket("src"), batch_format="pyarrow",
+                     **rayenv.remote_args())
+    dec = pipeline.decode_job(out_dir) \
+        .map_batches(tag_and_bucket("dec"), batch_format="pyarrow",
+                     **rayenv.remote_args())
+
+    def compare(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["side"] == "src"].sort_values("doc_id").reset_index(drop=True)
+        b = g[g["side"] == "dec"].sort_values("doc_id").reset_index(drop=True)
+        n = len(a)
+        if n != len(b) or a["doc_id"].tolist() != b["doc_id"].tolist():
+            eq = 0
+        else:
+            fa = np.concatenate([np.asarray(x) for x in a["tokens"]]) if n else \
+                np.empty(0)
+            fb = np.concatenate([np.asarray(x) for x in b["tokens"]]) if n else \
+                np.empty(0)
+            ok = (a["source"].tolist() == b["source"].tolist()
+                  and a["n_tok"].tolist() == b["n_tok"].tolist()
+                  and fa.size == fb.size and bool(np.array_equal(fa, fb)))
+            eq = n if ok else 0
+        return pd.DataFrame({"bucket": [g["bucket"].iloc[0] if len(g) else -1],
+                             "n_rows": [n], "n_equal": [eq]})
+
+    return src.union(dec).groupby("bucket").map_groups(
+        compare, batch_format="pandas", **rayenv.remote_args())
+
+
 def per_source_manifest_stats(out_dir: str) -> pd.DataFrame:
     """Per-source rows/tokens/bytes from lineage alone — compressed-domain
     aggregation (no payload decoded; cf. src/test_rle.rs:8-17 pattern)."""
