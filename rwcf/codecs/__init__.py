@@ -2,6 +2,7 @@
 
 from .base import Codec
 from .bitpack import BitpackCodec
+from .delta import DeltaCodec
 from .dictionary import DictCodec
 from .forref import ForCodec
 from .fsst import FsstCodec
@@ -10,8 +11,8 @@ from .rle import RleCodec
 
 REGISTRY: dict[str, Codec] = {
     c.id: c for c in (PlainCodec(), RleCodec(), BitpackCodec(), ForCodec(),
-                      DictCodec(), FsstCodec())
+                      DictCodec(), FsstCodec(), DeltaCodec())
 }
 
 __all__ = ["Codec", "REGISTRY", "PlainCodec", "RleCodec", "BitpackCodec",
-           "ForCodec", "DictCodec", "FsstCodec"]
+           "ForCodec", "DictCodec", "FsstCodec", "DeltaCodec"]
