@@ -430,6 +430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rt_fsst_text": _rt_query("text", "fsst"),
         "rt_bitpack_nchars": _rt_query("n_chars", "bitpack"),
         "rt_for_docid": _rt_query("doc_id", "for"),
+        "rt_delta_docid": _rt_query("doc_id", "delta"),
         "rt_auto_nchars": _rt_query("n_chars", None),
         "compressed_sum_nchars": _q_compressed_sum_nchars,
         "codec_selection": _q_codec_selection,
@@ -474,6 +475,7 @@ def oracle_sql() -> dict[str, str]:
         "rt_fsst_text": "SELECT text FROM documents",
         "rt_bitpack_nchars": "SELECT n_chars FROM documents",
         "rt_for_docid": "SELECT doc_id FROM documents",
+        "rt_delta_docid": "SELECT doc_id FROM documents",
         "rt_auto_nchars": "SELECT n_chars FROM documents",
         "compressed_sum_nchars": ("SELECT CAST(sum(n_chars) AS BIGINT) "
                                   "AS total_nchars FROM documents"),
