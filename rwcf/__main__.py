@@ -96,7 +96,7 @@ def cmd_stats(args) -> int:
         "compression_ratio": round(dec / max(1, enc), 3),
         "bytes_per_token": round(enc / max(1, toks), 4),
         "bytes_by_column_codec": dict(sorted(by_codec.items())),
-    }, indent=2))
+    }))
     return 0
 
 

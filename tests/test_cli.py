@@ -1,0 +1,49 @@
+"""Operational CLI (python -m rwcf) — subprocess-level, the real surface."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pyarrow.parquet as pq
+import pytest
+
+from rwcf import fixtures
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(*args):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run([sys.executable, "-m", "rwcf", *args],
+                         capture_output=True, text=True, env=env, cwd=REPO)
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+@pytest.mark.parametrize("dummy", [0])
+def test_cli_end_to_end(tmp_path, dummy):
+    src = fixtures.tokens_parquet(1000, seed=3, cache_dir=str(tmp_path),
+                                  row_group_size=250)
+    out = str(tmp_path / "enc")
+    r = run_cli("encode", src, "--out", out, "--num-cpus", "4")
+    assert r["rows"] == 1000 and r["partitions"] >= 1
+    assert r["bytes_per_token"] < 2.1  # beats the reference footprint rate
+
+    s = run_cli("stats", out)
+    assert s["tokens"] == r["tokens"]
+    assert s["bytes_by_column_codec"]
+
+    rs = run_cli("resume-status", src, "--out", out)
+    assert rs["pending_count"] == 0 and rs["committed"] == rs["fragments"]
+
+    v = run_cli("verify", out, "--num-cpus", "4")
+    assert v["bit_identical"] is True
+
+    dec = str(tmp_path / "dec")
+    d = run_cli("decode", out, "--out", dec, "--num-cpus", "4")
+    assert d["rows"] == 1000
+    got = pq.read_table(dec).to_pandas().sort_values("doc_id")
+    want = pq.read_table(src).to_pandas().sort_values("doc_id")
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
