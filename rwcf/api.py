@@ -1,0 +1,127 @@
+"""Drop-in parity API: the reference's three public functions, 1:1.
+
+The reference exposes exactly ``encode_column`` / ``decode_column`` /
+``decode_footer`` (src/lib.rs:25-48). This module mirrors that surface —
+same semantics, same byte format (reference mode: bincode varints, greedy
+>=2048-byte pages, trailer-last footer), same decode contract (an iterator
+of ``Values(value, run_length)`` tuples even when RLE is off, via the
+``Values::single`` convention, src/rle.rs:18-24; category-level type check
+at decode, src/decode.rs:44-50) — so a user of the reference crate can port
+call sites mechanically while the heavy pipelines use the Ray-native engine
+underneath.
+"""
+
+from __future__ import annotations
+
+import io
+from dataclasses import dataclass
+from typing import Iterable, Iterator, NamedTuple
+
+import numpy as np
+
+from . import format as fmt
+
+
+class Values(NamedTuple):
+    """Mirror of rle::Values (src/rle.rs:8-15)."""
+    value: object
+    run_length: int
+
+
+@dataclass
+class Footer:
+    """Mirror of the reference Footer (src/lib.rs:52-57)."""
+    data_type: str        # reference category: u8/i8/uint/int/str
+    use_rle: bool
+    pages: list[fmt.PageInfo]
+
+
+_CATEGORY_DTYPE = {"u8": "u8", "i8": "i8", "uint": "u64", "int": "i64",
+                   "str": "str"}
+
+
+def _infer_dtype(values: list) -> str:
+    if not values:
+        return "i64"
+    v = values[0]
+    if isinstance(v, str):
+        return "str"
+    if isinstance(v, (np.integer, int)):
+        arr = np.asarray(values)
+        if arr.dtype.kind == "u":
+            return {1: "u8", 2: "u16", 4: "u32", 8: "u64"}[arr.dtype.itemsize]
+        if arr.dtype.kind == "i":
+            return {1: "i8", 2: "i16", 4: "i32", 8: "i64"}[arr.dtype.itemsize]
+        return "i64" if min(values) < 0 else ("u64" if max(values) >= 2**63
+                                              else "i64")
+    raise TypeError(f"unsupported data type: {type(v)}")  # src/encode.rs:17
+
+
+def _to_chunk(values: list, dtype: str):
+    if dtype == "str":
+        payload = np.frombuffer("".join(values).encode(), dtype=np.uint8)
+        lens = np.array([len(s.encode()) for s in values], dtype=np.int64)
+        return lens, payload
+    return np.array(values, dtype=fmt.DTYPES[dtype][2])
+
+
+def encode_column(data: Iterable, w: io.RawIOBase | None = None,
+                  use_rle: bool = False) -> Footer:
+    """Mirror of ``encode_column`` (src/lib.rs:25-33): encode an iterable of
+    values into the reference byte format, write it to ``w`` (if given), and
+    return the Footer."""
+    values = list(data)
+    dtype = _infer_dtype(values)
+    enc = fmt.encode_chunk(_to_chunk(values, dtype), dtype,
+                           "rle" if use_rle else "plain",
+                           page_target=fmt.MIN_TARGET_PAGE_SIZE)
+    blob = fmt.write_column_file(enc, reference_mode=True)
+    if w is not None:
+        w.write(blob)
+    footer = Footer(data_type=fmt.DTYPES[dtype][0], use_rle=use_rle,
+                    pages=enc.pages)
+    footer._bytes = blob  # convenience for byte-level tests
+    return footer
+
+
+def decode_footer(data: bytes) -> Footer:
+    """Mirror of ``decode_footer`` (src/lib.rs:45-48): metadata only."""
+    enc = fmt.read_column_file(data)
+    return Footer(data_type=fmt.DTYPES[enc.dtype][0],
+                  use_rle=enc.codec == "rle", pages=enc.pages)
+
+
+def decode_column(data: bytes, dtype: str | None = None) -> Iterator[Values]:
+    """Mirror of ``decode_column`` (src/lib.rs:36-43): lazily yields
+    ``Values(value, run_length)`` tuples — run_length 1 when RLE is off
+    (``Values::single``), maximal runs when on. ``dtype`` requests a decode
+    type; a category mismatch raises ``UnsupportedDataType``
+    (src/decode.rs:44-50)."""
+    enc = fmt.read_column_file(data)
+    if dtype is not None:
+        fmt.assert_decodable(enc, dtype)
+        enc.dtype = dtype
+    if enc.codec == "rle":
+        from .codecs import REGISTRY
+        runs, lens = REGISTRY["rle"].decode_runs(enc.payload, enc.pages,
+                                                 enc.meta, enc.dtype)
+        if fmt.is_string(enc.dtype):
+            slens, spayload = runs
+            offs = np.cumsum(slens) - slens
+            for i in range(len(slens)):
+                s = spayload[offs[i]:offs[i] + slens[i]].tobytes().decode()
+                yield Values(s, int(lens[i]))
+        else:
+            for v, rl in zip(runs.tolist(), lens.tolist()):
+                yield Values(v, int(rl))
+    else:
+        chunk = fmt.decode_chunk(enc)
+        if fmt.is_string(enc.dtype):
+            slens, spayload = chunk
+            offs = np.cumsum(slens) - slens
+            for i in range(len(slens)):
+                yield Values(spayload[offs[i]:offs[i] + slens[i]]
+                             .tobytes().decode(), 1)
+        else:
+            for v in chunk.tolist():
+                yield Values(v, 1)
