@@ -208,3 +208,18 @@ def test_nulls_rejected_loudly():
     iarr = pa.array([1, None, 3], pa.int64())
     with pytest.raises(ValueError, match="null"):
         fmt.chunk_from_arrow(iarr)
+
+
+def test_single_huge_value_overshoots_page():
+    # FIXTURES.md F4 multipage_mixed: one value whose encoded size alone
+    # exceeds the 2048-byte target sits alone in its page (post-append size
+    # check, src/encode.rs:84-89)
+    vals = ["x" * 5000, "a", "b"]
+    enc = fmt.encode_chunk(mk_chunk(vals, "str"), "str", "plain",
+                           page_target=2048)
+    assert enc.pages[0].encoded_values_count == 1
+    assert enc.pages[0].byte_length == 3 + 5000
+    data = fmt.write_column_file(enc, reference_mode=True)
+    assert len(data) == oracle.v0_encoded_size(vals, oracle.STRING, False)
+    out = fmt.decode_chunk(fmt.read_column_file(data))
+    assert chunk_equal(mk_chunk(vals, "str"), out, "str")
