@@ -150,6 +150,12 @@ def main(argv=None) -> int:
     s.add_argument("input")
     s.set_defaults(fn=cmd_stats)
 
+    cm = sub.add_parser("compact-manifest",
+                        help="merge loose JSON lineage rows into a parquet shard")
+    cm.add_argument("input", help="encode out_dir")
+    cm.set_defaults(fn=lambda a: print(json.dumps(
+        __import__("rwcf.pipeline", fromlist=["x"]).compact_manifest(a.input))) or 0)
+
     rs = sub.add_parser("resume-status",
                         help="which input fragments are committed vs pending")
     rs.add_argument("input", help="input parquet file/dir")

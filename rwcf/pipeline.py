@@ -272,6 +272,8 @@ def split_by_token_budget(n_tok: np.ndarray, budget: int) -> list[tuple[int, int
 def encode_fragment(desc: dict, cfg: EncodeConfig, resume: bool = True) -> list[dict]:
     """Encode one fragment: read its row group (column-pruned), sub-split by
     token budget, encode + commit each sub-partition."""
+    committed = {r["pid"]: r
+                 for r in json.loads(desc.get("committed") or "[]")}
     pf = pq.ParquetFile(desc["path"])
     tbl = pf.read_row_group(desc["row_group"], columns=cfg.columns)
     n_tok = tbl.column("n_tok").combine_chunks().to_numpy().astype(np.int64)
@@ -279,6 +281,9 @@ def encode_fragment(desc: dict, cfg: EncodeConfig, resume: bool = True) -> list[
     out = []
     for k, (a, b) in enumerate(spans):
         pid = f"{desc['fragment_id']}-p{k:04d}"
+        if resume and pid in committed:  # compacted-manifest commit
+            out.append(committed[pid])
+            continue
         mpath = os.path.join(cfg.manifest_dir, f"{pid}.json")
         if resume and os.path.exists(mpath):
             with open(mpath) as f:
@@ -410,6 +415,16 @@ def encode_job(input_paths, cfg: EncodeConfig, resume: bool = True,
     encode -> manifest Dataset. Returns the manifest as a ray Dataset."""
     import ray.data as rd
     frags = plan_fragments(input_paths)
+    if resume:
+        # ship each fragment's already-committed rows (possibly living only
+        # in compacted manifest shards) to its worker
+        by_frag: dict[str, list[dict]] = {}
+        for r in load_manifest(cfg.out_dir):
+            fid = r["pid"].rsplit("-p", 1)[0]
+            by_frag.setdefault(fid, []).append(r)
+        for fr in frags:
+            # set on every descriptor (homogeneous keys for from_items)
+            fr["committed"] = json.dumps(by_frag.get(fr["fragment_id"], []))
     n = concurrency or _default_concurrency()
     ds = rd.from_items(frags)
     if ds.num_blocks() < n:
@@ -436,14 +451,46 @@ def manifest_dataset(out_dir: str):
 
 
 def load_manifest(out_dir: str) -> list[dict]:
+    """All committed lineage rows: compacted parquet shards + loose JSONs."""
     mdir = os.path.join(out_dir, "manifest")
     rows = []
     if os.path.isdir(mdir):
         for name in sorted(os.listdir(mdir)):
+            path = os.path.join(mdir, name)
             if name.endswith(".json"):
-                with open(os.path.join(mdir, name)) as f:
+                with open(path) as f:
                     rows.append(json.load(f))
+            elif name.startswith("compacted-") and name.endswith(".parquet"):
+                rows.extend(manifest_table_to_rows(pq.read_table(path)))
     return rows
+
+
+def compact_manifest(out_dir: str) -> dict:
+    """Merge loose per-partition JSON manifest rows into one parquet shard.
+
+    At 10^12-sequence scale the per-partition-JSON commit log would reach
+    millions of files; periodic compaction (run between jobs, like a
+    checkpoint GC) keeps the manifest O(shards) while preserving the
+    per-partition atomic-commit protocol for in-flight work. Resume reads
+    both forms transparently (`load_manifest`), and `encode_job` ships each
+    fragment's already-committed rows to its worker so compacted partitions
+    are never re-encoded."""
+    mdir = os.path.join(out_dir, "manifest")
+    loose = [n for n in sorted(os.listdir(mdir)) if n.endswith(".json")]         if os.path.isdir(mdir) else []
+    if not loose:
+        return {"compacted": 0}
+    rows = []
+    for name in loose:
+        with open(os.path.join(mdir, name)) as f:
+            rows.append(json.load(f))
+    existing = [n for n in os.listdir(mdir) if n.startswith("compacted-")]
+    shard = os.path.join(mdir, f"compacted-{len(existing):05d}.parquet")
+    tmp = shard + f".tmp{os.getpid()}"
+    pq.write_table(manifest_rows_to_table(rows), tmp)
+    os.replace(tmp, shard)  # shard commit lands before JSONs are removed
+    for name in loose:
+        os.remove(os.path.join(mdir, name))
+    return {"compacted": len(rows), "shard": shard}
 
 
 def decode_job(out_dir: str, columns: list[str] | None = None,

@@ -218,3 +218,27 @@ def test_scan_column_pages_skips(small_parquet, tmp_path, ray_session):
     assert int(kept.astype(np.int64).sum()) == expect_sum
     # and pages were actually skipped somewhere
     assert (scanned["_pages_kept"] < scanned["_pages_total"]).any()
+
+
+def test_manifest_compaction_and_resume(small_parquet, tmp_path, ray_session):
+    out = str(tmp_path / "cmp")
+    cfg = pipeline.EncodeConfig(out_dir=out, partition_token_budget=100_000)
+    pipeline.encode_job(small_parquet, cfg, concurrency=4).materialize()
+    rows = pipeline.load_manifest(out)
+    n_parts = len(rows)
+    res = pipeline.compact_manifest(out)
+    assert res["compacted"] == n_parts
+    # no loose JSONs remain; load_manifest reads the parquet shard
+    assert not [f for f in os.listdir(os.path.join(out, "manifest"))
+                if f.endswith(".json")]
+    rows2 = pipeline.load_manifest(out)
+    assert {r["pid"] for r in rows2} == {r["pid"] for r in rows}
+    # resume after compaction: nothing re-encoded (mtimes untouched)
+    mtimes = {r["pid"]: os.path.getmtime(r["file"]) for r in rows2}
+    man = pipeline.encode_job(small_parquet, cfg, concurrency=4).to_pandas()
+    assert len(man) == n_parts
+    for r in pipeline.load_manifest(out):
+        assert os.path.getmtime(r["file"]) == mtimes[r["pid"]]
+    # decode + verify still work from the compacted manifest
+    ver = pipeline.verify_job(out, concurrency=2).to_pandas()
+    assert ver["equal"].all() and ver["n_rows"].sum() == 2000
