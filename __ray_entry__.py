@@ -382,6 +382,34 @@ def _q_filter_large_docs(sf_dir: str):
                            **rayenv.remote_args())
 
 
+def _q_window_tumbling(sf_dir: str):
+    """Tumbling-window aggregate over events (partial-then-final; only
+    (key, window, partials) rows shuffle)."""
+    import ray.data as rd
+    from rwcf import windows
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "value"])
+    return windows.tumbling_window_aggregate(ds, window_s=3600)
+
+
+def _q_window_sessions(sf_dir: str):
+    """Session windows (gap 30 min) per user over events."""
+    import ray.data as rd
+    from rwcf import windows
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+    out = windows.session_windows(ds, gap_s=1800)
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "session_start": pc.cast(t.column("session_start"), pa.int64()),
+            "n_events": pc.cast(t.column("n_events"), pa.int64()),
+        })
+    from rwcf import rayenv
+    return out.map_batches(cast, batch_format="pyarrow", **rayenv.remote_args())
+
+
 def _q_codec_selection(sf_dir: str):
     """Lineage: chosen codec + byte counts per (partition, column). Not
     SQL-expressible (selector internals) — rows-only check."""
@@ -435,6 +463,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compressed_sum_nchars": _q_compressed_sum_nchars,
         "codec_selection": _q_codec_selection,
         "filter_large_docs": _q_filter_large_docs,
+        "window_tumbling": _q_window_tumbling,
+        "window_sessions": _q_window_sessions,
         "flagship_synthetic": _q_flagship_synthetic,
         # training-data pipeline operators
         "token_count": _map_docs(__import__("rwcf.textops", fromlist=["x"])
@@ -509,6 +539,25 @@ def oracle_sql() -> dict[str, str]:
         "filter_large_docs": ("SELECT doc_id, CAST(strlen(text) AS BIGINT) "
                               "AS n_tok FROM documents "
                               "WHERE strlen(text) >= 300"),
+        "window_tumbling": (
+            "SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS win, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS v1000 "
+            "FROM events GROUP BY user_id, win"),
+        # window_sessions: session semantics (gap-based) are expressible in
+        # SQL via window functions:
+        "window_sessions": (
+            "WITH o AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, "
+            "lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER "
+            "(PARTITION BY user_id ORDER BY ts) AS prev FROM events), "
+            "m AS (SELECT user_id, ts_s, CASE WHEN prev IS NULL OR "
+            "ts_s - prev > 1800 THEN 1 ELSE 0 END AS new_s FROM o), "
+            "s AS (SELECT user_id, ts_s, sum(new_s) OVER "
+            "(PARTITION BY user_id ORDER BY ts_s ROWS UNBOUNDED PRECEDING) "
+            "AS sid FROM m) "
+            "SELECT user_id, CAST(min(ts_s) AS BIGINT) AS session_start, "
+            "CAST(count(*) AS BIGINT) AS n_events FROM s "
+            "GROUP BY user_id, sid"),
         "ann_topk": (
             "SELECT q.vec_id AS qid, e.vec_id AS vec_id, CAST(row_number() "
             "OVER (PARTITION BY q.vec_id ORDER BY "

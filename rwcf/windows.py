@@ -1,0 +1,73 @@
+"""Windowed aggregates over event streams (custom-operator family).
+
+Ray Data has no event-time windowing; per the composition rule these are
+built from what it does have: tumbling windows are a pure per-batch
+projection (window id = ts // size) followed by a partial-then-final
+aggregation (the only shuffle carries (key, window, partials) rows, never
+events); sliding/session windows sort each key's group once inside
+``map_groups``. Ordering assumption: windows are keyed, so no global order
+is required — each group sorts its own events.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import rayenv
+
+
+def tumbling_window_aggregate(ds, window_s: int = 3600,
+                              key: str = "user_id", ts_col: str = "ts",
+                              val_col: str = "value"):
+    """Per (key, window) count + exact integer-scaled sum. The float sum is
+    fixed-point-scaled (floor(v*1000)) before summation so the result is
+    order-independent and byte-comparable to a SQL oracle."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col).combine_chunks()
+        epoch = pc.divide(pc.cast(ts, pa.int64()), 1_000_000)  # us -> s
+        win = pc.floor(pc.divide(pc.cast(epoch, pa.float64()), window_s))
+        vals = t.column(val_col).combine_chunks().to_numpy(zero_copy_only=False)
+        scaled = np.floor(vals * 1000).astype(np.int64)
+        g = pa.table({
+            key: t.column(key),
+            "win": pc.cast(win, pa.int64()),
+            "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "v1000": pa.array(scaled),
+        }).group_by([key, "win"]).aggregate([("n", "sum"), ("v1000", "sum")])
+        return g.rename_columns([key, "win", "n", "v1000"])
+
+    from ray.data.aggregate import Sum
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .groupby([key, "win"])
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("v1000", alias_name="v1000")))
+
+
+def session_windows(ds, gap_s: int = 1800, key: str = "user_id",
+                    ts_col: str = "ts"):
+    """Session windows: per key, sort by ts and split where the gap exceeds
+    ``gap_s``. One groupby shuffle; sorting happens inside each group."""
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col)
+        # unit-safe epoch seconds (parquet timestamps may be us- or
+        # ns-backed depending on the pandas/arrow bridge)
+        ts = g[ts_col].to_numpy().astype("datetime64[s]").astype(np.int64)
+        if not len(ts):
+            return pd.DataFrame({key: [], "session_start": [], "n_events": []})
+        new_session = np.concatenate(([True], np.diff(ts) > gap_s))
+        sid = np.cumsum(new_session) - 1
+        out = (pd.DataFrame({key: g[key].to_numpy(), "sid": sid, "ts_s": ts})
+               .groupby("sid")
+               .agg(**{key: (key, "first"), "session_start": ("ts_s", "min"),
+                       "n_events": ("ts_s", "size")})
+               .reset_index(drop=True))
+        return out
+
+    return ds.groupby(key).map_groups(sessions, batch_format="pandas",
+                                      **rayenv.remote_args())

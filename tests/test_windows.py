@@ -1,0 +1,51 @@
+"""Windowed aggregates (tumbling + session) over event streams."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from rwcf import windows
+
+
+@pytest.fixture(scope="module")
+def events_table():
+    rng = np.random.default_rng(8)
+    n = 2000
+    base = 1_700_000_000
+    ts = base + np.sort(rng.integers(0, 3600 * 24, n))
+    users = rng.integers(0, 20, n)
+    vals = rng.normal(10, 3, n)
+    return pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "ts": pa.array((ts * 1_000_000).astype("datetime64[us]")),
+        "value": pa.array(vals, pa.float64()),
+    })
+
+
+def test_tumbling_window(ray_session, events_table):
+    import ray.data as rd
+    ds = rd.from_arrow(events_table).repartition(4)
+    out = windows.tumbling_window_aggregate(ds, window_s=3600).to_pandas()
+    df = events_table.to_pandas()
+    df["win"] = df["ts"].to_numpy().astype("datetime64[s]").astype(np.int64) // 3600
+    df["v1000"] = np.floor(df["value"] * 1000).astype(np.int64)
+    expect = (df.groupby(["user_id", "win"])
+              .agg(n=("value", "size"), v1000=("v1000", "sum")).reset_index())
+    a = out.sort_values(["user_id", "win"]).reset_index(drop=True)
+    b = expect.sort_values(["user_id", "win"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[["user_id", "win", "n", "v1000"]],
+                                  b[["user_id", "win", "n", "v1000"]],
+                                  check_dtype=False)
+
+
+def test_session_windows(ray_session, events_table):
+    import ray.data as rd
+    ds = rd.from_arrow(events_table.select(["user_id", "ts"])).repartition(4)
+    out = windows.session_windows(ds, gap_s=1800).to_pandas()
+    # sessions partition each user's events; totals must add up
+    assert out["n_events"].sum() == events_table.num_rows
+    # per user, session starts are >gap apart
+    for _, g in out.groupby("user_id"):
+        starts = np.sort(g["session_start"].to_numpy())
+        assert (np.diff(starts) > 1800).all()
