@@ -223,3 +223,37 @@ def test_single_huge_value_overshoots_page():
     assert len(data) == oracle.v0_encoded_size(vals, oracle.STRING, False)
     out = fmt.decode_chunk(fmt.read_column_file(data))
     assert chunk_equal(mk_chunk(vals, "str"), out, "str")
+
+
+@pytest.mark.parametrize("codec_id", ["plain", "rle", "bitpack", "for",
+                                      "delta", "dict"])
+def test_slice_pages_all_int_codecs(codec_id):
+    # every codec's pages must decode independently (selective page decode)
+    rng = np.random.default_rng(12)
+    vals = np.repeat(rng.integers(0, 3000, 20_000),
+                     rng.integers(1, 4, 20_000)).astype(np.int64)
+    enc = fmt.encode_chunk(vals, "i64", codec_id, page_target=4096)
+    if len(enc.pages) < 3:
+        pytest.skip("needs multiple pages")
+    sub = fmt.slice_pages(enc, [0, 2])
+    out = fmt.decode_chunk(sub)
+    c = [p.values_count for p in enc.pages]
+    expect = np.concatenate([vals[:c[0]], vals[c[0] + c[1]:c[0] + c[1] + c[2]]])
+    assert np.array_equal(out, expect), codec_id
+
+
+@pytest.mark.parametrize("codec_id", ["plain", "rle", "dict", "fsst"])
+def test_slice_pages_string_codecs(codec_id):
+    vals = [f"doc-{i % 500:09d}" for i in range(6000)]
+    vals = [v for v in vals for _ in (range(2) if v.endswith("3") else range(1))]
+    chunk = mk_chunk(vals, "str")
+    enc = fmt.encode_chunk(chunk, "str", codec_id, page_target=4096)
+    if len(enc.pages) < 2:
+        pytest.skip("needs multiple pages")
+    sub = fmt.slice_pages(enc, [1])
+    dl, dp = fmt.decode_chunk(sub)
+    start = enc.pages[0].values_count
+    cnt = enc.pages[1].values_count
+    want = vals[start:start + cnt]
+    assert np.array_equal(dl, [len(w) for w in want])
+    assert dp.tobytes().decode() == "".join(want)
