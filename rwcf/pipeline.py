@@ -437,8 +437,12 @@ def encode_job(input_paths, cfg: EncodeConfig, resume: bool = True,
     # limiting how many bandwidth-bound encode tasks run at once.
     cap = max(1, _cluster_cpus() // task_cpus) if task_cpus > 1 else None
     bs = max(1, len(frags) // ((cap or n) * 4))
+    # retry_exceptions: transient IO/worker faults retry the task; commits
+    # are idempotent (deterministic pids, atomic tmp+rename, manifest-last),
+    # so a retried partition overwrites its own half-written output
     return ds.map_batches(fn, batch_size=bs, batch_format="pyarrow",
                           num_cpus=1, concurrency=cap,
+                          max_retries=3, retry_exceptions=True,
                           **rayenv.remote_args())
 
 

@@ -242,3 +242,36 @@ def test_manifest_compaction_and_resume(small_parquet, tmp_path, ray_session):
     # decode + verify still work from the compacted manifest
     ver = pipeline.verify_job(out, concurrency=2).to_pandas()
     assert ver["equal"].all() and ver["n_rows"].sum() == 2000
+
+
+def test_task_retry_with_idempotent_commit(small_parquet, tmp_path, ray_session):
+    """Transient task failures retry (retry_exceptions) and the atomic
+    commit protocol makes the retry idempotent: a crash AFTER writing the
+    partition file but BEFORE the manifest commit leaves no corruption —
+    the retry simply overwrites and commits."""
+    out = str(tmp_path / "flaky")
+    cfg = pipeline.EncodeConfig(out_dir=out, partition_token_budget=100_000)
+    marker = str(tmp_path / "fail_once")
+
+    frags = pipeline.plan_fragments(small_parquet)
+
+    def flaky(batch, _cfg=cfg, _marker=marker):
+        import os as _os
+        rows = []
+        for desc in batch.to_pylist():
+            # crash mid-fragment exactly once, after some partitions landed
+            if desc["row_group"] == 0 and not _os.path.exists(_marker):
+                pipeline.encode_fragment(desc, _cfg, resume=True)  # work done
+                open(_marker, "w").close()
+                raise RuntimeError("injected transient fault after commit")
+            rows.extend(pipeline.encode_fragment(desc, _cfg, resume=True))
+        return pipeline.manifest_rows_to_table(rows)
+
+    import ray.data as rd
+    man = rd.from_items(frags).map_batches(
+        flaky, batch_size=1, batch_format="pyarrow", num_cpus=1,
+        max_retries=3, retry_exceptions=True).to_pandas()
+    assert os.path.exists(marker), "fault was never injected"
+    assert man["n_rows"].sum() == 2000
+    ver = pipeline.verify_job(out, concurrency=2).to_pandas()
+    assert ver["equal"].all()
