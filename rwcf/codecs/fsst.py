@@ -33,10 +33,14 @@ from .. import format as fmt
 from .. import varint
 from . import base
 
-_TRAIN_BYTES = 16 * 1024
+# Training budget: string sections are typically <1% of a tokens-table
+# partition's bytes, while symbol training dominated encode CPU at the
+# original 16KiB x 8-round budget — 8KiB x 5 rounds keeps ~the same ratio
+# on id-like corpora at roughly half the cost.
+_TRAIN_BYTES = 8 * 1024
 _MAX_SYM_LEN = 8
 _BATCH = 24
-_ROUNDS = 8
+_ROUNDS = 5
 
 
 def _free_codes(payload: np.ndarray) -> np.ndarray:
