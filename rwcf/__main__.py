@@ -100,20 +100,27 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_compact_manifest(args) -> int:
+    from . import pipeline
+    print(json.dumps(pipeline.compact_manifest(args.input)))
+    return 0
+
+
 def cmd_resume_status(args) -> int:
     from . import pipeline
     frags = pipeline.plan_fragments(_input_files(args.input))
-    done_pids = {r["pid"] for r in pipeline.load_manifest(args.out)}
-    done_frags = []
-    pending = []
-    for fr in frags:
-        # a fragment is done when at least its first sub-partition committed
-        # and no gap exists; cheap check: any pid with this fragment prefix
-        if any(p.startswith(fr["fragment_id"] + "-p") for p in done_pids):
-            done_frags.append(fr["fragment_id"])
-        else:
-            pending.append(fr["fragment_id"])
-    print(json.dumps({"fragments": len(frags), "committed": len(done_frags),
+    # a fragment is committed only when its sub-partitions cover every row
+    # (a crash mid-fragment leaves a partial pid set — count rows, not pids)
+    rows_by_frag: dict[str, int] = {}
+    for r in pipeline.load_manifest(args.out):
+        fid = r["pid"].rsplit("-p", 1)[0]
+        rc = r.get("lineage", {}).get("row_count", r["n_rows"])
+        rows_by_frag[fid] = rows_by_frag.get(fid, 0) + rc
+    done = [fr["fragment_id"] for fr in frags
+            if rows_by_frag.get(fr["fragment_id"], 0) >= fr["num_rows"]]
+    pending = [fr["fragment_id"] for fr in frags
+               if fr["fragment_id"] not in set(done)]
+    print(json.dumps({"fragments": len(frags), "committed": len(done),
                       "pending": pending[:50],
                       "pending_count": len(pending)}))
     return 0
@@ -153,8 +160,7 @@ def main(argv=None) -> int:
     cm = sub.add_parser("compact-manifest",
                         help="merge loose JSON lineage rows into a parquet shard")
     cm.add_argument("input", help="encode out_dir")
-    cm.set_defaults(fn=lambda a: print(json.dumps(
-        __import__("rwcf.pipeline", fromlist=["x"]).compact_manifest(a.input))) or 0)
+    cm.set_defaults(fn=cmd_compact_manifest)
 
     rs = sub.add_parser("resume-status",
                         help="which input fragments are committed vs pending")

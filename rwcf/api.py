@@ -47,7 +47,10 @@ def _infer_dtype(values: list) -> str:
     if isinstance(v, str):
         return "str"
     if isinstance(v, (np.integer, int)):
-        arr = np.asarray(values)
+        try:
+            arr = np.asarray(values)
+        except OverflowError:  # numpy>=2 refuses >=2**63 Python ints here
+            arr = np.asarray(values, dtype=np.uint64)
         if arr.dtype.kind == "u":
             return {1: "u8", 2: "u16", 4: "u32", 8: "u64"}[arr.dtype.itemsize]
         if arr.dtype.kind == "i":
@@ -59,8 +62,9 @@ def _infer_dtype(values: list) -> str:
 
 def _to_chunk(values: list, dtype: str):
     if dtype == "str":
-        payload = np.frombuffer("".join(values).encode(), dtype=np.uint8)
-        lens = np.array([len(s.encode()) for s in values], dtype=np.int64)
+        encs = [s.encode() for s in values]  # encode each string once
+        payload = np.frombuffer(b"".join(encs), dtype=np.uint8)
+        lens = np.array([len(e) for e in encs], dtype=np.int64)
         return lens, payload
     return np.array(values, dtype=fmt.DTYPES[dtype][2])
 
@@ -95,12 +99,33 @@ def decode_column(data: bytes, dtype: str | None = None) -> Iterator[Values]:
     """Mirror of ``decode_column`` (src/lib.rs:36-43): lazily yields
     ``Values(value, run_length)`` tuples — run_length 1 when RLE is off
     (``Values::single``), maximal runs when on. ``dtype`` requests a decode
-    type; a category mismatch raises ``UnsupportedDataType``
-    (src/decode.rs:44-50)."""
+    type; like the reference, a category mismatch errors at CALL time
+    (src/decode.rs:44-50) and a value that does not fit the narrower
+    requested width errors during iteration (bincode would return a decode
+    error per tuple)."""
     enc = fmt.read_column_file(data)
     if dtype is not None:
-        fmt.assert_decodable(enc, dtype)
-        enc.dtype = dtype
+        fmt.assert_decodable(enc, dtype)  # eager, before the generator body
+    return _decode_column_iter(enc, dtype)
+
+
+def _decode_column_iter(enc, dtype: str | None) -> Iterator[Values]:
+    if dtype is not None and not fmt.is_string(enc.dtype) \
+            and fmt.DTYPES[dtype][2] != fmt.DTYPES[enc.dtype][2]:
+        # narrowing request: decode at the stored width and range-check each
+        # value — silent modular wrapping would corrupt data where the
+        # reference's bincode decode errors
+        info = np.iinfo(fmt.DTYPES[dtype][2])
+        for v in _raw_values(enc):
+            if not (info.min <= v.value <= info.max):
+                raise OverflowError(
+                    f"value {v.value} does not fit requested {dtype}")
+            yield v
+        return
+    yield from _raw_values(enc)
+
+
+def _raw_values(enc) -> Iterator[Values]:
     if enc.codec == "rle":
         from .codecs import REGISTRY
         runs, lens = REGISTRY["rle"].decode_runs(enc.payload, enc.pages,

@@ -45,11 +45,10 @@ class DeltaCodec(cbase.Codec):
         if n:
             d = np.empty(n, dtype=np.uint64)
             d[0] = 0
-            d[1:] = u[1:] - u[:-1]  # modular difference
-            zz = _zigzag64(d)
-            gw = cbase.bit_width(int(zz.max()))
+            d[1:] = u[1:] - u[:-1]  # modular difference, shared by all pages
+            gw = cbase.bit_width(int(_zigzag64(d).max()))
         else:
-            zz = np.empty(0, dtype=np.uint64)
+            d = np.empty(0, dtype=np.uint64)
             gw = 0
         vpp = _plan_values_per_page(gw, page_target)
         chunks = []
@@ -58,13 +57,11 @@ class DeltaCodec(cbase.Codec):
             pv = u[s:s + vpp]
             if pv.size == 0:
                 break
-            pd = np.empty(pv.size, dtype=np.uint64)
-            pd[0] = 0
-            pd[1:] = pv[1:] - pv[:-1]
+            pd = d[s:s + pv.size].copy()
+            pd[0] = 0  # page base replaces the cross-page delta
             pz = _zigzag64(pd)
             w = cbase.bit_width(int(pz.max()))
-            base_store = int(pv[0].view(np.int64) if hasattr(pv[0], "view")
-                             else np.uint64(pv[0]).view(np.int64))
+            base_store = int(np.uint64(pv[0]).view(np.int64))
             header = varint.encode_svarint(np.array([base_store],
                                                     dtype=np.int64))
             body = cbase.pack_bits(pz, w)
@@ -107,5 +104,13 @@ class DeltaCodec(cbase.Codec):
         u = np.ascontiguousarray(vals, dtype=np_t).view(_UNSIGNED[dtype]) \
             .astype(np.uint64)
         d = u[1:] - u[:-1]
-        w = cbase.bit_width(int(_zigzag64(d).max())) if d.size else 1
+        zz = _zigzag64(d)
+        # the selector samples CONCATENATED disjoint slices, whose boundary
+        # jumps are artifacts — drop the few largest deltas so a monotone
+        # column's width estimate reflects its true step size
+        if zz.size > 8:
+            zz = np.partition(zz, zz.size - 4)[:-4]
+        # floor at 1 bit: an all-zero trimmed sample must not estimate a
+        # free ride (constant runs belong to RLE, which estimates honestly)
+        w = max(1, cbase.bit_width(int(zz.max()))) if zz.size else 1
         return w / 8.0 * n_total + 10

@@ -28,7 +28,10 @@ def tumbling_window_aggregate(ds, window_s: int = 3600,
 
     def partial(t: pa.Table) -> pa.Table:
         ts = t.column(ts_col).combine_chunks()
-        epoch = pc.divide(pc.cast(ts, pa.int64()), 1_000_000)  # us -> s
+        # unit-safe epoch seconds: cast through timestamp[s] so us- and
+        # ns-backed columns both land on seconds (safe=False: truncation is
+        # the intended floor)
+        epoch = pc.cast(pc.cast(ts, pa.timestamp("s"), safe=False), pa.int64())
         win = pc.floor(pc.divide(pc.cast(epoch, pa.float64()), window_s))
         vals = t.column(val_col).combine_chunks().to_numpy(zero_copy_only=False)
         scaled = np.floor(vals * 1000).astype(np.int64)
@@ -38,7 +41,11 @@ def tumbling_window_aggregate(ds, window_s: int = 3600,
             "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
             "v1000": pa.array(scaled),
         }).group_by([key, "win"]).aggregate([("n", "sum"), ("v1000", "sum")])
-        return g.rename_columns([key, "win", "n", "v1000"])
+        # map aggregate output by NAME (column order differs across pyarrow
+        # versions)
+        return pa.table({key: g.column(key), "win": g.column("win"),
+                         "n": g.column("n_sum"),
+                         "v1000": g.column("v1000_sum")})
 
     from ray.data.aggregate import Sum
     return (ds.map_batches(partial, batch_format="pyarrow",

@@ -87,3 +87,14 @@ def test_decode_on_wrong_data_type_fails():
         with pytest.raises(fmt.UnsupportedDataType):
             list(api.decode_column(data, dtype=bad))
     list(api.decode_column(data, dtype="i16"))  # same category: ok
+
+
+def test_decode_narrowing_overflow_errors():
+    # narrowing within a category is allowed (category check, src/lib.rs:92-113)
+    # but a value that does not fit the narrower width must error, not wrap
+    _, data = roundtrip([-1, 10, 100_000])
+    with pytest.raises(OverflowError):
+        list(api.decode_column(data, dtype="i16"))
+    # and the category mismatch errors at CALL time, before iteration
+    with pytest.raises(fmt.UnsupportedDataType):
+        api.decode_column(data, dtype="u64")

@@ -47,3 +47,22 @@ def test_cli_end_to_end(tmp_path, dummy):
     got = pq.read_table(dec).to_pandas().sort_values("doc_id")
     want = pq.read_table(src).to_pandas().sort_values("doc_id")
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
+
+
+def test_resume_status_counts_rows_not_pids(tmp_path):
+    # a fragment with only part of its sub-partitions committed is PENDING
+    import json as _json
+    from rwcf import pipeline
+    src = fixtures.tokens_parquet(1000, seed=5, cache_dir=str(tmp_path),
+                                  row_group_size=500)
+    out = str(tmp_path / "enc2")
+    cfg = pipeline.EncodeConfig(out_dir=out, partition_token_budget=50_000)
+    frags = pipeline.plan_fragments(src)
+    pipeline.encode_fragment(frags[0], cfg, resume=False)
+    # drop one committed sub-partition -> row coverage incomplete
+    rows = pipeline.load_manifest(out)
+    victim = rows[0]
+    os.remove(os.path.join(out, "manifest", victim["pid"] + ".json"))
+    r = run_cli("resume-status", src, "--out", out)
+    assert r["committed"] == 0 or frags[0]["fragment_id"] in r["pending"]
+    assert r["pending_count"] == len(frags)  # frag 0 partial, frag 1 untouched
