@@ -434,8 +434,9 @@ def _q_flagship_synthetic(sf_dir: str):
     path = fixtures.tokens_parquet(fixtures.rows_for_sf(sf))
     work = _workdir("flagship", sf_dir)
     cfg = pipeline.EncodeConfig(out_dir=os.path.join(work, "out"))
-    pipeline.encode_job(path, cfg).materialize()
-    return pipeline.verify_job(cfg.out_dir)
+    # bandwidth-aware sizing (BENCH/BASELINE.md): cap concurrent heavy tasks
+    pipeline.encode_job(path, cfg, task_cpus=4).materialize()
+    return pipeline.verify_job(cfg.out_dir, task_cpus=4)
 
 
 def entry() -> Any:
