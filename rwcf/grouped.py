@@ -34,12 +34,6 @@ from . import pipeline, rayenv
 from .pipeline import EncodeConfig, manifest_rows_to_table
 
 
-def _salt_of(doc_id: pa.ChunkedArray | pa.Array, k: int) -> np.ndarray:
-    ids = np.asarray(doc_id).astype(object)
-    h = pd.util.hash_array(ids)  # deterministic (fixed siphash key)
-    return (h % np.uint64(max(1, k))).astype(np.int32)
-
-
 def encode_grouped_by_source(input_paths, cfg: EncodeConfig,
                              group_token_budget: int | None = None,
                              resume: bool = True):
@@ -49,6 +43,8 @@ def encode_grouped_by_source(input_paths, cfg: EncodeConfig,
     budget = group_token_budget or cfg.partition_token_budget
 
     ds = rd.read_parquet(input_paths, columns=pipeline.TOKEN_COLUMNS)
+    # the counting pass prunes to (source, n_tok) — no token bytes move
+    count_ds = rd.read_parquet(input_paths, columns=["source", "n_tok"])
 
     # 1. partial aggregation inside map_batches, then a tiny shuffle
     def partial_counts(t: pa.Table) -> pa.Table:
@@ -56,8 +52,8 @@ def encode_grouped_by_source(input_paths, cfg: EncodeConfig,
         return g.rename_columns(["source", "toks"])
 
     from ray.data.aggregate import Sum
-    totals = (ds.map_batches(partial_counts, batch_format="pyarrow",
-                             **rayenv.remote_args())
+    totals = (count_ds.map_batches(partial_counts, batch_format="pyarrow",
+                                   **rayenv.remote_args())
               .groupby("source").aggregate(Sum("toks", alias_name="toks"))
               .to_pandas())
     salt_k = {r["source"]: max(1, math.ceil(r["toks"] / budget))
@@ -76,9 +72,14 @@ def encode_grouped_by_source(input_paths, cfg: EncodeConfig,
 
     # 3. one explicit shuffle; each group encodes independently
     def encode_group(g: pa.Table) -> pa.Table:
+        import re
+        import zlib as _zlib
         source = g.column("source")[0].as_py()
         salt = g.column("salt")[0].as_py()
-        pid = f"src-{source}-s{salt:04d}"
+        safe = re.sub(r"[^A-Za-z0-9._-]", "_", source)
+        if safe != source:  # keep pids collision-free after sanitizing
+            safe += f"-{_zlib.crc32(source.encode()) & 0xFFFF:04x}"
+        pid = f"src-{safe}-s{salt:04d}"
         mpath = os.path.join(cfg.manifest_dir, f"{pid}.json")
         if resume and os.path.exists(mpath):
             import json
@@ -128,10 +129,12 @@ def verify_grouped_job(out_dir: str, input_paths):
                      **rayenv.remote_args())
 
     def compare(g: pd.DataFrame) -> pd.DataFrame:
-        a = g[g["side"] == "src"].sort_values("doc_id").reset_index(drop=True)
-        b = g[g["side"] == "dec"].sort_values("doc_id").reset_index(drop=True)
-        n = len(a)
-        if n != len(b) or a["doc_id"].tolist() != b["doc_id"].tolist():
+        a = g[g["side"] == "src"].sort_values("doc_id",
+                                              kind="stable").reset_index(drop=True)
+        b = g[g["side"] == "dec"].sort_values("doc_id",
+                                              kind="stable").reset_index(drop=True)
+        n = max(len(a), len(b))  # phantom/extra rows on either side count
+        if len(a) != len(b) or a["doc_id"].tolist() != b["doc_id"].tolist():
             eq = 0
         else:
             fa = np.concatenate([np.asarray(x) for x in a["tokens"]]) if n else \

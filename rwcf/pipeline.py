@@ -79,9 +79,12 @@ def plan_fragments(input_paths: list[str] | str) -> list[dict]:
     for path in sorted(input_paths):
         meta = pq.ParquetFile(path).metadata
         stem = os.path.splitext(os.path.basename(path))[0]
+        # path-hash suffix: two files with the same stem in different
+        # directories must not collide into one fragment id (silent loss)
+        tag = zlib.crc32(os.path.abspath(path).encode()) & 0xFFFF
         for rg in range(meta.num_row_groups):
             frags.append({
-                "fragment_id": f"{stem}-rg{rg:05d}",
+                "fragment_id": f"{stem}-{tag:04x}-rg{rg:05d}",
                 "path": path,
                 "row_group": rg,
                 "num_rows": meta.row_group(rg).num_rows,
@@ -99,6 +102,8 @@ def _table_chunks(tbl: pa.Table) -> dict[str, tuple]:
     ``n_tok`` (list-offset handling, SURVEY.md §7 hard part c)."""
     out = {}
     la = tbl.column("tokens").combine_chunks()
+    if la.type != pa.list_(pa.int32()) and la.type != pa.large_list(pa.int32()):
+        la = la.cast(pa.list_(pa.int32()))  # safe cast: raises on overflow
     lengths = pc.list_value_length(la).to_numpy().astype(np.int64)
     flat = la.flatten().to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
     out["tokens"] = (flat, "i32")
@@ -109,20 +114,6 @@ def _table_chunks(tbl: pa.Table) -> dict[str, tuple]:
     out["doc_id"] = (fmt.chunk_from_arrow(tbl.column("doc_id")), "str")
     out["source"] = (fmt.chunk_from_arrow(tbl.column("source")), "str")
     return out
-
-
-def _chunks_to_table(chunks: dict[str, object]) -> pa.Table:
-    n_tok = np.asarray(chunks["n_tok"], dtype=np.int32)
-    flat = np.asarray(chunks["tokens"], dtype=np.int32)
-    offsets = np.concatenate(([0], np.cumsum(n_tok.astype(np.int64))))
-    tokens = pa.LargeListArray.from_arrays(offsets.astype(np.int64),
-                                           pa.array(flat, type=pa.int32()))
-    return pa.table({
-        "doc_id": fmt.chunk_to_arrow(chunks["doc_id"], "str").cast(pa.string()),
-        "tokens": tokens.cast(pa.list_(pa.int32())),
-        "n_tok": pa.array(n_tok, type=pa.int32()),
-        "source": fmt.chunk_to_arrow(chunks["source"], "str").cast(pa.string()),
-    })
 
 
 # ---------------------------------------------------------------------------
@@ -435,7 +426,7 @@ def encode_job(input_paths, cfg: EncodeConfig, resume: bool = True,
     # to load-balance stragglers. The explicit `concurrency` cap (not a fat
     # num_cpus reservation) keeps downstream stages schedulable while
     # limiting how many bandwidth-bound encode tasks run at once.
-    cap = max(1, _cluster_cpus() // task_cpus) if task_cpus > 1 else None
+    cap = max(1, _cluster_cpus() // task_cpus) if task_cpus > 1 else concurrency
     bs = max(1, len(frags) // ((cap or n) * 4))
     # retry_exceptions: transient IO/worker faults retry the task; commits
     # are idempotent (deterministic pids, atomic tmp+rename, manifest-last),
@@ -466,7 +457,15 @@ def load_manifest(out_dir: str) -> list[dict]:
                     rows.append(json.load(f))
             elif name.startswith("compacted-") and name.endswith(".parquet"):
                 rows.extend(manifest_table_to_rows(pq.read_table(path)))
-    return rows
+    # dedupe by pid: a crash between the compaction shard commit and the
+    # loose-JSON removal leaves both copies — identical content, keep one
+    seen = set()
+    out = []
+    for r in rows:
+        if r["pid"] not in seen:
+            seen.add(r["pid"])
+            out.append(r)
+    return out
 
 
 def compact_manifest(out_dir: str) -> dict:
@@ -520,7 +519,7 @@ def decode_job(out_dir: str, columns: list[str] | None = None,
         ds = ds.repartition(max(1, min(ds.count(), n * 2)))
     import functools
     fn = functools.partial(decode_partition_batch, columns=columns)
-    cap = max(1, _cluster_cpus() // task_cpus) if task_cpus > 1 else None
+    cap = max(1, _cluster_cpus() // task_cpus) if task_cpus > 1 else concurrency
     return ds.map_batches(fn, batch_size=1, batch_format="pyarrow",
                           num_cpus=1, concurrency=cap,
                           **rayenv.remote_args())
@@ -561,8 +560,14 @@ def scan_column_pages(out_dir: str, column: str, page_pred,
         outs = []
         kept_pages = 0
         total_pages = 0
+        np_t = np.int64
         for row in manifest_table_to_rows(batch):
             cm = next(c for c in row["columns"] if c["column"] == column)
+            if fmt.is_string(cm["dtype"]):
+                raise ValueError(
+                    "scan_column_pages supports numeric columns (string "
+                    "columns carry no page value stats)")
+            np_t = fmt.DTYPES[cm["dtype"]][2]
             stats = cm.get("page_stats")
             enc = read_column_section(row, column)
             if stats is not None:
@@ -575,7 +580,7 @@ def scan_column_pages(out_dir: str, column: str, page_pred,
                 enc = fmt.slice_pages(enc, keep)
             chunk = fmt.decode_chunk(enc)
             outs.append(np.asarray(chunk))
-        vals = np.concatenate(outs) if outs else np.empty(0, dtype=np.int64)
+        vals = np.concatenate(outs) if outs else np.empty(0, dtype=np_t)
         return pa.table({
             column: pa.array(vals),
             "_pages_kept": pa.array(np.full(vals.size, kept_pages,
@@ -594,7 +599,7 @@ def verify_job(out_dir: str, concurrency: int | None = None,
     ds = manifest_dataset(out_dir)
     if ds.num_blocks() < n:
         ds = ds.repartition(max(1, min(ds.count(), n * 2)))
-    cap = max(1, _cluster_cpus() // task_cpus) if task_cpus > 1 else None
+    cap = max(1, _cluster_cpus() // task_cpus) if task_cpus > 1 else concurrency
     return ds.map_batches(verify_partition_batch, batch_size=1,
                           batch_format="pyarrow", num_cpus=1,
                           concurrency=cap, **rayenv.remote_args())
