@@ -559,10 +559,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CAST(min(ts_s) AS BIGINT) AS session_start, "
             "CAST(count(*) AS BIGINT) AS n_events FROM s "
             "GROUP BY user_id, sid"),
+        # similarities quantized to 1e-6 on BOTH sides (engine: _rank_topk)
+        # so float-summation-order near-ties cannot flip a rank boundary
         "ann_topk": (
             "SELECT q.vec_id AS qid, e.vec_id AS vec_id, CAST(row_number() "
             "OVER (PARTITION BY q.vec_id ORDER BY "
-            "list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) "
+            "round(list_cosine_similarity(q.embedding, e.embedding), 6) DESC, "
+            "e.vec_id) "
             "AS BIGINT) AS rank FROM embeddings q, embeddings e "
             "WHERE q.vec_id < 5 QUALIFY rank <= 10"),
         "multimodal_meta": (

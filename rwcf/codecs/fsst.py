@@ -26,6 +26,7 @@ bytes]``.
 from __future__ import annotations
 
 import math
+import zlib
 
 import numpy as np
 
@@ -127,6 +128,18 @@ def _parse_meta(meta: bytes) -> list[tuple[int, bytes]]:
     return out
 
 
+def _sample_fingerprint(sample_lengths: np.ndarray,
+                        sample_payload: np.ndarray) -> int:
+    """Cheap content fingerprint of the selector's deterministic sample —
+    disambiguates the estimate→encode symbol-table memo so two chunks with
+    identical (n_rows, payload_bytes) totals cannot collide (a collision
+    was correctness-safe but silently degraded compression)."""
+    head = sample_payload[:1024].tobytes()
+    tail = sample_payload[-1024:].tobytes()
+    return zlib.crc32(tail, zlib.crc32(head)) ^ (int(sample_lengths[:64].sum())
+                                                 << 32)
+
+
 def _with_separators(lengths: np.ndarray, payload: np.ndarray, sep: int) -> bytes:
     """payload with one sep byte after every string (vectorized scatter)."""
     n = lengths.size
@@ -173,7 +186,10 @@ class FsstCodec(base.Codec):
         symbols: list[tuple[int, bytes]] = []
         enc_lengths, enc_payload = lengths, payload
         if free.size >= 2 and payload.size:
-            symbols, sep = self._usable_cached((lengths.size, payload.size), free)
+            from .. import selector
+            s_len, s_pay = selector.sample_chunk((lengths, payload), dtype)
+            key = (lengths.size, payload.size, _sample_fingerprint(s_len, s_pay))
+            symbols, sep = self._usable_cached(key, free)
             if symbols is None:
                 sep = int(free[0])
                 codes = [int(c) for c in free[1:]]
@@ -243,7 +259,10 @@ class FsstCodec(base.Codec):
             return math.inf
         if len(self._memo) > 16:
             self._memo.clear()
-        self._memo[(n_total, payload_total)] = symbols  # reused by encode
+        # keyed by totals + sample-content fingerprint (the selector's sample
+        # is deterministic, so encode recomputes the identical key)
+        self._memo[(n_total, payload_total,
+                    _sample_fingerprint(lengths, payload))] = symbols
         enc = corpus
         for code, sym in symbols:
             enc = enc.replace(sym, bytes([code]))

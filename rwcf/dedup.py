@@ -91,8 +91,12 @@ def _exact_doc_shingle_sets(texts: list[str]) -> list[np.ndarray]:
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
-    if a.size == 0 and b.size == 0:
-        return 1.0
+    """Shingle-set Jaccard. Empty-vs-anything is 0.0: two sub-shingle-length
+    texts share no evidence of similarity, so they must not be emitted as
+    verified duplicates (verify paths short-circuit exact byte equality
+    FIRST, which keeps identical short texts at similarity 1.0)."""
+    if a.size == 0 or b.size == 0:
+        return 0.0
     inter = np.intersect1d(a, b, assume_unique=True).size
     return inter / (a.size + b.size - inter)
 
@@ -185,7 +189,12 @@ def verify_pairs_jaccard(texts_by_id: dict, pairs: pd.DataFrame,
         return cache[i]
 
     for a, b in zip(pairs["a_id"], pairs["b_id"]):
-        j = jaccard(shingles(a), shingles(b))
+        # exact byte equality first: identical texts are dups at sim 1.0
+        # even when shorter than the shingle length (empty shingle sets)
+        if str(texts_by_id[a]) == str(texts_by_id[b]):
+            j = 1.0
+        else:
+            j = jaccard(shingles(a), shingles(b))
         if j >= threshold:
             keep_a.append(int(a))
             keep_b.append(int(b))

@@ -400,6 +400,18 @@ def _default_concurrency() -> int:
     return max(1, _cluster_cpus() - 2)
 
 
+def _stage_cap(concurrency: int | None, task_cpus: int) -> int:
+    """Resolved concurrency cap for a heavy stage. An explicit value wins;
+    otherwise bandwidth-aware slots (cpus // task_cpus) when the caller
+    declared fat tasks, else the default CPU-minus-headroom budget — so the
+    headroom cap is always applied, never silently unbounded."""
+    if concurrency is not None:
+        return max(1, concurrency)
+    if task_cpus > 1:
+        return max(1, _cluster_cpus() // task_cpus)
+    return _default_concurrency()
+
+
 def encode_job(input_paths, cfg: EncodeConfig, resume: bool = True,
                concurrency: int | None = None, task_cpus: int = 1):
     """Full encode pipeline: plan fragments (metadata only) -> actor-pool
@@ -426,8 +438,8 @@ def encode_job(input_paths, cfg: EncodeConfig, resume: bool = True,
     # to load-balance stragglers. The explicit `concurrency` cap (not a fat
     # num_cpus reservation) keeps downstream stages schedulable while
     # limiting how many bandwidth-bound encode tasks run at once.
-    cap = max(1, _cluster_cpus() // task_cpus) if task_cpus > 1 else concurrency
-    bs = max(1, len(frags) // ((cap or n) * 4))
+    cap = _stage_cap(concurrency, task_cpus)
+    bs = max(1, len(frags) // (cap * 4))
     # retry_exceptions: transient IO/worker faults retry the task; commits
     # are idempotent (deterministic pids, atomic tmp+rename, manifest-last),
     # so a retried partition overwrites its own half-written output
@@ -519,7 +531,7 @@ def decode_job(out_dir: str, columns: list[str] | None = None,
         ds = ds.repartition(max(1, min(ds.count(), n * 2)))
     import functools
     fn = functools.partial(decode_partition_batch, columns=columns)
-    cap = max(1, _cluster_cpus() // task_cpus) if task_cpus > 1 else concurrency
+    cap = _stage_cap(concurrency, task_cpus)
     return ds.map_batches(fn, batch_size=1, batch_format="pyarrow",
                           num_cpus=1, concurrency=cap,
                           **rayenv.remote_args())
@@ -599,7 +611,7 @@ def verify_job(out_dir: str, concurrency: int | None = None,
     ds = manifest_dataset(out_dir)
     if ds.num_blocks() < n:
         ds = ds.repartition(max(1, min(ds.count(), n * 2)))
-    cap = max(1, _cluster_cpus() // task_cpus) if task_cpus > 1 else concurrency
+    cap = _stage_cap(concurrency, task_cpus)
     return ds.map_batches(verify_partition_batch, batch_size=1,
                           batch_format="pyarrow", num_cpus=1,
                           concurrency=cap, **rayenv.remote_args())

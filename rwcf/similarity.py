@@ -64,6 +64,16 @@ def cosine_topk(ds, query_ids: list[int], k: int = 10,
 
     cand = ds.map_batches(local_topk, batch_format="pyarrow",
                           **rayenv.remote_args()).to_pandas()
+    return _rank_topk(cand, k)
+
+
+def _rank_topk(cand: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Global top-k from per-batch candidates with tie-stable ranking:
+    similarities are quantized to 1e-6 before ordering (the SQL oracle
+    quantizes identically) so a near-tie computed in a different float
+    summation order cannot flip a rank; exact ties break by vec_id."""
+    cand = cand.copy()
+    cand["sim"] = cand["sim"].round(6)
     cand = cand.sort_values(["qid", "sim", "vec_id"],
                             ascending=[True, False, True])
     top = cand.groupby("qid", as_index=False).head(k).reset_index(drop=True)
@@ -135,8 +145,4 @@ def cosine_topk_ivf(ds, query_ids: list[int], k: int = 10, n_clusters: int = 16,
 
     cand = ds.map_batches(local_topk, batch_format="pyarrow",
                           **rayenv.remote_args()).to_pandas()
-    cand = cand.sort_values(["qid", "sim", "vec_id"],
-                            ascending=[True, False, True])
-    top = cand.groupby("qid", as_index=False).head(k).reset_index(drop=True)
-    top["rank"] = top.groupby("qid").cumcount() + 1
-    return top[["qid", "vec_id", "rank"]]
+    return _rank_topk(cand, k)

@@ -18,6 +18,18 @@ import pyarrow.compute as pc
 
 from . import rayenv
 
+_UNIT_FACTOR = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}
+
+
+def _epoch_seconds_floor(ts: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Epoch seconds with explicit FLOOR semantics (matching SQL
+    floor(epoch(ts))): read the int64 ticks at the column's native unit and
+    floor-divide. A cast to timestamp[s] would truncate toward zero, which
+    differs by one for pre-1970 timestamps with sub-second precision."""
+    unit = ts.type.unit
+    ticks = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
+    return ticks // np.int64(_UNIT_FACTOR[unit])  # numpy //: floor toward -inf
+
 
 def tumbling_window_aggregate(ds, window_s: int = 3600,
                               key: str = "user_id", ts_col: str = "ts",
@@ -27,17 +39,13 @@ def tumbling_window_aggregate(ds, window_s: int = 3600,
     order-independent and byte-comparable to a SQL oracle."""
 
     def partial(t: pa.Table) -> pa.Table:
-        ts = t.column(ts_col).combine_chunks()
-        # unit-safe epoch seconds: cast through timestamp[s] so us- and
-        # ns-backed columns both land on seconds (safe=False: truncation is
-        # the intended floor)
-        epoch = pc.cast(pc.cast(ts, pa.timestamp("s"), safe=False), pa.int64())
-        win = pc.floor(pc.divide(pc.cast(epoch, pa.float64()), window_s))
+        epoch = _epoch_seconds_floor(t.column(ts_col).combine_chunks())
+        win = epoch // np.int64(window_s)  # floor toward -inf, like SQL floor
         vals = t.column(val_col).combine_chunks().to_numpy(zero_copy_only=False)
         scaled = np.floor(vals * 1000).astype(np.int64)
         g = pa.table({
             key: t.column(key),
-            "win": pc.cast(win, pa.int64()),
+            "win": pa.array(win, type=pa.int64()),
             "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
             "v1000": pa.array(scaled),
         }).group_by([key, "win"]).aggregate([("n", "sum"), ("v1000", "sum")])
@@ -63,8 +71,12 @@ def session_windows(ds, gap_s: int = 1800, key: str = "user_id",
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(ts_col)
         # unit-safe epoch seconds (parquet timestamps may be us- or
-        # ns-backed depending on the pandas/arrow bridge)
-        ts = g[ts_col].to_numpy().astype("datetime64[s]").astype(np.int64)
+        # ns-backed depending on the pandas/arrow bridge); floor-divide the
+        # native-unit ticks — datetime64 unit casts truncate toward zero,
+        # off by one for pre-1970 sub-second timestamps
+        raw = g[ts_col].to_numpy()
+        unit = np.datetime_data(raw.dtype)[0]
+        ts = raw.view(np.int64) // np.int64(_UNIT_FACTOR[unit])
         if not len(ts):
             return pd.DataFrame({key: [], "session_start": [], "n_events": []})
         new_session = np.concatenate(([True], np.diff(ts) > gap_s))

@@ -164,3 +164,15 @@ def test_embedding_near_dups_lsh(ray_session):
     assert found == 8
     # precision: verified-exact, so no random pair sneaks in
     assert len(got) == 8
+
+
+def test_jaccard_empty_shingles_not_dup():
+    """Two DISTINCT sub-shingle-length texts share no shingles and must not
+    verify as duplicates; identical short texts still verify via the exact
+    byte-equality short-circuit (ADVICE round 1)."""
+    import pandas as pd
+    texts = {1: "ab", 2: "cd", 3: "ab"}
+    pairs = pd.DataFrame({"a_id": [1, 1], "b_id": [2, 3]})
+    out = dedup.verify_pairs_jaccard(texts, pairs, threshold=0.8)
+    assert out["a_id"].tolist() == [1] and out["b_id"].tolist() == [3]
+    assert out["jaccard"].tolist() == [1.0]

@@ -49,3 +49,32 @@ def test_session_windows(ray_session, events_table):
     for _, g in out.groupby("user_id"):
         starts = np.sort(g["session_start"].to_numpy())
         assert (np.diff(starts) > 1800).all()
+
+
+def test_tumbling_pre1970_floor(ray_session):
+    """Pre-1970 sub-second timestamps must floor (not truncate toward zero):
+    -0.5s lies in window -1, never window 0 (ADVICE round 1)."""
+    import ray.data as rd
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1], pa.int64()),
+        "ts": pa.array(np.array([-500_000, 500_000, 3_700_000_000],
+                                dtype="datetime64[us]")),
+        "value": pa.array([1.0, 1.0, 1.0], pa.float64()),
+    })
+    out = (windows.tumbling_window_aggregate(rd.from_arrow(t), window_s=3600)
+           .to_pandas().sort_values("win").reset_index(drop=True))
+    assert out["win"].tolist() == [-1, 0, 1]
+    assert out["n"].tolist() == [1, 1, 1]
+
+
+def test_session_pre1970_floor(ray_session):
+    import ray.data as rd
+    t = pa.table({
+        "user_id": pa.array([7, 7], pa.int64()),
+        "ts": pa.array(np.array([-1_500_000, -500_000], dtype="datetime64[us]")),
+    })
+    out = windows.session_windows(rd.from_arrow(t), gap_s=1800).to_pandas()
+    # both events floor to -2 and -1 seconds -> one session starting at -2
+    assert len(out) == 1
+    assert out["session_start"].iloc[0] == -2
+    assert out["n_events"].iloc[0] == 2
