@@ -15,6 +15,18 @@ replaced by something that vectorizes well in pure Python/numpy:
   per-string boundaries kept via a reserved separator byte on encode and
   via vectorized per-string code counts on decode.
 
+Design note (measured, round 2): a fully vectorized single-pass matcher
+(windowed-uint64 candidate discovery + parallel-greedy min-tag ownership,
+provably byte-identical output to this replace loop) was built and
+benchmarked as the proposed replacement for the "O(symbols x corpus)"
+replace passes. It LOST: 2.5x slower on an 8MB text corpus (3.13s vs
+1.26s) and 6x slower on a 6.4MB id-like corpus (4.61s vs 0.75s), because
+the replace loop's corpus SHRINKS geometrically after the top-gain symbols
+apply (and absent patterns return the original object without a copy), so
+the nominal 120 passes touch far less than 120 x corpus bytes — an
+adaptivity the one-shot matcher cannot exploit. Numbers recorded in
+BENCH/BASELINE.md; the replace loop stays.
+
 If the payload uses all 256 byte values the codec reports itself
 inapplicable (estimate = inf) and the selector falls back.
 
