@@ -102,7 +102,15 @@ def decode_column(data: bytes, dtype: str | None = None) -> Iterator[Values]:
     type; like the reference, a category mismatch errors at CALL time
     (src/decode.rs:44-50) and a value that does not fit the narrower
     requested width errors during iteration (bincode would return a decode
-    error per tuple)."""
+    error per tuple).
+
+    Streaming contract (src/decode.rs:52-66): decoding is page-at-a-time —
+    O(page) live memory, never the whole column (the reference proves this
+    at 1M values, src/test_lib.rs:229-243; mirrored with a pages-decoded
+    assertion in tests/test_api.py). Errors surface mid-iteration: a
+    corrupt page raises only when iteration first reaches it, after every
+    tuple of the preceding pages has been yielded — the reference's
+    per-item ``Result`` semantics at page granularity."""
     enc = fmt.read_column_file(data)
     if dtype is not None:
         fmt.assert_decodable(enc, dtype)  # eager, before the generator body
@@ -126,11 +134,21 @@ def _decode_column_iter(enc, dtype: str | None) -> Iterator[Values]:
 
 
 def _raw_values(enc) -> Iterator[Values]:
-    if enc.codec == "rle":
+    """Page-at-a-time lazy decode: one page's tuples are materialized per
+    step (mirrors the one-tuple-per-next() reference loop at page
+    granularity, src/decode.rs:52-66 — O(page) memory either way)."""
+    for pi in range(len(enc.pages)):
+        if enc.pages[pi].values_count == 0:
+            continue  # skip empty pages, src/decode.rs:55
+        yield from _page_values(fmt.slice_pages(enc, [pi]))
+
+
+def _page_values(page) -> Iterator[Values]:
+    if page.codec == "rle":
         from .codecs import REGISTRY
-        runs, lens = REGISTRY["rle"].decode_runs(enc.payload, enc.pages,
-                                                 enc.meta, enc.dtype)
-        if fmt.is_string(enc.dtype):
+        runs, lens = REGISTRY["rle"].decode_runs(page.payload, page.pages,
+                                                 page.meta, page.dtype)
+        if fmt.is_string(page.dtype):
             slens, spayload = runs
             offs = np.cumsum(slens) - slens
             for i in range(len(slens)):
@@ -140,8 +158,8 @@ def _raw_values(enc) -> Iterator[Values]:
             for v, rl in zip(runs.tolist(), lens.tolist()):
                 yield Values(v, int(rl))
     else:
-        chunk = fmt.decode_chunk(enc)
-        if fmt.is_string(enc.dtype):
+        chunk = fmt.decode_chunk(page)
+        if fmt.is_string(page.dtype):
             slens, spayload = chunk
             offs = np.cumsum(slens) - slens
             for i in range(len(slens)):

@@ -98,3 +98,91 @@ def test_decode_narrowing_overflow_errors():
     # and the category mismatch errors at CALL time, before iteration
     with pytest.raises(fmt.UnsupportedDataType):
         api.decode_column(data, dtype="u64")
+
+
+def test_decode_is_lazy_page_at_a_time(monkeypatch):
+    """The streaming-memory contract the reference proves at 1M values
+    (src/test_lib.rs:229-243): decode materializes one PAGE at a time,
+    never the whole column. Pinned by counting page decodes as iteration
+    advances."""
+    _, data = roundtrip([7] * 1_000_000)
+    footer = api.decode_footer(data)
+    n_pages = len(footer.pages)
+    assert n_pages > 1  # >=2048-byte pages => many pages at 1M values
+
+    calls = []
+    orig = fmt.decode_chunk
+
+    def counting(enc):
+        calls.append(enc.pages[0].values_count)
+        return orig(enc)
+
+    monkeypatch.setattr(api.fmt, "decode_chunk", counting)
+    it = api.decode_column(data)
+    first_page_rows = footer.pages[0].values_count
+    got = [next(it) for _ in range(first_page_rows)]
+    # consumed exactly one page's worth of values -> exactly ONE page decoded
+    assert len(calls) == 1
+    assert all(v == api.Values(7, 1) for v in got)
+    rest = list(it)
+    assert len(calls) == n_pages  # one decode per page, none up front
+    assert len(got) + len(rest) == 1_000_000
+    assert all(v == api.Values(7, 1) for v in rest)
+
+
+def test_decode_error_surfaces_mid_iteration(monkeypatch):
+    """Per-item error semantics (src/decode.rs:53-66 yields Result per
+    tuple): a corrupt tail page raises only when iteration reaches it —
+    every tuple of the preceding pages is yielded first."""
+    _, data = roundtrip(list(range(1_000_000)))
+    footer = api.decode_footer(data)
+    n_pages = len(footer.pages)
+    assert n_pages > 2
+    good_rows = sum(p.values_count for p in footer.pages[:-1])
+
+    orig = fmt.decode_chunk
+    seen = []
+
+    def corrupt_last(enc):
+        seen.append(1)
+        if len(seen) == n_pages:  # the tail page is corrupt
+            raise IOError("corrupt page payload")
+        return orig(enc)
+
+    monkeypatch.setattr(api.fmt, "decode_chunk", corrupt_last)
+    it = api.decode_column(data)
+    got = []
+    with pytest.raises(IOError):
+        for v in it:
+            got.append(v)
+    assert len(got) == good_rows  # everything before the corrupt page arrived
+    assert got[0] == api.Values(0, 1)
+    assert got[-1] == api.Values(good_rows - 1, 1)
+
+
+def test_decode_rle_lazy_pages(monkeypatch):
+    """Laziness holds on the RLE path too (runs decode per page)."""
+    vals = [i // 1000 for i in range(500_000)]  # 500 runs of 1000
+    _, data = roundtrip(vals, use_rle=True)
+    footer = api.decode_footer(data)
+    assert len(footer.pages) > 1
+
+    from rwcf.codecs import REGISTRY
+    rle = REGISTRY["rle"]
+    calls = []
+    orig = rle.decode_runs
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(type(rle), "decode_runs",
+                        staticmethod(lambda *a, **k: counting(*a, **k)))
+    it = api.decode_column(data)
+    first = next(it)
+    assert first == api.Values(0, 1000)
+    assert len(calls) == 1  # only the first page decoded so far
+    rest = list(it)
+    assert len(calls) == len(footer.pages)
+    total = first.run_length + sum(v.run_length for v in rest)
+    assert total == 500_000
