@@ -229,45 +229,37 @@ def _pairs_canonical(df):
 
 
 def _q_dedup_minhash(sf_dir: str):
-    """MinHash+LSH candidates -> exact-Jaccard verification (>=0.8)."""
+    """MinHash+LSH candidates -> DISTRIBUTED exact-Jaccard verify (>=0.8):
+    candidate pairs and document texts meet in bucketed hash-joins; no
+    full-corpus collect anywhere on this path (round-2 fix)."""
     from rwcf import dedup
     ds = _docs_with_planted_copies(sf_dir)
-    cand = dedup.minhash_lsh_candidates(ds)
-    texts = ds.to_pandas().set_index("doc_id")["text"].to_dict()
-    verified = dedup.verify_pairs_jaccard(texts, cand, threshold=0.8)
-    return _pairs_canonical(verified)
+    cand = dedup.distinct_pairs(dedup.minhash_lsh_candidates_ds(ds))
+    verified = dedup.verify_pairs_distributed(cand, ds, threshold=0.8,
+                                              mode="jaccard")
+    return _pairs_canonical(verified.to_pandas())
 
 
 def _q_dedup_simhash(sf_dir: str):
-    """SimHash banded candidates (hamming<=3) -> exact-equality verify (the
-    emitted contract is exact duplicates found via simhash routing)."""
+    """SimHash banded candidates (hamming<=3) -> DISTRIBUTED exact-equality
+    verify (the emitted contract is exact duplicates found via simhash
+    routing)."""
     from rwcf import dedup
     ds = _docs_with_planted_copies(sf_dir)
-    cand = dedup.simhash_candidates(ds)
-    texts = ds.to_pandas().set_index("doc_id")["text"].to_dict()
-    keep = [i for i in range(len(cand))
-            if texts[int(cand["a_id"].iloc[i])] == texts[int(cand["b_id"].iloc[i])]]
-    return _pairs_canonical(cand.iloc[keep])
+    cand = dedup.distinct_pairs(dedup.simhash_candidates_ds(ds))
+    verified = dedup.verify_pairs_distributed(cand, ds, mode="equality")
+    return _pairs_canonical(verified.to_pandas())
 
 
 def _q_dedup_jaccard(sf_dir: str):
-    """Blocked exact n-gram Jaccard (block key: byte length) >= 0.8."""
-    import numpy as np
-    import pandas as pd
+    """Blocked exact n-gram Jaccard (block key: byte length) >= 0.8, as a
+    pure Ray pipeline: one groupby shuffle co-locates each block, pair
+    generation and exact verification run in-group (round-2 fix — the
+    previous version enumerated pairs on the driver)."""
     from rwcf import dedup
-    df = _docs_with_planted_copies(sf_dir).to_pandas()
-    df["blk"] = df["text"].str.len()
-    pairs = []
-    for _, g in df.groupby("blk"):
-        if len(g) < 2:
-            continue
-        ids = np.sort(g["doc_id"].to_numpy())
-        ai, bi = np.triu_indices(ids.size, k=1)
-        pairs.append(pd.DataFrame({"a_id": ids[ai], "b_id": ids[bi]}))
-    cand = pd.concat(pairs) if pairs else pd.DataFrame({"a_id": [], "b_id": []})
-    texts = df.set_index("doc_id")["text"].to_dict()
-    verified = dedup.verify_pairs_jaccard(texts, cand, threshold=0.8)
-    return _pairs_canonical(verified)
+    ds = _docs_with_planted_copies(sf_dir)
+    return _pairs_canonical(
+        dedup.jaccard_blocked_pairs(ds, threshold=0.8).to_pandas())
 
 
 def _embeddings_with_planted_copies(sf_dir: str):
@@ -290,34 +282,71 @@ def _embeddings_with_planted_copies(sf_dir: str):
 
 
 def _q_dedup_embedding(sf_dir: str):
+    """Embedding near-dup via the SCALE path (round-2 default swap):
+    sign-LSH banded candidates (only (id, band, key) rows shuffle; vectors
+    are never duplicated into buckets) -> distributed exact-cosine verify.
+    The full-matrix broadcast baseline (dedup.embedding_near_dups) is
+    demoted to a test-only exactness oracle. SQL-checkable because planted
+    exact copies have cosine 1.0 and identical signatures (guaranteed
+    recall), and the brute-force baseline pins that no other pair at
+    sf0.01 clears the 0.95 threshold (tests/test_dedup.py)."""
     from rwcf import dedup
     ds = _embeddings_with_planted_copies(sf_dir)
-    pairs = dedup.embedding_near_dups(ds, threshold=0.95).to_pandas()
-    return _pairs_canonical(pairs.drop_duplicates())
+    pairs = dedup.embedding_near_dups_lsh_ds(ds, threshold=0.95)
+    return _pairs_canonical(pairs.to_pandas())
 
 
 def _q_dedup_cluster_survivors(sf_dir: str):
-    """Pairs -> connected components -> keep-one-per-cluster. With planted
-    exact copies the survivor set is exactly the original corpus."""
-    import pandas as pd
+    """Verified pairs -> DISTRIBUTED connected components (min-label
+    propagation over bucketed joins, round-2) -> keep-one-per-cluster over
+    the full id Dataset. With planted exact copies the survivor set is
+    exactly the original corpus."""
     from rwcf import dedup
     ds = _docs_with_planted_copies(sf_dir)
-    cand = dedup.simhash_candidates(ds)
-    texts = ds.to_pandas().set_index("doc_id")["text"].to_dict()
-    keep = [i for i in range(len(cand))
-            if texts[int(cand["a_id"].iloc[i])] == texts[int(cand["b_id"].iloc[i])]]
-    pairs = _pairs_canonical(cand.iloc[keep])
-    surv = dedup.dedup_survivors(pairs, ids=list(texts))
-    return surv.astype({"doc_id": "int64"}).sort_values("doc_id").reset_index(drop=True)
+    cand = dedup.distinct_pairs(dedup.simhash_candidates_ds(ds))
+    pairs = dedup.verify_pairs_distributed(cand, ds, mode="equality")
+    surv = dedup.dedup_survivors_ds(pairs, _docs_with_planted_copies(sf_dir))
+    df = surv.to_pandas().drop_duplicates()
+    return (df.astype({"doc_id": "int64"}).sort_values("doc_id")
+            .reset_index(drop=True))
 
 
-def _q_dedup_embedding_lsh(sf_dir: str):
-    """Sign-LSH bucketed cosine near-dup (the 10^12-scale path; no
-    broadcast). Rows-only: probabilistic recall (pinned in tests)."""
-    from rwcf import dedup
-    ds = _embeddings_with_planted_copies(sf_dir)
-    pairs = dedup.embedding_near_dups_lsh(ds, threshold=0.95)
-    return _pairs_canonical(pairs)
+def _q_join_docs_embeddings(sf_dir: str):
+    """Two-sided distributed shuffle join (rwcf.joins.hash_join): rows
+    DECODED from the engine's own encoded partitions joined with the
+    external embeddings table on id — the SURVEY §7(d) round-2 operator.
+    Both sides shuffle once into hash buckets; the merge happens in-group;
+    nothing collects on the driver."""
+    import ray.data as rd
+    from rwcf import joins, pipeline, rayenv
+    out = _encoded_run(sf_dir)
+    dec = pipeline.decode_job(out, columns=["doc_id", "n_tok"])
+
+    def prep_docs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "n_tok": pc.cast(t.column("n_tok"), pa.int64()),
+        })
+
+    def prep_emb(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_id": pc.cast(t.column("vec_id"), pa.int64()),
+            "dim": pc.cast(pc.list_value_length(t.column("embedding")),
+                           pa.int64()),
+        })
+
+    docs = dec.map_batches(prep_docs, batch_format="pyarrow",
+                           **rayenv.remote_args())
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"]) \
+        .map_batches(prep_emb, batch_format="pyarrow", **rayenv.remote_args())
+    j = joins.hash_join(docs, emb, on="doc_id", right_on="vec_id")
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id", "n_tok", "dim"])
+
+    return j.map_batches(project, batch_format="pyarrow",
+                         **rayenv.remote_args())
 
 
 def _q_ann_topk(sf_dir: str):
@@ -481,8 +510,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_embedding": _q_dedup_embedding,
-        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "dedup_cluster_survivors": _q_dedup_cluster_survivors,
+        "join_docs_embeddings": _q_join_docs_embeddings,
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
         "multimodal_meta": _q_multimodal_meta,
@@ -537,6 +566,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": ("SELECT vec_id AS a_id, vec_id + 1000000 AS b_id "
                             "FROM embeddings WHERE vec_id % 10 = 0"),
         "dedup_cluster_survivors": "SELECT doc_id FROM documents",
+        "join_docs_embeddings": (
+            "SELECT d.doc_id, CAST(strlen(d.text) AS BIGINT) AS n_tok, "
+            "CAST(len(e.embedding) AS BIGINT) AS dim "
+            "FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id"),
         "filter_large_docs": ("SELECT doc_id, CAST(strlen(text) AS BIGINT) "
                               "AS n_tok FROM documents "
                               "WHERE strlen(text) >= 300"),

@@ -9,9 +9,19 @@ any pair is emitted):
   buckets (groupby) -> candidate pairs -> exact Jaccard verify
 - SimHash: 64-bit sign-of-weighted-bits signature -> 4x16-bit band buckets
   (pigeonhole-exact for hamming<=3) -> exact hamming verify
-- n-gram Jaccard: cheap blocking (byte length) -> exact 3-gram Jaccard
-- embedding cosine: normalized matmul against a broadcast matrix
-  (``ray.put`` once, read per batch — no shuffle join)
+- n-gram Jaccard: cheap blocking (byte length) -> in-group exact Jaccard
+  (``jaccard_blocked_pairs`` — one shuffle, verify where the texts land)
+- embedding cosine: sign-LSH banded candidates (ids only shuffle) ->
+  distributed cosine verify; the full-matrix broadcast
+  (``embedding_near_dups``) survives only as the exactness baseline for
+  tests.
+
+Verification is DISTRIBUTED (round 2): ``verify_pairs_distributed`` joins
+each candidate pair's payloads via two bucketed hash-joins
+(rwcf.joins.hash_join) and filters vectorized — candidates and corpora
+never collect on the driver. Clustering has a distributed min-label
+propagation path (``cluster_pairs_ds`` / ``dedup_survivors_ds``) next to
+the small-N driver union-find.
 
 Candidate verification is always exact, so LSH/banding false positives are
 filtered deterministically; recall for *identical* documents is certain
@@ -31,6 +41,50 @@ SHINGLE_LEN = 5
 NUM_PERM = 64
 BANDS = 16  # 16 bands x 4 rows
 _MERSENNE = np.uint64((1 << 61) - 1)
+#: Ray-level shuffle buckets for the dedup pipelines. Fine-grained keys
+#: (LSH buckets, content hashes, block lengths, pair ids) are NEVER Ray
+#: groupby keys directly — Ray invokes the UDF once per group (~10ms of
+#: dispatch each), so millions of tiny groups would be dispatch-bound.
+#: Instead every pipeline shuffles on hash(key) % _BUCKETS and resolves
+#: the fine-grained groups vectorized inside each bucket. Scale buckets
+#: with the cluster (env RWCF_DEDUP_BUCKETS), not with the data.
+_BUCKETS = 32
+
+
+def _shuffle_buckets() -> int:
+    import os
+    return int(os.environ.get("RWCF_DEDUP_BUCKETS", _BUCKETS))
+
+
+def _bucket_of(*cols, buckets: int) -> np.ndarray:
+    """Deterministic (cross-process) bucket id from one or more columns."""
+    h = np.zeros(len(cols[0]), dtype=np.uint64)
+    for c in cols:
+        arr = np.asarray(c)
+        if arr.dtype.kind not in ("i", "u"):
+            hv = pd.util.hash_array(arr.astype(object))
+        else:
+            hv = pd.util.hash_array(arr.astype(np.int64, copy=False))
+        h = h * np.uint64(1099511628211) + hv
+    return (h % np.uint64(buckets)).astype(np.int32)
+
+
+def _subgroups(sorted_keys: list[np.ndarray]):
+    """Boundaries of consecutive equal-key runs over pre-sorted columns:
+    yields (start, count) for every run with count >= 2 — the vectorized
+    in-bucket replacement for per-group UDF dispatch."""
+    n = sorted_keys[0].size
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    new = np.zeros(n, dtype=bool)
+    new[0] = True
+    for k in sorted_keys:
+        new[1:] |= k[1:] != k[:-1]
+    gid = np.cumsum(new) - 1
+    counts = np.bincount(gid)
+    starts = np.cumsum(counts) - counts
+    big = counts >= 2
+    return starts[big], counts[big]
 
 
 def _perm_params(num_perm: int = NUM_PERM, seed: int = 42):
@@ -106,25 +160,28 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
 # ---------------------------------------------------------------------------
 
 def dedup_exact(ds, text_col: str = "text"):
-    """Exact dedup: content-hash partitioning + per-group min-id survivor.
-    The groupby key is a 64-bit content hash (cheap to shuffle); the
-    in-group first() is taken after an in-group sort by doc_id, and the
-    text itself rides along so hash collisions cannot merge distinct docs
-    (groups verify equality before collapsing)."""
+    """Exact dedup: content-hash partitioning + per-content min-id
+    survivor. The shuffle key is ``hash(content) % buckets`` (identical
+    texts co-locate; Ray-level group count stays O(buckets)); inside each
+    bucket a vectorized pandas groupby on the actual content collapses to
+    the min-doc_id row — collision-safe by construction (grouped by real
+    content, the hash was only routing)."""
+    buckets = _shuffle_buckets()
 
-    def add_hash(t: pa.Table) -> pa.Table:
+    def add_bucket(t: pa.Table) -> pa.Table:
         fp = textops.fingerprint_batch(t, text_col)
-        return t.append_column("_h", fp.column("fingerprint"))
+        b = _bucket_of(fp.column("fingerprint").to_numpy(), buckets=buckets)
+        return t.append_column("_b", pa.array(b))
 
-    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
+    def first_per_content(g: pd.DataFrame) -> pd.DataFrame:
         out = (g.sort_values("doc_id").groupby(text_col, as_index=False)
-               .first())  # collision-safe: group by actual content
+               .first())
         return out[["doc_id", text_col]]
 
-    return (ds.map_batches(add_hash, batch_format="pyarrow",
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
                            **rayenv.remote_args())
-            .groupby("_h")
-            .map_groups(first_per_group, batch_format="pandas",
+            .groupby("_b")
+            .map_groups(first_per_content, batch_format="pandas",
                         **rayenv.remote_args()))
 
 
@@ -148,29 +205,63 @@ def _band_rows(t: pa.Table, text_col: str, num_perm: int, bands: int,
     })
 
 
-def minhash_lsh_candidates(ds, text_col: str = "text",
-                           num_perm: int = NUM_PERM, bands: int = BANDS,
-                           seed: int = 42) -> pd.DataFrame:
-    """(a_id, b_id) candidate pairs from banded minhash buckets. One
-    groupby shuffle of (doc_id, band, key) rows — signatures stay in the
-    tasks, only 3-column rows move."""
+def _banded_pairs_ds(rows_ds, buckets: int | None = None):
+    """(doc_id, band, key) rows -> candidate-pair Dataset: shuffle on
+    hash(band, key) % buckets, then resolve every (band, key) LSH bucket
+    vectorized inside its shuffle bucket (no per-LSH-bucket UDF dispatch)."""
+    buckets = buckets or _shuffle_buckets()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = _bucket_of(t.column("band").to_numpy(),
+                       t.column("key").to_numpy(), buckets=buckets)
+        return t.append_column("_b", pa.array(b))
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["band", "key", "doc_id"], kind="stable")
+        band = g["band"].to_numpy()
+        key = g["key"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        starts, counts = _subgroups([band, key])
+        out_a, out_b = [], []
+        for s, m in zip(starts, counts):
+            sub = ids[s:s + m]
+            ai, bi = np.triu_indices(m, k=1)
+            out_a.append(sub[ai])
+            out_b.append(sub[bi])
+        if not out_a:
+            return pd.DataFrame({"a_id": pd.Series([], dtype="int64"),
+                                 "b_id": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"a_id": np.concatenate(out_a).astype(np.int64),
+                             "b_id": np.concatenate(out_b).astype(np.int64)})
+
+    return (rows_ds.map_batches(add_bucket, batch_format="pyarrow",
+                                **rayenv.remote_args())
+            .groupby("_b")
+            .map_groups(pairs_in_bucket, batch_format="pandas",
+                        **rayenv.remote_args()))
+
+
+def minhash_lsh_candidates_ds(ds, text_col: str = "text",
+                              num_perm: int = NUM_PERM, bands: int = BANDS,
+                              seed: int = 42):
+    """(a_id, b_id) candidate-pair Dataset from banded minhash buckets. One
+    bucketed groupby shuffle of (doc_id, band, key) rows — signatures stay
+    in the tasks, only 3-column rows move. Pairs may repeat across bands;
+    chain :func:`distinct_pairs` before verification."""
     import functools
 
     fn = functools.partial(_band_rows, text_col=text_col, num_perm=num_perm,
                            bands=bands, seed=seed)
+    rows = ds.map_batches(fn, batch_format="pyarrow", **rayenv.remote_args())
+    return _banded_pairs_ds(rows)
 
-    def pairs_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if ids.size < 2:
-            return pd.DataFrame({"a_id": [], "b_id": []})
-        ai, bi = np.triu_indices(ids.size, k=1)
-        return pd.DataFrame({"a_id": ids[ai], "b_id": ids[bi]})
 
-    cand = (ds.map_batches(fn, batch_format="pyarrow", **rayenv.remote_args())
-            .groupby(["band", "key"])
-            .map_groups(pairs_per_bucket, batch_format="pandas",
-                        **rayenv.remote_args())
-            .to_pandas())
+def minhash_lsh_candidates(ds, text_col: str = "text",
+                           num_perm: int = NUM_PERM, bands: int = BANDS,
+                           seed: int = 42) -> pd.DataFrame:
+    """Driver-side convenience wrapper (small corpora / tests)."""
+    cand = minhash_lsh_candidates_ds(ds, text_col, num_perm, bands,
+                                     seed).to_pandas()
     return cand.drop_duplicates().reset_index(drop=True)
 
 
@@ -200,6 +291,165 @@ def verify_pairs_jaccard(texts_by_id: dict, pairs: pd.DataFrame,
             keep_b.append(int(b))
             sims.append(j)
     return pd.DataFrame({"a_id": keep_a, "b_id": keep_b, "jaccard": sims})
+
+
+def jaccard_blocked_pairs(ds, threshold: float = 0.8, text_col: str = "text",
+                          id_col: str = "doc_id"):
+    """Blocked exact n-gram Jaccard dedup as a Ray pipeline (round-2
+    replacement for the driver-side pandas version): block key = byte
+    length (cheap blocking — near-identical texts of different lengths are
+    out of this operator's contract), ONE groupby shuffle co-locates each
+    block's texts, pair generation + exact verification run inside the
+    group (byte-equality short-circuit, then shingle-set Jaccard with
+    per-distinct-text memoization). Only verified pairs leave the group.
+
+    Skew note: a pathologically common length makes its block quadratic —
+    inherent to length-blocked Jaccard; at scale add a second blocking key
+    (e.g. first-k-bytes hash) to subdivide hot blocks."""
+    import pyarrow.compute as pc
+
+    buckets = _shuffle_buckets()
+
+    def add_blk(t: pa.Table) -> pa.Table:
+        blk = pc.binary_length(t.column(text_col)).cast(pa.int64())
+        return pa.table({
+            id_col: t.column(id_col),
+            text_col: t.column(text_col),
+            "blk": blk,
+            "_b": pa.array(_bucket_of(blk.to_numpy(), buckets=buckets)),
+        })
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a_id": pd.Series([], dtype="int64"),
+                              "b_id": pd.Series([], dtype="int64"),
+                              "jaccard": pd.Series([], dtype="float64")})
+        g = g.sort_values(["blk", id_col], kind="stable")
+        blk = g["blk"].to_numpy()
+        ids = g[id_col].to_numpy()
+        texts = g[text_col].tolist()
+        starts, counts = _subgroups([blk])
+        keep_a, keep_b, sims = [], [], []
+        cache: dict[int, np.ndarray] = {}
+
+        def sh(i: int) -> np.ndarray:
+            if i not in cache:
+                b = np.frombuffer(texts[i].encode(), dtype=np.uint8)
+                cache[i] = np.unique(textops.window_hashes(b, SHINGLE_LEN))
+            return cache[i]
+
+        for s, m in zip(starts, counts):
+            ai, bi = np.triu_indices(m, k=1)
+            for x, y in zip(ai + s, bi + s):
+                if texts[x] == texts[y]:
+                    j = 1.0
+                else:
+                    j = jaccard(sh(int(x)), sh(int(y)))
+                if j >= threshold:
+                    keep_a.append(int(ids[x]))
+                    keep_b.append(int(ids[y]))
+                    sims.append(j)
+        if not keep_a:
+            return empty
+        return pd.DataFrame({"a_id": keep_a, "b_id": keep_b, "jaccard": sims})
+
+    return (ds.map_batches(add_blk, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .groupby("_b")
+            .map_groups(pairs_in_bucket, batch_format="pandas",
+                        **rayenv.remote_args()))
+
+
+def distinct_pairs(pairs_ds, buckets: int | None = None):
+    """Distributed (a_id, b_id) dedupe: banded candidates repeat across
+    bands. Shuffles the tiny 2-int rows on hash(a, b) % buckets and
+    drop_duplicates vectorized per bucket (per-pair groups would be
+    dispatch-bound, see ``_BUCKETS``)."""
+    buckets = buckets or _shuffle_buckets()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = _bucket_of(t.column("a_id").to_numpy(),
+                       t.column("b_id").to_numpy(), buckets=buckets)
+        return t.append_column("_b", pa.array(b))
+
+    def dedupe(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["a_id", "b_id"]) \
+            .drop(columns=["_b"])
+
+    return (pairs_ds.map_batches(add_bucket, batch_format="pyarrow",
+                                 **rayenv.remote_args())
+            .groupby("_b")
+            .map_groups(dedupe, batch_format="pandas",
+                        **rayenv.remote_args()))
+
+
+def verify_pairs_distributed(pairs_ds, docs_ds, threshold: float = 0.8,
+                             mode: str = "jaccard", id_col: str = "doc_id",
+                             payload_col: str = "text", buckets: int = 32):
+    """Distributed exact verification of candidate pairs — the round-2
+    replacement for collecting the corpus to the driver: two bucketed
+    hash-joins (rwcf.joins.hash_join) pull each pair's payloads onto its
+    row (payloads shuffle once per join, pairs are 2-int rows), then ONE
+    vectorized map_batches filter emits only verified pairs. Nothing is
+    broadcast and no full-corpus ``to_pandas`` exists on this path.
+
+    Modes: ``equality`` (exact text match), ``jaccard`` (byte-equality
+    short-circuit, then exact shingle-set Jaccard >= threshold; shingle
+    sets memoized per distinct text within a batch), ``cosine``
+    (normalized dot >= threshold over vector payloads)."""
+    from .joins import hash_join
+
+    j1 = hash_join(pairs_ds, docs_ds, on="a_id", right_on=id_col,
+                   buckets=buckets)
+
+    def keep_a(t: pa.Table) -> pa.Table:
+        return pa.table({"a_id": t.column("a_id"), "b_id": t.column("b_id"),
+                         "_a_pay": t.column(payload_col)})
+
+    j1 = j1.map_batches(keep_a, batch_format="pyarrow", **rayenv.remote_args())
+    j2 = hash_join(j1, docs_ds, on="b_id", right_on=id_col, buckets=buckets)
+
+    def verify(t: pa.Table) -> pa.Table:
+        a_ids = t.column("a_id").combine_chunks().to_numpy(zero_copy_only=False)
+        b_ids = t.column("b_id").combine_chunks().to_numpy(zero_copy_only=False)
+        empty = pa.table({"a_id": pa.array([], pa.int64()),
+                          "b_id": pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        pa_pay = t.column("_a_pay").combine_chunks()
+        pb_pay = t.column(payload_col).combine_chunks()
+        if mode == "cosine":
+            ma = pa_pay.flatten().to_numpy(zero_copy_only=False) \
+                .reshape(t.num_rows, -1).astype(np.float64)
+            mb = pb_pay.flatten().to_numpy(zero_copy_only=False) \
+                .reshape(t.num_rows, -1).astype(np.float64)
+            ma /= np.maximum(np.linalg.norm(ma, axis=1, keepdims=True), 1e-12)
+            mb /= np.maximum(np.linalg.norm(mb, axis=1, keepdims=True), 1e-12)
+            sims = np.einsum("ij,ij->i", ma, mb)
+        else:
+            import pyarrow.compute as pc
+            eq = pc.equal(pa_pay, pb_pay).to_numpy(zero_copy_only=False)
+            sims = eq.astype(np.float64)
+            if mode == "jaccard":
+                cache: dict[str, np.ndarray] = {}
+
+                def sh(s: str) -> np.ndarray:
+                    if s not in cache:
+                        b = np.frombuffer(s.encode(), dtype=np.uint8)
+                        cache[s] = np.unique(
+                            textops.window_hashes(b, SHINGLE_LEN))
+                    return cache[s]
+
+                for i in np.flatnonzero(~eq):
+                    sims[i] = jaccard(sh(pa_pay[i].as_py()),
+                                      sh(pb_pay[i].as_py()))
+        keep = sims >= (threshold if mode != "equality" else 1.0)
+        return pa.table({"a_id": pa.array(a_ids[keep].astype(np.int64)),
+                         "b_id": pa.array(b_ids[keep].astype(np.int64)),
+                         "sim": pa.array(sims[keep])})
+
+    return j2.map_batches(verify, batch_format="pyarrow",
+                          **rayenv.remote_args())
 
 
 def minhash_tokens_batch(t: pa.Table, num_perm: int = NUM_PERM,
@@ -266,10 +516,14 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.unpackbits(x, axis=1).sum(axis=1)
 
 
-def simhash_candidates(ds, text_col: str = "text") -> pd.DataFrame:
-    """Bucket by 4x16-bit simhash bands: any pair with hamming<=3 shares at
-    least one identical band (pigeonhole), so recall at that radius is
-    exact, not probabilistic."""
+def simhash_candidates_ds(ds, text_col: str = "text"):
+    """Candidate-pair Dataset bucketed by 4x16-bit simhash bands: any pair
+    with hamming<=3 shares at least one identical band (pigeonhole), so
+    recall at that radius is exact, not probabilistic. Shuffles on
+    hash(band, key) % buckets (bucketed-shuffle pattern, see ``_BUCKETS``);
+    pairs may repeat across bands; chain :func:`distinct_pairs` before
+    verification."""
+    buckets = _shuffle_buckets()
 
     def band_rows(t: pa.Table) -> pa.Table:
         sig = simhash_signatures(t, text_col)
@@ -285,24 +539,48 @@ def simhash_candidates(ds, text_col: str = "text") -> pd.DataFrame:
             "key": pa.array(bands.reshape(-1).astype(np.int64)),
         })
 
-    def pairs_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = _bucket_of(t.column("band").to_numpy(),
+                       t.column("key").to_numpy(), buckets=buckets)
+        return t.append_column("_b", pa.array(b))
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a_id": pd.Series([], dtype="int64"),
+                              "b_id": pd.Series([], dtype="int64"),
+                              "hamming": pd.Series([], dtype="int64")})
+        g = g.sort_values(["band", "key", "doc_id"], kind="stable")
+        band = g["band"].to_numpy()
+        key = g["key"].to_numpy()
         ids = g["doc_id"].to_numpy()
         sigs = g["sig"].to_numpy().astype(np.int64).view(np.uint64)
-        if ids.size < 2:
-            return pd.DataFrame({"a_id": [], "b_id": [], "hamming": []})
-        ai, bi = np.triu_indices(ids.size, k=1)
-        ham = hamming64(sigs[ai], sigs[bi])
-        keep = ham <= 3
-        return pd.DataFrame({"a_id": ids[ai][keep], "b_id": ids[bi][keep],
-                             "hamming": ham[keep]})
+        starts, counts = _subgroups([band, key])
+        out = []
+        for s, m in zip(starts, counts):
+            ai, bi = np.triu_indices(m, k=1)
+            ham = hamming64(sigs[s:s + m][ai], sigs[s:s + m][bi])
+            keep = ham <= 3
+            if keep.any():
+                sub = ids[s:s + m]
+                out.append((sub[ai][keep], sub[bi][keep], ham[keep]))
+        if not out:
+            return empty
+        return pd.DataFrame({
+            "a_id": np.concatenate([o[0] for o in out]).astype(np.int64),
+            "b_id": np.concatenate([o[1] for o in out]).astype(np.int64),
+            "hamming": np.concatenate([o[2] for o in out]).astype(np.int64)})
 
-    cand = (ds.map_batches(band_rows, batch_format="pyarrow",
+    return (ds.map_batches(band_rows, batch_format="pyarrow",
                            **rayenv.remote_args())
-            .groupby(["band", "key"])
-            .map_groups(pairs_per_bucket, batch_format="pandas",
-                        **rayenv.remote_args())
-            .to_pandas())
+            .map_batches(add_bucket, batch_format="pyarrow",
+                         **rayenv.remote_args())
+            .groupby("_b")
+            .map_groups(pairs_in_bucket, batch_format="pandas",
+                        **rayenv.remote_args()))
+
+
+def simhash_candidates(ds, text_col: str = "text") -> pd.DataFrame:
+    """Driver-side convenience wrapper (small corpora / tests)."""
+    cand = simhash_candidates_ds(ds, text_col).to_pandas()
     return cand.drop_duplicates(subset=["a_id", "b_id"]).reset_index(drop=True)
 
 
@@ -345,25 +623,133 @@ def dedup_survivors(pairs: pd.DataFrame, ids) -> pd.DataFrame:
               .agg(doc_id=("doc_id", "min"))[["doc_id"]])
 
 
-def embedding_near_dups_lsh(ds, threshold: float = 0.95, n_planes: int = 16,
-                            bands: int = 4, id_col: str = "vec_id",
-                            vec_col: str = "embedding", seed: int = 42):
-    """Scale path for embedding near-dup: random-hyperplane sign signatures
-    -> banded buckets (one groupby of (id, band, key) rows) -> exact cosine
-    verify inside each bucket. Nothing is broadcast; only 3-column rows
-    shuffle. Recall is probabilistic (tested vs the brute-force baseline);
-    emitted pairs are exactly verified."""
-    rng = np.random.default_rng(seed)
+def cluster_pairs_ds(pairs_ds, max_rounds: int = 30, buckets: int = 32):
+    """Distributed connected components over verified duplicate pairs:
+    min-label propagation WITH pointer jumping, via iterative bucketed
+    joins — the at-scale path that :func:`cluster_pairs` (driver
+    union-find) names. Each round takes, per node, the min over (own
+    label, neighbors' labels, label-of-own-label); the label-of-label
+    ("pointer jump") term halves label-chain depth every round, so
+    convergence needs O(log diameter) rounds, not O(diameter).
+    Convergence is detected by the monotonically decreasing global label
+    sum (labels only ever decrease, so an unchanged sum means a fixpoint).
+
+    Returns a Dataset of (doc_id, cluster_id) for every node appearing in
+    a pair, cluster_id = component min."""
+    from ray.data.aggregate import Min, Sum
+
+    from .joins import hash_join
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t.column("a_id").combine_chunks().to_numpy(zero_copy_only=False)
+        b = t.column("b_id").combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({
+            "v": pa.array(np.concatenate([a, b]).astype(np.int64)),
+            "u": pa.array(np.concatenate([b, a]).astype(np.int64)),
+        })
+
+    edges = pairs_ds.map_batches(both_dirs, batch_format="pyarrow",
+                                 **rayenv.remote_args()).materialize()
+
+    # labels: every node starts at min(itself, its neighborhood min) —
+    # one free propagation round folded into initialization
+    labels = edges.groupby("v").aggregate(Min("u", alias_name="nmin"))
+
+    def start(t: pa.Table) -> pa.Table:
+        v = t.column("v").combine_chunks().to_numpy(zero_copy_only=False)
+        nm = t.column("nmin").combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(v.astype(np.int64)),
+                         "label": pa.array(np.minimum(v, nm).astype(np.int64))})
+
+    labels = labels.map_batches(start, batch_format="pyarrow",
+                                **rayenv.remote_args()).materialize()
+    prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+
+    def proposals(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("v"), "label": t.column("label")})
+
+    def label_edges(t: pa.Table) -> pa.Table:
+        # node -> its current label, viewed as an edge (for pointer jumping)
+        return pa.table({"v": t.column("node"), "u": t.column("label")})
+
+    for _ in range(max_rounds):
+        j = hash_join(edges, labels, on="u", right_on="node", buckets=buckets)
+        prop = j.map_batches(proposals, batch_format="pyarrow",
+                             **rayenv.remote_args())
+        lab_e = labels.map_batches(label_edges, batch_format="pyarrow",
+                                   **rayenv.remote_args())
+        jump = hash_join(lab_e, labels, on="u", right_on="node",
+                         buckets=buckets) \
+            .map_batches(proposals, batch_format="pyarrow",
+                         **rayenv.remote_args())
+        # repartition caps the label block count: union adds the proposal
+        # blocks every round, so without it blocks (and task dispatch)
+        # multiply geometrically round over round
+        labels = (labels.union(prop).union(jump).groupby("node")
+                  .aggregate(Min("label", alias_name="label"))
+                  .repartition(max(2, buckets // 4))).materialize()
+        cur = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("node"),
+                         "cluster_id": t.column("label")})
+
+    return labels.map_batches(rename, batch_format="pyarrow",
+                              **rayenv.remote_args())
+
+
+def dedup_survivors_ds(pairs_ds, ids_ds, id_col: str = "doc_id",
+                       buckets: int = 32):
+    """Distributed keep-one-per-cluster: losers (cluster members that are
+    not their cluster's min) come from the distributed components; the
+    loser id set — duplicates only, tiny relative to the corpus — is
+    broadcast once (ray.put) and the full id Dataset is filtered per
+    batch. Survivor order/content matches :func:`dedup_survivors`."""
+    import ray
+
+    cl = cluster_pairs_ds(pairs_ds, buckets=buckets)
+
+    def losers_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.not_equal(t.column("doc_id"),
+                                     t.column("cluster_id")))
+
+    losers = cl.map_batches(losers_only, batch_format="pyarrow",
+                            **rayenv.remote_args()).to_pandas()
+    loser_ref = ray.put(np.sort(losers["doc_id"].to_numpy().astype(np.int64)))
+
+    def keep_survivors(t: pa.Table) -> pa.Table:
+        drop = ray.get(loser_ref)
+        ids = t.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        mask = ~np.isin(ids, drop)
+        return pa.table({"doc_id": pa.array(ids[mask])})
+
+    return ids_ds.map_batches(keep_survivors, batch_format="pyarrow",
+                              **rayenv.remote_args())
+
+
+def embedding_lsh_candidates_ds(ds, n_planes: int = 16, bands: int = 4,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding", seed: int = 42):
+    """Sign-LSH candidate pairs for embedding near-dup: random-hyperplane
+    sign signatures -> banded buckets. Only (id, band, key) 3-column rows
+    shuffle — vectors are NOT shipped into the buckets at all (round-2 fix
+    for the xbands vector duplication); exact cosine verification happens
+    afterwards via :func:`verify_pairs_distributed` (mode="cosine"), which
+    re-joins vectors by id once per side."""
     planes_by_dim: dict[int, np.ndarray] = {}
 
     def band_rows(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
         la = t.column(vec_col).combine_chunks()
         if len(la) == 0:
-            return pa.table({"vid": pa.array([], pa.int64()),
+            return pa.table({"doc_id": pa.array([], pa.int64()),
                              "band": pa.array([], pa.int32()),
-                             "key": pa.array([], pa.int64()),
-                             "vec": pa.array([], pa.list_(pa.float32()))})
+                             "key": pa.array([], pa.int64())})
         m = la.flatten().to_numpy(zero_copy_only=False).reshape(len(la), -1)
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         dim = m.shape[1]
@@ -377,34 +763,40 @@ def embedding_near_dups_lsh(ds, threshold: float = 0.95, n_planes: int = 16,
         for bi in range(bands):
             for c in range(r):
                 keys[:, bi] = keys[:, bi] * 2 + bits[:, bi * r + c]
-        flat_vec = np.repeat(np.arange(n), bands)
         return pa.table({
-            "vid": pa.array(np.repeat(ids, bands)),
+            "doc_id": pa.array(np.repeat(ids, bands)),
             "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
             "key": pa.array(keys.reshape(-1)),
-            "vec": pa.array(list(m[flat_vec].astype(np.float32)),
-                            pa.list_(pa.float32())),
         })
 
-    def pairs_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a_id": pd.Series([], dtype="int64"),
-                                 "b_id": pd.Series([], dtype="int64")})
-        g = g.sort_values("vid")
-        ids = g["vid"].to_numpy()
-        m = np.stack(g["vec"].to_numpy()).astype(np.float64)
-        sims = m @ m.T
-        ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
-        return pd.DataFrame({"a_id": ids[ai], "b_id": ids[bi]})
-
-    out = (ds.map_batches(band_rows, batch_format="pyarrow",
+    rows = ds.map_batches(band_rows, batch_format="pyarrow",
                           **rayenv.remote_args())
-           .groupby(["band", "key"])
-           .map_groups(pairs_per_bucket, batch_format="pandas",
-                       **rayenv.remote_args())
-           .to_pandas())
-    del rng
-    return out.drop_duplicates().reset_index(drop=True)
+    return _banded_pairs_ds(rows)
+
+
+def embedding_near_dups_lsh_ds(ds, threshold: float = 0.95,
+                               n_planes: int = 16, bands: int = 4,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding", seed: int = 42,
+                               buckets: int = 32):
+    """Scale path for embedding near-dup, end-to-end distributed:
+    sign-LSH candidates (no vector shipping) -> distinct pairs -> exact
+    cosine verify via bucketed hash-joins. Recall is probabilistic (pinned
+    in tests vs the brute-force baseline); emitted pairs are exact."""
+    cand = distinct_pairs(embedding_lsh_candidates_ds(
+        ds, n_planes, bands, id_col, vec_col, seed))
+    return verify_pairs_distributed(cand, ds, threshold=threshold,
+                                    mode="cosine", id_col=id_col,
+                                    payload_col=vec_col, buckets=buckets)
+
+
+def embedding_near_dups_lsh(ds, threshold: float = 0.95, n_planes: int = 16,
+                            bands: int = 4, id_col: str = "vec_id",
+                            vec_col: str = "embedding", seed: int = 42):
+    """Driver-side convenience wrapper returning the verified pair frame."""
+    out = embedding_near_dups_lsh_ds(ds, threshold, n_planes, bands, id_col,
+                                     vec_col, seed).to_pandas()
+    return (out[["a_id", "b_id"]].drop_duplicates().reset_index(drop=True))
 
 
 def embedding_near_dups(ds, threshold: float = 0.95,

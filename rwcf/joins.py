@@ -1,0 +1,141 @@
+"""Two-sided distributed joins for Ray Datasets.
+
+Ray Data (2.49) has no general join operator; per the composition rule this
+one is built from what it does have: both sides are tagged and bucketed by a
+deterministic hash of their join key, unioned, shuffled ONCE with
+``groupby("bucket")``, and merged vectorized (pandas) inside each group.
+Only the joined rows leave the group — neither input is ever collected to
+the driver.
+
+Partitioning assumptions (documented per the custom-operator rule):
+
+- the number of buckets bounds join parallelism and must scale with the
+  smaller input (default 32 suits the sandbox; at cluster scale pass
+  ``buckets ~= total_cores``);
+- per-bucket data (both sides) must fit one worker's heap — hot join keys
+  are not salted here (a skewed build side would need the salted-fanout
+  pattern of ``grouped.encode_grouped_by_source``);
+- the hash (``pandas.util.hash_array``) is process-stable, so resumed jobs
+  rebuild identical buckets.
+
+Reference scope note: the reference engine has no joins at all (SURVEY.md
+§2.2); this is the round-2 extension named in SURVEY.md §7 (d) — joining
+decoded partitions with external tables.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from . import rayenv
+
+_JK = "__rwcf_jk"
+_BUCKET = "__rwcf_bucket"
+_SIDE = "__rwcf_side"
+
+
+def _hash_bucket(vals: np.ndarray, buckets: int) -> np.ndarray:
+    """Deterministic cross-process bucket ids for int or string keys."""
+    if vals.dtype.kind in ("i", "u"):
+        h = pd.util.hash_array(vals.astype(np.int64, copy=False))
+    else:
+        h = pd.util.hash_array(vals.astype(object))
+    return (h % buckets).astype(np.int32)
+
+
+def _align(t: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Project ``t`` onto ``schema`` (missing columns become nulls) so both
+    tagged sides union with one schema."""
+    cols = []
+    for f in schema:
+        if f.name in t.column_names:
+            cols.append(t.column(f.name).combine_chunks().cast(f.type))
+        else:
+            cols.append(pa.nulls(t.num_rows, f.type))
+    return pa.Table.from_arrays(cols, schema=schema)
+
+
+def _arrow_schema(ds) -> pa.Schema:
+    """Arrow schema of a Dataset, tolerating pandas-block upstreams (e.g. a
+    ``map_groups(batch_format="pandas")`` stage reports a PandasBlockSchema
+    whose types are numpy dtypes)."""
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for name, t in zip(s.names, s.types):
+        if isinstance(t, pa.DataType):
+            fields.append(pa.field(name, t))
+        else:
+            try:
+                fields.append(pa.field(name, pa.from_numpy_dtype(t)))
+            except (TypeError, pa.ArrowNotImplementedError):
+                fields.append(pa.field(name, pa.string()))  # object dtype
+    return pa.schema(fields)
+
+
+def hash_join(left, right, on: str, right_on: str | None = None,
+              buckets: int = 32, suffix: str = "_r"):
+    """Inner hash-join of two Ray Datasets on an equality key.
+
+    Output columns: all left columns, then right columns (the right key and
+    any name colliding with a left column gets ``suffix``). One
+    ``groupby(bucket)`` all-to-all moves each side exactly once.
+    """
+    right_on = right_on or on
+    lschema = _arrow_schema(left)
+    rschema = _arrow_schema(right)
+    lnames = list(lschema.names)
+    rmap = {}  # right original -> output name
+    for name in rschema.names:
+        rmap[name] = name + suffix if (name in lnames or name == _JK) else name
+
+    key_type = lschema.field(on).type
+    fields = [pa.field(_JK, key_type), pa.field(_BUCKET, pa.int32()),
+              pa.field(_SIDE, pa.int8())]
+    fields += [pa.field(n, lschema.field(n).type) for n in lnames]
+    fields += [pa.field(rmap[n], rschema.field(n).type) for n in rschema.names]
+    schema = pa.schema(fields)
+
+    def tag(side: int, key_col: str, rename: dict | None):
+        def fn(t: pa.Table) -> pa.Table:
+            if rename:
+                t = t.rename_columns([rename[n] for n in t.column_names])
+            key = t.column(key_col).combine_chunks()
+            kv = key.to_numpy(zero_copy_only=False)
+            t = t.append_column(_JK, key.cast(key_type))
+            t = t.append_column(_BUCKET,
+                                pa.array(_hash_bucket(kv, buckets)))
+            t = t.append_column(_SIDE, pa.array(
+                np.full(t.num_rows, side, dtype=np.int8)))
+            return _align(t, schema)
+        return fn
+
+    lt = left.map_batches(tag(0, on, None), batch_format="pyarrow",
+                          **rayenv.remote_args())
+    rt = right.map_batches(tag(1, rmap[right_on], rmap), batch_format="pyarrow",
+                           **rayenv.remote_args())
+
+    out_l = lnames
+    out_r = [rmap[n] for n in rschema.names]
+    out_schema = pa.schema(
+        [pa.field(n, lschema.field(n).type) for n in out_l]
+        + [pa.field(rmap[n], rschema.field(n).type) for n in rschema.names])
+
+    def merge(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        # split sides in Arrow BEFORE pandas conversion: the union's
+        # null-filled cross-side columns would otherwise poison int dtypes
+        # (pandas turns a null-bearing int64 column into float64)
+        side = g.column(_SIDE)
+        l = g.filter(pc.equal(side, 0)).select([_JK] + out_l).to_pandas()
+        r = g.filter(pc.equal(side, 1)).select([_JK] + out_r).to_pandas()
+        m = l.merge(r, on=_JK)  # exact key equality; bucket was only routing
+        return pa.Table.from_pandas(m[out_l + out_r], schema=out_schema,
+                                    preserve_index=False)
+
+    return lt.union(rt).groupby(_BUCKET).map_groups(
+        merge, batch_format="pyarrow", **rayenv.remote_args())

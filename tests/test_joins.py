@@ -1,0 +1,155 @@
+"""Two-sided distributed hash-join (rwcf.joins) + the distributed dedup
+verification and clustering built on it (round-2 operators)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from rwcf import dedup
+from rwcf.joins import hash_join
+
+
+def test_hash_join_matches_pandas_merge(ray_session):
+    import ray.data as rd
+    rng = np.random.default_rng(3)
+    l = pd.DataFrame({"k": rng.integers(0, 50, 200).astype(np.int64),
+                      "x": rng.integers(0, 1000, 200).astype(np.int64)})
+    r = pd.DataFrame({"id": rng.integers(0, 50, 80).astype(np.int64),
+                      "y": rng.integers(0, 1000, 80).astype(np.int64)})
+    got = hash_join(rd.from_pandas(l).repartition(4),
+                    rd.from_pandas(r).repartition(3),
+                    on="k", right_on="id", buckets=8).to_pandas()
+    want = l.merge(r, left_on="k", right_on="id")
+    key = ["k", "x", "id", "y"]
+    got = got[key].sort_values(key).reset_index(drop=True)
+    want = want[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_hash_join_string_keys_and_collisions(ray_session):
+    import ray.data as rd
+    l = pd.DataFrame({"k": ["a", "b", "c", "b"], "v": [1, 2, 3, 4]})
+    r = pd.DataFrame({"k": ["b", "c", "d"], "v": [20, 30, 40]})
+    got = hash_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
+                    buckets=4).to_pandas()
+    assert set(got.columns) == {"k", "v", "k_r", "v_r"}
+    got = got.sort_values(["k", "v"]).reset_index(drop=True)
+    assert got["k"].tolist() == ["b", "b", "c"]
+    assert got["v"].tolist() == [2, 4, 3]
+    assert got["v_r"].tolist() == [20, 20, 30]
+
+
+def test_hash_join_empty_result(ray_session):
+    import ray.data as rd
+    l = pd.DataFrame({"k": np.array([1, 2], np.int64)})
+    r = pd.DataFrame({"id": np.array([7, 8], np.int64)})
+    got = hash_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
+                    right_on="id").to_pandas()
+    assert len(got) == 0
+
+
+def _docs_ds_10x(n=60):
+    """~10x the unit corpus: distinct base docs + planted copies at ten
+    offsets — the VERDICT round-2 'verify path at 10x corpus' fixture."""
+    from tests.test_dedup import make_docs
+    t, _ = make_docs(n)
+    base = t.to_pandas()
+    frames = [base]
+    for k in range(1, 10):
+        c = base.copy()
+        c["doc_id"] = c["doc_id"] + 1_000_000 * k
+        frames.append(c)
+    return pd.concat(frames, ignore_index=True)
+
+
+def test_verify_pairs_distributed_matches_driver_verify(ray_session):
+    """The bucketed-join verify leg must agree with the (small-N) driver
+    verify on a 10x corpus, with no full-corpus collect in the pipeline."""
+    import ray.data as rd
+    df = _docs_ds_10x()
+    ds = rd.from_pandas(df).repartition(8)
+    cand_ds = dedup.distinct_pairs(dedup.minhash_lsh_candidates_ds(ds))
+    got = (dedup.verify_pairs_distributed(cand_ds, ds, threshold=0.8,
+                                          mode="jaccard")
+           .to_pandas()[["a_id", "b_id"]]
+           .sort_values(["a_id", "b_id"]).reset_index(drop=True))
+    # driver-side reference on the same candidates
+    cand = cand_ds.to_pandas()
+    texts = df.set_index("doc_id")["text"].to_dict()
+    want = (dedup.verify_pairs_jaccard(texts, cand, threshold=0.8)
+            [["a_id", "b_id"]].sort_values(["a_id", "b_id"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+    assert len(got) > 0
+
+
+def test_verify_pairs_distributed_equality_mode(ray_session):
+    import ray.data as rd
+    df = pd.DataFrame({"doc_id": np.arange(6, dtype=np.int64),
+                       "text": ["aa", "bb", "aa", "cc", "bb", "zz"]})
+    pairs = pd.DataFrame({"a_id": np.array([0, 1, 0, 3], np.int64),
+                          "b_id": np.array([2, 4, 1, 5], np.int64)})
+    got = (dedup.verify_pairs_distributed(rd.from_pandas(pairs),
+                                          rd.from_pandas(df),
+                                          mode="equality")
+           .to_pandas()[["a_id", "b_id"]]
+           .sort_values(["a_id", "b_id"]).reset_index(drop=True))
+    assert got.values.tolist() == [[0, 2], [1, 4]]
+
+
+def test_jaccard_blocked_pipeline_matches_driver(ray_session):
+    """The Ray-native blocked-jaccard pipeline equals the driver-side
+    blocked enumeration it replaced."""
+    import ray.data as rd
+    df = _docs_ds_10x(30)
+    got = (dedup.jaccard_blocked_pairs(rd.from_pandas(df).repartition(6),
+                                       threshold=0.8)
+           .to_pandas()[["a_id", "b_id"]]
+           .sort_values(["a_id", "b_id"]).reset_index(drop=True))
+    # driver reference: same blocking (byte length), same verify
+    df2 = df.copy()
+    df2["blk"] = df2["text"].str.encode("utf-8").str.len()
+    pairs = []
+    for _, g in df2.groupby("blk"):
+        if len(g) < 2:
+            continue
+        ids = np.sort(g["doc_id"].to_numpy())
+        ai, bi = np.triu_indices(ids.size, k=1)
+        pairs.append(pd.DataFrame({"a_id": ids[ai], "b_id": ids[bi]}))
+    cand = pd.concat(pairs)
+    texts = df.set_index("doc_id")["text"].to_dict()
+    want = (dedup.verify_pairs_jaccard(texts, cand, 0.8)[["a_id", "b_id"]]
+            .sort_values(["a_id", "b_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_cluster_pairs_distributed_matches_union_find(ray_session):
+    import ray.data as rd
+    rng = np.random.default_rng(11)
+    # random sparse graph incl. chains (exercises multi-round propagation)
+    a = rng.integers(0, 200, 150)
+    b = rng.integers(0, 200, 150)
+    chain = np.arange(300, 316)
+    pairs = pd.DataFrame({
+        "a_id": np.concatenate([a, chain[:-1]]).astype(np.int64),
+        "b_id": np.concatenate([b, chain[1:]]).astype(np.int64)})
+    pairs = pairs[pairs.a_id != pairs.b_id].reset_index(drop=True)
+    got = (dedup.cluster_pairs_ds(rd.from_pandas(pairs).repartition(4))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = dedup.cluster_pairs(pairs).sort_values("doc_id") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_dedup_survivors_distributed_matches_driver(ray_session):
+    import ray.data as rd
+    ids = np.arange(50, dtype=np.int64)
+    pairs = pd.DataFrame({"a_id": np.array([1, 2, 10], np.int64),
+                          "b_id": np.array([2, 3, 40], np.int64)})
+    ids_ds = rd.from_pandas(pd.DataFrame({"doc_id": ids}))
+    got = (dedup.dedup_survivors_ds(rd.from_pandas(pairs), ids_ds)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = dedup.dedup_survivors(pairs, ids).sort_values("doc_id") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
