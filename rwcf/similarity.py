@@ -99,13 +99,26 @@ def kmeans_lite(mat: np.ndarray, n_clusters: int, iters: int = 5,
 
 def cosine_topk_ivf(ds, query_ids: list[int], k: int = 10, n_clusters: int = 16,
                     nprobe: int = 4, id_col: str = "vec_id",
-                    vec_col: str = "embedding", seed: int = 42) -> pd.DataFrame:
+                    vec_col: str = "embedding", seed: int = 42,
+                    train_rows: int = 4096) -> pd.DataFrame:
     """IVF-style approximate top-k: probe only nprobe centroid lists per
     query. Same output shape as cosine_topk; rows-only correctness (recall
-    asserted in tests against the brute-force baseline)."""
+    asserted in tests against the brute-force baseline).
+
+    The coarse quantizer trains on a seeded RANDOM sample (round-2 fix): a
+    head-of-dataset sample (``ds.limit``) sees only the first blocks, so on
+    a corpus sorted/sharded by cluster the centroids would all land in the
+    head's clusters and recall for tail clusters collapses (pinned by
+    tests/test_similarity.py::test_ivf_random_sample_beats_head_sample)."""
     import ray
 
-    sample = ds.limit(4096).to_pandas()
+    n_total = ds.count()
+    if n_total > train_rows:
+        # oversample slightly, then trim — random_sample is per-row i.i.d.
+        frac = min(1.0, 1.25 * train_rows / n_total)
+        sample = ds.random_sample(frac, seed=seed).limit(train_rows).to_pandas()
+    else:
+        sample = ds.to_pandas()
     smat = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
     centroids = kmeans_lite(smat, min(n_clusters, smat.shape[0]), seed=seed)
 

@@ -63,3 +63,52 @@ def test_kmeans_lite_deterministic():
     c1 = similarity.kmeans_lite(m, 4, seed=7)
     c2 = similarity.kmeans_lite(m, 4, seed=7)
     assert np.array_equal(c1, c2)
+
+
+def _two_cluster_table(n=1200, dim=16, seed=5):
+    """Sorted-by-cluster corpus: first half tight around +c, second half
+    around -c — the adversarial layout for head-of-dataset sampling."""
+    rng = np.random.default_rng(seed)
+    c = rng.normal(size=dim)
+    c /= np.linalg.norm(c)
+    half = n // 2
+    a = c + 0.05 * rng.normal(size=(half, dim))
+    b = -c + 0.05 * rng.normal(size=(half, dim))
+    vecs = np.concatenate([a, b]).astype(np.float32)  # sorted by cluster
+    return pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                     "embedding": pa.array(list(vecs), pa.list_(pa.float32()))})
+
+
+def test_ivf_random_sample_beats_head_sample(ray_session):
+    """On a cluster-sorted corpus, a head-trained quantizer never sees the
+    second cluster (its queries land on degenerate far centroids), while
+    the seeded random sample covers both — the round-2 sampling fix."""
+    import ray.data as rd
+    t = _two_cluster_table()
+    ds = rd.from_arrow(t).repartition(8)
+    qids = [700, 900, 1100]  # all from the UNSEEN (second) cluster
+    expect = brute_force(t, qids, 10)
+
+    # head-sample quantizer (the old behavior, reconstructed):
+    head = t.to_pandas().head(128)
+    hm = np.stack(head["embedding"].to_numpy()).astype(np.float64)
+    hm /= np.linalg.norm(hm, axis=1, keepdims=True)
+    head_cents = similarity.kmeans_lite(hm, 8)
+    full = np.stack(t.to_pandas()["embedding"].to_numpy()).astype(np.float64)
+    full /= np.linalg.norm(full, axis=1, keepdims=True)
+    # with all centroids inside cluster A, every vector of cluster B maps
+    # to one arbitrary nearest centroid => probing is uninformative; the
+    # planted geometry makes every head centroid ~orthogonal-to-opposite
+    # for cluster B, so the assignment is degenerate:
+    spread = (full[600:] @ head_cents.T).max(axis=1)
+    assert spread.mean() < 0  # cluster B is on the wrong side of every centroid
+
+    # random-sample quantizer (current code): healthy recall on cluster B
+    approx = similarity.cosine_topk_ivf(ds, query_ids=qids, k=10,
+                                        n_clusters=2, nprobe=1,
+                                        train_rows=128)
+    recalls = []
+    for q in qids:
+        got = set(approx[approx["qid"] == q]["vec_id"])
+        recalls.append(len(got & set(expect[q])) / 10)
+    assert np.mean(recalls) >= 0.8
