@@ -264,6 +264,39 @@ def read_column_file(data: bytes | np.ndarray) -> EncodedColumn:
                          payload=buf[:footer_start], n_values=n)
 
 
+def read_footer_blob(trailer: bytes | np.ndarray) -> EncodedColumn:
+    """Parse a column file's trailer (``footer | u64le footer_size``) WITHOUT
+    the payload — the entry point for selective page reads, where only the
+    page frames a zone-map keeps are ever fetched (see
+    pipeline.read_column_pages). Returns an EncodedColumn whose payload is
+    empty; pages carry the original in-payload offsets."""
+    buf = np.frombuffer(trailer, dtype=np.uint8) \
+        if isinstance(trailer, (bytes, bytearray)) else trailer
+    footer_size = int.from_bytes(buf[-8:].tobytes(), "little")
+    if footer_size != buf.size - 8:
+        raise ValueError("trailer does not contain exactly footer|size")
+    r = _Reader(buf, 0)
+    first = int(buf[0])
+    if first == _V1_MARKER:
+        r.pos += 1
+        version = int(buf[r.pos]); r.pos += 1
+        assert version == _V1_VERSION
+        dtype = _DTYPE_ORDER[int(buf[r.pos])]; r.pos += 1
+        codec = CODEC_IDS[int(buf[r.pos])]; r.pos += 1
+        meta = r.take(r.uvarint())
+        pages = _pages_from_reader(r, with_lengths=True)
+    else:
+        dtype = _REF_CATEGORY_FOR_CODE[first]
+        r.pos += 1
+        use_rle = bool(buf[r.pos]); r.pos += 1
+        codec = "rle" if use_rle else "plain"
+        meta = b""
+        pages = _pages_from_reader(r, with_lengths=False)
+    n = sum(p.values_count for p in pages)
+    return EncodedColumn(dtype=dtype, codec=codec, meta=meta, pages=pages,
+                         payload=np.empty(0, dtype=np.uint8), n_values=n)
+
+
 def slice_pages(enc: EncodedColumn, indices) -> EncodedColumn:
     """Selective-page view of an encoded column — the reference's planned
     "efficient row skipping" (PageInfo.file_offset exists for exactly this,

@@ -56,7 +56,12 @@ class EncodeConfig:
     #: reference's own V2 roadmap names exactly this ("Compression (like
     #: zstd or snappy)", wills-columnar-format.org:196-204). zstd-1 takes
     #: FOR-packed tokens from 2.00 to 1.57 B/token at ~450MB/s.
-    transport: str | None = "zstd"
+    #: "zstd-page" (default, round 2) compresses each PAGE as its own zstd
+    #: frame (+ one trailer frame for the footer), so zone-map page
+    #: skipping saves disk IO too, not just decode CPU — a whole-section
+    #: zstd stream is not seekable (the round-1 caveat this removes).
+    #: "zstd" keeps the whole-section stream; None stores raw.
+    transport: str | None = "zstd-page"
 
     @property
     def parts_dir(self) -> str:
@@ -117,6 +122,50 @@ def _table_chunks(tbl: pa.Table) -> dict[str, tuple]:
 
 
 # ---------------------------------------------------------------------------
+# transport framing
+# ---------------------------------------------------------------------------
+
+def _zstd() -> pa.Codec:
+    return pa.Codec("zstd", compression_level=1)
+
+
+def _compress_frames(blob: bytes, enc: "fmt.EncodedColumn"):
+    """Per-page transport framing: one zstd frame per page plus a trailer
+    frame (footer + size word). Returns (framed_bytes, frames) with
+    frames = [[section_offset, comp_len, raw_len, crc32], ...]; the LAST
+    entry is always the trailer frame. Every frame is independently
+    seekable/decompressible — the property whole-section zstd lacks."""
+    codec = _zstd()
+    payload_len = int(enc.payload.size)
+    spans = [(p.file_offset, p.byte_length) for p in enc.pages]
+    spans.append((payload_len, len(blob) - payload_len))  # trailer
+    parts: list[bytes] = []
+    frames: list[list[int]] = []
+    off = 0
+    for s, ln in spans:
+        comp = codec.compress(blob[s:s + ln], asbytes=True)
+        frames.append([off, len(comp), ln, zlib.crc32(comp)])
+        parts.append(comp)
+        off += len(comp)
+    return b"".join(parts), frames
+
+
+def _untransport(blob: bytes, cm: dict) -> bytes:
+    """Inverse of the section transport: reassemble the raw column file
+    from a whole-section stream or from per-page frames."""
+    if not cm.get("transport"):
+        return blob
+    codec = _zstd()
+    frames = cm.get("frames")
+    if frames:
+        out = [codec.decompress(blob[off:off + clen], rawlen, asbytes=True)
+               for off, clen, rawlen, _crc in frames]
+        return b"".join(out)
+    return pa.Codec(cm["transport"]).decompress(blob, cm["raw_length"],
+                                                asbytes=True)
+
+
+# ---------------------------------------------------------------------------
 # partition encode / decode (pure functions, used by Ray stages + tests)
 # ---------------------------------------------------------------------------
 
@@ -136,7 +185,10 @@ def encode_partition(tbl: pa.Table, pid: str, cfg: EncodeConfig,
         enc, choice = selector.encode_auto(chunk, dtype, cfg.page_target, cfg.codecs)
         blob = fmt.write_column_file(enc)
         raw_length = len(blob)
-        if cfg.transport:
+        frames = None
+        if cfg.transport == "zstd-page":
+            blob, frames = _compress_frames(blob, enc)
+        elif cfg.transport:
             blob = pa.Codec(cfg.transport, compression_level=1).compress(
                 blob, asbytes=True)
         if fmt.is_string(dtype):
@@ -149,6 +201,7 @@ def encode_partition(tbl: pa.Table, pid: str, cfg: EncodeConfig,
             "n_values": enc.n_values, "offset": offset, "length": len(blob),
             "page_stats": fmt.page_value_stats(chunk, dtype, enc.pages),
             "transport": cfg.transport, "raw_length": raw_length,
+            "frames": frames,
             # checksum over the ENCODED section: detects file corruption at
             # decode time for half the bytes of a decoded-chunk crc; codec
             # fidelity itself is proven by verify_job + the codec test suite
@@ -213,9 +266,7 @@ def decode_partition(row: dict, columns: list[str] | None = None,
             blob = f.read(cm["length"])
             if cm.get("crc") is not None and zlib.crc32(blob) != cm["crc"]:
                 raise IOError(f"checksum mismatch in {row['pid']}:{cm['column']}")
-            if cm.get("transport"):
-                blob = pa.Codec(cm["transport"]).decompress(
-                    blob, cm["raw_length"], asbytes=True)
+            blob = _untransport(blob, cm)
             enc = fmt.read_column_file(blob)
             enc.dtype = cm["dtype"]  # concrete width from lineage
             chunks[cm["column"]] = fmt.decode_chunk(enc)
@@ -546,23 +597,74 @@ def read_column_section(row: dict, column: str) -> "fmt.EncodedColumn":
         blob = f.read(cm["length"])
     if cm.get("crc") is not None and zlib.crc32(blob) != cm["crc"]:
         raise IOError(f"checksum mismatch in {row['pid']}:{column}")
-    if cm.get("transport"):
-        blob = pa.Codec(cm["transport"]).decompress(blob, cm["raw_length"],
-                                                    asbytes=True)
+    blob = _untransport(blob, cm)
     enc = fmt.read_column_file(blob)
     enc.dtype = cm["dtype"]
     return enc
+
+
+def read_column_pages(row: dict, column: str, keep: list[int]):
+    """Selective page fetch (transport="zstd-page"): reads ONLY the trailer
+    frame plus the kept pages' frames from disk — the IO-saving realization
+    of the reference's "efficient row skipping" roadmap that a
+    whole-section zstd stream cannot provide. Returns
+    ``(EncodedColumn restricted to the kept pages, bytes_read,
+    bytes_total)``; falls back to a full-section read (+ in-memory page
+    slice) for sections without frames."""
+    cm = next(c for c in row["columns"] if c["column"] == column)
+    frames = cm.get("frames")
+    if not frames:
+        enc = read_column_section(row, column)
+        return fmt.slice_pages(enc, keep), cm["length"], cm["length"]
+    codec = _zstd()
+    keep = sorted(int(i) for i in keep)
+    bytes_read = 0
+    with open(row["file"], "rb") as f:
+        toff, tclen, trawlen, tcrc = frames[-1]
+        f.seek(cm["offset"] + toff)
+        tcomp = f.read(tclen)
+        bytes_read += tclen
+        if zlib.crc32(tcomp) != tcrc:
+            raise IOError(f"frame checksum mismatch in {row['pid']}:{column}")
+        skel = fmt.read_footer_blob(codec.decompress(tcomp, trawlen,
+                                                     asbytes=True))
+        skel.dtype = cm["dtype"]
+        parts: list[np.ndarray] = []
+        pages: list[fmt.PageInfo] = []
+        off = 0
+        for i in keep:
+            foff, clen, rawlen, fcrc = frames[i]
+            f.seek(cm["offset"] + foff)
+            comp = f.read(clen)
+            bytes_read += clen
+            if zlib.crc32(comp) != fcrc:
+                raise IOError(
+                    f"frame checksum mismatch in {row['pid']}:{column}")
+            parts.append(np.frombuffer(codec.decompress(comp, rawlen,
+                                                        asbytes=True),
+                                       dtype=np.uint8))
+            p = skel.pages[i]
+            pages.append(fmt.PageInfo(off, p.values_count,
+                                      p.encoded_values_count, p.byte_length))
+            off += p.byte_length
+    payload = np.concatenate(parts) if parts else np.empty(0, dtype=np.uint8)
+    enc = fmt.EncodedColumn(dtype=skel.dtype, codec=skel.codec,
+                            meta=skel.meta, pages=pages, payload=payload,
+                            n_values=sum(p.values_count for p in pages))
+    return enc, bytes_read, cm["length"]
 
 
 def scan_column_pages(out_dir: str, column: str, page_pred,
                       concurrency: int | None = None):
     """Page-skipping scan of one column across all partitions: only pages
     whose (min, max) zone-map stats satisfy ``page_pred(lo, hi)`` are
-    decoded (reference V1 "efficient row skipping", realized). With
-    transport compression on, the section is still read+decompressed whole
-    (zstd is not seekable); with transport=None only decode work is saved
-    locally — at cluster scale pair with transport=None or per-page framing
-    for IO savings too."""
+    decoded (reference V1 "efficient row skipping", realized). With the
+    default transport="zstd-page" framing the skip saves disk IO too:
+    fully-pruned sections are never opened, partially-pruned sections
+    fetch only the trailer frame + kept page frames (``read_column_pages``
+    — the round-2 fix for the round-1 "zstd is not seekable" caveat).
+    The emitted ``_bytes_read`` / ``_bytes_total`` columns account the
+    actual vs full-section IO."""
     n = concurrency or _default_concurrency()
     ds = manifest_dataset(out_dir)
     if ds.num_blocks() < n:
@@ -572,6 +674,8 @@ def scan_column_pages(out_dir: str, column: str, page_pred,
         outs = []
         kept_pages = 0
         total_pages = 0
+        bytes_read = 0
+        bytes_total = 0
         np_t = np.int64
         for row in manifest_table_to_rows(batch):
             cm = next(c for c in row["columns"] if c["column"] == column)
@@ -581,15 +685,21 @@ def scan_column_pages(out_dir: str, column: str, page_pred,
                     "columns carry no page value stats)")
             np_t = fmt.DTYPES[cm["dtype"]][2]
             stats = cm.get("page_stats")
-            enc = read_column_section(row, column)
-            if stats is not None:
+            bytes_total += cm["length"]
+            if stats is None:
+                enc = read_column_section(row, column)
+                bytes_read += cm["length"]
+                total_pages += len(enc.pages)
+                kept_pages += len(enc.pages)
+            else:
                 keep = [i for i, (lo, hi) in enumerate(stats)
                         if page_pred(lo, hi)]
-                total_pages += len(enc.pages)
+                total_pages += len(stats)
                 kept_pages += len(keep)
                 if not keep:
-                    continue
-                enc = fmt.slice_pages(enc, keep)
+                    continue  # pruned by zone stats alone: zero IO
+                enc, br, _bt = read_column_pages(row, column, keep)
+                bytes_read += br
             chunk = fmt.decode_chunk(enc)
             outs.append(np.asarray(chunk))
         vals = np.concatenate(outs) if outs else np.empty(0, dtype=np_t)
@@ -598,6 +708,10 @@ def scan_column_pages(out_dir: str, column: str, page_pred,
             "_pages_kept": pa.array(np.full(vals.size, kept_pages,
                                             dtype=np.int64)),
             "_pages_total": pa.array(np.full(vals.size, total_pages,
+                                             dtype=np.int64)),
+            "_bytes_read": pa.array(np.full(vals.size, bytes_read,
+                                            dtype=np.int64)),
+            "_bytes_total": pa.array(np.full(vals.size, bytes_total,
                                              dtype=np.int64)),
         })
 
