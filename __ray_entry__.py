@@ -196,7 +196,7 @@ def _docs_ds(sf_dir: str, columns=("doc_id", "text")):
                            columns=list(columns))
 
 
-def _docs_with_planted_copies(sf_dir: str):
+def _docs_with_planted_copies(sf_dir: str, columns=("doc_id", "text")):
     """documents plus exact copies of every 10th doc under doc_id+1_000_000 —
     the deterministic ground truth the dedup oracles pin."""
     from rwcf import rayenv
@@ -210,8 +210,8 @@ def _docs_with_planted_copies(sf_dir: str):
             pc.add(copies.column("doc_id"), 1_000_000))
         return pa.concat_tables([t, copies])
 
-    return _docs_ds(sf_dir).map_batches(plant, batch_format="pyarrow",
-                                        **rayenv.remote_args())
+    return _docs_ds(sf_dir, columns=columns).map_batches(
+        plant, batch_format="pyarrow", **rayenv.remote_args())
 
 
 def _q_dedup_exact(sf_dir: str):
@@ -260,6 +260,22 @@ def _q_dedup_jaccard(sf_dir: str):
     ds = _docs_with_planted_copies(sf_dir)
     return _pairs_canonical(
         dedup.jaccard_blocked_pairs(ds, threshold=0.8).to_pandas())
+
+
+def _q_dedup_tokens(sf_dir: str):
+    """Token-sequence minhash dedup over the TOKENIZED view (pre-tokenized
+    corpora path): per-row minhash of token ids -> banded LSH candidates ->
+    distributed exact token-array verify (threshold 1.0). SQL-checkable:
+    planted copies tokenize to identical sequences, all base texts are
+    distinct (pinned by dedup_exact), and the exact verify rejects
+    near-dup candidates."""
+    from rwcf import dedup, documents, rayenv
+    ds = _docs_with_planted_copies(sf_dir,
+                                   columns=("doc_id", "text", "source"))
+    tok = ds.map_batches(documents.tokenize_batch, batch_format="pyarrow",
+                         **rayenv.remote_args())
+    out = dedup.token_minhash_dedup_ds(tok)
+    return _pairs_canonical(out.to_pandas())
 
 
 def _embeddings_with_planted_copies(sf_dir: str):
@@ -511,6 +527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_cluster_survivors": _q_dedup_cluster_survivors,
+        "dedup_tokens_minhash": _q_dedup_tokens,
         "join_docs_embeddings": _q_join_docs_embeddings,
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
@@ -566,6 +583,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": ("SELECT vec_id AS a_id, vec_id + 1000000 AS b_id "
                             "FROM embeddings WHERE vec_id % 10 = 0"),
         "dedup_cluster_survivors": "SELECT doc_id FROM documents",
+        "dedup_tokens_minhash": ("SELECT doc_id AS a_id, doc_id + 1000000 "
+                                 "AS b_id FROM documents "
+                                 "WHERE doc_id % 10 = 0"),
         "join_docs_embeddings": (
             "SELECT d.doc_id, CAST(strlen(d.text) AS BIGINT) AS n_tok, "
             "CAST(len(e.embedding) AS BIGINT) AS dim "

@@ -119,10 +119,42 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     queries["verify"] = round(time.perf_counter() - t0, 3)
     assert ver["equal"].all(), "bit-exact verification failed"
 
+    # dedup stage (round 2): token-sequence minhash -> banded LSH ->
+    # DISTRIBUTED exact verify over the same tokens table with planted
+    # copies. Included in the scaling criterion via value_with_dedup so
+    # the shuffle-bearing dedup path is measured, not just encode/decode.
+    import numpy as np
+    import pyarrow.compute as pc
+    from rwcf import dedup
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = pc.cast(pc.utf8_slice_codeunits(t.column("doc_id"), 4, 32),
+                      pa.int64()).combine_chunks()
+        t2 = pa.table({"doc_id": ids, "tokens": t.column("tokens")})
+        mask = ids.to_numpy(zero_copy_only=False) % 50 == 0
+        copies = t2.filter(pa.array(mask))
+        copies = copies.set_column(0, "doc_id",
+                                   pc.add(copies.column("doc_id"),
+                                          10_000_000))
+        return pa.concat_tables([t2, copies])
+
+    tok_ds = rd.read_parquet(path, columns=["doc_id", "tokens"]) \
+        .map_batches(plant, batch_format="pyarrow", **rayenv.remote_args())
+    t0 = time.perf_counter()
+    pairs = dedup.token_minhash_dedup_ds(tok_ds).to_pandas()
+    queries["dedup"] = round(time.perf_counter() - t0, 3)
+    found = set(zip(pairs["a_id"].astype(int), pairs["b_id"].astype(int)))
+    planted = {(i, i + 10_000_000) for i in range(0, n_rows, 50)}
+    assert planted <= found, "dedup stage missed planted duplicate pairs"
+
     total = round(queries["encode"] + queries["decode"], 3)
     result = {
         "metric": "encode+decode wall seconds (synthetic F1 tokens table)",
         "value": total,
+        # scaling uses encode+decode+dedup so a shuffle-bearing stage is in
+        # the criterion; "value" stays encode+decode for round-over-round
+        # comparability of the headline metric
+        "value_with_dedup": round(total + queries["dedup"], 3),
         "unit": "sec",
         "queries": queries,
         "sf": sf,
@@ -214,15 +246,19 @@ def run_scaling(sf_dir: str, lo: int | None = None, hi: int | None = None) -> di
             out = subprocess.run(args, env=env, capture_output=True, text=True,
                                  check=True)
             r = json.loads(out.stdout.strip().splitlines()[-1])
-            if best is None or r["value"] < best["value"]:
+            key = r.get("value_with_dedup", r["value"])
+            if best is None or key < best.get("value_with_dedup",
+                                              best["value"]):
                 best = r
         return best
 
     r_lo = sub(lo)
     r_hi = sub(hi)
     work_lo = r_lo["n_tokens"] or r_lo.get("rows", 1)
-    thr_lo = work_lo / r_lo["value"]
-    thr_hi = (r_hi["n_tokens"] or r_hi.get("rows", 1)) / r_hi["value"]
+    t_lo = r_lo.get("value_with_dedup", r_lo["value"])
+    t_hi = r_hi.get("value_with_dedup", r_hi["value"])
+    thr_lo = work_lo / t_lo
+    thr_hi = (r_hi["n_tokens"] or r_hi.get("rows", 1)) / t_hi
     eff = (thr_hi / thr_lo) / (hi / lo)
     result = {
         "metric": (("compute-stage " if compute else "")
@@ -230,7 +266,7 @@ def run_scaling(sf_dir: str, lo: int | None = None, hi: int | None = None) -> di
         "value": round(eff, 3),
         "unit": "efficiency",
         "sf": sf_of(sf_dir),
-        "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+        "sec_lo": t_lo, "sec_hi": t_hi,
         "cpus_lo": lo, "cpus_hi": hi,
         "tokens_per_sec_lo": round(thr_lo), "tokens_per_sec_hi": round(thr_hi),
         "detail_lo": r_lo.get("queries"), "detail_hi": r_hi.get("queries"),

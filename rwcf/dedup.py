@@ -180,6 +180,7 @@ def dedup_exact(ds, text_col: str = "text"):
 
     return (ds.map_batches(add_bucket, batch_format="pyarrow",
                            **rayenv.remote_args())
+            .repartition(buckets)
             .groupby("_b")
             .map_groups(first_per_content, batch_format="pandas",
                         **rayenv.remote_args()))
@@ -236,6 +237,7 @@ def _banded_pairs_ds(rows_ds, buckets: int | None = None):
 
     return (rows_ds.map_batches(add_bucket, batch_format="pyarrow",
                                 **rayenv.remote_args())
+            .repartition(buckets)
             .groupby("_b")
             .map_groups(pairs_in_bucket, batch_format="pandas",
                         **rayenv.remote_args()))
@@ -354,6 +356,7 @@ def jaccard_blocked_pairs(ds, threshold: float = 0.8, text_col: str = "text",
 
     return (ds.map_batches(add_blk, batch_format="pyarrow",
                            **rayenv.remote_args())
+            .repartition(buckets)
             .groupby("_b")
             .map_groups(pairs_in_bucket, batch_format="pandas",
                         **rayenv.remote_args()))
@@ -377,6 +380,7 @@ def distinct_pairs(pairs_ds, buckets: int | None = None):
 
     return (pairs_ds.map_batches(add_bucket, batch_format="pyarrow",
                                  **rayenv.remote_args())
+            .repartition(buckets)
             .groupby("_b")
             .map_groups(dedupe, batch_format="pandas",
                         **rayenv.remote_args()))
@@ -384,7 +388,8 @@ def distinct_pairs(pairs_ds, buckets: int | None = None):
 
 def verify_pairs_distributed(pairs_ds, docs_ds, threshold: float = 0.8,
                              mode: str = "jaccard", id_col: str = "doc_id",
-                             payload_col: str = "text", buckets: int = 32):
+                             payload_col: str = "text", buckets: int = 32,
+                             prune: bool = True):
     """Distributed exact verification of candidate pairs — the round-2
     replacement for collecting the corpus to the driver: two bucketed
     hash-joins (rwcf.joins.hash_join) pull each pair's payloads onto its
@@ -395,8 +400,37 @@ def verify_pairs_distributed(pairs_ds, docs_ds, threshold: float = 0.8,
     Modes: ``equality`` (exact text match), ``jaccard`` (byte-equality
     short-circuit, then exact shingle-set Jaccard >= threshold; shingle
     sets memoized per distinct text within a batch), ``cosine``
-    (normalized dot >= threshold over vector payloads)."""
+    (normalized dot >= threshold over vector payloads), ``tokens`` (exact
+    variable-length int-sequence equality, vectorized).
+
+    ``prune=True`` (default) applies a broadcast semi-join reduction
+    first: the candidate id set (output-sized — ids only, never payloads)
+    is ray.put once and the docs side is filtered per batch before any
+    shuffle, so only candidate members' payloads enter the joins. At a
+    scale where even the candidate ID LIST outgrows driver memory, pass
+    prune=False (the joins alone are still correct, shuffling the full
+    docs side once per join)."""
+    import ray
+
     from .joins import hash_join
+
+    pairs_ds = pairs_ds.materialize()  # tiny; read 3x (ids + two joins)
+    if prune:
+        pdf = pairs_ds.to_pandas()
+        keep_ids = np.unique(np.concatenate(
+            [pdf["a_id"].to_numpy(), pdf["b_id"].to_numpy()]))
+        ref = ray.put(keep_ids)
+
+        def filt(t: pa.Table) -> pa.Table:
+            ids = t.column(id_col).combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return t.filter(pa.array(np.isin(ids, ray.get(ref))))
+
+        # materialize the pruned side: it is candidate-sized, and both
+        # joins consume it — without this the corpus scan + filter would
+        # re-execute once per join
+        docs_ds = docs_ds.map_batches(filt, batch_format="pyarrow",
+                                      **rayenv.remote_args()).materialize()
 
     j1 = hash_join(pairs_ds, docs_ds, on="a_id", right_on=id_col,
                    buckets=buckets)
@@ -426,6 +460,33 @@ def verify_pairs_distributed(pairs_ds, docs_ds, threshold: float = 0.8,
             ma /= np.maximum(np.linalg.norm(ma, axis=1, keepdims=True), 1e-12)
             mb /= np.maximum(np.linalg.norm(mb, axis=1, keepdims=True), 1e-12)
             sims = np.einsum("ij,ij->i", ma, mb)
+        elif mode == "tokens":
+            # exact variable-length sequence equality, fully vectorized:
+            # equal lengths first, then elementwise compare of the gathered
+            # segments with a per-row minimum.reduceat
+            import pyarrow.compute as pc
+            ln_a = pc.list_value_length(pa_pay).to_numpy().astype(np.int64)
+            ln_b = pc.list_value_length(pb_pay).to_numpy().astype(np.int64)
+            fa = pa_pay.flatten().to_numpy(zero_copy_only=False)
+            fb = pb_pay.flatten().to_numpy(zero_copy_only=False)
+            sims = np.zeros(t.num_rows, dtype=np.float64)
+            rows = np.flatnonzero(ln_a == ln_b)
+            if rows.size:
+                lens = ln_a[rows]
+                sa = (np.cumsum(ln_a) - ln_a)[rows]
+                sb = (np.cumsum(ln_b) - ln_b)[rows]
+                out_starts = np.cumsum(lens) - lens
+                total = int(lens.sum())
+                eq_row = np.ones(rows.size, dtype=bool)
+                if total:
+                    pos = np.arange(total, dtype=np.int64)
+                    va = fa[pos + np.repeat(sa - out_starts, lens)]
+                    vb = fb[pos + np.repeat(sb - out_starts, lens)]
+                    el = va == vb
+                    nz = lens > 0
+                    eq_row[nz] = np.minimum.reduceat(
+                        el, out_starts[nz]).astype(bool)
+                sims[rows] = eq_row.astype(np.float64)
         else:
             import pyarrow.compute as pc
             eq = pc.equal(pa_pay, pb_pay).to_numpy(zero_copy_only=False)
@@ -452,13 +513,13 @@ def verify_pairs_distributed(pairs_ds, docs_ds, threshold: float = 0.8,
                           **rayenv.remote_args())
 
 
-def minhash_tokens_batch(t: pa.Table, num_perm: int = NUM_PERM,
-                         seed: int = 42) -> pa.Table:
-    """Per-row minhash over the *token id* sequence of a tokens table —
-    near-dup detection for pre-tokenized corpora. Emits (doc_id,
-    sig_hash): the 64-perm signature folded to one u64 (band keys would be
-    emitted the same way for LSH). Compute-dense: num_perm multiply+min
-    passes over the flattened token stream."""
+def token_minhash_matrix(t: pa.Table, num_perm: int = NUM_PERM,
+                         seed: int = 42) -> np.ndarray:
+    """(n_rows, num_perm) uint64 minhash matrix over the *token id*
+    sequences of a tokens table. Compute-dense: num_perm multiply+min
+    passes over the flattened token stream, one reused buffer (64 fresh
+    8MB allocations per batch would thrash mmap/TLB under high worker
+    concurrency)."""
     import pyarrow.compute as pc
     la = t.column("tokens").combine_chunks()
     lengths = pc.list_value_length(la).to_numpy().astype(np.int64)
@@ -470,17 +531,92 @@ def minhash_tokens_batch(t: pa.Table, num_perm: int = NUM_PERM,
     sig = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
     ne = lengths > 0
     if flat.size:
-        h = np.empty_like(flat)  # one reused buffer: 64 fresh 8MB allocations
-        # per batch would thrash mmap/TLB under high worker concurrency
+        h = np.empty_like(flat)
         for j in range(num_perm):
             np.multiply(flat, a[j], out=h)
             np.add(h, b[j], out=h)
             sig[ne, j] = np.minimum.reduceat(h, bounds)[::2]
+    return sig
+
+
+def minhash_tokens_batch(t: pa.Table, num_perm: int = NUM_PERM,
+                         seed: int = 42) -> pa.Table:
+    """Per-row minhash over token sequences, folded to one u64 per row —
+    the compute-scaling bench kernel."""
+    sig = token_minhash_matrix(t, num_perm, seed)
+    n = sig.shape[0]
     folded = np.zeros(n, dtype=np.uint64)
     for j in range(num_perm):
         folded = folded * textops._FP_BASE + sig[:, j]
     return pa.table({"doc_id": t.column("doc_id"),
                      "sig_hash": pa.array(folded.astype(np.int64))})
+
+
+def token_minhash_dedup_ds(ds, num_perm: int = NUM_PERM, seed: int = 42,
+                           buckets: int | None = None):
+    """Exact-duplicate detection for PRE-TOKENIZED corpora, end-to-end
+    distributed: per-row 64-perm minhash over the token stream (the
+    compute-dense kernel), candidates = pairs with IDENTICAL folded
+    signatures (identical sequences guarantee identical signatures), each
+    candidate verified by exact token-array equality via bucketed
+    hash-joins (mode="tokens") — hash collisions can never merge distinct
+    sequences. Only (doc_id, sig_hash) 2-int rows shuffle for candidates.
+
+    Deliberately NOT banded-LSH near-dup: minhash approximates TOKEN-SET
+    Jaccard, and Zipf-distributed corpora make long rows' token sets
+    near-identical by construction (every long row contains the common
+    head of the vocabulary), so similarity banding degenerates into a
+    quadratic all-pairs candidate set. Near-dup semantics on token
+    corpora need shingled features (a sequence-n-gram variant of
+    minhash_lsh_candidates_ds) — exact dedup is what threshold-1.0 users
+    (training-data pipelines) run, and it scales."""
+    import pyarrow.compute as pc
+
+    buckets = buckets or _shuffle_buckets()
+
+    def sig_rows(t: pa.Table) -> pa.Table:
+        out = minhash_tokens_batch(t, num_perm, seed)
+        sig = out.column("sig_hash").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pc.cast(out.column("doc_id"), pa.int64()),
+            "key": out.column("sig_hash"),
+            "band": pa.array(np.zeros(len(out), dtype=np.int32)),
+            "_b": pa.array(_bucket_of(sig, buckets=buckets)),
+        })
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["key", "doc_id"], kind="stable")
+        key = g["key"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        starts, counts = _subgroups([key])
+        out_a, out_b = [], []
+        for s, m in zip(starts, counts):
+            sub = ids[s:s + m]
+            ai, bi = np.triu_indices(m, k=1)
+            out_a.append(sub[ai])
+            out_b.append(sub[bi])
+        if not out_a:
+            return pd.DataFrame({"a_id": pd.Series([], dtype="int64"),
+                                 "b_id": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"a_id": np.concatenate(out_a).astype(np.int64),
+                             "b_id": np.concatenate(out_b).astype(np.int64)})
+
+    cand = (ds.map_batches(sig_rows, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .repartition(buckets)
+            .groupby("_b")
+            .map_groups(pairs_in_bucket, batch_format="pandas",
+                        **rayenv.remote_args()))
+
+    def int_ids(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                         "tokens": t.column("tokens")})
+
+    docs = ds.map_batches(int_ids, batch_format="pyarrow",
+                          **rayenv.remote_args())
+    return verify_pairs_distributed(cand, docs, threshold=1.0,
+                                    mode="tokens", id_col="doc_id",
+                                    payload_col="tokens", buckets=buckets)
 
 
 def simhash_signatures(t: pa.Table, text_col: str = "text") -> np.ndarray:
@@ -573,6 +709,7 @@ def simhash_candidates_ds(ds, text_col: str = "text"):
                            **rayenv.remote_args())
             .map_batches(add_bucket, batch_format="pyarrow",
                          **rayenv.remote_args())
+            .repartition(buckets)
             .groupby("_b")
             .map_groups(pairs_in_bucket, batch_format="pandas",
                         **rayenv.remote_args()))

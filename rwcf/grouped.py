@@ -148,7 +148,10 @@ def verify_grouped_job(out_dir: str, input_paths):
         return pd.DataFrame({"bucket": [g["bucket"].iloc[0] if len(g) else -1],
                              "n_rows": [n], "n_equal": [eq]})
 
-    return src.union(dec).groupby("bucket").map_groups(
+    # align physical blocks with the bucket count before the groupby: the
+    # sort shuffle fans out to the INPUT block count, so hundreds of tiny
+    # upstream blocks would spawn hundreds of mostly-empty reduce tasks
+    return src.union(dec).repartition(buckets).groupby("bucket").map_groups(
         compare, batch_format="pandas", **rayenv.remote_args())
 
 

@@ -137,5 +137,10 @@ def hash_join(left, right, on: str, right_on: str | None = None,
         return pa.Table.from_pandas(m[out_l + out_r], schema=out_schema,
                                     preserve_index=False)
 
-    return lt.union(rt).groupby(_BUCKET).map_groups(
+    # repartition to the bucket count BEFORE the groupby: Ray's sort-based
+    # shuffle fans out to the number of INPUT blocks, so feeding it the
+    # accumulated tiny upstream blocks (often hundreds) would spawn
+    # hundreds of mostly-empty reduce partitions and tasks (measured 56s
+    # of Sort for a 12k-row join before this cap)
+    return lt.union(rt).repartition(buckets).groupby(_BUCKET).map_groups(
         merge, batch_format="pyarrow", **rayenv.remote_args())
