@@ -119,13 +119,32 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     queries["verify"] = round(time.perf_counter() - t0, 3)
     assert ver["equal"].all(), "bit-exact verification failed"
 
-    # dedup stage (round 2): token-sequence minhash -> banded LSH ->
-    # DISTRIBUTED exact verify over the same tokens table with planted
-    # copies. Included in the scaling criterion via value_with_dedup so
-    # the shuffle-bearing dedup path is measured, not just encode/decode.
+    # dedup stage (round 2): token-sequence minhash signatures ->
+    # signature-equality candidates -> DISTRIBUTED exact verify over the
+    # same tokens table with planted copies. Included in the scaling
+    # criterion via value_with_dedup so a shuffle-bearing dedup path is
+    # measured, not just encode/decode. RWCF_BENCH_DEDUP=0 skips it.
     import numpy as np
     import pyarrow.compute as pc
     from rwcf import dedup
+
+    if os.environ.get("RWCF_BENCH_DEDUP", "1") == "0":
+        total = round(queries["encode"] + queries["decode"], 3)
+        n_tokens = int(man["n_tokens"].sum())
+        result = {
+            "metric": "encode+decode wall seconds (synthetic F1 tokens table)",
+            "value": total, "unit": "sec", "queries": queries, "sf": sf,
+            "num_cpus": num_cpus, "n_rows": n_rows, "n_tokens": n_tokens,
+            "encode_tokens_per_sec": round(n_tokens / queries["encode"]),
+            "decode_tokens_per_sec": round(n_tokens / queries["decode"]),
+            "encoded_bytes": encoded_bytes, "decoded_bytes": decoded_bytes,
+            "bytes_per_token": round(encoded_bytes / max(1, n_tokens), 4),
+            "compression_ratio": round(decoded_bytes / max(1, encoded_bytes),
+                                       3),
+            "n_partitions": len(man),
+        }
+        ray.shutdown()
+        return result
 
     def plant(t: pa.Table) -> pa.Table:
         ids = pc.cast(pc.utf8_slice_codeunits(t.column("doc_id"), 4, 32),
@@ -141,7 +160,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     tok_ds = rd.read_parquet(path, columns=["doc_id", "tokens"]) \
         .map_batches(plant, batch_format="pyarrow", **rayenv.remote_args())
     t0 = time.perf_counter()
-    pairs = dedup.token_minhash_dedup_ds(tok_ds).to_pandas()
+    pairs = dedup.token_minhash_dedup_ds(tok_ds,
+                                         task_cpus=task_cpus).to_pandas()
     queries["dedup"] = round(time.perf_counter() - t0, 3)
     found = set(zip(pairs["a_id"].astype(int), pairs["b_id"].astype(int)))
     planted = {(i, i + 10_000_000) for i in range(0, n_rows, 50)}

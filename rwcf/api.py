@@ -41,6 +41,14 @@ _CATEGORY_DTYPE = {"u8": "u8", "i8": "i8", "uint": "u64", "int": "i64",
 
 
 def _infer_dtype(values: list) -> str:
+    """Reference type inference (src/lib.rs:86-113). Vec / fixed-array
+    values are rejected ON PURPOSE: the reference's ``DataType`` has no
+    sequence discriminant (``ALL_DATA_TYPE``, src/lib.rs:78-84), so its
+    own ``encode_column::<Vec<_>>`` panics "unsupported data type"
+    (src/encode.rs:17) — rejecting here IS parity. (src/test_bincode.rs:
+    45-52 pins Vec/array *bincode sizes*, which rwcf/oracle.py reproduces;
+    the reference never wires those types into the column API. The engine
+    path handles list<int32> natively via the tokens stream.)"""
     if not values:
         return "i64"
     v = values[0]

@@ -553,7 +553,7 @@ def minhash_tokens_batch(t: pa.Table, num_perm: int = NUM_PERM,
 
 
 def token_minhash_dedup_ds(ds, num_perm: int = NUM_PERM, seed: int = 42,
-                           buckets: int | None = None):
+                           buckets: int | None = None, task_cpus: int = 1):
     """Exact-duplicate detection for PRE-TOKENIZED corpora, end-to-end
     distributed: per-row 64-perm minhash over the token stream (the
     compute-dense kernel), candidates = pairs with IDENTICAL folded
@@ -569,10 +569,18 @@ def token_minhash_dedup_ds(ds, num_perm: int = NUM_PERM, seed: int = 42,
     quadratic all-pairs candidate set. Near-dup semantics on token
     corpora need shingled features (a sequence-n-gram variant of
     minhash_lsh_candidates_ds) — exact dedup is what threshold-1.0 users
-    (training-data pipelines) run, and it scales."""
+    (training-data pipelines) run, and it scales.
+
+    ``task_cpus`` sizes the SIGNATURE stage's per-task cpu reservation:
+    the 64-pass minhash kernel is DRAM-bandwidth-bound, so per-node
+    concurrency must be sized to memory bandwidth, not thread count —
+    identical to encode_job's bandwidth-aware task_cpus (measured on this
+    host: 8-way concurrent signatures run SLOWER than 2-way)."""
     import pyarrow.compute as pc
 
     buckets = buckets or _shuffle_buckets()
+    from .pipeline import _cluster_cpus
+    sig_cpus = max(1, min(task_cpus, _cluster_cpus()))
 
     def sig_rows(t: pa.Table) -> pa.Table:
         out = minhash_tokens_batch(t, num_perm, seed)
@@ -602,7 +610,7 @@ def token_minhash_dedup_ds(ds, num_perm: int = NUM_PERM, seed: int = 42,
                              "b_id": np.concatenate(out_b).astype(np.int64)})
 
     cand = (ds.map_batches(sig_rows, batch_format="pyarrow",
-                           **rayenv.remote_args())
+                           num_cpus=sig_cpus, **rayenv.remote_args())
             .repartition(buckets)
             .groupby("_b")
             .map_groups(pairs_in_bucket, batch_format="pandas",

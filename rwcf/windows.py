@@ -64,12 +64,22 @@ def tumbling_window_aggregate(ds, window_s: int = 3600,
 
 
 def session_windows(ds, gap_s: int = 1800, key: str = "user_id",
-                    ts_col: str = "ts"):
+                    ts_col: str = "ts", buckets: int = 32):
     """Session windows: per key, sort by ts and split where the gap exceeds
-    ``gap_s``. One groupby shuffle; sorting happens inside each group."""
+    ``gap_s``. One BUCKETED shuffle (``hash(key) % buckets`` — Ray invokes
+    the group UDF per group, so millions of per-key groups would be
+    dispatch-bound); inside each bucket a single sort by (key, ts) and one
+    vectorized boundary pass resolve every key's sessions at once."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        kv = t.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(kv.astype(np.int64, copy=False)
+                               if kv.dtype.kind in ("i", "u")
+                               else kv.astype(object))
+        return t.append_column("_b", pa.array((h % buckets).astype(np.int32)))
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col)
+        g = g.sort_values([key, ts_col], kind="stable")
         # unit-safe epoch seconds (parquet timestamps may be us- or
         # ns-backed depending on the pandas/arrow bridge); floor-divide the
         # native-unit ticks — datetime64 unit casts truncate toward zero,
@@ -79,14 +89,20 @@ def session_windows(ds, gap_s: int = 1800, key: str = "user_id",
         ts = raw.view(np.int64) // np.int64(_UNIT_FACTOR[unit])
         if not len(ts):
             return pd.DataFrame({key: [], "session_start": [], "n_events": []})
-        new_session = np.concatenate(([True], np.diff(ts) > gap_s))
+        kv = g[key].to_numpy()
+        new_key = np.concatenate(([True], kv[1:] != kv[:-1]))
+        new_session = new_key | np.concatenate(([True], np.diff(ts) > gap_s))
         sid = np.cumsum(new_session) - 1
-        out = (pd.DataFrame({key: g[key].to_numpy(), "sid": sid, "ts_s": ts})
+        out = (pd.DataFrame({key: kv, "sid": sid, "ts_s": ts})
                .groupby("sid")
                .agg(**{key: (key, "first"), "session_start": ("ts_s", "min"),
                        "n_events": ("ts_s", "size")})
                .reset_index(drop=True))
         return out
 
-    return ds.groupby(key).map_groups(sessions, batch_format="pandas",
-                                      **rayenv.remote_args())
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .repartition(buckets)
+            .groupby("_b")
+            .map_groups(sessions, batch_format="pandas",
+                        **rayenv.remote_args()))

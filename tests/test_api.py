@@ -186,3 +186,13 @@ def test_decode_rle_lazy_pages(monkeypatch):
     assert len(calls) == len(footer.pages)
     total = first.run_length + sum(v.run_length for v in rest)
     assert total == 500_000
+
+
+def test_vec_values_rejected_like_reference():
+    """The reference's DataType has no Vec/array discriminant, so its
+    encode_column::<Vec<_>> panics "unsupported data type"
+    (src/encode.rs:17, src/lib.rs:78-84); the parity API rejects the same
+    way. (Vec bincode SIZES from src/test_bincode.rs:45-52 are pinned via
+    rwcf/oracle.py in tests/test_varint.py.)"""
+    with pytest.raises(TypeError, match="unsupported data type"):
+        api.encode_column([[1, 2, 3], [4, 5]])
