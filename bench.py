@@ -128,23 +128,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import pyarrow.compute as pc
     from rwcf import dedup
 
-    if os.environ.get("RWCF_BENCH_DEDUP", "1") == "0":
-        total = round(queries["encode"] + queries["decode"], 3)
-        n_tokens = int(man["n_tokens"].sum())
-        result = {
-            "metric": "encode+decode wall seconds (synthetic F1 tokens table)",
-            "value": total, "unit": "sec", "queries": queries, "sf": sf,
-            "num_cpus": num_cpus, "n_rows": n_rows, "n_tokens": n_tokens,
-            "encode_tokens_per_sec": round(n_tokens / queries["encode"]),
-            "decode_tokens_per_sec": round(n_tokens / queries["decode"]),
-            "encoded_bytes": encoded_bytes, "decoded_bytes": decoded_bytes,
-            "bytes_per_token": round(encoded_bytes / max(1, n_tokens), 4),
-            "compression_ratio": round(decoded_bytes / max(1, encoded_bytes),
-                                       3),
-            "n_partitions": len(man),
-        }
-        ray.shutdown()
-        return result
+    run_dedup = os.environ.get("RWCF_BENCH_DEDUP", "1") != "0"
 
     def plant(t: pa.Table) -> pa.Table:
         ids = pc.cast(pc.utf8_slice_codeunits(t.column("doc_id"), 4, 32),
@@ -157,24 +141,21 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                                           10_000_000))
         return pa.concat_tables([t2, copies])
 
-    tok_ds = rd.read_parquet(path, columns=["doc_id", "tokens"]) \
-        .map_batches(plant, batch_format="pyarrow", **rayenv.remote_args())
-    t0 = time.perf_counter()
-    pairs = dedup.token_minhash_dedup_ds(tok_ds,
-                                         task_cpus=task_cpus).to_pandas()
-    queries["dedup"] = round(time.perf_counter() - t0, 3)
-    found = set(zip(pairs["a_id"].astype(int), pairs["b_id"].astype(int)))
-    planted = {(i, i + 10_000_000) for i in range(0, n_rows, 50)}
-    assert planted <= found, "dedup stage missed planted duplicate pairs"
+    if run_dedup:
+        tok_ds = rd.read_parquet(path, columns=["doc_id", "tokens"]) \
+            .map_batches(plant, batch_format="pyarrow", **rayenv.remote_args())
+        t0 = time.perf_counter()
+        pairs = dedup.token_minhash_dedup_ds(tok_ds,
+                                             task_cpus=task_cpus).to_pandas()
+        queries["dedup"] = round(time.perf_counter() - t0, 3)
+        found = set(zip(pairs["a_id"].astype(int), pairs["b_id"].astype(int)))
+        planted = {(i, i + 10_000_000) for i in range(0, n_rows, 50)}
+        assert planted <= found, "dedup stage missed planted duplicate pairs"
 
     total = round(queries["encode"] + queries["decode"], 3)
     result = {
         "metric": "encode+decode wall seconds (synthetic F1 tokens table)",
         "value": total,
-        # scaling uses encode+decode+dedup so a shuffle-bearing stage is in
-        # the criterion; "value" stays encode+decode for round-over-round
-        # comparability of the headline metric
-        "value_with_dedup": round(total + queries["dedup"], 3),
         "unit": "sec",
         "queries": queries,
         "sf": sf,
@@ -189,6 +170,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "compression_ratio": round(decoded_bytes / max(1, encoded_bytes), 3),
         "n_partitions": len(man),
     }
+    if run_dedup:
+        # scaling uses encode+decode+dedup so a shuffle-bearing stage is in
+        # the criterion; "value" stays encode+decode for round-over-round
+        # comparability of the headline metric
+        result["value_with_dedup"] = round(total + queries["dedup"], 3)
     ray.shutdown()
     return result
 

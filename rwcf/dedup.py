@@ -56,17 +56,9 @@ def _shuffle_buckets() -> int:
     return int(os.environ.get("RWCF_DEDUP_BUCKETS", _BUCKETS))
 
 
-def _bucket_of(*cols, buckets: int) -> np.ndarray:
-    """Deterministic (cross-process) bucket id from one or more columns."""
-    h = np.zeros(len(cols[0]), dtype=np.uint64)
-    for c in cols:
-        arr = np.asarray(c)
-        if arr.dtype.kind not in ("i", "u"):
-            hv = pd.util.hash_array(arr.astype(object))
-        else:
-            hv = pd.util.hash_array(arr.astype(np.int64, copy=False))
-        h = h * np.uint64(1099511628211) + hv
-    return (h % np.uint64(buckets)).astype(np.int32)
+# the shared routing hash (one implementation repo-wide so cross-process
+# determinism can't silently diverge between pipelines)
+from .joins import hash_bucket as _bucket_of  # noqa: E402
 
 
 def _subgroups(sorted_keys: list[np.ndarray]):
@@ -411,10 +403,17 @@ def verify_pairs_distributed(pairs_ds, docs_ds, threshold: float = 0.8,
     prune=False (the joins alone are still correct, shuffling the full
     docs side once per join)."""
     import ray
+    import ray.data as rd
 
     from .joins import hash_join
 
     pairs_ds = pairs_ds.materialize()  # tiny; read 3x (ids + two joins)
+    if pairs_ds.count() == 0:
+        # no candidates (clean corpus): a fully empty Dataset is
+        # schema-less and cannot be joined — return the typed empty result
+        return rd.from_arrow(pa.table({"a_id": pa.array([], pa.int64()),
+                                       "b_id": pa.array([], pa.int64()),
+                                       "sim": pa.array([], pa.float64())}))
     if prune:
         pdf = pairs_ds.to_pandas()
         keep_ids = np.unique(np.concatenate(
@@ -584,37 +583,18 @@ def token_minhash_dedup_ds(ds, num_perm: int = NUM_PERM, seed: int = 42,
 
     def sig_rows(t: pa.Table) -> pa.Table:
         out = minhash_tokens_batch(t, num_perm, seed)
-        sig = out.column("sig_hash").to_numpy(zero_copy_only=False)
         return pa.table({
             "doc_id": pc.cast(out.column("doc_id"), pa.int64()),
-            "key": out.column("sig_hash"),
             "band": pa.array(np.zeros(len(out), dtype=np.int32)),
-            "_b": pa.array(_bucket_of(sig, buckets=buckets)),
+            "key": out.column("sig_hash"),
         })
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["key", "doc_id"], kind="stable")
-        key = g["key"].to_numpy()
-        ids = g["doc_id"].to_numpy()
-        starts, counts = _subgroups([key])
-        out_a, out_b = [], []
-        for s, m in zip(starts, counts):
-            sub = ids[s:s + m]
-            ai, bi = np.triu_indices(m, k=1)
-            out_a.append(sub[ai])
-            out_b.append(sub[bi])
-        if not out_a:
-            return pd.DataFrame({"a_id": pd.Series([], dtype="int64"),
-                                 "b_id": pd.Series([], dtype="int64")})
-        return pd.DataFrame({"a_id": np.concatenate(out_a).astype(np.int64),
-                             "b_id": np.concatenate(out_b).astype(np.int64)})
-
-    cand = (ds.map_batches(sig_rows, batch_format="pyarrow",
-                           num_cpus=sig_cpus, **rayenv.remote_args())
-            .repartition(buckets)
-            .groupby("_b")
-            .map_groups(pairs_in_bucket, batch_format="pandas",
-                        **rayenv.remote_args()))
+    # one "band" whose key is the full folded signature: identical
+    # sequences collide, everything else routes apart — then the shared
+    # banded-pair machinery generates candidates
+    rows = ds.map_batches(sig_rows, batch_format="pyarrow",
+                          num_cpus=sig_cpus, **rayenv.remote_args())
+    cand = _banded_pairs_ds(rows, buckets=buckets)
 
     def int_ids(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": pc.cast(t.column("doc_id"), pa.int64()),
@@ -795,6 +775,12 @@ def cluster_pairs_ds(pairs_ds, max_rounds: int = 30, buckets: int = 32):
 
     edges = pairs_ds.map_batches(both_dirs, batch_format="pyarrow",
                                  **rayenv.remote_args()).materialize()
+    if edges.count() == 0:
+        # no duplicate pairs at all: no components (schema-less empties
+        # cannot flow through joins/aggregates)
+        import ray.data as rd
+        return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                       "cluster_id": pa.array([], pa.int64())}))
 
     # labels: every node starts at min(itself, its neighborhood min) —
     # one free propagation round folded into initialization
@@ -864,7 +850,11 @@ def dedup_survivors_ds(pairs_ds, ids_ds, id_col: str = "doc_id",
 
     losers = cl.map_batches(losers_only, batch_format="pyarrow",
                             **rayenv.remote_args()).to_pandas()
-    loser_ref = ray.put(np.sort(losers["doc_id"].to_numpy().astype(np.int64)))
+    # an all-empty Dataset loses its columns in to_pandas (Ray drops the
+    # schema of empty results) — no losers means everyone survives
+    loser_ids = (losers["doc_id"].to_numpy().astype(np.int64)
+                 if "doc_id" in losers.columns else np.empty(0, np.int64))
+    loser_ref = ray.put(np.sort(loser_ids))
 
     def keep_survivors(t: pa.Table) -> pa.Table:
         drop = ray.get(loser_ref)

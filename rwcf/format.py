@@ -228,6 +228,28 @@ def write_column_file(enc: EncodedColumn, reference_mode: bool = False) -> bytes
     return enc.payload.tobytes() + footer + len(footer).to_bytes(8, "little")
 
 
+def _parse_footer_fields(buf: np.ndarray, pos: int):
+    """Shared footer parser (both modes, marker-detected): returns
+    (dtype, codec, meta, pages, is_v1). Reference-mode pages come back
+    with byte_length=-1 — only the caller holding the payload extent can
+    derive them (read_column_file does; trailer-only callers cannot)."""
+    r = _Reader(buf, pos)
+    first = int(buf[pos])
+    if first == _V1_MARKER:
+        r.pos += 1
+        version = int(buf[r.pos]); r.pos += 1
+        assert version == _V1_VERSION
+        dtype = _DTYPE_ORDER[int(buf[r.pos])]; r.pos += 1
+        codec = CODEC_IDS[int(buf[r.pos])]; r.pos += 1
+        meta = r.take(r.uvarint())
+        return dtype, codec, meta, _pages_from_reader(r, with_lengths=True), True
+    dtype = _REF_CATEGORY_FOR_CODE[first]
+    r.pos += 1
+    use_rle = bool(buf[r.pos]); r.pos += 1
+    codec = "rle" if use_rle else "plain"
+    return dtype, codec, b"", _pages_from_reader(r, with_lengths=False), False
+
+
 def read_column_file(data: bytes | np.ndarray) -> EncodedColumn:
     """Parse a column file (either mode; self-detecting via the marker byte).
 
@@ -238,24 +260,9 @@ def read_column_file(data: bytes | np.ndarray) -> EncodedColumn:
     buf = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray)) else data
     footer_size = int.from_bytes(buf[-8:].tobytes(), "little")
     footer_start = buf.size - 8 - footer_size
-    r = _Reader(buf, footer_start)
-    first = int(buf[footer_start])
-    if first == _V1_MARKER:
-        r.pos += 1
-        version = int(buf[r.pos]); r.pos += 1
-        assert version == _V1_VERSION
-        dtype = _DTYPE_ORDER[int(buf[r.pos])]; r.pos += 1
-        codec = CODEC_IDS[int(buf[r.pos])]; r.pos += 1
-        meta = r.take(r.uvarint())
-        pages = _pages_from_reader(r, with_lengths=True)
-    else:
-        dtype = _REF_CATEGORY_FOR_CODE[first]
-        r.pos += 1
-        use_rle = bool(buf[r.pos]); r.pos += 1
-        codec = "rle" if use_rle else "plain"
-        meta = b""
-        pages = _pages_from_reader(r, with_lengths=False)
-        # derive byte lengths from consecutive offsets
+    dtype, codec, meta, pages, is_v1 = _parse_footer_fields(buf, footer_start)
+    if not is_v1:
+        # derive byte lengths from consecutive offsets + the payload extent
         for i, p in enumerate(pages):
             end = pages[i + 1].file_offset if i + 1 < len(pages) else footer_start
             p.byte_length = end - p.file_offset
@@ -275,23 +282,15 @@ def read_footer_blob(trailer: bytes | np.ndarray) -> EncodedColumn:
     footer_size = int.from_bytes(buf[-8:].tobytes(), "little")
     if footer_size != buf.size - 8:
         raise ValueError("trailer does not contain exactly footer|size")
-    r = _Reader(buf, 0)
-    first = int(buf[0])
-    if first == _V1_MARKER:
-        r.pos += 1
-        version = int(buf[r.pos]); r.pos += 1
-        assert version == _V1_VERSION
-        dtype = _DTYPE_ORDER[int(buf[r.pos])]; r.pos += 1
-        codec = CODEC_IDS[int(buf[r.pos])]; r.pos += 1
-        meta = r.take(r.uvarint())
-        pages = _pages_from_reader(r, with_lengths=True)
-    else:
-        dtype = _REF_CATEGORY_FOR_CODE[first]
-        r.pos += 1
-        use_rle = bool(buf[r.pos]); r.pos += 1
-        codec = "rle" if use_rle else "plain"
-        meta = b""
-        pages = _pages_from_reader(r, with_lengths=False)
+    dtype, codec, meta, pages, is_v1 = _parse_footer_fields(buf, 0)
+    if not is_v1:
+        # a reference-mode footer records no page byte lengths and the
+        # payload extent is not available here, so per-page extents cannot
+        # be derived — selective page reads require the v1 footer (which
+        # is the only mode the framed writer emits)
+        raise ValueError(
+            "read_footer_blob requires a v1 footer; reference-mode "
+            "trailers carry no page byte lengths")
     n = sum(p.values_count for p in pages)
     return EncodedColumn(dtype=dtype, codec=codec, meta=meta, pages=pages,
                          payload=np.empty(0, dtype=np.uint8), n_values=n)

@@ -36,13 +36,20 @@ _BUCKET = "__rwcf_bucket"
 _SIDE = "__rwcf_side"
 
 
-def _hash_bucket(vals: np.ndarray, buckets: int) -> np.ndarray:
-    """Deterministic cross-process bucket ids for int or string keys."""
-    if vals.dtype.kind in ("i", "u"):
-        h = pd.util.hash_array(vals.astype(np.int64, copy=False))
-    else:
-        h = pd.util.hash_array(vals.astype(object))
-    return (h % buckets).astype(np.int32)
+def hash_bucket(*cols, buckets: int) -> np.ndarray:
+    """Deterministic (cross-process) bucket ids from one or more columns of
+    int or string keys — THE shared routing hash for every bucketed
+    shuffle in rwcf (joins, dedup, windows); keep a single implementation
+    so resume/determinism guarantees can't silently diverge."""
+    h = np.zeros(len(cols[0]), dtype=np.uint64)
+    for c in cols:
+        vals = np.asarray(c)
+        if vals.dtype.kind in ("i", "u"):
+            hv = pd.util.hash_array(vals.astype(np.int64, copy=False))
+        else:
+            hv = pd.util.hash_array(vals.astype(object))
+        h = h * np.uint64(1099511628211) + hv
+    return (h % np.uint64(buckets)).astype(np.int32)
 
 
 def _align(t: pa.Table, schema: pa.Schema) -> pa.Table:
@@ -57,11 +64,14 @@ def _align(t: pa.Table, schema: pa.Schema) -> pa.Table:
     return pa.Table.from_arrays(cols, schema=schema)
 
 
-def _arrow_schema(ds) -> pa.Schema:
+def _arrow_schema(ds) -> pa.Schema | None:
     """Arrow schema of a Dataset, tolerating pandas-block upstreams (e.g. a
     ``map_groups(batch_format="pandas")`` stage reports a PandasBlockSchema
-    whose types are numpy dtypes)."""
+    whose types are numpy dtypes). Returns None for a schema-less (fully
+    empty) Dataset — callers must handle that case explicitly."""
     s = ds.schema()
+    if s is None:
+        return None
     base = getattr(s, "base_schema", None)
     if isinstance(base, pa.Schema):
         return base
@@ -88,6 +98,16 @@ def hash_join(left, right, on: str, right_on: str | None = None,
     right_on = right_on or on
     lschema = _arrow_schema(left)
     rschema = _arrow_schema(right)
+    if lschema is None or rschema is None:
+        # a fully empty Dataset reports no schema at all, so the join's
+        # output columns cannot be constructed — make the caller decide
+        # (an inner join's RESULT would be empty anyway; callers with a
+        # known schema should early-return their own typed empty)
+        raise ValueError(
+            "hash_join requires both inputs to have a schema; got an empty "
+            "schema-less Dataset "
+            f"(left={'?' if lschema is None else 'ok'}, "
+            f"right={'?' if rschema is None else 'ok'})")
     lnames = list(lschema.names)
     rmap = {}  # right original -> output name
     for name in rschema.names:
@@ -108,7 +128,7 @@ def hash_join(left, right, on: str, right_on: str | None = None,
             kv = key.to_numpy(zero_copy_only=False)
             t = t.append_column(_JK, key.cast(key_type))
             t = t.append_column(_BUCKET,
-                                pa.array(_hash_bucket(kv, buckets)))
+                                pa.array(hash_bucket(kv, buckets=buckets)))
             t = t.append_column(_SIDE, pa.array(
                 np.full(t.num_rows, side, dtype=np.int8)))
             return _align(t, schema)

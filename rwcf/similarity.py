@@ -51,14 +51,17 @@ def cosine_topk(ds, query_ids: list[int], k: int = 10,
         qi, qmat = ray.get(ref)
         ids = t.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
         bm = _normalize(_batch_matrix(t, vec_col))
-        sims = qmat @ bm.T  # (Q, B)
+        # quantize BEFORE the per-batch cut: selecting on raw floats could
+        # drop the oracle's tie-break winner (lower vec_id at equal rounded
+        # sim) at the local top-k boundary before _rank_topk ever sees it
+        sims = np.round(qmat @ bm.T, 6)  # (Q, B)
         kk = min(k, ids.size)
         out_q, out_v, out_s = [], [], []
-        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
         for r in range(qi.size):
+            order = np.lexsort((ids, -sims[r]))[:kk]
             out_q.extend([qi[r]] * kk)
-            out_v.extend(ids[idx[r]])
-            out_s.extend(sims[r, idx[r]])
+            out_v.extend(ids[order])
+            out_s.extend(sims[r, order])
         return pa.table({"qid": pa.array(out_q), "vec_id": pa.array(out_v),
                          "sim": pa.array(np.asarray(out_s, dtype=np.float64))})
 
@@ -146,13 +149,15 @@ def cosine_topk_ivf(ds, query_ids: list[int], k: int = 10, n_clusters: int = 16,
             mask = np.isin(assign, pr[r])
             if not mask.any():
                 continue
-            sims = bm[mask] @ qmat[r]
+            # quantized + id-tie-broken BEFORE the local cut (see
+            # cosine_topk.local_topk)
+            sims = np.round(bm[mask] @ qmat[r], 6)
             sel_ids = ids[mask]
             kk = min(k, sel_ids.size)
-            idx = np.argpartition(-sims, kk - 1)[:kk]
+            order = np.lexsort((sel_ids, -sims))[:kk]
             out_q.extend([qi[r]] * kk)
-            out_v.extend(sel_ids[idx])
-            out_s.extend(sims[idx])
+            out_v.extend(sel_ids[order])
+            out_s.extend(sims[order])
         return pa.table({"qid": pa.array(out_q), "vec_id": pa.array(out_v),
                          "sim": pa.array(np.asarray(out_s, dtype=np.float64))})
 

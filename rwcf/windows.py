@@ -72,11 +72,10 @@ def session_windows(ds, gap_s: int = 1800, key: str = "user_id",
     vectorized boundary pass resolve every key's sessions at once."""
 
     def add_bucket(t: pa.Table) -> pa.Table:
+        from .joins import hash_bucket
         kv = t.column(key).combine_chunks().to_numpy(zero_copy_only=False)
-        h = pd.util.hash_array(kv.astype(np.int64, copy=False)
-                               if kv.dtype.kind in ("i", "u")
-                               else kv.astype(object))
-        return t.append_column("_b", pa.array((h % buckets).astype(np.int32)))
+        return t.append_column("_b",
+                               pa.array(hash_bucket(kv, buckets=buckets)))
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key, ts_col], kind="stable")

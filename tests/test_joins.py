@@ -153,3 +153,38 @@ def test_dedup_survivors_distributed_matches_driver(ray_session):
     want = dedup.dedup_survivors(pairs, ids).sort_values("doc_id") \
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_empty_pairs_pipelines(ray_session):
+    """A clean corpus (zero duplicate pairs) must flow through the
+    distributed verify / clustering / survivors paths, not crash on the
+    schema-less empty Dataset (round-2 review finding)."""
+    import ray.data as rd
+    empty_pairs = rd.from_pandas(pd.DataFrame(
+        {"a_id": pd.Series([], dtype="int64"),
+         "b_id": pd.Series([], dtype="int64")}))
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(5, dtype=np.int64),
+         "text": ["a", "b", "c", "d", "e"]}))
+    # a *materialized* empty dataset loses its schema entirely — the
+    # worst case the guards must handle
+    really_empty = empty_pairs.materialize()
+    v = dedup.verify_pairs_distributed(really_empty, docs,
+                                       mode="equality").to_pandas()
+    assert len(v) == 0
+    cl = dedup.cluster_pairs_ds(really_empty).to_pandas()
+    assert len(cl) == 0
+    surv = (dedup.dedup_survivors_ds(really_empty,
+                                     docs.select_columns(["doc_id"]))
+            .to_pandas().sort_values("doc_id"))
+    assert surv["doc_id"].tolist() == [0, 1, 2, 3, 4]
+
+
+def test_hash_join_rejects_schemaless_input(ray_session):
+    import ray.data as rd
+    empty = rd.from_pandas(pd.DataFrame({"k": pd.Series([], dtype="int64")})) \
+        .materialize()
+    other = rd.from_pandas(pd.DataFrame({"k": np.array([1], np.int64)}))
+    if empty.schema() is None:  # ray drops the schema of empty datasets
+        with pytest.raises(ValueError, match="schema-less"):
+            hash_join(empty, other, on="k")
