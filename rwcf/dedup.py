@@ -405,9 +405,9 @@ def verify_pairs_distributed(pairs_ds, docs_ds, threshold: float = 0.8,
     import ray
     import ray.data as rd
 
-    from .joins import hash_join
+    from .joins import _arrow_schema
 
-    pairs_ds = pairs_ds.materialize()  # tiny; read 3x (ids + two joins)
+    pairs_ds = pairs_ds.materialize()  # tiny; read twice (prune ids + join)
     if pairs_ds.count() == 0:
         # no candidates (clean corpus): a fully empty Dataset is
         # schema-less and cannot be joined — return the typed empty result
@@ -425,21 +425,106 @@ def verify_pairs_distributed(pairs_ds, docs_ds, threshold: float = 0.8,
                 zero_copy_only=False)
             return t.filter(pa.array(np.isin(ids, ray.get(ref))))
 
-        # materialize the pruned side: it is candidate-sized, and both
-        # joins consume it — without this the corpus scan + filter would
-        # re-execute once per join
         docs_ds = docs_ds.map_batches(filt, batch_format="pyarrow",
-                                      **rayenv.remote_args()).materialize()
+                                      **rayenv.remote_args())
 
-    j1 = hash_join(pairs_ds, docs_ds, on="a_id", right_on=id_col,
-                   buckets=buckets)
+    # single two-shuffle pipeline (round-2 rework of the chained two-join
+    # version, whose intermediate join had to execute 2-3x for schema +
+    # reuse and whose materialize barriers dominated the stage's wall):
+    #   1. explode each pair under BOTH member ids; union with the docs
+    #      side; one bucketed groupby attaches the member's payload;
+    #   2. regroup the attached halves by pair id; a vectorized in-group
+    #      pivot pairs them up; the verify filter runs as a plain map.
+    # The docs side is consumed exactly once, nothing re-executes, and the
+    # only barrier is the pairs materialize for the prune id set.
+    ptype = _arrow_schema(docs_ds).field(payload_col).type
+    u_schema = pa.schema([
+        ("key", pa.int64()), ("pid", pa.int64()), ("role", pa.int8()),
+        ("a_id", pa.int64()), ("b_id", pa.int64()), ("pay", ptype),
+        ("_b", pa.int32()),
+    ])
 
-    def keep_a(t: pa.Table) -> pa.Table:
-        return pa.table({"a_id": t.column("a_id"), "b_id": t.column("b_id"),
-                         "_a_pay": t.column(payload_col)})
+    def explode_pairs(t: pa.Table) -> pa.Table:
+        a = t.column("a_id").combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = t.column("b_id").combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # pair id: deterministic hash of (a, b) — unique among candidates
+        pid = (_bucket_of(a, buckets=1 << 31).astype(np.int64) << 32) \
+            ^ _bucket_of(b, buckets=1 << 31).astype(np.int64)
+        key = np.concatenate([a, b])
+        out = pa.table({
+            "key": pa.array(key),
+            "pid": pa.array(np.tile(pid, 2)),
+            "role": pa.array(np.repeat(np.array([0, 1], np.int8), a.size)),
+            "a_id": pa.array(np.tile(a, 2)),
+            "b_id": pa.array(np.tile(b, 2)),
+            "pay": pa.nulls(2 * a.size, ptype),
+            "_b": pa.array(_bucket_of(key, buckets=buckets)),
+        })
+        return out.cast(u_schema)
 
-    j1 = j1.map_batches(keep_a, batch_format="pyarrow", **rayenv.remote_args())
-    j2 = hash_join(j1, docs_ds, on="b_id", right_on=id_col, buckets=buckets)
+    def tag_docs(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).combine_chunks().cast(pa.int64())
+        kv = ids.to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        out = pa.table({
+            "key": ids,
+            "pid": pa.nulls(n, pa.int64()),
+            "role": pa.array(np.full(n, 2, np.int8)),
+            "a_id": pa.nulls(n, pa.int64()),
+            "b_id": pa.nulls(n, pa.int64()),
+            "pay": t.column(payload_col).combine_chunks().cast(ptype),
+            "_b": pa.array(_bucket_of(kv, buckets=buckets)),
+        })
+        return out.cast(u_schema)
+
+    def attach(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        role = g.column("role")
+        docs = g.filter(pc.equal(role, 2)).select(["key", "pay"]).to_pandas()
+        members = g.filter(pc.not_equal(role, 2)) \
+            .select(["key", "pid", "role", "a_id", "b_id"]).to_pandas()
+        m = members.merge(docs, on="key")
+        out = pa.Table.from_pandas(
+            m[["pid", "role", "a_id", "b_id", "pay"]],
+            schema=pa.schema([("pid", pa.int64()), ("role", pa.int8()),
+                              ("a_id", pa.int64()), ("b_id", pa.int64()),
+                              ("pay", ptype)]),
+            preserve_index=False)
+        pidv = out.column("pid").to_numpy(zero_copy_only=False)
+        return out.append_column(
+            "_b2", pa.array(_bucket_of(pidv, buckets=buckets)))
+
+    def pair_up(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        # merge on the EXACT pair identity (a_id, b_id) — the hashed pid
+        # was only the shuffle-routing key and may (rarely) collide
+        role = g.column("role")
+        a_half = g.filter(pc.equal(role, 0)) \
+            .select(["a_id", "b_id", "pay"]) \
+            .rename_columns(["a_id", "b_id", "_a_pay"]).to_pandas()
+        b_half = g.filter(pc.equal(role, 1)).select(["a_id", "b_id", "pay"]) \
+            .rename_columns(["a_id", "b_id", "_b_pay"]).to_pandas()
+        m = a_half.merge(b_half, on=["a_id", "b_id"])
+        return pa.Table.from_pandas(
+            m[["a_id", "b_id", "_a_pay", "_b_pay"]],
+            schema=pa.schema([("a_id", pa.int64()), ("b_id", pa.int64()),
+                              ("_a_pay", ptype), ("_b_pay", ptype)]),
+            preserve_index=False)
+
+    exploded = pairs_ds.map_batches(explode_pairs, batch_format="pyarrow",
+                                    **rayenv.remote_args())
+    docs_tagged = docs_ds.map_batches(tag_docs, batch_format="pyarrow",
+                                      **rayenv.remote_args())
+    j2 = (exploded.union(docs_tagged)
+          .repartition(buckets)
+          .groupby("_b")
+          .map_groups(attach, batch_format="pyarrow", **rayenv.remote_args())
+          .repartition(buckets)
+          .groupby("_b2")
+          .map_groups(pair_up, batch_format="pyarrow",
+                      **rayenv.remote_args()))
 
     def verify(t: pa.Table) -> pa.Table:
         a_ids = t.column("a_id").combine_chunks().to_numpy(zero_copy_only=False)
@@ -450,7 +535,7 @@ def verify_pairs_distributed(pairs_ds, docs_ds, threshold: float = 0.8,
         if t.num_rows == 0:
             return empty
         pa_pay = t.column("_a_pay").combine_chunks()
-        pb_pay = t.column(payload_col).combine_chunks()
+        pb_pay = t.column("_b_pay").combine_chunks()
         if mode == "cosine":
             ma = pa_pay.flatten().to_numpy(zero_copy_only=False) \
                 .reshape(t.num_rows, -1).astype(np.float64)
