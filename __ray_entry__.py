@@ -314,17 +314,16 @@ def _q_dedup_embedding(sf_dir: str):
 
 def _q_dedup_cluster_survivors(sf_dir: str):
     """Verified pairs -> DISTRIBUTED connected components (min-label
-    propagation over bucketed joins, round-2) -> keep-one-per-cluster over
-    the full id Dataset. With planted exact copies the survivor set is
-    exactly the original corpus."""
+    propagation over bucketed joins, round-2) -> keep-one-per-cluster via a
+    distributed anti-join of the id Dataset against cluster losers
+    (round-3: no driver-side loser broadcast, no corpus-sized collect —
+    the Dataset is returned as-is). With planted exact copies the survivor
+    set is exactly the original corpus."""
     from rwcf import dedup
     ds = _docs_with_planted_copies(sf_dir)
     cand = dedup.distinct_pairs(dedup.simhash_candidates_ds(ds))
     pairs = dedup.verify_pairs_distributed(cand, ds, mode="equality")
-    surv = dedup.dedup_survivors_ds(pairs, _docs_with_planted_copies(sf_dir))
-    df = surv.to_pandas().drop_duplicates()
-    return (df.astype({"doc_id": "int64"}).sort_values("doc_id")
-            .reset_index(drop=True))
+    return dedup.dedup_survivors_ds(pairs, _docs_with_planted_copies(sf_dir))
 
 
 def _q_join_docs_embeddings(sf_dir: str):

@@ -1,11 +1,21 @@
-"""Two-sided distributed joins for Ray Datasets.
+"""Distributed joins for Ray Datasets.
 
 Ray Data (2.49) has no general join operator; per the composition rule this
 one is built from what it does have: both sides are tagged and bucketed by a
 deterministic hash of their join key, unioned, shuffled ONCE with
 ``groupby("bucket")``, and merged vectorized (pandas) inside each group.
 Only the joined rows leave the group — neither input is ever collected to
-the driver.
+the driver (shuffle mode).
+
+Join modes (round 3): ``how`` in {"inner", "left", "semi", "anti"} — semi
+keeps left rows whose key appears on the right (no right columns), anti
+keeps those whose key does not; both tag the right side with its KEY ONLY,
+so no right payload ever shuffles. ``broadcast=True`` skips the shuffle
+entirely: the right side is collected once, ``ray.put`` once, and each left
+batch merges locally — the dimension-table lookup pattern (doc -> source
+metadata), correct for every ``how`` since all rows of a key are in every
+task's copy. The right side must fit in worker memory; this is the caller's
+assertion, as with every broadcast join.
 
 Partitioning assumptions (documented per the custom-operator rule):
 
@@ -87,14 +97,29 @@ def _arrow_schema(ds) -> pa.Schema | None:
     return pa.schema(fields)
 
 
-def hash_join(left, right, on: str, right_on: str | None = None,
-              buckets: int = 32, suffix: str = "_r"):
-    """Inner hash-join of two Ray Datasets on an equality key.
+def _from_pandas_nullable(df: pd.DataFrame, schema: pa.Schema) -> pa.Table:
+    """pandas -> Arrow honoring the target schema with NaN -> null (a left
+    join's unmatched right int columns arrive as float NaN in pandas;
+    ``Table.from_pandas(schema=...)`` would refuse the unsafe cast)."""
+    arrays = [pa.Array.from_pandas(df[f.name], type=f.type) for f in schema]
+    return pa.Table.from_arrays(arrays, schema=schema)
 
-    Output columns: all left columns, then right columns (the right key and
-    any name colliding with a left column gets ``suffix``). One
-    ``groupby(bucket)`` all-to-all moves each side exactly once.
+
+def hash_join(left, right, on: str, right_on: str | None = None,
+              buckets: int = 32, suffix: str = "_r", how: str = "inner",
+              broadcast: bool = False):
+    """Distributed hash-join of two Ray Datasets on an equality key.
+
+    ``how``: "inner" | "left" | "semi" | "anti". Inner/left output all left
+    columns then right columns (the right key and any colliding name gets
+    ``suffix``); semi/anti output left columns only and never shuffle right
+    payloads. ``broadcast=True`` ships the right side to every task via one
+    ``ray.put`` instead of shuffling — use when the right side is a small
+    dimension table. Shuffle mode moves each side at most once through one
+    ``groupby(bucket)`` all-to-all.
     """
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"unsupported how={how!r}")
     right_on = right_on or on
     lschema = _arrow_schema(left)
     rschema = _arrow_schema(right)
@@ -109,19 +134,35 @@ def hash_join(left, right, on: str, right_on: str | None = None,
             f"(left={'?' if lschema is None else 'ok'}, "
             f"right={'?' if rschema is None else 'ok'})")
     lnames = list(lschema.names)
+    key_only = how in ("semi", "anti")
+    rnames = [right_on] if key_only else list(rschema.names)
     rmap = {}  # right original -> output name
-    for name in rschema.names:
+    for name in rnames:
         rmap[name] = name + suffix if (name in lnames or name == _JK) else name
 
     key_type = lschema.field(on).type
+    out_l = lnames
+    out_r = [] if key_only else [rmap[n] for n in rnames]
+    out_schema = pa.schema(
+        [pa.field(n, lschema.field(n).type) for n in out_l]
+        + [pa.field(rmap[n], rschema.field(n).type) for n in rnames
+           if not key_only])
+
+    if broadcast:
+        return _broadcast_join(left, right, on, right_on, how, rmap,
+                               out_l, out_r, out_schema, key_type, key_only)
+
     fields = [pa.field(_JK, key_type), pa.field(_BUCKET, pa.int32()),
               pa.field(_SIDE, pa.int8())]
     fields += [pa.field(n, lschema.field(n).type) for n in lnames]
-    fields += [pa.field(rmap[n], rschema.field(n).type) for n in rschema.names]
+    fields += [pa.field(rmap[n], rschema.field(n).type) for n in rnames]
     schema = pa.schema(fields)
 
-    def tag(side: int, key_col: str, rename: dict | None):
+    def tag(side: int, key_col: str, rename: dict | None,
+            keep: list | None):
         def fn(t: pa.Table) -> pa.Table:
+            if keep is not None:
+                t = t.select(keep)
             if rename:
                 t = t.rename_columns([rename[n] for n in t.column_names])
             key = t.column(key_col).combine_chunks()
@@ -134,16 +175,11 @@ def hash_join(left, right, on: str, right_on: str | None = None,
             return _align(t, schema)
         return fn
 
-    lt = left.map_batches(tag(0, on, None), batch_format="pyarrow",
+    lt = left.map_batches(tag(0, on, None, None), batch_format="pyarrow",
                           **rayenv.remote_args())
-    rt = right.map_batches(tag(1, rmap[right_on], rmap), batch_format="pyarrow",
-                           **rayenv.remote_args())
-
-    out_l = lnames
-    out_r = [rmap[n] for n in rschema.names]
-    out_schema = pa.schema(
-        [pa.field(n, lschema.field(n).type) for n in out_l]
-        + [pa.field(rmap[n], rschema.field(n).type) for n in rschema.names])
+    rt = right.map_batches(
+        tag(1, rmap[right_on], rmap, [right_on] if key_only else None),
+        batch_format="pyarrow", **rayenv.remote_args())
 
     def merge(g: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -152,10 +188,15 @@ def hash_join(left, right, on: str, right_on: str | None = None,
         # (pandas turns a null-bearing int64 column into float64)
         side = g.column(_SIDE)
         l = g.filter(pc.equal(side, 0)).select([_JK] + out_l).to_pandas()
+        if key_only:
+            rkeys = g.filter(pc.equal(side, 1)).column(_JK) \
+                .to_pandas().unique()
+            m = l[l[_JK].isin(rkeys)] if how == "semi" \
+                else l[~l[_JK].isin(rkeys)]
+            return _from_pandas_nullable(m[out_l], out_schema)
         r = g.filter(pc.equal(side, 1)).select([_JK] + out_r).to_pandas()
-        m = l.merge(r, on=_JK)  # exact key equality; bucket was only routing
-        return pa.Table.from_pandas(m[out_l + out_r], schema=out_schema,
-                                    preserve_index=False)
+        m = l.merge(r, on=_JK, how=how)  # exact key equality; bucket routed
+        return _from_pandas_nullable(m[out_l + out_r], out_schema)
 
     # repartition to the bucket count BEFORE the groupby: Ray's sort-based
     # shuffle fans out to the number of INPUT blocks, so feeding it the
@@ -164,3 +205,36 @@ def hash_join(left, right, on: str, right_on: str | None = None,
     # of Sort for a 12k-row join before this cap)
     return lt.union(rt).repartition(buckets).groupby(_BUCKET).map_groups(
         merge, batch_format="pyarrow", **rayenv.remote_args())
+
+
+def _broadcast_join(left, right, on, right_on, how, rmap, out_l, out_r,
+                    out_schema, key_type, key_only):
+    """Small-side broadcast: collect + ``ray.put`` the right side once;
+    every left batch merges against the shared copy — no all-to-all. The
+    object-store ref is fetched once per worker process (plasma caches
+    locally), not per batch."""
+    import ray
+
+    if key_only:
+        keys = right.select_columns([right_on]).to_pandas()[right_on] \
+            .unique()
+        ref = ray.put(keys)
+
+        def fn(t: pa.Table) -> pa.Table:
+            l = t.to_pandas()
+            m = l[l[on].isin(ray.get(ref))] if how == "semi" \
+                else l[~l[on].isin(ray.get(ref))]
+            return _from_pandas_nullable(m[out_l], out_schema)
+    else:
+        rdf = right.to_pandas()
+        rdf = rdf.rename(columns=rmap)
+        ref = ray.put(rdf)
+
+        def fn(t: pa.Table) -> pa.Table:
+            l = t.to_pandas()
+            m = l.merge(ray.get(ref), left_on=on, right_on=rmap[right_on],
+                        how=how)
+            return _from_pandas_nullable(m[out_l + out_r], out_schema)
+
+    return left.map_batches(fn, batch_format="pyarrow",
+                            **rayenv.remote_args())

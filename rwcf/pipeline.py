@@ -97,6 +97,39 @@ def plan_fragments(input_paths: list[str] | str) -> list[dict]:
     return frags
 
 
+def read_parquet_rowgroups(input_paths, columns: list[str] | None = None,
+                           rowgroups_per_task: int = 1):
+    """Parallel parquet source at row-group granularity.
+
+    ``ray.data.read_parquet`` plans one read task per FILE; a dataset
+    stored as one big parquet file is then read by a single serial task
+    (measured: 14 s serial read dominating a 25 s dedup stage at sf0.1)
+    — ``SplitBlocks`` only parallelizes downstream consumers, not the
+    read itself. This source plans per row group (driver-side metadata
+    only, same :func:`plan_fragments` planner the encoder uses) and
+    reads each fragment inside its own Ray task, so a single-file input
+    parallelizes exactly like a directory of shards. At 100 TB the unit
+    of read parallelism must be the row group, not the file."""
+    import ray.data as rd
+    from . import rayenv
+    frags = plan_fragments(input_paths)
+    items = [{"path": f["path"], "row_group": f["row_group"]} for f in frags]
+    cols = columns
+
+    def read_frag(batch: pa.Table) -> pa.Table:
+        out = []
+        for path, rg in zip(batch.column("path").to_pylist(),
+                            batch.column("row_group").to_pylist()):
+            out.append(pq.ParquetFile(path).read_row_group(rg, columns=cols))
+        return pa.concat_tables(out)
+
+    n_blocks = max(1, len(items) // max(1, rowgroups_per_task))
+    return rd.from_items(items, override_num_blocks=n_blocks) \
+        .map_batches(read_frag, batch_format="pyarrow",
+                     batch_size=max(1, rowgroups_per_task),
+                     **rayenv.remote_args())
+
+
 # ---------------------------------------------------------------------------
 # column extraction / reassembly
 # ---------------------------------------------------------------------------
