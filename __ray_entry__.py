@@ -436,6 +436,18 @@ def _q_window_tumbling(sf_dir: str):
     return windows.tumbling_window_aggregate(ds, window_s=3600)
 
 
+def _q_window_sliding(sf_dir: str):
+    """Sliding-window aggregate (1 h width, 15 min hop): each event
+    explodes into its 4 member windows inside the batch, partials
+    aggregate per batch, and only (key, win_start, partials) rows reach
+    the global shuffle."""
+    import ray.data as rd
+    from rwcf import windows
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "value"])
+    return windows.sliding_window_aggregate(ds, window_s=3600, hop_s=900)
+
+
 def _q_window_sessions(sf_dir: str):
     """Session windows (gap 30 min) per user over events."""
     import ray.data as rd
@@ -509,6 +521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "codec_selection": _q_codec_selection,
         "filter_large_docs": _q_filter_large_docs,
         "window_tumbling": _q_window_tumbling,
+        "window_sliding": _q_window_sliding,
         "window_sessions": _q_window_sessions,
         "flagship_synthetic": _q_flagship_synthetic,
         # training-data pipeline operators
@@ -597,6 +610,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n, "
             "CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS v1000 "
             "FROM events GROUP BY user_id, win"),
+        # window_sliding: each event belongs to the windows starting at
+        # k*hop for k in [floor((e-w)/hop)+1, floor(e/hop)] — expanded in
+        # SQL with unnest(generate_series(...)), mirroring the engine's
+        # in-batch segmented-arange explosion:
+        "window_sliding": (
+            "WITH ex AS (SELECT user_id, value, "
+            "unnest(generate_series("
+            "(CAST(floor((CAST(floor(epoch(ts)) AS BIGINT) - 3600) / 900.0)"
+            " AS BIGINT) + 1) * 900, "
+            "CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 900.0) AS BIGINT)"
+            " * 900, 900)) AS win_start FROM events) "
+            "SELECT user_id, CAST(win_start AS BIGINT) AS win_start, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) "
+            "AS v1000 FROM ex GROUP BY user_id, win_start"),
         # window_sessions: session semantics (gap-based) are expressible in
         # SQL via window functions:
         "window_sessions": (

@@ -18,8 +18,12 @@ any pair is emitted):
 
 Verification is DISTRIBUTED (round 2): ``verify_pairs_distributed`` joins
 each candidate pair's payloads via two bucketed hash-joins
-(rwcf.joins.hash_join) and filters vectorized — candidates and corpora
-never collect on the driver. Clustering has a distributed min-label
+(rwcf.joins.hash_join) and filters vectorized — corpora never collect on
+the driver. One documented exception: its default ``prune=True`` path
+collects the candidate PAIR ID list (ids only, output-sized — never
+payloads) to broadcast the docs-side filter; at a scale where even that
+id list outgrows the driver, pass ``prune=False`` (joins stay correct,
+the docs side just shuffles unpruned). Clustering has a distributed min-label
 propagation path (``cluster_pairs_ds`` / ``dedup_survivors_ds``) next to
 the small-N driver union-find.
 
@@ -136,17 +140,31 @@ def _exact_doc_shingle_sets(texts: list[str]) -> list[np.ndarray]:
     return out
 
 
-def jaccard(a: np.ndarray, b: np.ndarray) -> float:
-    """Shingle-set Jaccard. Empty-vs-anything is 0.0: two sub-shingle-length
+def _jaccard_sets(a: np.ndarray, b: np.ndarray) -> float:
+    """Shingle-set Jaccard (INTERNAL — underscored so callers cannot miss
+    the contract below). Empty-vs-anything is 0.0: two sub-shingle-length
     texts share no evidence of similarity, so they must not be emitted as
     verified duplicates. CONTRACT: callers must short-circuit exact byte
-    equality FIRST (every verify path in this module does) — an empty
-    shingle set cannot distinguish identical short texts from different
-    short texts, so this function alone cannot return 1.0 for them."""
+    equality FIRST (every verify path in this module does, and the public
+    ``jaccard_texts`` wraps both steps) — an empty shingle set cannot
+    distinguish identical short texts from different short texts, so this
+    function alone cannot return 1.0 for them."""
     if a.size == 0 or b.size == 0:
         return 0.0
     inter = np.intersect1d(a, b, assume_unique=True).size
     return inter / (a.size + b.size - inter)
+
+
+def jaccard_texts(a: str, b: str) -> float:
+    """Public pairwise text Jaccard: exact byte equality short-circuits to
+    1.0 (identical texts are duplicates even below the shingle length),
+    otherwise exact char-``SHINGLE_LEN``-gram set Jaccard. This is the
+    semantics every verify path in this module applies pairwise."""
+    if a == b:
+        return 1.0
+    return _jaccard_sets(*(np.unique(textops.window_hashes(
+        np.frombuffer(s.encode(), dtype=np.uint8), SHINGLE_LEN))
+        for s in (a, b)))
 
 
 def _segmented_unique_shingles(payload: np.ndarray, lengths: np.ndarray,
@@ -351,7 +369,7 @@ def verify_pairs_jaccard(texts_by_id: dict, pairs: pd.DataFrame,
         if str(texts_by_id[a]) == str(texts_by_id[b]):
             j = 1.0
         else:
-            j = jaccard(shingles(a), shingles(b))
+            j = _jaccard_sets(shingles(a), shingles(b))
         if j >= threshold:
             keep_a.append(int(a))
             keep_b.append(int(b))
@@ -633,13 +651,18 @@ def verify_pairs_distributed(pairs_ds, docs_ds, threshold: float = 0.8,
     def pair_up(g: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         # merge on the EXACT pair identity (a_id, b_id) — the hashed pid
-        # was only the shuffle-routing key and may (rarely) collide
+        # was only the shuffle-routing key and may (rarely) collide.
+        # drop_duplicates makes the operator safe for callers that emit the
+        # same candidate pair k times (k copies would otherwise become k^2
+        # merged rows); the payload is identical across copies by key.
         role = g.column("role")
         a_half = g.filter(pc.equal(role, 0)) \
             .select(["a_id", "b_id", "pay"]) \
-            .rename_columns(["a_id", "b_id", "_a_pay"]).to_pandas()
+            .rename_columns(["a_id", "b_id", "_a_pay"]).to_pandas() \
+            .drop_duplicates(["a_id", "b_id"])
         b_half = g.filter(pc.equal(role, 1)).select(["a_id", "b_id", "pay"]) \
-            .rename_columns(["a_id", "b_id", "_b_pay"]).to_pandas()
+            .rename_columns(["a_id", "b_id", "_b_pay"]).to_pandas() \
+            .drop_duplicates(["a_id", "b_id"])
         m = a_half.merge(b_half, on=["a_id", "b_id"])
         return pa.Table.from_pandas(
             m[["a_id", "b_id", "_a_pay", "_b_pay"]],
@@ -720,8 +743,8 @@ def verify_pairs_distributed(pairs_ds, docs_ds, threshold: float = 0.8,
                     return cache[s]
 
                 for i in np.flatnonzero(~eq):
-                    sims[i] = jaccard(sh(pa_pay[i].as_py()),
-                                      sh(pb_pay[i].as_py()))
+                    sims[i] = _jaccard_sets(sh(pa_pay[i].as_py()),
+                                            sh(pb_pay[i].as_py()))
         keep = sims >= (threshold if mode != "equality" else 1.0)
         return pa.table({"a_id": pa.array(a_ids[keep].astype(np.int64)),
                          "b_id": pa.array(b_ids[keep].astype(np.int64)),
@@ -1233,6 +1256,7 @@ def cluster_pairs_ds(pairs_ds, max_rounds: int = 30, buckets: int = 32):
         # node -> its current label, viewed as an edge (for pointer jumping)
         return pa.table({"v": t.column("node"), "u": t.column("label")})
 
+    converged = False
     for _ in range(max_rounds):
         j = hash_join(edges, labels, on="u", right_on="node", buckets=buckets)
         prop = j.map_batches(proposals, batch_format="pyarrow",
@@ -1251,8 +1275,16 @@ def cluster_pairs_ds(pairs_ds, max_rounds: int = 30, buckets: int = 32):
                   .repartition(max(2, buckets // 4))).materialize()
         cur = labels.aggregate(Sum("label", alias_name="s"))["s"]
         if cur == prev_sum:
+            converged = True
             break
         prev_sum = cur
+    if not converged:
+        # unconverged labels silently split components — fail loudly
+        # instead (practically unreachable: pointer jumping converges in
+        # O(log n) rounds, so 30 covers any graph under ~2^30 nodes)
+        raise RuntimeError(
+            f"cluster_pairs_ds: label propagation did not reach the "
+            f"fixpoint within max_rounds={max_rounds}; raise max_rounds")
 
     def rename(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t.column("node"),

@@ -4,9 +4,11 @@ Ray Data has no event-time windowing; per the composition rule these are
 built from what it does have: tumbling windows are a pure per-batch
 projection (window id = ts // size) followed by a partial-then-final
 aggregation (the only shuffle carries (key, window, partials) rows, never
-events); sliding/session windows sort each key's group once inside
-``map_groups``. Ordering assumption: windows are keyed, so no global order
-is required — each group sorts its own events.
+events); sliding (hopping) windows explode each event into its ~width/hop
+member windows inside the batch and reuse the same partial-then-final
+shape; session windows sort each key's group once inside ``map_groups``.
+Ordering assumption: windows are keyed, so no global order is required —
+each group sorts its own events.
 """
 
 from __future__ import annotations
@@ -25,9 +27,13 @@ def _epoch_seconds_floor(ts: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """Epoch seconds with explicit FLOOR semantics (matching SQL
     floor(epoch(ts))): read the int64 ticks at the column's native unit and
     floor-divide. A cast to timestamp[s] would truncate toward zero, which
-    differs by one for pre-1970 timestamps with sub-second precision."""
-    unit = ts.type.unit
+    differs by one for pre-1970 timestamps with sub-second precision.
+    Plain integer columns are accepted as epoch seconds (unit factor 1) —
+    a pre-round-3 regression raised AttributeError on them."""
+    unit = getattr(ts.type, "unit", None)
     ticks = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
+    if unit is None:
+        return ticks
     return ticks // np.int64(_UNIT_FACTOR[unit])  # numpy //: floor toward -inf
 
 
@@ -59,6 +65,55 @@ def tumbling_window_aggregate(ds, window_s: int = 3600,
     return (ds.map_batches(partial, batch_format="pyarrow",
                            **rayenv.remote_args())
             .groupby([key, "win"])
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("v1000", alias_name="v1000")))
+
+
+def sliding_window_aggregate(ds, window_s: int = 3600, hop_s: int = 900,
+                             key: str = "user_id", ts_col: str = "ts",
+                             val_col: str = "value"):
+    """Sliding (hopping) windows of width ``window_s`` advancing by
+    ``hop_s``: per (key, window start) count + exact integer-scaled sum.
+    Each event explodes into its ~window/hop member windows INSIDE the
+    batch (vectorized segmented arange), is pre-aggregated per batch, and
+    only (key, win_start, partials) rows reach the one global shuffle —
+    same partial-then-final shape as tumbling, with the replication factor
+    paid before aggregation so the exchange stays event-count-independent.
+    Window membership: starts k*hop with k in [floor((e-w)/hop)+1,
+    floor(e/hop)] for integer epoch second e (floor toward -inf, matching
+    the SQL oracle's generate_series expansion)."""
+    if hop_s <= 0 or window_s <= 0:
+        raise ValueError("window_s and hop_s must be positive")
+
+    def partial(t: pa.Table) -> pa.Table:
+        epoch = _epoch_seconds_floor(t.column(ts_col).combine_chunks())
+        k_hi = epoch // np.int64(hop_s)
+        k_lo = (epoch - np.int64(window_s)) // np.int64(hop_s) + 1
+        cnt = (k_hi - k_lo + 1).astype(np.int64)
+        tot = int(cnt.sum())
+        out_starts = np.cumsum(cnt) - cnt
+        pos = np.arange(tot, dtype=np.int64) - np.repeat(out_starts, cnt)
+        win = (np.repeat(k_lo, cnt) + pos) * np.int64(hop_s)
+        vals = t.column(val_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        scaled = np.floor(vals * 1000).astype(np.int64)
+        kv = t.column(key).combine_chunks()
+        g = pa.table({
+            key: kv.take(pa.array(np.repeat(np.arange(t.num_rows), cnt))),
+            "win_start": pa.array(win),
+            "n": pa.array(np.ones(tot, dtype=np.int64)),
+            "v1000": pa.array(np.repeat(scaled, cnt)),
+        }).group_by([key, "win_start"]).aggregate([("n", "sum"),
+                                                   ("v1000", "sum")])
+        return pa.table({key: g.column(key),
+                         "win_start": g.column("win_start"),
+                         "n": g.column("n_sum"),
+                         "v1000": g.column("v1000_sum")})
+
+    from ray.data.aggregate import Sum
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .groupby([key, "win_start"])
             .aggregate(Sum("n", alias_name="n"),
                        Sum("v1000", alias_name="v1000")))
 

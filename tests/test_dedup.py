@@ -51,7 +51,7 @@ def test_minhash_signature_estimates_jaccard():
         est = (sig[pos[a]] == sig[pos[b]]).mean()
         sa = dedup._exact_doc_shingle_sets([df.loc[a, "text"]])[0]
         sb = dedup._exact_doc_shingle_sets([df.loc[b, "text"]])[0]
-        true = dedup.jaccard(sa, sb)
+        true = dedup._jaccard_sets(sa, sb)
         assert abs(est - true) < 0.25  # 64 perms -> coarse but unbiased
 
 
@@ -176,3 +176,45 @@ def test_jaccard_empty_shingles_not_dup():
     out = dedup.verify_pairs_jaccard(texts, pairs, threshold=0.8)
     assert out["a_id"].tolist() == [1] and out["b_id"].tolist() == [3]
     assert out["jaccard"].tolist() == [1.0]
+
+
+def test_jaccard_texts_public_semantics():
+    """Public jaccard_texts: identical texts are 1.0 at ANY length
+    (including below the shingle length); different short texts are 0.0
+    (ADVICE round 2: the set-level function alone could not express this)."""
+    assert dedup.jaccard_texts("ab", "ab") == 1.0
+    assert dedup.jaccard_texts("ab", "cd") == 0.0
+    assert dedup.jaccard_texts("", "") == 1.0
+    long_a = "the quick brown fox jumps over the lazy dog " * 4
+    assert dedup.jaccard_texts(long_a, long_a) == 1.0
+    assert 0.0 < dedup.jaccard_texts(long_a, long_a + "tail words") < 1.0
+
+
+def test_verify_pairs_distributed_duplicate_candidates(ray_session):
+    """k copies of a candidate pair must verify to ONE output row, not k^2
+    (ADVICE round 2: pair_up's half-merge was quadratic in copies)."""
+    import ray.data as rd
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["same text body here", "same text body here"]),
+    }))
+    pairs = rd.from_arrow(pa.table({
+        "a_id": pa.array([1, 1, 1], pa.int64()),
+        "b_id": pa.array([2, 2, 2], pa.int64()),
+    }))
+    out = dedup.verify_pairs_distributed(pairs, docs, threshold=0.8,
+                                         mode="jaccard").to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["sim"] == 1.0
+
+
+def test_cluster_pairs_raises_on_round_cap():
+    """Exiting by round cap instead of fixpoint must raise, not silently
+    return split components (ADVICE round 2)."""
+    import ray.data as rd
+    pairs = rd.from_arrow(pa.table({
+        "a_id": pa.array([1, 2, 3], pa.int64()),
+        "b_id": pa.array([2, 3, 4], pa.int64()),
+    }))
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        dedup.cluster_pairs_ds(pairs, max_rounds=0)

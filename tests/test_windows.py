@@ -78,3 +78,50 @@ def test_session_pre1970_floor(ray_session):
     assert len(out) == 1
     assert out["session_start"].iloc[0] == -2
     assert out["n_events"].iloc[0] == 2
+
+
+def test_sliding_window(ray_session, events_table):
+    """Sliding (hopping) windows vs a pandas expansion oracle: every event
+    contributes to each window [k*hop, k*hop + width) containing it."""
+    import ray.data as rd
+    ds = rd.from_arrow(events_table).repartition(4)
+    out = windows.sliding_window_aggregate(
+        ds, window_s=3600, hop_s=900).to_pandas()
+    df = events_table.to_pandas()
+    e = df["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+    v1000 = np.floor(df["value"].to_numpy() * 1000).astype(np.int64)
+    rows = []
+    for ei, ui, vi in zip(e, df["user_id"].to_numpy(), v1000):
+        k_lo = (ei - 3600) // 900 + 1
+        k_hi = ei // 900
+        for k in range(k_lo, k_hi + 1):
+            rows.append((ui, k * 900, vi))
+    exp = (pd.DataFrame(rows, columns=["user_id", "win_start", "v1000"])
+           .groupby(["user_id", "win_start"])
+           .agg(n=("v1000", "size"), v1000=("v1000", "sum")).reset_index())
+    a = out.sort_values(["user_id", "win_start"]).reset_index(drop=True)
+    b = exp.sort_values(["user_id", "win_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a[["user_id", "win_start", "n", "v1000"]],
+        b[["user_id", "win_start", "n", "v1000"]], check_dtype=False)
+    # replication factor: width/hop = 4 member windows per event
+    assert out["n"].sum() == 4 * events_table.num_rows
+
+
+def test_windows_accept_plain_int64_epoch_seconds(ray_session):
+    """A plain int64 epoch-seconds ts column must work (ADVICE round 2:
+    _epoch_seconds_floor dereferenced .unit and raised AttributeError)."""
+    import ray.data as rd
+    t = pa.table({
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+        "ts": pa.array([100, 4000, 100], pa.int64()),
+        "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+    })
+    out = windows.tumbling_window_aggregate(
+        rd.from_arrow(t), window_s=3600).to_pandas()
+    got = out.sort_values(["user_id", "win"]).reset_index(drop=True)
+    assert got["win"].tolist() == [0, 1, 0]
+    assert got["n"].tolist() == [1, 1, 1]
+    s = windows.sliding_window_aggregate(
+        rd.from_arrow(t), window_s=3600, hop_s=1800).to_pandas()
+    assert s["n"].sum() == 2 * t.num_rows
