@@ -159,12 +159,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             path, columns=["doc_id", "tokens"], rowgroups_per_task=2) \
             .map_batches(plant, batch_format="pyarrow", **rayenv.remote_args())
         t0 = time.perf_counter()
-        # one-shuffle exact dedup: the signature kernel is cache-resident /
-        # ALU-bound since round 3 (dedup._MINHASH_TILE) and the token
-        # payload rides a single bucketed exchange — measured faster and
-        # better-scaling than the candidate/two-read design at this scale
-        # (both stay available; see token_dedup_onepass_ds docstring)
-        pairs = dedup.token_dedup_onepass_ds(tok_ds).to_pandas()
+        # payload-light two-phase exact dedup: phase 1 shuffles ONLY
+        # (doc_id, sig) 2-int rows to find signature-collision groups,
+        # phase 2 re-reads just the collision members and verifies
+        # byte-exact. The onepass variant ships the full token payload
+        # through one sort exchange — measured 40-74 s vs twophase's
+        # 29-36 s at sf0.3/8cpus, and the payload all-to-all is the part
+        # that cannot scale on shared DRAM (BENCH/BASELINE.md); keeping
+        # payloads out of every exchange is also the 100-TB design.
+        pairs = dedup.token_dedup_twophase_ds(tok_ds).to_pandas()
         queries["dedup"] = round(time.perf_counter() - t0, 3)
         found = set(zip(pairs["a_id"].astype(int), pairs["b_id"].astype(int)))
         planted = {(i, i + 10_000_000) for i in range(0, n_rows, 50)}

@@ -255,16 +255,18 @@ def dedup_exact(ds, text_col: str = "text"):
         b = _bucket_of(fp.column("fingerprint").to_numpy(), buckets=buckets)
         return t.append_column("_b", pa.array(b))
 
-    def first_per_content(g: pd.DataFrame) -> pd.DataFrame:
-        out = (g.sort_values("doc_id").groupby(text_col, as_index=False)
-               .first())
-        return out[["doc_id", text_col]]
+    def first_per_content(g: pa.Table) -> pa.Table:
+        # Arrow-native hash aggregation (no per-group pandas conversion):
+        # min doc_id per distinct content IS the survivor row
+        agg = g.group_by(text_col).aggregate([("doc_id", "min")])
+        return pa.table({"doc_id": agg.column("doc_id_min"),
+                         text_col: agg.column(text_col)})
 
     return (ds.map_batches(add_bucket, batch_format="pyarrow",
                            **rayenv.remote_args())
             .repartition(buckets)
             .groupby("_b")
-            .map_groups(first_per_content, batch_format="pandas",
+            .map_groups(first_per_content, batch_format="pyarrow",
                         **rayenv.remote_args()))
 
 
@@ -299,11 +301,14 @@ def _banded_pairs_ds(rows_ds, buckets: int | None = None):
                        t.column("key").to_numpy(), buckets=buckets)
         return t.append_column("_b", pa.array(b))
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["band", "key", "doc_id"], kind="stable")
-        band = g["band"].to_numpy()
-        key = g["key"].to_numpy()
-        ids = g["doc_id"].to_numpy()
+    def pairs_in_bucket(g: pa.Table) -> pa.Table:
+        band = g.column("band").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        key = g.column("key").combine_chunks().to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((ids, key, band))
+        band, key, ids = band[order], key[order], ids[order]
         starts, counts = _subgroups([band, key])
         out_a, out_b = [], []
         for s, m in zip(starts, counts):
@@ -312,16 +317,17 @@ def _banded_pairs_ds(rows_ds, buckets: int | None = None):
             out_a.append(sub[ai])
             out_b.append(sub[bi])
         if not out_a:
-            return pd.DataFrame({"a_id": pd.Series([], dtype="int64"),
-                                 "b_id": pd.Series([], dtype="int64")})
-        return pd.DataFrame({"a_id": np.concatenate(out_a).astype(np.int64),
-                             "b_id": np.concatenate(out_b).astype(np.int64)})
+            return pa.table({"a_id": pa.array([], pa.int64()),
+                             "b_id": pa.array([], pa.int64())})
+        return pa.table({
+            "a_id": pa.array(np.concatenate(out_a).astype(np.int64)),
+            "b_id": pa.array(np.concatenate(out_b).astype(np.int64))})
 
     return (rows_ds.map_batches(add_bucket, batch_format="pyarrow",
                                 **rayenv.remote_args())
             .repartition(buckets)
             .groupby("_b")
-            .map_groups(pairs_in_bucket, batch_format="pandas",
+            .map_groups(pairs_in_bucket, batch_format="pyarrow",
                         **rayenv.remote_args()))
 
 
@@ -518,15 +524,16 @@ def distinct_pairs(pairs_ds, buckets: int | None = None):
                        t.column("b_id").to_numpy(), buckets=buckets)
         return t.append_column("_b", pa.array(b))
 
-    def dedupe(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(subset=["a_id", "b_id"]) \
-            .drop(columns=["_b"])
+    def dedupe(g: pa.Table) -> pa.Table:
+        # Arrow-native distinct: hash group_by with no aggregates
+        return (g.select(["a_id", "b_id"])
+                .group_by(["a_id", "b_id"]).aggregate([]))
 
     return (pairs_ds.map_batches(add_bucket, batch_format="pyarrow",
                                  **rayenv.remote_args())
             .repartition(buckets)
             .groupby("_b")
-            .map_groups(dedupe, batch_format="pandas",
+            .map_groups(dedupe, batch_format="pyarrow",
                         **rayenv.remote_args()))
 
 
@@ -1121,15 +1128,20 @@ def simhash_candidates_ds(ds, text_col: str = "text"):
                        t.column("key").to_numpy(), buckets=buckets)
         return t.append_column("_b", pa.array(b))
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"a_id": pd.Series([], dtype="int64"),
-                              "b_id": pd.Series([], dtype="int64"),
-                              "hamming": pd.Series([], dtype="int64")})
-        g = g.sort_values(["band", "key", "doc_id"], kind="stable")
-        band = g["band"].to_numpy()
-        key = g["key"].to_numpy()
-        ids = g["doc_id"].to_numpy()
-        sigs = g["sig"].to_numpy().astype(np.int64).view(np.uint64)
+    def pairs_in_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table({"a_id": pa.array([], pa.int64()),
+                          "b_id": pa.array([], pa.int64()),
+                          "hamming": pa.array([], pa.int64())})
+        band = g.column("band").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        key = g.column("key").combine_chunks().to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        sigs = g.column("sig").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64).view(np.uint64)
+        order = np.lexsort((ids, key, band))
+        band, key, ids, sigs = (band[order], key[order], ids[order],
+                                sigs[order])
         starts, counts = _subgroups([band, key])
         out = []
         for s, m in zip(starts, counts):
@@ -1141,10 +1153,13 @@ def simhash_candidates_ds(ds, text_col: str = "text"):
                 out.append((sub[ai][keep], sub[bi][keep], ham[keep]))
         if not out:
             return empty
-        return pd.DataFrame({
-            "a_id": np.concatenate([o[0] for o in out]).astype(np.int64),
-            "b_id": np.concatenate([o[1] for o in out]).astype(np.int64),
-            "hamming": np.concatenate([o[2] for o in out]).astype(np.int64)})
+        return pa.table({
+            "a_id": pa.array(np.concatenate([o[0] for o in out])
+                             .astype(np.int64)),
+            "b_id": pa.array(np.concatenate([o[1] for o in out])
+                             .astype(np.int64)),
+            "hamming": pa.array(np.concatenate([o[2] for o in out])
+                                .astype(np.int64))})
 
     return (ds.map_batches(band_rows, batch_format="pyarrow",
                            **rayenv.remote_args())
@@ -1152,7 +1167,7 @@ def simhash_candidates_ds(ds, text_col: str = "text"):
                          **rayenv.remote_args())
             .repartition(buckets)
             .groupby("_b")
-            .map_groups(pairs_in_bucket, batch_format="pandas",
+            .map_groups(pairs_in_bucket, batch_format="pyarrow",
                         **rayenv.remote_args()))
 
 

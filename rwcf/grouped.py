@@ -128,31 +128,32 @@ def verify_grouped_job(out_dir: str, input_paths):
         .map_batches(tag_and_bucket("dec"), batch_format="pyarrow",
                      **rayenv.remote_args())
 
-    def compare(g: pd.DataFrame) -> pd.DataFrame:
-        a = g[g["side"] == "src"].sort_values("doc_id",
-                                              kind="stable").reset_index(drop=True)
-        b = g[g["side"] == "dec"].sort_values("doc_id",
-                                              kind="stable").reset_index(drop=True)
-        n = max(len(a), len(b))  # phantom/extra rows on either side count
-        if len(a) != len(b) or a["doc_id"].tolist() != b["doc_id"].tolist():
-            eq = 0
-        else:
-            fa = np.concatenate([np.asarray(x) for x in a["tokens"]]) if n else \
-                np.empty(0)
-            fb = np.concatenate([np.asarray(x) for x in b["tokens"]]) if n else \
-                np.empty(0)
-            ok = (a["source"].tolist() == b["source"].tolist()
-                  and a["n_tok"].tolist() == b["n_tok"].tolist()
-                  and fa.size == fb.size and bool(np.array_equal(fa, fb)))
-            eq = n if ok else 0
-        return pd.DataFrame({"bucket": [g["bucket"].iloc[0] if len(g) else -1],
-                             "n_rows": [n], "n_equal": [eq]})
+    cols = list(pipeline.TOKEN_COLUMNS)
+
+    def compare(g: pa.Table) -> pa.Table:
+        # Arrow-native: sort each side by doc_id and compare the sub-tables
+        # with Table.equals — logical (chunk-layout-independent) deep value
+        # equality, including the list<int32> tokens column, all in C++
+        import pyarrow.compute as pc
+        side = g.column("side")
+        a = g.filter(pc.equal(side, "src"))
+        b = g.filter(pc.equal(side, "dec"))
+        a = a.take(pc.sort_indices(a, sort_keys=[("doc_id", "ascending")]))
+        b = b.take(pc.sort_indices(b, sort_keys=[("doc_id", "ascending")]))
+        n = max(a.num_rows, b.num_rows)  # phantom/extra rows count
+        ok = (a.num_rows == b.num_rows
+              and a.select(cols).combine_chunks()
+              .equals(b.select(cols).combine_chunks()))
+        bucket = g.column("bucket")[0].as_py() if g.num_rows else -1
+        return pa.table({"bucket": pa.array([bucket], pa.int32()),
+                         "n_rows": pa.array([n], pa.int64()),
+                         "n_equal": pa.array([n if ok else 0], pa.int64())})
 
     # align physical blocks with the bucket count before the groupby: the
     # sort shuffle fans out to the INPUT block count, so hundreds of tiny
     # upstream blocks would spawn hundreds of mostly-empty reduce tasks
     return src.union(dec).repartition(buckets).groupby("bucket").map_groups(
-        compare, batch_format="pandas", **rayenv.remote_args())
+        compare, batch_format="pyarrow", **rayenv.remote_args())
 
 
 def per_source_manifest_stats(out_dir: str) -> pd.DataFrame:

@@ -132,31 +132,32 @@ def session_windows(ds, gap_s: int = 1800, key: str = "user_id",
         return t.append_column("_b",
                                pa.array(hash_bucket(kv, buckets=buckets)))
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key, ts_col], kind="stable")
-        # unit-safe epoch seconds (parquet timestamps may be us- or
-        # ns-backed depending on the pandas/arrow bridge); floor-divide the
-        # native-unit ticks — datetime64 unit casts truncate toward zero,
-        # off by one for pre-1970 sub-second timestamps
-        raw = g[ts_col].to_numpy()
-        unit = np.datetime_data(raw.dtype)[0]
-        ts = raw.view(np.int64) // np.int64(_UNIT_FACTOR[unit])
-        if not len(ts):
-            return pd.DataFrame({key: [], "session_start": [], "n_events": []})
-        kv = g[key].to_numpy()
-        new_key = np.concatenate(([True], kv[1:] != kv[:-1]))
+    def sessions(g: pa.Table) -> pa.Table:
+        # Arrow-native: one sort by (key, ts), unit-safe floor to epoch
+        # seconds, then a single vectorized boundary pass — session rows
+        # fall out of the boundary indices directly (start = first ts of
+        # the run, count = run length), no per-session aggregation needed
+        import pyarrow.compute as pc
+        g = g.take(pc.sort_indices(g, sort_keys=[(key, "ascending"),
+                                                 (ts_col, "ascending")]))
+        ts = _epoch_seconds_floor(g.column(ts_col).combine_chunks())
+        if not ts.size:
+            return pa.table({key: pa.array([], g.schema.field(key).type),
+                             "session_start": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64())})
+        kv = g.column(key).combine_chunks()
+        kn = kv.to_numpy(zero_copy_only=False)
+        new_key = np.concatenate(([True], kn[1:] != kn[:-1]))
         new_session = new_key | np.concatenate(([True], np.diff(ts) > gap_s))
-        sid = np.cumsum(new_session) - 1
-        out = (pd.DataFrame({key: kv, "sid": sid, "ts_s": ts})
-               .groupby("sid")
-               .agg(**{key: (key, "first"), "session_start": ("ts_s", "min"),
-                       "n_events": ("ts_s", "size")})
-               .reset_index(drop=True))
-        return out
+        bnd = np.flatnonzero(new_session)
+        n_events = np.diff(np.append(bnd, ts.size))
+        return pa.table({key: kv.take(pa.array(bnd)),
+                         "session_start": pa.array(ts[bnd]),
+                         "n_events": pa.array(n_events.astype(np.int64))})
 
     return (ds.map_batches(add_bucket, batch_format="pyarrow",
                            **rayenv.remote_args())
             .repartition(buckets)
             .groupby("_b")
-            .map_groups(sessions, batch_format="pandas",
+            .map_groups(sessions, batch_format="pyarrow",
                         **rayenv.remote_args()))
