@@ -270,9 +270,27 @@ def _q_dedup_tokens(sf_dir: str):
     distinct (pinned by dedup_exact), and the exact verify rejects
     near-dup candidates."""
     from rwcf import dedup, documents, rayenv
-    ds = _docs_with_planted_copies(sf_dir,
-                                   columns=("doc_id", "text", "source"))
-    tok = ds.map_batches(documents.tokenize_batch, batch_format="pyarrow",
+    import ray.data as rd
+    # reuse the shared run's tokenized parquet (written once per process
+    # by _encoded_run) instead of re-tokenizing the corpus per query run;
+    # copies are planted at the token level — tokenization is
+    # deterministic per text, so the ground truth is identical
+    _encoded_run(sf_dir)
+    work = _workdir("encode", sf_dir, fresh=False)
+    tok_files = documents.parquet_files(os.path.join(work, "tokens_in"))
+    ds = rd.read_parquet(tok_files, columns=["doc_id", "tokens"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column("doc_id"), pa.int64()).combine_chunks()
+        base = pa.table({"doc_id": ids, "tokens": t.column("tokens")})
+        mask = pa.array(ids.to_numpy(zero_copy_only=False) % 10 == 0)
+        copies = base.filter(mask)
+        copies = copies.set_column(0, "doc_id",
+                                   pc.add(copies.column("doc_id"),
+                                          1_000_000))
+        return pa.concat_tables([base, copies])
+
+    tok = ds.map_batches(plant, batch_format="pyarrow",
                          **rayenv.remote_args())
     out = dedup.token_minhash_dedup_ds(tok)
     return _pairs_canonical(out.to_pandas())

@@ -323,8 +323,16 @@ def _banded_pairs_ds(rows_ds, buckets: int | None = None):
             "a_id": pa.array(np.concatenate(out_a).astype(np.int64)),
             "b_id": pa.array(np.concatenate(out_b).astype(np.int64))})
 
-    return (rows_ds.map_batches(add_bucket, batch_format="pyarrow",
-                                **rayenv.remote_args())
+    # materialize boundary between the keyed-row map and the sort shuffle:
+    # Ray's streaming executor reserves resources for the downstream
+    # all-to-all while the map is still running, starving the map to a
+    # fraction of the cluster (measured 2x end-to-end: fused 18-28 s vs
+    # split 10-14 s at sf0.3/8cpus). The sort buffers its whole input
+    # before reducing anyway, so the barrier changes nothing
+    # asymptotically — and these are 2-int rows, never payloads.
+    keyed = rows_ds.map_batches(add_bucket, batch_format="pyarrow",
+                                **rayenv.remote_args()).materialize()
+    return (keyed
             .repartition(buckets)
             .groupby("_b")
             .map_groups(pairs_in_bucket, batch_format="pyarrow",
@@ -998,9 +1006,13 @@ def token_dedup_onepass_ds(ds, num_perm: int = NUM_PERM, seed: int = 42,
 
     # NO repartition before this groupby: unlike the small-row bucketed
     # shuffles (joins.py rationale), the payload rides this exchange — a
-    # repartition would move the full corpus through a second all-to-all
-    return (ds.map_batches(add_key, batch_format="pyarrow",
-                           **rayenv.remote_args())
+    # repartition would move the full corpus through a second all-to-all.
+    # The materialize boundary un-starves the signature map (see
+    # _banded_pairs_ds); the sort buffers its input regardless, so peak
+    # object-store use is unchanged.
+    keyed = ds.map_batches(add_key, batch_format="pyarrow",
+                           **rayenv.remote_args()).materialize()
+    return (keyed
             .groupby("_b")
             .map_groups(pairs_in_bucket, batch_format="pyarrow",
                         **rayenv.remote_args()))

@@ -188,3 +188,75 @@ def test_hash_join_rejects_schemaless_input(ray_session):
     if empty.schema() is None:  # ray drops the schema of empty datasets
         with pytest.raises(ValueError, match="schema-less"):
             hash_join(empty, other, on="k")
+
+
+@pytest.fixture()
+def join_frames():
+    rng = np.random.default_rng(11)
+    l = pd.DataFrame({"k": rng.integers(0, 40, 150).astype(np.int64),
+                      "x": rng.integers(0, 1000, 150).astype(np.int64)})
+    r = pd.DataFrame({"id": rng.integers(20, 60, 50).astype(np.int64),
+                      "y": rng.integers(0, 1000, 50).astype(np.int64)})
+    return l, r
+
+
+@pytest.mark.parametrize("broadcast", [False, True])
+def test_hash_join_left(ray_session, join_frames, broadcast):
+    import ray.data as rd
+    l, r = join_frames
+    got = hash_join(rd.from_pandas(l).repartition(4),
+                    rd.from_pandas(r).repartition(3),
+                    on="k", right_on="id", buckets=8, how="left",
+                    broadcast=broadcast).to_pandas()
+    want = l.merge(r, left_on="k", right_on="id", how="left")
+    key = ["k", "x", "id", "y"]
+    got = got[key].sort_values(key).reset_index(drop=True)
+    want = want[key].sort_values(key).reset_index(drop=True)
+    # unmatched rows carry nulls in id/y: compare as nullable Int64
+    for c in ("id", "y"):
+        got[c] = got[c].astype("Int64")
+        want[c] = want[c].astype("Int64")
+    pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.parametrize("how", ["semi", "anti"])
+@pytest.mark.parametrize("broadcast", [False, True])
+def test_hash_join_semi_anti(ray_session, join_frames, how, broadcast):
+    import ray.data as rd
+    l, r = join_frames
+    got = hash_join(rd.from_pandas(l).repartition(4),
+                    rd.from_pandas(r).repartition(3),
+                    on="k", right_on="id", buckets=8, how=how,
+                    broadcast=broadcast).to_pandas()
+    inkeys = l["k"].isin(set(r["id"]))
+    want = l[inkeys] if how == "semi" else l[~inkeys]
+    key = ["k", "x"]
+    got = got[key].sort_values(key).reset_index(drop=True)
+    want = want[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # semi/anti must never emit right columns
+    assert list(got.columns) == key
+
+
+def test_broadcast_join_plan_has_no_all_to_all(ray_session, join_frames):
+    """The small-side broadcast plan is a pure map over the left side:
+    its executed plan must contain NO shuffle operator (the verdict's
+    acceptance check for the dimension-table lookup path)."""
+    import ray.data as rd
+    l, r = join_frames
+    # inputs deliberately NOT repartitioned: the assertion below must see
+    # only the join's own operators in the executed plan
+    out = hash_join(rd.from_pandas(l), rd.from_pandas(r),
+                    on="k", right_on="id", buckets=8, broadcast=True)
+    mat = out.materialize()
+    stats = mat.stats()
+    for op in ("Sort", "Repartition", "Aggregate", "RandomShuffle"):
+        assert op not in stats, f"broadcast plan ran an all-to-all: {op}"
+    # and it produces exactly the shuffle join's rows
+    shuf = hash_join(rd.from_pandas(l).repartition(4),
+                     rd.from_pandas(r).repartition(3),
+                     on="k", right_on="id", buckets=8).to_pandas()
+    key = ["k", "x", "id", "y"]
+    a = mat.to_pandas()[key].sort_values(key).reset_index(drop=True)
+    b = shuf[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
