@@ -513,6 +513,108 @@ def _q_flagship_synthetic(sf_dir: str):
     return pipeline.verify_job(cfg.out_dir, task_cpus=4)
 
 
+def _q_top_tokens(sf_dir: str):
+    """Global heavy hitters (50 most frequent whitespace tokens): partial
+    value_counts per batch -> one vocab-sized groupby -> per-block top-k
+    cut -> tiny global sort."""
+    from rwcf import analytics
+    return analytics.top_tokens(_docs_ds(sf_dir, columns=("text",)), k=50)
+
+
+def _q_topk_docs_per_source(sf_dir: str):
+    """Top-5 longest documents per source (rank = 1-based, n_chars desc,
+    doc_id asc tie-break): per-batch partial top-k cut, then one
+    k x keys shuffle."""
+    from rwcf import analytics
+    out = analytics.grouped_topk(
+        _docs_ds(sf_dir, columns=("doc_id", "source", "n_chars")),
+        key_col="source", order_col="n_chars", id_col="doc_id", k=5)
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": t.column("source"),
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "n_chars": pc.cast(t.column("n_chars"), pa.int64()),
+            "rank": pc.cast(t.column("rank"), pa.int64())})
+    from rwcf import rayenv
+    return out.map_batches(cast, batch_format="pyarrow",
+                           **rayenv.remote_args())
+
+
+def _q_quantiles_nchars(sf_dir: str):
+    """Exact order statistics of n_chars via a distributed value
+    histogram (driver final is histogram-sized, one row per distinct
+    value)."""
+    from rwcf import analytics
+    return analytics.exact_quantiles(_docs_ds(sf_dir, columns=("n_chars",)),
+                                     "n_chars", qs=(0.25, 0.5, 0.9, 0.99))
+
+
+def _q_distinct_tokens(sf_dir: str):
+    """Exact COUNT(DISTINCT word): per-batch unique -> bucketed unique
+    counts -> partial sum."""
+    from rwcf import analytics
+    return analytics.distinct_token_count(_docs_ds(sf_dir, columns=("text",)))
+
+
+def _q_sample_docs(sf_dir: str):
+    """Deterministic ~10% id-hash sample — pure streaming filter, the
+    same rows on every run and cluster size (SQL-reproducible, unlike
+    BERNOULLI sampling)."""
+    from rwcf import analytics
+    ds = _docs_ds(sf_dir, columns=("doc_id", "source"))
+    return analytics.hash_sample(ds, "doc_id", pct=10)
+
+
+def _q_asof_join(sf_dir: str):
+    """As-of join: each event joined to that user's latest order at or
+    before the event time. The orders side is first reduced to one row
+    per (custkey, orderdate) — max orderkey wins — which is what makes
+    the as-of instant deterministic (joins.asof_join docstring), then
+    both sides shuffle once via the bucketed union."""
+    import ray.data as rd
+
+    from rwcf import joins, rayenv
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "ts"])
+    od = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_custkey", "o_orderdate", "o_orderkey"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        from rwcf.joins import hash_bucket
+        b = hash_bucket(t.column("o_custkey").to_numpy(zero_copy_only=False),
+                        buckets=32)
+        return t.append_column("_b", pa.array(b))
+
+    def dedupe(g: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = g.to_pandas()  # one BUCKET of custkeys, deduped vectorized
+        df = (df.sort_values("o_orderkey")
+              .groupby(["o_custkey", "o_orderdate"], as_index=False).last())
+        return pa.Table.from_pandas(df[["o_custkey", "o_orderdate",
+                                        "o_orderkey"]],
+                                    preserve_index=False)
+
+    od1 = (od.map_batches(add_bucket, batch_format="pyarrow",
+                          **rayenv.remote_args())
+           .repartition(32).groupby("_b")
+           .map_groups(dedupe, batch_format="pyarrow",
+                       **rayenv.remote_args()))
+    out = joins.asof_join(ev, od1, on="user_id", left_ts="ts",
+                          right_on="o_custkey", right_ts="o_orderdate")
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+            "order_ts": pc.cast(pc.cast(t.column("o_orderdate"),
+                                        pa.timestamp("us")), pa.int64())})
+    return out.map_batches(cast, batch_format="pyarrow",
+                           **rayenv.remote_args())
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -563,6 +665,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": _q_ann_ivf,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_frames": _q_multimodal_frames,
+        # round-3 analytics operators
+        "top_tokens": _q_top_tokens,
+        "topk_docs_per_source": _q_topk_docs_per_source,
+        "quantiles_nchars": _q_quantiles_nchars,
+        "distinct_tokens": _q_distinct_tokens,
+        "sample_docs": _q_sample_docs,
+        "asof_join_orders": _q_asof_join,
     }
 
 
@@ -670,6 +779,45 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(strlen(text) % 199 + 1 AS BIGINT) AS width, "
             "CAST(strlen(text) // 199 + 1 AS BIGINT) AS height, "
             "CAST(strlen(text) + 12 AS BIGINT) AS n_bytes FROM documents"),
+        "top_tokens": (
+            "WITH w AS (SELECT unnest(regexp_extract_all(text, '\\S+')) "
+            "AS token FROM documents) "
+            "SELECT token, CAST(count(*) AS BIGINT) AS n FROM w "
+            "GROUP BY token ORDER BY n DESC, token LIMIT 50"),
+        "topk_docs_per_source": (
+            "SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars, "
+            "CAST(row_number() OVER (PARTITION BY source "
+            "ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank "
+            "FROM documents QUALIFY rank <= 5"),
+        # quantile q = value at 1-based rank max(1, ceil(q*N)) of the
+        # sorted column — discrete, no interpolation (pinned on both
+        # sides; row_number makes ties irrelevant to the rank-th VALUE)
+        "quantiles_nchars": (
+            "WITH s AS (SELECT n_chars AS v, row_number() OVER "
+            "(ORDER BY n_chars) AS rn FROM documents), "
+            "c AS (SELECT count(*) AS n FROM documents), "
+            "qs AS (SELECT unnest([0.25, 0.5, 0.9, 0.99]) AS q) "
+            "SELECT q, (SELECT CAST(v AS BIGINT) FROM s, c "
+            "WHERE rn = greatest(1, CAST(ceil(q * n) AS BIGINT))) AS v "
+            "FROM qs"),
+        "distinct_tokens": (
+            "SELECT CAST(count(DISTINCT token) AS BIGINT) AS n_distinct "
+            "FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) "
+            "AS token FROM documents)"),
+        # the engine's sample hash verbatim: ((id*A+C) % 2^31) % 100 < 10
+        "sample_docs": (
+            "SELECT doc_id, source FROM documents "
+            "WHERE ((doc_id * 1103515245 + 12345) % 2147483648) % 100 < 10"),
+        # right side reduced to one row per (custkey, orderdate) with max
+        # orderkey BEFORE the ASOF join — same dedupe as the engine, which
+        # is what makes the as-of winner deterministic on both sides
+        "asof_join_orders": (
+            "WITH od AS (SELECT o_custkey, o_orderdate, "
+            "max(o_orderkey) AS o_orderkey FROM orders GROUP BY 1, 2) "
+            "SELECT e.event_id, e.user_id, o.o_orderkey, "
+            "CAST(epoch_us(o.o_orderdate) AS BIGINT) AS order_ts "
+            "FROM events e ASOF LEFT JOIN od o "
+            "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"),
         # rows-only (not SQL-expressible): codec_selection, flagship_synthetic,
         # lang_id (heuristic), fingerprint (hash), ann_ivf (approximate),
         # multimodal_frames (stub feature vectors), dedup_minhash (finds the

@@ -1,0 +1,222 @@
+"""Distributed corpus analytics: heavy hitters, grouped top-k, exact
+quantiles, distinct counts, deterministic sampling.
+
+Reference scope note: the reference engine has no aggregation operators
+beyond the compressed-domain sum pattern (SURVEY.md §2.2, src/test_rle.rs:8-17);
+these are the training-data-pipeline extensions the brief mandates. Every
+operator here follows the same scale shape: a vectorized per-batch PARTIAL
+aggregate (Arrow / numpy kernels, no row loops) so only reduced rows reach
+the shuffle, then one small groupby for the final combine. Nothing
+corpus-sized is ever collected to the driver; the one documented exception
+is :func:`exact_quantiles`, whose driver-side final is HISTOGRAM-sized
+(one row per distinct value), not corpus-sized.
+
+Word tokenization everywhere in this module is regex ``\\s+`` splitting via
+``pyarrow.compute.split_pattern_regex`` (RE2), which matches DuckDB's
+``regexp_extract_all(text, '\\S+')`` token-for-token (probed incl. unicode
+and \\x0b/\\x0c edge cases) — that equivalence is what makes the SQL
+oracles for these operators exact.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import rayenv
+from .joins import hash_bucket
+
+__all__ = ["top_tokens", "grouped_topk", "exact_quantiles",
+           "distinct_token_count", "hash_sample", "sample_hash_ok"]
+
+
+def _flat_words(text: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """All whitespace-separated words of a text column, flattened.
+    ``split_pattern_regex`` emits empty strings for leading/trailing
+    whitespace; drop them to match ``regexp_extract_all('\\S+')``."""
+    words = pc.split_pattern_regex(text, r"\s+")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = words.flatten()
+    return flat.filter(pc.not_equal(flat, ""))
+
+
+def top_tokens(ds, text_col: str = "text", k: int = 50):
+    """Global heavy hitters: the ``k`` most frequent whitespace tokens,
+    ties broken by token ascending (deterministic cut boundary).
+
+    Scale shape: per-batch ``value_counts`` partials (vocabulary-sized
+    rows, never the corpus) -> one ``groupby(token).sum`` shuffle -> a
+    per-block top-k cut (each block keeps only its own k best, so the
+    final sort sees at most blocks x k rows) -> global sort + limit."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(_flat_words(t.column(text_col)))
+        return pa.table({"token": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    # repartition before the groupby: Ray's sort shuffle fans out to the
+    # number of INPUT blocks (joins.py rationale) — cap it
+    summed = (ds.map_batches(partial, batch_format="pyarrow",
+                             **rayenv.remote_args())
+              .repartition(32).groupby("token").sum("n"))
+
+    def local_cut(t: pa.Table) -> pa.Table:
+        t = pa.table({"token": t.column("token"),
+                      "n": pc.cast(t.column("sum(n)"), pa.int64())})
+        idx = pc.sort_indices(t, sort_keys=[("n", "descending"),
+                                            ("token", "ascending")])
+        return t.take(idx[:k])
+
+    cut = summed.map_batches(local_cut, batch_format="pyarrow",
+                             **rayenv.remote_args())
+    return cut.sort(key=["n", "token"], descending=[True, False]).limit(k)
+
+
+def _topk_per_key(t: pa.Table, key_col: str, order_col: str, id_col: str,
+                  k: int, with_rank: bool = False) -> pa.Table:
+    """Vectorized per-key top-k cut over ONE table: order by (key asc,
+    order desc, id asc), keep each key's first k rows. No per-key loop —
+    one lexsort + segmented rank. Used as both the per-batch partial and
+    the per-group final (idempotent: topk(topk(x)) == topk(x))."""
+    if t.num_rows == 0:
+        return t.append_column("rank", pa.array([], pa.int64())) \
+            if with_rank else t
+    kv = t.column(key_col).to_numpy(zero_copy_only=False)
+    ov = t.column(order_col).to_numpy(zero_copy_only=False)
+    iv = t.column(id_col).to_numpy(zero_copy_only=False)
+    # np.lexsort: last key is primary; -ov gives order descending
+    perm = np.lexsort((iv, -ov, kv))
+    ks = kv[perm]
+    new = np.ones(ks.size, dtype=bool)
+    new[1:] = ks[1:] != ks[:-1]
+    seg_start = np.flatnonzero(new)
+    seg_len = np.diff(np.append(seg_start, ks.size))
+    rank = np.arange(ks.size, dtype=np.int64) - np.repeat(seg_start, seg_len)
+    keep = rank < k
+    out = t.take(pa.array(perm[keep]))
+    if with_rank:
+        out = out.append_column("rank", pa.array(rank[keep] + 1))
+    return out
+
+
+def grouped_topk(ds, key_col: str, order_col: str, id_col: str, k: int = 5):
+    """Top-k rows per group (e.g. the k longest documents per source),
+    ordered by ``order_col`` descending with ``id_col`` ascending as the
+    deterministic tie-break; output carries a 1-based ``rank`` column.
+
+    Scale shape: a per-batch partial top-k cut first (only <= k rows per
+    key PER BATCH survive — the shuffle moves k x keys rows, not the
+    corpus), then one groupby(key) with the same vectorized cut as the
+    final. Assumes k x (keys per batch) fits a block, which holds for any
+    k << batch_size."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        return _topk_per_key(t, key_col, order_col, id_col, k)
+
+    def final(g: pa.Table) -> pa.Table:
+        return _topk_per_key(g, key_col, order_col, id_col, k,
+                             with_rank=True)
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .groupby(key_col)
+            .map_groups(final, batch_format="pyarrow",
+                        **rayenv.remote_args()))
+
+
+def exact_quantiles(ds, col: str, qs=(0.25, 0.5, 0.9, 0.99)) -> pd.DataFrame:
+    """EXACT order statistics over an integer column via a distributed
+    value histogram: per-batch ``value_counts`` partials -> one
+    ``groupby(v).sum`` shuffle -> driver-side cumulative walk over the
+    HISTOGRAM (one row per distinct value — the documented partitioning
+    assumption: distinct cardinality must fit the driver, which holds for
+    any bounded-domain column like token counts / byte lengths; an
+    unbounded float column needs a t-digest instead).
+
+    Semantics: quantile q = the value at 1-based rank ``max(1,
+    ceil(q * N))`` of the sorted column (discrete, no interpolation) —
+    pinned to SQL ``row_number`` semantics so the oracle is exact."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(pc.cast(t.column(col).combine_chunks(),
+                                     pa.int64()))
+        return pa.table({"v": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .repartition(32)  # cap the sort fan-out (joins.py rationale)
+            .groupby("v").sum("n").to_pandas())
+    hist = hist.sort_values("v").reset_index(drop=True)
+    cum = hist["sum(n)"].to_numpy().cumsum()
+    total = int(cum[-1]) if cum.size else 0
+    rows = []
+    for q in qs:
+        r = max(1, math.ceil(q * total))
+        i = int(np.searchsorted(cum, r, side="left"))
+        rows.append({"q": float(q), "v": int(hist["v"].iloc[i])})
+    return pd.DataFrame(rows)
+
+
+def distinct_token_count(ds, text_col: str = "text",
+                         buckets: int = 64) -> pd.DataFrame:
+    """Exact global COUNT(DISTINCT word): per-batch unique words (Zipf
+    shrinks each batch several-fold before the exchange) -> bucketed by
+    token hash -> per-bucket unique count -> tiny partial sum. One
+    all-to-all of unique-per-batch tokens; disjoint buckets make the
+    per-bucket counts additive."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = pc.unique(_flat_words(t.column(text_col)))
+        b = hash_bucket(u.to_numpy(zero_copy_only=False), buckets=buckets)
+        return pa.table({"token": u, "_b": pa.array(b)})
+
+    def count_bucket(g: pa.Table) -> pa.Table:
+        nd = len(pc.unique(g.column("token")))
+        return pa.table({"nd": pa.array([nd], pa.int64())})
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow",
+                            **rayenv.remote_args())
+             .repartition(buckets)  # cap the sort fan-out (joins.py)
+             .groupby("_b")
+             .map_groups(count_bucket, batch_format="pyarrow",
+                         **rayenv.remote_args()))
+    total = parts.sum("nd")
+    return pd.DataFrame([{"n_distinct": int(total)}])
+
+
+# Deterministic-sample hash: a 31-bit LCG step, closed under int64 for any
+# id < 2**33 (documented domain bound — beyond that, route ids through a
+# modmul). The SAME arithmetic is expressible in ANSI SQL, which is the
+# whole point: sampling must be reproducible across engines and runs, not
+# "BERNOULLI at some seed".
+_SAMPLE_A = 1103515245
+_SAMPLE_C = 12345
+_SAMPLE_M = 2 ** 31
+
+
+def sample_hash_ok(ids: np.ndarray, pct: int) -> np.ndarray:
+    """Boolean keep-mask: ((id * A + C) mod 2^31) mod 100 < pct."""
+    h = (ids.astype(np.int64) * _SAMPLE_A + _SAMPLE_C) % _SAMPLE_M
+    return (h % 100) < pct
+
+
+def hash_sample(ds, id_col: str, pct: int, columns: list[str] | None = None):
+    """Deterministic ~pct% sample by id hash — a pure streaming filter
+    (no shuffle, no state, resumable by construction: the same row is
+    kept or dropped in every run on every cluster size)."""
+
+    def filt(t: pa.Table) -> pa.Table:
+        if columns is not None:
+            t = t.select(columns)
+        ids = pc.cast(t.column(id_col), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return t.filter(pa.array(sample_hash_ok(ids, pct)))
+
+    return ds.map_batches(filt, batch_format="pyarrow",
+                          **rayenv.remote_args())

@@ -22,8 +22,9 @@ each candidate pair's payloads via two bucketed hash-joins
 the driver. One documented exception: its default ``prune=True`` path
 collects the candidate PAIR ID list (ids only, output-sized — never
 payloads) to broadcast the docs-side filter; at a scale where even that
-id list outgrows the driver, pass ``prune=False`` (joins stay correct,
-the docs side just shuffles unpruned). Clustering has a distributed min-label
+id list outgrows the driver, pass ``prune="semi"`` (fully distributed
+semi-join, zero driver materialization) or ``prune=False`` (joins stay
+correct, the docs side just shuffles unpruned). Clustering has a distributed min-label
 propagation path (``cluster_pairs_ds`` / ``dedup_survivors_ds``) next to
 the small-N driver union-find.
 
@@ -562,17 +563,26 @@ def verify_pairs_distributed(pairs_ds, docs_ds, threshold: float = 0.8,
     (normalized dot >= threshold over vector payloads), ``tokens`` (exact
     variable-length int-sequence equality, vectorized).
 
-    ``prune=True`` (default) applies a broadcast semi-join reduction
-    first: the candidate id set (output-sized — ids only, never payloads)
-    is ray.put once and the docs side is filtered per batch before any
-    shuffle, so only candidate members' payloads enter the joins. At a
-    scale where even the candidate ID LIST outgrows driver memory, pass
-    prune=False (the joins alone are still correct, shuffling the full
-    docs side once per join)."""
+    ``prune`` controls the candidate-member reduction applied to the docs
+    side before its payloads shuffle:
+
+    - ``True`` (default) — broadcast semi-join: the candidate id set
+      (output-sized — ids only, never payloads) is collected once,
+      ``ray.put`` once, and the docs side is filtered per batch before
+      any shuffle. The one driver-side materialization on this path, and
+      it is CANDIDATE-sized, not corpus-sized.
+    - ``"semi"`` — fully distributed semi-join via
+      ``joins.hash_join(how="semi")``: the candidate ids become a
+      Dataset and the docs side is reduced by a bucketed shuffle
+      instead. ZERO driver materialization of any size (the knob for
+      when even the candidate id list outgrows the driver), at the cost
+      of one extra all-to-all of the candidate members' payloads.
+    - ``False`` — no pruning; the joins alone are still correct,
+      shuffling the full docs side once per join."""
     import ray
     import ray.data as rd
 
-    from .joins import _arrow_schema
+    from .joins import _arrow_schema, hash_join
 
     pairs_ds = pairs_ds.materialize()  # tiny; read twice (prune ids + join)
     if pairs_ds.count() == 0:
@@ -581,7 +591,19 @@ def verify_pairs_distributed(pairs_ds, docs_ds, threshold: float = 0.8,
         return rd.from_arrow(pa.table({"a_id": pa.array([], pa.int64()),
                                        "b_id": pa.array([], pa.int64()),
                                        "sim": pa.array([], pa.float64())}))
-    if prune:
+    if prune == "semi":
+        def explode_ids(t: pa.Table) -> pa.Table:
+            ids = np.concatenate([
+                t.column("a_id").to_numpy(zero_copy_only=False),
+                t.column("b_id").to_numpy(zero_copy_only=False)])
+            return pa.table({"_cand_id": pa.array(np.unique(ids))})
+
+        cand_ids = pairs_ds.map_batches(explode_ids, batch_format="pyarrow",
+                                        **rayenv.remote_args())
+        docs_ds = hash_join(docs_ds, cand_ids, on=id_col,
+                            right_on="_cand_id", buckets=buckets,
+                            how="semi")
+    elif prune:
         pdf = pairs_ds.to_pandas()
         keep_ids = np.unique(np.concatenate(
             [pdf["a_id"].to_numpy(), pdf["b_id"].to_numpy()]))

@@ -1,0 +1,203 @@
+"""Unit tests for rwcf.analytics (heavy hitters, grouped top-k, exact
+quantiles, distinct counts, deterministic sampling) and the as-of join,
+each against an independent pandas/numpy ground truth."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from rwcf.analytics import (distinct_token_count, exact_quantiles,
+                            grouped_topk, hash_sample, sample_hash_ok,
+                            top_tokens)
+from rwcf.joins import asof_join
+
+
+@pytest.fixture()
+def docs_frame():
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i:02d}" for i in range(40)]
+    # Zipf-ish draw so the top-k cut boundary has real competition
+    p = 1.0 / np.arange(1, len(vocab) + 1)
+    p /= p.sum()
+    texts = ["  ".join(rng.choice(vocab, size=rng.integers(3, 30), p=p))
+             for _ in range(300)]
+    return pd.DataFrame({
+        "doc_id": np.arange(300, dtype=np.int64),
+        "text": texts,
+        "source": rng.choice(["crawl", "wiki", "books"], 300),
+        "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+    })
+
+
+def _word_counts(texts) -> pd.Series:
+    allw = [w for t in texts for w in t.split()]
+    return pd.Series(allw).value_counts()
+
+
+def test_top_tokens_matches_ground_truth(ray_session, docs_frame):
+    import ray.data as rd
+    k = 10
+    got = top_tokens(rd.from_pandas(docs_frame).repartition(6),
+                     k=k).to_pandas()
+    vc = _word_counts(docs_frame["text"])
+    want = (vc.rename_axis("token").reset_index(name="n")
+            .sort_values(["n", "token"], ascending=[False, True])
+            .head(k).reset_index(drop=True))
+    got = got.sort_values(["n", "token"],
+                          ascending=[False, True]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["token", "n"]],
+                                  want[["token", "n"]],
+                                  check_dtype=False)
+
+
+def test_top_tokens_boundary_tie_is_deterministic(ray_session):
+    """Four tokens with identical counts straddling the k=2 cut: the
+    winners must be the lexicographically smallest, on every run."""
+    import ray.data as rd
+    df = pd.DataFrame({"text": ["d c b a", "a b c d", "b a d c"]})
+    got = top_tokens(rd.from_pandas(df).repartition(3), k=2).to_pandas()
+    assert sorted(got["token"]) == ["a", "b"]
+    assert (got["n"] == 3).all()
+
+
+def test_grouped_topk_matches_window_function(ray_session, docs_frame):
+    import ray.data as rd
+    got = grouped_topk(rd.from_pandas(docs_frame).repartition(6),
+                       key_col="source", order_col="n_chars",
+                       id_col="doc_id", k=5).to_pandas()
+    df = docs_frame.copy()
+    df["rank"] = (df.sort_values(["n_chars", "doc_id"],
+                                 ascending=[False, True])
+                  .groupby("source").cumcount() + 1)
+    want = df[df["rank"] <= 5]
+    cols = ["source", "doc_id", "n_chars", "rank"]
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    want = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_exact_quantiles_rank_semantics(ray_session, docs_frame):
+    import ray.data as rd
+    qs = (0.25, 0.5, 0.9, 0.99)
+    got = exact_quantiles(rd.from_pandas(docs_frame).repartition(6),
+                          "n_chars", qs=qs)
+    v = np.sort(docs_frame["n_chars"].to_numpy())
+    for q, row_v in zip(qs, got["v"]):
+        r = max(1, math.ceil(q * v.size))
+        assert row_v == v[r - 1], (q, row_v, v[r - 1])
+
+
+def test_exact_quantiles_single_value(ray_session):
+    import ray.data as rd
+    df = pd.DataFrame({"x": np.full(10, 42, dtype=np.int64)})
+    got = exact_quantiles(rd.from_pandas(df), "x", qs=(0.01, 0.99))
+    assert (got["v"] == 42).all()
+
+
+def test_distinct_token_count(ray_session, docs_frame):
+    import ray.data as rd
+    got = distinct_token_count(rd.from_pandas(docs_frame).repartition(6))
+    want = len({w for t in docs_frame["text"] for w in t.split()})
+    assert got["n_distinct"].iloc[0] == want
+
+
+def test_hash_sample_deterministic_and_matches_mask(ray_session, docs_frame):
+    import ray.data as rd
+    a = hash_sample(rd.from_pandas(docs_frame).repartition(6), "doc_id",
+                    pct=20, columns=["doc_id"]).to_pandas()
+    b = hash_sample(rd.from_pandas(docs_frame).repartition(3), "doc_id",
+                    pct=20, columns=["doc_id"]).to_pandas()
+    ids = docs_frame["doc_id"].to_numpy()
+    want = np.sort(ids[sample_hash_ok(ids, 20)])
+    assert np.array_equal(np.sort(a["doc_id"].to_numpy()), want)
+    # partitioning must not change the sample
+    assert np.array_equal(np.sort(b["doc_id"].to_numpy()), want)
+
+
+def test_hash_sample_pct_monotone():
+    ids = np.arange(100_000, dtype=np.int64)
+    k10 = sample_hash_ok(ids, 10)
+    k50 = sample_hash_ok(ids, 50)
+    # a row kept at 10% must be kept at 50% (nested samples)
+    assert not np.any(k10 & ~k50)
+    assert 0.08 < k10.mean() < 0.12
+    assert 0.47 < k50.mean() < 0.53
+
+
+@pytest.fixture()
+def asof_frames():
+    rng = np.random.default_rng(3)
+    n_l, n_r = 400, 150
+    left = pd.DataFrame({
+        "k": rng.integers(0, 25, n_l).astype(np.int64),
+        "ts": rng.integers(0, 10_000, n_l).astype(np.int64),
+        "lx": np.arange(n_l, dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "rk": rng.integers(0, 30, n_r).astype(np.int64),
+        "rts": rng.integers(0, 10_000, n_r).astype(np.int64),
+        "ry": np.arange(n_r, dtype=np.int64),
+    })
+    # determinism precondition: unique (key, ts) on the right
+    right = right.drop_duplicates(["rk", "rts"]).reset_index(drop=True)
+    return left, right
+
+
+def test_asof_join_matches_merge_asof(ray_session, asof_frames):
+    import ray.data as rd
+    left, right = asof_frames
+    got = asof_join(rd.from_pandas(left).repartition(5),
+                    rd.from_pandas(right).repartition(3),
+                    on="k", right_on="rk", left_ts="ts", right_ts="rts",
+                    buckets=8).to_pandas()
+    want = pd.merge_asof(left.sort_values("ts"), right.sort_values("rts"),
+                         left_on="ts", right_on="rts", left_by="k",
+                         right_by="rk", direction="backward")
+    cols = ["k", "ts", "lx", "rk", "rts", "ry"]
+    got = got[cols].sort_values(["lx"]).reset_index(drop=True)
+    want = want[cols].sort_values(["lx"]).reset_index(drop=True)
+    for c in ("rk", "rts", "ry"):
+        got[c] = got[c].astype("Int64")
+        want[c] = want[c].astype("Int64")
+    pd.testing.assert_frame_equal(got, want)
+    # every left row survives (left-join semantics)
+    assert len(got) == len(left)
+
+
+def test_asof_join_exact_match_and_no_match(ray_session):
+    import ray.data as rd
+    left = pd.DataFrame({"k": [1, 1, 2], "ts": [100, 50, 7],
+                         "lx": [0, 1, 2]})
+    left = left.astype(np.int64)
+    right = pd.DataFrame({"k": [1, 1], "rts": [100, 60], "ry": [10, 11]})
+    right = right.astype(np.int64)
+    got = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                    on="k", left_ts="ts", right_ts="rts",
+                    buckets=4).to_pandas().sort_values("lx")
+    # ts=100 takes the exact rts=100 match; ts=50 precedes every right
+    # row; key 2 has no right rows at all
+    assert got["ry"].tolist()[0] == 10
+    assert pd.isna(got["ry"].tolist()[1])
+    assert pd.isna(got["ry"].tolist()[2])
+
+
+def test_asof_join_timestamp_columns(ray_session):
+    """Timestamp[us] as-of columns (the events x orders shape) work
+    end-to-end through the Arrow<->pandas boundary."""
+    import ray.data as rd
+    base = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame({
+        "k": np.array([1, 1, 2], dtype=np.int64),
+        "ts": [base + pd.Timedelta(minutes=m) for m in (5, 1, 9)],
+        "lx": np.arange(3, dtype=np.int64)})
+    right = pd.DataFrame({
+        "k": np.array([1, 2], dtype=np.int64),
+        "rts": [base + pd.Timedelta(minutes=m) for m in (2, 100)],
+        "ry": np.array([7, 8], dtype=np.int64)})
+    got = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                    on="k", left_ts="ts", right_ts="rts",
+                    buckets=4).to_pandas().sort_values("lx")
+    assert got["ry"].astype("Int64").tolist() == [7, pd.NA, pd.NA]

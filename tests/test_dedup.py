@@ -208,6 +208,30 @@ def test_verify_pairs_distributed_duplicate_candidates(ray_session):
     assert out.iloc[0]["sim"] == 1.0
 
 
+@pytest.mark.parametrize("prune", [True, "semi", False])
+def test_verify_pairs_prune_modes_agree(ray_session, prune):
+    """All three prune modes (broadcast semi-join, distributed semi-join,
+    none) verify the same pairs — round 3: prune='semi' removes the last
+    driver-side id materialization from the verify path."""
+    import ray.data as rd
+    texts = {1: "the quick brown fox jumps over the lazy dog",
+             2: "the quick brown fox jumps over the lazy dog",
+             3: "a completely different document body text",
+             4: "yet another unrelated piece of writing here",
+             5: "the quick brown fox jumps over the lazy cat"}
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()))})).repartition(3)
+    pairs = rd.from_arrow(pa.table({
+        "a_id": pa.array([1, 1, 3], pa.int64()),
+        "b_id": pa.array([2, 5, 4], pa.int64())}))
+    out = dedup.verify_pairs_distributed(pairs, docs, threshold=0.8,
+                                         mode="jaccard",
+                                         prune=prune).to_pandas()
+    got = sorted(zip(out["a_id"], out["b_id"]))
+    assert got == [(1, 2), (1, 5)]
+
+
 def test_cluster_pairs_raises_on_round_cap():
     """Exiting by round cap instead of fixpoint must raise, not silently
     return split components (ADVICE round 2)."""
