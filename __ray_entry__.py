@@ -557,6 +557,15 @@ def _q_distinct_tokens(sf_dir: str):
     return analytics.distinct_token_count(_docs_ds(sf_dir, columns=("text",)))
 
 
+def _q_tfidf(sf_dir: str):
+    """Per-document TF-IDF score + distinct-term count. Two streaming
+    passes; the only shuffle is vocabulary-sized (document frequencies),
+    and the (token, idf) table broadcasts once via ray.put."""
+    from rwcf import analytics
+    return analytics.tfidf_scores(
+        _docs_ds(sf_dir, columns=("doc_id", "text")))
+
+
 def _q_sample_docs(sf_dir: str):
     """Deterministic ~10% id-hash sample — pure streaming filter, the
     same rows on every run and cluster size (SQL-reproducible, unlike
@@ -611,6 +620,44 @@ def _q_asof_join(sf_dir: str):
             "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
             "order_ts": pc.cast(pc.cast(t.column("o_orderdate"),
                                         pa.timestamp("us")), pa.int64())})
+    return out.map_batches(cast, batch_format="pyarrow",
+                           **rayenv.remote_args())
+
+
+def _q_range_join(sf_dir: str):
+    """Range (band) join: every event paired with every supplier whose
+    +/-20 account-balance band contains the event's value. Chunked-bin
+    routing (joins.range_join): left rows to their bin, intervals
+    replicated to overlapping bins, ONE groupby shuffle, vectorized
+    in-bin band filter — each pair meets exactly once."""
+    import ray.data as rd
+
+    from rwcf import joins, rayenv
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "value"])
+    sup = rd.read_parquet(os.path.join(sf_dir, "supplier.parquet"),
+                          columns=["s_suppkey", "s_acctbal"])
+
+    def bands(t: pa.Table) -> pa.Table:
+        bal = t.column("s_acctbal")
+        return pa.table({"s_suppkey": t.column("s_suppkey"),
+                         "s_acctbal": bal,
+                         "lo": pc.subtract(bal, 20.0),
+                         "hi": pc.add(bal, 20.0)})
+
+    out = joins.range_join(
+        ev, sup.map_batches(bands, batch_format="pyarrow",
+                            **rayenv.remote_args()),
+        left_val="value", right_lo="lo", right_hi="hi",
+        chunk=40.0, buckets=32)
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "value": t.column("value"),
+            "s_suppkey": pc.cast(t.column("s_suppkey"), pa.int64()),
+            "s_acctbal": t.column("s_acctbal")})
     return out.map_batches(cast, batch_format="pyarrow",
                            **rayenv.remote_args())
 
@@ -672,6 +719,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_tokens": _q_distinct_tokens,
         "sample_docs": _q_sample_docs,
         "asof_join_orders": _q_asof_join,
+        "range_join_events": _q_range_join,
+        "tfidf_docs": _q_tfidf,
     }
 
 
@@ -818,6 +867,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(epoch_us(o.o_orderdate) AS BIGINT) AS order_ts "
             "FROM events e ASOF LEFT JOIN od o "
             "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"),
+        "range_join_events": (
+            "SELECT e.event_id, e.value, s.s_suppkey, s.s_acctbal "
+            "FROM events e JOIN supplier s "
+            "ON e.value BETWEEN s.s_acctbal - 20 AND s.s_acctbal + 20"),
+        # tf * ln(N/df) summed over each doc's distinct terms; rounded to
+        # 4dp on both sides (the per-doc sum is order-sensitive in the
+        # last float ulps across engines — analytics.tfidf_scores)
+        "tfidf_docs": (
+            "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all("
+            "text, '\\S+')) AS token FROM documents), "
+            "tf AS (SELECT doc_id, token, count(*) AS tf FROM toks "
+            "GROUP BY 1, 2), "
+            "dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), "
+            "n AS (SELECT count(*) AS n FROM documents) "
+            "SELECT tf.doc_id, CAST(count(*) AS BIGINT) AS n_terms, "
+            "ROUND(SUM(tf.tf * LN(CAST(n.n AS DOUBLE) / dfreq.df)), 4) "
+            "AS tfidf "
+            "FROM tf, n JOIN dfreq ON tf.token = dfreq.token "
+            "GROUP BY tf.doc_id"),
         # rows-only (not SQL-expressible): codec_selection, flagship_synthetic,
         # lang_id (heuristic), fingerprint (hash), ann_ivf (approximate),
         # multimodal_frames (stub feature vectors), dedup_minhash (finds the

@@ -31,7 +31,8 @@ from . import rayenv
 from .joins import hash_bucket
 
 __all__ = ["top_tokens", "grouped_topk", "exact_quantiles",
-           "distinct_token_count", "hash_sample", "sample_hash_ok"]
+           "distinct_token_count", "hash_sample", "sample_hash_ok",
+           "tfidf_scores"]
 
 
 def _flat_words(text: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -188,6 +189,79 @@ def distinct_token_count(ds, text_col: str = "text",
                          **rayenv.remote_args()))
     total = parts.sum("nd")
     return pd.DataFrame([{"n_distinct": int(total)}])
+
+
+def _doc_token_pairs(t: pa.Table, id_col: str, text_col: str) -> pd.DataFrame:
+    """(doc, token) rows for one batch, exploded vectorized: split each
+    text, repeat the doc id by its word count, drop empties."""
+    words = pc.split_pattern_regex(t.column(text_col), r"\s+")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    ids = t.column(id_col).to_numpy(zero_copy_only=False)
+    flat = words.flatten()
+    df = pd.DataFrame({"doc": np.repeat(ids, lens),
+                       "token": flat.to_pandas()})
+    return df[df["token"] != ""]
+
+
+def tfidf_scores(ds, id_col: str = "doc_id", text_col: str = "text",
+                 n_docs: int | None = None):
+    """Per-document TF-IDF relevance score: ``sum over the doc's distinct
+    terms of tf * ln(N / df)`` (raw term counts, natural log, no
+    smoothing), plus the distinct-term count. A standard quality /
+    relevance signal for training-data curation.
+
+    Scale shape — two streaming passes, ZERO corpus-sized shuffles:
+
+    1. document frequencies: per-batch distinct (doc, token) pairs reduce
+       to per-batch (token, partial_df) counts (vocabulary-sized, Heaps'
+       law), then one ``groupby(token).sum`` over vocab rows only;
+    2. the (token, df) table is broadcast once via ``ray.put`` (documented
+       assumption: the VOCABULARY fits a worker's heap — tokens the corpus
+       shares, not the corpus), and each batch computes its docs' scores
+       locally: a doc's terms all live in its own row, so the per-doc
+       final sum never crosses a batch boundary.
+
+    ``n_docs`` skips the count pass when the caller already knows N.
+    Scores are rounded to 4 decimals: the per-doc sum is order-sensitive
+    in the last float ulps across engines, and 4dp is ~8 orders coarser
+    than the noise."""
+    import ray
+
+    if n_docs is None:
+        n_docs = ds.count()
+
+    def partial_df(t: pa.Table) -> pa.Table:
+        pairs = _doc_token_pairs(t, id_col, text_col).drop_duplicates()
+        vc = pairs["token"].value_counts()
+        return pa.table({"token": pa.array(vc.index.to_numpy(dtype=object),
+                                           pa.string()),
+                         "n": pa.array(vc.to_numpy(), pa.int64())})
+
+    dfreq = (ds.map_batches(partial_df, batch_format="pyarrow",
+                            **rayenv.remote_args())
+             .repartition(32)  # cap the sort fan-out (joins.py rationale)
+             .groupby("token").sum("n").to_pandas())
+    idf = pd.DataFrame({
+        "token": dfreq["token"],
+        "idf": np.log(float(n_docs) / dfreq["sum(n)"].to_numpy())})
+    ref = ray.put(idf)
+
+    def score(t: pa.Table) -> pa.Table:
+        pairs = _doc_token_pairs(t, id_col, text_col)
+        tf = pairs.groupby(["doc", "token"], as_index=False).size()
+        tf = tf.merge(ray.get(ref), on="token")
+        tf["w"] = tf["size"].to_numpy() * tf["idf"].to_numpy()
+        agg = tf.groupby("doc").agg(n_terms=("token", "size"),
+                                    tfidf=("w", "sum")).reset_index()
+        return pa.table({
+            id_col: pa.array(agg["doc"].to_numpy()),
+            "n_terms": pa.array(agg["n_terms"].to_numpy(), pa.int64()),
+            "tfidf": pa.array(np.round(agg["tfidf"].to_numpy(), 4))})
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          **rayenv.remote_args())
 
 
 # Deterministic-sample hash: a 31-bit LCG step, closed under int64 for any

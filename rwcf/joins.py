@@ -240,6 +240,124 @@ def _broadcast_join(left, right, on, right_on, how, rmap, out_l, out_r,
                             **rayenv.remote_args())
 
 
+_CHUNK = "__rwcf_chunk"
+
+
+def range_join(left, right, left_val: str, right_lo: str, right_hi: str,
+               chunk: float, buckets: int = 32, suffix: str = "_r"):
+    """Distributed range (interval/band) join: every left row pairs with
+    every right row whose interval contains it —
+    ``right_lo <= left_val <= right_hi`` (bounds inclusive, SQL
+    ``BETWEEN``). The classic "reading -> containing band", "price ->
+    tolerance window" join; equality ``how`` variants don't apply.
+
+    Composition (Ray Data has no range join): the value domain is chunked
+    into width-``chunk`` bins. A left row belongs to exactly ONE bin
+    (``floor(val/chunk)``); a right interval is REPLICATED to every bin it
+    overlaps. Both sides route through one ``groupby`` all-to-all on a
+    modulo of the bin id, and the in-group kernel pairs rows via a
+    vectorized merge on the exact bin id followed by the band filter. A
+    matching pair meets in exactly one bin — the left value's own — so the
+    output needs no dedup pass.
+
+    Partitioning assumptions (per the custom-operator rule):
+
+    - ``chunk`` should approximate the TYPICAL interval width: the right
+      side is amplified by ``~(hi-lo)/chunk + 1`` replicas per interval,
+      and in-group candidate pairs are ``(left rows in bin) x (intervals
+      overlapping bin)`` — with chunk ~ width both stay ~output-sized;
+    - per-bucket candidates must fit one worker's heap; a pathological bin
+      (every interval overlapping it) needs a coarser ``chunk`` or a
+      pre-filter;
+    - values and bounds must be numeric (cast timestamps to epoch first);
+      null values/bounds never match (dropped before routing).
+    """
+    lschema = _arrow_schema(left)
+    rschema = _arrow_schema(right)
+    if lschema is None or rschema is None:
+        raise ValueError("range_join requires both inputs to have a schema")
+    lnames = list(lschema.names)
+    rmap = {n: n + suffix if n in lnames else n for n in rschema.names}
+    out_l = lnames
+    out_r = [rmap[n] for n in rschema.names]
+    out_schema = pa.schema(
+        [pa.field(n, lschema.field(n).type) for n in out_l]
+        + [pa.field(rmap[n], rschema.field(n).type) for n in rschema.names])
+
+    fields = [pa.field(_CHUNK, pa.int64()), pa.field(_BUCKET, pa.int32()),
+              pa.field(_SIDE, pa.int8())]
+    fields += [pa.field(n, lschema.field(n).type) for n in lnames]
+    fields += [pa.field(rmap[n], rschema.field(n).type)
+               for n in rschema.names]
+    schema = pa.schema(fields)
+    w = float(chunk)
+
+    def _bins(vals: np.ndarray) -> np.ndarray:
+        # floor division keeps negatives correct (-0.5/10 -> bin -1)
+        return np.floor(vals / w).astype(np.int64)
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        if t.column(left_val).null_count:
+            import pyarrow.compute as pc
+            t = t.filter(pc.is_valid(t.column(left_val)))
+        v = t.column(left_val).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64, copy=False)
+        c = _bins(v)
+        t = t.append_column(_CHUNK, pa.array(c))
+        t = t.append_column(_BUCKET, pa.array(
+            (c % buckets).astype(np.int32)))
+        t = t.append_column(_SIDE, pa.array(
+            np.zeros(t.num_rows, dtype=np.int8)))
+        return _align(t, schema)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        t = t.rename_columns([rmap[n] for n in t.column_names])
+        lo = t.column(rmap[right_lo]).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64, copy=False)
+        hi = t.column(rmap[right_hi]).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64, copy=False)
+        ok = ~(np.isnan(lo) | np.isnan(hi)) & (lo <= hi)
+        if not ok.all():
+            t = t.filter(pa.array(ok))
+            lo, hi = lo[ok], hi[ok]
+        c0, c1 = _bins(lo), _bins(hi)
+        reps = (c1 - c0 + 1)
+        idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), reps)
+        # replica bin ids: segmented arange c0[i] .. c1[i]
+        starts = np.repeat(c0, reps)
+        offs = np.arange(idx.size, dtype=np.int64) - np.repeat(
+            np.cumsum(reps) - reps, reps)
+        c = starts + offs
+        t = t.take(pa.array(idx))
+        t = t.append_column(_CHUNK, pa.array(c))
+        t = t.append_column(_BUCKET, pa.array(
+            (c % buckets).astype(np.int32)))
+        t = t.append_column(_SIDE, pa.array(
+            np.ones(t.num_rows, dtype=np.int8)))
+        return _align(t, schema)
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow",
+                          **rayenv.remote_args())
+    rt = right.map_batches(tag_right, batch_format="pyarrow",
+                           **rayenv.remote_args())
+    rlo, rhi = rmap[right_lo], rmap[right_hi]
+
+    def merge(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        side = g.column(_SIDE)
+        l = g.filter(pc.equal(side, 0)).select([_CHUNK] + out_l).to_pandas()
+        r = g.filter(pc.equal(side, 1)).select([_CHUNK] + out_r).to_pandas()
+        # candidates = exact-bin merge (each left row meets only the
+        # replicas of ITS bin), then the band filter
+        m = l.merge(r, on=_CHUNK)
+        v = m[left_val].to_numpy()
+        m = m[(m[rlo].to_numpy() <= v) & (v <= m[rhi].to_numpy())]
+        return _from_pandas_nullable(m[out_l + out_r], out_schema)
+
+    return lt.union(rt).repartition(buckets).groupby(_BUCKET).map_groups(
+        merge, batch_format="pyarrow", **rayenv.remote_args())
+
+
 def asof_join(left, right, on: str, left_ts: str, right_ts: str,
               right_on: str | None = None, buckets: int = 32,
               suffix: str = "_r"):

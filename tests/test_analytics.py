@@ -201,3 +201,30 @@ def test_asof_join_timestamp_columns(ray_session):
                     on="k", left_ts="ts", right_ts="rts",
                     buckets=4).to_pandas().sort_values("lx")
     assert got["ry"].astype("Int64").tolist() == [7, pd.NA, pd.NA]
+
+
+def test_tfidf_scores_hand_computed(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from rwcf import analytics
+
+    docs = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3, 4], dtype=np.int64),
+        "text": ["a a b", "b c", "a c c d", "   "]})
+    got = (analytics.tfidf_scores(rd.from_pandas(docs).repartition(3))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # df: a->2 docs, b->2, c->2, d->1 ; N=4
+    ln2, ln4 = math.log(4 / 2), math.log(4 / 1)
+    want = {
+        1: (2, round(2 * ln2 + 1 * ln2, 4)),          # a a b
+        2: (2, round(1 * ln2 + 1 * ln2, 4)),          # b c
+        3: (3, round(1 * ln2 + 2 * ln2 + 1 * ln4, 4)),  # a c c d
+    }
+    # doc 4 is whitespace-only -> no terms -> absent (matches SQL oracle)
+    assert got["doc_id"].tolist() == [1, 2, 3]
+    for _, row in got.iterrows():
+        n_terms, tfidf = want[int(row["doc_id"])]
+        assert int(row["n_terms"]) == n_terms
+        assert abs(float(row["tfidf"]) - tfidf) < 1e-9
