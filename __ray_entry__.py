@@ -566,6 +566,16 @@ def _q_tfidf(sf_dir: str):
         _docs_ds(sf_dir, columns=("doc_id", "text")))
 
 
+def _q_distinct_tokens_approx(sf_dir: str):
+    """HyperLogLog COUNT(DISTINCT word): only 4096-row register partials
+    shuffle (merge = elementwise max). Rows-only: approximate by design;
+    the ~1.6% error bound is pinned vs the exact count in
+    tests/test_analytics.py."""
+    from rwcf import analytics
+    return analytics.distinct_token_count_approx(
+        _docs_ds(sf_dir, columns=("text",)))
+
+
 def _q_sample_docs(sf_dir: str):
     """Deterministic ~10% id-hash sample — pure streaming filter, the
     same rows on every run and cluster size (SQL-reproducible, unlike
@@ -662,6 +672,30 @@ def _q_range_join(sf_dir: str):
                            **rayenv.remote_args())
 
 
+def _q_prep_corpus(sf_dir: str):
+    """Composed curation pipeline: language gate + word-count window +
+    exact dedup, as one streaming pipeline with a single content-hash
+    shuffle (rwcf.prep). Deterministic duplicate copies (doc_id%7, id +
+    1000000) are injected first so the dedup stage is observable in the
+    oracle — the copies must all disappear (min-id survivor keeps the
+    originals)."""
+    from rwcf import prep, rayenv
+
+    def inject(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").combine_chunks()
+        mask = ids.to_numpy(zero_copy_only=False) % 7 == 0
+        copies = t.filter(pa.array(mask))
+        copies = copies.set_column(
+            copies.column_names.index("doc_id"), "doc_id",
+            pc.add(copies.column("doc_id"), 1_000_000))
+        return pa.concat_tables([t, copies])
+
+    ds = _docs_ds(sf_dir, columns=("doc_id", "text", "lang", "source")) \
+        .map_batches(inject, batch_format="pyarrow", **rayenv.remote_args())
+    return prep.prep_corpus(ds, langs=("en", "es"),
+                            min_words=20, max_words=2000)
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -717,10 +751,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_docs_per_source": _q_topk_docs_per_source,
         "quantiles_nchars": _q_quantiles_nchars,
         "distinct_tokens": _q_distinct_tokens,
+        "distinct_tokens_approx": _q_distinct_tokens_approx,
         "sample_docs": _q_sample_docs,
         "asof_join_orders": _q_asof_join,
         "range_join_events": _q_range_join,
         "tfidf_docs": _q_tfidf,
+        "prep_corpus": _q_prep_corpus,
     }
 
 
@@ -886,7 +922,21 @@ def oracle_sql() -> dict[str, str]:
             "AS tfidf "
             "FROM tf, n JOIN dfreq ON tf.token = dfreq.token "
             "GROUP BY tf.doc_id"),
+        # same injected copies as the engine side; the filters and the
+        # min-id dedup survivor are exact integer/equality arithmetic
+        "prep_corpus": (
+            "WITH base AS (SELECT doc_id, text, lang, source FROM documents "
+            "UNION ALL SELECT doc_id + 1000000, text, lang, source "
+            "FROM documents WHERE doc_id % 7 = 0), "
+            "q AS (SELECT *, CAST(length(regexp_extract_all(text, '\\S+')) "
+            "AS BIGINT) AS n_words FROM base), "
+            "f AS (SELECT * FROM q WHERE lang IN ('en', 'es') "
+            "AND n_words BETWEEN 20 AND 2000), "
+            "s AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY text) "
+            "SELECT f.doc_id, f.source, f.lang, f.n_words "
+            "FROM f JOIN s ON f.doc_id = s.doc_id"),
         # rows-only (not SQL-expressible): codec_selection, flagship_synthetic,
+        # distinct_tokens_approx (HLL sketch; error bound pinned in tests),
         # lang_id (heuristic), fingerprint (hash), ann_ivf (approximate),
         # multimodal_frames (stub feature vectors), dedup_minhash (finds the
         # corpus's REAL near-duplicates — e.g. docs 8/245 at jaccard 0.99 —

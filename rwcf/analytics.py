@@ -31,8 +31,8 @@ from . import rayenv
 from .joins import hash_bucket
 
 __all__ = ["top_tokens", "grouped_topk", "exact_quantiles",
-           "distinct_token_count", "hash_sample", "sample_hash_ok",
-           "tfidf_scores"]
+           "distinct_token_count", "distinct_token_count_approx",
+           "hash_sample", "sample_hash_ok", "tfidf_scores"]
 
 
 def _flat_words(text: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -189,6 +189,67 @@ def distinct_token_count(ds, text_col: str = "text",
                          **rayenv.remote_args()))
     total = parts.sum("nd")
     return pd.DataFrame([{"n_distinct": int(total)}])
+
+
+_HLL_P = 12                      # 2^12 = 4096 registers, ~1.6% std error
+_HLL_M = 1 << _HLL_P
+
+
+def _hll_registers(tokens: pa.Array) -> np.ndarray:
+    """HyperLogLog register vector for one batch of tokens: hash each
+    DISTINCT token to 64 bits; register index = top p bits, register
+    value = 1 + leading-zero count of the remaining 64-p bits (capped);
+    per-register max. Pure numpy — one pass, no Python loop."""
+    u = pc.unique(tokens)
+    h = pd.util.hash_array(u.to_numpy(zero_copy_only=False).astype(object))
+    idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+    rest = (h << np.uint64(_HLL_P)) | np.uint64((1 << _HLL_P) - 1)
+    # leading zeros of `rest` via bit_length: 64 - floor(log2(rest)) - 1;
+    # the OR above guarantees rest != 0 so log2 is safe
+    lz = 63 - np.floor(np.log2(rest.astype(np.float64))).astype(np.int64)
+    # float64 log2 is exact for the top 52 bits; rank caps at 64-p+1
+    rank = np.minimum(lz + 1, 64 - _HLL_P + 1).astype(np.int64)
+    regs = np.zeros(_HLL_M, dtype=np.int64)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with the small-range linear-counting
+    correction (Flajolet et al. 2007)."""
+    m = float(_HLL_M)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)
+    return est
+
+
+def distinct_token_count_approx(ds, text_col: str = "text") -> pd.DataFrame:
+    """Approximate global COUNT(DISTINCT word) via a HyperLogLog sketch —
+    the scale path when the vocabulary itself is too large to shuffle
+    (the exact :func:`distinct_token_count` moves unique-per-batch tokens
+    through an all-to-all; this moves 4096-row register partials and
+    nothing else). Mergeable by construction: registers combine by
+    elementwise max, so the tiny ``groupby(reg).max`` shuffle IS the
+    sketch union. Standard error ~1.04/sqrt(4096) = 1.6%; accuracy is
+    pinned against the exact count in tests."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        regs = _hll_registers(_flat_words(t.column(text_col)))
+        nz = np.flatnonzero(regs)          # ship only touched registers
+        return pa.table({"reg": pa.array(nz, pa.int64()),
+                         "rank": pa.array(regs[nz], pa.int64())})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow",
+                             **rayenv.remote_args())
+              .repartition(8)  # cap the sort fan-out (joins.py rationale)
+              .groupby("reg").max("rank").to_pandas())
+    regs = np.zeros(_HLL_M, dtype=np.int64)
+    regs[merged["reg"].to_numpy()] = merged["max(rank)"].to_numpy()
+    return pd.DataFrame([{"n_distinct_approx": int(round(
+        _hll_estimate(regs)))}])
 
 
 def _doc_token_pairs(t: pa.Table, id_col: str, text_col: str) -> pd.DataFrame:

@@ -228,3 +228,32 @@ def test_tfidf_scores_hand_computed(ray_session):
         n_terms, tfidf = want[int(row["doc_id"])]
         assert int(row["n_terms"]) == n_terms
         assert abs(float(row["tfidf"]) - tfidf) < 1e-9
+
+
+def test_hll_distinct_accuracy_and_determinism(ray_session):
+    import ray.data as rd
+
+    from rwcf import analytics
+
+    rng = np.random.default_rng(7)
+    # ~8k distinct words, Zipf-ish repetition across 400 docs
+    vocab = np.array([f"w{i}" for i in range(8000)], dtype=object)
+    docs = pd.DataFrame({"doc_id": np.arange(400, dtype=np.int64),
+                         "text": [" ".join(rng.choice(
+                             vocab, size=120, p=None)) for _ in range(400)]})
+    exact_words = set()
+    for t in docs["text"]:
+        exact_words.update(t.split())
+    exact = len(exact_words)
+
+    got = analytics.distinct_token_count_approx(
+        rd.from_pandas(docs).repartition(7))
+    est = int(got["n_distinct_approx"].iloc[0])
+    # p=12 -> ~1.6% std error; pin at 5%
+    assert abs(est - exact) / exact < 0.05
+
+    # register merge is max -> the distributed estimate is DETERMINISTIC:
+    # independent of batching
+    got2 = analytics.distinct_token_count_approx(
+        rd.from_pandas(docs).repartition(2))
+    assert int(got2["n_distinct_approx"].iloc[0]) == est
