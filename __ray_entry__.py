@@ -550,6 +550,20 @@ def _q_quantiles_nchars(sf_dir: str):
                                      "n_chars", qs=(0.25, 0.5, 0.9, 0.99))
 
 
+def _q_quantiles_value(sf_dir: str):
+    """Exact order statistics of the UNBOUNDED float events.value column
+    via the two-phase coarse-bin histogram (analytics.exact_quantiles_float)
+    — the scale path where the per-distinct-value histogram of
+    quantiles_nchars cannot go."""
+    import ray.data as rd
+
+    from rwcf import analytics
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["value"])
+    return analytics.exact_quantiles_float(ds, "value",
+                                           qs=(0.25, 0.5, 0.9, 0.99))
+
+
 def _q_distinct_tokens(sf_dir: str):
     """Exact COUNT(DISTINCT word): per-batch unique -> bucketed unique
     counts -> partial sum."""
@@ -750,6 +764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": _q_top_tokens,
         "topk_docs_per_source": _q_topk_docs_per_source,
         "quantiles_nchars": _q_quantiles_nchars,
+        "quantiles_value": _q_quantiles_value,
         "distinct_tokens": _q_distinct_tokens,
         "distinct_tokens_approx": _q_distinct_tokens_approx,
         "sample_docs": _q_sample_docs,
@@ -883,6 +898,14 @@ def oracle_sql() -> dict[str, str]:
             "c AS (SELECT count(*) AS n FROM documents), "
             "qs AS (SELECT unnest([0.25, 0.5, 0.9, 0.99]) AS q) "
             "SELECT q, (SELECT CAST(v AS BIGINT) FROM s, c "
+            "WHERE rn = greatest(1, CAST(ceil(q * n) AS BIGINT))) AS v "
+            "FROM qs"),
+        "quantiles_value": (
+            "WITH s AS (SELECT value AS v, row_number() OVER "
+            "(ORDER BY value) AS rn FROM events), "
+            "c AS (SELECT count(*) AS n FROM events), "
+            "qs AS (SELECT unnest([0.25, 0.5, 0.9, 0.99]) AS q) "
+            "SELECT q, (SELECT v FROM s, c "
             "WHERE rn = greatest(1, CAST(ceil(q * n) AS BIGINT))) AS v "
             "FROM qs"),
         "distinct_tokens": (

@@ -31,8 +31,9 @@ from . import rayenv
 from .joins import hash_bucket
 
 __all__ = ["top_tokens", "grouped_topk", "exact_quantiles",
-           "distinct_token_count", "distinct_token_count_approx",
-           "hash_sample", "sample_hash_ok", "tfidf_scores"]
+           "exact_quantiles_float", "distinct_token_count",
+           "distinct_token_count_approx", "hash_sample", "sample_hash_ok",
+           "tfidf_scores"]
 
 
 def _flat_words(text: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -161,6 +162,86 @@ def exact_quantiles(ds, col: str, qs=(0.25, 0.5, 0.9, 0.99)) -> pd.DataFrame:
         r = max(1, math.ceil(q * total))
         i = int(np.searchsorted(cum, r, side="left"))
         rows.append({"q": float(q), "v": int(hist["v"].iloc[i])})
+    return pd.DataFrame(rows)
+
+
+def _ordered_bits(vals: np.ndarray) -> np.ndarray:
+    """Order-preserving float64 -> uint64 mapping (IEEE total order for
+    finite values: flip all bits of negatives, set the sign bit of
+    non-negatives). NaNs must be dropped by the caller."""
+    b = vals.astype(np.float64).view(np.uint64)
+    neg = (b >> np.uint64(63)).astype(bool)
+    return np.where(neg, ~b, b | np.uint64(1 << 63))
+
+
+def exact_quantiles_float(ds, col: str, qs=(0.25, 0.5, 0.9, 0.99),
+                          coarse_bits: int = 16) -> pd.DataFrame:
+    """EXACT order statistics over an UNBOUNDED float column — the scale
+    path :func:`exact_quantiles` documents it cannot cover (its driver
+    histogram is one row per distinct value). Two streaming passes:
+
+    1. coarse histogram: each value maps to the top ``coarse_bits`` of
+       its order-preserving IEEE bit pattern (monotone, so bin order ==
+       value order); per-batch bincounts -> one tiny ``groupby(bin).sum``
+       -> a <=2^coarse_bits-row histogram locates, for every quantile,
+       the bin holding its rank and the residual in-bin rank;
+    2. refine: one FILTERED pass collects only the values in the (<=
+       len(qs)) target bins to the driver — ~N/2^coarse_bits values per
+       bin for any non-adversarial distribution (the documented
+       partitioning assumption: a single 64-bit-bin hotspot means the
+       data has at most a few distinct values there, which bounds the
+       collect by the duplicate count of one value neighborhood).
+
+    Quantile q = value at 1-based rank ``max(1, ceil(q*N))`` of the
+    sorted column (discrete, no interpolation) — identical to
+    :func:`exact_quantiles` and SQL row_number semantics. Nulls/NaNs are
+    excluded (SQL semantics)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(col).combine_chunks().drop_null().to_numpy(
+            zero_copy_only=False).astype(np.float64, copy=False)
+        v = v[~np.isnan(v)]
+        bins = (_ordered_bits(v) >> np.uint64(64 - coarse_bits)) \
+            .astype(np.int64)
+        u, n = np.unique(bins, return_counts=True)
+        return pa.table({"bin": pa.array(u), "n": pa.array(n, pa.int64())})
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .repartition(16)  # cap the sort fan-out (joins.py rationale)
+            .groupby("bin").sum("n").to_pandas())
+    if hist.empty:  # all-null/empty input (0-row to_pandas drops columns)
+        return pd.DataFrame({"q": pd.Series(dtype="float64"),
+                             "v": pd.Series(dtype="float64")})
+    hist = hist.sort_values("bin").reset_index(drop=True)
+    cum = hist["sum(n)"].to_numpy().cumsum()
+    total = int(cum[-1])
+
+    # rank -> (target bin, residual rank inside the bin)
+    targets = []
+    for q in qs:
+        r = max(1, math.ceil(q * total))
+        i = int(np.searchsorted(cum, r, side="left"))
+        before = int(cum[i - 1]) if i else 0
+        targets.append((float(q), int(hist["bin"].iloc[i]), r - before))
+    need = sorted({b for _, b, _ in targets})
+
+    def in_targets(t: pa.Table) -> pa.Table:
+        v = t.column(col).combine_chunks().drop_null().to_numpy(
+            zero_copy_only=False).astype(np.float64, copy=False)
+        v = v[~np.isnan(v)]
+        bins = (_ordered_bits(v) >> np.uint64(64 - coarse_bits)) \
+            .astype(np.int64)
+        keep = np.isin(bins, need)
+        return pa.table({"v": pa.array(v[keep], pa.float64()),
+                         "bin": pa.array(bins[keep])})
+
+    picked = ds.map_batches(in_targets, batch_format="pyarrow",
+                            **rayenv.remote_args()).to_pandas()
+    rows = []
+    for q, b, rank in targets:
+        vals = np.sort(picked.loc[picked["bin"] == b, "v"].to_numpy())
+        rows.append({"q": q, "v": float(vals[rank - 1])})
     return pd.DataFrame(rows)
 
 

@@ -105,9 +105,72 @@ def _from_pandas_nullable(df: pd.DataFrame, schema: pa.Schema) -> pa.Table:
     return pa.Table.from_arrays(arrays, schema=schema)
 
 
+_BLOOM_K = 4          # hash functions; fp ~ (1 - e^(-kn/m))^k
+
+
+def _splitmix64(z: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — full-avalanche 64-bit mix (public domain
+    constants, Steele et al.)."""
+    z = z + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _bloom_positions(keys: np.ndarray, m_bits: int) -> np.ndarray:
+    """(n, k) bit positions via double hashing: pos_i = h1 + i*h2 mod m
+    (Kirsch-Mitzenmacher). The base hash runs through splitmix64 twice to
+    derive two decorrelated streams — pandas' raw int hash is too
+    structured on sequential keys and measurably inflates the fp rate
+    (~10x) when h2 is a plain multiple of h1."""
+    if keys.dtype.kind in ("i", "u"):
+        h = pd.util.hash_array(keys.astype(np.int64, copy=False))
+    else:
+        h = pd.util.hash_array(keys.astype(object))
+    h1 = _splitmix64(h)
+    h2 = _splitmix64(h1) | np.uint64(1)  # odd: k probes never collapse
+    i = np.arange(_BLOOM_K, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None])
+            % np.uint64(m_bits)).astype(np.int64)
+
+
+def build_bloom(ds, key_col: str, m_bits: int = 1 << 20) -> np.ndarray:
+    """Bloom filter (uint64 word array, ``m_bits`` total) of a Dataset's
+    key column. Per-batch partials are BLOOM-sized (m_bits/8 bytes), not
+    data-sized, and merge by bitwise OR on the driver — the collect moves
+    ``blocks x m_bits/8`` bytes, never keys. Default 1 Mibit = 128 KiB:
+    ~1.2% false positives at 100k distinct keys, k=4."""
+    words = m_bits // 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        kv = t.column(key_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        pos = _bloom_positions(kv, m_bits).reshape(-1)
+        arr = np.zeros(words, dtype=np.uint64)
+        np.bitwise_or.at(arr, pos >> 6,
+                         np.uint64(1) << (pos & 63).astype(np.uint64))
+        return pa.table({"bloom": pa.array([arr.tobytes()],
+                                           pa.large_binary())})
+
+    out = np.zeros(words, dtype=np.uint64)
+    for row in ds.map_batches(partial, batch_format="pyarrow",
+                              **rayenv.remote_args()).iter_rows():
+        out |= np.frombuffer(row["bloom"], dtype=np.uint64)
+    return out
+
+
+def bloom_member(keys: np.ndarray, bloom: np.ndarray,
+                 m_bits: int) -> np.ndarray:
+    """Vectorized membership mask (true = POSSIBLY present; false =
+    definitely absent)."""
+    pos = _bloom_positions(keys, m_bits)
+    bits = (bloom[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1)
+    return bits.all(axis=1)
+
+
 def hash_join(left, right, on: str, right_on: str | None = None,
               buckets: int = 32, suffix: str = "_r", how: str = "inner",
-              broadcast: bool = False):
+              broadcast: bool = False, bloom_bits: int | None = None):
     """Distributed hash-join of two Ray Datasets on an equality key.
 
     ``how``: "inner" | "left" | "semi" | "anti". Inner/left output all left
@@ -117,9 +180,38 @@ def hash_join(left, right, on: str, right_on: str | None = None,
     ``ray.put`` instead of shuffling — use when the right side is a small
     dimension table. Shuffle mode moves each side at most once through one
     ``groupby(bucket)`` all-to-all.
+
+    ``bloom_bits`` (inner/semi only): build a Bloom filter of the right
+    keys first and drop left rows that definitely have no match BEFORE
+    the shuffle — the all-to-all then moves only ~matching left rows (+
+    the fp rate). Exactness is untouched: false positives still route
+    and the in-group merge is the real equality. Costs one extra pass
+    over the right side's key column and a broadcast of ``bloom_bits/8``
+    bytes; worth it when the left side is large and the join selective.
     """
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
+    if bloom_bits is not None:
+        if how not in ("inner", "semi"):
+            # left/anti must keep non-matching left rows — pruning them
+            # would change the result
+            raise ValueError(f"bloom_bits requires how=inner/semi, "
+                             f"not {how!r}")
+        import ray
+        bloom_ref = ray.put(build_bloom(
+            right.select_columns([right_on or on]), right_on or on,
+            m_bits=bloom_bits))
+        _mb = bloom_bits
+
+        def prefilter(t: pa.Table) -> pa.Table:
+            kv = t.column(on).combine_chunks().to_numpy(
+                zero_copy_only=False)
+            import ray as _r
+            return t.filter(pa.array(bloom_member(kv, _r.get(bloom_ref),
+                                                  _mb)))
+
+        left = left.map_batches(prefilter, batch_format="pyarrow",
+                                **rayenv.remote_args())
     right_on = right_on or on
     lschema = _arrow_schema(left)
     rschema = _arrow_schema(right)

@@ -257,3 +257,42 @@ def test_hll_distinct_accuracy_and_determinism(ray_session):
     got2 = analytics.distinct_token_count_approx(
         rd.from_pandas(docs).repartition(2))
     assert int(got2["n_distinct_approx"].iloc[0]) == est
+
+
+def test_exact_quantiles_float_matches_sorted_rank(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from rwcf import analytics
+
+    rng = np.random.default_rng(13)
+    # mixed sign, heavy ties, and a huge-magnitude tail
+    v = np.concatenate([rng.normal(0, 1, 5000),
+                        np.full(500, 3.25),
+                        rng.uniform(-1e12, 1e12, 300),
+                        np.array([0.0, -0.0, 1e-300])])
+    rng.shuffle(v)
+    ds = rd.from_pandas(pd.DataFrame({"x": v})).repartition(6)
+    qs = (0.01, 0.25, 0.5, 0.9, 0.999)
+    got = analytics.exact_quantiles_float(ds, "x", qs=qs)
+    sv = np.sort(v)
+    n = v.size
+    for _, row in got.iterrows():
+        r = max(1, math.ceil(row["q"] * n))
+        assert row["v"] == sv[r - 1], (row["q"], row["v"], sv[r - 1])
+
+
+def test_exact_quantiles_float_nulls_and_empty(ray_session):
+    import ray.data as rd
+
+    from rwcf import analytics
+
+    ds = rd.from_pandas(pd.DataFrame(
+        {"x": pd.array([1.0, None, 2.0, np.nan, 3.0], dtype="Float64")}))
+    got = analytics.exact_quantiles_float(ds, "x", qs=(0.5,))
+    assert got["v"].tolist() == [2.0]
+
+    empty = rd.from_pandas(pd.DataFrame({"x": pd.Series([], dtype="float64")}))
+    got = analytics.exact_quantiles_float(empty, "x", qs=(0.5,))
+    assert len(got) == 0

@@ -323,3 +323,64 @@ def test_range_join_no_matches_and_name_collision(ray_session):
     # columns survive on the empty result (Dataset schema; a 0-row
     # to_pandas drops columns — Ray quirk, not an operator property)
     assert set(out.schema().names) == {"id", "v", "id_r", "lo", "hi"}
+
+
+def test_bloom_filter_membership_and_fp_rate():
+    from rwcf.joins import _bloom_positions, bloom_member
+    m_bits = 1 << 20
+    keys = np.arange(0, 100_000, dtype=np.int64)
+    arr = np.zeros(m_bits // 64, dtype=np.uint64)
+    pos = _bloom_positions(keys, m_bits).reshape(-1)
+    np.bitwise_or.at(arr, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64))
+    # no false negatives, ever
+    assert bloom_member(keys, arr, m_bits).all()
+    # false positives bounded: ~1.2% expected at n=100k, m=1Mi, k=4
+    absent = np.arange(1_000_000, 1_100_000, dtype=np.int64)
+    fp = bloom_member(absent, arr, m_bits).mean()
+    assert fp < 0.03, fp
+
+
+@pytest.mark.parametrize("how", ["inner", "semi"])
+def test_hash_join_bloom_prune_same_result(ray_session, join_frames, how):
+    import ray.data as rd
+    l, r = join_frames
+    kw = dict(on="k", right_on="id", buckets=8, how=how)
+    plain = hash_join(rd.from_pandas(l).repartition(4),
+                      rd.from_pandas(r).repartition(3), **kw).to_pandas()
+    pruned = hash_join(rd.from_pandas(l).repartition(4),
+                       rd.from_pandas(r).repartition(3),
+                       bloom_bits=1 << 16, **kw).to_pandas()
+    cols = sorted(plain.columns)
+    a = plain[cols].sort_values(cols).reset_index(drop=True)
+    b = pruned[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_hash_join_bloom_rejects_outer_modes(ray_session, join_frames):
+    import ray.data as rd
+    l, r = join_frames
+    for how in ("left", "anti"):
+        with pytest.raises(ValueError, match="bloom"):
+            hash_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
+                      right_on="id", how=how, bloom_bits=1 << 16)
+
+
+def test_hash_join_bloom_prunes_before_shuffle(ray_session):
+    """A join where only 1% of left keys can match: the bloom prefilter
+    must drop (almost) all non-matching left rows before the exchange."""
+    import ray.data as rd
+    from rwcf.joins import bloom_member, build_bloom
+    rng = np.random.default_rng(5)
+    l = pd.DataFrame({"k": np.arange(20_000, dtype=np.int64),
+                      "x": rng.integers(0, 9, 20_000).astype(np.int64)})
+    r = pd.DataFrame({"k": np.arange(0, 20_000, 100, dtype=np.int64),
+                      "y": np.arange(200, dtype=np.int64)})
+    rds = rd.from_pandas(r).repartition(2)
+    bloom = build_bloom(rds.select_columns(["k"]), "k", m_bits=1 << 18)
+    kept = bloom_member(l["k"].to_numpy(), bloom, 1 << 18)
+    # all 200 true matches kept, fp-bounded leak of the other 19800
+    assert kept[l["k"].to_numpy() % 100 == 0].all()
+    assert kept.sum() < 200 + 0.03 * 19_800
+    got = hash_join(rd.from_pandas(l).repartition(4), rds, on="k",
+                    buckets=8, bloom_bits=1 << 18).to_pandas()
+    assert len(got) == 200
