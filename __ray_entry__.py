@@ -564,6 +564,16 @@ def _q_quantiles_value(sf_dir: str):
                                            qs=(0.25, 0.5, 0.9, 0.99))
 
 
+def _q_grouped_quantiles(sf_dir: str):
+    """Per-source exact n_chars quantiles: (key, value, count) histogram
+    partials through one bucketed shuffle, vectorized in-bucket
+    cumulative walk (analytics.grouped_quantiles)."""
+    from rwcf import analytics
+    return analytics.grouped_quantiles(
+        _docs_ds(sf_dir, columns=("source", "n_chars")),
+        "source", "n_chars", qs=(0.25, 0.5, 0.9))
+
+
 def _q_distinct_tokens(sf_dir: str):
     """Exact COUNT(DISTINCT word): per-batch unique -> bucketed unique
     counts -> partial sum."""
@@ -765,6 +775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_docs_per_source": _q_topk_docs_per_source,
         "quantiles_nchars": _q_quantiles_nchars,
         "quantiles_value": _q_quantiles_value,
+        "grouped_quantiles_source": _q_grouped_quantiles,
         "distinct_tokens": _q_distinct_tokens,
         "distinct_tokens_approx": _q_distinct_tokens_approx,
         "sample_docs": _q_sample_docs,
@@ -908,6 +919,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT q, (SELECT v FROM s, c "
             "WHERE rn = greatest(1, CAST(ceil(q * n) AS BIGINT))) AS v "
             "FROM qs"),
+        "grouped_quantiles_source": (
+            "WITH s AS (SELECT source, n_chars AS v, row_number() OVER "
+            "(PARTITION BY source ORDER BY n_chars) AS rn, "
+            "count(*) OVER (PARTITION BY source) AS n FROM documents), "
+            "qs AS (SELECT unnest([0.25, 0.5, 0.9]) AS q) "
+            "SELECT s.source, qs.q, CAST(s.v AS BIGINT) AS v "
+            "FROM s JOIN qs "
+            "ON s.rn = greatest(1, CAST(ceil(qs.q * s.n) AS BIGINT))"),
         "distinct_tokens": (
             "SELECT CAST(count(DISTINCT token) AS BIGINT) AS n_distinct "
             "FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) "

@@ -31,9 +31,9 @@ from . import rayenv
 from .joins import hash_bucket
 
 __all__ = ["top_tokens", "grouped_topk", "exact_quantiles",
-           "exact_quantiles_float", "distinct_token_count",
-           "distinct_token_count_approx", "hash_sample", "sample_hash_ok",
-           "tfidf_scores"]
+           "exact_quantiles_float", "grouped_quantiles",
+           "distinct_token_count", "distinct_token_count_approx",
+           "hash_sample", "sample_hash_ok", "tfidf_scores"]
 
 
 def _flat_words(text: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -163,6 +163,57 @@ def exact_quantiles(ds, col: str, qs=(0.25, 0.5, 0.9, 0.99)) -> pd.DataFrame:
         i = int(np.searchsorted(cum, r, side="left"))
         rows.append({"q": float(q), "v": int(hist["v"].iloc[i])})
     return pd.DataFrame(rows)
+
+
+def grouped_quantiles(ds, key_col: str, col: str,
+                      qs=(0.25, 0.5, 0.9), buckets: int = 32):
+    """EXACT per-group order statistics (e.g. median document length per
+    source) over an integer column. Scale shape: per-batch ``(key, v,
+    count)`` histogram partials (distinct values per key per batch, never
+    rows) -> ONE bucketed shuffle on ``hash(key)`` -> a vectorized
+    in-bucket walk resolves every key's quantiles at once (sort by
+    (key, v), per-key cumsum, first row at or past each target rank — no
+    per-key dispatch, the round-2 lesson). Documented assumption: one
+    key's distinct-value histogram fits a worker (same bound as
+    :func:`exact_quantiles`, per key).
+
+    Quantile q = value at 1-based rank ``max(1, ceil(q*N_key))`` of the
+    key's sorted column — SQL row_number semantics, exact oracle."""
+    qs = tuple(float(q) for q in qs)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": t.column(key_col).to_numpy(zero_copy_only=False),
+            "v": pc.cast(t.column(col).combine_chunks(),
+                         pa.int64()).to_numpy(zero_copy_only=False)})
+        g = df.groupby(["k", "v"], as_index=False).size()
+        g["_b"] = hash_bucket(g["k"].to_numpy(), buckets=buckets)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        # merge cross-batch partials, then one ordered cumulative walk
+        df = (df.groupby(["k", "v"], as_index=False)["size"].sum()
+              .sort_values(["k", "v"], kind="mergesort"))
+        df["cum"] = df.groupby("k")["size"].cumsum()
+        totals = df.groupby("k")["size"].sum()
+        outs = []
+        for q in qs:
+            r = np.maximum(1, np.ceil(q * totals)).astype(np.int64)
+            need = df.assign(_r=df["k"].map(r))
+            hit = need[need["cum"] >= need["_r"]].groupby("k").first()
+            outs.append(pd.DataFrame({
+                key_col: hit.index, "q": q,
+                "v": hit["v"].to_numpy(np.int64)}))
+        out = pd.concat(outs, ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .repartition(buckets)
+            .groupby("_b")
+            .map_groups(final, batch_format="pyarrow",
+                        **rayenv.remote_args()))
 
 
 def _ordered_bits(vals: np.ndarray) -> np.ndarray:

@@ -181,36 +181,52 @@ def hash_join(left, right, on: str, right_on: str | None = None,
     dimension table. Shuffle mode moves each side at most once through one
     ``groupby(bucket)`` all-to-all.
 
-    ``bloom_bits`` (inner/semi only): build a Bloom filter of the right
-    keys first and drop left rows that definitely have no match BEFORE
-    the shuffle — the all-to-all then moves only ~matching left rows (+
-    the fp rate). Exactness is untouched: false positives still route
-    and the in-group merge is the real equality. Costs one extra pass
-    over the right side's key column and a broadcast of ``bloom_bits/8``
-    bytes; worth it when the left side is large and the join selective.
+    ``bloom_bits`` (inner/semi/anti): build a Bloom filter of the right
+    keys first and resolve left rows that definitely have no match BEFORE
+    the shuffle. For inner/semi those rows are dropped, so the all-to-all
+    moves only ~matching left rows (+ the fp rate); for anti they ARE the
+    result's bulk and bypass the shuffle directly (union with the
+    shuffled anti of the bloom-positive remainder — costs a second pass
+    over the left side, cheaper than shuffling it). Exactness is
+    untouched: false positives still route and the in-group merge is the
+    real equality. A left join cannot use the filter (every left row must
+    be emitted either way). Costs one extra pass over the right side's
+    key column and a broadcast of ``bloom_bits/8`` bytes.
     """
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
     if bloom_bits is not None:
-        if how not in ("inner", "semi"):
-            # left/anti must keep non-matching left rows — pruning them
-            # would change the result
-            raise ValueError(f"bloom_bits requires how=inner/semi, "
-                             f"not {how!r}")
+        if how == "left":
+            # a left join emits every left row regardless of match, so
+            # there is nothing the filter could prune or bypass
+            raise ValueError("bloom_bits requires how=inner/semi/anti")
         import ray
         bloom_ref = ray.put(build_bloom(
             right.select_columns([right_on or on]), right_on or on,
             m_bits=bloom_bits))
         _mb = bloom_bits
 
-        def prefilter(t: pa.Table) -> pa.Table:
-            kv = t.column(on).combine_chunks().to_numpy(
-                zero_copy_only=False)
-            import ray as _r
-            return t.filter(pa.array(bloom_member(kv, _r.get(bloom_ref),
-                                                  _mb)))
+        def prefilter(keep_members: bool):
+            def fn(t: pa.Table) -> pa.Table:
+                kv = t.column(on).combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                import ray as _r
+                m = bloom_member(kv, _r.get(bloom_ref), _mb)
+                return t.filter(pa.array(m if keep_members else ~m))
+            return fn
 
-        left = left.map_batches(prefilter, batch_format="pyarrow",
+        if how == "anti":
+            # definite non-matches bypass the all-to-all entirely
+            misses = left.map_batches(prefilter(False),
+                                      batch_format="pyarrow",
+                                      **rayenv.remote_args())
+            hits = left.map_batches(prefilter(True),
+                                    batch_format="pyarrow",
+                                    **rayenv.remote_args())
+            return misses.union(hash_join(
+                hits, right, on, right_on=right_on, buckets=buckets,
+                suffix=suffix, how="anti", broadcast=broadcast))
+        left = left.map_batches(prefilter(True), batch_format="pyarrow",
                                 **rayenv.remote_args())
     right_on = right_on or on
     lschema = _arrow_schema(left)

@@ -296,3 +296,25 @@ def test_exact_quantiles_float_nulls_and_empty(ray_session):
     empty = rd.from_pandas(pd.DataFrame({"x": pd.Series([], dtype="float64")}))
     got = analytics.exact_quantiles_float(empty, "x", qs=(0.5,))
     assert len(got) == 0
+
+
+def test_grouped_quantiles_matches_sorted_rank(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from rwcf import analytics
+
+    rng = np.random.default_rng(17)
+    keys = rng.choice(np.array(["a", "b", "c", "d"], dtype=object), 3000)
+    vals = rng.integers(0, 50, 3000).astype(np.int64)  # heavy ties
+    df = pd.DataFrame({"src": keys, "x": vals})
+    qs = (0.25, 0.5, 0.9)
+    got = (analytics.grouped_quantiles(
+        rd.from_pandas(df).repartition(5), "src", "x", qs=qs)
+        .to_pandas().sort_values(["src", "q"]).reset_index(drop=True))
+    for (k, q), grp in got.groupby(["src", "q"]):
+        sv = np.sort(df.loc[df["src"] == k, "x"].to_numpy())
+        r = max(1, math.ceil(q * sv.size))
+        assert grp["v"].iloc[0] == sv[r - 1], (k, q)
+    assert len(got) == 4 * len(qs)

@@ -359,7 +359,7 @@ def test_hash_join_bloom_prune_same_result(ray_session, join_frames, how):
 def test_hash_join_bloom_rejects_outer_modes(ray_session, join_frames):
     import ray.data as rd
     l, r = join_frames
-    for how in ("left", "anti"):
+    for how in ("left",):
         with pytest.raises(ValueError, match="bloom"):
             hash_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
                       right_on="id", how=how, bloom_bits=1 << 16)
@@ -384,3 +384,18 @@ def test_hash_join_bloom_prunes_before_shuffle(ray_session):
     got = hash_join(rd.from_pandas(l).repartition(4), rds, on="k",
                     buckets=8, bloom_bits=1 << 18).to_pandas()
     assert len(got) == 200
+
+
+def test_hash_join_bloom_anti_bypass_same_result(ray_session, join_frames):
+    import ray.data as rd
+    l, r = join_frames
+    kw = dict(on="k", right_on="id", buckets=8, how="anti")
+    plain = hash_join(rd.from_pandas(l).repartition(4),
+                      rd.from_pandas(r).repartition(3), **kw).to_pandas()
+    pruned = hash_join(rd.from_pandas(l).repartition(4),
+                       rd.from_pandas(r).repartition(3),
+                       bloom_bits=1 << 16, **kw).to_pandas()
+    cols = sorted(plain.columns)
+    a = plain[cols].sort_values(cols).reset_index(drop=True)
+    b = pruned[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

@@ -339,3 +339,39 @@ def test_read_column_pages_matches_slice(small_parquet, tmp_path,
     want = fmt.decode_chunk(fmt.slice_pages(full, keep))
     got = fmt.decode_chunk(enc)
     assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_incremental_append_encodes_only_new_fragments(small_parquet,
+                                                       tmp_path, ray_session):
+    """Corpus growth: re-running encode_job with resume=True over an
+    EXPANDED input list must encode only the new file's fragments —
+    existing partitions keep their bytes and mtimes, and the decoded
+    union covers the whole grown corpus."""
+    d = str(tmp_path / "grow")
+    os.makedirs(d)
+    out = str(tmp_path / "out")
+    cfg = pipeline.EncodeConfig(out_dir=out, partition_token_budget=100_000)
+
+    pipeline.encode_job(small_parquet, cfg, concurrency=4).materialize()
+    rows1 = pipeline.load_manifest(out)
+    mtimes = {r["pid"]: os.path.getmtime(r["file"]) for r in rows1}
+    assert sum(r["n_rows"] for r in rows1) == 2000
+
+    # the corpus grows by one new file (disjoint doc ids)
+    new_file = fixtures.tokens_parquet(500, seed=77, cache_dir=d,
+                                       row_group_size=250)
+    man2 = pipeline.encode_job([small_parquet, new_file], cfg,
+                               concurrency=4, resume=True).to_pandas()
+    rows2 = pipeline.load_manifest(out)
+    assert sum(r["n_rows"] for r in rows2) == 2500
+    assert len(rows2) > len(rows1)
+    for r in rows2:
+        if r["pid"] in mtimes:
+            assert os.path.getmtime(r["file"]) == mtimes[r["pid"]], \
+                "append re-encoded a committed partition"
+
+    # the decode covers old + new rows exactly once
+    dec = pipeline.decode_job(out, concurrency=4,
+                              columns=["doc_id"]).to_pandas()
+    assert len(dec) == 2500
+    assert man2["n_rows"].sum() == 2500
