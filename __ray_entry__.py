@@ -590,6 +590,16 @@ def _q_tfidf(sf_dir: str):
         _docs_ds(sf_dir, columns=("doc_id", "text")))
 
 
+def _q_cms_top_tokens(sf_dir: str):
+    """Count-Min-sketch heavy hitters: sketch-sized shuffle (additive
+    d x width counter partials) + bounded per-batch candidate lists —
+    the unbounded-vocabulary path. Rows-only: approximate by design;
+    Zipf-corpus equality with the exact operator pinned in tests."""
+    from rwcf import analytics
+    return analytics.cms_top_tokens(_docs_ds(sf_dir, columns=("text",)),
+                                    k=50)
+
+
 def _q_distinct_tokens_approx(sf_dir: str):
     """HyperLogLog COUNT(DISTINCT word): only 4096-row register partials
     shuffle (merge = elementwise max). Rows-only: approximate by design;
@@ -778,6 +788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles_source": _q_grouped_quantiles,
         "distinct_tokens": _q_distinct_tokens,
         "distinct_tokens_approx": _q_distinct_tokens_approx,
+        "cms_top_tokens": _q_cms_top_tokens,
         "sample_docs": _q_sample_docs,
         "asof_join_orders": _q_asof_join,
         "range_join_events": _q_range_join,
@@ -979,6 +990,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM f JOIN s ON f.doc_id = s.doc_id"),
         # rows-only (not SQL-expressible): codec_selection, flagship_synthetic,
         # distinct_tokens_approx (HLL sketch; error bound pinned in tests),
+        # cms_top_tokens (Count-Min sketch; Zipf parity pinned in tests),
         # lang_id (heuristic), fingerprint (hash), ann_ivf (approximate),
         # multimodal_frames (stub feature vectors), dedup_minhash (finds the
         # corpus's REAL near-duplicates — e.g. docs 8/245 at jaccard 0.99 —

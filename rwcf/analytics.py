@@ -30,8 +30,8 @@ import pyarrow.compute as pc
 from . import rayenv
 from .joins import hash_bucket
 
-__all__ = ["top_tokens", "grouped_topk", "exact_quantiles",
-           "exact_quantiles_float", "grouped_quantiles",
+__all__ = ["top_tokens", "cms_top_tokens", "grouped_topk",
+           "exact_quantiles", "exact_quantiles_float", "grouped_quantiles",
            "distinct_token_count", "distinct_token_count_approx",
            "hash_sample", "sample_hash_ok", "tfidf_scores"]
 
@@ -382,6 +382,85 @@ def distinct_token_count_approx(ds, text_col: str = "text") -> pd.DataFrame:
     regs[merged["reg"].to_numpy()] = merged["max(rank)"].to_numpy()
     return pd.DataFrame([{"n_distinct_approx": int(round(
         _hll_estimate(regs)))}])
+
+
+_CMS_D = 4                       # sketch depth (hash rows)
+
+
+def _cms_rows(tokens: np.ndarray, width: int) -> np.ndarray:
+    """(d, n) CMS column indices for a token array — one splitmix64
+    chain per row, salted by the row number."""
+    from .joins import _splitmix64
+    h = pd.util.hash_array(tokens.astype(object))
+    out = np.empty((_CMS_D, h.size), dtype=np.int64)
+    for r in range(_CMS_D):
+        salt = np.uint64((0xA076_1D64_78BD_642F * (r + 1)) & (2**64 - 1))
+        out[r] = (_splitmix64(h ^ salt)
+                  % np.uint64(width)).astype(np.int64)
+    return out
+
+
+def cms_top_tokens(ds, text_col: str = "text", k: int = 50,
+                   width: int = 1 << 14) -> pd.DataFrame:
+    """Heavy hitters over an UNBOUNDED vocabulary via a Count-Min sketch —
+    the scale path where :func:`top_tokens`' exact vocabulary groupby
+    cannot go (its shuffle is vocabulary-sized; this one is sketch-sized:
+    d x width counters + a bounded candidate list). CMS counters are
+    ADDITIVE, so per-batch partials merge through one tiny
+    ``groupby((row, col)).sum`` — the shuffle IS the sketch union.
+
+    Candidates: each batch nominates its local top 4k tokens (a global
+    heavy hitter is necessarily heavy in some batch of any non-adversarial
+    sharding — documented heuristic); the driver estimates each distinct
+    candidate's count from the merged sketch (min over rows, the classic
+    never-underestimates bound) and keeps the top k, ties broken by token
+    ascending. Rows-only: approximate by design; on Zipf corpora the
+    result matches the exact operator (pinned in tests)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(_flat_words(t.column(text_col)))
+        toks = vc.field("values").to_numpy(zero_copy_only=False)
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        rows = _cms_rows(toks, width)
+        sk_r, sk_c, sk_n = [], [], []
+        for r in range(_CMS_D):
+            cells = np.zeros(width, dtype=np.int64)
+            np.add.at(cells, rows[r], cnts)
+            nz = np.flatnonzero(cells)
+            sk_r.append(np.full(nz.size, r, dtype=np.int64))
+            sk_c.append(nz)
+            sk_n.append(cells[nz])
+        order = np.argsort(-cnts, kind="stable")[:4 * k]
+        cand = toks[order]
+        pad = np.full(cand.size, -1, dtype=np.int64)
+        return pa.table({
+            "r": pa.array(np.concatenate(sk_r + [pad])),
+            "c": pa.array(np.concatenate(sk_c + [pad])),
+            "n": pa.array(np.concatenate(sk_n + [pad])),
+            "token": pa.array(
+                np.concatenate([np.full(sum(x.size for x in sk_r), None,
+                                        dtype=object), cand]),
+                pa.string())})
+
+    # sketch + candidate rows are bounded (d*width + 4k per batch) — the
+    # materialize holds only sketch-sized data, never the corpus
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           **rayenv.remote_args()).materialize()
+    sk = (parts.filter(expr="r >= 0")
+          .groupby(["r", "c"]).sum("n").to_pandas())
+    cms = np.zeros((_CMS_D, width), dtype=np.int64)
+    cms[sk["r"].to_numpy(), sk["c"].to_numpy()] = sk["sum(n)"].to_numpy()
+    cand = (parts.filter(expr="r < 0").select_columns(["token"])
+            .to_pandas()["token"].dropna().unique())
+    if cand.size == 0:
+        return pd.DataFrame({"token": pd.Series(dtype="object"),
+                             "n_est": pd.Series(dtype="int64")})
+    rows = _cms_rows(cand.astype(object), width)
+    est = np.min(np.stack([cms[r, rows[r]] for r in range(_CMS_D)]), axis=0)
+    order = np.lexsort((cand.astype(object), -est))[:k]
+    return pd.DataFrame({"token": cand[order],
+                         "n_est": est[order].astype(np.int64)})
 
 
 def _doc_token_pairs(t: pa.Table, id_col: str, text_col: str) -> pd.DataFrame:

@@ -318,3 +318,34 @@ def test_grouped_quantiles_matches_sorted_rank(ray_session):
         r = max(1, math.ceil(q * sv.size))
         assert grp["v"].iloc[0] == sv[r - 1], (k, q)
     assert len(got) == 4 * len(qs)
+
+
+def test_cms_top_tokens_matches_exact_on_zipf(ray_session):
+    import ray.data as rd
+
+    from rwcf import analytics
+
+    rng = np.random.default_rng(23)
+    vocab = np.array([f"tok{i}" for i in range(3000)], dtype=object)
+    p = 1.0 / np.arange(1, vocab.size + 1) ** 1.3
+    p /= p.sum()
+    docs = pd.DataFrame({
+        "doc_id": np.arange(300, dtype=np.int64),
+        "text": [" ".join(rng.choice(vocab, size=150, p=p))
+                 for _ in range(300)]})
+    exact = {}
+    for t in docs["text"]:
+        for w in t.split():
+            exact[w] = exact.get(w, 0) + 1
+
+    got = analytics.cms_top_tokens(rd.from_pandas(docs).repartition(6),
+                                   k=20)
+    # CMS never underestimates; with width >> heavy-hitter count the
+    # estimates are exact and the top-k matches the true top-k
+    want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got["token"].tolist() == [w for w, _ in want]
+    for _, row in got.iterrows():
+        assert row["n_est"] >= exact[row["token"]]
+    # exactness at this width (no collisions among heavy cells expected)
+    assert (got["n_est"].to_numpy()
+            == np.array([n for _, n in want])).mean() > 0.9
