@@ -590,6 +590,40 @@ def _q_tfidf(sf_dir: str):
         _docs_ds(sf_dir, columns=("doc_id", "text")))
 
 
+def _q_parse_props(sf_dir: str):
+    """JSON-field parse + grouped aggregate: extract props.k (vectorized
+    RE2, no per-row json.loads) and roll up count + sum per event_type.
+    Per-batch partials pre-aggregate so only (event_type, n, sum) rows
+    reach the one small shuffle."""
+    import ray.data as rd
+
+    from rwcf import rayenv, textops
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = textops.json_field_int(t.column("props"), "k")
+        g = pa.table({"event_type": t.column("event_type"), "k": k}) \
+            .group_by("event_type").aggregate([("k", "count"), ("k", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "n_part": pc.cast(g.column("k_count"), pa.int64()),
+                         "sum_part": pc.cast(g.column("k_sum"), pa.int64())})
+
+    agg = (ev.map_batches(partial, batch_format="pyarrow",
+                          **rayenv.remote_args())
+           .repartition(8).groupby("event_type")
+           .sum(["n_part", "sum_part"]))
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t.column("event_type"),
+                         "n": pc.cast(t.column("sum(n_part)"), pa.int64()),
+                         "sum_k": pc.cast(t.column("sum(sum_part)"),
+                                          pa.int64())})
+    return agg.map_batches(rename, batch_format="pyarrow",
+                           **rayenv.remote_args())
+
+
 def _q_cms_top_tokens(sf_dir: str):
     """Count-Min-sketch heavy hitters: sketch-sized shuffle (additive
     d x width counter partials) + bounded per-batch candidate lists —
@@ -789,6 +823,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_tokens": _q_distinct_tokens,
         "distinct_tokens_approx": _q_distinct_tokens_approx,
         "cms_top_tokens": _q_cms_top_tokens,
+        "parse_props_stats": _q_parse_props,
         "sample_docs": _q_sample_docs,
         "asof_join_orders": _q_asof_join,
         "range_join_events": _q_range_join,
@@ -930,6 +965,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT q, (SELECT v FROM s, c "
             "WHERE rn = greatest(1, CAST(ceil(q * n) AS BIGINT))) AS v "
             "FROM qs"),
+        "parse_props_stats": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) "
+            "AS BIGINT) AS sum_k FROM events GROUP BY event_type"),
         "grouped_quantiles_source": (
             "WITH s AS (SELECT source, n_chars AS v, row_number() OVER "
             "(PARTITION BY source ORDER BY n_chars) AS rn, "

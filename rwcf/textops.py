@@ -88,6 +88,23 @@ def lang_id_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
 _FP_BASE = np.uint64(1099511628211)
 
 
+def json_field_int(col, key: str) -> pa.Array:
+    """Vectorized integer field extraction from a FLAT-JSON string column
+    (`{"k": 69, ...}`) — one RE2 pass via ``pc.extract_regex``, no
+    per-row json.loads. Rows without the key (or with a non-integer
+    value) yield null, matching SQL ``json_extract`` semantics for the
+    integer cast. Scoped to flat objects: a nested object containing the
+    same key inside a sub-object would also match — the documented
+    limit of the regex fast path (use a real JSON kernel off the hot
+    path if the schema nests)."""
+    import re as _re
+    pat = rf'"{_re.escape(key)}"\s*:\s*(?P<v>-?\d+)'
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    m = pc.extract_regex(col, pat)
+    return pc.cast(pc.struct_field(m, "v"), pa.int64())
+
+
 def _text_chunks(t: pa.Table, text_col: str):
     from . import format as fmt
     return fmt.chunk_from_arrow(t.column(text_col))

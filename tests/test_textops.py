@@ -74,3 +74,14 @@ def test_window_hashes():
     # first window = 'abc' LE-packed
     assert w[0] == (ord('a') | ord('b') << 8 | ord('c') << 16)
     assert textops.window_hashes(b, 8).size == 0  # shorter than window
+
+
+def test_json_field_int_extraction():
+    import pyarrow as pa
+
+    from rwcf.textops import json_field_int
+
+    col = pa.array(['{"k": 69}', '{"k": -3, "x": 1}', '{"x": 5}',
+                    '{"k": "str"}', None, '{ "k" :  42 }'])
+    got = json_field_int(col, "k")
+    assert got.to_pylist() == [69, -3, None, None, None, 42]
