@@ -398,6 +398,20 @@ def _q_ann_ivf(sf_dir: str):
     return similarity.cosine_topk_ivf(ds, query_ids=[0, 1, 2, 3, 4], k=10)
 
 
+def _q_ann_pq(sf_dir: str):
+    """Product-quantization ANN with exact re-rank: 64-dim float vectors
+    compress to 8 uint8 codes (32x), the scan reads codes only, and the
+    final top-k is exact cosine over each query's pooled candidates.
+    Rows-only: approximate by design; pool recall pinned in
+    tests/test_similarity.py."""
+    import ray.data as rd
+    from rwcf import similarity
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return similarity.cosine_topk_pq(ds, query_ids=[0, 1, 2, 3, 4], k=10,
+                                     m=8, ks=32)
+
+
 def _map_docs(fn):
     def run(sf_dir: str):
         from rwcf import rayenv
@@ -812,6 +826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_docs_embeddings": _q_join_docs_embeddings,
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
+        "ann_pq": _q_ann_pq,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_frames": _q_multimodal_frames,
         # round-3 analytics operators

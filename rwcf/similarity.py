@@ -100,6 +100,181 @@ def kmeans_lite(mat: np.ndarray, n_clusters: int, iters: int = 5,
     return centroids
 
 
+def _kmeans_l2(mat: np.ndarray, n_clusters: int, iters: int = 8,
+               seed: int = 42) -> np.ndarray:
+    """Deterministic small L2 k-means (the PQ sub-quantizer trainer)."""
+    rng = np.random.default_rng(seed)
+    cents = mat[rng.choice(mat.shape[0], min(n_clusters, mat.shape[0]),
+                           replace=False)].copy()
+    for _ in range(iters):
+        d2 = (-2.0 * mat @ cents.T
+              + (cents * cents).sum(axis=1)[None, :])  # + |x|^2 const
+        assign = d2.argmin(axis=1)
+        for c in range(cents.shape[0]):
+            members = mat[assign == c]
+            if members.size:
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def train_pq(ds, m: int = 4, ks: int = 16, seed: int = 42,
+             train_rows: int = 4096, vec_col: str = "embedding") -> np.ndarray:
+    """Train product-quantization codebooks: split the (normalized)
+    vector into ``m`` subvectors, L2-k-means each subspace to ``ks``
+    centroids on a seeded RANDOM sample (head sampling degenerates on
+    cluster-sorted corpora — same lesson as the IVF quantizer). Returns
+    ``(m, ks, dim/m)`` float64 codebooks."""
+    n_total = ds.count()
+    if n_total > train_rows:
+        frac = min(1.0, 1.25 * train_rows / n_total)
+        sample = ds.random_sample(frac, seed=seed).limit(train_rows) \
+            .to_pandas()
+    else:
+        sample = ds.to_pandas()
+    smat = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+    dim = smat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return np.stack([
+        _kmeans_l2(smat[:, j * dsub:(j + 1) * dsub], ks, seed=seed + j)
+        for j in range(m)])
+
+
+def _pq_codes(bm: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n, m) uint8 codes: nearest sub-centroid per subspace, vectorized
+    (one -2x@c.T + |c|^2 distance matrix per subspace)."""
+    m, ks, dsub = codebooks.shape
+    codes = np.empty((bm.shape[0], m), dtype=np.uint8)
+    for j in range(m):
+        sub = bm[:, j * dsub:(j + 1) * dsub]
+        cb = codebooks[j]
+        d2 = -2.0 * sub @ cb.T + (cb * cb).sum(axis=1)[None, :]
+        codes[:, j] = d2.argmin(axis=1)
+    return codes
+
+
+def pq_encode_ds(ds, codebooks: np.ndarray, id_col: str = "vec_id",
+                 vec_col: str = "embedding"):
+    """Compress an embedding Dataset to PQ codes: each vector becomes
+    ``m`` uint8 centroid ids (``dim*4 -> m`` bytes, e.g. 16x at dim=16,
+    m=4). The codes Dataset is what the search pass reads — the
+    compression IS the IO win at scale. Codebooks broadcast once."""
+    import ray
+    ref = ray.put(codebooks)
+
+    def enc(t: pa.Table) -> pa.Table:
+        cb = ray.get(ref)
+        ids = t.column(id_col).combine_chunks()
+        bm = _normalize(_batch_matrix(t, vec_col))
+        codes = _pq_codes(bm, cb)
+        # zero-copy fixed-size-binary column straight from the (n, m)
+        # uint8 buffer — no per-row bytes objects
+        col = pa.Array.from_buffers(
+            pa.binary(codes.shape[1]), codes.shape[0],
+            [None, pa.py_buffer(np.ascontiguousarray(codes).tobytes())])
+        return pa.table({id_col: ids, "pq_code": col})
+
+    return ds.map_batches(enc, batch_format="pyarrow",
+                          **rayenv.remote_args())
+
+
+def cosine_topk_pq(ds, query_ids: list[int], k: int = 10, m: int = 4,
+                   ks: int = 16, id_col: str = "vec_id",
+                   vec_col: str = "embedding", seed: int = 42,
+                   rerank: int = 20) -> pd.DataFrame:
+    """Approximate top-k by cosine over PQ-COMPRESSED vectors, the
+    production two-stage shape (scan codes, re-rank a pool):
+
+    1. train codebooks (seeded sample), compress the corpus
+       (``pq_encode_ds``), and scan ONLY the codes — per query an
+       asymmetric-distance lookup table ``lut[j, c] = q_j .
+       codebook[j][c]`` turns scoring into ``sum_j lut[j, code_j]``
+       (pure numpy gathers; no float vectors move) — keeping each
+       query's top ``rerank*k`` pool;
+    2. re-rank: fetch the FULL vectors of only the pooled ids (a
+       broadcast id filter, Q*rerank*k ids) and compute exact cosine for
+       the final top-k. PQ codes rank clusters well but not last-ulp
+       neighbor order; the re-rank pass restores exactness for
+       everything the pool caught.
+
+    Same output shape as cosine_topk; rows-only (pool recall pinned in
+    tests)."""
+    import ray
+
+    codebooks = train_pq(ds, m=m, ks=ks, seed=seed, vec_col=vec_col)
+    codes_ds = pq_encode_ds(ds, codebooks, id_col=id_col, vec_col=vec_col)
+
+    q = ds.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t[id_col],
+                                            value_set=pa.array(query_ids))),
+        batch_format="pyarrow", **rayenv.remote_args()).to_pandas()
+    q = q.sort_values(id_col)
+    qm = _normalize(np.stack(q[vec_col].to_numpy()).astype(np.float64))
+    qids = q[id_col].to_numpy()
+    dsub = qm.shape[1] // m
+    # (Q, m, ks) inner-product lookup tables
+    luts = np.stack([qm[:, j * dsub:(j + 1) * dsub] @ codebooks[j].T
+                     for j in range(m)], axis=1)
+    ref = ray.put((qids, luts))
+    pool = rerank * k
+
+    def local_pool(t: pa.Table) -> pa.Table:
+        qi, lt = ray.get(ref)
+        ids = t.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
+        blob = t.column("pq_code").combine_chunks()
+        width = blob.type.byte_width
+        # fixed-size-binary data buffer is the flat (n, m) uint8 matrix
+        # (respect a possible array offset from upstream slicing)
+        flat = np.frombuffer(blob.buffers()[1], dtype=np.uint8)
+        codes = flat.reshape(-1, width)[blob.offset:blob.offset + len(blob)]
+        out_q, out_v, out_s = [], [], []
+        kk = min(pool, ids.size)
+        for r in range(qi.size):
+            sims = np.zeros(ids.size, dtype=np.float64)
+            for j in range(codes.shape[1]):
+                sims += lt[r, j, codes[:, j]]
+            order = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.extend([qi[r]] * kk)
+            out_v.extend(ids[order])
+            out_s.extend(sims[order])
+        return pa.table({"qid": pa.array(out_q), "vec_id": pa.array(out_v),
+                         "sim": pa.array(np.asarray(out_s, dtype=np.float64))})
+
+    cand = codes_ds.map_batches(local_pool, batch_format="pyarrow",
+                                **rayenv.remote_args()).to_pandas()
+    cand = cand.sort_values(["qid", "sim"], ascending=[True, False])
+    pooled = cand.groupby("qid").head(pool)
+    per_q = {int(g): set(v["vec_id"]) for g, v in pooled.groupby("qid")}
+    all_ids = sorted(set().union(*per_q.values()))
+    pref = ray.put((qids, qm, per_q))
+
+    def exact_rerank(t: pa.Table) -> pa.Table:
+        qi, qmat, pq = ray.get(pref)
+        keep = pa.compute.is_in(t[id_col], value_set=pa.array(all_ids))
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        ids = t.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
+        bm = _normalize(_batch_matrix(t, vec_col))
+        sims = np.round(qmat @ bm.T, 6)
+        out_q, out_v, out_s = [], [], []
+        for r in range(qi.size):
+            mask = np.isin(ids, list(pq[int(qi[r])]))
+            sel = np.flatnonzero(mask)[:]
+            out_q.extend([qi[r]] * sel.size)
+            out_v.extend(ids[sel])
+            out_s.extend(sims[r, sel])
+        return pa.table({"qid": pa.array(out_q), "vec_id": pa.array(out_v),
+                         "sim": pa.array(np.asarray(out_s, dtype=np.float64))})
+
+    final = ds.map_batches(exact_rerank, batch_format="pyarrow",
+                           **rayenv.remote_args()).to_pandas()
+    return _rank_topk(final, k)
+
+
 def cosine_topk_ivf(ds, query_ids: list[int], k: int = 10, n_clusters: int = 16,
                     nprobe: int = 4, id_col: str = "vec_id",
                     vec_col: str = "embedding", seed: int = 42,

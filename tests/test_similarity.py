@@ -112,3 +112,35 @@ def test_ivf_random_sample_beats_head_sample(ray_session):
         got = set(approx[approx["qid"] == q]["vec_id"])
         recalls.append(len(got & set(expect[q])) / 10)
     assert np.mean(recalls) >= 0.8
+
+
+def test_pq_encode_compression_and_roundtrip_score(ray_session, emb_table):
+    import ray.data as rd
+    ds = rd.from_arrow(emb_table).repartition(4)
+    cb = similarity.train_pq(ds, m=4, ks=16, seed=3)
+    assert cb.shape == (4, 16, 8)  # dim 32 -> 4 subspaces of 8
+    codes = similarity.pq_encode_ds(ds, cb).to_pandas()
+    assert len(codes) == 200
+    # 32 float32 (128 B) -> 4 bytes per vector: 32x compression
+    assert all(len(c) == 4 for c in codes["pq_code"])
+    # codes are deterministic across batchings
+    codes2 = similarity.pq_encode_ds(rd.from_arrow(emb_table), cb).to_pandas()
+    a = codes.sort_values("vec_id").reset_index(drop=True)
+    b = codes2.sort_values("vec_id").reset_index(drop=True)
+    assert (a["pq_code"] == b["pq_code"]).all()
+
+
+def test_cosine_topk_pq_recall_on_clustered_data(ray_session):
+    """On cluster-structured data (the realistic regime) PQ search over
+    4-byte codes must place most of the exact top-10 in its top-10."""
+    import ray.data as rd
+    t = _two_cluster_table(n=800, dim=16, seed=9)
+    ds = rd.from_arrow(t).repartition(4)
+    qids = [0, 1, 400, 401]
+    expect = brute_force(t, qids, 10)
+    got_df = similarity.cosine_topk_pq(ds, qids, k=10, m=4, ks=32, seed=3)
+    recalls = []
+    for q in qids:
+        got = set(got_df.loc[got_df["qid"] == q, "vec_id"])
+        recalls.append(len(got & set(expect[q])) / 10)
+    assert np.mean(recalls) >= 0.8, recalls
