@@ -778,6 +778,39 @@ def _q_prep_corpus(sf_dir: str):
                             min_words=20, max_words=2000)
 
 
+def _q_semi_join_bloom(sf_dir: str):
+    """Selective semi-join with Bloom pruning on the oracle-checked path:
+    lineitem rows whose part has p_size >= 45 (~13% of parts). The bloom
+    prefilter drops ~87% of lineitem BEFORE the shuffle; false positives
+    still route and the in-group equality is exact, so the result is
+    identical to the plain semi-join (joins.hash_join bloom_bits)."""
+    import ray.data as rd
+
+    from rwcf import joins, rayenv
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_partkey", "l_quantity"])
+    pt = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_size"])
+
+    def big_parts(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("p_size"), 45))
+        return t.select(["p_partkey"])
+
+    pt = pt.map_batches(big_parts, batch_format="pyarrow",
+                        **rayenv.remote_args())
+    out = joins.hash_join(li, pt, on="l_partkey", right_on="p_partkey",
+                          how="semi", bloom_bits=1 << 18)
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": pc.cast(t.column("l_orderkey"), pa.int64()),
+            "l_partkey": pc.cast(t.column("l_partkey"), pa.int64()),
+            "l_quantity": t.column("l_quantity")})
+    return out.map_batches(cast, batch_format="pyarrow",
+                           **rayenv.remote_args())
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -842,6 +875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": _q_sample_docs,
         "asof_join_orders": _q_asof_join,
         "range_join_events": _q_range_join,
+        "semi_join_lineitem_bloom": _q_semi_join_bloom,
         "tfidf_docs": _q_tfidf,
         "prep_corpus": _q_prep_corpus,
     }
@@ -1014,6 +1048,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.event_id, e.value, s.s_suppkey, s.s_acctbal "
             "FROM events e JOIN supplier s "
             "ON e.value BETWEEN s.s_acctbal - 20 AND s.s_acctbal + 20"),
+        "semi_join_lineitem_bloom": (
+            "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem "
+            "WHERE l_partkey IN "
+            "(SELECT p_partkey FROM part WHERE p_size >= 45)"),
         # tf * ln(N/df) summed over each doc's distinct terms; rounded to
         # 4dp on both sides (the per-doc sum is order-sensitive in the
         # last float ulps across engines — analytics.tfidf_scores)
