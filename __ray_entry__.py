@@ -198,20 +198,13 @@ def _docs_ds(sf_dir: str, columns=("doc_id", "text")):
 
 def _docs_with_planted_copies(sf_dir: str, columns=("doc_id", "text")):
     """documents plus exact copies of every 10th doc under doc_id+1_000_000 —
-    the deterministic ground truth the dedup oracles pin."""
-    from rwcf import rayenv
-
-    def plant(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
-        mask = pa.array(ids % 10 == 0)
-        copies = t.filter(mask)
-        copies = copies.set_column(
-            copies.schema.get_field_index("doc_id"), "doc_id",
-            pc.add(copies.column("doc_id"), 1_000_000))
-        return pa.concat_tables([t, copies])
+    the deterministic ground truth the dedup oracles pin (shared impl:
+    rwcf.fixtures.plant_copies)."""
+    from rwcf import fixtures, rayenv
 
     return _docs_ds(sf_dir, columns=columns).map_batches(
-        plant, batch_format="pyarrow", **rayenv.remote_args())
+        lambda t: fixtures.plant_copies(t, 10, 1_000_000),
+        batch_format="pyarrow", **rayenv.remote_args())
 
 
 def _q_dedup_exact(sf_dir: str):
@@ -280,18 +273,9 @@ def _q_dedup_tokens(sf_dir: str):
     tok_files = documents.parquet_files(os.path.join(work, "tokens_in"))
     ds = rd.read_parquet(tok_files, columns=["doc_id", "tokens"])
 
-    def plant(t: pa.Table) -> pa.Table:
-        ids = pc.cast(t.column("doc_id"), pa.int64()).combine_chunks()
-        base = pa.table({"doc_id": ids, "tokens": t.column("tokens")})
-        mask = pa.array(ids.to_numpy(zero_copy_only=False) % 10 == 0)
-        copies = base.filter(mask)
-        copies = copies.set_column(0, "doc_id",
-                                   pc.add(copies.column("doc_id"),
-                                          1_000_000))
-        return pa.concat_tables([base, copies])
-
-    tok = ds.map_batches(plant, batch_format="pyarrow",
-                         **rayenv.remote_args())
+    from rwcf import fixtures
+    tok = ds.map_batches(lambda t: fixtures.plant_copies(t, 10, 1_000_000),
+                         batch_format="pyarrow", **rayenv.remote_args())
     out = dedup.token_minhash_dedup_ds(tok)
     return _pairs_canonical(out.to_pandas())
 
@@ -303,16 +287,10 @@ def _embeddings_with_planted_copies(sf_dir: str):
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                          columns=["vec_id", "embedding"])
 
-    def plant(t: pa.Table) -> pa.Table:
-        ids = t.column("vec_id").combine_chunks().to_numpy(zero_copy_only=False)
-        mask = pa.array(ids % 10 == 0)
-        copies = t.filter(mask)
-        copies = copies.set_column(
-            copies.schema.get_field_index("vec_id"), "vec_id",
-            pc.add(copies.column("vec_id"), 1_000_000))
-        return pa.concat_tables([t, copies])
-
-    return ds.map_batches(plant, batch_format="pyarrow", **rayenv.remote_args())
+    from rwcf import fixtures
+    return ds.map_batches(
+        lambda t: fixtures.plant_copies(t, 10, 1_000_000, id_col="vec_id"),
+        batch_format="pyarrow", **rayenv.remote_args())
 
 
 def _q_dedup_embedding(sf_dir: str):
@@ -618,10 +596,17 @@ def _q_parse_props(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         k = textops.json_field_int(t.column("props"), "k")
-        g = pa.table({"event_type": t.column("event_type"), "k": k}) \
-            .group_by("event_type").aggregate([("k", "count"), ("k", "sum")])
+        # count ALL rows (SQL count(*)), not just parseable-k rows — a
+        # props without the field must still count toward n while its
+        # null k drops out of the sum (both matching the oracle). Note
+        # json_field_int is integer-only by contract: a float field
+        # ("k": 69.5) would diverge from json_extract's BIGINT rounding.
+        ones = pa.array(np.ones(t.num_rows, dtype=np.int64))
+        g = pa.table({"event_type": t.column("event_type"), "k": k,
+                      "one": ones}) \
+            .group_by("event_type").aggregate([("one", "sum"), ("k", "sum")])
         return pa.table({"event_type": g.column("event_type"),
-                         "n_part": pc.cast(g.column("k_count"), pa.int64()),
+                         "n_part": pc.cast(g.column("one_sum"), pa.int64()),
                          "sum_part": pc.cast(g.column("k_sum"), pa.int64())})
 
     agg = (ev.map_batches(partial, batch_format="pyarrow",
@@ -763,17 +748,10 @@ def _q_prep_corpus(sf_dir: str):
     originals)."""
     from rwcf import prep, rayenv
 
-    def inject(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").combine_chunks()
-        mask = ids.to_numpy(zero_copy_only=False) % 7 == 0
-        copies = t.filter(pa.array(mask))
-        copies = copies.set_column(
-            copies.column_names.index("doc_id"), "doc_id",
-            pc.add(copies.column("doc_id"), 1_000_000))
-        return pa.concat_tables([t, copies])
-
+    from rwcf import fixtures
     ds = _docs_ds(sf_dir, columns=("doc_id", "text", "lang", "source")) \
-        .map_batches(inject, batch_format="pyarrow", **rayenv.remote_args())
+        .map_batches(lambda t: fixtures.plant_copies(t, 7, 1_000_000),
+                     batch_format="pyarrow", **rayenv.remote_args())
     return prep.prep_corpus(ds, langs=("en", "es"),
                             min_words=20, max_words=2000)
 

@@ -140,15 +140,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     run_dedup = os.environ.get("RWCF_BENCH_DEDUP", "1") != "0"
 
     def plant(t: pa.Table) -> pa.Table:
+        from rwcf import fixtures
         ids = pc.cast(pc.utf8_slice_codeunits(t.column("doc_id"), 4, 32),
                       pa.int64()).combine_chunks()
         t2 = pa.table({"doc_id": ids, "tokens": t.column("tokens")})
-        mask = ids.to_numpy(zero_copy_only=False) % 50 == 0
-        copies = t2.filter(pa.array(mask))
-        copies = copies.set_column(0, "doc_id",
-                                   pc.add(copies.column("doc_id"),
-                                          10_000_000))
-        return pa.concat_tables([t2, copies])
+        return fixtures.plant_copies(t2, 50, 10_000_000)
 
     if run_dedup:
         # row-group-parallel source: ray.data.read_parquet serializes a

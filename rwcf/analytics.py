@@ -145,8 +145,10 @@ def exact_quantiles(ds, col: str, qs=(0.25, 0.5, 0.9, 0.99)) -> pd.DataFrame:
     pinned to SQL ``row_number`` semantics so the oracle is exact."""
 
     def partial(t: pa.Table) -> pa.Table:
-        vc = pc.value_counts(pc.cast(t.column(col).combine_chunks(),
-                                     pa.int64()))
+        # drop_null BEFORE counting: pc.value_counts emits a null bucket,
+        # which would shift ranks vs SQL (quantiles exclude NULLs)
+        vc = pc.value_counts(pc.cast(
+            t.column(col).combine_chunks().drop_null(), pa.int64()))
         return pa.table({"v": vc.field("values"),
                          "n": pc.cast(vc.field("counts"), pa.int64())})
 
@@ -154,9 +156,12 @@ def exact_quantiles(ds, col: str, qs=(0.25, 0.5, 0.9, 0.99)) -> pd.DataFrame:
                            **rayenv.remote_args())
             .repartition(32)  # cap the sort fan-out (joins.py rationale)
             .groupby("v").sum("n").to_pandas())
+    if hist.empty:  # all-null/empty input (0-row to_pandas drops columns)
+        return pd.DataFrame({"q": pd.Series(dtype="float64"),
+                             "v": pd.Series(dtype="int64")})
     hist = hist.sort_values("v").reset_index(drop=True)
     cum = hist["sum(n)"].to_numpy().cumsum()
-    total = int(cum[-1]) if cum.size else 0
+    total = int(cum[-1])
     rows = []
     for q in qs:
         r = max(1, math.ceil(q * total))
@@ -319,8 +324,8 @@ def distinct_token_count(ds, text_col: str = "text",
              .groupby("_b")
              .map_groups(count_bucket, batch_format="pyarrow",
                          **rayenv.remote_args()))
-    total = parts.sum("nd")
-    return pd.DataFrame([{"n_distinct": int(total)}])
+    total = parts.sum("nd")  # None on a fully empty corpus
+    return pd.DataFrame([{"n_distinct": int(total or 0)}])
 
 
 _HLL_P = 12                      # 2^12 = 4096 registers, ~1.6% std error
@@ -379,7 +384,8 @@ def distinct_token_count_approx(ds, text_col: str = "text") -> pd.DataFrame:
               .repartition(8)  # cap the sort fan-out (joins.py rationale)
               .groupby("reg").max("rank").to_pandas())
     regs = np.zeros(_HLL_M, dtype=np.int64)
-    regs[merged["reg"].to_numpy()] = merged["max(rank)"].to_numpy()
+    if not merged.empty:  # 0-row to_pandas drops columns (Ray quirk)
+        regs[merged["reg"].to_numpy()] = merged["max(rank)"].to_numpy()
     return pd.DataFrame([{"n_distinct_approx": int(round(
         _hll_estimate(regs)))}])
 
@@ -450,9 +456,11 @@ def cms_top_tokens(ds, text_col: str = "text", k: int = 50,
     sk = (parts.filter(expr="r >= 0")
           .groupby(["r", "c"]).sum("n").to_pandas())
     cms = np.zeros((_CMS_D, width), dtype=np.int64)
-    cms[sk["r"].to_numpy(), sk["c"].to_numpy()] = sk["sum(n)"].to_numpy()
-    cand = (parts.filter(expr="r < 0").select_columns(["token"])
-            .to_pandas()["token"].dropna().unique())
+    if not sk.empty:  # 0-row to_pandas drops columns (Ray quirk)
+        cms[sk["r"].to_numpy(), sk["c"].to_numpy()] = sk["sum(n)"].to_numpy()
+    cand_df = parts.filter(expr="r < 0").select_columns(["token"]).to_pandas()
+    cand = cand_df["token"].dropna().unique() if not cand_df.empty \
+        else np.array([], dtype=object)
     if cand.size == 0:
         return pd.DataFrame({"token": pd.Series(dtype="object"),
                              "n_est": pd.Series(dtype="int64")})

@@ -502,10 +502,19 @@ def jaccard_blocked_pairs(ds, threshold: float = 0.8, text_col: str = "text",
             fpeq[hit] = True
         rem = ~fpeq
         if rem.any():
+            # shingle ONLY the rows that appear in surviving non-equal
+            # pairs, not the whole bucket (round-3 review finding: a
+            # bucket of mostly-singleton blocks paid a full rolling-hash
+            # + lexsort over its entire payload to score a few pairs)
+            need = np.unique(np.concatenate([xs[rem], ys[rem]]))
+            sub_payload, sub_lengths = _segmented_gather(
+                payload, row_starts, lengths, need)
             flat_u, u_starts, u_counts = _segmented_unique_shingles(
-                payload, lengths)
+                sub_payload, sub_lengths)
+            xpos = np.searchsorted(need, xs[rem])
+            ypos = np.searchsorted(need, ys[rem])
             sims[rem] = jaccard_pairs_vectorized(flat_u, u_starts, u_counts,
-                                                 xs[rem], ys[rem])
+                                                 xpos, ypos)
         keep = sims >= threshold
         if not keep.any():
             return empty

@@ -82,3 +82,24 @@ def rows_for_sf(sf: float) -> int:
     """FIXTURES.md F1 scales: smoke≈2k (sf0.001), correctness≈20k (sf0.01),
     bench≈200k (sf0.1). Rows scale, token skew tail survives."""
     return max(200, int(round(2_000_000 * sf)))
+
+
+def plant_copies(t: pa.Table, modulus: int, offset: int,
+                 id_col: str = "doc_id") -> pa.Table:
+    """Append exact copies of every ``modulus``-th row (by id) under
+    ``id + offset`` — THE deterministic planted-duplicate ground truth.
+    One implementation shared by the dedup/prep oracle queries and the
+    bench dedup stage: the SQL oracles pin the same (modulus, offset)
+    arithmetic, so a drift in any one copy would silently break oracle
+    parity (round-3 review finding)."""
+    import pyarrow.compute as pc
+    ids = t.column(id_col).combine_chunks()
+    if ids.type != pa.int64():
+        ids = pc.cast(ids, pa.int64())
+        t = t.set_column(t.schema.get_field_index(id_col), id_col, ids)
+    mask = pa.array(ids.to_numpy(zero_copy_only=False) % modulus == 0)
+    copies = t.filter(mask)
+    copies = copies.set_column(
+        copies.schema.get_field_index(id_col), id_col,
+        pc.add(copies.column(id_col), offset))
+    return pa.concat_tables([t, copies])

@@ -303,6 +303,13 @@ def hash_join(left, right, on: str, right_on: str | None = None,
                 else l[~l[_JK].isin(rkeys)]
             return _from_pandas_nullable(m[out_l], out_schema)
         r = g.filter(pc.equal(side, 1)).select([_JK] + out_r).to_pandas()
+        if how == "left":
+            # nullable Int64 BEFORE the merge: an unmatched left row would
+            # otherwise coerce the whole right int64 column to float64,
+            # silently rounding matched values above 2^53 (hash-id range)
+            for c in out_r:
+                if pd.api.types.is_integer_dtype(r[c]):
+                    r[c] = r[c].astype("Int64")
         m = l.merge(r, on=_JK, how=how)  # exact key equality; bucket routed
         return _from_pandas_nullable(m[out_l + out_r], out_schema)
 
@@ -430,6 +437,14 @@ def range_join(left, right, left_val: str, right_lo: str, right_hi: str,
             lo, hi = lo[ok], hi[ok]
         c0, c1 = _bins(lo), _bins(hi)
         reps = (c1 - c0 + 1)
+        # replication bomb guard: a chunk far smaller than the interval
+        # widths would explode the right side (e.g. chunk=1e-6 on width-40
+        # bands -> 4e7 replicas per row). Fail loudly with the fix.
+        if reps.size and int(reps.max()) > 100_000:
+            raise ValueError(
+                f"range_join chunk={w} replicates an interval "
+                f"{int(reps.max())}x; raise `chunk` toward the typical "
+                f"interval width (hi-lo max = {float((hi - lo).max())})")
         idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), reps)
         # replica bin ids: segmented arange c0[i] .. c1[i]
         starts = np.repeat(c0, reps)
@@ -531,6 +546,13 @@ def asof_join(left, right, on: str, left_ts: str, right_ts: str,
         side = g.column(_SIDE)
         l = g.filter(pc.equal(side, 0)).select(out_l).to_pandas()
         r = g.filter(pc.equal(side, 1)).select(out_r).to_pandas()
+        for c in out_r:
+            # as-of is left-join-shaped: unmatched rows coerce right int
+            # columns to float64, rounding values >2^53 — keep payload
+            # ints nullable (the key/ts columns merge_asof sorts on must
+            # stay plain numeric)
+            if c not in (rkey, rts) and pd.api.types.is_integer_dtype(r[c]):
+                r[c] = r[c].astype("Int64")
         # merge_asof needs both frames sorted on the as-of column
         # (stable sort: right-side (key, ts) ties — documented as caller
         # error — at least resolve reproducibly for a given input order)

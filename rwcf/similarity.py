@@ -166,6 +166,9 @@ def pq_encode_ds(ds, codebooks: np.ndarray, id_col: str = "vec_id",
     def enc(t: pa.Table) -> pa.Table:
         cb = ray.get(ref)
         ids = t.column(id_col).combine_chunks()
+        if t.num_rows == 0:  # empty block: typed empty, don't matmul (0,1)
+            return pa.table({id_col: ids,
+                             "pq_code": pa.array([], pa.binary(cb.shape[0]))})
         bm = _normalize(_batch_matrix(t, vec_col))
         codes = _pq_codes(bm, cb)
         # zero-copy fixed-size-binary column straight from the (n, m)
@@ -222,6 +225,10 @@ def cosine_topk_pq(ds, query_ids: list[int], k: int = 10, m: int = 4,
     def local_pool(t: pa.Table) -> pa.Table:
         qi, lt = ray.get(ref)
         ids = t.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
+        if ids.size == 0:  # empty block: argpartition(kth=-1) would raise
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
         blob = t.column("pq_code").combine_chunks()
         width = blob.type.byte_width
         # fixed-size-binary data buffer is the flat (n, m) uint8 matrix
@@ -247,11 +254,11 @@ def cosine_topk_pq(ds, query_ids: list[int], k: int = 10, m: int = 4,
     pooled = cand.groupby("qid").head(pool)
     per_q = {int(g): set(v["vec_id"]) for g, v in pooled.groupby("qid")}
     all_ids = sorted(set().union(*per_q.values()))
-    pref = ray.put((qids, qm, per_q))
+    pref = ray.put((qids, qm, per_q, all_ids))
 
     def exact_rerank(t: pa.Table) -> pa.Table:
-        qi, qmat, pq = ray.get(pref)
-        keep = pa.compute.is_in(t[id_col], value_set=pa.array(all_ids))
+        qi, qmat, pq, allv = ray.get(pref)
+        keep = pa.compute.is_in(t[id_col], value_set=pa.array(allv))
         t = t.filter(keep)
         if t.num_rows == 0:
             return pa.table({"qid": pa.array([], pa.int64()),

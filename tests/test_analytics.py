@@ -349,3 +349,31 @@ def test_cms_top_tokens_matches_exact_on_zipf(ray_session):
     # exactness at this width (no collisions among heavy cells expected)
     assert (got["n_est"].to_numpy()
             == np.array([n for _, n in want])).mean() > 0.9
+
+
+def test_exact_quantiles_nulls_and_empty(ray_session):
+    import ray.data as rd
+
+    from rwcf import analytics
+
+    ds = rd.from_pandas(pd.DataFrame(
+        {"x": pd.array([1, None, 2, None, 3], dtype="Int64")}))
+    got = analytics.exact_quantiles(ds, "x", qs=(0.5, 0.99))
+    # nulls excluded (SQL semantics): median of [1,2,3] is 2
+    assert got["v"].tolist() == [2, 3]
+
+    empty = rd.from_pandas(pd.DataFrame({"x": pd.Series([], dtype="int64")}))
+    assert len(analytics.exact_quantiles(empty, "x")) == 0
+
+
+def test_sketches_tolerate_empty_corpus(ray_session):
+    import ray.data as rd
+
+    from rwcf import analytics
+
+    empty = rd.from_pandas(pd.DataFrame({"text": pd.Series([], dtype="object"),
+                                         "doc_id": pd.Series([], dtype="int64")}))
+    assert int(analytics.distinct_token_count(empty)["n_distinct"].iloc[0]) == 0
+    assert int(analytics.distinct_token_count_approx(empty)
+               ["n_distinct_approx"].iloc[0]) == 0
+    assert len(analytics.cms_top_tokens(empty)) == 0

@@ -399,3 +399,38 @@ def test_hash_join_bloom_anti_bypass_same_result(ray_session, join_frames):
     a = plain[cols].sort_values(cols).reset_index(drop=True)
     b = pruned[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_left_join_preserves_big_int64_payloads(ray_session):
+    """An unmatched left row must not coerce the right int64 payload
+    through float64 (which silently rounds values above 2^53)."""
+    import ray.data as rd
+    big = 2**62 + 12345  # not float64-representable
+    l = pd.DataFrame({"k": np.array([1, 2, 3], np.int64)})
+    r = pd.DataFrame({"k": np.array([1, 2], np.int64),
+                      "payload": np.array([big, big + 1], np.int64)})
+    out = hash_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
+                    how="left", buckets=4)
+    # assert on ARROW (a null-bearing int64 would coerce to float64 in
+    # to_pandas and re-corrupt in the test harness itself)
+    t = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    assert t.schema.field("payload").type == pa.int64()
+    by_k = dict(zip(t.column("k").to_pylist(), t.column("payload").to_pylist()))
+    assert by_k == {1: big, 2: big + 1, 3: None}
+
+
+def test_asof_join_preserves_big_int64_payloads(ray_session):
+    import ray.data as rd
+    from rwcf.joins import asof_join
+    big = 2**62 + 7
+    l = pd.DataFrame({"k": np.array([1, 1], np.int64),
+                      "ts": np.array([10, 1], np.int64)})
+    r = pd.DataFrame({"k": np.array([1], np.int64),
+                      "rts": np.array([5], np.int64),
+                      "payload": np.array([big], np.int64)})
+    out = asof_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
+                    left_ts="ts", right_ts="rts", buckets=2)
+    t = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    by_ts = dict(zip(t.column("ts").to_pylist(),
+                     t.column("payload").to_pylist()))
+    assert by_ts == {1: None, 10: big}  # ts=1 precedes every right row
