@@ -643,6 +643,16 @@ def _q_distinct_tokens_approx(sf_dir: str):
         _docs_ds(sf_dir, columns=("text",)))
 
 
+def _q_sample_stratified(sf_dir: str):
+    """Per-source deterministic sampling (dataset balancing): keep 50% of
+    src0/src1, 10% of everything else — same LCG keep-mask as
+    sample_docs, threshold looked up per group; zero shuffle."""
+    from rwcf import analytics
+    ds = _docs_ds(sf_dir, columns=("doc_id", "source"))
+    return analytics.stratified_sample(
+        ds, "doc_id", "source", {"src0": 50, "src1": 50}, default_pct=10)
+
+
 def _q_sample_docs(sf_dir: str):
     """Deterministic ~10% id-hash sample — pure streaming filter, the
     same rows on every run and cluster size (SQL-reproducible, unlike
@@ -851,6 +861,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_top_tokens": _q_cms_top_tokens,
         "parse_props_stats": _q_parse_props,
         "sample_docs": _q_sample_docs,
+        "sample_stratified": _q_sample_stratified,
+        "normalize_text": _map_docs(__import__("rwcf.textops",
+                                               fromlist=["x"])
+                                    .normalize_text_batch),
         "asof_join_orders": _q_asof_join,
         "range_join_events": _q_range_join,
         "semi_join_lineitem_bloom": _q_semi_join_bloom,
@@ -1012,6 +1026,18 @@ def oracle_sql() -> dict[str, str]:
         "sample_docs": (
             "SELECT doc_id, source FROM documents "
             "WHERE ((doc_id * 1103515245 + 12345) % 2147483648) % 100 < 10"),
+        # same hash, per-group threshold (dataset balancing)
+        "sample_stratified": (
+            "SELECT doc_id, source FROM documents "
+            "WHERE ((doc_id * 1103515245 + 12345) % 2147483648) % 100 < "
+            "(CASE WHEN source IN ('src0', 'src1') THEN 50 ELSE 10 END)"),
+        # length() = codepoints (matches pc.utf8_length); strlen would be
+        # bytes
+        "normalize_text": (
+            "SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', "
+            "'g'), ' ') AS text_norm, CAST(length(trim(regexp_replace("
+            "lower(text), '\\s+', ' ', 'g'), ' ')) AS BIGINT) "
+            "AS n_chars_norm FROM documents"),
         # right side reduced to one row per (custkey, orderdate) with max
         # orderkey BEFORE the ASOF join — same dedupe as the engine, which
         # is what makes the as-of winner deterministic on both sides

@@ -33,7 +33,8 @@ from .joins import hash_bucket
 __all__ = ["top_tokens", "cms_top_tokens", "grouped_topk",
            "exact_quantiles", "exact_quantiles_float", "grouped_quantiles",
            "distinct_token_count", "distinct_token_count_approx",
-           "hash_sample", "sample_hash_ok", "tfidf_scores"]
+           "hash_sample", "stratified_sample", "sample_hash_ok",
+           "tfidf_scores"]
 
 
 def _flat_words(text: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -558,6 +559,37 @@ def sample_hash_ok(ids: np.ndarray, pct: int) -> np.ndarray:
     """Boolean keep-mask: ((id * A + C) mod 2^31) mod 100 < pct."""
     h = (ids.astype(np.int64) * _SAMPLE_A + _SAMPLE_C) % _SAMPLE_M
     return (h % 100) < pct
+
+
+def stratified_sample(ds, id_col: str, key_col: str, pct_by_key: dict,
+                      default_pct: int = 0,
+                      columns: list[str] | None = None):
+    """Deterministic PER-GROUP sampling — the dataset-balancing primitive
+    (downsample overrepresented sources, keep rare ones whole). Each
+    row's keep/drop is the same LCG id-hash as :func:`hash_sample`, with
+    the threshold looked up from its group's rate: reproducible across
+    engines, runs and cluster sizes, zero shuffle, streaming. Keys not
+    in ``pct_by_key`` use ``default_pct``."""
+    items = sorted(pct_by_key.items())
+    keys = np.array([k for k, _ in items], dtype=object)
+    rates = np.array([int(v) for _, v in items], dtype=np.int64)
+
+    def filt(t: pa.Table) -> pa.Table:
+        if columns is not None:
+            t = t.select(columns)
+        ids = pc.cast(t.column(id_col), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        kv = t.column(key_col).to_numpy(zero_copy_only=False)
+        if keys.size:
+            pos = np.clip(np.searchsorted(keys, kv), 0, keys.size - 1)
+            pct = np.where(keys[pos] == kv, rates[pos], default_pct)
+        else:
+            pct = np.full(len(kv), default_pct, dtype=np.int64)
+        h = (ids * _SAMPLE_A + _SAMPLE_C) % _SAMPLE_M
+        return t.filter(pa.array((h % 100) < pct))
+
+    return ds.map_batches(filt, batch_format="pyarrow",
+                          **rayenv.remote_args())
 
 
 def hash_sample(ds, id_col: str, pct: int, columns: list[str] | None = None):

@@ -88,6 +88,22 @@ def lang_id_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
 _FP_BASE = np.uint64(1099511628211)
 
 
+def normalize_text_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Canonical text normalization for dedup/quality pipelines:
+    lowercase, collapse every whitespace run to one space, trim the
+    edges. All three steps are single pyarrow kernels (utf8_lower, one
+    RE2 replace, space-trim) — no row loop — and each is expressible in
+    ANSI SQL (lower / regexp_replace 'g' / trim), so the oracle is
+    exact."""
+    low = pc.utf8_lower(t.column(text_col))
+    one = pc.replace_substring_regex(low, r"\s+", " ")
+    norm = pc.utf8_trim(one, " ")
+    return pa.table({
+        "doc_id": t.column("doc_id"),
+        "text_norm": norm,
+        "n_chars_norm": pc.cast(pc.utf8_length(norm), pa.int64())})
+
+
 def json_field_int(col, key: str) -> pa.Array:
     """Vectorized integer field extraction from a FLAT-JSON string column
     (`{"k": 69, ...}`) — one RE2 pass via ``pc.extract_regex``, no

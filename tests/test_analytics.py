@@ -377,3 +377,30 @@ def test_sketches_tolerate_empty_corpus(ray_session):
     assert int(analytics.distinct_token_count_approx(empty)
                ["n_distinct_approx"].iloc[0]) == 0
     assert len(analytics.cms_top_tokens(empty)) == 0
+
+
+def test_stratified_sample_rates_and_determinism(ray_session):
+    import ray.data as rd
+
+    from rwcf import analytics
+
+    n = 20_000
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "source": np.where(np.arange(n) % 2 == 0, "big", "small")})
+    got = analytics.stratified_sample(
+        rd.from_pandas(df).repartition(5), "doc_id", "source",
+        {"big": 10, "small": 80}).to_pandas()
+    big = got[got["source"] == "big"]
+    small = got[got["source"] == "small"]
+    assert abs(len(big) / (n / 2) - 0.10) < 0.02
+    assert abs(len(small) / (n / 2) - 0.80) < 0.02
+    # deterministic: same rows regardless of batching
+    got2 = analytics.stratified_sample(
+        rd.from_pandas(df), "doc_id", "source",
+        {"big": 10, "small": 80}).to_pandas()
+    assert sorted(got2["doc_id"]) == sorted(got["doc_id"])
+    # unknown keys use default_pct=0 -> dropped entirely
+    got3 = analytics.stratified_sample(
+        rd.from_pandas(df), "doc_id", "source", {"other": 50}).to_pandas()
+    assert len(got3) == 0

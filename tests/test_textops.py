@@ -85,3 +85,15 @@ def test_json_field_int_extraction():
                     '{"k": "str"}', None, '{ "k" :  42 }'])
     got = json_field_int(col, "k")
     assert got.to_pylist() == [69, -3, None, None, None, 42]
+
+
+def test_normalize_text_batch():
+    import pyarrow as pa
+
+    from rwcf.textops import normalize_text_batch
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": ["  Hello\t WORLD \n", "a  b", ""]})
+    out = normalize_text_batch(t)
+    assert out.column("text_norm").to_pylist() == ["hello world", "a b", ""]
+    assert out.column("n_chars_norm").to_pylist() == [11, 3, 0]
