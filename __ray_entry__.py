@@ -799,6 +799,46 @@ def _q_semi_join_bloom(sf_dir: str):
                            **rayenv.remote_args())
 
 
+_REDACT_PATTERNS = (
+    # email + ipv4 exercise the PII shapes; the word blocklist actually
+    # fires on this corpus so the oracle checks real replacements
+    r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    r"\b(customer|spark)\b",
+)
+
+
+def _q_redact(sf_dir: str):
+    import functools
+
+    from rwcf import curation, rayenv
+    fn = functools.partial(curation.redact_batch,
+                           patterns=_REDACT_PATTERNS)
+    return _docs_ds(sf_dir).map_batches(fn, batch_format="pyarrow",
+                                        **rayenv.remote_args())
+
+
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: probes = first 60 chars of every 97th
+    doc (a stand-in benchmark suite), broadcast once; flag carriers."""
+    from rwcf import curation
+    ds = _docs_ds(sf_dir)
+    probes = curation.probe_strings(ds, every=97, head_chars=60)
+    return curation.decontaminate(ds, probes)
+
+
+def _q_budget_select(sf_dir: str):
+    from rwcf import curation
+    ds = _docs_ds(sf_dir, columns=("doc_id", "source", "n_chars"))
+    return curation.budget_select(ds, budget=5000)
+
+
+def _q_pack_stats(sf_dir: str):
+    from rwcf import curation
+    return curation.pack_stats_ds(_docs_ds(sf_dir), seq_len=512,
+                                  n_buckets=8)
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -870,6 +910,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join_lineitem_bloom": _q_semi_join_bloom,
         "tfidf_docs": _q_tfidf,
         "prep_corpus": _q_prep_corpus,
+        # corpus-curation operators
+        "redact_docs": _q_redact,
+        "repetition_stats": _map_docs(
+            __import__("rwcf.curation", fromlist=["x"])
+            .repetition_stats_batch),
+        "decontaminate_docs": _q_decontaminate,
+        "budget_select_source": _q_budget_select,
+        "pack_stats": _q_pack_stats,
     }
 
 
@@ -1084,6 +1132,67 @@ def oracle_sql() -> dict[str, str]:
             "s AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY text) "
             "SELECT f.doc_id, f.source, f.lang, f.n_words "
             "FROM f JOIN s ON f.doc_id = s.doc_id"),
+        # patterns applied in engine order against progressively-redacted
+        # text (chained regexp_replace); hit count on the ORIGINAL text
+        # via the same RE2 alternation the engine counts with
+        "redact_docs": (
+            "SELECT doc_id, "
+            "regexp_replace(regexp_replace(regexp_replace(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "'[REDACTED]', 'g'), "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', "
+            "'[REDACTED]', 'g'), "
+            "'\\b(customer|spark)\\b', '[REDACTED]', 'g') AS text_red, "
+            "CAST(length(regexp_extract_all(text, "
+            "'(?:[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,})|"
+            "(?:\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b)|"
+            "(?:\\b(customer|spark)\\b)')) AS BIGINT) AS n_hits "
+            "FROM documents"),
+        # word split on single space (keeps empties) on both sides;
+        # single-word docs drop out of the bigram inner join on both sides
+        "repetition_stats": (
+            "WITH w AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS word, "
+            "unnest(generate_series(1, len(string_split(text, ' ')))) AS k "
+            "FROM documents), "
+            "wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2), "
+            "ws AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, "
+            "CAST(count(*) AS BIGINT) AS n_distinct_words, "
+            "CAST(max(c) AS BIGINT) AS max_wc FROM wc GROUP BY doc_id), "
+            "bg AS (SELECT doc_id, word || ' ' || "
+            "lead(word) OVER (PARTITION BY doc_id ORDER BY k) AS bigram "
+            "FROM w), "
+            "bgc AS (SELECT doc_id, bigram, count(*) AS c FROM bg "
+            "WHERE bigram IS NOT NULL GROUP BY 1, 2), "
+            "bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, "
+            "CAST(max(c) AS BIGINT) AS max_bc FROM bgc GROUP BY doc_id) "
+            "SELECT ws.doc_id, ws.n_words, ws.n_distinct_words, "
+            "1.0 - CAST(ws.n_distinct_words AS DOUBLE) / ws.n_words "
+            "AS dup_word_frac, "
+            "CAST(ws.max_wc AS DOUBLE) / ws.n_words AS top_word_frac, "
+            "CAST(bs.max_bc AS DOUBLE) / bs.n_bigrams AS top_bigram_frac "
+            "FROM ws JOIN bs USING (doc_id)"),
+        "decontaminate_docs": (
+            "WITH probes AS (SELECT substr(text, 1, 60) AS p "
+            "FROM documents WHERE doc_id % 97 = 0) "
+            "SELECT d.doc_id, CAST(max(CASE WHEN contains(d.text, probes.p) "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS contaminated "
+            "FROM documents d CROSS JOIN probes GROUP BY d.doc_id"),
+        "budget_select_source": (
+            "SELECT doc_id, source, n_chars, cum_chars FROM ("
+            "SELECT doc_id, source, n_chars, "
+            "CAST(sum(n_chars) OVER (PARTITION BY source "
+            "ORDER BY n_chars DESC, doc_id ROWS UNBOUNDED PRECEDING) "
+            "AS BIGINT) AS cum_chars FROM documents) WHERE cum_chars <= 5000"),
+        # n_docs/n_tokens/n_sequences aggregated from the REAL packed
+        # sequences (EOS counts / non-pad counts / row counts), so the
+        # closed-form oracle transitively checks the packing layout
+        "pack_stats": (
+            "SELECT CAST(doc_id % 8 AS BIGINT) AS part, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(strlen(text) + 1) AS BIGINT) AS n_tokens, "
+            "CAST((sum(strlen(text) + 1) + 511) // 512 AS BIGINT) "
+            "AS n_sequences FROM documents GROUP BY 1"),
         # rows-only (not SQL-expressible): codec_selection, flagship_synthetic,
         # distinct_tokens_approx (HLL sketch; error bound pinned in tests),
         # cms_top_tokens (Count-Min sketch; Zipf parity pinned in tests),
