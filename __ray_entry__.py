@@ -833,6 +833,15 @@ def _q_budget_select(sf_dir: str):
     return curation.budget_select(ds, budget=5000)
 
 
+def _q_dedup_substrings(sf_dir: str):
+    """Exact duplicate-substring detection (Lee et al. 2022 family) over
+    the corpus plus planted exact copies: per doc, the count of distinct
+    40-byte substrings shared with at least one other doc."""
+    from rwcf import dedup
+    return dedup.dup_ngram_counts_ds(
+        _docs_with_planted_copies(sf_dir), width=40)
+
+
 def _q_pack_stats(sf_dir: str):
     from rwcf import curation
     return curation.pack_stats_ds(_docs_ds(sf_dir), seq_len=512,
@@ -918,6 +927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": _q_decontaminate,
         "budget_select_source": _q_budget_select,
         "pack_stats": _q_pack_stats,
+        "dedup_substrings": _q_dedup_substrings,
     }
 
 
@@ -1193,6 +1203,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(strlen(text) + 1) AS BIGINT) AS n_tokens, "
             "CAST((sum(strlen(text) + 1) + 511) // 512 AS BIGINT) "
             "AS n_sequences FROM documents GROUP BY 1"),
+        # engine counts byte windows, oracle counts char windows — equal
+        # on this ASCII corpus; distinct-per-doc on both sides, internal
+        # same-doc repeats excluded by the >=2-docs having clause
+        "dedup_substrings": (
+            "WITH base AS (SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 1000000, text FROM documents "
+            "WHERE doc_id % 10 = 0), "
+            "k AS (SELECT doc_id, text, "
+            "unnest(generate_series(1, strlen(text) - 39)) AS k FROM base), "
+            "g AS (SELECT DISTINCT doc_id, substr(text, k, 40) AS gram "
+            "FROM k), "
+            "dup AS (SELECT gram FROM g GROUP BY gram "
+            "HAVING count(*) >= 2) "
+            "SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams "
+            "FROM g JOIN dup USING (gram) GROUP BY g.doc_id"),
         # rows-only (not SQL-expressible): codec_selection, flagship_synthetic,
         # distinct_tokens_approx (HLL sketch; error bound pinned in tests),
         # cms_top_tokens (Count-Min sketch; Zipf parity pinned in tests),

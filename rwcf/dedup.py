@@ -1492,3 +1492,192 @@ def embedding_near_dups(ds, threshold: float = 0.95,
         return pa.table({"a_id": pa.array(a[keep]), "b_id": pa.array(b[keep])})
 
     return ds.map_batches(pairs, batch_format="pyarrow", **rayenv.remote_args())
+
+
+# ---------------------------------------------------------------------------
+# exact duplicate-substring detection (Lee et al. 2022 family)
+# ---------------------------------------------------------------------------
+
+#: odd FNV prime -> invertible mod 2^64, so rolling window hashes can be
+#: computed from prefix sums: H(i,W) = (P[i+W] - P[i]) * BASE^{-i}
+_SPAN_BASE = textops._FP_BASE
+_SPAN_INV = np.uint64(pow(int(_SPAN_BASE), -1, 1 << 64))
+
+
+def _window_poly_hashes(lengths: np.ndarray, payload: np.ndarray,
+                        width: int):
+    """Rolling polynomial hash of every ``width``-byte window of every
+    document, vectorized across the whole batch. Returns
+    ``(win_doc, win_hash, win_gstart)``: per-window document index within
+    the batch, uint64 hash, and the window's global start offset into
+    ``payload`` (for exact gram extraction). Windows never cross document
+    boundaries."""
+    lengths = lengths.astype(np.int64)
+    n = lengths.size
+    if n == 0 or payload.size == 0:
+        z = np.empty(0, np.int64)
+        return z, np.empty(0, np.uint64), z
+    starts = np.cumsum(lengths) - lengths
+    pos = np.arange(payload.size, dtype=np.int64) - np.repeat(starts, lengths)
+    maxlen = int(lengths.max())
+    pows = np.ones(maxlen + 1, dtype=np.uint64)
+    invp = np.ones(maxlen + 1, dtype=np.uint64)
+    if maxlen:
+        np.multiply.accumulate(
+            np.full(maxlen, _SPAN_BASE, np.uint64), out=pows[1:])
+        np.multiply.accumulate(
+            np.full(maxlen, _SPAN_INV, np.uint64), out=invp[1:])
+    terms = payload.astype(np.uint64) * pows[pos]
+    prefix = np.zeros(payload.size + 1, dtype=np.uint64)
+    np.cumsum(terms, out=prefix[1:])  # uint64 wraps = arithmetic mod 2^64
+    n_win = np.maximum(lengths - width + 1, 0)
+    total = int(n_win.sum())
+    if total == 0:
+        z = np.empty(0, np.int64)
+        return z, np.empty(0, np.uint64), z
+    win_doc = np.repeat(np.arange(n, dtype=np.int64), n_win)
+    woff = np.cumsum(n_win) - n_win
+    in_doc = np.arange(total, dtype=np.int64) - np.repeat(woff, n_win)
+    g = np.repeat(starts, n_win) + in_doc
+    h = (prefix[g + width] - prefix[g]) * invp[in_doc]
+    return win_doc, h, g
+
+
+def _distinct_rows(*cols):
+    """Row-dedupe parallel arrays by lexsorted adjacent-equality mask."""
+    n = cols[0].size
+    if n == 0:
+        return tuple(cols)
+    order = np.lexsort(cols[::-1])
+    sorted_cols = [c[order] for c in cols]
+    neq = np.zeros(n, dtype=bool)
+    neq[0] = True
+    for c in sorted_cols:
+        neq[1:] |= c[1:] != c[:-1]
+    return tuple(c[neq] for c in sorted_cols)
+
+
+def dup_ngram_counts_ds(ds, width: int = 40, text_col: str = "text",
+                        buckets: int | None = None):
+    """Exact duplicate-substring detection: for every document, count the
+    DISTINCT ``width``-byte substrings that also occur in at least one
+    OTHER document (the signal exact-substring dedup pipelines cut on —
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"; a distributed two-pass hash prune replaces their suffix
+    array). Returns ``(doc_id, n_dup_grams)`` for documents with a
+    non-zero count.
+
+    Pass 1 ships only ``(hash, doc_id)`` rows (distinct per doc) through
+    one bucketed groupby to find hashes seen in >= 2 documents. Pass 2
+    re-scans the corpus, keeps only windows whose hash is in that set
+    (broadcast once via ``ray.put`` — the set is duplicated-volume-sized,
+    not corpus-sized; at a scale where it outgrows workers, route pass-2
+    rows through ``hash_join(how="semi", bloom_bits=...)`` instead), and
+    verifies BYTE-EXACT gram equality inside the bucket, so 64-bit hash
+    collisions cannot inflate counts."""
+    import ray
+
+    buckets = buckets or _shuffle_buckets()
+
+    def hash_rows(t: pa.Table) -> pa.Table:
+        lengths, payload = textops._text_chunks(t, text_col)
+        ids = t.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        win_doc, h, _ = _window_poly_hashes(lengths, payload, width)
+        dh, ddoc = _distinct_rows(h, ids[win_doc])
+        return pa.table({
+            "h": pa.array(dh.view(np.int64)),
+            "doc_id": pa.array(ddoc)})
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = _bucket_of(t.column("h").to_numpy(), buckets=buckets)
+        return t.append_column("_b", pa.array(b))
+
+    def dup_hashes(g: pa.Table) -> pa.Table:
+        h = g.column("h").combine_chunks().to_numpy(zero_copy_only=False)
+        doc = g.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((doc, h))
+        h = h[order]
+        starts, _counts = _subgroups([h])  # runs with >=2 rows
+        # rows are distinct per (h, doc): >=2 rows == >=2 docs
+        return pa.table({"h": pa.array(h[starts])})
+
+    rows = ds.map_batches(hash_rows, batch_format="pyarrow",
+                          **rayenv.remote_args())
+    dup_h_ds = (rows.map_batches(add_bucket, batch_format="pyarrow",
+                                 **rayenv.remote_args())
+                .groupby("_b")
+                .map_groups(dup_hashes, batch_format="pyarrow",
+                            **rayenv.remote_args()))
+    dup_h = np.sort(np.asarray(
+        [r["h"] for r in dup_h_ds.take_all()], dtype=np.int64))
+    dup_ref = ray.put(dup_h)
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        dup = ray.get(dup_ref)
+        lengths, payload = textops._text_chunks(t, text_col)
+        ids = t.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        win_doc, h, g = _window_poly_hashes(lengths, payload, width)
+        hi = h.view(np.int64)
+        if dup.size == 0:
+            sel = np.zeros(hi.size, dtype=bool)
+        else:
+            pos = np.searchsorted(dup, hi)
+            sel = (pos < dup.size) & (dup[np.minimum(pos, dup.size - 1)]
+                                      == hi)
+        win_doc, hi, g = win_doc[sel], hi[sel], g[sel]
+        if g.size:
+            grams = np.lib.stride_tricks.sliding_window_view(
+                payload, width)[g].copy()
+        else:
+            grams = np.empty((0, width), dtype=np.uint8)
+        garr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(width), grams.shape[0],
+            [None, pa.py_buffer(grams.tobytes())])
+        t2 = pa.table({"h": pa.array(hi), "doc_id": pa.array(ids[win_doc]),
+                       "gram": garr})
+        return t2
+
+    def verify_count(g: pa.Table) -> pa.Table:
+        doc = g.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        grams = g.column("gram").combine_chunks()
+        flat = np.frombuffer(grams.buffers()[1], dtype=np.uint8) \
+            .reshape(-1, width)[grams.offset:grams.offset + len(grams)]
+        # exact gram identity: factorize byte rows via void view
+        void = np.ascontiguousarray(flat).view(
+            np.dtype((np.void, width))).ravel()
+        _, code = np.unique(void, return_inverse=True)
+        # distinct (gram, doc) rows, then docs per gram
+        dcode, ddoc = _distinct_rows(code, doc)
+        ndocs = np.bincount(dcode)
+        keep = ndocs[dcode] >= 2
+        per_doc_docs = ddoc[keep]
+        if per_doc_docs.size == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_dup_grams": pa.array([], pa.int64())})
+        uids, cnt = np.unique(per_doc_docs, return_counts=True)
+        return pa.table({"doc_id": pa.array(uids),
+                         "n_dup_grams": pa.array(cnt.astype(np.int64))})
+
+    partials = (ds.map_batches(gram_rows, batch_format="pyarrow",
+                               **rayenv.remote_args())
+                .map_batches(add_bucket, batch_format="pyarrow",
+                             **rayenv.remote_args())
+                .groupby("_b")
+                .map_groups(verify_count, batch_format="pyarrow",
+                            **rayenv.remote_args()))
+    from ray.data.aggregate import Sum
+    out = partials.groupby("doc_id").aggregate(
+        Sum("n_dup_grams", alias_name="n_dup_grams"))
+
+    import pyarrow.compute as pc
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "n_dup_grams": pc.cast(t.column("n_dup_grams"), pa.int64())})
+    return out.map_batches(cast, batch_format="pyarrow",
+                           **rayenv.remote_args())

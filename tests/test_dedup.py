@@ -242,3 +242,74 @@ def test_cluster_pairs_raises_on_round_cap():
     }))
     with pytest.raises(RuntimeError, match="max_rounds"):
         dedup.cluster_pairs_ds(pairs, max_rounds=0)
+
+
+# ------------------------------------------------ duplicate substrings
+
+
+def _span_tbl(texts, ids=None):
+    ids = list(range(len(texts))) if ids is None else ids
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def test_dup_ngram_counts_shared_span(ray_session):
+    import ray.data as rd
+
+    from rwcf import dedup
+    S = "the-unique-shared-span-0123456789-abcdefg"  # 41 chars
+    assert len(S) == 41
+    texts = ["x" * 10 + S + "y" * 10,
+             "p" * 10 + S + "q" * 10,
+             "totally unrelated content " + "z" * 40,
+             "T" * 40 + "T" * 40]  # internal repeat only: NOT a dup
+    out = dedup.dup_ngram_counts_ds(
+        rd.from_arrow(_span_tbl(texts)), width=41).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    # docs 0 and 1 share exactly the single 41-byte window equal to S
+    assert out["doc_id"].tolist() == [0, 1]
+    assert out["n_dup_grams"].tolist() == [1, 1]
+
+
+def test_dup_ngram_counts_exact_copies(ray_session):
+    import ray.data as rd
+
+    from rwcf import dedup
+    base = "word soup body with plenty of characters to window over " * 3
+    texts = [base, base, "another doc " + "k" * 60]
+    out = dedup.dup_ngram_counts_ds(
+        rd.from_arrow(_span_tbl(texts)), width=40).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    n_windows = len(base) - 40 + 1
+    n_distinct = len({base[i:i + 40] for i in range(n_windows)})
+    assert out["doc_id"].tolist() == [0, 1]
+    assert out["n_dup_grams"].tolist() == [n_distinct, n_distinct]
+
+
+def test_dup_ngram_counts_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from rwcf import dedup
+    rng = np.random.default_rng(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(15, 40)))
+             for _ in range(40)]
+    texts += [texts[0], texts[5]]  # planted copies
+    ids = list(range(40)) + [100, 105]
+    t = _span_tbl(texts, ids)
+    mine = dedup.dup_ngram_counts_ds(rd.from_arrow(t), width=40) \
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    con = duckdb.connect()
+    con.register("docs", t.to_pandas())
+    want = con.execute("""
+        WITH k AS (SELECT doc_id, text,
+                   unnest(generate_series(1, strlen(text) - 39)) AS k
+                   FROM docs),
+        g AS (SELECT DISTINCT doc_id, substr(text, k, 40) AS gram FROM k),
+        dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2)
+        SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams
+        FROM g JOIN dup USING (gram) GROUP BY g.doc_id ORDER BY g.doc_id
+    """).fetchdf()
+    assert mine["doc_id"].tolist() == want["doc_id"].tolist()
+    assert mine["n_dup_grams"].tolist() == want["n_dup_grams"].tolist()
