@@ -833,6 +833,14 @@ def _q_budget_select(sf_dir: str):
     return curation.budget_select(ds, budget=5000)
 
 
+def _q_shuffle_head(sf_dir: str):
+    """First 100 docs of the deterministic shuffle order (global sort by
+    LCG id-hash + streaming limit)."""
+    from rwcf import analytics
+    return analytics.shuffle_head(
+        _docs_ds(sf_dir, columns=("doc_id", "source")), k=100)
+
+
 def _q_dedup_substrings(sf_dir: str):
     """Exact duplicate-substring detection (Lee et al. 2022 family) over
     the corpus plus planted exact copies: per doc, the count of distinct
@@ -928,6 +936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "budget_select_source": _q_budget_select,
         "pack_stats": _q_pack_stats,
         "dedup_substrings": _q_dedup_substrings,
+        "shuffle_head": _q_shuffle_head,
     }
 
 
@@ -1203,6 +1212,35 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(strlen(text) + 1) AS BIGINT) AS n_tokens, "
             "CAST((sum(strlen(text) + 1) + 511) // 512 AS BIGINT) "
             "AS n_sequences FROM documents GROUP BY 1"),
+        # same LCG arithmetic as sample_docs; LIMIT picks the k smallest
+        # (key, id) rows, so the result is order-insensitive-comparable
+        "shuffle_head": (
+            "SELECT doc_id, source, "
+            "CAST((doc_id * 1103515245 + 12345) % 2147483648 AS BIGINT) "
+            "AS shuffle_key FROM documents "
+            "ORDER BY shuffle_key, doc_id LIMIT 100"),
+        # numpy argmax picks the FIRST maximum; the CASE chain replicates
+        # that tie-break in marker-dict order (en, es, de, fr, zh)
+        "lang_id": (
+            "WITH c AS (SELECT doc_id, "
+            "CAST(length(regexp_extract_all(text, "
+            "'\\b(the|and|of|is|that|with)\\b')) AS BIGINT) AS en, "
+            "CAST(length(regexp_extract_all(text, "
+            "'\\b(el|la|los|las|es|que|y)\\b')) AS BIGINT) AS es, "
+            "CAST(length(regexp_extract_all(text, "
+            "'\\b(der|die|das|und|ist|nicht)\\b')) AS BIGINT) AS de, "
+            "CAST(length(regexp_extract_all(text, "
+            "'\\b(le|la|les|est|que|et|une)\\b')) AS BIGINT) AS fr, "
+            "CAST(length(regexp_extract_all(text, "
+            "'[\\x{4E00}-\\x{9FFF}]')) AS BIGINT) AS zh "
+            "FROM documents) "
+            "SELECT doc_id, "
+            "CASE WHEN greatest(en, es, de, fr, zh) = 0 THEN 'unk' "
+            "WHEN en >= es AND en >= de AND en >= fr AND en >= zh THEN 'en' "
+            "WHEN es >= de AND es >= fr AND es >= zh THEN 'es' "
+            "WHEN de >= fr AND de >= zh THEN 'de' "
+            "WHEN fr >= zh THEN 'fr' ELSE 'zh' END AS lang_pred, "
+            "greatest(en, es, de, fr, zh) AS marker_hits FROM c"),
         # engine counts byte windows, oracle counts char windows — equal
         # on this ASCII corpus; distinct-per-doc on both sides, internal
         # same-doc repeats excluded by the >=2-docs having clause
@@ -1221,7 +1259,8 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (not SQL-expressible): codec_selection, flagship_synthetic,
         # distinct_tokens_approx (HLL sketch; error bound pinned in tests),
         # cms_top_tokens (Count-Min sketch; Zipf parity pinned in tests),
-        # lang_id (heuristic), fingerprint (hash), ann_ivf (approximate),
+        # fingerprint (wrapping-mod-2^64 hash, no SQL arithmetic),
+        # ann_ivf (approximate),
         # multimodal_frames (stub feature vectors), dedup_minhash (finds the
         # corpus's REAL near-duplicates — e.g. docs 8/245 at jaccard 0.99 —
         # which no closed-form SQL can enumerate; planted-copy recall and

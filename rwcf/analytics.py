@@ -613,3 +613,35 @@ def hash_sample(ds, id_col: str, pct: int, columns: list[str] | None = None):
 
     return ds.map_batches(filt, batch_format="pyarrow",
                           **rayenv.remote_args())
+
+
+def deterministic_shuffle(ds, id_col: str = "doc_id",
+                          columns: list[str] | None = None):
+    """Deterministic global shuffle — the standard last step of
+    training-data prep (decorrelate document order before sequence
+    packing). Rows are ordered by the same LCG id-hash the sampling
+    operators use (reproducible across engines, runs and cluster sizes
+    — unlike ``ds.random_shuffle``), with the id as tie-break. One
+    distributed range-partitioned sort; downstream consumers stream the
+    shuffled order block by block."""
+
+    def key(t: pa.Table) -> pa.Table:
+        if columns is not None:
+            t = t.select(columns)
+        ids = pc.cast(t.column(id_col), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        h = (ids * _SAMPLE_A + _SAMPLE_C) % _SAMPLE_M
+        return t.append_column("shuffle_key", pa.array(h.astype(np.int64)))
+
+    return ds.map_batches(key, batch_format="pyarrow",
+                          **rayenv.remote_args()) \
+        .sort(["shuffle_key", id_col])
+
+
+def shuffle_head(ds, k: int, id_col: str = "doc_id",
+                 columns: list[str] | None = None):
+    """First ``k`` rows of the deterministic shuffle order (sort +
+    streaming limit — Ray stops pulling blocks once k rows are
+    emitted)."""
+    return deterministic_shuffle(ds, id_col=id_col,
+                                 columns=columns).limit(k)

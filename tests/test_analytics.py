@@ -404,3 +404,32 @@ def test_stratified_sample_rates_and_determinism(ray_session):
     got3 = analytics.stratified_sample(
         rd.from_pandas(df), "doc_id", "source", {"other": 50}).to_pandas()
     assert len(got3) == 0
+
+
+def test_deterministic_shuffle_order(ray_session):
+    import ray.data as rd
+
+    from rwcf import analytics
+    n = 5000
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                       "source": ["s"] * n})
+    out = analytics.deterministic_shuffle(
+        rd.from_pandas(df).repartition(7)).to_pandas()
+    # full order = numpy-computed LCG order with id tie-break
+    h = (np.arange(n, dtype=np.int64) * 1103515245 + 12345) % (2 ** 31)
+    expect = np.arange(n)[np.lexsort((np.arange(n), h))]
+    assert out["doc_id"].tolist() == expect.tolist()
+    # deterministic across partitionings
+    out2 = analytics.deterministic_shuffle(
+        rd.from_pandas(df).repartition(3)).to_pandas()
+    assert out2["doc_id"].tolist() == out["doc_id"].tolist()
+
+
+def test_shuffle_head_is_prefix(ray_session):
+    import ray.data as rd
+
+    from rwcf import analytics
+    df = pd.DataFrame({"doc_id": np.arange(1000, dtype=np.int64)})
+    full = analytics.deterministic_shuffle(rd.from_pandas(df)).to_pandas()
+    head = analytics.shuffle_head(rd.from_pandas(df), k=50).to_pandas()
+    assert head["doc_id"].tolist() == full["doc_id"].tolist()[:50]
