@@ -833,6 +833,42 @@ def _q_budget_select(sf_dir: str):
     return curation.budget_select(ds, budget=5000)
 
 
+def _q_left_broadcast_join(sf_dir: str):
+    """LEFT join with a BROADCAST small side on the oracle-checked path:
+    documents left-joined against the embeddings whose vec_id % 3 == 0
+    (the filter makes misses real, so null-handling is exercised). The
+    right side ships once via ray.put — zero all-to-all. Missing dims
+    are filled with -1 on both sides (dtype-stable hash compare)."""
+    import ray.data as rd
+
+    from rwcf import joins, rayenv
+
+    docs = _docs_ds(sf_dir, columns=("doc_id", "n_chars"))
+
+    def prep_emb(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 3 == 0))
+        return pa.table({
+            "vec_id": pc.cast(t.column("vec_id"), pa.int64()),
+            "dim": pc.cast(pc.list_value_length(t.column("embedding")),
+                           pa.int64())})
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"]) \
+        .map_batches(prep_emb, batch_format="pyarrow",
+                     **rayenv.remote_args())
+    j = joins.hash_join(docs, emb, on="doc_id", right_on="vec_id",
+                        how="left", broadcast=True)
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "n_chars": pc.cast(t.column("n_chars"), pa.int64()),
+            "dim": pc.fill_null(pc.cast(t.column("dim"), pa.int64()), -1)})
+    return j.map_batches(fill, batch_format="pyarrow",
+                         **rayenv.remote_args())
+
+
 def _q_shuffle_head(sf_dir: str):
     """First 100 docs of the deterministic shuffle order (global sort by
     LCG id-hash + streaming limit)."""
@@ -937,6 +973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_stats": _q_pack_stats,
         "dedup_substrings": _q_dedup_substrings,
         "shuffle_head": _q_shuffle_head,
+        "left_broadcast_join": _q_left_broadcast_join,
     }
 
 
@@ -1212,6 +1249,29 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(strlen(text) + 1) AS BIGINT) AS n_tokens, "
             "CAST((sum(strlen(text) + 1) + 511) // 512 AS BIGINT) "
             "AS n_sequences FROM documents GROUP BY 1"),
+        "left_broadcast_join": (
+            "SELECT d.doc_id, d.n_chars, "
+            "COALESCE(CAST(len(e.embedding) AS BIGINT), -1) AS dim "
+            "FROM documents d LEFT JOIN "
+            "(SELECT * FROM embeddings WHERE vec_id % 3 = 0) e "
+            "ON d.doc_id = e.vec_id"),
+        # engine poly hash = sum(byte_i * BASE^i) mod 2^64 (textops
+        # fingerprint kernel); the recursive CTE carries (pow, acc) as
+        # HUGEINT with explicit mod-2^64 steps, then reinterprets the
+        # uint64 as the engine's two's-complement int64 view
+        "fingerprint": (
+            "WITH RECURSIVE r AS ("
+            "SELECT doc_id, text, 1 AS i, "
+            "CAST(1 AS HUGEINT) AS pw, CAST(0 AS HUGEINT) AS acc "
+            "FROM documents "
+            "UNION ALL "
+            "SELECT doc_id, text, i + 1, "
+            "(pw * 1099511628211) % 18446744073709551616, "
+            "(acc + ord(substr(text, i, 1)) * pw) % 18446744073709551616 "
+            "FROM r WHERE i <= strlen(text)) "
+            "SELECT doc_id, CAST(CASE WHEN acc >= 9223372036854775808 "
+            "THEN acc - 18446744073709551616 ELSE acc END AS BIGINT) "
+            "AS fingerprint FROM r WHERE i = strlen(text) + 1"),
         # same LCG arithmetic as sample_docs; LIMIT picks the k smallest
         # (key, id) rows, so the result is order-insensitive-comparable
         "shuffle_head": (
@@ -1259,7 +1319,6 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (not SQL-expressible): codec_selection, flagship_synthetic,
         # distinct_tokens_approx (HLL sketch; error bound pinned in tests),
         # cms_top_tokens (Count-Min sketch; Zipf parity pinned in tests),
-        # fingerprint (wrapping-mod-2^64 hash, no SQL arithmetic),
         # ann_ivf (approximate),
         # multimodal_frames (stub feature vectors), dedup_minhash (finds the
         # corpus's REAL near-duplicates — e.g. docs 8/245 at jaccard 0.99 —
