@@ -833,6 +833,12 @@ def _q_budget_select(sf_dir: str):
     return curation.budget_select(ds, budget=5000)
 
 
+def _q_unigram_logprob(sf_dir: str):
+    """Mean unigram log-probability per doc (perplexity-filter family)."""
+    from rwcf import analytics
+    return analytics.unigram_logprob_scores(_docs_ds(sf_dir))
+
+
 def _q_left_broadcast_join(sf_dir: str):
     """LEFT join with a BROADCAST small side on the oracle-checked path:
     documents left-joined against the embeddings whose vec_id % 3 == 0
@@ -974,6 +980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_substrings": _q_dedup_substrings,
         "shuffle_head": _q_shuffle_head,
         "left_broadcast_join": _q_left_broadcast_join,
+        "unigram_logprob": _q_unigram_logprob,
     }
 
 
@@ -1249,6 +1256,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(strlen(text) + 1) AS BIGINT) AS n_tokens, "
             "CAST((sum(strlen(text) + 1) + 511) // 512 AS BIGINT) "
             "AS n_sequences FROM documents GROUP BY 1"),
+        # mean of ln(c/total) over every token occurrence; 4dp rounding on
+        # both sides (tfidf_docs float-order rationale)
+        "unigram_logprob": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(text, '\\S+')) AS token "
+            "FROM documents), "
+            "tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM toks), "
+            "freq AS (SELECT token, count(*) AS c FROM toks "
+            "GROUP BY token) "
+            "SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "ROUND(avg(ln(CAST(f.c AS DOUBLE) / tot.total)), 4) "
+            "AS avg_logprob "
+            "FROM toks t JOIN freq f USING (token), tot "
+            "GROUP BY t.doc_id"),
         "left_broadcast_join": (
             "SELECT d.doc_id, d.n_chars, "
             "COALESCE(CAST(len(e.embedding) AS BIGINT), -1) AS dim "

@@ -645,3 +645,50 @@ def shuffle_head(ds, k: int, id_col: str = "doc_id",
     emitted)."""
     return deterministic_shuffle(ds, id_col=id_col,
                                  columns=columns).limit(k)
+
+
+def unigram_logprob_scores(ds, id_col: str = "doc_id",
+                           text_col: str = "text"):
+    """Per-document mean unigram log-probability — the cheap "perplexity
+    filter" of training-data pipelines (docs whose tokens are atypical
+    for the corpus score low; gibberish and boilerplate both fall out).
+
+    Same scale shape as :func:`tfidf_scores`: one vocabulary-sized
+    ``groupby(token).sum`` over per-batch count partials, the
+    ``(token, ln(c/total))`` table broadcast once via ``ray.put``, then
+    each batch scores its own docs locally (a doc's tokens never cross a
+    batch boundary). Scores round to 4 decimals for cross-engine float
+    stability (tfidf_scores rationale)."""
+    import ray
+
+    def partial_tf(t: pa.Table) -> pa.Table:
+        pairs = _doc_token_pairs(t, id_col, text_col)
+        vc = pairs["token"].value_counts()
+        return pa.table({"token": pa.array(vc.index.to_numpy(dtype=object),
+                                           pa.string()),
+                         "n": pa.array(vc.to_numpy(), pa.int64())})
+
+    tf = (ds.map_batches(partial_tf, batch_format="pyarrow",
+                         **rayenv.remote_args())
+          .repartition(32)
+          .groupby("token").sum("n").to_pandas())
+    total = float(tf["sum(n)"].sum())
+    lp = pd.DataFrame({
+        "token": tf["token"],
+        "lp": np.log(tf["sum(n)"].to_numpy() / total)})
+    ref = ray.put(lp)
+
+    def score(t: pa.Table) -> pa.Table:
+        pairs = _doc_token_pairs(t, id_col, text_col)
+        pairs = pairs.merge(ray.get(ref), on="token")
+        agg = pairs.groupby("doc").agg(
+            n_tokens=("lp", "size"), s=("lp", "sum")).reset_index()
+        return pa.table({
+            id_col: pa.array(agg["doc"].to_numpy()),
+            "n_tokens": pa.array(agg["n_tokens"].to_numpy(), pa.int64()),
+            "avg_logprob": pa.array(
+                np.round(agg["s"].to_numpy() / agg["n_tokens"].to_numpy(),
+                         4))})
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          **rayenv.remote_args())

@@ -433,3 +433,23 @@ def test_shuffle_head_is_prefix(ray_session):
     full = analytics.deterministic_shuffle(rd.from_pandas(df)).to_pandas()
     head = analytics.shuffle_head(rd.from_pandas(df), k=50).to_pandas()
     assert head["doc_id"].tolist() == full["doc_id"].tolist()[:50]
+
+
+def test_unigram_logprob_scores(ray_session):
+    import ray.data as rd
+
+    from rwcf import analytics
+    # corpus: 6 tokens total; p(a)=3/6, p(b)=2/6, p(c)=1/6
+    df = pd.DataFrame({"doc_id": [0, 1], "text": ["a a b", "b c a"]})
+    out = analytics.unigram_logprob_scores(rd.from_pandas(df)) \
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    pa_, pb, pc_ = math.log(3 / 6), math.log(2 / 6), math.log(1 / 6)
+    assert out["n_tokens"].tolist() == [3, 3]
+    assert out["avg_logprob"][0] == round((2 * pa_ + pb) / 3, 4)
+    assert out["avg_logprob"][1] == round((pb + pc_ + pa_) / 3, 4)
+    # a rare-token doc scores lower than a common-token doc
+    df2 = pd.DataFrame({"doc_id": [0, 1, 2],
+                        "text": ["x x x x", "x x x x", "q"]})
+    out2 = analytics.unigram_logprob_scores(rd.from_pandas(df2)) \
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    assert out2["avg_logprob"][2] < out2["avg_logprob"][0]
