@@ -833,6 +833,17 @@ def _q_budget_select(sf_dir: str):
     return curation.budget_select(ds, budget=5000)
 
 
+def _q_group_centroids(sf_dir: str):
+    """Per-source embedding centroids (exploded (source, dim, mean))."""
+    import ray.data as rd
+
+    from rwcf import similarity
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    labels = _docs_ds(sf_dir, columns=("doc_id", "source"))
+    return similarity.group_centroids_ds(emb, labels)
+
+
 def _q_unigram_logprob(sf_dir: str):
     """Mean unigram log-probability per doc (perplexity-filter family)."""
     from rwcf import analytics
@@ -981,6 +992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_head": _q_shuffle_head,
         "left_broadcast_join": _q_left_broadcast_join,
         "unigram_logprob": _q_unigram_logprob,
+        "group_centroids": _q_group_centroids,
     }
 
 
@@ -1256,6 +1268,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(strlen(text) + 1) AS BIGINT) AS n_tokens, "
             "CAST((sum(strlen(text) + 1) + 511) // 512 AS BIGINT) "
             "AS n_sequences FROM documents GROUP BY 1"),
+        # element-wise mean per (source, dim); float32 values widen to
+        # double before summation on both sides; 4dp rounding
+        "group_centroids": (
+            "WITH j AS (SELECT d.source, e.embedding FROM documents d "
+            "JOIN embeddings e ON d.doc_id = e.vec_id), "
+            "x AS (SELECT source, unnest(embedding) AS v, "
+            "unnest(generate_series(1, len(embedding))) AS dim FROM j) "
+            "SELECT source, CAST(dim AS BIGINT) AS dim, "
+            "ROUND(avg(CAST(v AS DOUBLE)), 4) AS mean_v "
+            "FROM x GROUP BY source, dim"),
         # mean of ln(c/total) over every token occurrence; 4dp rounding on
         # both sides (tfidf_docs float-order rationale)
         "unigram_logprob": (

@@ -7,7 +7,8 @@ deterministic hash of their join key, unioned, shuffled ONCE with
 Only the joined rows leave the group — neither input is ever collected to
 the driver (shuffle mode).
 
-Join modes (round 3): ``how`` in {"inner", "left", "semi", "anti"} — semi
+Join modes (round 3): ``how`` in {"inner", "left", "right", "outer",
+"semi", "anti"} — semi
 keeps left rows whose key appears on the right (no right columns), anti
 keeps those whose key does not; both tag the right side with its KEY ONLY,
 so no right payload ever shuffles. ``broadcast=True`` skips the shuffle
@@ -173,7 +174,8 @@ def hash_join(left, right, on: str, right_on: str | None = None,
               broadcast: bool = False, bloom_bits: int | None = None):
     """Distributed hash-join of two Ray Datasets on an equality key.
 
-    ``how``: "inner" | "left" | "semi" | "anti". Inner/left output all left
+    ``how``: "inner" | "left" | "right" | "outer" | "semi" | "anti".
+    Inner/left/right/outer output all left
     columns then right columns (the right key and any colliding name gets
     ``suffix``); semi/anti output left columns only and never shuffle right
     payloads. ``broadcast=True`` ships the right side to every task via one
@@ -193,12 +195,17 @@ def hash_join(left, right, on: str, right_on: str | None = None,
     be emitted either way). Costs one extra pass over the right side's
     key column and a broadcast of ``bloom_bits/8`` bytes.
     """
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "right", "outer", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
+    if broadcast and how in ("right", "outer"):
+        # every task holds the whole right side, so each batch's merge
+        # would re-emit the unmatched right rows — only the shuffle path
+        # can emit them exactly once
+        raise ValueError(f"broadcast=True cannot express how={how!r}")
     if bloom_bits is not None:
-        if how == "left":
-            # a left join emits every left row regardless of match, so
-            # there is nothing the filter could prune or bypass
+        if how in ("left", "right", "outer"):
+            # these emit every row of the preserved side(s) regardless of
+            # match, so there is nothing the filter could prune or bypass
             raise ValueError("bloom_bits requires how=inner/semi/anti")
         import ray
         bloom_ref = ray.put(build_bloom(
@@ -303,13 +310,18 @@ def hash_join(left, right, on: str, right_on: str | None = None,
                 else l[~l[_JK].isin(rkeys)]
             return _from_pandas_nullable(m[out_l], out_schema)
         r = g.filter(pc.equal(side, 1)).select([_JK] + out_r).to_pandas()
-        if how == "left":
+        if how in ("left", "outer"):
             # nullable Int64 BEFORE the merge: an unmatched left row would
             # otherwise coerce the whole right int64 column to float64,
             # silently rounding matched values above 2^53 (hash-id range)
             for c in out_r:
                 if pd.api.types.is_integer_dtype(r[c]):
                     r[c] = r[c].astype("Int64")
+        if how in ("right", "outer"):
+            # mirror image: unmatched right rows null-fill LEFT columns
+            for c in out_l:
+                if pd.api.types.is_integer_dtype(l[c]):
+                    l[c] = l[c].astype("Int64")
         m = l.merge(r, on=_JK, how=how)  # exact key equality; bucket routed
         return _from_pandas_nullable(m[out_l + out_r], out_schema)
 

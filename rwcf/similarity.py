@@ -346,3 +346,60 @@ def cosine_topk_ivf(ds, query_ids: list[int], k: int = 10, n_clusters: int = 16,
     cand = ds.map_batches(local_topk, batch_format="pyarrow",
                           **rayenv.remote_args()).to_pandas()
     return _rank_topk(cand, k)
+
+
+def group_centroids_ds(emb_ds, labels_ds, group_col: str = "source",
+                       id_col: str = "doc_id", vec_id_col: str = "vec_id",
+                       vec_col: str = "embedding"):
+    """Per-group embedding centroids — the embedding-column aggregate of a
+    curation pipeline (cluster balance checks, per-source drift, coarse
+    quantizer seeds). Returns exploded ``(group, dim, mean_v)`` rows
+    (1-based dim; means rounded to 4dp for cross-engine float stability).
+
+    Scale shape: group labels join onto vectors with ONE bucketed shuffle
+    (:func:`rwcf.joins.hash_join` — vectors move at most once); per-batch
+    partials reduce each batch to (group, n, sum-vector) rows, so the
+    final ``groupby(group)`` shuffles only ``groups x dim`` doubles, never
+    vectors."""
+    import pyarrow.compute as pc
+
+    from .joins import hash_join
+
+    joined = hash_join(emb_ds, labels_ds, on=vec_id_col, right_on=id_col,
+                       how="inner")
+
+    def partial(t: pa.Table) -> pa.Table:
+        mat = _batch_matrix(t, vec_col)  # float64 BEFORE any summation
+        groups = t.column(group_col).to_numpy(zero_copy_only=False)
+        if mat.shape[0] == 0:
+            return pa.table({
+                group_col: pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.list_(pa.float64()))})
+        ug, inv = np.unique(groups, return_inverse=True)
+        acc = np.zeros((ug.size, mat.shape[1]), dtype=np.float64)
+        np.add.at(acc, inv, mat)
+        n = np.bincount(inv, minlength=ug.size).astype(np.int64)
+        return pa.table({
+            group_col: pa.array(ug.astype(object), pa.string()),
+            "n": pa.array(n),
+            "s": pa.array(list(acc), pa.list_(pa.float64()))})
+
+    def final(g: pa.Table) -> pa.Table:
+        key = g.column(group_col)[0].as_py()
+        n = int(pc.sum(g.column("n")).as_py())
+        sl = g.column("s").combine_chunks()
+        mat = sl.flatten().to_numpy(zero_copy_only=False) \
+            .reshape(len(sl), -1)
+        mean = np.round(mat.sum(axis=0) / n, 4)
+        d = mean.size
+        return pa.table({
+            group_col: pa.array([key] * d, pa.string()),
+            "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+            "mean_v": pa.array(mean, pa.float64())})
+
+    return (joined.map_batches(partial, batch_format="pyarrow",
+                               **rayenv.remote_args())
+            .groupby(group_col)
+            .map_groups(final, batch_format="pyarrow",
+                        **rayenv.remote_args()))

@@ -434,3 +434,55 @@ def test_asof_join_preserves_big_int64_payloads(ray_session):
     by_ts = dict(zip(t.column("ts").to_pylist(),
                      t.column("payload").to_pylist()))
     assert by_ts == {1: None, 10: big}  # ts=1 precedes every right row
+
+
+@pytest.mark.parametrize("how", ["right", "outer"])
+def test_hash_join_right_outer(ray_session, join_frames, how):
+    import ray.data as rd
+    l, r = join_frames
+    got = hash_join(rd.from_pandas(l).repartition(4),
+                    rd.from_pandas(r).repartition(3),
+                    on="k", right_on="id", buckets=8, how=how).to_pandas()
+    want = l.merge(r, left_on="k", right_on="id", how=how)
+    key = ["k", "x", "id", "y"]
+    got = got[key].sort_values(key).reset_index(drop=True)
+    want = want[key].sort_values(key).reset_index(drop=True)
+    for c in key:  # both sides may carry nulls
+        got[c] = got[c].astype("Int64")
+        want[c] = want[c].astype("Int64")
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_hash_join_outer_preserves_big_ints(ray_session):
+    # unmatched rows must not coerce int64 through float64 (2^53 rounding)
+    import ray.data as rd
+    big = (1 << 62) + 12345
+    l = pd.DataFrame({"k": np.array([1, 2], np.int64),
+                      "x": np.array([big, big + 1], np.int64)})
+    r = pd.DataFrame({"id": np.array([2, 3], np.int64),
+                      "y": np.array([big + 2, big + 3], np.int64)})
+    out = hash_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
+                    right_on="id", how="outer", buckets=4)
+    # assert at the ARROW layer: int64-with-nulls stays int64 there
+    # (Dataset.to_pandas view converts nullable ints to float64 — a
+    # pandas-semantics display concern, not an engine precision loss)
+    t = pa.concat_tables(
+        b for b in out.iter_batches(batch_format="pyarrow") if b.num_rows)
+    assert t.schema.field("x").type == pa.int64()
+    xs = set(t.column("x").drop_null().to_pylist())
+    ys = set(t.column("y").drop_null().to_pylist())
+    assert xs == {big, big + 1} and ys == {big + 2, big + 3}
+    assert t.num_rows == 3  # k=1 left-only, k=2 matched, id=3 right-only
+
+
+def test_hash_join_right_outer_reject_broadcast_and_bloom(ray_session):
+    import ray.data as rd
+    l = pd.DataFrame({"k": [1], "x": [1]})
+    r = pd.DataFrame({"id": [1], "y": [1]})
+    for how in ("right", "outer"):
+        with pytest.raises(ValueError, match="broadcast"):
+            hash_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
+                      right_on="id", how=how, broadcast=True)
+        with pytest.raises(ValueError, match="bloom_bits"):
+            hash_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
+                      right_on="id", how=how, bloom_bits=1 << 10)

@@ -144,3 +144,29 @@ def test_cosine_topk_pq_recall_on_clustered_data(ray_session):
         got = set(got_df.loc[got_df["qid"] == q, "vec_id"])
         recalls.append(len(got & set(expect[q])) / 10)
     assert np.mean(recalls) >= 0.8, recalls
+
+
+def test_group_centroids(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    rng = np.random.default_rng(3)
+    n, d = 60, 5
+    vecs = [rng.normal(size=d).astype(np.float32) for _ in range(n)]
+    emb = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32()))})
+    labels = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "source": np.where(np.arange(n) % 3 == 0, "a", "b")})
+    out = similarity.group_centroids_ds(
+        rd.from_arrow(emb).repartition(4),
+        rd.from_pandas(labels).repartition(3)).to_pandas() \
+        .sort_values(["source", "dim"], ignore_index=True)
+    mat = np.stack(vecs).astype(np.float64)
+    for src, mask in (("a", np.arange(n) % 3 == 0),
+                      ("b", np.arange(n) % 3 != 0)):
+        want = np.round(mat[mask].mean(axis=0), 4)
+        got = out[out.source == src].sort_values("dim")["mean_v"].to_numpy()
+        np.testing.assert_allclose(got, want, atol=1e-12)
+    assert out["dim"].min() == 1 and out["dim"].max() == d
