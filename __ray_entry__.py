@@ -833,6 +833,25 @@ def _q_budget_select(sf_dir: str):
     return curation.budget_select(ds, budget=5000)
 
 
+def _q_incremental_dedup(sf_dir: str):
+    """Persistent-index incremental dedup: 'day 1' (doc_id < 250) commits
+    its content keys to a fresh on-disk index; 'day 2' (the full table)
+    then filters against it — survivors are the docs whose content was
+    not seen on day 1."""
+    from rwcf import rayenv, state
+    work = _workdir("state-index", sf_dir)
+    idx = os.path.join(work, "index")
+    ds = _docs_ds(sf_dir)
+
+    def day1_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t.column("doc_id"), 250))
+
+    day1 = ds.map_batches(day1_only, batch_format="pyarrow",
+                          **rayenv.remote_args())
+    state.commit_new(day1, idx, run_id="day1")
+    return state.filter_seen(ds, idx)
+
+
 def _q_group_centroids(sf_dir: str):
     """Per-source embedding centroids (exploded (source, dim, mean))."""
     import ray.data as rd
@@ -993,6 +1012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "left_broadcast_join": _q_left_broadcast_join,
         "unigram_logprob": _q_unigram_logprob,
         "group_centroids": _q_group_centroids,
+        "incremental_dedup": _q_incremental_dedup,
     }
 
 
@@ -1268,6 +1288,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(strlen(text) + 1) AS BIGINT) AS n_tokens, "
             "CAST((sum(strlen(text) + 1) + 511) // 512 AS BIGINT) "
             "AS n_sequences FROM documents GROUP BY 1"),
+        # day-1 commit = docs with doc_id < 250; survivors of the day-2
+        # filter are docs whose CONTENT day 1 never committed
+        "incremental_dedup": (
+            "SELECT doc_id, text FROM documents WHERE text NOT IN "
+            "(SELECT text FROM documents WHERE doc_id < 250)"),
         # element-wise mean per (source, dim); float32 values widen to
         # double before summation on both sides; 4dp rounding
         "group_centroids": (

@@ -137,14 +137,17 @@ def fingerprint_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
     })
 
 
-def segment_poly_hash(lengths: np.ndarray, payload: np.ndarray) -> np.ndarray:
-    """hash(s) = sum(byte_i * BASE^i) mod 2^64 per segment, vectorized."""
+def segment_poly_hash(lengths: np.ndarray, payload: np.ndarray,
+                      base: np.uint64 = _FP_BASE) -> np.ndarray:
+    """hash(s) = sum(byte_i * base^i) mod 2^64 per segment, vectorized.
+    A second decorrelated ``base`` yields an independent hash stream
+    (used by rwcf.state for 128-bit composite index keys)."""
     n = lengths.size
     if n == 0:
         return np.empty(0, dtype=np.uint64)
     maxlen = int(lengths.max()) if n else 0
     pows = np.ones(max(maxlen, 1), dtype=np.uint64)
-    np.multiply.accumulate(np.full(maxlen - 1, _FP_BASE, dtype=np.uint64),
+    np.multiply.accumulate(np.full(maxlen - 1, base, dtype=np.uint64),
                            out=pows[1:]) if maxlen > 1 else None
     starts = np.cumsum(lengths) - lengths
     pos_in_seg = np.arange(payload.size, dtype=np.int64) - np.repeat(starts, lengths)

@@ -1,0 +1,84 @@
+"""Persistent incremental dedup index: filter_seen / commit_new."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from rwcf import state
+
+
+def tbl(texts, ids=None):
+    ids = list(range(len(texts))) if ids is None else ids
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def test_incremental_ingestion_rounds(ray_session, tmp_path):
+    import ray.data as rd
+    idx = str(tmp_path / "index")
+
+    day1 = ["alpha doc", "beta doc", "gamma doc"]
+    ds1 = rd.from_arrow(tbl(day1))
+    # empty index: everything passes
+    kept = state.filter_seen(ds1, idx).to_pandas()
+    assert sorted(kept["text"]) == sorted(day1)
+    assert state.commit_new(ds1, idx, run_id="day1") == 3
+
+    # day 2 = one repeat + two new
+    day2 = ["beta doc", "delta doc", "epsilon doc"]
+    ds2 = rd.from_arrow(tbl(day2, ids=[10, 11, 12]))
+    kept2 = state.filter_seen(ds2, idx).to_pandas()
+    assert sorted(kept2["text"]) == ["delta doc", "epsilon doc"]
+    assert state.commit_new(
+        rd.from_arrow(tbl(kept2["text"].tolist(), ids=[11, 12])),
+        idx, run_id="day2") == 2
+
+    # day 3 = all previously seen
+    ds3 = rd.from_arrow(tbl(["alpha doc", "delta doc"], ids=[20, 21]))
+    assert len(state.filter_seen(ds3, idx).to_pandas()) == 0
+
+
+def test_commit_idempotent_and_atomic(ray_session, tmp_path):
+    import ray.data as rd
+    idx = str(tmp_path / "index")
+    ds = rd.from_arrow(tbl(["a", "b", "a"]))  # in-run dup collapses
+    assert state.commit_new(ds, idx, run_id="r1") == 2
+    # same run_id again: no-op, index unchanged
+    assert state.commit_new(ds, idx, run_id="r1") == 0
+    h1, h2 = state.load_index(idx)
+    assert h1.size == 2
+    # a crashed tmp dir is swept by the next commit and never read
+    os.makedirs(os.path.join(idx, ".tmp-crashed"))
+    assert state.commit_new(
+        rd.from_arrow(tbl(["c"])), idx, run_id="r2") == 1
+    assert not os.path.exists(os.path.join(idx, ".tmp-crashed"))
+    assert state.load_index(idx)[0].size == 3
+
+
+def test_pair_member_rejects_h1_collision():
+    # same h1, different h2 must NOT count as a member (the reason the
+    # index stores a 128-bit composite, not one 64-bit hash)
+    idx_h1 = np.array([5, 5, 9], dtype=np.uint64)
+    idx_h2 = np.array([100, 200, 1], dtype=np.uint64)
+    h1 = np.array([5, 5, 9, 7], dtype=np.uint64)
+    h2 = np.array([200, 300, 1, 1], dtype=np.uint64)
+    got = state.pair_member(idx_h1, idx_h2, h1, h2)
+    assert got.tolist() == [True, False, True, False]
+
+
+def test_composition_with_dedup_exact(ray_session, tmp_path):
+    import ray.data as rd
+
+    from rwcf import dedup
+    idx = str(tmp_path / "index")
+    texts = ["x doc", "x doc", "y doc"]  # in-run dup
+    ds = rd.from_arrow(tbl(texts))
+    survivors = dedup.dedup_exact(ds)
+    fresh = state.filter_seen(survivors, idx)
+    n = state.commit_new(fresh, idx, run_id="run-a")
+    assert n == 2  # x once + y
+    # next run: the previously committed content is filtered out
+    again = state.filter_seen(
+        rd.from_arrow(tbl(["x doc", "z doc"], ids=[7, 8])), idx).to_pandas()
+    assert again["text"].tolist() == ["z doc"]
