@@ -205,7 +205,15 @@ def budget_select(ds, budget: int, group_col: str = "source",
     """Largest-first selection under a per-group size budget: within each
     group, order by (size DESC, id ASC) and keep rows while the running
     size total stays <= budget. Only ``(id, group, size)`` triples
-    shuffle — select the payload back afterwards with a semi-join."""
+    shuffle — select the payload back afterwards with a semi-join.
+
+    Partitioning assumption: one group's triples (24 B/doc) fit one
+    worker. At a scale where a single group outgrows that, swap the
+    in-group cumsum for the two-phase histogram-threshold pattern of
+    ``analytics.grouped_quantiles``: a size-histogram pass finds
+    the cut size s* per group, a second streaming pass keeps rows above
+    s* and allocates the boundary ties by id — no per-group
+    materialization at all."""
     slim = ds.select_columns([id_col, group_col, size_col])
 
     def pick(g: pa.Table) -> pa.Table:

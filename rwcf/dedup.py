@@ -1558,7 +1558,8 @@ def _distinct_rows(*cols):
 
 
 def dup_ngram_counts_ds(ds, width: int = 40, text_col: str = "text",
-                        buckets: int | None = None):
+                        buckets: int | None = None, prune: str = "exact",
+                        bloom_bits: int = 1 << 22):
     """Exact duplicate-substring detection: for every document, count the
     DISTINCT ``width``-byte substrings that also occur in at least one
     OTHER document (the signal exact-substring dedup pipelines cut on —
@@ -1569,14 +1570,26 @@ def dup_ngram_counts_ds(ds, width: int = 40, text_col: str = "text",
 
     Pass 1 ships only ``(hash, doc_id)`` rows (distinct per doc) through
     one bucketed groupby to find hashes seen in >= 2 documents. Pass 2
-    re-scans the corpus, keeps only windows whose hash is in that set
-    (broadcast once via ``ray.put`` — the set is duplicated-volume-sized,
-    not corpus-sized; at a scale where it outgrows workers, route pass-2
-    rows through ``hash_join(how="semi", bloom_bits=...)`` instead), and
-    verifies BYTE-EXACT gram equality inside the bucket, so 64-bit hash
-    collisions cannot inflate counts."""
+    re-scans the corpus, keeps only windows whose hash is in that set,
+    and verifies BYTE-EXACT gram equality inside the bucket, so 64-bit
+    hash collisions cannot inflate counts.
+
+    ``prune`` picks the pass-2 window filter:
+
+    - ``"exact"``: the dup-hash set collects to the driver and broadcasts
+      via ``ray.put`` — duplicated-volume-sized, fine while it fits;
+    - ``"bloom"``: a FIXED-size Bloom filter of the dup-hash Dataset is
+      built from bloom-sized partials and broadcast instead — nothing
+      hash-set-sized ever reaches the driver. Bloom false positives are
+      windows whose hash is NOT duplicated; equal grams hash equal, so
+      such windows live in a single document and the exact in-bucket
+      verify (>=2 distinct docs per gram) already discards them — the
+      result is bit-identical (pinned in tests), the fp rate only costs
+      shuffle volume."""
     import ray
 
+    if prune not in ("exact", "bloom"):
+        raise ValueError(f"unknown prune={prune!r}")
     buckets = buckets or _shuffle_buckets()
 
     def hash_rows(t: pa.Table) -> pa.Table:
@@ -1610,23 +1623,34 @@ def dup_ngram_counts_ds(ds, width: int = 40, text_col: str = "text",
                 .groupby("_b")
                 .map_groups(dup_hashes, batch_format="pyarrow",
                             **rayenv.remote_args()))
-    dup_h = np.sort(np.asarray(
-        [r["h"] for r in dup_h_ds.take_all()], dtype=np.int64))
-    dup_ref = ray.put(dup_h)
+    if prune == "exact":
+        dup_h = np.sort(np.asarray(
+            [r["h"] for r in dup_h_ds.take_all()], dtype=np.int64))
+        dup_ref = ray.put(dup_h)
+
+        def window_keep(hi: np.ndarray) -> np.ndarray:
+            dup = ray.get(dup_ref)
+            if dup.size == 0:
+                return np.zeros(hi.size, dtype=bool)
+            pos = np.searchsorted(dup, hi)
+            return (pos < dup.size) & (dup[np.minimum(pos, dup.size - 1)]
+                                       == hi)
+    else:
+        from .joins import bloom_member, build_bloom
+        bloom_ref = ray.put(build_bloom(dup_h_ds, "h", m_bits=bloom_bits))
+
+        def window_keep(hi: np.ndarray) -> np.ndarray:
+            if hi.size == 0:
+                return np.zeros(0, dtype=bool)
+            return bloom_member(hi, ray.get(bloom_ref), bloom_bits)
 
     def gram_rows(t: pa.Table) -> pa.Table:
-        dup = ray.get(dup_ref)
         lengths, payload = textops._text_chunks(t, text_col)
         ids = t.column("doc_id").combine_chunks().to_numpy(
             zero_copy_only=False)
         win_doc, h, g = _window_poly_hashes(lengths, payload, width)
         hi = h.view(np.int64)
-        if dup.size == 0:
-            sel = np.zeros(hi.size, dtype=bool)
-        else:
-            pos = np.searchsorted(dup, hi)
-            sel = (pos < dup.size) & (dup[np.minimum(pos, dup.size - 1)]
-                                      == hi)
+        sel = window_keep(hi)
         win_doc, hi, g = win_doc[sel], hi[sel], g[sel]
         if g.size:
             grams = np.lib.stride_tricks.sliding_window_view(

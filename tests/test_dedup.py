@@ -313,3 +313,23 @@ def test_dup_ngram_counts_matches_duckdb(ray_session):
     """).fetchdf()
     assert mine["doc_id"].tolist() == want["doc_id"].tolist()
     assert mine["n_dup_grams"].tolist() == want["n_dup_grams"].tolist()
+
+
+def test_dup_ngram_counts_bloom_prune_parity(ray_session):
+    import ray.data as rd
+
+    from rwcf import dedup
+    rng = np.random.default_rng(23)
+    vocab = ["red", "blue", "green", "amber", "teal"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(15, 35)))
+             for _ in range(30)]
+    texts += [texts[2], texts[9]]
+    t = _span_tbl(texts, list(range(30)) + [200, 209])
+    exact = dedup.dup_ngram_counts_ds(
+        rd.from_arrow(t), width=40, prune="exact").to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    bloom = dedup.dup_ngram_counts_ds(
+        rd.from_arrow(t), width=40, prune="bloom").to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert exact["doc_id"].tolist() == bloom["doc_id"].tolist()
+    assert exact["n_dup_grams"].tolist() == bloom["n_dup_grams"].tolist()
