@@ -863,6 +863,57 @@ def _q_group_centroids(sf_dir: str):
     return similarity.group_centroids_ds(emb, labels)
 
 
+def _q_chunk_docs(sf_dir: str):
+    """Fixed-width overlapping document chunks (width=64, stride=48) —
+    one stateless vectorized map_batches stage, zero shuffles; the chunk
+    layout arithmetic is replayed exactly by the generate_series+substr
+    SQL oracle."""
+    from rwcf import textops
+    return textops.chunk_docs_ds(_docs_ds(sf_dir), width=64, stride=48)
+
+
+def _q_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means over the embeddings table (k=10,
+    iters=5, deterministic LCG-hash seeding): per-cluster size + 4dp
+    mean within-cluster distance. Iterative, so no SQL oracle — the
+    assignment parity vs a local single-process Lloyd reference is
+    pinned in tests/test_similarity.py."""
+    import ray.data as rd
+
+    from rwcf import rayenv, similarity
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    assign = similarity.kmeans_ds(emb, k=10, iters=5)
+
+    def part(t):
+        import pyarrow as pa
+        g = t.group_by("cluster").aggregate([("vec_id", "count"),
+                                             ("dist2", "sum")])
+        return pa.table({"cluster": g.column("cluster"),
+                         "n_vecs": g.column("vec_id_count"),
+                         "d2": g.column("dist2_sum")})
+
+    from ray.data.aggregate import Sum
+    out = (assign.map_batches(part, batch_format="pyarrow",
+                              **rayenv.remote_args())
+           .groupby("cluster")
+           .aggregate(Sum("n_vecs", alias_name="n_vecs"),
+                      Sum("d2", alias_name="d2")))
+
+    def finish(t):
+        import numpy as np
+        import pyarrow as pa
+        n = t.column("n_vecs").to_numpy(zero_copy_only=False)
+        d2 = t.column("d2").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cluster": t.column("cluster"),
+            "n_vecs": pa.array(n.astype(np.int64)),
+            "mean_dist2": pa.array(np.round(d2 / n, 4))})
+
+    return out.map_batches(finish, batch_format="pyarrow",
+                           **rayenv.remote_args())
+
+
 def _q_unigram_logprob(sf_dir: str):
     """Mean unigram log-probability per doc (perplexity-filter family)."""
     from rwcf import analytics
@@ -1013,6 +1064,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": _q_unigram_logprob,
         "group_centroids": _q_group_centroids,
         "incremental_dedup": _q_incremental_dedup,
+        "chunk_docs": _q_chunk_docs,
+        "kmeans_embeddings": _q_kmeans,
     }
 
 
@@ -1293,6 +1346,19 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": (
             "SELECT doc_id, text FROM documents WHERE text NOT IN "
             "(SELECT text FROM documents WHERE doc_id < 250)"),
+        # same chunk arithmetic as chunk_docs_batch: chunk k covers
+        # [k*stride, k*stride+width); n_chunks = 1 if len<=width else
+        # ceil((len-width)/stride)+1; ASCII corpus so substr chars ==
+        # kernel bytes
+        "chunk_docs": (
+            "WITH ks AS (SELECT doc_id, text, "
+            "unnest(generate_series(0, CASE WHEN length(text) <= 64 THEN 0 "
+            "ELSE CAST(ceil((length(text) - 64) / 48.0) AS BIGINT) END)) "
+            "AS k FROM documents) "
+            "SELECT doc_id, k AS chunk_id, "
+            "substr(text, CAST(k * 48 + 1 AS BIGINT), 64) AS chunk_text, "
+            "CAST(length(substr(text, CAST(k * 48 + 1 AS BIGINT), 64)) "
+            "AS BIGINT) AS chunk_len FROM ks"),
         # element-wise mean per (source, dim); float32 values widen to
         # double before summation on both sides; 4dp rounding
         "group_centroids": (

@@ -403,3 +403,127 @@ def group_centroids_ds(emb_ds, labels_ds, group_col: str = "source",
             .groupby(group_col)
             .map_groups(final, batch_format="pyarrow",
                         **rayenv.remote_args()))
+
+
+def kmeans_ds(emb_ds, k: int = 8, iters: int = 5, id_col: str = "vec_id",
+              vec_col: str = "embedding", return_stats: bool = False):
+    """Distributed Lloyd k-means over an embedding column — the iterative
+    clustering pass a curation pipeline runs for topic balancing, coarse
+    semantic dedup buckets, and IVF/PQ quantizer seeding at corpus scale.
+
+    Deterministic by construction (the property every other operator here
+    holds): initial centroids are the vectors of the k ids with the
+    SMALLEST shared-LCG id-hash (rwcf.analytics sample hash) — an
+    order-free, cluster-size-free choice, so reruns and different
+    parallelism levels produce identical clusters. Each iteration:
+
+      broadcast centroids (ray.put, k x dim — KBs)
+        -> map_batches: argmin ||x - c||^2 assignment (one GEMM per
+           batch), pre-reduced to per-batch (cluster, n, sum-vec) rows
+        -> driver reduce of the k*blocks tiny partials (k x dim floats;
+           corpus-size-independent, the legitimate driver-side footprint)
+
+    so vectors never shuffle — only centroid-sized partials move, the
+    same partial-then-final shape as group_centroids_ds. The input is
+    materialized ONCE (column-pruned to id+vec) because Lloyd's makes
+    ``iters`` full passes; at 100 TB either let the object store spill or
+    run on the standard downsampled training slice and assign the full
+    corpus with the final single pass (which this returns).
+
+    Empty clusters keep their previous centroid (deterministic, no
+    reseed). Returns the assignment Dataset ``(id, cluster, dist2)``;
+    with ``return_stats`` also the final centroids and per-iteration
+    inertia (exact float64 partial sums).
+    """
+    import ray
+
+    from . import rayenv
+    from .analytics import _SAMPLE_A, _SAMPLE_C, _SAMPLE_M
+
+    if k <= 0 or iters <= 0:
+        raise ValueError("k and iters must be positive")
+    base = emb_ds.select_columns([id_col, vec_col]).materialize()
+
+    # --- deterministic seed selection: k smallest LCG id-hashes ---------
+    def seed_part(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        h = (ids.astype(np.int64) * _SAMPLE_A + _SAMPLE_C) % _SAMPLE_M
+        cut = np.argsort(h, kind="stable")[:k]
+        return pa.table({id_col: pa.array(ids[cut]),
+                         "_h": pa.array(h[cut]),
+                         vec_col: t.column(vec_col).take(pa.array(cut))})
+
+    seeds = base.map_batches(seed_part, batch_format="pyarrow",
+                             **rayenv.remote_args()).to_pandas()
+    if len(seeds) < k:
+        raise ValueError(f"k={k} exceeds row count {len(seeds)}")
+    seeds = seeds.sort_values(["_h", id_col], kind="stable").head(k)
+    cent = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in seeds[vec_col]])
+
+    # --- Lloyd iterations ------------------------------------------------
+    inertia_per_iter: list[float] = []
+    for _ in range(iters):
+        cref = ray.put(cent)
+
+        def partial(t: pa.Table, _cref=cref) -> pa.Table:
+            c = ray.get(_cref)
+            mat = _batch_matrix(t, vec_col)
+            if mat.shape[0] == 0:
+                return pa.table({"cluster": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64()),
+                                 "d2": pa.array([], pa.float64()),
+                                 "s": pa.array([], pa.list_(pa.float64()))})
+            d2 = (mat * mat).sum(1)[:, None] - 2.0 * (mat @ c.T) \
+                + (c * c).sum(1)[None, :]
+            a = np.argmin(d2, axis=1)
+            acc = np.zeros((k, mat.shape[1]), dtype=np.float64)
+            np.add.at(acc, a, mat)
+            n = np.bincount(a, minlength=k).astype(np.int64)
+            dmin = np.maximum(d2[np.arange(a.size), a], 0.0)
+            dsum = np.bincount(a, weights=dmin, minlength=k)
+            keep = n > 0
+            return pa.table({
+                "cluster": pa.array(np.nonzero(keep)[0].astype(np.int64)),
+                "n": pa.array(n[keep]),
+                "d2": pa.array(dsum[keep]),
+                "s": pa.array(list(acc[keep]), pa.list_(pa.float64()))})
+
+        parts = base.map_batches(partial, batch_format="pyarrow",
+                                 **rayenv.remote_args()).to_pandas()
+        n_tot = np.zeros(k, dtype=np.int64)
+        s_tot = np.zeros_like(cent)
+        d_tot = 0.0
+        for c_id, n_, d_, s_ in zip(parts["cluster"], parts["n"],
+                                    parts["d2"], parts["s"]):
+            n_tot[c_id] += n_
+            d_tot += d_
+            s_tot[c_id] += np.asarray(s_, dtype=np.float64)
+        inertia_per_iter.append(float(d_tot))
+        nz = n_tot > 0
+        cent[nz] = s_tot[nz] / n_tot[nz, None]
+
+    # --- final assignment pass (streaming, no driver materialization) ---
+    cref = ray.put(cent)
+
+    def assign(t: pa.Table, _cref=cref) -> pa.Table:
+        c = ray.get(_cref)
+        mat = _batch_matrix(t, vec_col)
+        ids = t.column(id_col)
+        if mat.shape[0] == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "dist2": pa.array([], pa.float64())})
+        d2 = (mat * mat).sum(1)[:, None] - 2.0 * (mat @ c.T) \
+            + (c * c).sum(1)[None, :]
+        a = np.argmin(d2, axis=1)
+        return pa.table({
+            id_col: ids,
+            "cluster": pa.array(a.astype(np.int64)),
+            "dist2": pa.array(np.maximum(d2[np.arange(a.size), a], 0.0))})
+
+    out = base.map_batches(assign, batch_format="pyarrow",
+                           **rayenv.remote_args())
+    if return_stats:
+        return out, cent, inertia_per_iter
+    return out

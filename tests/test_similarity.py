@@ -170,3 +170,73 @@ def test_group_centroids(ray_session):
         got = out[out.source == src].sort_values("dim")["mean_v"].to_numpy()
         np.testing.assert_allclose(got, want, atol=1e-12)
     assert out["dim"].min() == 1 and out["dim"].max() == d
+
+
+def _local_lloyd(vecs_f32: np.ndarray, k: int, iters: int) -> tuple:
+    """Single-process reference with the engine's exact init + update."""
+    ids = np.arange(vecs_f32.shape[0], dtype=np.int64)
+    h = (ids * 1103515245 + 12345) % (2 ** 31)
+    order = np.lexsort((ids, h))
+    cent = vecs_f32[order[:k]].astype(np.float64)
+    x = vecs_f32.astype(np.float64)
+    for _ in range(iters):
+        d2 = (x * x).sum(1)[:, None] - 2 * x @ cent.T \
+            + (cent * cent).sum(1)[None, :]
+        a = np.argmin(d2, 1)
+        for j in range(k):
+            if (a == j).any():
+                cent[j] = x[a == j].mean(0)
+    d2 = (x * x).sum(1)[:, None] - 2 * x @ cent.T \
+        + (cent * cent).sum(1)[None, :]
+    return np.argmin(d2, 1), cent
+
+
+def test_kmeans_ds_matches_local_reference(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(4, 16)) * 8.0
+    lab = rng.integers(0, 4, 400)
+    vecs = (centers[lab] + rng.normal(0, 0.4, (400, 16))).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(range(400), pa.int64()),
+                  "embedding": pa.array(list(vecs), pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t).repartition(7)
+    out, cent, inertia = similarity.kmeans_ds(ds, k=4, iters=4,
+                                              return_stats=True)
+    df = out.to_pandas().sort_values("vec_id")
+    a_ref, c_ref = _local_lloyd(vecs, 4, 4)
+    # well-separated blobs: distributed assignments == the local
+    # reference's (partial-sum order cannot flip an argmin here)
+    assert (df["cluster"].to_numpy() == a_ref).all()
+    assert np.allclose(cent, c_ref, atol=1e-8)
+    # inertia monotone non-increasing (Lloyd invariant)
+    assert all(b <= a + 1e-9 for a, b in zip(inertia, inertia[1:]))
+    # determinism across runs (same blocks, same seeds)
+    out2 = similarity.kmeans_ds(ds, k=4, iters=4)
+    df2 = out2.to_pandas().sort_values("vec_id")
+    assert (df["cluster"].to_numpy() == df2["cluster"].to_numpy()).all()
+
+
+def test_kmeans_ds_empty_cluster_keeps_centroid(ray_session):
+    import ray.data as rd
+
+    # two identical points and k=2: one cluster must go empty after the
+    # first update and the op must neither crash nor emit NaNs
+    t = pa.table({"vec_id": pa.array([0, 1], pa.int64()),
+                  "embedding": pa.array([[1.0, 1.0], [1.0, 1.0]],
+                                        pa.list_(pa.float32()))})
+    out, cent, _ = similarity.kmeans_ds(rd.from_arrow(t), k=2, iters=3,
+                                        return_stats=True)
+    assert np.isfinite(cent).all()
+    assert len(out.to_pandas()) == 2
+
+
+def test_kmeans_ds_rejects_bad_params(ray_session):
+    import ray.data as rd
+
+    t = pa.table({"vec_id": pa.array([0], pa.int64()),
+                  "embedding": pa.array([[1.0]], pa.list_(pa.float32()))})
+    with pytest.raises(ValueError):
+        similarity.kmeans_ds(rd.from_arrow(t), k=0)
+    with pytest.raises(ValueError):
+        similarity.kmeans_ds(rd.from_arrow(t), k=5, iters=2)

@@ -97,3 +97,52 @@ def test_normalize_text_batch():
     out = normalize_text_batch(t)
     assert out.column("text_norm").to_pylist() == ["hello world", "a b", ""]
     assert out.column("n_chars_norm").to_pylist() == [11, 3, 0]
+
+
+def test_chunk_docs_batch_layout():
+    import numpy as np
+    import pyarrow as pa
+
+    from rwcf.textops import chunk_docs_batch
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "text": ["abcdefghij", "xy", "", "a" * 25]})
+    out = chunk_docs_batch(t, width=8, stride=6)
+    # doc 1 (len 10): chunks at 0,6 -> "abcdefgh","ghij"
+    # doc 2 (len 2): one short chunk; doc 3 (len 0): one empty chunk
+    # doc 4 (len 25): ceil(17/6)+1 = 4 chunks at 0,6,12,18
+    assert out.column("doc_id").to_pylist() == [1, 1, 2, 3, 4, 4, 4, 4]
+    assert out.column("chunk_id").to_pylist() == [0, 1, 0, 0, 0, 1, 2, 3]
+    assert out.column("chunk_text").to_pylist() == [
+        "abcdefgh", "ghij", "xy", "", "aaaaaaaa", "aaaaaaaa", "aaaaaaaa",
+        "aaaaaaa"]
+    assert out.column("chunk_len").to_pylist() == [8, 4, 2, 0, 8, 8, 8, 7]
+    # every byte covered: union of [k*s, k*s+w) per doc is [0, len)
+    # exact-boundary case: len - width divisible by stride -> full last
+    t2 = pa.table({"doc_id": pa.array([7], pa.int64()),
+                   "text": ["x" * 20]})  # w=8 s=6: 20-8=12 = 2*6 -> 3 chunks
+    out2 = chunk_docs_batch(t2, width=8, stride=6)
+    assert out2.column("chunk_len").to_pylist() == [8, 8, 8]
+    # reconstruction: non-overlap prefix of each chunk re-concatenates
+    txt = "abcdefghijklmnopqrstuvwxyz0123456789"
+    t3 = pa.table({"doc_id": pa.array([9], pa.int64()), "text": [txt]})
+    o3 = chunk_docs_batch(t3, width=10, stride=7).to_pandas()
+    rebuilt = "".join(c[:7] for c in o3["chunk_text"][:-1]) \
+        + o3["chunk_text"].iloc[-1]
+    assert rebuilt == txt
+
+
+def test_chunk_docs_rejects_non_ascii_and_bad_params():
+    import pyarrow as pa
+    import pytest
+
+    from rwcf.textops import chunk_docs_batch
+
+    t = pa.table({"doc_id": pa.array([1], pa.int64()), "text": ["héllo"]})
+    with pytest.raises(ValueError, match="ASCII"):
+        chunk_docs_batch(t, width=4, stride=2)
+    ok = pa.table({"doc_id": pa.array([1], pa.int64()), "text": ["hello"]})
+    with pytest.raises(ValueError):
+        chunk_docs_batch(ok, width=0, stride=2)
+    with pytest.raises(ValueError):
+        chunk_docs_batch(ok, width=4, stride=-1)
