@@ -863,6 +863,26 @@ def _q_group_centroids(sf_dir: str):
     return similarity.group_centroids_ds(emb, labels)
 
 
+def _q_running_totals(sf_dir: str):
+    """Per-user running aggregates over events (window-function family):
+    1-based row number + integer-scaled cumulative value sum, ordered by
+    (ts, event_id). One bucketed shuffle, segmented cumsum per bucket."""
+    import ray.data as rd
+
+    from rwcf import windows
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "ts", "value"])
+    return windows.running_totals(ev)
+
+
+def _q_zscore_nchars(sf_dir: str):
+    """Per-source z-score of n_chars via exact integer moments (n*x-s over
+    sqrt(n*ssq-s^2)) — broadcast group stats, zero corpus shuffles."""
+    from rwcf import analytics
+    return analytics.zscore_by_group(
+        _docs_ds(sf_dir, columns=("doc_id", "source", "n_chars")))
+
+
 def _q_chunk_docs(sf_dir: str):
     """Fixed-width overlapping document chunks (width=64, stride=48) —
     one stateless vectorized map_batches stage, zero shuffles; the chunk
@@ -1066,6 +1086,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": _q_incremental_dedup,
         "chunk_docs": _q_chunk_docs,
         "kmeans_embeddings": _q_kmeans,
+        "running_totals": _q_running_totals,
+        "zscore_nchars": _q_zscore_nchars,
     }
 
 
@@ -1359,6 +1381,29 @@ def oracle_sql() -> dict[str, str]:
             "substr(text, CAST(k * 48 + 1 AS BIGINT), 64) AS chunk_text, "
             "CAST(length(substr(text, CAST(k * 48 + 1 AS BIGINT), 64)) "
             "AS BIGINT) AS chunk_len FROM ks"),
+        # window-function family; floor(v*1000) int64 scaling on both
+        # sides so cumulative sums are order-exact; (ts, event_id) total
+        # order makes ties deterministic
+        "running_totals": (
+            "SELECT event_id, user_id, CAST(row_number() OVER w AS BIGINT)"
+            " AS row_num, CAST(sum(CAST(floor(value * 1000) AS BIGINT)) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_sum1000 "
+            "FROM events WINDOW w AS "
+            "(PARTITION BY user_id ORDER BY ts, event_id)"),
+        # z = (n*x - s)/sqrt(n*ssq - s^2): exact integer moments on both
+        # sides, ONE identical float division + sqrt, 4dp
+        "zscore_nchars": (
+            "WITH st AS (SELECT source, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(n_chars) AS BIGINT) AS s, "
+            "CAST(sum(n_chars * n_chars) AS BIGINT) AS ssq "
+            "FROM documents GROUP BY source) "
+            "SELECT d.doc_id, d.source, "
+            "CASE WHEN st.n * st.ssq - st.s * st.s > 0 THEN "
+            "ROUND((st.n * d.n_chars - st.s) / "
+            "sqrt(CAST(st.n * st.ssq - st.s * st.s AS DOUBLE)), 4) "
+            "ELSE 0.0 END AS zscore "
+            "FROM documents d JOIN st USING (source)"),
         # element-wise mean per (source, dim); float32 values widen to
         # double before summation on both sides; 4dp rounding
         "group_centroids": (

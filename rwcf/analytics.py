@@ -692,3 +692,72 @@ def unigram_logprob_scores(ds, id_col: str = "doc_id",
 
     return ds.map_batches(score, batch_format="pyarrow",
                           **rayenv.remote_args())
+
+
+def zscore_by_group(ds, key: str = "source", val_col: str = "n_chars",
+                    id_col: str = "doc_id"):
+    """Per-group z-score normalization of an integer column — the feature
+    scaler a quality-filter pipeline runs before thresholding (length
+    outliers per source, score standardization per domain).
+
+    Cross-engine exactness by construction: the z-score is computed as
+
+        z = (n*x - s) / sqrt(n*ssq - s^2)
+
+    where n, s (sum) and ssq (sum of squares) are EXACT integers, so both
+    engine and oracle do one identical float division + sqrt — no Welford
+    vs two-pass variance drift, no float summation order. (Equivalent to
+    (x - mean)/stddev_pop up to the shared positive factor sqrt(n), folded
+    in on both sides.) 4dp rounding on top. Integer domain bound: the
+    int64 moments require n*ssq < 2^63 — holds to ~1e6 rows x 1e3 values
+    per group; beyond that route the moments through Python ints in the
+    final (driver-side, group-count-sized) reduction.
+
+    Scale shape: pass 1 pre-aggregates (key, n, s, ssq) per batch so only
+    group-count-sized partials reach the one tiny groupby; the final
+    stats table (groups x 4) broadcasts via ray.put; pass 2 is a
+    stateless vectorized map. Zero corpus-sized shuffles.
+    """
+    import ray
+
+    def part_stats(t: pa.Table) -> pa.Table:
+        kv = t.column(key).to_numpy(zero_copy_only=False)
+        x = t.column(val_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ug, inv = np.unique(kv, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.bincount(inv, weights=x).astype(np.int64)
+        ssq = np.bincount(inv, weights=x * x).astype(np.int64)
+        return pa.table({key: pa.array(ug.astype(object), pa.string()),
+                         "n": pa.array(n), "s": pa.array(s),
+                         "ssq": pa.array(ssq)})
+
+    from ray.data.aggregate import Sum
+    stats = (ds.map_batches(part_stats, batch_format="pyarrow",
+                            **rayenv.remote_args())
+             .groupby(key)
+             .aggregate(Sum("n", alias_name="n"),
+                        Sum("s", alias_name="s"),
+                        Sum("ssq", alias_name="ssq"))
+             .to_pandas())
+    lut = {r[key]: (int(r["n"]), int(r["s"]), int(r["ssq"]))
+           for _, r in stats.iterrows()}
+    lut_ref = ray.put(lut)
+
+    def score(t: pa.Table, _ref=lut_ref) -> pa.Table:
+        lut = ray.get(_ref)
+        kv = t.column(key).to_numpy(zero_copy_only=False)
+        x = t.column(val_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ug, inv = np.unique(kv, return_inverse=True)
+        trip = np.array([lut[g] for g in ug], dtype=np.int64)
+        n, s, ssq = trip[inv, 0], trip[inv, 1], trip[inv, 2]
+        num = (n * x - s).astype(np.float64)
+        den2 = (n * ssq - s * s).astype(np.float64)
+        z = np.where(den2 > 0, num / np.sqrt(np.maximum(den2, 1.0)), 0.0)
+        return pa.table({id_col: t.column(id_col),
+                         key: t.column(key),
+                         "zscore": pa.array(np.round(z, 4))})
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          **rayenv.remote_args())

@@ -161,3 +161,69 @@ def session_windows(ds, gap_s: int = 1800, key: str = "user_id",
             .groupby("_b")
             .map_groups(sessions, batch_format="pyarrow",
                         **rayenv.remote_args()))
+
+
+def running_totals(ds, key: str = "user_id", ts_col: str = "ts",
+                   val_col: str = "value", id_col: str = "event_id",
+                   buckets: int = 32):
+    """Per-key running aggregates — the window-function family
+    (``SUM(...) OVER (PARTITION BY key ORDER BY ts)``): for every event,
+    its 1-based row number within its key's time-ordered history and the
+    cumulative value sum up to and including it. The event stream's
+    per-entity state primitive (running spend, per-user event index).
+
+    Values are integer-scaled (``floor(v*1000)`` int64, the same exactness
+    trick as the window aggregates above) so the cumulative sums are
+    bit-identical across engines and batch orders — no float summation
+    order anywhere. Ordering within a key is (ts, id) so ties are
+    deterministic.
+
+    Scale shape: ONE bucketed shuffle (``hash(key) % buckets`` via the
+    shared routing hash); inside each bucket a single sort by
+    (key, ts, id) + a segmented cumsum resolves every key at once — no
+    per-key dispatch, no driver materialization. Skew bound: a bucket
+    holds whole keys, so a single key with billions of events needs the
+    range-partitioned variant (sort on (key, ts) + carry-in pass);
+    documented, not needed at event-table cardinalities.
+    """
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        from .joins import hash_bucket
+        kv = t.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+        return t.append_column("_b",
+                               pa.array(hash_bucket(kv, buckets=buckets)))
+
+    def cumulate(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        g = g.take(pc.sort_indices(g, sort_keys=[(key, "ascending"),
+                                                 (ts_col, "ascending"),
+                                                 (id_col, "ascending")]))
+        n = g.num_rows
+        if n == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             key: pa.array([], g.schema.field(key).type),
+                             "row_num": pa.array([], pa.int64()),
+                             "run_sum1000": pa.array([], pa.int64())})
+        kn = g.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+        v = g.column(val_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        v1000 = np.floor(v * 1000).astype(np.int64)
+        new_key = np.concatenate(([True], kn[1:] != kn[:-1]))
+        seg = np.flatnonzero(new_key)             # segment starts
+        seg_of = np.cumsum(new_key) - 1           # segment id per row
+        idx = np.arange(n, dtype=np.int64)
+        row_num = idx - seg[seg_of] + 1
+        cs = np.cumsum(v1000)
+        base = cs[seg] - v1000[seg]               # cumsum before segment
+        run_sum = cs - base[seg_of]
+        return pa.table({id_col: g.column(id_col),
+                         key: g.column(key),
+                         "row_num": pa.array(row_num),
+                         "run_sum1000": pa.array(run_sum)})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .repartition(buckets)
+            .groupby("_b")
+            .map_groups(cumulate, batch_format="pyarrow",
+                        **rayenv.remote_args()))

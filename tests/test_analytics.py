@@ -453,3 +453,37 @@ def test_unigram_logprob_scores(ray_session):
     out2 = analytics.unigram_logprob_scores(rd.from_pandas(df2)) \
         .to_pandas().sort_values("doc_id", ignore_index=True)
     assert out2["avg_logprob"][2] < out2["avg_logprob"][0]
+
+
+def test_zscore_by_group(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rwcf.analytics import zscore_by_group
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "doc_id": np.arange(300, dtype=np.int64),
+        "source": np.array(["a", "b", "c"])[rng.integers(0, 3, 300)],
+        "n_chars": rng.integers(10, 900, 300).astype(np.int64),
+    })
+    # one constant group: zero variance must yield z=0, not NaN/inf
+    df.loc[df["source"] == "c", "n_chars"] = 77
+    out = zscore_by_group(rd.from_pandas(df).repartition(4)) \
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    ref = df.sort_values("doc_id", ignore_index=True)
+    for g, sub in ref.groupby("source"):
+        x = sub["n_chars"].to_numpy(dtype=np.int64)
+        n, s, ssq = len(x), int(x.sum()), int((x * x).sum())
+        den2 = n * ssq - s * s
+        z = np.zeros(len(x)) if den2 <= 0 else \
+            np.round((n * x - s) / np.sqrt(float(den2)), 4)
+        got = out.loc[out["source"] == g, "zscore"].to_numpy()
+        assert np.array_equal(np.asarray(z, dtype=np.float64), got)
+    # z-scores within a group are standardized up to the sqrt(n) factor:
+    # mean exactly 0 after the shared scaling
+    for g in ["a", "b"]:
+        zg = out.loc[out["source"] == g, "zscore"]
+        assert abs(zg.mean()) < 1e-3

@@ -125,3 +125,34 @@ def test_windows_accept_plain_int64_epoch_seconds(ray_session):
     s = windows.sliding_window_aggregate(
         rd.from_arrow(t), window_s=3600, hop_s=1800).to_pandas()
     assert s["n"].sum() == 2 * t.num_rows
+
+
+def test_running_totals(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rwcf.windows import running_totals
+
+    rng = np.random.default_rng(3)
+    n = 500
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 23, n),
+        "ts": pd.to_datetime(rng.integers(0, 10_000, n), unit="s"),
+        "value": np.round(rng.normal(0, 5, n), 3),
+    })
+    # duplicate timestamps inside a key to exercise the (ts, id) tie-break
+    df.loc[1, ["user_id", "ts"]] = df.loc[0, ["user_id", "ts"]]
+    out = running_totals(rd.from_pandas(df).repartition(5)) \
+        .to_pandas().sort_values("event_id", ignore_index=True)
+    ref = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    ref["v1000"] = np.floor(ref["value"] * 1000).astype(np.int64)
+    ref["row_num"] = ref.groupby("user_id").cumcount() + 1
+    ref["run_sum1000"] = ref.groupby("user_id")["v1000"].cumsum()
+    ref = ref.sort_values("event_id", ignore_index=True)
+    assert (out["row_num"].to_numpy() == ref["row_num"].to_numpy()).all()
+    assert (out["run_sum1000"].to_numpy()
+            == ref["run_sum1000"].to_numpy()).all()
+    assert len(out) == n
