@@ -883,6 +883,24 @@ def _q_zscore_nchars(sf_dir: str):
         _docs_ds(sf_dir, columns=("doc_id", "source", "n_chars")))
 
 
+def _q_bigram_logprob(sf_dir: str):
+    """Mean bigram conditional log-probability per doc (second-order LM
+    filter): one bigram-vocab-sized shuffle + broadcast lp table."""
+    from rwcf import analytics
+    return analytics.bigram_logprob_scores(_docs_ds(sf_dir))
+
+
+def _q_quantize_embeddings(sf_dir: str):
+    """Per-vector int8 quantization audit rows (scale + code stats):
+    stateless vectorized map, bit-equal codes vs the SQL replay."""
+    import ray.data as rd
+
+    from rwcf import similarity
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    return similarity.quantize_embeddings_ds(emb)
+
+
 def _q_chunk_docs(sf_dir: str):
     """Fixed-width overlapping document chunks (width=64, stride=48) —
     one stateless vectorized map_batches stage, zero shuffles; the chunk
@@ -1088,6 +1106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": _q_kmeans,
         "running_totals": _q_running_totals,
         "zscore_nchars": _q_zscore_nchars,
+        "bigram_logprob": _q_bigram_logprob,
+        "quantize_embeddings": _q_quantize_embeddings,
     }
 
 
@@ -1404,6 +1424,41 @@ def oracle_sql() -> dict[str, str]:
             "sqrt(CAST(st.n * st.ssq - st.s * st.s AS DOUBLE)), 4) "
             "ELSE 0.0 END AS zscore "
             "FROM documents d JOIN st USING (source)"),
+        # bigram conditional LM: ln(c(w1,w2)/c(w1,*)) averaged per doc;
+        # single-space split == engine's pc.split_pattern(text, ' ');
+        # 4dp rounding (unigram_logprob rationale)
+        "bigram_logprob": (
+            "WITH w AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS word, "
+            "unnest(generate_series(1, len(string_split(text, ' ')))) AS k "
+            "FROM documents), "
+            "bg AS (SELECT doc_id, word AS w1, lead(word) OVER "
+            "(PARTITION BY doc_id ORDER BY k) AS w2 FROM w), "
+            "b AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL), "
+            "bc AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2), "
+            "cc AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY 1) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+            "ROUND(avg(ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))), 4) "
+            "AS avg_bigram_logprob "
+            "FROM b JOIN bc USING (w1, w2) JOIN cc USING (w1) "
+            "GROUP BY doc_id"),
+        # int8 quantization replay: float32 widens to double BEFORE the
+        # divide on both sides; floor(x+0.5) = the engine's round-half-up
+        "quantize_embeddings": (
+            "WITH s AS (SELECT vec_id, embedding, "
+            "list_max(list_transform(embedding, "
+            "x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale "
+            "FROM embeddings), "
+            "c AS (SELECT vec_id, scale, CASE WHEN scale > 0 THEN "
+            "list_transform(embedding, x -> CAST(floor("
+            "CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) "
+            "ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END "
+            "AS codes FROM s) "
+            "SELECT vec_id, ROUND(scale, 4) AS scale4, "
+            "CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum, "
+            "CAST(list_aggregate(codes, 'min') AS BIGINT) AS code_min, "
+            "CAST(list_aggregate(codes, 'max') AS BIGINT) AS code_max "
+            "FROM c"),
         # element-wise mean per (source, dim); float32 values widen to
         # double before summation on both sides; 4dp rounding
         "group_centroids": (

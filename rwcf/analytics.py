@@ -761,3 +761,81 @@ def zscore_by_group(ds, key: str = "source", val_col: str = "n_chars",
 
     return ds.map_batches(score, batch_format="pyarrow",
                           **rayenv.remote_args())
+
+
+def _batch_bigrams(t: pa.Table, id_col: str, text_col: str) -> pd.DataFrame:
+    """(doc, bigram) rows for one batch: split on single spaces (matching
+    the oracle's string_split), pair consecutive words within a doc via
+    one shifted-equality mask — no per-row loop."""
+    words = pc.split_pattern(t.column(text_col), " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    ids = t.column(id_col).to_numpy(zero_copy_only=False)
+    flat = words.flatten()
+    n = len(flat)
+    if n < 2:
+        return pd.DataFrame({"doc": np.array([], dtype=np.int64),
+                             "bigram": np.array([], dtype=object)})
+    doc_of = np.repeat(ids, lens)
+    same = doc_of[1:] == doc_of[:-1]
+    w1 = flat.slice(0, n - 1).filter(pa.array(same))
+    w2 = flat.slice(1, n - 1).filter(pa.array(same))
+    big = pc.binary_join_element_wise(w1, w2, " ")
+    return pd.DataFrame({"doc": doc_of[:-1][same],
+                         "bigram": big.to_pandas()})
+
+
+def bigram_logprob_scores(ds, id_col: str = "doc_id",
+                          text_col: str = "text"):
+    """Per-document mean bigram conditional log-probability — the
+    second-order LM filter (mean of ln(c(w1,w2)/c(w1,*)) over a doc's
+    consecutive word pairs). Completes the n-gram LM scoring family next
+    to :func:`unigram_logprob_scores`; docs whose word TRANSITIONS are
+    atypical score low even when their unigram mix looks normal
+    (shuffled/templated text).
+
+    Scale shape: per-batch bigram-count partials -> ONE bigram-vocabulary-
+    sized groupby; the (bigram, lp) table broadcasts once via ray.put and
+    every batch scores its own docs locally. The bigram vocabulary is the
+    Zipf tail's square-root-law superset of the unigram one — at open-web
+    scale cap it with the Count-Min top-K nomination
+    (:func:`cms_heavy_hitters`) and a floor probability for the tail;
+    exact here, where the driver-resident table is MBs. Docs with fewer
+    than two words have no bigrams and emit no row (matches the oracle's
+    join semantics). 4dp rounding (tfidf_scores rationale)."""
+    import ray
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        pairs = _batch_bigrams(t, id_col, text_col)
+        vc = pairs["bigram"].value_counts()
+        return pa.table({"bigram": pa.array(vc.index.to_numpy(dtype=object),
+                                            pa.string()),
+                         "n": pa.array(vc.to_numpy(), pa.int64())})
+
+    bc = (ds.map_batches(partial_counts, batch_format="pyarrow",
+                         **rayenv.remote_args())
+          .repartition(32)
+          .groupby("bigram").sum("n").to_pandas())
+    c12 = bc["sum(n)"].to_numpy(dtype=np.int64)
+    w1 = bc["bigram"].str.split(" ", n=1).str[0]
+    c1 = pd.Series(c12).groupby(w1.to_numpy()).transform("sum") \
+        .to_numpy(dtype=np.int64)
+    lp = pd.DataFrame({"bigram": bc["bigram"],
+                       "lp": np.log(c12 / c1)})
+    ref = ray.put(lp)
+
+    def score(t: pa.Table) -> pa.Table:
+        pairs = _batch_bigrams(t, id_col, text_col)
+        pairs = pairs.merge(ray.get(ref), on="bigram")
+        agg = pairs.groupby("doc").agg(
+            n_bigrams=("lp", "size"), s=("lp", "sum")).reset_index()
+        return pa.table({
+            id_col: pa.array(agg["doc"].to_numpy()),
+            "n_bigrams": pa.array(agg["n_bigrams"].to_numpy(), pa.int64()),
+            "avg_bigram_logprob": pa.array(
+                np.round(agg["s"].to_numpy() / agg["n_bigrams"].to_numpy(),
+                         4))})
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          **rayenv.remote_args())

@@ -527,3 +527,49 @@ def kmeans_ds(emb_ds, k: int = 8, iters: int = 5, id_col: str = "vec_id",
     if return_stats:
         return out, cent, inertia_per_iter
     return out
+
+
+def quantize_embeddings_ds(ds, id_col: str = "vec_id",
+                           vec_col: str = "embedding"):
+    """Per-vector symmetric int8 quantization — the 4x embedding-column
+    compressor (float32 -> int8 + one scale) a retrieval pipeline applies
+    before the ANN index. Emits per-vector audit rows
+    ``(id, scale4, code_sum, code_min, code_max)`` so the layout is
+    SQL-checkable end to end.
+
+    Cross-engine exactness: scale = max|v|/127 with v widened
+    float32->float64 BEFORE the division on both sides, and codes use
+    ``floor(v/scale + 0.5)`` (round-half-up) instead of banker's
+    rounding — the identical expression DuckDB evaluates, so every code
+    is bit-equal, not approximately equal. Zero vectors quantize to
+    scale 0 / all-zero codes.
+
+    Scale shape: stateless vectorized map_batches (one abs-max + one
+    fused divide-floor per batch matrix), zero shuffles; int8 codes are
+    what ships downstream, 4 bytes/dim -> 1.
+    """
+
+    def quant(t: pa.Table) -> pa.Table:
+        mat = _batch_matrix(t, vec_col)
+        ids = t.column(id_col)
+        if mat.shape[0] == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "scale4": pa.array([], pa.float64()),
+                             "code_sum": pa.array([], pa.int64()),
+                             "code_min": pa.array([], pa.int64()),
+                             "code_max": pa.array([], pa.int64())})
+        maxabs = np.abs(mat).max(axis=1)
+        scale = maxabs / 127.0
+        safe = np.where(scale > 0, scale, 1.0)
+        codes = np.floor(mat / safe[:, None] + 0.5).astype(np.int64)
+        codes[scale <= 0] = 0
+        return pa.table({
+            id_col: ids,
+            "scale4": pa.array(np.round(scale, 4)),
+            "code_sum": pa.array(codes.sum(axis=1)),
+            "code_min": pa.array(codes.min(axis=1)),
+            "code_max": pa.array(codes.max(axis=1))})
+
+    from . import rayenv
+    return ds.map_batches(quant, batch_format="pyarrow",
+                          **rayenv.remote_args())

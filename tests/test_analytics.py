@@ -487,3 +487,37 @@ def test_zscore_by_group(ray_session):
     for g in ["a", "b"]:
         zg = out.loc[out["source"] == g, "zscore"]
         assert abs(zg.mean()) < 1e-3
+
+
+def test_bigram_logprob_scores(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rwcf.analytics import bigram_logprob_scores
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": ["a b a b c",      # bigrams: ab, ba, ab, bc
+                 "a b",            # ab
+                 "c c c",          # cc, cc
+                 "solo",           # no bigram -> no output row
+                 "b c"],           # bc
+    })
+    out = bigram_logprob_scores(rd.from_pandas(docs).repartition(3)) \
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    # corpus bigram counts: ab=3, ba=1, bc=2, cc=2; contexts:
+    # c(a,*)=3, c(b,*)=3, c(c,*)=2
+    lp = {"a b": np.log(3 / 3), "b a": np.log(1 / 3),
+          "b c": np.log(2 / 3), "c c": np.log(2 / 2)}
+    exp = {
+        0: round((lp["a b"] + lp["b a"] + lp["a b"] + lp["b c"]) / 4, 4),
+        1: round(lp["a b"], 4),
+        2: round((lp["c c"] + lp["c c"]) / 2, 4),
+        4: round(lp["b c"], 4),
+    }
+    assert out["doc_id"].tolist() == [0, 1, 2, 4]  # doc 3 has no bigrams
+    assert out["n_bigrams"].tolist() == [4, 1, 2, 1]
+    got = dict(zip(out["doc_id"], out["avg_bigram_logprob"]))
+    for d, v in exp.items():
+        assert abs(got[d] - v) < 1e-9

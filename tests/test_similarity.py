@@ -240,3 +240,26 @@ def test_kmeans_ds_rejects_bad_params(ray_session):
         similarity.kmeans_ds(rd.from_arrow(t), k=0)
     with pytest.raises(ValueError):
         similarity.kmeans_ds(rd.from_arrow(t), k=5, iters=2)
+
+
+def test_quantize_embeddings(ray_session):
+    import ray.data as rd
+
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array([
+            [1.0, -0.5, 0.25, -1.0],   # maxabs 1.0 -> scale 1/127
+            [0.0, 0.0, 0.0, 0.0],      # zero vector -> scale 0, codes 0
+            [2.54, -2.54, 1.27, 0.0],  # maxabs 2.54 -> scale 0.02
+        ], pa.list_(pa.float32()))})
+    out = similarity.quantize_embeddings_ds(rd.from_arrow(t)) \
+        .to_pandas().sort_values("vec_id", ignore_index=True)
+    # vec 0: codes are floor(v*127 + .5) = [127, -63, 32, -127]
+    assert out.loc[0, "code_max"] == 127 and out.loc[0, "code_min"] == -127
+    assert out.loc[0, "code_sum"] == 127 - 63 + 32 - 127
+    # zero vector: all zero, scale 0
+    assert out.loc[1, ["scale4", "code_sum", "code_min",
+                       "code_max"]].tolist() == [0.0, 0, 0, 0]
+    # the abs-max element always maps to +/-127 (symmetric scheme)
+    assert out.loc[2, "code_max"] == 127 and out.loc[2, "code_min"] == -127
+    assert abs(out.loc[2, "scale4"] - 0.02) < 1e-9
