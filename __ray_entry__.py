@@ -883,6 +883,14 @@ def _q_zscore_nchars(sf_dir: str):
         _docs_ds(sf_dir, columns=("doc_id", "source", "n_chars")))
 
 
+def _q_sample_k_per_source(sf_dir: str):
+    """Exactly 20 docs per source, smallest LCG id-hashes first — the
+    fixed-quota deterministic sampler (rides grouped_topk)."""
+    from rwcf import analytics
+    return analytics.sample_k_per_group(
+        _docs_ds(sf_dir, columns=("doc_id", "source")), k=20)
+
+
 def _q_bigram_logprob(sf_dir: str):
     """Mean bigram conditional log-probability per doc (second-order LM
     filter): one bigram-vocab-sized shuffle + broadcast lp table."""
@@ -1107,6 +1115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_totals": _q_running_totals,
         "zscore_nchars": _q_zscore_nchars,
         "bigram_logprob": _q_bigram_logprob,
+        "sample_k_per_source": _q_sample_k_per_source,
         "quantize_embeddings": _q_quantize_embeddings,
     }
 
@@ -1424,6 +1433,17 @@ def oracle_sql() -> dict[str, str]:
             "sqrt(CAST(st.n * st.ssq - st.s * st.s AS DOUBLE)), 4) "
             "ELSE 0.0 END AS zscore "
             "FROM documents d JOIN st USING (source)"),
+        # exact-k per group: k smallest LCG hashes; the LCG is a bijection
+        # on ids < 2^31 so ranks are collision-free and deterministic
+        "sample_k_per_source": (
+            "WITH h AS (SELECT doc_id, source, "
+            "((doc_id * 1103515245 + 12345) % 2147483648) AS hh "
+            "FROM documents), "
+            "r AS (SELECT doc_id, source, row_number() OVER "
+            "(PARTITION BY source ORDER BY hh, doc_id) AS sample_rank "
+            "FROM h) "
+            "SELECT doc_id, source, CAST(sample_rank AS BIGINT) "
+            "AS sample_rank FROM r WHERE sample_rank <= 20"),
         # bigram conditional LM: ln(c(w1,w2)/c(w1,*)) averaged per doc;
         # single-space split == engine's pc.split_pattern(text, ' ');
         # 4dp rounding (unigram_logprob rationale)

@@ -839,3 +839,43 @@ def bigram_logprob_scores(ds, id_col: str = "doc_id",
 
     return ds.map_batches(score, batch_format="pyarrow",
                           **rayenv.remote_args())
+
+
+def sample_k_per_group(ds, key_col: str = "source", id_col: str = "doc_id",
+                       k: int = 20, buckets: int = 32):
+    """EXACT-k deterministic sample per group — the fixed-quota companion
+    to :func:`stratified_sample` (which is rate-based): every group
+    contributes exactly min(k, group size) rows, chosen as the k SMALLEST
+    shared-LCG id-hashes. Reproducible across engines, runs and cluster
+    sizes, and stable under appends in the reservoir sense (a new row
+    only displaces the current max-hash member, never reshuffles the
+    whole sample) — which a seeded RANDOM() sample cannot promise.
+
+    Scale shape: rides :func:`grouped_topk` (order = negated hash), so a
+    per-batch partial cut runs first and only k x keys rows reach the one
+    bucketed shuffle. Output carries ``sample_rank`` (1-based position in
+    the group's hash order) so downstream can sub-slice without
+    re-hashing."""
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        h = (ids * _SAMPLE_A + _SAMPLE_C) % _SAMPLE_M
+        # negate: grouped_topk keeps the LARGEST order values, we want
+        # the smallest hashes
+        return t.append_column("_negh", pa.array(-h))
+
+    cut = grouped_topk(
+        ds.map_batches(add_hash, batch_format="pyarrow",
+                       **rayenv.remote_args()),
+        key_col=key_col, order_col="_negh", id_col=id_col, k=k,
+        buckets=buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_negh"])
+        cols = {c: t.column(c) for c in t.column_names if c != "rank"}
+        cols["sample_rank"] = pc.cast(t.column("rank"), pa.int64())
+        return pa.table(cols)
+
+    return cut.map_batches(finish, batch_format="pyarrow",
+                           **rayenv.remote_args())

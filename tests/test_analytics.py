@@ -521,3 +521,46 @@ def test_bigram_logprob_scores(ray_session):
     got = dict(zip(out["doc_id"], out["avg_bigram_logprob"]))
     for d, v in exp.items():
         assert abs(got[d] - v) < 1e-9
+
+
+def test_sample_k_per_group_exact_quota_and_append_stability(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rwcf.analytics import sample_k_per_group
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({
+        "doc_id": np.arange(200, dtype=np.int64),
+        "source": np.array(["a", "b", "c", "d"])[rng.integers(0, 4, 200)],
+    })
+    out = sample_k_per_group(rd.from_pandas(df).repartition(5), k=7) \
+        .to_pandas()
+    # exact quota per group (every group here has > 7 members)
+    assert (out.groupby("source").size() == 7).all()
+    # matches the local rank-by-hash reference
+    h = (df["doc_id"] * 1103515245 + 12345) % 2 ** 31
+    ref = df.assign(h=h).sort_values(["source", "h", "doc_id"])
+    ref["sample_rank"] = ref.groupby("source").cumcount() + 1
+    ref = ref[ref["sample_rank"] <= 7]
+    got = out.sort_values(["source", "sample_rank"], ignore_index=True)
+    exp = ref.sort_values(["source", "sample_rank"],
+                          ignore_index=True)
+    assert (got["doc_id"].to_numpy() == exp["doc_id"].to_numpy()).all()
+    # reservoir property: appending rows only displaces, never reshuffles
+    df2 = pd.concat([df, pd.DataFrame({
+        "doc_id": np.arange(200, 260, dtype=np.int64),
+        "source": ["a"] * 60})], ignore_index=True)
+    out2 = sample_k_per_group(rd.from_pandas(df2).repartition(5), k=7) \
+        .to_pandas()
+    for g in ["b", "c", "d"]:  # untouched groups identical
+        a = set(out.loc[out["source"] == g, "doc_id"])
+        b = set(out2.loc[out2["source"] == g, "doc_id"])
+        assert a == b
+    # the grown group keeps every old member whose hash still ranks <= 7
+    old_a = out.loc[out["source"] == "a"].set_index("doc_id")["sample_rank"]
+    new_a = out2.loc[out2["source"] == "a"].set_index("doc_id")
+    for d in new_a.index:
+        if d < 200:
+            assert d in old_a.index  # survivors were already sampled
