@@ -883,6 +883,30 @@ def _q_zscore_nchars(sf_dir: str):
         _docs_ds(sf_dir, columns=("doc_id", "source", "n_chars")))
 
 
+def _q_chunk_dedup(sf_dir: str):
+    """Chunk-level exact dedup over the corpus plus planted copies (docs
+    with doc_id % 10 == 0 duplicated at doc_id + 1e6, the
+    dedup_substrings pattern) so survival counts are oracle-observable:
+    per-doc (n_chunks, n_surviving)."""
+    import pyarrow as pa
+
+    from rwcf import prep, rayenv
+
+    def plant(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+        ids = t.column("doc_id").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        dup = t.filter(pa.array(ids % 10 == 0))
+        dup = dup.set_column(0, "doc_id",
+                             pc.add(dup.column("doc_id"), 1000000))
+        return pa.concat_tables([t, dup])
+
+    base = _docs_ds(sf_dir).map_batches(plant, batch_format="pyarrow",
+                                        **rayenv.remote_args())
+    return prep.chunk_dedup_stats(base, width=64, stride=48)
+
+
 def _q_sample_k_per_source(sf_dir: str):
     """Exactly 20 docs per source, smallest LCG id-hashes first — the
     fixed-quota deterministic sampler (rides grouped_topk)."""
@@ -1116,6 +1140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_nchars": _q_zscore_nchars,
         "bigram_logprob": _q_bigram_logprob,
         "sample_k_per_source": _q_sample_k_per_source,
+        "chunk_dedup_stats": _q_chunk_dedup,
         "quantize_embeddings": _q_quantize_embeddings,
     }
 
@@ -1433,6 +1458,26 @@ def oracle_sql() -> dict[str, str]:
             "sqrt(CAST(st.n * st.ssq - st.s * st.s AS DOUBLE)), 4) "
             "ELSE 0.0 END AS zscore "
             "FROM documents d JOIN st USING (source)"),
+        # chunk-level dedup: survivor = lexicographic-min (doc_id,
+        # chunk_id) per distinct chunk text == row_number 1 over that
+        # window; planted copies via the dedup_substrings UNION pattern
+        "chunk_dedup_stats": (
+            "WITH base AS (SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 1000000, text FROM documents "
+            "WHERE doc_id % 10 = 0), "
+            "ks AS (SELECT doc_id, "
+            "unnest(generate_series(0, CASE WHEN length(text) <= 64 THEN 0 "
+            "ELSE CAST(ceil((length(text) - 64) / 48.0) AS BIGINT) END)) "
+            "AS k, text FROM base), "
+            "ch AS (SELECT doc_id, k AS chunk_id, "
+            "substr(text, CAST(k * 48 + 1 AS BIGINT), 64) AS chunk_text "
+            "FROM ks), "
+            "s AS (SELECT doc_id, chunk_id, row_number() OVER "
+            "(PARTITION BY chunk_text ORDER BY doc_id, chunk_id) AS rn "
+            "FROM ch) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks, "
+            "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_surviving FROM s GROUP BY doc_id"),
         # exact-k per group: k smallest LCG hashes; the LCG is a bijection
         # on ids < 2^31 so ranks are collision-free and deterministic
         "sample_k_per_source": (

@@ -24,7 +24,7 @@ from . import rayenv, textops
 from .dedup import _shuffle_buckets
 from .joins import hash_bucket
 
-__all__ = ["prep_corpus"]
+__all__ = ["prep_corpus", "chunk_dedup_stats"]
 
 
 def prep_corpus(ds, text_col: str = "text", id_col: str = "doc_id",
@@ -73,3 +73,87 @@ def prep_corpus(ds, text_col: str = "text", id_col: str = "doc_id",
             .groupby("_b")
             .map_groups(survivors, batch_format="pyarrow",
                         **rayenv.remote_args()))
+
+
+def chunk_dedup_stats(ds, width: int = 64, stride: int = 48,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      buckets: int | None = None):
+    """Chunk-level exact dedup — how production pipelines dedup LONG
+    documents: split every doc into width/stride chunks
+    (:func:`rwcf.textops.chunk_docs_ds`), dedup the chunks corpus-wide
+    (survivor = lexicographic-min (doc_id, chunk_id) per distinct chunk
+    text), and report per-doc survival ``(doc_id, n_chunks,
+    n_surviving)`` — the boilerplate-share signal a curation pass
+    thresholds on (docs whose chunks mostly live elsewhere are templated
+    or syndicated copies).
+
+    Scale shape: chunking is a stateless map (zero shuffles); dedup
+    routes on ``hash(chunk_text) % buckets`` so identical chunks
+    co-locate and Ray group count stays O(buckets); inside each bucket
+    one dictionary-encode + lexsort resolves every content group's min
+    surrogate at once (no per-group dispatch, no pandas). Only per-doc
+    COUNT partials leave the bucket, so the second shuffle is
+    doc-count-sized. Surrogate = doc_id * 2^20 + chunk_id (documented
+    bound: < 2^20 chunks per doc — 64 GiB of text per doc at these
+    defaults — and doc_id < 2^43)."""
+    from ray.data.aggregate import Sum
+
+    if buckets is None:
+        buckets = _shuffle_buckets()
+    chunks = textops.chunk_docs_ds(ds, width=width, stride=stride,
+                                   text_col=text_col, id_col=id_col)
+    K = np.int64(1 << 20)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        lengths, payload = textops._text_chunks(t, "chunk_text")
+        fp = textops.segment_poly_hash(lengths, payload)
+        b = hash_bucket(fp.view(np.int64), buckets=buckets)
+        return t.append_column("_b", pa.array(b))
+
+    def partial(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_chunks": pa.array([], pa.int64()),
+                             "n_surviving": pa.array([], pa.int64())})
+        txt = g.column("chunk_text").combine_chunks()
+        enc = txt.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = g.column(id_col).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = g.column("chunk_id").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        surr = doc * K + ck
+        order = np.lexsort((surr, code))
+        sc, ss = code[order], surr[order]
+        first = np.ones(sc.size, dtype=bool)
+        first[1:] = sc[1:] != sc[:-1]
+        mins = np.zeros(int(code.max()) + 1, dtype=np.int64)
+        mins[sc[first]] = ss[first]   # min surrogate per content code
+        surv = surr == mins[code]
+        ud, inv = np.unique(doc, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        ns = np.bincount(inv, weights=surv).astype(np.int64)
+        return pa.table({id_col: pa.array(ud),
+                         "n_chunks": pa.array(n),
+                         "n_surviving": pa.array(ns)})
+
+    out = (chunks.map_batches(add_bucket, batch_format="pyarrow",
+                              **rayenv.remote_args())
+           .repartition(buckets)
+           .groupby("_b")
+           .map_groups(partial, batch_format="pyarrow",
+                       **rayenv.remote_args())
+           .groupby(id_col)
+           .aggregate(Sum("n_chunks", alias_name="n_chunks"),
+                      Sum("n_surviving", alias_name="n_surviving")))
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: pc.cast(t.column(id_col), pa.int64()),
+                         "n_chunks": pc.cast(t.column("n_chunks"),
+                                             pa.int64()),
+                         "n_surviving": pc.cast(t.column("n_surviving"),
+                                                pa.int64())})
+    return out.map_batches(cast, batch_format="pyarrow",
+                           **rayenv.remote_args())
