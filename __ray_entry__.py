@@ -883,6 +883,19 @@ def _q_zscore_nchars(sf_dir: str):
         _docs_ds(sf_dir, columns=("doc_id", "source", "n_chars")))
 
 
+def _q_quantiles_value_approx(sf_dir: str):
+    """One-pass approximate quantiles of events.value via the bottom-k
+    uniform-sample sketch (mergeable, deterministic; ~1/sqrt(k) rank
+    error pinned in tests — the sketch family's quantile member next to
+    HLL and Count-Min)."""
+    import ray.data as rd
+
+    from rwcf import analytics
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "value"])
+    return analytics.bottomk_sample_quantiles(ev)
+
+
 def _q_chunk_dedup(sf_dir: str):
     """Chunk-level exact dedup over the corpus plus planted copies (docs
     with doc_id % 10 == 0 duplicated at doc_id + 1e6, the
@@ -1141,6 +1154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_logprob": _q_bigram_logprob,
         "sample_k_per_source": _q_sample_k_per_source,
         "chunk_dedup_stats": _q_chunk_dedup,
+        "quantiles_value_approx": _q_quantiles_value_approx,
         "quantize_embeddings": _q_quantize_embeddings,
     }
 
@@ -1617,6 +1631,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM g JOIN dup USING (gram) GROUP BY g.doc_id"),
         # rows-only (not SQL-expressible): codec_selection, flagship_synthetic,
         # distinct_tokens_approx (HLL sketch; error bound pinned in tests),
+        # quantiles_value_approx (bottom-k sample sketch; rank-error bound
+        # + partition-invariance pinned in tests),
         # cms_top_tokens (Count-Min sketch; Zipf parity pinned in tests),
         # ann_ivf (approximate),
         # multimodal_frames (stub feature vectors), dedup_minhash (finds the

@@ -879,3 +879,63 @@ def sample_k_per_group(ds, key_col: str = "source", id_col: str = "doc_id",
 
     return cut.map_batches(finish, batch_format="pyarrow",
                            **rayenv.remote_args())
+
+
+def bottomk_sample_quantiles(ds, col: str = "value",
+                             id_col: str = "event_id",
+                             qs=(0.25, 0.5, 0.9, 0.99),
+                             k: int = 4096) -> pd.DataFrame:
+    """APPROXIMATE quantiles in ONE pass via a bottom-k uniform sample —
+    the third mergeable sketch next to HyperLogLog (distinct) and
+    Count-Min (frequency): keep the k rows with the smallest shared-LCG
+    id-hashes, then take exact order statistics of the sample. The
+    bottom-k set is a deterministic uniform k-sample, mergeable by
+    construction (merge = union + re-cut, which is exactly what the
+    per-batch partial -> final reduction does), reproducible across
+    engines/runs/cluster sizes, and size-bounded at k rows regardless of
+    input scale — where :func:`exact_quantiles_float` needs two passes,
+    this needs one, at ~1/sqrt(k) rank error (pinned in tests).
+
+    Quantile ranks are taken within the sample (rank ceil(q*k) of the
+    sorted sample estimates the q-quantile); the exact input row count
+    rides along as int64 partials and is reported as ``n_total`` so
+    callers can size the +-1/sqrt(k) rank error against real N.
+    Scale shape: per-batch bottom-k cut (k rows max leave any batch) ->
+    driver final cut over blocks x k rows — bounded,
+    corpus-size-independent."""
+    import ray
+
+    qs = tuple(float(q) for q in qs)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = pc.cast(t.column(col).combine_chunks(), pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        ids, v = ids[ok], v[ok]
+        h = (ids * _SAMPLE_A + _SAMPLE_C) % _SAMPLE_M
+        cut = np.argsort(h, kind="stable")[:k]
+        # the batch's exact row count rides in the first slot so the
+        # final can total N without a second pass
+        n = np.zeros(cut.size, dtype=np.int64)
+        if cut.size:
+            n[0] = ids.size
+        return pa.table({"h": pa.array(h[cut]), "v": pa.array(v[cut]),
+                         "n": pa.array(n)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           **rayenv.remote_args()).to_pandas()
+    # 0-row to_pandas drops columns (exact_quantiles gotcha)
+    total = 0 if parts.empty else int(parts["n"].sum())
+    if total == 0:
+        return pd.DataFrame({"q": pd.Series(dtype="float64"),
+                             "v": pd.Series(dtype="float64"),
+                             "n_total": pd.Series(dtype="int64")})
+    top = parts.sort_values(["h", "v"], kind="mergesort").head(k)
+    sample = np.sort(top["v"].to_numpy())
+    rows = []
+    for q in qs:
+        r = max(1, math.ceil(q * sample.size))
+        rows.append({"q": q, "v": float(sample[r - 1]), "n_total": total})
+    return pd.DataFrame(rows)

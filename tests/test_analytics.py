@@ -564,3 +564,36 @@ def test_sample_k_per_group_exact_quota_and_append_stability(ray_session):
     for d in new_a.index:
         if d < 200:
             assert d in old_a.index  # survivors were already sampled
+
+
+def test_bottomk_sample_quantiles(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rwcf.analytics import bottomk_sample_quantiles
+
+    rng = np.random.default_rng(7)
+    n = 100_000
+    df = pd.DataFrame({"event_id": np.arange(n, dtype=np.int64),
+                       "value": rng.normal(0, 10, n)})
+    out = bottomk_sample_quantiles(rd.from_pandas(df).repartition(8),
+                                   k=4096)
+    assert (out["n_total"] == n).all()
+    # rank error ~1/sqrt(k): the sample quantile's true rank must be
+    # within 3.5/sqrt(k) of q (a ~3.5-sigma bound -> deterministic here
+    # since the sample is a fixed LCG selection)
+    vals = np.sort(df["value"].to_numpy())
+    for _, r in out.iterrows():
+        true_rank = np.searchsorted(vals, r["v"]) / n
+        assert abs(true_rank - r["q"]) < 3.5 / np.sqrt(4096)
+    # determinism + mergeability: a different partitioning gives the
+    # IDENTICAL sketch (bottom-k is partition-invariant)
+    out2 = bottomk_sample_quantiles(rd.from_pandas(df).repartition(31),
+                                    k=4096)
+    assert (out["v"].to_numpy() == out2["v"].to_numpy()).all()
+    # all-NaN input -> empty frame, no crash
+    df3 = pd.DataFrame({"event_id": np.arange(10, dtype=np.int64),
+                        "value": np.full(10, np.nan)})
+    out3 = bottomk_sample_quantiles(rd.from_pandas(df3), k=64)
+    assert out3.empty
