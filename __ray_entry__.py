@@ -89,6 +89,21 @@ def _q_roundtrip_docs(sf_dir: str):
                            **rayenv.remote_args())
 
 
+def _q_decode_chunk(sf_dir: str):
+    """Training-ops-over-the-engine composition: decode the encoded
+    partitions back to documents, then run the overlapping chunker on
+    the DECODED text — proves the curation operators compose with the
+    codec engine's output, not just with raw parquet. Oracle = the
+    chunk arithmetic over the original table (decode is lossless)."""
+    from rwcf import documents, pipeline, rayenv, textops
+    out = _encoded_run(sf_dir)
+    dec = pipeline.decode_job(out)
+    docs = dec.map_batches(documents.detokenize_batch,
+                           batch_format="pyarrow",
+                           **rayenv.remote_args())
+    return textops.chunk_docs_ds(docs, width=64, stride=48)
+
+
 def _q_decode_project(sf_dir: str):
     """Column-pruned decode: only (doc_id, n_tok) sections leave disk."""
     from rwcf import pipeline
@@ -1155,6 +1170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_k_per_source": _q_sample_k_per_source,
         "chunk_dedup_stats": _q_chunk_dedup,
         "quantiles_value_approx": _q_quantiles_value_approx,
+        "decode_chunk_docs": _q_decode_chunk,
         "quantize_embeddings": _q_quantize_embeddings,
     }
 
@@ -1441,6 +1457,17 @@ def oracle_sql() -> dict[str, str]:
         # ceil((len-width)/stride)+1; ASCII corpus so substr chars ==
         # kernel bytes
         "chunk_docs": (
+            "WITH ks AS (SELECT doc_id, text, "
+            "unnest(generate_series(0, CASE WHEN length(text) <= 64 THEN 0 "
+            "ELSE CAST(ceil((length(text) - 64) / 48.0) AS BIGINT) END)) "
+            "AS k FROM documents) "
+            "SELECT doc_id, k AS chunk_id, "
+            "substr(text, CAST(k * 48 + 1 AS BIGINT), 64) AS chunk_text, "
+            "CAST(length(substr(text, CAST(k * 48 + 1 AS BIGINT), 64)) "
+            "AS BIGINT) AS chunk_len FROM ks"),
+        # decode is lossless, so chunking DECODED docs replays the same
+        # arithmetic over the original table
+        "decode_chunk_docs": (
             "WITH ks AS (SELECT doc_id, text, "
             "unnest(generate_series(0, CASE WHEN length(text) <= 64 THEN 0 "
             "ELSE CAST(ceil((length(text) - 64) / 48.0) AS BIGINT) END)) "
