@@ -898,6 +898,15 @@ def _q_zscore_nchars(sf_dir: str):
         _docs_ds(sf_dir, columns=("doc_id", "source", "n_chars")))
 
 
+def _q_grouped_distinct(sf_dir: str):
+    """Exact per-source COUNT(DISTINCT word): unique (key, word) pairs
+    shuffle once on hash(key, word); disjoint buckets keep per-key
+    counts additive."""
+    from rwcf import analytics
+    return analytics.grouped_distinct_count(
+        _docs_ds(sf_dir, columns=("doc_id", "source", "text")))
+
+
 def _q_quantiles_value_approx(sf_dir: str):
     """One-pass approximate quantiles of events.value via the bottom-k
     uniform-sample sketch (mergeable, deterministic; ~1/sqrt(k) rank
@@ -1170,6 +1179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_k_per_source": _q_sample_k_per_source,
         "chunk_dedup_stats": _q_chunk_dedup,
         "quantiles_value_approx": _q_quantiles_value_approx,
+        "distinct_words_per_source": _q_grouped_distinct,
         "decode_chunk_docs": _q_decode_chunk,
         "quantize_embeddings": _q_quantize_embeddings,
     }
@@ -1499,6 +1509,11 @@ def oracle_sql() -> dict[str, str]:
             "sqrt(CAST(st.n * st.ssq - st.s * st.s AS DOUBLE)), 4) "
             "ELSE 0.0 END AS zscore "
             "FROM documents d JOIN st USING (source)"),
+        "distinct_words_per_source": (
+            "SELECT source, CAST(count(DISTINCT word) AS BIGINT) "
+            "AS n_distinct FROM (SELECT source, "
+            "unnest(regexp_extract_all(text, '\\S+')) AS word "
+            "FROM documents) GROUP BY source"),
         # chunk-level dedup: survivor = lexicographic-min (doc_id,
         # chunk_id) per distinct chunk text == row_number 1 over that
         # window; planted copies via the dedup_substrings UNION pattern

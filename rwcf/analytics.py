@@ -939,3 +939,58 @@ def bottomk_sample_quantiles(ds, col: str = "value",
         r = max(1, math.ceil(q * sample.size))
         rows.append({"q": q, "v": float(sample[r - 1]), "n_total": total})
     return pd.DataFrame(rows)
+
+
+def grouped_distinct_count(ds, key_col: str = "source",
+                           text_col: str = "text",
+                           buckets: int = 64) -> "pd.DataFrame | object":
+    """Exact COUNT(DISTINCT word) PER GROUP — the vocabulary-breadth
+    signal per source/domain (template farms have tiny vocabularies at
+    huge volume). Same shape as :func:`distinct_token_count` with the
+    group key riding along: per-batch unique (key, word) pairs (Zipf
+    shrinks each batch before any exchange) -> ONE bucketed shuffle on
+    hash(key, word) (disjoint buckets, so per-bucket per-key counts are
+    additive) -> in-bucket vectorized distinct + per-key partial counts
+    -> a final key-sized groupby sum. Returns a Dataset of
+    ``(key, n_distinct)``."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        kv = t.column(key_col).to_numpy(zero_copy_only=False)
+        words = pc.split_pattern_regex(t.column(text_col), r"\s+")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = words.flatten()
+        keys = np.repeat(kv, lens)
+        ok = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        pairs = pa.table({"k": pa.array(keys[ok]),
+                          "w": flat.filter(pa.array(ok))})
+        # per-batch distinct (hash group_by, no aggregates)
+        u = pairs.group_by(["k", "w"]).aggregate([])
+        b = hash_bucket(u.column("k").to_numpy(zero_copy_only=False),
+                        u.column("w").to_numpy(zero_copy_only=False),
+                        buckets=buckets)
+        return u.append_column("_b", pa.array(b))
+
+    def count_bucket(g: pa.Table) -> pa.Table:
+        u = g.select(["k", "w"]).group_by(["k", "w"]).aggregate([])
+        agg = u.group_by("k").aggregate([("w", "count")])
+        return pa.table({key_col: agg.column("k"),
+                         "nd": pc.cast(agg.column("w_count"), pa.int64())})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          **rayenv.remote_args())
+           .repartition(buckets)
+           .groupby("_b")
+           .map_groups(count_bucket, batch_format="pyarrow",
+                       **rayenv.remote_args())
+           .groupby(key_col)
+           .aggregate(Sum("nd", alias_name="n_distinct")))
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table({key_col: t.column(key_col),
+                         "n_distinct": pc.cast(t.column("n_distinct"),
+                                               pa.int64())})
+    return out.map_batches(cast, batch_format="pyarrow",
+                           **rayenv.remote_args())

@@ -597,3 +597,23 @@ def test_bottomk_sample_quantiles(ray_session):
                         "value": np.full(10, np.nan)})
     out3 = bottomk_sample_quantiles(rd.from_pandas(df3), k=64)
     assert out3.empty
+
+
+def test_grouped_distinct_count(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rwcf.analytics import grouped_distinct_count
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "source": ["a", "a", "b", "b", "b", "c"],
+        "text": ["x y z", "y z w", "x x x", "x y", "  ", "q"],
+    })
+    out = grouped_distinct_count(rd.from_pandas(df).repartition(3)) \
+        .to_pandas().sort_values("source", ignore_index=True)
+    # a: {x,y,z,w}=4; b: {x,y}=2 (whitespace-only doc contributes none);
+    # c: {q}=1
+    assert out["source"].tolist() == ["a", "b", "c"]
+    assert out["n_distinct"].tolist() == [4, 2, 1]
