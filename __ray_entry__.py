@@ -898,6 +898,25 @@ def _q_zscore_nchars(sf_dir: str):
         _docs_ds(sf_dir, columns=("doc_id", "source", "n_chars")))
 
 
+def _q_funnel(sf_dir: str):
+    """view -> click -> purchase funnel, 6h per hop (chosen so every
+    level is populated at sf0.01): per-user furthest step
+    (microsecond-exact window chain)."""
+    import ray.data as rd
+
+    from rwcf import windows
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_type"])
+    return windows.funnel_steps(ev, steps=("view", "click", "purchase"),
+                                window_s=21600)
+
+
+def _q_top_pmi(sf_dir: str):
+    """Top-25 PMI collocations with c12 >= 5 (phrase mining)."""
+    from rwcf import analytics
+    return analytics.top_pmi_bigrams(_docs_ds(sf_dir), k=25, min_count=5)
+
+
 def _q_grouped_distinct(sf_dir: str):
     """Exact per-source COUNT(DISTINCT word): unique (key, word) pairs
     shuffle once on hash(key, word); disjoint buckets keep per-key
@@ -1180,6 +1199,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_dedup_stats": _q_chunk_dedup,
         "quantiles_value_approx": _q_quantiles_value_approx,
         "distinct_words_per_source": _q_grouped_distinct,
+        "top_pmi_bigrams": _q_top_pmi,
+        "funnel_steps": _q_funnel,
         "decode_chunk_docs": _q_decode_chunk,
         "quantize_embeddings": _q_quantize_embeddings,
     }
@@ -1509,6 +1530,47 @@ def oracle_sql() -> dict[str, str]:
             "sqrt(CAST(st.n * st.ssq - st.s * st.s AS DOUBLE)), 4) "
             "ELSE 0.0 END AS zscore "
             "FROM documents d JOIN st USING (source)"),
+        # funnel: step i+1 at t needs a counted step-i event in
+        # [t - W, t) — the same EXISTS chain the engine evaluates via
+        # backward merge_asof on microsecond ticks
+        "funnel_steps": (
+            "WITH e AS (SELECT user_id, event_type, "
+            "CAST(epoch_us(ts) AS BIGINT) AS t FROM events), "
+            "m1 AS (SELECT user_id, t FROM e WHERE event_type = 'view'), "
+            "m2 AS (SELECT b.user_id, b.t FROM e b "
+            "WHERE b.event_type = 'click' AND EXISTS (SELECT 1 FROM m1 a "
+            "WHERE a.user_id = b.user_id AND a.t < b.t "
+            "AND a.t >= b.t - 21600000000)), "
+            "m3 AS (SELECT b.user_id, b.t FROM e b "
+            "WHERE b.event_type = 'purchase' AND EXISTS "
+            "(SELECT 1 FROM m2 a WHERE a.user_id = b.user_id "
+            "AND a.t < b.t AND a.t >= b.t - 21600000000)), "
+            "lvl AS (SELECT user_id, 1 AS l FROM m1 "
+            "UNION ALL SELECT user_id, 2 FROM m2 "
+            "UNION ALL SELECT user_id, 3 FROM m3) "
+            "SELECT user_id, CAST(max(l) AS BIGINT) AS n_steps "
+            "FROM lvl GROUP BY user_id"),
+        # PMI over the same single-space bigram CTEs as bigram_logprob;
+        # 4dp rounding; ties on bigram ascending
+        "top_pmi_bigrams": (
+            "WITH w AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS word, "
+            "unnest(generate_series(1, len(string_split(text, ' ')))) AS k "
+            "FROM documents), "
+            "bg AS (SELECT doc_id, word AS w1, lead(word) OVER "
+            "(PARTITION BY doc_id ORDER BY k) AS w2 FROM w), "
+            "b AS (SELECT w1, w2 FROM bg WHERE w2 IS NOT NULL), "
+            "bc AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2), "
+            "t AS (SELECT sum(c12) AS total FROM bc), "
+            "l AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY 1), "
+            "r AS (SELECT w2, sum(c12) AS c2 FROM bc GROUP BY 1) "
+            "SELECT bc.w1 || ' ' || bc.w2 AS bigram, "
+            "CAST(bc.c12 AS BIGINT) AS c12, "
+            "ROUND(ln(CAST(bc.c12 AS DOUBLE) * t.total / "
+            "(CAST(l.c1 AS DOUBLE) * r.c2)), 4) AS pmi "
+            "FROM bc JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN t "
+            "WHERE bc.c12 >= 5 "
+            "ORDER BY pmi DESC, bigram ASC LIMIT 25"),
         "distinct_words_per_source": (
             "SELECT source, CAST(count(DISTINCT word) AS BIGINT) "
             "AS n_distinct FROM (SELECT source, "

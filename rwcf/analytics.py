@@ -994,3 +994,46 @@ def grouped_distinct_count(ds, key_col: str = "source",
                                                pa.int64())})
     return out.map_batches(cast, batch_format="pyarrow",
                            **rayenv.remote_args())
+
+
+def top_pmi_bigrams(ds, k: int = 50, min_count: int = 5,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Collocation mining: the k consecutive-word pairs with the highest
+    pointwise mutual information, PMI = ln(c12 * T / (c1 * c2)) over
+    left/right context counts — the phrase detector (multi-word entities,
+    boilerplate stock phrases) that feeds tokenizer merges and phrase
+    blocklists. ``min_count`` floors c12 (PMI is noise at singleton
+    counts — standard practice).
+
+    Scale shape: the same per-batch bigram partials -> one bigram-vocab
+    shuffle as :func:`bigram_logprob_scores`; context counts and the
+    final top-k are computed on the driver over the VOCABULARY-sized
+    table (documented bound, tfidf rationale — cap with CMS nomination
+    at open-web scale). Ties break on bigram ascending; PMI rounds to
+    4dp on both sides."""
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        pairs = _batch_bigrams(t, id_col, text_col)
+        vc = pairs["bigram"].value_counts()
+        return pa.table({"bigram": pa.array(vc.index.to_numpy(dtype=object),
+                                            pa.string()),
+                         "n": pa.array(vc.to_numpy(), pa.int64())})
+
+    bc = (ds.map_batches(partial_counts, batch_format="pyarrow",
+                         **rayenv.remote_args())
+          .repartition(32)
+          .groupby("bigram").sum("n").to_pandas())
+    c12 = bc["sum(n)"].to_numpy(dtype=np.int64)
+    total = int(c12.sum())
+    sides = bc["bigram"].str.split(" ", n=1)
+    w1 = sides.str[0].to_numpy()
+    w2 = sides.str[1].to_numpy()
+    c1 = pd.Series(c12).groupby(w1).transform("sum").to_numpy(np.int64)
+    c2 = pd.Series(c12).groupby(w2).transform("sum").to_numpy(np.int64)
+    pmi = np.round(np.log(c12.astype(np.float64) * total
+                          / (c1.astype(np.float64) * c2)), 4)
+    out = pd.DataFrame({"bigram": bc["bigram"], "c12": c12,
+                        "pmi": pmi})[c12 >= min_count]
+    out = out.sort_values(["pmi", "bigram"], ascending=[False, True],
+                          kind="mergesort").head(k).reset_index(drop=True)
+    return out

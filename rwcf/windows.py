@@ -37,6 +37,19 @@ def _epoch_seconds_floor(ts: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return ticks // np.int64(_UNIT_FACTOR[unit])  # numpy //: floor toward -inf
 
 
+def _epoch_micros(ts: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Epoch MICROSECOND ticks regardless of the column's native unit
+    (s/ms/us upscale exactly; ns floor-divides; plain ints are epoch
+    seconds) — funnel windows must not silently shrink 1000x when a
+    source ships timestamp[ns] instead of [us]."""
+    unit = getattr(ts.type, "unit", None) or "s"
+    ticks = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
+    f = _UNIT_FACTOR[unit]
+    if f <= 1_000_000:
+        return ticks * np.int64(1_000_000 // f)
+    return ticks // np.int64(f // 1_000_000)
+
+
 def tumbling_window_aggregate(ds, window_s: int = 3600,
                               key: str = "user_id", ts_col: str = "ts",
                               val_col: str = "value"):
@@ -226,4 +239,76 @@ def running_totals(ds, key: str = "user_id", ts_col: str = "ts",
             .repartition(buckets)
             .groupby("_b")
             .map_groups(cumulate, batch_format="pyarrow",
+                        **rayenv.remote_args()))
+
+
+def funnel_steps(ds, steps=("view", "click", "purchase"),
+                 window_s: int = 3600, key: str = "user_id",
+                 ts_col: str = "ts", type_col: str = "event_type",
+                 buckets: int = 32):
+    """Event-sequence funnel — per user, the furthest step of an ordered
+    event chain reached under a per-hop time window: step i+1 counts at
+    time t iff some counted step-i event happened in ``[t - W, t)``
+    (strictly before, within W seconds). The conversion/abandonment
+    primitive of event analytics; output is ``(key, n_steps)`` for every
+    user who reached at least step 1.
+
+    Exactness: timestamps compare as raw int64 microsecond ticks (no
+    float, no truncation), the hop predicate is EXACTLY the SQL
+    ``EXISTS (a.t < b.t AND a.t >= b.t - W)`` — implemented per hop as
+    one ``merge_asof(direction="backward", allow_exact_matches=False,
+    tolerance=W)``, whose nearest-predecessor-within-tolerance semantics
+    are the same predicate (a predecessor exists in the window iff the
+    NEAREST strict predecessor is within it).
+
+    Scale shape: ONE bucketed shuffle on hash(key) — buckets partition
+    users, so the in-bucket result is final (no second exchange); each
+    hop inside a bucket is one sorted merge over that bucket's events,
+    every step level vectorized across all users at once."""
+    W = np.int64(window_s) * np.int64(1_000_000)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        from .joins import hash_bucket
+        kv = t.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+        return t.append_column("_b",
+                               pa.array(hash_bucket(kv, buckets=buckets)))
+
+    def in_bucket(g: pa.Table) -> pa.Table:
+        import pandas as pd
+        ts = g.column(ts_col).combine_chunks()
+        ticks = _epoch_micros(ts)
+        df = pd.DataFrame({
+            "u": g.column(key).combine_chunks().to_numpy(
+                zero_copy_only=False),
+            "t": ticks,
+            "y": g.column(type_col).combine_chunks().to_numpy(
+                zero_copy_only=False)}).sort_values("t", kind="mergesort")
+        cur = df[df["y"] == steps[0]][["u", "t"]]
+        reached = [cur["u"].unique()]
+        for s in steps[1:]:
+            if cur.empty:
+                reached.append(np.array([], dtype=reached[0].dtype))
+                continue
+            cand = df[df["y"] == s][["u", "t"]]
+            m = pd.merge_asof(cand, cur.rename(columns={"t": "pt"}),
+                              left_on="t", right_on="pt", by="u",
+                              direction="backward",
+                              allow_exact_matches=False,
+                              tolerance=int(W))
+            cur = m.loc[m["pt"].notna(), ["u", "t"]]
+            reached.append(cur["u"].unique())
+        if reached[0].size == 0:
+            return pa.table({key: pa.array([], pa.int64()),
+                             "n_steps": pa.array([], pa.int64())})
+        lvl = pd.concat([pd.DataFrame({"u": r, "l": i + 1})
+                         for i, r in enumerate(reached)], ignore_index=True)
+        out = lvl.groupby("u")["l"].max().reset_index()
+        return pa.table({key: pa.array(out["u"].to_numpy()),
+                         "n_steps": pa.array(out["l"].to_numpy(np.int64))})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .repartition(buckets)
+            .groupby("_b")
+            .map_groups(in_bucket, batch_format="pyarrow",
                         **rayenv.remote_args()))

@@ -156,3 +156,37 @@ def test_running_totals(ray_session):
     assert (out["run_sum1000"].to_numpy()
             == ref["run_sum1000"].to_numpy()).all()
     assert len(out) == n
+
+
+def test_funnel_steps(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rwcf.windows import funnel_steps
+
+    def ev(uid, sec, typ):
+        return {"user_id": uid, "ts": pd.Timestamp(sec * 1_000_000_000),
+                "event_type": typ}
+
+    rows = [
+        # u1: full conversion inside windows
+        ev(1, 0, "view"), ev(1, 50, "click"), ev(1, 120, "purchase"),
+        # u2: click arrives AFTER the window -> stuck at step 1
+        ev(2, 0, "view"), ev(2, 5000, "click"),
+        # u3: click exactly at view time -> strict < excludes it
+        ev(3, 10, "view"), ev(3, 10, "click"),
+        # u4: purchase BEFORE click -> order matters, stuck at 2
+        ev(4, 0, "view"), ev(4, 5, "purchase"), ev(4, 20, "click"),
+        # u5: boundary: click at exactly view + W -> inclusive lower
+        # bound (a >= t - W) counts it
+        ev(5, 0, "view"), ev(5, 100, "click"),
+        # u6: no view at all -> absent from output
+        ev(6, 0, "click"), ev(6, 10, "purchase"),
+    ]
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(3)
+    out = funnel_steps(ds, steps=("view", "click", "purchase"),
+                       window_s=100).to_pandas() \
+        .sort_values("user_id", ignore_index=True)
+    got = dict(zip(out["user_id"], out["n_steps"]))
+    assert got == {1: 3, 2: 1, 3: 1, 4: 2, 5: 2}
