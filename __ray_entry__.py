@@ -944,22 +944,9 @@ def _q_chunk_dedup(sf_dir: str):
     with doc_id % 10 == 0 duplicated at doc_id + 1e6, the
     dedup_substrings pattern) so survival counts are oracle-observable:
     per-doc (n_chunks, n_surviving)."""
-    import pyarrow as pa
+    from rwcf import prep
 
-    from rwcf import prep, rayenv
-
-    def plant(t: pa.Table) -> pa.Table:
-        import numpy as np
-        import pyarrow.compute as pc
-        ids = t.column("doc_id").combine_chunks() \
-            .to_numpy(zero_copy_only=False)
-        dup = t.filter(pa.array(ids % 10 == 0))
-        dup = dup.set_column(0, "doc_id",
-                             pc.add(dup.column("doc_id"), 1000000))
-        return pa.concat_tables([t, dup])
-
-    base = _docs_ds(sf_dir).map_batches(plant, batch_format="pyarrow",
-                                        **rayenv.remote_args())
+    base = _docs_with_planted_copies(sf_dir)
     return prep.chunk_dedup_stats(base, width=64, stride=48)
 
 

@@ -726,8 +726,12 @@ def zscore_by_group(ds, key: str = "source", val_col: str = "n_chars",
             .astype(np.int64)
         ug, inv = np.unique(kv, return_inverse=True)
         n = np.bincount(inv).astype(np.int64)
-        s = np.bincount(inv, weights=x).astype(np.int64)
-        ssq = np.bincount(inv, weights=x * x).astype(np.int64)
+        # int64 np.add.at, NOT float64 bincount weights: the exactness
+        # guarantee must hold to 2^63, not float64's 2^53
+        s = np.zeros(ug.size, dtype=np.int64)
+        ssq = np.zeros(ug.size, dtype=np.int64)
+        np.add.at(s, inv, x)
+        np.add.at(ssq, inv, x * x)
         return pa.table({key: pa.array(ug.astype(object), pa.string()),
                          "n": pa.array(n), "s": pa.array(s),
                          "ssq": pa.array(ssq)})
@@ -786,6 +790,31 @@ def _batch_bigrams(t: pa.Table, id_col: str, text_col: str) -> pd.DataFrame:
                          "bigram": big.to_pandas()})
 
 
+def _corpus_bigram_counts(ds, id_col: str, text_col: str) -> pd.DataFrame:
+    """Corpus-wide bigram counts (the shared first phase of the bigram LM
+    and PMI operators): per-batch count partials -> one bigram-vocab
+    shuffle -> driver-resident (bigram, n) table. Returns an EMPTY frame
+    (not a column-less one) when the corpus has no bigrams — the 0-row
+    to_pandas drops-columns gotcha."""
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        pairs = _batch_bigrams(t, id_col, text_col)
+        vc = pairs["bigram"].value_counts()
+        return pa.table({"bigram": pa.array(vc.index.to_numpy(dtype=object),
+                                            pa.string()),
+                         "n": pa.array(vc.to_numpy(), pa.int64())})
+
+    bc = (ds.map_batches(partial_counts, batch_format="pyarrow",
+                         **rayenv.remote_args())
+          .repartition(32)
+          .groupby("bigram").sum("n").to_pandas())
+    if bc.empty:
+        return pd.DataFrame({"bigram": pd.Series(dtype=object),
+                             "n": pd.Series(dtype="int64")})
+    return pd.DataFrame({"bigram": bc["bigram"],
+                         "n": bc["sum(n)"].astype(np.int64)})
+
+
 def bigram_logprob_scores(ds, id_col: str = "doc_id",
                           text_col: str = "text"):
     """Per-document mean bigram conditional log-probability — the
@@ -806,23 +835,14 @@ def bigram_logprob_scores(ds, id_col: str = "doc_id",
     join semantics). 4dp rounding (tfidf_scores rationale)."""
     import ray
 
-    def partial_counts(t: pa.Table) -> pa.Table:
-        pairs = _batch_bigrams(t, id_col, text_col)
-        vc = pairs["bigram"].value_counts()
-        return pa.table({"bigram": pa.array(vc.index.to_numpy(dtype=object),
-                                            pa.string()),
-                         "n": pa.array(vc.to_numpy(), pa.int64())})
-
-    bc = (ds.map_batches(partial_counts, batch_format="pyarrow",
-                         **rayenv.remote_args())
-          .repartition(32)
-          .groupby("bigram").sum("n").to_pandas())
-    c12 = bc["sum(n)"].to_numpy(dtype=np.int64)
+    bc = _corpus_bigram_counts(ds, id_col, text_col)
+    c12 = bc["n"].to_numpy()
     w1 = bc["bigram"].str.split(" ", n=1).str[0]
     c1 = pd.Series(c12).groupby(w1.to_numpy()).transform("sum") \
-        .to_numpy(dtype=np.int64)
+        .to_numpy(dtype=np.int64) if len(bc) else c12
     lp = pd.DataFrame({"bigram": bc["bigram"],
-                       "lp": np.log(c12 / c1)})
+                       "lp": np.log(c12 / c1) if len(bc) else
+                       pd.Series(dtype="float64")})
     ref = ray.put(lp)
 
     def score(t: pa.Table) -> pa.Table:
@@ -898,8 +918,11 @@ def bottomk_sample_quantiles(ds, col: str = "value",
 
     Quantile ranks are taken within the sample (rank ceil(q*k) of the
     sorted sample estimates the q-quantile); the exact input row count
-    rides along as int64 partials and is reported as ``n_total`` so
-    callers can size the +-1/sqrt(k) rank error against real N.
+    rides along as int64 partials and is reported as ``n_total`` —
+    the exact NON-NULL row count (NaNs are excluded on both the sample
+    and the count, matching SQL quantile semantics) — so callers can
+    size the +-1/sqrt(k) rank error against the population actually
+    sampled.
     Scale shape: per-batch bottom-k cut (k rows max leave any batch) ->
     driver final cut over blocks x k rows — bounded,
     corpus-size-independent."""
@@ -1012,18 +1035,12 @@ def top_pmi_bigrams(ds, k: int = 50, min_count: int = 5,
     at open-web scale). Ties break on bigram ascending; PMI rounds to
     4dp on both sides."""
 
-    def partial_counts(t: pa.Table) -> pa.Table:
-        pairs = _batch_bigrams(t, id_col, text_col)
-        vc = pairs["bigram"].value_counts()
-        return pa.table({"bigram": pa.array(vc.index.to_numpy(dtype=object),
-                                            pa.string()),
-                         "n": pa.array(vc.to_numpy(), pa.int64())})
-
-    bc = (ds.map_batches(partial_counts, batch_format="pyarrow",
-                         **rayenv.remote_args())
-          .repartition(32)
-          .groupby("bigram").sum("n").to_pandas())
-    c12 = bc["sum(n)"].to_numpy(dtype=np.int64)
+    bc = _corpus_bigram_counts(ds, id_col, text_col)
+    if bc.empty:
+        return pd.DataFrame({"bigram": pd.Series(dtype=object),
+                             "c12": pd.Series(dtype="int64"),
+                             "pmi": pd.Series(dtype="float64")})
+    c12 = bc["n"].to_numpy()
     total = int(c12.sum())
     sides = bc["bigram"].str.split(" ", n=1)
     w1 = sides.str[0].to_numpy()

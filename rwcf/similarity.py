@@ -411,11 +411,15 @@ def kmeans_ds(emb_ds, k: int = 8, iters: int = 5, id_col: str = "vec_id",
     clustering pass a curation pipeline runs for topic balancing, coarse
     semantic dedup buckets, and IVF/PQ quantizer seeding at corpus scale.
 
-    Deterministic by construction (the property every other operator here
-    holds): initial centroids are the vectors of the k ids with the
-    SMALLEST shared-LCG id-hash (rwcf.analytics sample hash) — an
-    order-free, cluster-size-free choice, so reruns and different
-    parallelism levels produce identical clusters. Each iteration:
+    Deterministic seeding by construction: initial centroids are the
+    vectors of the k ids with the SMALLEST shared-LCG id-hash
+    (rwcf.analytics sample hash) — an order-free, cluster-size-free
+    choice, so every run starts from identical seeds. Reruns on the
+    same block layout are bit-identical; across DIFFERENT parallelism
+    levels the centroid partial sums accumulate in a different block
+    order, so clusters agree up to float64 last-ulp effects (a point
+    exactly equidistant between centroids could flip — the usual
+    distributed-kmeans caveat, not hidden by this operator). Each iteration:
 
       broadcast centroids (ray.put, k x dim — KBs)
         -> map_batches: argmin ||x - c||^2 assignment (one GEMM per

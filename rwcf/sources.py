@@ -23,17 +23,12 @@ brief's pipeline mandate.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from . import rayenv
 
 __all__ = ["read_jsonl_docs", "read_csv_docs", "normalize_docs_batch"]
-
-_CANON = {"doc_id": pa.int64(), "text": pa.large_string(),
-          "lang": pa.large_string(), "source": pa.large_string(),
-          "n_chars": pa.int64()}
 
 
 def normalize_docs_batch(t: pa.Table, strict: bool = True) -> pa.Table:

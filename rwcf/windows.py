@@ -298,7 +298,7 @@ def funnel_steps(ds, steps=("view", "click", "purchase"),
             cur = m.loc[m["pt"].notna(), ["u", "t"]]
             reached.append(cur["u"].unique())
         if reached[0].size == 0:
-            return pa.table({key: pa.array([], pa.int64()),
+            return pa.table({key: pa.array([], g.schema.field(key).type),
                              "n_steps": pa.array([], pa.int64())})
         lvl = pd.concat([pd.DataFrame({"u": r, "l": i + 1})
                          for i, r in enumerate(reached)], ignore_index=True)
