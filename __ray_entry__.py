@@ -383,6 +383,29 @@ def _q_ann_topk(sf_dir: str):
     return similarity.cosine_topk(ds, query_ids=[0, 1, 2, 3, 4], k=10)
 
 
+def _q_ann_filtered(sf_dir: str):
+    """Filtered vector search: exact cosine top-k restricted to the
+    corpus rows passing a metadata predicate (label % 2 == 0) while
+    queries come from the unfiltered table — the filter prunes
+    candidates BEFORE any normalization or matmul (prune-early)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rwcf import rayenv, similarity
+    full = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                           columns=["vec_id", "embedding", "label"])
+
+    def keep_even(t: pa.Table) -> pa.Table:
+        lab = t.column("label").combine_chunks()             .to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(lab % 2 == 0))             .select(["vec_id", "embedding"])
+
+    corpus = full.map_batches(keep_even, batch_format="pyarrow",
+                              **rayenv.remote_args())
+    return similarity.cosine_topk(corpus, query_ids=[0, 1, 2, 3, 4],
+                                  k=10, query_ds=full)
+
+
 def _q_ann_ivf(sf_dir: str):
     import ray.data as rd
     from rwcf import similarity
@@ -1139,6 +1162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_tokens_minhash": _q_dedup_tokens,
         "join_docs_embeddings": _q_join_docs_embeddings,
         "ann_topk": _q_ann_topk,
+        "ann_topk_filtered": _q_ann_filtered,
         "ann_ivf": _q_ann_ivf,
         "ann_pq": _q_ann_pq,
         "multimodal_meta": _q_multimodal_meta,
@@ -1286,6 +1310,13 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY user_id, sid"),
         # similarities quantized to 1e-6 on BOTH sides (engine: _rank_topk)
         # so float-summation-order near-ties cannot flip a rank boundary
+        "ann_topk_filtered": (
+            "SELECT q.vec_id AS qid, e.vec_id AS vec_id, CAST(row_number() "
+            "OVER (PARTITION BY q.vec_id ORDER BY "
+            "round(list_cosine_similarity(q.embedding, e.embedding), 6) DESC, "
+            "e.vec_id) "
+            "AS BIGINT) AS rank FROM embeddings q, embeddings e "
+            "WHERE q.vec_id < 5 AND e.label % 2 = 0 QUALIFY rank <= 10"),
         "ann_topk": (
             "SELECT q.vec_id AS qid, e.vec_id AS vec_id, CAST(row_number() "
             "OVER (PARTITION BY q.vec_id ORDER BY "

@@ -33,12 +33,17 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def cosine_topk(ds, query_ids: list[int], k: int = 10,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> pd.DataFrame:
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_ds=None) -> pd.DataFrame:
     """Exact top-k by cosine for each query id. Returns (qid, vec_id, rank)
-    with deterministic tie-breaks (sim desc, vec_id asc)."""
+    with deterministic tie-breaks (sim desc, vec_id asc).
+
+    ``query_ds`` (default: ``ds``) is where query vectors are looked up —
+    pass the UNFILTERED table when ``ds`` is a predicate-filtered corpus
+    (filtered vector search: restrict candidates, not queries)."""
     import ray
 
-    q = ds.map_batches(
+    q = (query_ds if query_ds is not None else ds).map_batches(
         lambda t: t.filter(pa.compute.is_in(t[id_col],
                                             value_set=pa.array(query_ids))),
         batch_format="pyarrow", **rayenv.remote_args()).to_pandas()

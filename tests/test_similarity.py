@@ -263,3 +263,29 @@ def test_quantize_embeddings(ray_session):
     # the abs-max element always maps to +/-127 (symmetric scheme)
     assert out.loc[2, "code_max"] == 127 and out.loc[2, "code_min"] == -127
     assert abs(out.loc[2, "scale4"] - 0.02) < 1e-9
+
+
+def test_cosine_topk_filtered_corpus(ray_session, emb_table):
+    import ray.data as rd
+
+    # corpus restricted to even ids, queries from the FULL table
+    full = rd.from_arrow(emb_table)
+
+    def keep_even(t):
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 2 == 0))
+
+    corpus = full.map_batches(keep_even, batch_format="pyarrow")
+    got = similarity.cosine_topk(corpus, query_ids=[1, 3], k=5,
+                                 query_ds=full)
+    # queries 1 and 3 are odd -> absent from the corpus, yet still
+    # resolvable because query_ds is the unfiltered table
+    assert set(got["qid"]) == {1, 3}
+    assert (got["vec_id"].to_numpy() % 2 == 0).all()
+    # parity vs the local filtered reference
+    ref = brute_force(emb_table, [1, 3], 200)
+    for q in (1, 3):
+        want = [v for v in ref[q] if v % 2 == 0][:5]
+        have = got.loc[got["qid"] == q].sort_values("rank")["vec_id"] \
+            .tolist()
+        assert have == want
