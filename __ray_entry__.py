@@ -921,6 +921,16 @@ def _q_zscore_nchars(sf_dir: str):
         _docs_ds(sf_dir, columns=("doc_id", "source", "n_chars")))
 
 
+def _q_window_distinct(sf_dir: str):
+    """Exact distinct users per 1h tumbling window (DAU-family)."""
+    import ray.data as rd
+
+    from rwcf import windows
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+    return windows.window_distinct_users(ev, window_s=3600)
+
+
 def _q_funnel(sf_dir: str):
     """view -> click -> purchase funnel, 6h per hop (chosen so every
     level is populated at sf0.01): per-user furthest step
@@ -1212,6 +1222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_words_per_source": _q_grouped_distinct,
         "top_pmi_bigrams": _q_top_pmi,
         "funnel_steps": _q_funnel,
+        "window_distinct_users": _q_window_distinct,
         "decode_chunk_docs": _q_decode_chunk,
         "quantize_embeddings": _q_quantize_embeddings,
     }
@@ -1548,6 +1559,11 @@ def oracle_sql() -> dict[str, str]:
             "sqrt(CAST(st.n * st.ssq - st.s * st.s AS DOUBLE)), 4) "
             "ELSE 0.0 END AS zscore "
             "FROM documents d JOIN st USING (source)"),
+        # floor(epoch/W)*W second buckets, exact COUNT(DISTINCT)
+        "window_distinct_users": (
+            "SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) "
+            "AS win_start, CAST(count(DISTINCT user_id) AS BIGINT) "
+            "AS n_users FROM events GROUP BY 1"),
         # funnel: step i+1 at t needs a counted step-i event in
         # [t - W, t) — the same EXISTS chain the engine evaluates via
         # backward merge_asof on microsecond ticks

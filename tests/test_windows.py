@@ -190,3 +190,26 @@ def test_funnel_steps(ray_session):
         .sort_values("user_id", ignore_index=True)
     got = dict(zip(out["user_id"], out["n_steps"]))
     assert got == {1: 3, 2: 1, 3: 1, 4: 2, 5: 2}
+
+
+def test_window_distinct_users(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rwcf.windows import window_distinct_users
+
+    rng = np.random.default_rng(2)
+    n = 2000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 37, n),
+        "ts": pd.to_datetime(rng.integers(0, 4 * 3600, n), unit="s"),
+    })
+    out = window_distinct_users(rd.from_pandas(df).repartition(6),
+                                window_s=3600) \
+        .to_pandas().sort_values("win_start", ignore_index=True)
+    epoch = df["ts"].astype("int64") // 10 ** 9
+    ref = df.assign(w=(epoch // 3600) * 3600) \
+        .groupby("w")["user_id"].nunique()
+    assert out["win_start"].tolist() == ref.index.tolist()
+    assert out["n_users"].tolist() == ref.tolist()
