@@ -950,6 +950,15 @@ def _q_top_pmi(sf_dir: str):
     return analytics.top_pmi_bigrams(_docs_ds(sf_dir), k=25, min_count=5)
 
 
+def _q_grouped_distinct_approx(sf_dir: str):
+    """Per-source HLL distinct-word estimates (sparse register partials
+    shuffle, never word pairs) — the documented scale path of the exact
+    grouped distinct."""
+    from rwcf import analytics
+    return analytics.grouped_distinct_count_approx(
+        _docs_ds(sf_dir, columns=("doc_id", "source", "text")))
+
+
 def _q_grouped_distinct(sf_dir: str):
     """Exact per-source COUNT(DISTINCT word): unique (key, word) pairs
     shuffle once on hash(key, word); disjoint buckets keep per-key
@@ -1220,6 +1229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_dedup_stats": _q_chunk_dedup,
         "quantiles_value_approx": _q_quantiles_value_approx,
         "distinct_words_per_source": _q_grouped_distinct,
+        "distinct_words_per_source_approx": _q_grouped_distinct_approx,
         "top_pmi_bigrams": _q_top_pmi,
         "funnel_steps": _q_funnel,
         "window_distinct_users": _q_window_distinct,
@@ -1771,6 +1781,8 @@ def oracle_sql() -> dict[str, str]:
         # distinct_tokens_approx (HLL sketch; error bound pinned in tests),
         # quantiles_value_approx (bottom-k sample sketch; rank-error bound
         # + partition-invariance pinned in tests),
+        # distinct_words_per_source_approx (grouped HLL; error + partition-
+        # invariance pinned in tests),
         # cms_top_tokens (Count-Min sketch; Zipf parity pinned in tests),
         # ann_ivf (approximate),
         # multimodal_frames (stub feature vectors), dedup_minhash (finds the

@@ -1054,3 +1054,88 @@ def top_pmi_bigrams(ds, k: int = 50, min_count: int = 5,
     out = out.sort_values(["pmi", "bigram"], ascending=[False, True],
                           kind="mergesort").head(k).reset_index(drop=True)
     return out
+
+
+def grouped_distinct_count_approx(ds, key_col: str = "source",
+                                  text_col: str = "text",
+                                  buckets: int = 32):
+    """Approximate COUNT(DISTINCT word) PER GROUP via per-key HyperLogLog
+    — the scale path :func:`grouped_distinct_count` documents: where the
+    exact operator shuffles every unique (key, word) pair, this ships
+    only SPARSE register partials ``(key, reg_idx, rank)`` (nonzero
+    registers of each batch's per-key HLL — bounded by 4096/key/batch
+    and typically far fewer), merges them with one bucketed max-groupby,
+    and evaluates the Flajolet estimator per key in-bucket. ~1.6% std
+    error at 4096 registers (same sketch as
+    :func:`distinct_token_count_approx`; parity vs exact pinned in
+    tests). Returns a Dataset of ``(key, n_distinct_est)``."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        kv = t.column(key_col).to_numpy(zero_copy_only=False)
+        words = pc.split_pattern_regex(t.column(text_col), r"\s+")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = words.flatten()
+        keys = np.repeat(kv, lens)
+        ok = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        keys = keys[ok]
+        wnp = flat.filter(pa.array(ok)).to_numpy(zero_copy_only=False)
+        if wnp.size == 0:
+            return pa.table({key_col: pa.array([], pa.string()),
+                             "ri": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64())})
+        # distinct (key, word) inside the batch, then per-key registers
+        # via one flattened maximum.at (key_idx * M + reg_idx)
+        dk, dw = _distinct_rows_str(keys, wnp)
+        ug, inv = np.unique(dk, return_inverse=True)
+        h = pd.util.hash_array(dw.astype(object))
+        idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+        rest = (h << np.uint64(_HLL_P)) | np.uint64((1 << _HLL_P) - 1)
+        lz = 63 - np.floor(np.log2(rest.astype(np.float64))).astype(np.int64)
+        rank = np.minimum(lz + 1, 64 - _HLL_P + 1).astype(np.int64)
+        regs = np.zeros(ug.size * _HLL_M, dtype=np.int64)
+        np.maximum.at(regs, inv * _HLL_M + idx, rank)
+        nz = np.flatnonzero(regs)
+        return pa.table({
+            key_col: pa.array(ug[(nz // _HLL_M)].astype(object),
+                              pa.string()),
+            "ri": pa.array(nz % _HLL_M),
+            "rank": pa.array(regs[nz])})
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = hash_bucket(t.column(key_col).to_numpy(zero_copy_only=False),
+                        buckets=buckets)
+        return t.append_column("_b", pa.array(b))
+
+    def estimate(g: pa.Table) -> pa.Table:
+        kv = g.column(key_col).to_numpy(zero_copy_only=False)
+        ri = g.column("ri").to_numpy(zero_copy_only=False)
+        rk = g.column("rank").to_numpy(zero_copy_only=False)
+        ug, inv = np.unique(kv, return_inverse=True)
+        regs = np.zeros(ug.size * _HLL_M, dtype=np.int64)
+        np.maximum.at(regs, inv * _HLL_M + ri, rk)
+        est = np.array([_hll_estimate(regs[i * _HLL_M:(i + 1) * _HLL_M])
+                        for i in range(ug.size)])
+        return pa.table({key_col: pa.array(ug.astype(object), pa.string()),
+                         "n_distinct_est": pa.array(
+                             np.round(est).astype(np.int64))})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .map_batches(add_bucket, batch_format="pyarrow",
+                         **rayenv.remote_args())
+            .repartition(buckets)
+            .groupby("_b")
+            .map_groups(estimate, batch_format="pyarrow",
+                        **rayenv.remote_args()))
+
+
+def _distinct_rows_str(keys: np.ndarray, words: np.ndarray):
+    """Distinct (key, word) pairs of one batch — lexsort + neighbor
+    comparison, no pandas."""
+    order = np.lexsort((words, keys))
+    sk, sw = keys[order], words[order]
+    first = np.ones(sk.size, dtype=bool)
+    first[1:] = (sk[1:] != sk[:-1]) | (sw[1:] != sw[:-1])
+    return sk[first], sw[first]

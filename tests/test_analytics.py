@@ -617,3 +617,34 @@ def test_grouped_distinct_count(ray_session):
     # c: {q}=1
     assert out["source"].tolist() == ["a", "b", "c"]
     assert out["n_distinct"].tolist() == [4, 2, 1]
+
+
+def test_grouped_distinct_count_approx(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rwcf.analytics import grouped_distinct_count_approx
+
+    rng = np.random.default_rng(13)
+    # two groups with known vocabulary sizes (2000 and 400 words)
+    rows = []
+    for i in range(3000):
+        g = "big" if i % 2 == 0 else "small"
+        vocab = 2000 if g == "big" else 400
+        rows.append({"doc_id": i, "source": g,
+                     "text": " ".join(f"w{g}{rng.integers(0, vocab)}"
+                                      for _ in range(20))})
+    df = pd.DataFrame(rows)
+    out = grouped_distinct_count_approx(rd.from_pandas(df).repartition(5)) \
+        .to_pandas().set_index("source")["n_distinct_est"]
+    exact = (df.assign(w=df["text"].str.split())
+             .explode("w").groupby("source")["w"].nunique())
+    for g in ("big", "small"):
+        err = abs(out[g] - exact[g]) / exact[g]
+        assert err < 0.05, (g, out[g], exact[g])
+    # partition-invariance of the merged sketch
+    out2 = grouped_distinct_count_approx(
+        rd.from_pandas(df).repartition(17)).to_pandas() \
+        .set_index("source")["n_distinct_est"]
+    assert (out.sort_index() == out2.sort_index()).all()
