@@ -921,6 +921,26 @@ def _q_zscore_nchars(sf_dir: str):
         _docs_ds(sf_dir, columns=("doc_id", "source", "n_chars")))
 
 
+def _q_value_histogram(sf_dir: str):
+    """Equi-width histogram of events.value (width 25)."""
+    import ray.data as rd
+
+    from rwcf import analytics
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "value"])
+    return analytics.value_histogram(ev, width=25.0)
+
+
+def _q_cohort_retention(sf_dir: str):
+    """Daily cohort retention over events (offsets 0..14)."""
+    import ray.data as rd
+
+    from rwcf import windows
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+    return windows.cohort_retention(ev, max_offset=14)
+
+
 def _q_window_distinct(sf_dir: str):
     """Exact distinct users per 1h tumbling window (DAU-family)."""
     import ray.data as rd
@@ -1233,6 +1253,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_pmi_bigrams": _q_top_pmi,
         "funnel_steps": _q_funnel,
         "window_distinct_users": _q_window_distinct,
+        "cohort_retention": _q_cohort_retention,
+        "value_histogram": _q_value_histogram,
         "decode_chunk_docs": _q_decode_chunk,
         "quantize_embeddings": _q_quantize_embeddings,
     }
@@ -1569,6 +1591,21 @@ def oracle_sql() -> dict[str, str]:
             "sqrt(CAST(st.n * st.ssq - st.s * st.s AS DOUBLE)), 4) "
             "ELSE 0.0 END AS zscore "
             "FROM documents d JOIN st USING (source)"),
+        "value_histogram": (
+            "SELECT floor(value / 25.0) * 25.0 AS bin_start, "
+            "CAST(count(*) AS BIGINT) AS n FROM events "
+            "WHERE value IS NOT NULL GROUP BY 1"),
+        # cohort = per-user min active day; distinct (user, day) pairs
+        # are the only shuffled unit on both sides
+        "cohort_retention": (
+            "WITH ud AS (SELECT DISTINCT user_id, "
+            "CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day FROM events), "
+            "c AS (SELECT user_id, min(day) AS c0 FROM ud GROUP BY 1) "
+            "SELECT CAST(c.c0 * 86400 AS BIGINT) AS cohort_day, "
+            "CAST(ud.day - c.c0 AS BIGINT) AS offset, "
+            "CAST(count(*) AS BIGINT) AS n_users "
+            "FROM ud JOIN c USING (user_id) "
+            "WHERE ud.day - c.c0 <= 14 GROUP BY 1, 2"),
         # floor(epoch/W)*W second buckets, exact COUNT(DISTINCT)
         "window_distinct_users": (
             "SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) "

@@ -1139,3 +1139,38 @@ def _distinct_rows_str(keys: np.ndarray, words: np.ndarray):
     first = np.ones(sk.size, dtype=bool)
     first[1:] = (sk[1:] != sk[:-1]) | (sw[1:] != sw[:-1])
     return sk[first], sw[first]
+
+
+def value_histogram(ds, col: str = "value", width: float = 25.0,
+                    id_col: str | None = None):
+    """Equi-width histogram of a numeric column: ``(bin_start, n)`` with
+    bin = floor(v / width) — the one-glance distribution profile before
+    choosing quantile targets or clip thresholds. Bin ids are computed
+    per batch (NaNs dropped, floor toward -inf matching SQL), counts
+    pre-aggregate per batch, and the one shuffle moves bin-count rows
+    only. Width is applied as the SAME double division on both sides."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.cast(t.column(col).combine_chunks(), pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        b = np.floor(v / float(width)).astype(np.int64)
+        ub, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bin": pa.array(ub),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          **rayenv.remote_args())
+           .repartition(16)
+           .groupby("bin")
+           .aggregate(Sum("n", alias_name="n")))
+
+    def cast(t: pa.Table) -> pa.Table:
+        b = pc.cast(t.column("bin"), pa.int64())
+        return pa.table({
+            "bin_start": pa.array(b.to_numpy(zero_copy_only=False)
+                                  * float(width)),
+            "n": pc.cast(t.column("n"), pa.int64())})
+    return out.map_batches(cast, batch_format="pyarrow",
+                           **rayenv.remote_args())

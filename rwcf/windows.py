@@ -361,3 +361,75 @@ def window_distinct_users(ds, window_s: int = 3600, key: str = "user_id",
                                             pa.int64())})
     return out.map_batches(cast, batch_format="pyarrow",
                            **rayenv.remote_args())
+
+
+def cohort_retention(ds, day_s: int = 86400, key: str = "user_id",
+                     ts_col: str = "ts", max_offset: int = 14,
+                     buckets: int = 32):
+    """Cohort retention — for each cohort day (a user's FIRST active
+    day) and each offset 0..max_offset, how many cohort members were
+    active again on cohort_day + offset. The activation/stickiness
+    table every event-analytics stack ships.
+
+    Scale shape: events collapse to distinct (user, day) pairs inside
+    each batch (the only thing that ever shuffles); ONE bucketed
+    exchange on hash(user) co-locates each user's day set, where a
+    vectorized pass derives (cohort = per-user min day, offsets) and
+    emits (cohort_day, offset, 1) partials; the final groupby moves
+    cohort x offset rows. Determinism: pure integer day arithmetic,
+    same floor semantics as the SQL oracle."""
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_bucket
+
+    def pairs(t: pa.Table) -> pa.Table:
+        epoch = _epoch_seconds_floor(t.column(ts_col).combine_chunks())
+        day = epoch // np.int64(day_s)
+        u = pa.table({key: t.column(key), "day": pa.array(day)}) \
+            .group_by([key, "day"]).aggregate([])
+        b = hash_bucket(u.column(key).to_numpy(zero_copy_only=False),
+                        buckets=buckets)
+        return u.append_column("_b", pa.array(b))
+
+    def per_user(g: pa.Table) -> pa.Table:
+        kv = g.column(key).to_numpy(zero_copy_only=False)
+        dv = g.column("day").to_numpy(zero_copy_only=False)
+        order = np.lexsort((dv, kv))
+        sk, sd = kv[order], dv[order]
+        first = np.ones(sk.size, dtype=bool)
+        first[1:] = sk[1:] != sk[:-1]
+        # drop cross-batch duplicate (user, day) pairs
+        dup = np.zeros(sk.size, dtype=bool)
+        dup[1:] = (sk[1:] == sk[:-1]) & (sd[1:] == sd[:-1])
+        sk, sd, first = sk[~dup], sd[~dup], first[~dup]
+        seg_of = np.cumsum(first) - 1
+        cohort = sd[np.flatnonzero(first)][seg_of]
+        off = sd - cohort
+        keep = off <= max_offset
+        tbl = pa.table({"cohort_day": pa.array(cohort[keep] * day_s),
+                        "offset": pa.array(off[keep]),
+                        "n": pa.array(np.ones(int(keep.sum()),
+                                              dtype=np.int64))})
+        g2 = tbl.group_by(["cohort_day", "offset"]).aggregate([("n", "sum")])
+        # map aggregate output by NAME (column order differs across
+        # pyarrow versions)
+        return pa.table({"cohort_day": g2.column("cohort_day"),
+                         "offset": g2.column("offset"),
+                         "n": g2.column("n_sum")})
+
+    out = (ds.map_batches(pairs, batch_format="pyarrow",
+                          **rayenv.remote_args())
+           .repartition(buckets)
+           .groupby("_b")
+           .map_groups(per_user, batch_format="pyarrow",
+                       **rayenv.remote_args())
+           .groupby(["cohort_day", "offset"])
+           .aggregate(Sum("n", alias_name="n_users")))
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort_day": pc.cast(t.column("cohort_day"), pa.int64()),
+            "offset": pc.cast(t.column("offset"), pa.int64()),
+            "n_users": pc.cast(t.column("n_users"), pa.int64())})
+    return out.map_batches(cast, batch_format="pyarrow",
+                           **rayenv.remote_args())

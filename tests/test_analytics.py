@@ -648,3 +648,20 @@ def test_grouped_distinct_count_approx(ray_session):
         rd.from_pandas(df).repartition(17)).to_pandas() \
         .set_index("source")["n_distinct_est"]
     assert (out.sort_index() == out2.sort_index()).all()
+
+
+def test_value_histogram(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rwcf.analytics import value_histogram
+
+    df = pd.DataFrame({"event_id": np.arange(7, dtype=np.int64),
+                       "value": [-30.0, -0.1, 0.0, 24.9, 25.0, 60.0,
+                                 np.nan]})
+    out = value_histogram(rd.from_pandas(df).repartition(3), width=25.0) \
+        .to_pandas().sort_values("bin_start", ignore_index=True)
+    # floor toward -inf: -30 -> bin -50, -0.1 -> bin -25 (NOT 0)
+    got = dict(zip(out["bin_start"], out["n"]))
+    assert got == {-50.0: 1, -25.0: 1, 0.0: 2, 25.0: 1, 50.0: 1}

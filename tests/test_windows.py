@@ -213,3 +213,32 @@ def test_window_distinct_users(ray_session):
         .groupby("w")["user_id"].nunique()
     assert out["win_start"].tolist() == ref.index.tolist()
     assert out["n_users"].tolist() == ref.tolist()
+
+
+def test_cohort_retention(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rwcf.windows import cohort_retention
+
+    D = 86400
+    rows = [
+        # u1: first day 0, returns day 1 and day 3
+        (1, 0), (1, int(0.5 * D)), (1, D + 5), (1, 3 * D),
+        # u2: first day 1 only
+        (2, D + 10),
+        # u3: first day 0, returns day 20 (beyond max_offset=14 -> cut)
+        (3, 100), (3, 20 * D),
+    ]
+    df = pd.DataFrame({"user_id": [u for u, _ in rows],
+                       "ts": pd.to_datetime([t for _, t in rows],
+                                            unit="s")})
+    out = cohort_retention(rd.from_pandas(df).repartition(3),
+                           max_offset=14).to_pandas() \
+        .sort_values(["cohort_day", "offset"], ignore_index=True)
+    got = {(r["cohort_day"], r["offset"]): r["n_users"]
+           for _, r in out.iterrows()}
+    # cohort day0: u1+u3 at offset 0; u1 at offsets 1 and 3
+    # cohort day1: u2 at offset 0; u3's day-20 return is cut
+    assert got == {(0, 0): 2, (0, 1): 1, (0, 3): 1, (D, 0): 1}
