@@ -921,6 +921,17 @@ def _q_zscore_nchars(sf_dir: str):
         _docs_ds(sf_dir, columns=("doc_id", "source", "n_chars")))
 
 
+def _q_mix_sources(sf_dir: str):
+    """Deterministic training-mix downsampling: sources src0..src4 at
+    weight 3, the rest at 1, toward a 200-row target (exact integer
+    per-mille thresholds from exact per-source counts)."""
+    from rwcf import analytics
+    w = {f"src{i}": 3 for i in range(5)}
+    return analytics.mix_sources(
+        _docs_ds(sf_dir, columns=("doc_id", "source")), weights=w,
+        target_rows=200)
+
+
 def _q_value_histogram(sf_dir: str):
     """Equi-width histogram of events.value (width 25)."""
     import ray.data as rd
@@ -1255,6 +1266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_distinct_users": _q_window_distinct,
         "cohort_retention": _q_cohort_retention,
         "value_histogram": _q_value_histogram,
+        "mix_sources": _q_mix_sources,
         "decode_chunk_docs": _q_decode_chunk,
         "quantize_embeddings": _q_quantize_embeddings,
     }
@@ -1591,6 +1603,18 @@ def oracle_sql() -> dict[str, str]:
             "sqrt(CAST(st.n * st.ssq - st.s * st.s AS DOUBLE)), 4) "
             "ELSE 0.0 END AS zscore "
             "FROM documents d JOIN st USING (source)"),
+        # p_s = min(1000, (1000*target*w) // (sum_w*n_s)) in exact
+        # integer arithmetic; same LCG per-mille threshold as the engine
+        "mix_sources": (
+            "WITH n AS (SELECT source, count(*) AS ns, CASE WHEN source "
+            "IN ('src0','src1','src2','src3','src4') THEN 3 ELSE 1 END "
+            "AS w FROM documents GROUP BY 1), "
+            "t AS (SELECT sum(w) AS sum_w FROM n), "
+            "r AS (SELECT source, least(1000, (1000 * 200 * w) // "
+            "(sum_w * ns)) AS p FROM n, t) "
+            "SELECT d.doc_id, d.source FROM documents d JOIN r "
+            "USING (source) WHERE ((d.doc_id * 1103515245 + 12345) % "
+            "2147483648) % 1000 < r.p"),
         "value_histogram": (
             "SELECT floor(value / 25.0) * 25.0 AS bin_start, "
             "CAST(count(*) AS BIGINT) AS n FROM events "

@@ -1174,3 +1174,51 @@ def value_histogram(ds, col: str = "value", width: float = 25.0,
             "n": pc.cast(t.column("n"), pa.int64())})
     return out.map_batches(cast, batch_format="pyarrow",
                            **rayenv.remote_args())
+
+
+def mix_sources(ds, weights: dict, target_rows: int,
+                key_col: str = "source", id_col: str = "doc_id",
+                default_weight: int = 1):
+    """Deterministic dataset mixing — downsample each source toward a
+    target mixture (the "books 2x, web 1x" recipe of every training-data
+    run): source s gets quota ``target_rows * w_s / sum(w)`` rows,
+    realized as a per-mille LCG id-hash threshold
+
+        p_s = min(1000, (1000 * target_rows * w_s) // (sum_w * n_s))
+
+    computed in EXACT integer arithmetic from the exact per-source
+    counts, so engine and SQL agree bit-for-bit and the selection is
+    reproducible across runs/engines/cluster sizes (and reservoir-stable
+    per source, like every LCG sampler here). Sources with fewer rows
+    than their quota are kept whole (p_s caps at 1000) — mixing can
+    only downsample; upweighting by repetition is the packer's job.
+
+    Scale shape: one tiny groupby for the counts, a broadcast dict, one
+    stateless filter pass. Realized size concentrates near the quota
+    (hash is uniform); exact-k per source is :func:`sample_k_per_group`.
+    """
+    import ray
+
+    counts = (ds.groupby(key_col).count().to_pandas())
+    cname = [c for c in counts.columns if c != key_col][0]
+    sum_w = sum(weights.get(s, default_weight)
+                for s in counts[key_col])
+    rate = {}
+    for _, r in counts.iterrows():
+        s, ns = r[key_col], int(r[cname])
+        w = weights.get(s, default_weight)
+        rate[s] = min(1000, (1000 * int(target_rows) * w) // (sum_w * ns))
+    ref = ray.put(rate)
+
+    def keep(t: pa.Table) -> pa.Table:
+        rates = ray.get(ref)
+        kv = t.column(key_col).to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        thresh = pd.Series(kv).map(rates).fillna(0) \
+            .to_numpy(dtype=np.int64)
+        h = ((ids * _SAMPLE_A + _SAMPLE_C) % _SAMPLE_M) % 1000
+        return t.filter(pa.array(h < thresh))
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          **rayenv.remote_args())

@@ -665,3 +665,38 @@ def test_value_histogram(ray_session):
     # floor toward -inf: -30 -> bin -50, -0.1 -> bin -25 (NOT 0)
     got = dict(zip(out["bin_start"], out["n"]))
     assert got == {-50.0: 1, -25.0: 1, 0.0: 2, 25.0: 1, 50.0: 1}
+
+
+def test_mix_sources(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rwcf.analytics import mix_sources
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(3000, dtype=np.int64),
+        "source": np.array(["heavy", "light", "tiny"])[
+            np.r_[np.zeros(2000, int), np.ones(990, int),
+                  np.full(10, 2)]],
+    })
+    out = mix_sources(rd.from_pandas(df).repartition(4),
+                      weights={"heavy": 1, "light": 1, "tiny": 1},
+                      target_rows=300).to_pandas()
+    got = out.groupby("source").size()
+    # equal weights -> ~100 rows per source quota; 'tiny' has only 10
+    # rows, quota caps at keep-all (p=1000)
+    assert got["tiny"] == 10
+    assert abs(got["heavy"] - 100) < 35   # hash-uniform tolerance
+    assert abs(got["light"] - 100) < 35
+    # deterministic: rerun selects the identical ids
+    out2 = mix_sources(rd.from_pandas(df).repartition(9),
+                       weights={"heavy": 1, "light": 1, "tiny": 1},
+                       target_rows=300).to_pandas()
+    assert set(out["doc_id"]) == set(out2["doc_id"])
+    # weighting shifts the mix: heavy at weight 4 takes ~4x light's share
+    out3 = mix_sources(rd.from_pandas(df).repartition(4),
+                       weights={"heavy": 4, "light": 1, "tiny": 1},
+                       target_rows=300).to_pandas()
+    g3 = out3.groupby("source").size()
+    assert g3["heavy"] > 2.5 * g3["light"]
