@@ -388,7 +388,6 @@ def _q_ann_filtered(sf_dir: str):
     corpus rows passing a metadata predicate (label % 2 == 0) while
     queries come from the unfiltered table — the filter prunes
     candidates BEFORE any normalization or matmul (prune-early)."""
-    import numpy as np
     import pyarrow as pa
     import ray.data as rd
 
@@ -397,8 +396,10 @@ def _q_ann_filtered(sf_dir: str):
                            columns=["vec_id", "embedding", "label"])
 
     def keep_even(t: pa.Table) -> pa.Table:
-        lab = t.column("label").combine_chunks()             .to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(lab % 2 == 0))             .select(["vec_id", "embedding"])
+        lab = t.column("label").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        kept = t.filter(pa.array(lab % 2 == 0))
+        return kept.select(["vec_id", "embedding"])
 
     corpus = full.map_batches(keep_even, batch_format="pyarrow",
                               **rayenv.remote_args())

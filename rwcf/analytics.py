@@ -340,13 +340,12 @@ _HLL_P = 12                      # 2^12 = 4096 registers, ~1.6% std error
 _HLL_M = 1 << _HLL_P
 
 
-def _hll_registers(tokens: pa.Array) -> np.ndarray:
-    """HyperLogLog register vector for one batch of tokens: hash each
-    DISTINCT token to 64 bits; register index = top p bits, register
-    value = 1 + leading-zero count of the remaining 64-p bits (capped);
-    per-register max. Pure numpy — one pass, no Python loop."""
-    u = pc.unique(tokens)
-    h = pd.util.hash_array(u.to_numpy(zero_copy_only=False).astype(object))
+def _hll_hash_ranks(values: np.ndarray):
+    """Shared HLL hash->(register index, rank) arithmetic — ONE
+    implementation for the global and grouped sketches (hash_bucket
+    single-implementation rule: a drift between copies would silently
+    break merge parity between them)."""
+    h = pd.util.hash_array(values.astype(object))
     idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
     rest = (h << np.uint64(_HLL_P)) | np.uint64((1 << _HLL_P) - 1)
     # leading zeros of `rest` via bit_length: 64 - floor(log2(rest)) - 1;
@@ -354,6 +353,16 @@ def _hll_registers(tokens: pa.Array) -> np.ndarray:
     lz = 63 - np.floor(np.log2(rest.astype(np.float64))).astype(np.int64)
     # float64 log2 is exact for the top 52 bits; rank caps at 64-p+1
     rank = np.minimum(lz + 1, 64 - _HLL_P + 1).astype(np.int64)
+    return idx, rank
+
+
+def _hll_registers(tokens: pa.Array) -> np.ndarray:
+    """HyperLogLog register vector for one batch of tokens: hash each
+    DISTINCT token to 64 bits; register index = top p bits, register
+    value = 1 + leading-zero count of the remaining 64-p bits (capped);
+    per-register max. Pure numpy — one pass, no Python loop."""
+    u = pc.unique(tokens)
+    idx, rank = _hll_hash_ranks(u.to_numpy(zero_copy_only=False))
     regs = np.zeros(_HLL_M, dtype=np.int64)
     np.maximum.at(regs, idx, rank)
     return regs
@@ -1081,25 +1090,21 @@ def grouped_distinct_count_approx(ds, key_col: str = "source",
         ok = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
         keys = keys[ok]
         wnp = flat.filter(pa.array(ok)).to_numpy(zero_copy_only=False)
+        ktype = t.schema.field(key_col).type
         if wnp.size == 0:
-            return pa.table({key_col: pa.array([], pa.string()),
+            return pa.table({key_col: pa.array([], ktype),
                              "ri": pa.array([], pa.int64()),
                              "rank": pa.array([], pa.int64())})
         # distinct (key, word) inside the batch, then per-key registers
         # via one flattened maximum.at (key_idx * M + reg_idx)
         dk, dw = _distinct_rows_str(keys, wnp)
         ug, inv = np.unique(dk, return_inverse=True)
-        h = pd.util.hash_array(dw.astype(object))
-        idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
-        rest = (h << np.uint64(_HLL_P)) | np.uint64((1 << _HLL_P) - 1)
-        lz = 63 - np.floor(np.log2(rest.astype(np.float64))).astype(np.int64)
-        rank = np.minimum(lz + 1, 64 - _HLL_P + 1).astype(np.int64)
+        idx, rank = _hll_hash_ranks(dw)
         regs = np.zeros(ug.size * _HLL_M, dtype=np.int64)
         np.maximum.at(regs, inv * _HLL_M + idx, rank)
         nz = np.flatnonzero(regs)
         return pa.table({
-            key_col: pa.array(ug[(nz // _HLL_M)].astype(object),
-                              pa.string()),
+            key_col: pa.array(ug[(nz // _HLL_M)], ktype),
             "ri": pa.array(nz % _HLL_M),
             "rank": pa.array(regs[nz])})
 
@@ -1117,7 +1122,8 @@ def grouped_distinct_count_approx(ds, key_col: str = "source",
         np.maximum.at(regs, inv * _HLL_M + ri, rk)
         est = np.array([_hll_estimate(regs[i * _HLL_M:(i + 1) * _HLL_M])
                         for i in range(ug.size)])
-        return pa.table({key_col: pa.array(ug.astype(object), pa.string()),
+        return pa.table({key_col: pa.array(ug,
+                                           g.schema.field(key_col).type),
                          "n_distinct_est": pa.array(
                              np.round(est).astype(np.int64))})
 
@@ -1141,12 +1147,13 @@ def _distinct_rows_str(keys: np.ndarray, words: np.ndarray):
     return sk[first], sw[first]
 
 
-def value_histogram(ds, col: str = "value", width: float = 25.0,
-                    id_col: str | None = None):
+def value_histogram(ds, col: str = "value", width: float = 25.0):
     """Equi-width histogram of a numeric column: ``(bin_start, n)`` with
     bin = floor(v / width) — the one-glance distribution profile before
     choosing quantile targets or clip thresholds. Bin ids are computed
-    per batch (NaNs dropped, floor toward -inf matching SQL), counts
+    per batch (floor toward -inf matching SQL; NULL and NaN both treated
+    as missing — note SQL keeps a literal float NaN where only NULL is
+    excluded, the quantile-family convention documented there), counts
     pre-aggregate per batch, and the one shuffle moves bin-count rows
     only. Width is applied as the SAME double division on both sides."""
     from ray.data.aggregate import Sum
@@ -1194,8 +1201,13 @@ def mix_sources(ds, weights: dict, target_rows: int,
     only downsample; upweighting by repetition is the packer's job.
 
     Scale shape: one tiny groupby for the counts, a broadcast dict, one
-    stateless filter pass. Realized size concentrates near the quota
-    (hash is uniform); exact-k per source is :func:`sample_k_per_group`.
+    stateless filter pass. NOTE: ``ds`` is consumed twice (counts, then
+    filter) — feed it a cheap re-executable source (a column-pruned
+    read), or pass a pre-materialized Dataset when upstream is an
+    expensive pipeline; materializing inside here would force the
+    100-TB corpus into the object store for every caller. Realized size
+    concentrates near the quota (hash is uniform); exact-k per source
+    is :func:`sample_k_per_group`.
     """
     import ray
 
