@@ -922,6 +922,13 @@ def _q_zscore_nchars(sf_dir: str):
         _docs_ds(sf_dir, columns=("doc_id", "source", "n_chars")))
 
 
+def _q_top_words_per_source(sf_dir: str):
+    """Top-5 words per source with rank (grouped heavy hitters)."""
+    from rwcf import analytics
+    return analytics.top_words_per_group(
+        _docs_ds(sf_dir, columns=("doc_id", "source", "text")), k=5)
+
+
 def _q_mix_sources(sf_dir: str):
     """Deterministic training-mix downsampling: sources src0..src4 at
     weight 3, the rest at 1, toward a 200-row target (exact integer
@@ -1268,6 +1275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": _q_cohort_retention,
         "value_histogram": _q_value_histogram,
         "mix_sources": _q_mix_sources,
+        "top_words_per_source": _q_top_words_per_source,
         "decode_chunk_docs": _q_decode_chunk,
         "quantize_embeddings": _q_quantize_embeddings,
     }
@@ -1604,6 +1612,15 @@ def oracle_sql() -> dict[str, str]:
             "sqrt(CAST(st.n * st.ssq - st.s * st.s AS DOUBLE)), 4) "
             "ELSE 0.0 END AS zscore "
             "FROM documents d JOIN st USING (source)"),
+        "top_words_per_source": (
+            "WITH w AS (SELECT source, "
+            "unnest(regexp_extract_all(text, '\\S+')) AS word "
+            "FROM documents), "
+            "c AS (SELECT source, word, count(*) AS n FROM w GROUP BY 1, 2) "
+            "SELECT source, word, CAST(n AS BIGINT) AS n, "
+            "CAST(row_number() OVER (PARTITION BY source "
+            "ORDER BY n DESC, word ASC) AS BIGINT) AS rank "
+            "FROM c QUALIFY rank <= 5"),
         # p_s = min(1000, (1000*target*w) // (sum_w*n_s)) in exact
         # integer arithmetic; same LCG per-mille threshold as the engine
         "mix_sources": (

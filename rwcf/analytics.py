@@ -1234,3 +1234,54 @@ def mix_sources(ds, weights: dict, target_rows: int,
 
     return ds.map_batches(keep, batch_format="pyarrow",
                           **rayenv.remote_args())
+
+
+def top_words_per_group(ds, key_col: str = "source",
+                        text_col: str = "text", k: int = 5,
+                        buckets: int = 32):
+    """Grouped heavy hitters: the k most frequent words PER GROUP (tie
+    on word ascending) with a 1-based rank — the per-domain vocabulary
+    profile (navigation boilerplate shows up as a domain's top words
+    long before a human reads a sample).
+
+    Scale shape: per-batch (key, word) count partials -> ONE bucketed
+    shuffle on hash(key) (whole keys co-locate) -> in-bucket merge of
+    cross-batch partials + the same vectorized segmented top-k cut
+    grouped_topk uses. EXACT, unlike a count-min variant — the
+    in-bucket state is each key's vocabulary histogram, the same
+    driver-free bound grouped_quantiles documents per key."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        kv = t.column(key_col).to_numpy(zero_copy_only=False)
+        words = pc.split_pattern_regex(t.column(text_col), r"\s+")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = words.flatten()
+        keys = np.repeat(kv, lens)
+        ok = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"k": keys[ok],
+                           "w": flat.filter(pa.array(ok)).to_pandas()})
+        g = df.groupby(["k", "w"], as_index=False).size()
+        g["_b"] = hash_bucket(g["k"].to_numpy(), buckets=buckets)
+        return pa.Table.from_pandas(g.rename(columns={"size": "n"}),
+                                    preserve_index=False)
+
+    def final(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().groupby(["k", "w"], as_index=False)["n"].sum()
+        df = df.sort_values(["k", "n", "w"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        df["rank"] = df.groupby("k").cumcount() + 1
+        df = df[df["rank"] <= k]
+        return pa.table({key_col: pa.array(df["k"].to_numpy()),
+                         "word": pa.array(df["w"].to_numpy()),
+                         "n": pa.array(df["n"].to_numpy(np.int64)),
+                         "rank": pa.array(df["rank"].to_numpy(np.int64))})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .repartition(buckets)
+            .groupby("_b")
+            .map_groups(final, batch_format="pyarrow",
+                        **rayenv.remote_args()))

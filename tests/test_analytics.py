@@ -700,3 +700,23 @@ def test_mix_sources(ray_session):
                        target_rows=300).to_pandas()
     g3 = out3.groupby("source").size()
     assert g3["heavy"] > 2.5 * g3["light"]
+
+
+def test_top_words_per_group(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rwcf.analytics import top_words_per_group
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "source": ["a", "a", "b", "b"],
+        "text": ["x x x y y z", "y z", "p q", "q q p  "],
+    })
+    out = top_words_per_group(rd.from_pandas(df).repartition(2), k=2) \
+        .to_pandas().sort_values(["source", "rank"], ignore_index=True)
+    # a: x=3, y=3 -> tie broken by word asc (x first); b: q=3, p=2
+    assert out.values.tolist() == [
+        ["a", "x", 3, 1], ["a", "y", 3, 2],
+        ["b", "q", 3, 1], ["b", "p", 2, 2]]
