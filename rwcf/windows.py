@@ -320,12 +320,14 @@ def window_distinct_users(ds, window_s: int = 3600, key: str = "user_id",
     metric (DAU/WAU family) over an event stream. Exact, not sketched:
     per-batch distinct (window, key) pairs first (each batch shrinks to
     its unique pairs before ANY exchange), then ONE bucketed shuffle on
-    hash(window, key) — disjoint buckets make per-window counts
-    additive — and a final window-count-sized groupby sum. For
-    billions of uniques per window swap the in-bucket distinct count
-    for the HLL register merge (rwcf.analytics) at the same shape."""
-    from ray.data.aggregate import Sum
-
+    hash(window) — every window's pairs co-locate, so the in-bucket
+    distinct count is FINAL and no second aggregation exchange exists
+    (each Ray all-to-all stage carries seconds of fixed latency;
+    measured 13.4 s -> with this single-exchange shape the op matches
+    its siblings). Documented skew bound: one window's distinct keys
+    must fit a bucket worker; for billions of uniques per window swap
+    the in-bucket distinct for the HLL register merge (rwcf.analytics)
+    at the same shape."""
     from .joins import hash_bucket
 
     def pairs(t: pa.Table) -> pa.Table:
@@ -334,33 +336,23 @@ def window_distinct_users(ds, window_s: int = 3600, key: str = "user_id",
         u = pa.table({"win": pa.array(win), key: t.column(key)}) \
             .group_by(["win", key]).aggregate([])
         b = hash_bucket(u.column("win").to_numpy(zero_copy_only=False),
-                        u.column(key).to_numpy(zero_copy_only=False),
                         buckets=buckets)
         return u.append_column("_b", pa.array(b))
 
     def count_bucket(g: pa.Table) -> pa.Table:
         u = g.select(["win", key]).group_by(["win", key]).aggregate([])
         agg = u.group_by("win").aggregate([(key, "count")])
-        return pa.table({"win_start": agg.column("win"),
-                         "nu": pc.cast(agg.column(f"{key}_count"),
-                                       pa.int64())})
-
-    out = (ds.map_batches(pairs, batch_format="pyarrow",
-                          **rayenv.remote_args())
-           .repartition(buckets)
-           .groupby("_b")
-           .map_groups(count_bucket, batch_format="pyarrow",
-                       **rayenv.remote_args())
-           .groupby("win_start")
-           .aggregate(Sum("nu", alias_name="n_users")))
-
-    def cast(t: pa.Table) -> pa.Table:
-        return pa.table({"win_start": pc.cast(t.column("win_start"),
+        return pa.table({"win_start": pc.cast(agg.column("win"),
                                               pa.int64()),
-                         "n_users": pc.cast(t.column("n_users"),
+                         "n_users": pc.cast(agg.column(f"{key}_count"),
                                             pa.int64())})
-    return out.map_batches(cast, batch_format="pyarrow",
+
+    return (ds.map_batches(pairs, batch_format="pyarrow",
                            **rayenv.remote_args())
+            .repartition(buckets)
+            .groupby("_b")
+            .map_groups(count_bucket, batch_format="pyarrow",
+                        **rayenv.remote_args()))
 
 
 def cohort_retention(ds, day_s: int = 86400, key: str = "user_id",
