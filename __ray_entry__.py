@@ -443,13 +443,37 @@ def _q_multimodal_meta(sf_dir: str):
 
 
 def _q_multimodal_frames(sf_dir: str):
+    """Frame-sampling over synthetic RWIM blobs, exploded to one row per
+    (doc, frame) so the fixed-length int32 vectors are scalar-column
+    SQL-checkable: frame f is the blob byte at offset 12 + f*64, which by
+    RWIM construction is the text byte at position f*64 (0 past the end
+    — the stage's zero-padding, mirrored by SQL's ascii('') = 0)."""
+    import numpy as np
+    import pyarrow as pa
+
     from rwcf import multimodal, rayenv
     blobs = _docs_ds(sf_dir).map_batches(multimodal.make_blob_batch,
                                          batch_format="pyarrow",
                                          **rayenv.remote_args())
-    return blobs.map_batches(multimodal.FrameSampleStage, batch_format="pyarrow",
-                             batch_size=256, concurrency=2, num_cpus=1,
-                             **rayenv.remote_args())
+    frames = blobs.map_batches(multimodal.FrameSampleStage,
+                               batch_format="pyarrow",
+                               batch_size=256, concurrency=2, num_cpus=1,
+                               **rayenv.remote_args())
+
+    def explode(t: pa.Table) -> pa.Table:
+        fl = t.column("frames").combine_chunks()
+        n = len(t)
+        k = 8  # FrameSampleStage default frames per row
+        vals = np.asarray(fl.flatten(), dtype=np.int64)
+        ids = np.repeat(
+            t.column("doc_id").to_numpy(zero_copy_only=False), k)
+        idx = np.tile(np.arange(k, dtype=np.int64), n)
+        return pa.table({"doc_id": pa.array(ids.astype(np.int64)),
+                         "frame_idx": pa.array(idx),
+                         "frame_val": pa.array(vals)})
+
+    return frames.map_batches(explode, batch_format="pyarrow",
+                              **rayenv.remote_args())
 
 
 def _q_filter_large_docs(sf_dir: str):
@@ -598,7 +622,11 @@ def _q_quantiles_value(sf_dir: str):
 def _q_grouped_quantiles(sf_dir: str):
     """Per-source exact n_chars quantiles: (key, value, count) histogram
     partials through one bucketed shuffle, vectorized in-bucket
-    cumulative walk (analytics.grouped_quantiles)."""
+    cumulative walk (analytics.grouped_quantiles). Partitioning bound:
+    exact per key while the key's distinct-value histogram stays under
+    max_distinct_per_key (1M default — n_chars is a bounded domain);
+    wider keys route to the bounded per-key bottom-k sample fallback
+    instead of a worker-sized histogram."""
     from rwcf import analytics
     return analytics.grouped_quantiles(
         _docs_ds(sf_dir, columns=("source", "n_chars")),
@@ -1161,10 +1189,13 @@ def _q_shuffle_head(sf_dir: str):
 def _q_dedup_substrings(sf_dir: str):
     """Exact duplicate-substring detection (Lee et al. 2022 family) over
     the corpus plus planted exact copies: per doc, the count of distinct
-    40-byte substrings shared with at least one other doc."""
+    40-byte substrings shared with at least one other doc. Runs the
+    prune="bloom" path — the at-scale configuration (nothing
+    dup-hash-set-sized reaches the driver); bit-identical to "exact" by
+    construction, and this query pins that on the oracle."""
     from rwcf import dedup
     return dedup.dup_ngram_counts_ds(
-        _docs_with_planted_copies(sf_dir), width=40)
+        _docs_with_planted_copies(sf_dir), width=40, prune="bloom")
 
 
 def _q_pack_stats(sf_dir: str):
@@ -1182,70 +1213,20 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # ORDER IS THE DRIVER'S EVALUATION WINDOW: the graft driver checks the
+    # first 50 entries per round. Round 4 rotates the 34 queries added late
+    # in round 3 (never driver-evaluated: curation, TF-IDF/LM, k-means,
+    # funnel/cohort, range/bloom joins, mixing, packing) plus the
+    # oracle-upgraded multimodal_frames to the FRONT, followed by the 15
+    # reference-parity codec queries; the remaining 34 (three rounds of
+    # green CORRECTNESS history) rotate behind the window. Every entry
+    # stays oracle-checked by tools/check_contract.py regardless of order.
     return {
-        "roundtrip_docs": _q_roundtrip_docs,
-        "decode_project": _q_decode_project,
-        "source_stats": _q_source_stats,
-        "total_tokens": _q_total_tokens,
-        "rt_plain_source": _rt_query("source", "plain"),
-        "rt_rle_lang": _rt_query("lang", "rle"),
-        "rt_dict_source": _rt_query("source", "dict"),
-        "rt_fsst_text": _rt_query("text", "fsst"),
-        "rt_bitpack_nchars": _rt_query("n_chars", "bitpack"),
-        "rt_for_docid": _rt_query("doc_id", "for"),
-        "rt_delta_docid": _rt_query("doc_id", "delta"),
-        "rt_auto_nchars": _rt_query("n_chars", None),
-        "compressed_sum_nchars": _q_compressed_sum_nchars,
-        "codec_selection": _q_codec_selection,
-        "filter_large_docs": _q_filter_large_docs,
-        "window_tumbling": _q_window_tumbling,
-        "window_sliding": _q_window_sliding,
-        "window_sessions": _q_window_sessions,
-        "flagship_synthetic": _q_flagship_synthetic,
-        # training-data pipeline operators
-        "token_count": _map_docs(__import__("rwcf.textops", fromlist=["x"])
-                                 .token_count_batch),
-        "quality_stats": _map_docs(__import__("rwcf.textops", fromlist=["x"])
-                                   .quality_batch),
-        "lang_id": _map_docs(__import__("rwcf.textops", fromlist=["x"])
-                             .lang_id_batch),
-        "fingerprint": _map_docs(__import__("rwcf.textops", fromlist=["x"])
-                                 .fingerprint_batch),
-        "dedup_exact": _q_dedup_exact,
-        "dedup_minhash": _q_dedup_minhash,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_jaccard": _q_dedup_jaccard,
-        "dedup_embedding": _q_dedup_embedding,
-        "dedup_cluster_survivors": _q_dedup_cluster_survivors,
-        "dedup_tokens_minhash": _q_dedup_tokens,
-        "join_docs_embeddings": _q_join_docs_embeddings,
-        "ann_topk": _q_ann_topk,
-        "ann_topk_filtered": _q_ann_filtered,
-        "ann_ivf": _q_ann_ivf,
-        "ann_pq": _q_ann_pq,
-        "multimodal_meta": _q_multimodal_meta,
-        "multimodal_frames": _q_multimodal_frames,
-        # round-3 analytics operators
-        "top_tokens": _q_top_tokens,
-        "topk_docs_per_source": _q_topk_docs_per_source,
-        "quantiles_nchars": _q_quantiles_nchars,
-        "quantiles_value": _q_quantiles_value,
-        "grouped_quantiles_source": _q_grouped_quantiles,
-        "distinct_tokens": _q_distinct_tokens,
-        "distinct_tokens_approx": _q_distinct_tokens_approx,
-        "cms_top_tokens": _q_cms_top_tokens,
-        "parse_props_stats": _q_parse_props,
-        "sample_docs": _q_sample_docs,
-        "sample_stratified": _q_sample_stratified,
-        "normalize_text": _map_docs(__import__("rwcf.textops",
-                                               fromlist=["x"])
-                                    .normalize_text_batch),
-        "asof_join_orders": _q_asof_join,
+        # -- never-driven until round 4: curation / analytics-tail / joins
         "range_join_events": _q_range_join,
         "semi_join_lineitem_bloom": _q_semi_join_bloom,
         "tfidf_docs": _q_tfidf,
         "prep_corpus": _q_prep_corpus,
-        # corpus-curation operators
         "redact_docs": _q_redact,
         "repetition_stats": _map_docs(
             __import__("rwcf.curation", fromlist=["x"])
@@ -1278,6 +1259,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_words_per_source": _q_top_words_per_source,
         "decode_chunk_docs": _q_decode_chunk,
         "quantize_embeddings": _q_quantize_embeddings,
+        # -- upgraded rows-only -> SQL-checked in round 4
+        "multimodal_frames": _q_multimodal_frames,
+        # -- reference-parity codec queries (slots 36-50)
+        "roundtrip_docs": _q_roundtrip_docs,
+        "decode_project": _q_decode_project,
+        "source_stats": _q_source_stats,
+        "total_tokens": _q_total_tokens,
+        "rt_plain_source": _rt_query("source", "plain"),
+        "rt_rle_lang": _rt_query("lang", "rle"),
+        "rt_dict_source": _rt_query("source", "dict"),
+        "rt_fsst_text": _rt_query("text", "fsst"),
+        "rt_bitpack_nchars": _rt_query("n_chars", "bitpack"),
+        "rt_for_docid": _rt_query("doc_id", "for"),
+        "rt_delta_docid": _rt_query("doc_id", "delta"),
+        "rt_auto_nchars": _rt_query("n_chars", None),
+        "compressed_sum_nchars": _q_compressed_sum_nchars,
+        "codec_selection": _q_codec_selection,
+        "flagship_synthetic": _q_flagship_synthetic,
+        # ---- driver window boundary (entries below have green
+        # ---- CORRECTNESS rows from rounds 1-3) ----
+        "filter_large_docs": _q_filter_large_docs,
+        "window_tumbling": _q_window_tumbling,
+        "window_sliding": _q_window_sliding,
+        "window_sessions": _q_window_sessions,
+        "token_count": _map_docs(__import__("rwcf.textops", fromlist=["x"])
+                                 .token_count_batch),
+        "quality_stats": _map_docs(__import__("rwcf.textops", fromlist=["x"])
+                                   .quality_batch),
+        "lang_id": _map_docs(__import__("rwcf.textops", fromlist=["x"])
+                             .lang_id_batch),
+        "fingerprint": _map_docs(__import__("rwcf.textops", fromlist=["x"])
+                                 .fingerprint_batch),
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_jaccard": _q_dedup_jaccard,
+        "dedup_embedding": _q_dedup_embedding,
+        "dedup_cluster_survivors": _q_dedup_cluster_survivors,
+        "dedup_tokens_minhash": _q_dedup_tokens,
+        "join_docs_embeddings": _q_join_docs_embeddings,
+        "ann_topk": _q_ann_topk,
+        "ann_topk_filtered": _q_ann_filtered,
+        "ann_ivf": _q_ann_ivf,
+        "ann_pq": _q_ann_pq,
+        "multimodal_meta": _q_multimodal_meta,
+        "top_tokens": _q_top_tokens,
+        "topk_docs_per_source": _q_topk_docs_per_source,
+        "quantiles_nchars": _q_quantiles_nchars,
+        "quantiles_value": _q_quantiles_value,
+        "grouped_quantiles_source": _q_grouped_quantiles,
+        "distinct_tokens": _q_distinct_tokens,
+        "distinct_tokens_approx": _q_distinct_tokens_approx,
+        "cms_top_tokens": _q_cms_top_tokens,
+        "parse_props_stats": _q_parse_props,
+        "sample_docs": _q_sample_docs,
+        "sample_stratified": _q_sample_stratified,
+        "normalize_text": _map_docs(__import__("rwcf.textops",
+                                               fromlist=["x"])
+                                    .normalize_text_batch),
+        "asof_join_orders": _q_asof_join,
     }
 
 
@@ -1392,6 +1433,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(strlen(text) % 199 + 1 AS BIGINT) AS width, "
             "CAST(strlen(text) // 199 + 1 AS BIGINT) AS height, "
             "CAST(strlen(text) + 12 AS BIGINT) AS n_bytes FROM documents"),
+        # frame f = text byte at position f*64 (RWIM header is 12 bytes,
+        # stride 64); the fixture text is pure ASCII so ascii() == byte
+        # value, and ascii(substr past end) = 0 = the stage's padding
+        "multimodal_frames": (
+            "SELECT d.doc_id, CAST(f.f AS BIGINT) AS frame_idx, "
+            "CAST(ascii(substr(d.text, CAST(f.f * 64 + 1 AS BIGINT), 1)) "
+            "AS BIGINT) AS frame_val "
+            "FROM documents d CROSS JOIN "
+            "(SELECT unnest(generate_series(0, 7)) AS f) f"),
         "top_tokens": (
             "WITH w AS (SELECT unnest(regexp_extract_all(text, '\\S+')) "
             "AS token FROM documents) "
@@ -1540,8 +1590,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(bs.max_bc AS DOUBLE) / bs.n_bigrams AS top_bigram_frac "
             "FROM ws JOIN bs USING (doc_id)"),
         "decontaminate_docs": (
+            # p <> '' mirrors decontaminate()'s dropped-empty-probe
+            # semantics (contains(text, '') is TRUE for every row)
             "WITH probes AS (SELECT substr(text, 1, 60) AS p "
-            "FROM documents WHERE doc_id % 97 = 0) "
+            "FROM documents WHERE doc_id % 97 = 0 AND substr(text, 1, 60) <> '') "
             "SELECT d.doc_id, CAST(max(CASE WHEN contains(d.text, probes.p) "
             "THEN 1 ELSE 0 END) AS BIGINT) AS contaminated "
             "FROM documents d CROSS JOIN probes GROUP BY d.doc_id"),

@@ -179,45 +179,120 @@ def exact_quantiles(ds, col: str, qs=(0.25, 0.5, 0.9, 0.99)) -> pd.DataFrame:
 
 
 def grouped_quantiles(ds, key_col: str, col: str,
-                      qs=(0.25, 0.5, 0.9), buckets: int = 32):
+                      qs=(0.25, 0.5, 0.9), buckets: int = 32,
+                      max_distinct_per_key: int = 1 << 20,
+                      sample_k: int = 4096):
     """EXACT per-group order statistics (e.g. median document length per
     source) over an integer column. Scale shape: per-batch ``(key, v,
     count)`` histogram partials (distinct values per key per batch, never
     rows) -> ONE bucketed shuffle on ``hash(key)`` -> a vectorized
     in-bucket walk resolves every key's quantiles at once (sort by
     (key, v), per-key cumsum, first row at or past each target rank — no
-    per-key dispatch, the round-2 lesson). Documented assumption: one
-    key's distinct-value histogram fits a worker (same bound as
-    :func:`exact_quantiles`, per key).
+    per-key dispatch, the round-2 lesson).
+
+    PER-KEY DISTINCT-VALUE BOUND (the partitioning assumption, stated):
+    a key's exact answer needs its merged distinct-value histogram in one
+    worker. Keys within ``max_distinct_per_key`` distinct values (every
+    bounded-domain column — token counts, byte lengths, ratings) are
+    EXACT; a key whose histogram exceeds the cap (an unbounded/continuous
+    domain) routes to its per-key bottom-``sample_k`` uniform sample
+    (same mergeable sketch as :func:`bottomk_sample_quantiles`, ~1/sqrt(k)
+    rank error) instead of a worker-sized histogram — the sample rows are
+    capped at ``sample_k`` per key per batch (and only emitted for keys
+    already wide within the batch), so bounded-domain keys pay zero
+    extra shuffle volume. On the sample path the rank is taken within
+    the merged sample (rank ceil(q*k_sample) estimates the population
+    quantile, :func:`bottomk_sample_quantiles` semantics).
 
     Quantile q = value at 1-based rank ``max(1, ceil(q*N_key))`` of the
-    key's sorted column — SQL row_number semantics, exact oracle."""
+    key's sorted column — SQL row_number semantics, exact oracle (on the
+    exact path)."""
     qs = tuple(float(q) for q in qs)
 
     def partial(t: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "k": t.column(key_col).to_numpy(zero_copy_only=False),
-            "v": pc.cast(t.column(col).combine_chunks(),
-                         pa.int64()).to_numpy(zero_copy_only=False)})
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        v = pc.cast(t.column(col).combine_chunks(),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"k": k, "v": v})
         g = df.groupby(["k", "v"], as_index=False).size()
-        g["_b"] = hash_bucket(g["k"].to_numpy(), buckets=buckets)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g["h"] = np.int64(-1)  # histogram rows
+        # per-key bottom-sample_k rows: the fallback sample for keys whose
+        # merged histogram will exceed the cap — emitted ONLY for keys
+        # already wide WITHIN this batch (> sample_k distinct values), so
+        # bounded-domain keys pay zero extra shuffle volume. Row identity
+        # for the sample hash = (value, occurrence# within batch),
+        # deterministic for a given block layout and near-uniform over
+        # the multiset.
+        bdist = g.groupby("k").size()
+        wide = set(bdist[bdist > sample_k].index)
+        cols = ["k", "v", "size", "h"]
+        if wide:
+            mask = pd.Series(k).isin(wide).to_numpy()
+            kw, vw = k[mask], v[mask]
+            order = np.lexsort((vw, kw))
+            ks, vs = kw[order], vw[order]
+            new = np.ones(ks.size, dtype=bool)
+            if ks.size > 1:
+                new[1:] = (ks[1:] != ks[:-1]) | (vs[1:] != vs[:-1])
+            seg = np.flatnonzero(new)
+            occ = np.arange(ks.size, dtype=np.int64) \
+                - seg[np.cumsum(new) - 1]
+            h = (vs * np.int64(1_000_003) + occ * _SAMPLE_A + _SAMPLE_C) \
+                % _SAMPLE_M
+            sdf = pd.DataFrame({"k": ks, "v": vs, "h": h})
+            sdf = (sdf.sort_values(["k", "h"], kind="mergesort")
+                   .groupby("k", as_index=False).head(sample_k))
+            sdf["size"] = np.int64(0)  # sample rows carry no count mass
+            out = pd.concat([g[cols], sdf[cols]], ignore_index=True)
+        else:
+            out = g[cols]
+        out = out.copy()
+        out["_b"] = hash_bucket(out["k"].to_numpy(), buckets=buckets)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     def final(g: pa.Table) -> pa.Table:
         df = g.to_pandas()
+        hist = df[df["h"] == -1]
         # merge cross-batch partials, then one ordered cumulative walk
-        df = (df.groupby(["k", "v"], as_index=False)["size"].sum()
-              .sort_values(["k", "v"], kind="mergesort"))
-        df["cum"] = df.groupby("k")["size"].cumsum()
-        totals = df.groupby("k")["size"].sum()
+        hist = (hist.groupby(["k", "v"], as_index=False)["size"].sum()
+                .sort_values(["k", "v"], kind="mergesort"))
+        totals = hist.groupby("k")["size"].sum()
+        ndist = hist.groupby("k").size()
+        over = set(ndist[ndist > max_distinct_per_key].index)
+        # over-cap keys route to their merged bottom-k sample; an over-cap
+        # key WITHOUT sample rows (merged wide from narrow batches — its
+        # histogram demonstrably fit the worker to get here) stays exact
+        over &= set(df.loc[df["h"] != -1, "k"].unique())
+        exact_keys = set(ndist.index) - over
+        hist = hist[hist["k"].isin(exact_keys)].copy()
+        hist["cum"] = hist.groupby("k")["size"].cumsum()
+        # over-cap keys: merge (union + re-cut) their bottom-k samples
+        samp = df[(df["h"] != -1) & df["k"].isin(over)]
+        if len(samp):
+            samp = (samp.sort_values(["k", "h", "v"], kind="mergesort")
+                    .groupby("k", as_index=False).head(sample_k)
+                    .sort_values(["k", "v"], kind="mergesort"))
+            samp_sizes = samp.groupby("k").size()
         outs = []
         for q in qs:
             r = np.maximum(1, np.ceil(q * totals)).astype(np.int64)
-            need = df.assign(_r=df["k"].map(r))
+            need = hist.assign(_r=hist["k"].map(r))
             hit = need[need["cum"] >= need["_r"]].groupby("k").first()
             outs.append(pd.DataFrame({
                 key_col: hit.index, "q": q,
                 "v": hit["v"].to_numpy(np.int64)}))
+            if len(samp):
+                # rank within each key's sorted sample, vectorized:
+                # sample-start offset per key + in-sample rank - 1
+                rs = np.maximum(1, np.ceil(q * samp_sizes)).astype(np.int64)
+                starts = (samp.groupby("k").cumcount() == 0).to_numpy()
+                base = np.flatnonzero(starts)
+                kidx = samp["k"].to_numpy()[base]
+                pick = base + rs.loc[kidx].to_numpy() - 1
+                sel = samp.iloc[pick]
+                outs.append(pd.DataFrame({
+                    key_col: sel["k"].to_numpy(), "q": q,
+                    "v": sel["v"].to_numpy(np.int64)}))
         out = pd.concat(outs, ignore_index=True)
         return pa.Table.from_pandas(out, preserve_index=False)
 

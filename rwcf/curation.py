@@ -170,9 +170,14 @@ def decontaminate(ds, probes: list[str], text_col: str = "text"):
     """Flag documents containing any benchmark probe string. The probe set
     (a benchmark suite — MBs, never corpus-scale) is broadcast once with
     ``ray.put``; every task reads it from the local object store. The
-    corpus streams through one vectorized match stage — no shuffle."""
+    corpus streams through one vectorized match stage — no shuffle.
+
+    Empty probe strings are DROPPED here, not matched: SQL's
+    ``contains(text, '')`` is true for every row, so an accidental empty
+    probe would flag the whole corpus. Oracles must mirror this with
+    ``WHERE p <> ''`` on the probe side."""
     import ray
-    ref = ray.put(list(probes))
+    ref = ray.put([p for p in probes if p])
     fn = functools.partial(_contaminate_batch, probes_ref=ref,
                            text_col=text_col)
     return ds.map_batches(fn, batch_format="pyarrow",

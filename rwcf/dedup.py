@@ -18,15 +18,14 @@ any pair is emitted):
 
 Verification is DISTRIBUTED (round 2): ``verify_pairs_distributed`` joins
 each candidate pair's payloads via two bucketed hash-joins
-(rwcf.joins.hash_join) and filters vectorized — corpora never collect on
-the driver. One documented exception: its default ``prune=True`` path
-collects the candidate PAIR ID list (ids only, output-sized — never
-payloads) to broadcast the docs-side filter; at a scale where even that
-id list outgrows the driver, pass ``prune="semi"`` (fully distributed
-semi-join, zero driver materialization) or ``prune=False`` (joins stay
-correct, the docs side just shuffles unpruned). Clustering has a distributed min-label
-propagation path (``cluster_pairs_ds`` / ``dedup_survivors_ds``) next to
-the small-N driver union-find.
+(rwcf.joins.hash_join) and filters vectorized — corpus payloads never
+collect on the driver. The docs-side prune defaults to ``"auto"``
+(round 4): small candidate sets broadcast an id-only filter, large ones
+route to a fully distributed semi-join with zero driver materialization,
+so a skewed LSH band that goes quadratic cannot OOM the driver.
+Clustering has a distributed min-label propagation path
+(``cluster_pairs_ds`` / ``dedup_survivors_ds``) next to the small-N
+driver union-find.
 
 Candidate verification is always exact, so LSH/banding false positives are
 filtered deterministically; recall for *identical* documents is certain
@@ -555,10 +554,15 @@ def distinct_pairs(pairs_ds, buckets: int | None = None):
                         **rayenv.remote_args()))
 
 
+#: above this many candidate pairs, ``prune="auto"`` stops collecting the
+#: id list on the driver and routes to the fully distributed semi-join
+_PRUNE_AUTO_MAX_PAIRS = 2_000_000
+
+
 def verify_pairs_distributed(pairs_ds, docs_ds, threshold: float = 0.8,
                              mode: str = "jaccard", id_col: str = "doc_id",
                              payload_col: str = "text", buckets: int = 32,
-                             prune: bool = True):
+                             prune="auto"):
     """Distributed exact verification of candidate pairs — the round-2
     replacement for collecting the corpus to the driver: two bucketed
     hash-joins (rwcf.joins.hash_join) pull each pair's payloads onto its
@@ -575,7 +579,12 @@ def verify_pairs_distributed(pairs_ds, docs_ds, threshold: float = 0.8,
     ``prune`` controls the candidate-member reduction applied to the docs
     side before its payloads shuffle:
 
-    - ``True`` (default) — broadcast semi-join: the candidate id set
+    - ``"auto"`` (default) — small candidate sets (<=
+      ``_PRUNE_AUTO_MAX_PAIRS``, known for free from the empty-check
+      count) take the broadcast fast path below; anything larger routes
+      to ``"semi"``. The default is therefore scale-safe: a skewed LSH
+      band that goes quadratic can no longer OOM the driver.
+    - ``True`` — broadcast semi-join: the candidate id set
       (output-sized — ids only, never payloads) is collected once,
       ``ray.put`` once, and the docs side is filtered per batch before
       any shuffle. The one driver-side materialization on this path, and
@@ -583,8 +592,7 @@ def verify_pairs_distributed(pairs_ds, docs_ds, threshold: float = 0.8,
     - ``"semi"`` — fully distributed semi-join via
       ``joins.hash_join(how="semi")``: the candidate ids become a
       Dataset and the docs side is reduced by a bucketed shuffle
-      instead. ZERO driver materialization of any size (the knob for
-      when even the candidate id list outgrows the driver), at the cost
+      instead. ZERO driver materialization of any size, at the cost
       of one extra all-to-all of the candidate members' payloads.
     - ``False`` — no pruning; the joins alone are still correct,
       shuffling the full docs side once per join."""
@@ -594,12 +602,15 @@ def verify_pairs_distributed(pairs_ds, docs_ds, threshold: float = 0.8,
     from .joins import _arrow_schema, hash_join
 
     pairs_ds = pairs_ds.materialize()  # tiny; read twice (prune ids + join)
-    if pairs_ds.count() == 0:
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
         # no candidates (clean corpus): a fully empty Dataset is
         # schema-less and cannot be joined — return the typed empty result
         return rd.from_arrow(pa.table({"a_id": pa.array([], pa.int64()),
                                        "b_id": pa.array([], pa.int64()),
                                        "sim": pa.array([], pa.float64())}))
+    if prune == "auto":
+        prune = True if n_pairs <= _PRUNE_AUTO_MAX_PAIRS else "semi"
     if prune == "semi":
         def explode_ids(t: pa.Table) -> pa.Table:
             ids = np.concatenate([

@@ -411,7 +411,8 @@ def group_centroids_ds(emb_ds, labels_ds, group_col: str = "source",
 
 
 def kmeans_ds(emb_ds, k: int = 8, iters: int = 5, id_col: str = "vec_id",
-              vec_col: str = "embedding", return_stats: bool = False):
+              vec_col: str = "embedding", return_stats: bool = False,
+              spill_dir: str | None = None):
     """Distributed Lloyd k-means over an embedding column — the iterative
     clustering pass a curation pipeline runs for topic balancing, coarse
     semantic dedup buckets, and IVF/PQ quantizer seeding at corpus scale.
@@ -433,11 +434,15 @@ def kmeans_ds(emb_ds, k: int = 8, iters: int = 5, id_col: str = "vec_id",
            corpus-size-independent, the legitimate driver-side footprint)
 
     so vectors never shuffle — only centroid-sized partials move, the
-    same partial-then-final shape as group_centroids_ds. The input is
-    materialized ONCE (column-pruned to id+vec) because Lloyd's makes
-    ``iters`` full passes; at 100 TB either let the object store spill or
-    run on the standard downsampled training slice and assign the full
-    corpus with the final single pass (which this returns).
+    same partial-then-final shape as group_centroids_ds. Lloyd's makes
+    ``iters + 2`` full passes over the (column-pruned) input; the input
+    is NEVER pinned in the object store — each pass streams by
+    re-executing the lazy Dataset (for a parquet-sourced table that is a
+    column-pruned re-read, the scale-correct default at 100 TB, where
+    the embedding table can exceed cluster object-store capacity). When
+    the upstream pipeline is expensive to recompute, pass ``spill_dir``:
+    the projection is checkpointed to partitioned parquet ONCE and the
+    passes stream from that checkpoint instead.
 
     Empty clusters keep their previous centroid (deterministic, no
     reseed). Returns the assignment Dataset ``(id, cluster, dist2)``;
@@ -451,7 +456,11 @@ def kmeans_ds(emb_ds, k: int = 8, iters: int = 5, id_col: str = "vec_id",
 
     if k <= 0 or iters <= 0:
         raise ValueError("k and iters must be positive")
-    base = emb_ds.select_columns([id_col, vec_col]).materialize()
+    base = emb_ds.select_columns([id_col, vec_col])
+    if spill_dir is not None:
+        import ray.data as rd
+        base.write_parquet(spill_dir)
+        base = rd.read_parquet(spill_dir)
 
     # --- deterministic seed selection: k smallest LCG id-hashes ---------
     def seed_part(t: pa.Table) -> pa.Table:

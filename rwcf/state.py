@@ -34,9 +34,15 @@ import pyarrow as pa
 
 from . import rayenv, textops
 
-#: second decorrelated polynomial base (odd, public-knowledge prime);
-#: together with textops._FP_BASE forms the 128-bit composite key
-_BASE2 = np.uint64(0x100000001B3 ^ 0xDEADBEEF12345677)
+#: second decorrelated polynomial base; together with textops._FP_BASE it
+#: forms the 128-bit composite key. MUST be odd: an even base b makes
+#: b^i ≡ 0 (mod 2^64) for i >= 64, so h2 would depend only on a document's
+#: first 64 bytes and the 128-bit key would collapse to 64 bits for any
+#: documents sharing a 64-byte prefix (templated crawl headers do).
+#: Index shards committed before 2026-08-18 used the old even base and
+#: must be rebuilt (the shard schema is unchanged).
+_BASE2 = np.uint64((0x100000001B3 ^ 0xDEADBEEF12345677) | 1)
+assert int(_BASE2) % 2 == 1, "_BASE2 must be odd (see comment above)"
 
 
 def doc_keys(t: pa.Table, text_col: str = "text"):
@@ -113,15 +119,16 @@ def commit_new(ds, index_dir: str, run_id: str,
     Atomic (tmp dir + rename of the finished file) and idempotent: an
     existing shard for ``run_id`` short-circuits, so a resumed job cannot
     double-commit. Returns the number of keys in the shard (0 when
-    short-circuited). Leftover tmp dirs from a crash are swept here."""
+    short-circuited). Only THIS run's leftover tmp dir is swept — a
+    concurrent commit of a different run_id keeps its in-flight dir."""
     import pyarrow.parquet as pq
 
     os.makedirs(index_dir, exist_ok=True)
     final = os.path.join(index_dir, f"shard-{run_id}.parquet")
     if os.path.exists(final):
         return 0
-    for stale in glob.glob(os.path.join(index_dir, ".tmp-*")):
-        shutil.rmtree(stale, ignore_errors=True)
+    shutil.rmtree(os.path.join(index_dir, f".tmp-{run_id}"),
+                  ignore_errors=True)
 
     def keys(t: pa.Table) -> pa.Table:
         h1, h2 = doc_keys(t, text_col)

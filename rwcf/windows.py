@@ -220,7 +220,13 @@ def running_totals(ds, key: str = "user_id", ts_col: str = "ts",
         kn = g.column(key).combine_chunks().to_numpy(zero_copy_only=False)
         v = g.column(val_col).combine_chunks().to_numpy(
             zero_copy_only=False)
-        v1000 = np.floor(v * 1000).astype(np.int64)
+        # NULL semantics = SQL's SUM(...) OVER: a NULL/NaN value adds 0 to
+        # the running sum but the row still gets a row number. Without the
+        # mask, floor(NaN*1000).astype(int64) yields INT64_MIN and silently
+        # corrupts every subsequent run_sum1000 for the key.
+        v = np.asarray(v, dtype=np.float64)
+        v1000 = np.where(np.isnan(v), np.int64(0),
+                         np.floor(v * 1000)).astype(np.int64)
         new_key = np.concatenate(([True], kn[1:] != kn[:-1]))
         seg = np.flatnonzero(new_key)             # segment starts
         seg_of = np.cumsum(new_key) - 1           # segment id per row

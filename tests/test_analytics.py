@@ -320,6 +320,47 @@ def test_grouped_quantiles_matches_sorted_rank(ray_session):
     assert len(got) == 4 * len(qs)
 
 
+def test_grouped_quantiles_wide_domain_key_routes_to_sample(ray_session):
+    # a key whose distinct-value domain exceeds max_distinct_per_key must
+    # not need a worker-sized histogram: it routes to the bounded per-key
+    # bottom-k sample (~1/sqrt(k) rank error); narrow keys stay EXACT in
+    # the same call
+    import math
+
+    import ray.data as rd
+
+    from rwcf import analytics
+
+    rng = np.random.default_rng(41)
+    n_wide = 60_000
+    wide_vals = rng.integers(0, 10_000_000, n_wide).astype(np.int64)
+    narrow_vals = rng.integers(0, 20, 2000).astype(np.int64)
+    df = pd.DataFrame({
+        "src": np.concatenate([np.full(n_wide, "wide", dtype=object),
+                               np.full(2000, "narrow", dtype=object)]),
+        "x": np.concatenate([wide_vals, narrow_vals])})
+    qs = (0.25, 0.5, 0.9)
+    got = (analytics.grouped_quantiles(
+        rd.from_pandas(df).repartition(4), "src", "x", qs=qs,
+        max_distinct_per_key=1000, sample_k=4096)
+        .to_pandas().sort_values(["src", "q"]).reset_index(drop=True))
+    assert len(got) == 2 * len(qs)
+    # narrow key: exact SQL row_number semantics
+    sv = np.sort(narrow_vals)
+    for q in qs:
+        r = max(1, math.ceil(q * sv.size))
+        v = got[(got["src"] == "narrow") & (got["q"] == q)]["v"].iloc[0]
+        assert v == sv[r - 1], q
+    # wide key: sampled — true rank of the reported value within
+    # 3/sqrt(k) of the requested quantile
+    svw = np.sort(wide_vals)
+    tol = 3.0 / math.sqrt(4096)
+    for q in qs:
+        v = got[(got["src"] == "wide") & (got["q"] == q)]["v"].iloc[0]
+        rank = np.searchsorted(svw, v, side="right") / svw.size
+        assert abs(rank - q) < tol, (q, rank)
+
+
 def test_cms_top_tokens_matches_exact_on_zipf(ray_session):
     import ray.data as rd
 

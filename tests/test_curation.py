@@ -132,6 +132,17 @@ def test_decontaminate_empty_probes(ray_session):
     assert out["contaminated"].tolist() == [0, 0]
 
 
+def test_decontaminate_drops_empty_probe_strings(ray_session):
+    # an accidental '' probe must not flag the whole corpus (SQL's
+    # contains(text, '') is true everywhere — the engine drops empties
+    # and oracles mirror that with WHERE p <> '')
+    import ray.data as rd
+    ds = rd.from_arrow(tbl(["carrier probe text", "clean"]))
+    out = curation.decontaminate(ds, probes=["", "probe"]).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert out["contaminated"].tolist() == [1, 0]
+
+
 def test_probe_strings_derivation(ray_session):
     import ray.data as rd
     texts = [f"document number {i} " + "w " * 40 for i in range(10)]

@@ -48,12 +48,31 @@ def test_commit_idempotent_and_atomic(ray_session, tmp_path):
     assert state.commit_new(ds, idx, run_id="r1") == 0
     h1, h2 = state.load_index(idx)
     assert h1.size == 2
-    # a crashed tmp dir is swept by the next commit and never read
-    os.makedirs(os.path.join(idx, ".tmp-crashed"))
+    # another run's in-flight tmp dir is LEFT alone (concurrent commits
+    # of different run_ids must not clobber each other); only this
+    # run_id's own stale tmp dir is swept before re-committing
+    os.makedirs(os.path.join(idx, ".tmp-other-run"))
+    os.makedirs(os.path.join(idx, ".tmp-r2"))  # r2's own crashed attempt
     assert state.commit_new(
         rd.from_arrow(tbl(["c"])), idx, run_id="r2") == 1
-    assert not os.path.exists(os.path.join(idx, ".tmp-crashed"))
+    assert os.path.exists(os.path.join(idx, ".tmp-other-run"))
+    assert not os.path.exists(os.path.join(idx, ".tmp-r2"))
     assert state.load_index(idx)[0].size == 3
+
+
+def test_base2_is_odd_and_h2_sees_past_byte_64():
+    # an EVEN base b has b^i = 0 mod 2^64 for i >= 64, making h2 blind to
+    # everything after a document's first 64 bytes — the 128-bit composite
+    # key would collapse to h1 alone for prefix-sharing documents
+    # (templated crawl headers). Regression for the 2026-08-18 fix.
+    assert int(state._BASE2) % 2 == 1
+    prefix = "H" * 64  # shared 64-byte prefix
+    a = tbl([prefix + "tail one"])
+    b = tbl([prefix + "tail two"])
+    (h1a,), (h2a,) = state.doc_keys(a)
+    (h1b,), (h2b,) = state.doc_keys(b)
+    assert h1a != h1b
+    assert h2a != h2b  # fails with the old even base
 
 
 def test_pair_member_rejects_h1_collision():

@@ -158,6 +158,29 @@ def test_running_totals(ray_session):
     assert len(out) == n
 
 
+def test_running_totals_null_values(ray_session):
+    # SQL SUM-OVER semantics: a NULL/NaN value contributes 0 to the
+    # running sum but the row still gets a row number. Regression: the
+    # unmasked floor(NaN*1000) used to become INT64_MIN and corrupt every
+    # subsequent run_sum1000 for the key.
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rwcf.windows import running_totals
+
+    df = pd.DataFrame({
+        "event_id": np.arange(4, dtype=np.int64),
+        "user_id": np.zeros(4, dtype=np.int64),
+        "ts": pd.to_datetime([10, 20, 30, 40], unit="s"),
+        "value": [1.5, np.nan, 2.0, np.nan],
+    })
+    out = running_totals(rd.from_pandas(df)) \
+        .to_pandas().sort_values("event_id", ignore_index=True)
+    assert out["row_num"].tolist() == [1, 2, 3, 4]
+    assert out["run_sum1000"].tolist() == [1500, 1500, 3500, 3500]
+
+
 def test_funnel_steps(ray_session):
     import numpy as np
     import pandas as pd
