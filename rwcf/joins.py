@@ -302,13 +302,20 @@ def hash_join(left, right, on: str, right_on: str | None = None,
         # null-filled cross-side columns would otherwise poison int dtypes
         # (pandas turns a null-bearing int64 column into float64)
         side = g.column(_SIDE)
-        l = g.filter(pc.equal(side, 0)).select([_JK] + out_l).to_pandas()
         if key_only:
+            # semi/anti never materialize pandas: one Arrow is_in on the
+            # bucket-local key column does the membership filter zero-copy
+            la = g.filter(pc.equal(side, 0)).select([_JK] + out_l)
             rkeys = g.filter(pc.equal(side, 1)).column(_JK) \
-                .to_pandas().unique()
-            m = l[l[_JK].isin(rkeys)] if how == "semi" \
-                else l[~l[_JK].isin(rkeys)]
-            return _from_pandas_nullable(m[out_l], out_schema)
+                .combine_chunks().unique()
+            # fill_null(False) pins null-key semantics to the prior pandas
+            # isin behavior: a null left key is never a member (semi drops
+            # it, anti keeps it)
+            memb = pc.fill_null(pc.is_in(la.column(_JK).combine_chunks(),
+                                         value_set=rkeys), False)
+            m = la.filter(memb if how == "semi" else pc.invert(memb))
+            return _align(m.select(out_l), out_schema)
+        l = g.filter(pc.equal(side, 0)).select([_JK] + out_l).to_pandas()
         r = g.filter(pc.equal(side, 1)).select([_JK] + out_r).to_pandas()
         if how in ("left", "outer"):
             # nullable Int64 BEFORE the merge: an unmatched left row would

@@ -62,10 +62,16 @@ def prep_corpus(ds, text_col: str = "text", id_col: str = "doc_id",
     out_cols = [id_col, *keep_cols, "n_words"]
 
     def survivors(g: pa.Table) -> pa.Table:
-        df = g.to_pandas()
-        # min-id row per distinct text, vectorized: idxmin per group
-        win = df.loc[df.groupby(text_col, sort=False)[id_col].idxmin()]
-        return pa.Table.from_pandas(win[out_cols], preserve_index=False)
+        # min-id row per distinct text, Arrow/numpy end to end: dictionary
+        # codes group identical texts, one lexsort (code, id) puts each
+        # group's min-id row first
+        codes_arr = pc.dictionary_encode(g.column(text_col).combine_chunks())
+        codes = np.asarray(codes_arr.indices, dtype=np.int64)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, codes))
+        first = np.ones(order.size, dtype=bool)
+        first[1:] = codes[order][1:] != codes[order][:-1]
+        return g.select(out_cols).take(pa.array(order[first]))
 
     return (ds.map_batches(filt, batch_format="pyarrow",
                            **rayenv.remote_args())
