@@ -76,4 +76,14 @@ for name, fn in qs.items():
 fails = [k for k, v in results.items()
          if v.get("error") or v.get("vals") not in (True, None)]
 print("FAILS:", fails)
+
+# machine-readable evidence: the graft driver records CORRECTNESS rows for
+# only the first 50 queries() entries per round; this dump covers ALL of
+# them (pass --out to write it, e.g. CONTRACT_FULL_r04.json at repo root)
+if "--out" in sys.argv:
+    out_path = sys.argv[sys.argv.index("--out") + 1]
+    with open(out_path, "w") as f:
+        json.dump({"sf_dir": SF, "n_queries": len(results),
+                   "fails": fails, "results": results}, f, indent=1)
+    print("wrote", out_path)
 ray.shutdown()
