@@ -1204,6 +1204,104 @@ def _q_pack_stats(sf_dir: str):
                                   n_buckets=8)
 
 
+def _q_revenue_by_nation(sf_dir: str):
+    """Composed multi-join rollup (lineitem ⋈ orders ⋈ customer ⋈ nation
+    grouped by nation): fact side collapses to per-key integer-cent
+    partials IN-BATCH before each hash join, nation is broadcast —
+    2 bucketed joins + 1 nations-sized groupby, raw fact rows never
+    shuffle. Exact int64 money (cents x basis points) on both sides."""
+    import ray.data as rd
+
+    from rwcf.relational import revenue_by_nation
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount"])
+    od = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderkey", "o_custkey"])
+    cu = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    na = rd.read_parquet(os.path.join(sf_dir, "nation.parquet"),
+                         columns=["n_nationkey", "n_name"])
+    return revenue_by_nation(li, od, cu, na)
+
+
+def _q_moving_range_sum(sf_dir: str):
+    """Per-user trailing 1h RANGE window (count + exact integer-scaled
+    sum incl. same-second peers): one bucketed shuffle, all keys in a
+    bucket resolved by two global searchsorted calls on offset
+    timestamps."""
+    import ray.data as rd
+
+    from rwcf import windows
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "ts", "value"])
+    return windows.moving_range_sum(ev, range_s=3600)
+
+
+def _q_ntile_nchars(sf_dir: str):
+    """NTILE(4) length tiers per source (deterministic (n_chars, doc_id)
+    order): one bucketed shuffle, closed-form segmented tile assignment,
+    no per-group dispatch."""
+    from rwcf import analytics
+    return analytics.grouped_ntile(
+        _docs_ds(sf_dir, columns=("doc_id", "source", "n_chars")),
+        key_col="source", order_col="n_chars", id_col="doc_id", n=4)
+
+
+def _q_event_deltas(sf_dir: str):
+    """Per-user inter-event gaps in floored epoch seconds (LAG family,
+    NULL at each user's first event): one bucketed shuffle, in-bucket
+    shifted subtraction with a segment-start null mask."""
+    import ray.data as rd
+
+    from rwcf import windows
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "ts"])
+    return windows.event_deltas(ev)
+
+
+def _q_grouped_rank(sf_dir: str):
+    """RANK + DENSE_RANK of n_chars per source (ties share ranks; RANK
+    gaps, DENSE_RANK doesn't): one bucketed shuffle, segmented
+    first-of-value / distinct-count passes."""
+    from rwcf import analytics
+    return analytics.grouped_rank(
+        _docs_ds(sf_dir, columns=("doc_id", "source", "n_chars")),
+        key_col="source", order_col="n_chars", id_col="doc_id")
+
+
+def _q_rows_window_sum(sf_dir: str):
+    """Last-5-rows trailing ROWS frame per user (fixed-depth smoothing;
+    deterministic (ts, event_id) order, not peer-inclusive): one bucketed
+    shuffle, prefix sums with frame start clamped to the key segment."""
+    import ray.data as rd
+
+    from rwcf import windows
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "ts", "value"])
+    return windows.rows_window_sum(ev, preceding=4)
+
+
+def _q_grouped_corr(sf_dir: str):
+    """Pearson corr(n_chars, n_words) per source via exact integer
+    moments (n*sxy - sx*sy over sqrt(vx*vy); Python-int cross products in
+    the group-count-sized final): zero corpus shuffles."""
+    from rwcf import analytics, textops
+
+    def add_words(t):
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+        return _pa.table({
+            "source": t.column("source"),
+            "n_chars": t.column("n_chars"),
+            "n_words": _pc.cast(_pc.count_substring_regex(
+                t.column("text"), textops.WORD_PATTERN), _pa.int64())})
+
+    ds = _docs_ds(sf_dir, columns=("source", "n_chars", "text")) \
+        .map_batches(add_words, batch_format="pyarrow")
+    return analytics.grouped_corr(ds)
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -1278,7 +1376,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "codec_selection": _q_codec_selection,
         "flagship_synthetic": _q_flagship_synthetic,
         # ---- driver window boundary (entries below have green
-        # ---- CORRECTNESS rows from rounds 1-3) ----
+        # ---- CORRECTNESS rows from rounds 1-3, or — for the round-4
+        # ---- additions right here — full-contract evidence in
+        # ---- CONTRACT_FULL_r04.json) ----
+        "revenue_by_nation": _q_revenue_by_nation,
+        "moving_range_sum": _q_moving_range_sum,
+        "ntile_nchars_per_source": _q_ntile_nchars,
+        "event_deltas": _q_event_deltas,
+        "rank_nchars_per_source": _q_grouped_rank,
+        "rows_window_sum": _q_rows_window_sum,
+        "corr_chars_words": _q_grouped_corr,
         "filter_large_docs": _q_filter_large_docs,
         "window_tumbling": _q_window_tumbling,
         "window_sliding": _q_window_sliding,
@@ -1651,6 +1758,73 @@ def oracle_sql() -> dict[str, str]:
             "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_sum1000 "
             "FROM events WINDOW w AS "
             "(PARTITION BY user_id ORDER BY ts, event_id)"),
+        # trailing RANGE window: both sides order by floored epoch
+        # seconds, so same-second peers are in-frame; floor(v*1000)
+        # int64 scaling keeps the sums order-exact
+        "moving_range_sum": (
+            "SELECT event_id, user_id, "
+            "CAST(count(*) OVER w AS BIGINT) AS n_win, "
+            "CAST(sum(CAST(floor(value * 1000) AS BIGINT)) OVER w "
+            "AS BIGINT) AS win_sum1000 FROM events WINDOW w AS "
+            "(PARTITION BY user_id "
+            "ORDER BY CAST(floor(epoch(ts)) AS BIGINT) "
+            "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)"),
+        "ntile_nchars_per_source": (
+            "SELECT doc_id, source, CAST(ntile(4) OVER (PARTITION BY "
+            "source ORDER BY n_chars, doc_id) AS BIGINT) AS tile "
+            "FROM documents"),
+        # LAG family: both sides diff floored epoch seconds in
+        # (ts, event_id) order; NULL at each key's first event
+        "event_deltas": (
+            "SELECT event_id, user_id, "
+            "CAST(floor(epoch(ts)) AS BIGINT) - "
+            "lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS gap_s "
+            "FROM events"),
+        # ROWS frame (not RANGE): exactly the last 5 rows of the
+        # deterministic (ts, event_id) order on both sides
+        "rows_window_sum": (
+            "SELECT event_id, user_id, "
+            "CAST(count(*) OVER w AS BIGINT) AS n_win, "
+            "CAST(sum(CAST(floor(value * 1000) AS BIGINT)) OVER w "
+            "AS BIGINT) AS win_sum1000 FROM events WINDOW w AS "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"),
+        # exact HUGEINT moments on the oracle side, Python-int cross
+        # products on the engine side; ONE identical float div+sqrt, 4dp
+        "corr_chars_words": (
+            "WITH w AS (SELECT source, n_chars AS x, "
+            "CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) "
+            "AS y FROM documents), "
+            "m AS (SELECT source, CAST(count(*) AS HUGEINT) AS n, "
+            "CAST(sum(x) AS HUGEINT) AS sx, "
+            "CAST(sum(y) AS HUGEINT) AS sy, "
+            "CAST(sum(x * x) AS HUGEINT) AS sxx, "
+            "CAST(sum(y * y) AS HUGEINT) AS syy, "
+            "CAST(sum(x * y) AS HUGEINT) AS sxy FROM w GROUP BY source) "
+            "SELECT source, CAST(n AS BIGINT) AS n, "
+            "CASE WHEN n >= 2 AND n * sxx - sx * sx > 0 "
+            "AND n * syy - sy * sy > 0 THEN "
+            "ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / "
+            "sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy) "
+            "AS DOUBLE)), 4) ELSE NULL END AS corr FROM m"),
+        # rank depends only on the value, so no tie-break column is
+        # needed for determinism
+        "rank_nchars_per_source": (
+            "SELECT doc_id, source, "
+            "CAST(rank() OVER (PARTITION BY source ORDER BY n_chars) "
+            "AS BIGINT) AS rnk, "
+            "CAST(dense_rank() OVER (PARTITION BY source ORDER BY "
+            "n_chars) AS BIGINT) AS dense_rnk FROM documents"),
+        # exact integer money: cents x (100 - basis points) summed as
+        # int64 on both sides — float summation order never appears
+        "revenue_by_nation": (
+            "SELECT n_name, CAST(sum(CAST(round(l_extendedprice * 100) "
+            "AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)))"
+            " AS BIGINT) AS rev_scaled "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"),
         # z = (n*x - s)/sqrt(n*ssq - s^2): exact integer moments on both
         # sides, ONE identical float division + sqrt, 4dp
         "zscore_nchars": (

@@ -1360,3 +1360,211 @@ def top_words_per_group(ds, key_col: str = "source",
             .groupby("_b")
             .map_groups(final, batch_format="pyarrow",
                         **rayenv.remote_args()))
+
+
+def grouped_ntile(ds, key_col: str = "source", order_col: str = "n_chars",
+                  id_col: str = "doc_id", n: int = 4, buckets: int = 32):
+    """Per-group NTILE(n) bucketing — SQL's
+    ``NTILE(n) OVER (PARTITION BY key ORDER BY order_col, id)``: each
+    group's rows, in (order_col, id) order, are split into ``n`` tiles as
+    evenly as possible, with the first ``count % n`` tiles one row larger
+    (the standard NTILE fill rule). The quantile-bucketing primitive of
+    curriculum construction (length tiers per source, difficulty quartiles)
+    — downstream mixers select "tile 1 of source X" without a quantile
+    recompute. The id tiebreak makes the assignment deterministic across
+    engines and batch orders.
+
+    Scale shape: ONE bucketed shuffle on ``hash(key)`` (whole groups
+    co-locate); inside each bucket a single sort + segmented arithmetic
+    assigns every group's tiles at once — the tile index is a closed-form
+    function of (row rank in group, group size, n), so there is no
+    per-group dispatch and no second pass. Same whole-group-per-bucket
+    skew bound as the other grouped operators.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        kv = t.column(key_col).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        return t.append_column("_b",
+                               pa.array(hash_bucket(kv, buckets=buckets)))
+
+    def assign(g: pa.Table) -> pa.Table:
+        g = g.take(pc.sort_indices(g, sort_keys=[(key_col, "ascending"),
+                                                 (order_col, "ascending"),
+                                                 (id_col, "ascending")]))
+        m = g.num_rows
+        if m == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             key_col: pa.array(
+                                 [], g.schema.field(key_col).type),
+                             "tile": pa.array([], pa.int64())})
+        kn = g.column(key_col).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        new_key = np.concatenate(([True], kn[1:] != kn[:-1]))
+        seg = np.flatnonzero(new_key)             # segment starts
+        seg_of = np.cumsum(new_key) - 1           # segment id per row
+        sizes = np.diff(np.concatenate([seg, [m]]))  # rows per group
+        r = np.arange(m, dtype=np.int64) - seg[seg_of]  # 0-based rank
+        gsz = sizes[seg_of]
+        big = gsz % n                             # tiles with +1 rows
+        small = gsz // n
+        cut = big * (small + 1)                   # rows in the big tiles
+        # rows past the big region divide by `small`; guard small==0
+        # (group smaller than n: every row IS in the big region, the
+        # else-branch value is never selected but must not divide by 0)
+        safe_small = np.maximum(small, 1)
+        tile = np.where(r < cut, r // (small + 1),
+                        big + (r - cut) // safe_small) + 1
+        return pa.table({id_col: g.column(id_col),
+                         key_col: g.column(key_col),
+                         "tile": pa.array(tile.astype(np.int64))})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .repartition(buckets)
+            .groupby("_b")
+            .map_groups(assign, batch_format="pyarrow",
+                        **rayenv.remote_args()))
+
+
+def grouped_rank(ds, key_col: str = "source", order_col: str = "n_chars",
+                 id_col: str = "doc_id", buckets: int = 32):
+    """Per-group RANK() and DENSE_RANK() over ``order_col`` ascending —
+    SQL's ``RANK()/DENSE_RANK() OVER (PARTITION BY key ORDER BY v)``:
+    ties share a rank; RANK leaves gaps after ties, DENSE_RANK does not.
+    Rank depends only on the VALUE, so no tie-break column is needed for
+    the ranks themselves to be deterministic. The ordinal-position
+    primitive (percentile tiers, leaderboards, length ordering) that
+    :func:`grouped_ntile` buckets and :func:`grouped_topk` truncates.
+
+    Scale shape: ONE bucketed shuffle on ``hash(key)``; in-bucket sort by
+    (key, value) + two segmented cumulative passes (first-row-of-value
+    index for RANK, distinct-value count for DENSE_RANK) resolve every
+    group at once with no per-group dispatch. Same whole-group-per-bucket
+    skew bound as the other grouped operators.
+    """
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        kv = t.column(key_col).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        return t.append_column("_b",
+                               pa.array(hash_bucket(kv, buckets=buckets)))
+
+    def ranks(g: pa.Table) -> pa.Table:
+        g = g.take(pc.sort_indices(g, sort_keys=[(key_col, "ascending"),
+                                                 (order_col, "ascending"),
+                                                 (id_col, "ascending")]))
+        m = g.num_rows
+        if m == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             key_col: pa.array(
+                                 [], g.schema.field(key_col).type),
+                             "rnk": pa.array([], pa.int64()),
+                             "dense_rnk": pa.array([], pa.int64())})
+        kn = g.column(key_col).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        vn = g.column(order_col).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        new_key = np.concatenate(([True], kn[1:] != kn[:-1]))
+        new_val = np.concatenate(([True],
+                                  (kn[1:] != kn[:-1]) | (vn[1:] != vn[:-1])))
+        seg = np.flatnonzero(new_key)
+        seg_of = np.cumsum(new_key) - 1
+        idx = np.arange(m, dtype=np.int64)
+        # RANK: 1 + offset-in-group of the FIRST row carrying this value
+        first_of_val = idx[new_val][np.cumsum(new_val) - 1]
+        rnk = first_of_val - seg[seg_of] + 1
+        # DENSE_RANK: distinct values seen so far within the group
+        vals_before_seg = np.cumsum(new_val)[seg] - 1  # distinct before grp
+        dense = np.cumsum(new_val) - 1 - vals_before_seg[seg_of] + 1
+        return pa.table({id_col: g.column(id_col),
+                         key_col: g.column(key_col),
+                         "rnk": pa.array(rnk.astype(np.int64)),
+                         "dense_rnk": pa.array(dense.astype(np.int64))})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .repartition(buckets)
+            .groupby("_b")
+            .map_groups(ranks, batch_format="pyarrow",
+                        **rayenv.remote_args()))
+
+
+def grouped_corr(ds, key_col: str = "source", x_col: str = "n_chars",
+                 y_col: str = "n_words"):
+    """Per-group Pearson correlation of two integer columns via EXACT
+    integer moments — the feature-collinearity probe a quality-filter
+    pipeline runs before combining signals (is length just a proxy for
+    word count in this source?):
+
+        corr = (n*sxy - sx*sy) / sqrt((n*sxx - sx^2) * (n*syy - sy^2))
+
+    with n, sx, sy, sxx, syy, sxy exact int64 partials, so both engine
+    and oracle do ONE identical float expression at the end (4dp) — the
+    same no-drift construction as :func:`zscore_by_group`. Degenerate
+    groups (either column constant, or n == 1) emit NULL, matching SQL's
+    ``corr()``. Cross-products route through Python ints in the final
+    (group-count-sized) reduce, so n*sxy cannot overflow int64 for large
+    groups — only the per-batch partials are int64-bounded (documented
+    like zscore: holds to ~1e6 rows x 1e3 values per batch-group).
+
+    Scale shape: per-batch (key, n, sx, sy, sxx, syy, sxy) partials, one
+    group-count-sized groupby, group-count-sized final. Zero corpus
+    shuffles.
+    """
+
+    def part(t: pa.Table) -> pa.Table:
+        kv = t.column(key_col).to_numpy(zero_copy_only=False)
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ug, inv = np.unique(kv, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        out = {}
+        for name, arr in (("sx", x), ("sy", y), ("sxx", x * x),
+                          ("syy", y * y), ("sxy", x * y)):
+            acc = np.zeros(ug.size, dtype=np.int64)
+            np.add.at(acc, inv, arr)
+            out[name] = acc
+        return pa.table({key_col: pa.array(ug.astype(object), pa.string()),
+                         "n": pa.array(n), **{k: pa.array(v)
+                                              for k, v in out.items()}})
+
+    from ray.data.aggregate import Sum
+    agg = (ds.map_batches(part, batch_format="pyarrow",
+                          **rayenv.remote_args())
+           .groupby(key_col)
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sx", alias_name="sx"),
+                      Sum("sy", alias_name="sy"),
+                      Sum("sxx", alias_name="sxx"),
+                      Sum("syy", alias_name="syy"),
+                      Sum("sxy", alias_name="sxy")))
+
+    def final(t: pa.Table) -> pa.Table:
+        # group-count-sized: exact Python-int cross products, one float
+        # division + sqrt (identical to the SQL replay), 4dp
+        keys, corrs, ns = [], [], []
+        for i in range(t.num_rows):
+            n = int(t.column("n")[i].as_py())
+            sx = int(t.column("sx")[i].as_py())
+            sy = int(t.column("sy")[i].as_py())
+            sxx = int(t.column("sxx")[i].as_py())
+            syy = int(t.column("syy")[i].as_py())
+            sxy = int(t.column("sxy")[i].as_py())
+            vx = n * sxx - sx * sx
+            vy = n * syy - sy * sy
+            if n < 2 or vx <= 0 or vy <= 0:
+                c = None
+            else:
+                c = round((n * sxy - sx * sy) / float(vx * vy) ** 0.5, 4)
+            keys.append(t.column(key_col)[i].as_py())
+            ns.append(n)
+            corrs.append(c)
+        return pa.table({key_col: pa.array(keys, pa.string()),
+                         "n": pa.array(ns, pa.int64()),
+                         "corr": pa.array(corrs, pa.float64())})
+
+    return agg.map_batches(final, batch_format="pyarrow",
+                           **rayenv.remote_args())

@@ -1,0 +1,141 @@
+"""Composed multi-join analytical pipelines over the relational tables.
+
+The join-chain family a warehouse-offload pipeline runs before training-data
+work even starts (attribute enrichment, revenue rollups, cohort joins).
+Composition rules at 100 TB, applied here and stated per stage:
+
+- **pre-aggregate before every join**: the fact side collapses to one row
+  per join key inside ``map_batches`` (integer partial sums), so each hash
+  join exchanges partial rows, never raw fact rows;
+- **one partitioning key per exchange, reused**: the chain is keyed
+  orderkey -> custkey -> nationkey, each a bucketed
+  :func:`rwcf.joins.hash_join` on the column the NEXT stage groups by;
+- **broadcast the dimension tail**: ``nation`` is nations-sized (tiny
+  forever) — it rides a ``ray.put`` map, never a shuffle;
+- **exact integer money**: revenue is ``round(price*100) * (100 -
+  round(discount*100))`` summed as int64 (price in cents x discount in
+  basis points), so the sum is order-independent and byte-comparable to
+  the SQL oracle — float summation order never appears.
+
+Reference scope note: the reference engine (src/lib.rs:25-48) has no joins
+at all; this module is part of the mandated training-data extension, built
+on the same rwcf.joins primitives the dedup verify path uses.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import rayenv
+from .joins import hash_join
+
+
+def _money_partial(t: pa.Table, key: str, price: str, disc: str,
+                   out_key: str) -> pa.Table:
+    """Per-batch partial: one (key, rev_scaled) row per distinct key.
+    rev_scaled = sum(cents * (100 - bp)) — exact int64."""
+    k = t.column(key).combine_chunks().to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    cents = np.rint(t.column(price).combine_chunks()
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+    bp = np.rint(t.column(disc).combine_chunks()
+                 .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+    rev = cents * (100 - bp)
+    order = np.argsort(k, kind="stable")
+    ks, rs = k[order], rev[order]
+    new = np.ones(ks.size, dtype=bool)
+    if ks.size > 1:
+        new[1:] = ks[1:] != ks[:-1]
+    seg = np.flatnonzero(new)
+    cs = np.cumsum(rs)
+    totals = np.diff(np.concatenate([cs[seg] - rs[seg], cs[-1:]])) \
+        if ks.size else np.empty(0, np.int64)
+    return pa.table({out_key: pa.array(ks[seg]),
+                     "rev_scaled": pa.array(totals.astype(np.int64))})
+
+
+def revenue_by_nation(lineitem, orders, customer, nation,
+                      buckets: int = 32):
+    """Revenue rollup customer-side: lineitem ⋈ orders ⋈ customer ⋈ nation,
+    grouped by nation name. Output ``(n_name, rev_scaled)`` with
+    ``rev_scaled = sum(round(price*100) * (100 - round(discount*100)))``.
+
+    Scale shape: lineitem collapses to (orderkey, rev) partials in-batch
+    BEFORE its join (the only corpus-sized table never ships a raw row);
+    two bucketed hash joins re-key partials orderkey->custkey->nationkey,
+    with another in-batch partial collapse between them; nation is
+    broadcast. Total exchanges: 2 bucketed joins + 1 nations-sized
+    groupby."""
+    import ray
+
+    li = lineitem.map_batches(
+        lambda t: _money_partial(t, "l_orderkey", "l_extendedprice",
+                                 "l_discount", "ok"),
+        batch_format="pyarrow", **rayenv.remote_args())
+
+    def ord_proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "ok": pc.cast(t.column("o_orderkey"), pa.int64()),
+            "ck": pc.cast(t.column("o_custkey"), pa.int64())})
+
+    od = orders.map_batches(ord_proj, batch_format="pyarrow",
+                            **rayenv.remote_args())
+    j1 = hash_join(li, od, on="ok", buckets=buckets)
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        # collapse to one (custkey, rev) row per batch-local custkey so the
+        # second join exchanges partials too
+        k = t.column("ck").combine_chunks().to_numpy(zero_copy_only=False)
+        r = t.column("rev_scaled").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        ks, rs = k[order], r[order]
+        new = np.ones(ks.size, dtype=bool)
+        if ks.size > 1:
+            new[1:] = ks[1:] != ks[:-1]
+        seg = np.flatnonzero(new)
+        cs = np.cumsum(rs)
+        totals = np.diff(np.concatenate([cs[seg] - rs[seg], cs[-1:]])) \
+            if ks.size else np.empty(0, np.int64)
+        return pa.table({"ck": pa.array(ks[seg]),
+                         "rev_scaled": pa.array(totals.astype(np.int64))})
+
+    j1p = j1.map_batches(cust_partial, batch_format="pyarrow",
+                         **rayenv.remote_args())
+
+    def cust_proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "ck": pc.cast(t.column("c_custkey"), pa.int64()),
+            "nk": pc.cast(t.column("c_nationkey"), pa.int64())})
+
+    cu = customer.map_batches(cust_proj, batch_format="pyarrow",
+                              **rayenv.remote_args())
+    j2 = hash_join(j1p, cu, on="ck", buckets=buckets)
+
+    # nation is tiny forever: broadcast the nationkey -> name map
+    nt = nation.select_columns(["n_nationkey", "n_name"]).to_pandas()
+    nmap_ref = ray.put(dict(zip(nt["n_nationkey"].astype(np.int64),
+                                nt["n_name"])))
+
+    def add_name(t: pa.Table) -> pa.Table:
+        nmap = ray.get(nmap_ref)
+        nk = t.column("nk").combine_chunks().to_numpy(zero_copy_only=False)
+        names = np.array([nmap[int(x)] for x in np.unique(nk)], dtype=object)
+        lut = {int(x): i for i, x in enumerate(np.unique(nk))}
+        idx = np.fromiter((lut[int(x)] for x in nk), np.int64, nk.size)
+        return pa.table({"n_name": pa.array(names[idx], pa.string()),
+                         "rev_scaled": t.column("rev_scaled")})
+
+    named = j2.map_batches(add_name, batch_format="pyarrow",
+                           **rayenv.remote_args())
+    agg = named.groupby("n_name").sum("rev_scaled")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": t.column("n_name"),
+            "rev_scaled": pc.cast(t.column("sum(rev_scaled)"), pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           **rayenv.remote_args())

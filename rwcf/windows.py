@@ -248,6 +248,79 @@ def running_totals(ds, key: str = "user_id", ts_col: str = "ts",
                         **rayenv.remote_args()))
 
 
+def moving_range_sum(ds, range_s: int = 3600, key: str = "user_id",
+                     ts_col: str = "ts", val_col: str = "value",
+                     id_col: str = "event_id", buckets: int = 32):
+    """Time-range moving aggregate — SQL's
+    ``SUM(v) OVER (PARTITION BY key ORDER BY ts RANGE BETWEEN range_s
+    PRECEDING AND CURRENT ROW)``: for every event, the count and exact
+    integer-scaled value sum of its key's events in ``[t - range_s, t]``,
+    INCLUDING same-timestamp peers (RANGE frames include all peers of the
+    current row, unlike ROWS frames). The trailing-window primitive
+    (rate limiting, rolling spend, burst detection).
+
+    Values use the shared ``floor(v*1000)`` int64 scaling; NULL/NaN values
+    contribute 0 to the sum but still count toward ``n_win``, mirroring
+    SQL's SUM-skips-NULLs / COUNT(*)-counts-rows split.
+
+    Scale shape: ONE bucketed shuffle on ``hash(key)``; inside each bucket
+    every key is resolved at once with no per-key dispatch — timestamps are
+    offset by ``segment_id * span`` so the window edges of ALL keys resolve
+    in two global ``np.searchsorted`` calls against one prefix-sum array
+    (an out-of-segment edge cannot cross into a neighboring key because the
+    per-segment offset exceeds any in-segment timestamp spread by more than
+    ``range_s``). Same whole-key-per-bucket skew bound as
+    :func:`running_totals`.
+    """
+    if range_s < 0:
+        raise ValueError("range_s must be >= 0")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        from .joins import hash_bucket
+        kv = t.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+        return t.append_column("_b",
+                               pa.array(hash_bucket(kv, buckets=buckets)))
+
+    def window_sum(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        g = g.take(pc.sort_indices(g, sort_keys=[(key, "ascending"),
+                                                 (ts_col, "ascending"),
+                                                 (id_col, "ascending")]))
+        n = g.num_rows
+        if n == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             key: pa.array([], g.schema.field(key).type),
+                             "n_win": pa.array([], pa.int64()),
+                             "win_sum1000": pa.array([], pa.int64())})
+        kn = g.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+        tsec = _epoch_seconds_floor(g.column(ts_col))
+        v = np.asarray(g.column(val_col).combine_chunks()
+                       .to_numpy(zero_copy_only=False), dtype=np.float64)
+        v1000 = np.where(np.isnan(v), np.int64(0),
+                         np.floor(v * 1000)).astype(np.int64)
+        new_key = np.concatenate(([True], kn[1:] != kn[:-1]))
+        seg_of = np.cumsum(new_key) - 1           # segment id per row
+        # per-segment offset large enough that (t - range_s) can never
+        # reach the previous segment's adjusted range
+        span = np.int64(int(tsec.max()) - int(tsec.min())
+                        + int(range_s) + 2)
+        t_adj = (tsec - tsec.min()) + seg_of * span
+        lo = np.searchsorted(t_adj, t_adj - np.int64(range_s), side="left")
+        hi = np.searchsorted(t_adj, t_adj, side="right")
+        cs = np.concatenate(([np.int64(0)], np.cumsum(v1000)))
+        return pa.table({id_col: g.column(id_col),
+                         key: g.column(key),
+                         "n_win": pa.array((hi - lo).astype(np.int64)),
+                         "win_sum1000": pa.array(cs[hi] - cs[lo])})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .repartition(buckets)
+            .groupby("_b")
+            .map_groups(window_sum, batch_format="pyarrow",
+                        **rayenv.remote_args()))
+
+
 def funnel_steps(ds, steps=("view", "click", "purchase"),
                  window_s: int = 3600, key: str = "user_id",
                  ts_col: str = "ts", type_col: str = "event_type",
@@ -431,3 +504,113 @@ def cohort_retention(ds, day_s: int = 86400, key: str = "user_id",
             "n_users": pc.cast(t.column("n_users"), pa.int64())})
     return out.map_batches(cast, batch_format="pyarrow",
                            **rayenv.remote_args())
+
+
+def event_deltas(ds, key: str = "user_id", ts_col: str = "ts",
+                 id_col: str = "event_id", buckets: int = 32):
+    """Per-key inter-event gaps — SQL's
+    ``ts - LAG(ts) OVER (PARTITION BY key ORDER BY ts, id)`` in floored
+    epoch seconds (NULL for each key's first event). The session-gap /
+    arrival-rate primitive: feeds bot detection, session-gap tuning and
+    event-rate features without a second pass.
+
+    Scale shape: ONE bucketed shuffle on ``hash(key)``; in-bucket sort by
+    (key, ts, id) + one shifted subtraction with a segment-start mask
+    resolves every key at once. Same whole-key-per-bucket skew bound as
+    :func:`running_totals`.
+    """
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        from .joins import hash_bucket
+        kv = t.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+        return t.append_column("_b",
+                               pa.array(hash_bucket(kv, buckets=buckets)))
+
+    def deltas(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        g = g.take(pc.sort_indices(g, sort_keys=[(key, "ascending"),
+                                                 (ts_col, "ascending"),
+                                                 (id_col, "ascending")]))
+        n = g.num_rows
+        if n == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             key: pa.array([], g.schema.field(key).type),
+                             "gap_s": pa.array([], pa.int64())})
+        kn = g.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+        tsec = _epoch_seconds_floor(g.column(ts_col))
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = tsec[1:] - tsec[:-1]
+        first = np.concatenate(([True], kn[1:] != kn[:-1]))
+        return pa.table({id_col: g.column(id_col),
+                         key: g.column(key),
+                         "gap_s": pa.array(
+                             np.ma.masked_array(gap, mask=first))})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .repartition(buckets)
+            .groupby("_b")
+            .map_groups(deltas, batch_format="pyarrow",
+                        **rayenv.remote_args()))
+
+
+def rows_window_sum(ds, preceding: int = 4, key: str = "user_id",
+                    ts_col: str = "ts", val_col: str = "value",
+                    id_col: str = "event_id", buckets: int = 32):
+    """ROWS-frame trailing window — SQL's
+    ``SUM(v) OVER (PARTITION BY key ORDER BY ts, id ROWS BETWEEN
+    preceding PRECEDING AND CURRENT ROW)``: exactly the last
+    ``preceding + 1`` rows of the key's deterministic (ts, id) order,
+    NOT time-based and NOT peer-inclusive — the complement of
+    :func:`moving_range_sum` (RANGE frame). The fixed-depth smoothing
+    primitive (last-N moving averages, N-event burst scores).
+
+    Same exactness contract (``floor(v*1000)`` int64; NaN adds 0 to the
+    sum, still occupies a frame slot) and same scale shape as the other
+    per-key window ops: ONE bucketed shuffle, in-bucket sort + prefix
+    sums with the frame start clamped to each key's segment start — all
+    keys resolve at once, no per-key dispatch.
+    """
+    if preceding < 0:
+        raise ValueError("preceding must be >= 0")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        from .joins import hash_bucket
+        kv = t.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+        return t.append_column("_b",
+                               pa.array(hash_bucket(kv, buckets=buckets)))
+
+    def window_sum(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        g = g.take(pc.sort_indices(g, sort_keys=[(key, "ascending"),
+                                                 (ts_col, "ascending"),
+                                                 (id_col, "ascending")]))
+        n = g.num_rows
+        if n == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             key: pa.array([], g.schema.field(key).type),
+                             "n_win": pa.array([], pa.int64()),
+                             "win_sum1000": pa.array([], pa.int64())})
+        kn = g.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+        v = np.asarray(g.column(val_col).combine_chunks()
+                       .to_numpy(zero_copy_only=False), dtype=np.float64)
+        v1000 = np.where(np.isnan(v), np.int64(0),
+                         np.floor(v * 1000)).astype(np.int64)
+        new_key = np.concatenate(([True], kn[1:] != kn[:-1]))
+        seg = np.flatnonzero(new_key)
+        seg_of = np.cumsum(new_key) - 1
+        idx = np.arange(n, dtype=np.int64)
+        lo = np.maximum(idx - np.int64(preceding), seg[seg_of])
+        cs = np.concatenate(([np.int64(0)], np.cumsum(v1000)))
+        return pa.table({id_col: g.column(id_col),
+                         key: g.column(key),
+                         "n_win": pa.array((idx - lo + 1).astype(np.int64)),
+                         "win_sum1000": pa.array(cs[idx + 1] - cs[lo])})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .repartition(buckets)
+            .groupby("_b")
+            .map_groups(window_sum, batch_format="pyarrow",
+                        **rayenv.remote_args()))

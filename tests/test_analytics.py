@@ -761,3 +761,108 @@ def test_top_words_per_group(ray_session):
     assert out.values.tolist() == [
         ["a", "x", 3, 1], ["a", "y", 3, 2],
         ["b", "q", 3, 1], ["b", "p", 2, 2]]
+
+
+def test_grouped_ntile(ray_session):
+    # NTILE fill rule (first count%n tiles one row larger) vs pandas qcut-
+    # free reference, incl. a group SMALLER than n (tiles 1..size, one row
+    # each) and deterministic (order, id) tie-breaks
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rwcf.analytics import grouped_ntile
+
+    rng = np.random.default_rng(7)
+    sizes = {"a": 10, "b": 7, "c": 2, "d": 4}   # c: group < n
+    rows = []
+    i = 0
+    for k, sz in sizes.items():
+        for _ in range(sz):
+            rows.append((i, k, int(rng.integers(0, 5))))  # heavy ties
+            i += 1
+    df = pd.DataFrame(rows, columns=["doc_id", "source", "n_chars"])
+    out = grouped_ntile(rd.from_pandas(df).repartition(3),
+                        key_col="source", order_col="n_chars",
+                        id_col="doc_id", n=4) \
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+
+    def ref_ntile(g, n=4):
+        g = g.sort_values(["n_chars", "doc_id"], ignore_index=True)
+        m = len(g)
+        big, small = m % n, m // n
+        tiles = []
+        for t in range(1, n + 1):
+            tiles += [t] * (small + (1 if t <= big else 0))
+        g["tile"] = tiles[:m]
+        return g
+
+    ref = (df.groupby("source", group_keys=False)[df.columns]
+           .apply(ref_ntile).sort_values("doc_id", ignore_index=True))
+    assert out["tile"].tolist() == ref["tile"].tolist()
+    assert len(out) == len(df)
+    # every group's tile counts obey the fill rule
+    cnt = out.groupby(["source", "tile"]).size()
+    for k, sz in sizes.items():
+        per = cnt[k]
+        assert per.max() - per.min() <= 1
+        assert per.sum() == sz
+
+
+def test_grouped_rank(ray_session):
+    # RANK gaps after ties, DENSE_RANK doesn't; vs pandas rank methods
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rwcf.analytics import grouped_rank
+
+    rng = np.random.default_rng(5)
+    n = 200
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "source": [f"s{int(x)}" for x in rng.integers(0, 6, n)],
+        "n_chars": rng.integers(0, 9, n),   # heavy ties
+    })
+    out = grouped_rank(rd.from_pandas(df).repartition(3),
+                       key_col="source", order_col="n_chars",
+                       id_col="doc_id") \
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    g = df.groupby("source")["n_chars"]
+    exp_rnk = g.rank(method="min").astype(np.int64)
+    exp_dense = g.rank(method="dense").astype(np.int64)
+    assert out["rnk"].tolist() == exp_rnk.tolist()
+    assert out["dense_rnk"].tolist() == exp_dense.tolist()
+    assert len(out) == n
+
+
+def test_grouped_corr(ray_session):
+    # exact-integer-moment Pearson corr vs numpy corrcoef (4dp), with a
+    # constant-column group and a single-row group emitting NULL
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rwcf.analytics import grouped_corr
+
+    rng = np.random.default_rng(23)
+    frames = []
+    for k, sz in (("a", 50), ("b", 80)):
+        x = rng.integers(10, 500, sz)
+        y = (x * 0.2 + rng.integers(0, 40, sz)).astype(np.int64)
+        frames.append(pd.DataFrame(
+            {"source": k, "n_chars": x, "n_words": y}))
+    frames.append(pd.DataFrame(
+        {"source": "const", "n_chars": [5, 5, 5], "n_words": [1, 2, 3]}))
+    frames.append(pd.DataFrame(
+        {"source": "single", "n_chars": [9], "n_words": [4]}))
+    df = pd.concat(frames, ignore_index=True)
+    out = grouped_corr(rd.from_pandas(df).repartition(3)) \
+        .to_pandas().set_index("source")
+    for k in ("a", "b"):
+        sub = df[df["source"] == k]
+        exp = round(float(np.corrcoef(sub["n_chars"], sub["n_words"])[0, 1]), 4)
+        assert abs(out.loc[k, "corr"] - exp) <= 1e-4
+        assert out.loc[k, "n"] == len(sub)
+    assert pd.isna(out.loc["const", "corr"])
+    assert pd.isna(out.loc["single", "corr"])

@@ -1,0 +1,75 @@
+"""Composed multi-join rollups (rwcf.relational) vs the DuckDB oracle.
+
+Reference scope note: the reference engine (src/lib.rs:25-48) has no
+relational layer; this family is part of the mandated training-data
+extension and is pinned against DuckDB on the driver's own parquet
+fixtures.
+"""
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.skipif(not os.path.exists(f"{SF}/lineitem.parquet"),
+                    reason="driver testdata not present")
+def test_revenue_by_nation_oracle(ray_session):
+    import ray.data as rd
+
+    from rwcf.relational import revenue_by_nation
+
+    li = rd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount"])
+    od = rd.read_parquet(f"{SF}/orders.parquet",
+                         columns=["o_orderkey", "o_custkey"])
+    cu = rd.read_parquet(f"{SF}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    na = rd.read_parquet(f"{SF}/nation.parquet",
+                         columns=["n_nationkey", "n_name"])
+    out = revenue_by_nation(li, od, cu, na, buckets=8).to_pandas() \
+        .sort_values("n_name", ignore_index=True)
+
+    con = duckdb.connect()
+    ora = con.execute(f"""
+        SELECT n_name, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+               AS rev_scaled
+        FROM read_parquet('{SF}/lineitem.parquet') l
+        JOIN read_parquet('{SF}/orders.parquet') o ON l_orderkey = o_orderkey
+        JOIN read_parquet('{SF}/customer.parquet') c ON o_custkey = c_custkey
+        JOIN read_parquet('{SF}/nation.parquet') n
+             ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name""").fetchdf()
+    pd.testing.assert_frame_equal(out, ora, check_dtype=False)
+    # int64 exactness: the engine's money math never touches floats after
+    # the per-value cents/bp rounding, so sums are bit-stable
+    assert out["rev_scaled"].dtype.kind == "i"
+
+
+def test_money_partial_collapses_batch(ray_session):
+    # the fact side must leave its first map_batches as ONE row per
+    # batch-local key with exact integer partials
+    import numpy as np
+    import pyarrow as pa
+
+    from rwcf.relational import _money_partial
+
+    t = pa.table({
+        "l_orderkey": pa.array([3, 1, 3, 1, 2], pa.int64()),
+        "l_extendedprice": pa.array([10.01, 20.02, 0.99, 5.00, 7.77]),
+        "l_discount": pa.array([0.05, 0.10, 0.00, 0.04, 0.07]),
+    })
+    out = _money_partial(t, "l_orderkey", "l_extendedprice",
+                         "l_discount", "ok").to_pandas() \
+        .sort_values("ok", ignore_index=True)
+    assert out["ok"].tolist() == [1, 2, 3]
+    exp1 = 2002 * 90 + 500 * 96
+    exp2 = 777 * 93
+    exp3 = 1001 * 95 + 99 * 100
+    assert out["rev_scaled"].tolist() == [exp1, exp2, exp3]
+    assert out["rev_scaled"].dtype == np.int64

@@ -265,3 +265,127 @@ def test_cohort_retention(ray_session):
     # cohort day0: u1+u3 at offset 0; u1 at offsets 1 and 3
     # cohort day1: u2 at offset 0; u3's day-20 return is cut
     assert got == {(0, 0): 2, (0, 1): 1, (0, 3): 1, (D, 0): 1}
+
+
+def test_moving_range_sum(ray_session):
+    # trailing RANGE window vs an O(n^2) brute force, with duplicated
+    # timestamps (peers must be in-frame regardless of tie order) and a
+    # NaN value (adds 0 to sums, still counts toward n_win)
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rwcf.windows import moving_range_sum
+
+    rng = np.random.default_rng(11)
+    n = 400
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 9, n),
+        "ts": pd.to_datetime(rng.integers(0, 5_000, n), unit="s"),
+        "value": np.round(rng.normal(0, 5, n), 3),
+    })
+    # same-second peers inside one key
+    df.loc[1, ["user_id", "ts"]] = df.loc[0, ["user_id", "ts"]]
+    df.loc[2, "value"] = np.nan
+    R = 600
+    out = moving_range_sum(rd.from_pandas(df).repartition(5), range_s=R) \
+        .to_pandas().sort_values("event_id", ignore_index=True)
+    sec = df["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+    v1000 = np.where(np.isnan(df["value"].to_numpy()), 0,
+                     np.floor(df["value"].to_numpy() * 1000)).astype(np.int64)
+    uid = df["user_id"].to_numpy()
+    exp_n = np.empty(n, np.int64)
+    exp_s = np.empty(n, np.int64)
+    for i in range(n):
+        m = (uid == uid[i]) & (sec >= sec[i] - R) & (sec <= sec[i])
+        exp_n[i] = m.sum()
+        exp_s[i] = v1000[m].sum()
+    assert (out["n_win"].to_numpy() == exp_n).all()
+    assert (out["win_sum1000"].to_numpy() == exp_s).all()
+    assert len(out) == n
+
+
+def test_moving_range_sum_zero_range(ray_session):
+    # range_s=0: the frame is exactly the same-second peers of the row
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rwcf.windows import moving_range_sum
+
+    df = pd.DataFrame({
+        "event_id": np.arange(5, dtype=np.int64),
+        "user_id": np.array([1, 1, 1, 2, 2], dtype=np.int64),
+        "ts": pd.to_datetime([10, 10, 40, 10, 11], unit="s"),
+        "value": np.array([1.0, 2.0, 4.0, 8.0, 16.0]),
+    })
+    out = moving_range_sum(rd.from_pandas(df), range_s=0) \
+        .to_pandas().sort_values("event_id", ignore_index=True)
+    assert out["n_win"].tolist() == [2, 2, 1, 1, 1]
+    assert out["win_sum1000"].tolist() == [3000, 3000, 4000, 8000, 16000]
+
+
+def test_event_deltas(ray_session):
+    # LAG gaps vs pandas groupby-diff, incl. duplicate timestamps and the
+    # NULL-at-first-event rule
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rwcf.windows import event_deltas
+
+    rng = np.random.default_rng(13)
+    n = 300
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 11, n),
+        "ts": pd.to_datetime(rng.integers(0, 4_000, n), unit="s"),
+    })
+    df.loc[1, ["user_id", "ts"]] = df.loc[0, ["user_id", "ts"]]
+    out = event_deltas(rd.from_pandas(df).repartition(4)) \
+        .to_pandas().sort_values("event_id", ignore_index=True)
+    ref = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    sec = ref["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+    ref["gap_s"] = pd.Series(sec, index=ref.index).groupby(
+        ref["user_id"]).diff()
+    ref = ref.sort_values("event_id", ignore_index=True)
+    exp = ref["gap_s"].to_numpy()
+    got = out["gap_s"].to_numpy(dtype=float, na_value=np.nan)
+    assert np.isnan(got).tolist() == np.isnan(exp).tolist()
+    m = ~np.isnan(exp)
+    assert (got[m] == exp[m]).all()
+    assert len(out) == n
+
+
+def test_rows_window_sum(ray_session):
+    # ROWS frame = exactly last N+1 rows of the (ts, id) order, ties NOT
+    # peer-inclusive (unlike RANGE); vs pandas rolling on the sorted order
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rwcf.windows import rows_window_sum
+
+    rng = np.random.default_rng(17)
+    n = 300
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 7, n),
+        "ts": pd.to_datetime(rng.integers(0, 2_000, n), unit="s"),
+        "value": np.round(rng.normal(0, 5, n), 3),
+    })
+    df.loc[1, ["user_id", "ts"]] = df.loc[0, ["user_id", "ts"]]
+    P = 4
+    out = rows_window_sum(rd.from_pandas(df).repartition(4), preceding=P) \
+        .to_pandas().sort_values("event_id", ignore_index=True)
+    ref = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    ref["v1000"] = np.floor(ref["value"].to_numpy() * 1000).astype(np.int64)
+    g = ref.groupby("user_id")["v1000"]
+    ref["win_sum1000"] = g.rolling(P + 1, min_periods=1).sum() \
+        .reset_index(level=0, drop=True).astype(np.int64)
+    ref["n_win"] = g.rolling(P + 1, min_periods=1).count() \
+        .reset_index(level=0, drop=True).astype(np.int64)
+    ref = ref.sort_values("event_id", ignore_index=True)
+    assert out["n_win"].tolist() == ref["n_win"].tolist()
+    assert out["win_sum1000"].tolist() == ref["win_sum1000"].tolist()
