@@ -1302,6 +1302,53 @@ def _q_grouped_corr(sf_dir: str):
     return analytics.grouped_corr(ds)
 
 
+def _q_percent_rank(sf_dir: str):
+    """PERCENT_RANK + CUME_DIST per source in exact integer basis points
+    (no float rounding anywhere — a ROUND(,4) oracle would diverge on
+    binary half-boundaries): one bucketed shuffle, segmented rank/peer
+    arithmetic."""
+    from rwcf import analytics
+    return analytics.grouped_percent_rank(
+        _docs_ds(sf_dir, columns=("doc_id", "source", "n_chars")),
+        key_col="source", order_col="n_chars", id_col="doc_id")
+
+
+def _q_grouped_mode(sf_dir: str):
+    """Per-source modal n_chars (ties -> smallest value): per-batch
+    (key,value,count) partials, distinct-pair-sized exchanges only."""
+    from rwcf import analytics
+    return analytics.grouped_mode(
+        _docs_ds(sf_dir, columns=("source", "n_chars")),
+        key_col="source", val_col="n_chars")
+
+
+def _q_latest_event(sf_dir: str):
+    """Per-user most recent event (raw-ts order, id tie-break): per-batch
+    partial cut first, so the one bucketed exchange moves at most one row
+    per (key, batch)."""
+    import ray.data as rd
+
+    from rwcf import windows
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "ts", "value"])
+    return windows.latest_event_per_key(ev)
+
+
+def _q_top_customers(sf_dir: str):
+    """Top-10 customers by exact integer revenue (lineitem ⋈ orders,
+    in-batch money partials before the one bucketed join, per-block
+    local top-k cut before the tiny final)."""
+    import ray.data as rd
+
+    from rwcf.relational import top_customers_by_revenue
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount"])
+    od = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderkey", "o_custkey"])
+    return top_customers_by_revenue(li, od, k=10)
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -1386,6 +1433,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_nchars_per_source": _q_grouped_rank,
         "rows_window_sum": _q_rows_window_sum,
         "corr_chars_words": _q_grouped_corr,
+        "percent_rank_nchars": _q_percent_rank,
+        "mode_nchars_per_source": _q_grouped_mode,
+        "latest_event_per_user": _q_latest_event,
+        "top_customers_by_revenue": _q_top_customers,
         "filter_large_docs": _q_filter_large_docs,
         "window_tumbling": _q_window_tumbling,
         "window_sliding": _q_window_sliding,
@@ -1808,6 +1859,43 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / "
             "sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy) "
             "AS DOUBLE)), 4) ELSE NULL END AS corr FROM m"),
+        # exact integer basis points on both sides: (rank-1)*10000 //
+        # max(n-1,1) and rows_le_value*10000 // n (the default RANGE
+        # frame of count(*) OVER (... ORDER BY v) includes all peers =
+        # rows with value <= current)
+        "percent_rank_nchars": (
+            "SELECT doc_id, source, "
+            "CAST((rank() OVER (PARTITION BY source ORDER BY n_chars) "
+            "- 1) * 10000 // greatest(count(*) OVER (PARTITION BY "
+            "source) - 1, 1) AS BIGINT) AS pct_rank_bp, "
+            "CAST(count(*) OVER (PARTITION BY source ORDER BY n_chars) "
+            "* 10000 // count(*) OVER (PARTITION BY source) AS BIGINT) "
+            "AS cume_bp FROM documents"),
+        "mode_nchars_per_source": (
+            "SELECT source, mode_n_chars, n_mode FROM ("
+            "SELECT source, n_chars AS mode_n_chars, "
+            "CAST(count(*) AS BIGINT) AS n_mode, "
+            "row_number() OVER (PARTITION BY source "
+            "ORDER BY count(*) DESC, n_chars ASC) AS rn "
+            "FROM documents GROUP BY source, n_chars) WHERE rn = 1"),
+        # raw-ts DESC order with id DESC tie-break on both sides; output
+        # timestamp is floored epoch seconds, value is floor(v*1000)
+        "latest_event_per_user": (
+            "SELECT event_id, user_id, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS last_ts_s, "
+            "CAST(floor(value * 1000) AS BIGINT) AS v1000 FROM events "
+            "QUALIFY row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) = 1"),
+        "top_customers_by_revenue": (
+            "WITH r AS (SELECT o_custkey AS c_custkey, "
+            "sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) "
+            "AS rev_scaled FROM lineitem JOIN orders "
+            "ON l_orderkey = o_orderkey GROUP BY o_custkey) "
+            "SELECT c_custkey, CAST(rev_scaled AS BIGINT) AS rev_scaled, "
+            "CAST(row_number() OVER (ORDER BY rev_scaled DESC, "
+            "c_custkey ASC) AS BIGINT) AS rank FROM r "
+            "ORDER BY rank LIMIT 10"),
         # rank depends only on the value, so no tie-break column is
         # needed for determinism
         "rank_nchars_per_source": (

@@ -1568,3 +1568,138 @@ def grouped_corr(ds, key_col: str = "source", x_col: str = "n_chars",
 
     return agg.map_batches(final, batch_format="pyarrow",
                            **rayenv.remote_args())
+
+
+def grouped_percent_rank(ds, key_col: str = "source",
+                         order_col: str = "n_chars",
+                         id_col: str = "doc_id", buckets: int = 32):
+    """Per-group PERCENT_RANK and CUME_DIST in exact integer BASIS POINTS
+    — ``(rank-1)*10000 // (n-1)`` and ``rows_le_value*10000 // n`` — so
+    engine and oracle compare exact int64s with zero float rounding
+    anywhere (a ROUND(percent_rank(), 4) oracle would diverge on
+    binary-representable half-boundaries like 1/32, where numpy rounds
+    half-to-even and SQL half-away). The normalized-position primitive
+    (relative length percentile per source) on top of
+    :func:`grouped_rank`.
+
+    Single-row groups emit 0 for pct_rank_bp (SQL's percent_rank() = 0.0
+    when n == 1) and 10000 for cume_bp. Same one-bucketed-shuffle scale
+    shape as the other grouped operators.
+    """
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        kv = t.column(key_col).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        return t.append_column("_b",
+                               pa.array(hash_bucket(kv, buckets=buckets)))
+
+    def ranks(g: pa.Table) -> pa.Table:
+        g = g.take(pc.sort_indices(g, sort_keys=[(key_col, "ascending"),
+                                                 (order_col, "ascending"),
+                                                 (id_col, "ascending")]))
+        m = g.num_rows
+        if m == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             key_col: pa.array(
+                                 [], g.schema.field(key_col).type),
+                             "pct_rank_bp": pa.array([], pa.int64()),
+                             "cume_bp": pa.array([], pa.int64())})
+        kn = g.column(key_col).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        vn = g.column(order_col).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        new_key = np.concatenate(([True], kn[1:] != kn[:-1]))
+        new_val = np.concatenate(([True],
+                                  (kn[1:] != kn[:-1]) | (vn[1:] != vn[:-1])))
+        seg = np.flatnonzero(new_key)
+        seg_of = np.cumsum(new_key) - 1
+        sizes = np.diff(np.concatenate([seg, [m]]))
+        gsz = sizes[seg_of]
+        idx = np.arange(m, dtype=np.int64)
+        first_of_val = idx[new_val][np.cumsum(new_val) - 1]
+        rnk = first_of_val - seg[seg_of] + 1
+        # last row index of each value-run (runs never cross groups
+        # because new_val includes the group boundary)
+        starts = np.flatnonzero(new_val)
+        ends = np.concatenate([starts[1:], [m]]) - 1
+        run_of = np.cumsum(new_val) - 1
+        le = ends[run_of] - seg[seg_of] + 1      # rows <= value in group
+        pct = np.where(gsz > 1, (rnk - 1) * 10000 // np.maximum(gsz - 1, 1),
+                       np.int64(0))
+        cume = le * 10000 // gsz
+        return pa.table({id_col: g.column(id_col),
+                         key_col: g.column(key_col),
+                         "pct_rank_bp": pa.array(pct.astype(np.int64)),
+                         "cume_bp": pa.array(cume.astype(np.int64))})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .repartition(buckets)
+            .groupby("_b")
+            .map_groups(ranks, batch_format="pyarrow",
+                        **rayenv.remote_args()))
+
+
+def grouped_mode(ds, key_col: str = "source", val_col: str = "n_chars",
+                 buckets: int = 32):
+    """Per-group MODE with deterministic ties (highest count, then
+    SMALLEST value): the dominant-value probe (template detection — one
+    length dominating a source means boilerplate). Emits
+    ``(key, mode_<val>, n_mode)``.
+
+    Scale shape: per-batch (key, value, count) partials collapse inside
+    ``map_batches`` first, so the one ``groupby(key, value)`` exchange
+    moves distinct-pair-sized partials, never rows; the argmax-per-key
+    second exchange moves one row per distinct (key, value) — both
+    bounded by the value domain, not the corpus.
+    """
+
+    def part(t: pa.Table) -> pa.Table:
+        kv = t.column(key_col).to_numpy(zero_copy_only=False)
+        vv = t.column(val_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        df = pd.DataFrame({"k": kv, "v": vv})
+        g = df.groupby(["k", "v"], sort=False).size().reset_index(name="n")
+        return pa.table({key_col: pa.array(g["k"].astype(object),
+                                           pa.string()),
+                         val_col: pa.array(g["v"].to_numpy(np.int64)),
+                         "n": pa.array(g["n"].to_numpy(np.int64))})
+
+    from ray.data.aggregate import Sum
+    counts = (ds.map_batches(part, batch_format="pyarrow",
+                             **rayenv.remote_args())
+              .groupby([key_col, val_col])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        kv = t.column(key_col).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        return t.append_column("_b",
+                               pa.array(hash_bucket(kv, buckets=buckets)))
+
+    def argmax(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({key_col: pa.array([], pa.string()),
+                             f"mode_{val_col}": pa.array([], pa.int64()),
+                             "n_mode": pa.array([], pa.int64())})
+        # sort (key, -n, value): first row per key is the mode
+        kn = g.column(key_col).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        nn = g.column("n").combine_chunks().to_numpy(zero_copy_only=False)
+        vv = g.column(val_col).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        order = np.lexsort((vv, -nn, kn))
+        kk, nn, vv = kn[order], nn[order], vv[order]
+        first = np.concatenate(([True], kk[1:] != kk[:-1]))
+        return pa.table({key_col: pa.array(kk[first].astype(object),
+                                           pa.string()),
+                         f"mode_{val_col}": pa.array(
+                             vv[first].astype(np.int64)),
+                         "n_mode": pa.array(nn[first].astype(np.int64))})
+
+    return (counts.map_batches(add_bucket, batch_format="pyarrow",
+                               **rayenv.remote_args())
+            .repartition(max(2, buckets // 4))
+            .groupby("_b")
+            .map_groups(argmax, batch_format="pyarrow",
+                        **rayenv.remote_args()))

@@ -1297,12 +1297,19 @@ def cluster_pairs_ds(pairs_ds, max_rounds: int = 30, buckets: int = 32):
 
     edges = pairs_ds.map_batches(both_dirs, batch_format="pyarrow",
                                  **rayenv.remote_args()).materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         # no duplicate pairs at all: no components (schema-less empties
         # cannot flow through joins/aggregates)
         import ray.data as rd
         return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
                                        "cluster_id": pa.array([], pa.int64())}))
+    # adaptive exchange width: each round runs ~4 bucketed exchanges, so
+    # at small edge counts the fixed per-bucket task dispatch dominates
+    # wall time. One bucket per ~64k directed edges, capped at the
+    # caller's `buckets` (the count is already materialized — free). At
+    # crawl scale n_edges is huge and this is a no-op.
+    buckets = max(2, min(buckets, n_edges // 65536 + 1))
 
     # labels: every node starts at min(itself, its neighborhood min) —
     # one free propagation round folded into initialization
@@ -1327,19 +1334,20 @@ def cluster_pairs_ds(pairs_ds, max_rounds: int = 30, buckets: int = 32):
 
     converged = False
     for _ in range(max_rounds):
-        j = hash_join(edges, labels, on="u", right_on="node", buckets=buckets)
-        prop = j.map_batches(proposals, batch_format="pyarrow",
-                             **rayenv.remote_args())
+        # neighbor-min and pointer-jump proposals share the same right
+        # side (labels on u=node), so ONE join serves both: union the
+        # graph edges with the node->label edges first (union is
+        # shuffle-free) — halves the exchanges per round
         lab_e = labels.map_batches(label_edges, batch_format="pyarrow",
                                    **rayenv.remote_args())
-        jump = hash_join(lab_e, labels, on="u", right_on="node",
-                         buckets=buckets) \
+        prop = hash_join(edges.union(lab_e), labels, on="u",
+                         right_on="node", buckets=buckets) \
             .map_batches(proposals, batch_format="pyarrow",
                          **rayenv.remote_args())
         # repartition caps the label block count: union adds the proposal
         # blocks every round, so without it blocks (and task dispatch)
         # multiply geometrically round over round
-        labels = (labels.union(prop).union(jump).groupby("node")
+        labels = (labels.union(prop).groupby("node")
                   .aggregate(Min("label", alias_name="label"))
                   .repartition(max(2, buckets // 4))).materialize()
         cur = labels.aggregate(Sum("label", alias_name="s"))["s"]

@@ -139,3 +139,61 @@ def revenue_by_nation(lineitem, orders, customer, nation,
 
     return agg.map_batches(finish, batch_format="pyarrow",
                            **rayenv.remote_args())
+
+
+def top_customers_by_revenue(lineitem, orders, k: int = 10,
+                             buckets: int = 32):
+    """Top-k customers by exact integer revenue (the TPC-H-Q3-shaped
+    "who matters" rollup): lineitem collapses to (orderkey, rev)
+    partials in-batch, ONE bucketed join re-keys them to custkey, a
+    customer-count-sized groupby sums, and the top-k falls out of a
+    per-batch local cut + one tiny final sort — the full customer
+    aggregate never leaves the workers, only ~k rows per block do.
+    Output ``(c_custkey, rev_scaled, rank)``; ties break on the SMALLER
+    custkey, deterministic across engines.
+    """
+    li = lineitem.map_batches(
+        lambda t: _money_partial(t, "l_orderkey", "l_extendedprice",
+                                 "l_discount", "ok"),
+        batch_format="pyarrow", **rayenv.remote_args())
+
+    def ord_proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "ok": pc.cast(t.column("o_orderkey"), pa.int64()),
+            "ck": pc.cast(t.column("o_custkey"), pa.int64())})
+
+    od = orders.map_batches(ord_proj, batch_format="pyarrow",
+                            **rayenv.remote_args())
+    j = hash_join(li, od, on="ok", buckets=buckets)
+
+    from ray.data.aggregate import Sum
+    per_cust = (j.groupby("ck").aggregate(
+        Sum("rev_scaled", alias_name="rev_scaled")))
+
+    def local_cut(t: pa.Table) -> pa.Table:
+        # keep each block's k best candidates; the global top-k is a
+        # subset of the union of local top-ks
+        r = t.column("rev_scaled").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        c = t.column("ck").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, -r))[:k]
+        return pa.table({"ck": pa.array(c[order].astype(np.int64)),
+                         "rev_scaled": pa.array(
+                             r[order].astype(np.int64))})
+
+    def final_cut(t: pa.Table) -> pa.Table:
+        r = t.column("rev_scaled").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        c = t.column("ck").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, -r))[:k]
+        return pa.table({
+            "c_custkey": pa.array(c[order].astype(np.int64)),
+            "rev_scaled": pa.array(r[order].astype(np.int64)),
+            "rank": pa.array(np.arange(1, len(order) + 1,
+                                       dtype=np.int64))})
+
+    return (per_cust.map_batches(local_cut, batch_format="pyarrow",
+                                 **rayenv.remote_args())
+            .repartition(1)
+            .map_batches(final_cut, batch_format="pyarrow",
+                         **rayenv.remote_args()))

@@ -614,3 +614,82 @@ def rows_window_sum(ds, preceding: int = 4, key: str = "user_id",
             .groupby("_b")
             .map_groups(window_sum, batch_format="pyarrow",
                         **rayenv.remote_args()))
+
+
+def latest_event_per_key(ds, key: str = "user_id", ts_col: str = "ts",
+                         val_col: str = "value", id_col: str = "event_id",
+                         buckets: int = 32):
+    """Per-key LAST event — SQL's
+    ``row_number() OVER (PARTITION BY key ORDER BY ts DESC, id DESC) = 1``:
+    each key's most recent event with its floored-epoch timestamp and the
+    integer-scaled value (``floor(v*1000)``; NaN -> 0 like the window
+    sums). The current-state primitive (latest profile, last-seen, most
+    recent reading per entity).
+
+    Scale shape: per-batch partial cut FIRST (each batch keeps one row
+    per batch-local key), so the one ``hash(key)`` bucketed exchange
+    moves at most one row per (key, batch), never raw events; the
+    in-bucket final takes the last row of each sorted segment.
+    """
+
+    def local_last(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.take(pc.sort_indices(t, sort_keys=[(key, "ascending"),
+                                                 (ts_col, "ascending"),
+                                                 (id_col, "ascending")]))
+        n = t.num_rows
+        if n == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             key: pa.array([], t.schema.field(key).type),
+                             "_ts_us": pa.array([], pa.int64()),
+                             "v1000": pa.array([], pa.int64())})
+        kn = t.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+        last = np.concatenate((kn[1:] != kn[:-1], [True]))
+        # carry MICROSECOND ticks through the exchange: the final's
+        # cross-batch tie-break must replay the oracle's raw-ts order,
+        # not the floored-seconds output granularity
+        tus = _epoch_micros(t.column(ts_col))[last]
+        v = np.asarray(t.column(val_col).combine_chunks()
+                       .to_numpy(zero_copy_only=False),
+                       dtype=np.float64)[last]
+        v1000 = np.where(np.isnan(v), np.int64(0),
+                         np.floor(v * 1000)).astype(np.int64)
+        keep = pa.array(last)
+        out = pa.table({id_col: t.column(id_col).filter(keep),
+                        key: t.column(key).filter(keep),
+                        "_ts_us": pa.array(tus),
+                        "v1000": pa.array(v1000)})
+        from .joins import hash_bucket
+        kv = out.column(key).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        return out.append_column("_b",
+                                 pa.array(hash_bucket(kv, buckets=buckets)))
+
+    def final_last(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        g = g.take(pc.sort_indices(g, sort_keys=[
+            (key, "ascending"), ("_ts_us", "ascending"),
+            (id_col, "ascending")]))
+        n = g.num_rows
+        if n == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             key: pa.array([], g.schema.field(key).type),
+                             "last_ts_s": pa.array([], pa.int64()),
+                             "v1000": pa.array([], pa.int64())})
+        kn = g.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+        last = pa.array(np.concatenate((kn[1:] != kn[:-1], [True])))
+        tus = g.column("_ts_us").combine_chunks() \
+            .to_numpy(zero_copy_only=False)[
+                np.concatenate((kn[1:] != kn[:-1], [True]))]
+        return pa.table({id_col: g.column(id_col).filter(last),
+                         key: g.column(key).filter(last),
+                         "last_ts_s": pa.array(
+                             tus // np.int64(1_000_000)),
+                         "v1000": g.column("v1000").filter(last)})
+
+    return (ds.map_batches(local_last, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .repartition(buckets)
+            .groupby("_b")
+            .map_groups(final_last, batch_format="pyarrow",
+                        **rayenv.remote_args()))

@@ -866,3 +866,54 @@ def test_grouped_corr(ray_session):
         assert out.loc[k, "n"] == len(sub)
     assert pd.isna(out.loc["const", "corr"])
     assert pd.isna(out.loc["single", "corr"])
+
+
+def test_grouped_percent_rank(ray_session):
+    # exact basis points vs pandas rank arithmetic, incl. a single-row
+    # group (pct 0, cume 10000)
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rwcf.analytics import grouped_percent_rank
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame({
+        "doc_id": np.arange(150, dtype=np.int64),
+        "source": [f"s{int(x)}" for x in rng.integers(0, 5, 150)],
+        "n_chars": rng.integers(0, 12, 150),
+    })
+    df = pd.concat([df, pd.DataFrame(
+        {"doc_id": [999], "source": ["lone"], "n_chars": [7]})],
+        ignore_index=True)
+    out = grouped_percent_rank(rd.from_pandas(df).repartition(3)) \
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    g = df.groupby("source")["n_chars"]
+    rnk = g.rank(method="min").astype(np.int64)
+    n = df.groupby("source")["n_chars"].transform("size").astype(np.int64)
+    le = g.rank(method="max").astype(np.int64)
+    exp_pct = (rnk - 1) * 10000 // np.maximum(n - 1, 1)
+    exp_cume = le * 10000 // n
+    assert out["pct_rank_bp"].tolist() == exp_pct.tolist()
+    assert out["cume_bp"].tolist() == exp_cume.tolist()
+    lone = out[out["doc_id"] == 999].iloc[0]
+    assert lone["pct_rank_bp"] == 0 and lone["cume_bp"] == 10000
+
+
+def test_grouped_mode(ray_session):
+    # highest count wins; count ties break to the SMALLEST value
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rwcf.analytics import grouped_mode
+
+    df = pd.DataFrame({
+        "source": ["a"] * 6 + ["b"] * 4,
+        "n_chars": [5, 5, 9, 9, 3, 1,      # a: tie 5 vs 9 -> 5
+                    7, 7, 7, 2],           # b: clear 7
+    })
+    out = grouped_mode(rd.from_pandas(df).repartition(3)) \
+        .to_pandas().set_index("source")
+    assert out.loc["a", "mode_n_chars"] == 5 and out.loc["a", "n_mode"] == 2
+    assert out.loc["b", "mode_n_chars"] == 7 and out.loc["b", "n_mode"] == 3

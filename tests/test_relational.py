@@ -73,3 +73,38 @@ def test_money_partial_collapses_batch(ray_session):
     exp3 = 1001 * 95 + 99 * 100
     assert out["rev_scaled"].tolist() == [exp1, exp2, exp3]
     assert out["rev_scaled"].dtype == np.int64
+
+
+def test_top_customers_by_revenue(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rwcf.relational import top_customers_by_revenue
+
+    rng = np.random.default_rng(47)
+    n_ord, n_li = 120, 600
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(n_ord, dtype=np.int64),
+        "o_custkey": rng.integers(0, 25, n_ord).astype(np.int64),
+    })
+    li = pd.DataFrame({
+        "l_orderkey": rng.integers(0, n_ord, n_li).astype(np.int64),
+        "l_extendedprice": np.round(rng.uniform(1, 1000, n_li), 2),
+        "l_discount": np.round(rng.integers(0, 11, n_li) / 100, 2),
+    })
+    out = top_customers_by_revenue(
+        rd.from_pandas(li).repartition(4),
+        rd.from_pandas(orders).repartition(2), k=10).to_pandas()
+    cents = np.rint(li["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+    bp = np.rint(li["l_discount"].to_numpy() * 100).astype(np.int64)
+    rev = pd.DataFrame({"o_orderkey": li["l_orderkey"],
+                        "r": cents * (100 - bp)})
+    per = rev.merge(orders, on="o_orderkey").groupby("o_custkey")["r"] \
+        .sum().reset_index()
+    per = per.sort_values(["r", "o_custkey"], ascending=[False, True],
+                          ignore_index=True).head(10)
+    assert out["c_custkey"].tolist() == per["o_custkey"].tolist()
+    assert out["rev_scaled"].tolist() == per["r"].tolist()
+    assert out["rank"].tolist() == list(range(1, 11))

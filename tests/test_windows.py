@@ -389,3 +389,39 @@ def test_rows_window_sum(ray_session):
     ref = ref.sort_values("event_id", ignore_index=True)
     assert out["n_win"].tolist() == ref["n_win"].tolist()
     assert out["win_sum1000"].tolist() == ref["win_sum1000"].tolist()
+
+
+def test_latest_event_per_key(ray_session):
+    # max by (raw ts, id) per key — incl. a same-second pair whose id
+    # order disagrees with the sub-second ts order (the floored-seconds
+    # trap), and a NaN value
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rwcf.windows import latest_event_per_key
+
+    rng = np.random.default_rng(41)
+    n = 200
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 8, n),
+        "ts": pd.to_datetime(rng.integers(0, 3_000_000_000, n), unit="us"),
+        "value": np.round(rng.normal(0, 5, n), 3),
+    })
+    # same user, same floored second, LATER raw ts on the SMALLER id
+    df.loc[0, ["user_id", "ts"]] = [0, pd.Timestamp(1_500_000_700, unit="us")]
+    df.loc[1, ["user_id", "ts"]] = [0, pd.Timestamp(1_500_000_200, unit="us")]
+    df.loc[2, "value"] = np.nan
+    out = latest_event_per_key(rd.from_pandas(df).repartition(5)) \
+        .to_pandas().sort_values("user_id", ignore_index=True)
+    ref = df.sort_values(["user_id", "ts", "event_id"]) \
+        .groupby("user_id").tail(1).sort_values("user_id",
+                                                ignore_index=True)
+    assert out["event_id"].tolist() == ref["event_id"].tolist()
+    sec = ref["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+    assert out["last_ts_s"].tolist() == sec.tolist()
+    v = ref["value"].to_numpy()
+    exp_v = np.where(np.isnan(v), 0, np.floor(v * 1000)).astype(np.int64)
+    assert out["v1000"].tolist() == exp_v.tolist()
+    assert len(out) == df["user_id"].nunique()
