@@ -1655,15 +1655,20 @@ def grouped_mode(ds, key_col: str = "source", val_col: str = "n_chars",
     """
 
     def part(t: pa.Table) -> pa.Table:
+        # numpy-native pair counting (hot path: runs on corpus rows):
+        # factorize key and value independently, count the combined codes
         kv = t.column(key_col).to_numpy(zero_copy_only=False)
         vv = t.column(val_col).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        df = pd.DataFrame({"k": kv, "v": vv})
-        g = df.groupby(["k", "v"], sort=False).size().reset_index(name="n")
-        return pa.table({key_col: pa.array(g["k"].astype(object),
-                                           pa.string()),
-                         val_col: pa.array(g["v"].to_numpy(np.int64)),
-                         "n": pa.array(g["n"].to_numpy(np.int64))})
+        ku, ki = np.unique(kv, return_inverse=True)
+        vu, vi = np.unique(vv, return_inverse=True)
+        code = ki.astype(np.int64) * np.int64(len(vu)) + vi
+        cu, cnt = np.unique(code, return_counts=True)
+        return pa.table({key_col: pa.array(
+                             ku[cu // len(vu)].astype(object), pa.string()),
+                         val_col: pa.array(vu[cu % len(vu)]
+                                           .astype(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
 
     from ray.data.aggregate import Sum
     counts = (ds.map_batches(part, batch_format="pyarrow",
@@ -1703,3 +1708,67 @@ def grouped_mode(ds, key_col: str = "source", val_col: str = "n_chars",
             .groupby("_b")
             .map_groups(argmax, batch_format="pyarrow",
                         **rayenv.remote_args()))
+
+
+def rollup_counts(ds, key1: str = "source", key2: str = "lang",
+                  val_col: str = "n_chars"):
+    """GROUP BY ROLLUP(key1, key2) — leaf rows per (key1, key2), subtotal
+    rows per key1 (key2 NULL) and one grand-total row (both NULL), each
+    with exact row count + int64 value sum. The hierarchy-report
+    primitive (per-source-per-language corpus inventory with margins).
+
+    Scale shape: one corpus pass of per-batch (key1, key2, n, sum)
+    partials into a domain-sized groupby; the subtotal and grand-total
+    levels are then derived FROM that aggregate (repartition(1) over a
+    |key1|x|key2|-bounded table), so the corpus is read exactly once and
+    no second shuffle touches raw rows.
+    """
+
+    def part(t: pa.Table) -> pa.Table:
+        k1 = t.column(key1).to_numpy(zero_copy_only=False)
+        k2 = t.column(key2).to_numpy(zero_copy_only=False)
+        v = t.column(val_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        u1, i1 = np.unique(k1, return_inverse=True)
+        u2, i2 = np.unique(k2, return_inverse=True)
+        code = i1.astype(np.int64) * np.int64(len(u2)) + i2
+        cu, inv = np.unique(code, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.zeros(len(cu), dtype=np.int64)
+        np.add.at(s, inv, v)
+        return pa.table({key1: pa.array(u1[cu // len(u2)].astype(object),
+                                        pa.string()),
+                         key2: pa.array(u2[cu % len(u2)].astype(object),
+                                        pa.string()),
+                         "n_rows": pa.array(n),
+                         "val_sum": pa.array(s)})
+
+    from ray.data.aggregate import Sum
+    leaf = (ds.map_batches(part, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .groupby([key1, key2])
+            .aggregate(Sum("n_rows", alias_name="n_rows"),
+                       Sum("val_sum", alias_name="val_sum")))
+
+    def add_margins(t: pa.Table) -> pa.Table:
+        # domain-sized input: emit leaves + key1 subtotals + grand total
+        df = t.to_pandas()
+        sub = df.groupby(key1, as_index=False)[["n_rows", "val_sum"]].sum()
+        sub[key2] = None
+        tot = pd.DataFrame({key1: [None], key2: [None],
+                            "n_rows": [df["n_rows"].sum()],
+                            "val_sum": [df["val_sum"].sum()]})
+        out = pd.concat([df, sub[[key1, key2, "n_rows", "val_sum"]], tot],
+                        ignore_index=True)
+        return pa.table({key1: pa.array(out[key1].to_numpy(object),
+                                        pa.string()),
+                         key2: pa.array(out[key2].to_numpy(object),
+                                        pa.string()),
+                         "n_rows": pa.array(out["n_rows"]
+                                            .to_numpy(np.int64)),
+                         "val_sum": pa.array(out["val_sum"]
+                                             .to_numpy(np.int64))})
+
+    return (leaf.repartition(1)
+            .map_batches(add_margins, batch_format="pyarrow",
+                         **rayenv.remote_args()))

@@ -14,7 +14,15 @@ DataContext.get_current().enable_progress_bars = False
 sys.path.insert(0, "/root/repo")
 import __ray_entry__ as entry_mod
 
+# --sf overrides the checked scale (the graft driver itself runs sf0.01;
+# --sf /root/testdata/sf0.1 gives scale-robustness evidence), --only runs
+# a comma-separated subset of queries
 SF = "/root/testdata/sf0.01"
+if "--sf" in sys.argv:
+    SF = sys.argv[sys.argv.index("--sf") + 1]
+ONLY = None
+if "--only" in sys.argv:
+    ONLY = set(sys.argv[sys.argv.index("--only") + 1].split(","))
 
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -47,6 +55,8 @@ qs = entry_mod.queries()
 sqls = entry_mod.oracle_sql()
 results = {}
 for name, fn in qs.items():
+    if ONLY is not None and name not in ONLY:
+        continue
     t0 = time.time()
     try:
         mine = to_df(fn(SF))
