@@ -1349,6 +1349,40 @@ def _q_top_customers(sf_dir: str):
     return top_customers_by_revenue(li, od, k=10)
 
 
+def _q_anti_join_bloom(sf_dir: str):
+    """Bloom-accelerated ANTI join on the oracle path: documents with no
+    embedding among vec_id % 3 == 0 — definite bloom misses bypass the
+    all-to-all entirely (they ARE the bulk of an anti result), only the
+    bloom-positive remainder shuffles."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    from rwcf.joins import hash_join
+    docs = _docs_ds(sf_dir, columns=("doc_id", "n_chars"))
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id"])
+
+    def keep_mod3(t: _pa.Table) -> _pa.Table:
+        import numpy as _np
+        vid = t.column("vec_id").combine_chunks()
+        v = vid.to_numpy(zero_copy_only=False)
+        return _pa.table({"vec_id": vid.filter(_pa.array(v % 3 == 0))})
+
+    right = emb.map_batches(keep_mod3, batch_format="pyarrow")
+    return hash_join(docs, right, on="doc_id", right_on="vec_id",
+                     how="anti", bloom_bits=1 << 16)
+
+
+def _q_rollup_source_lang(sf_dir: str):
+    """ROLLUP(source, lang) counts + n_chars sums (leaves, per-source
+    subtotals, grand total): one corpus pass; margins derived from the
+    domain-sized aggregate."""
+    from rwcf import analytics
+    return analytics.rollup_counts(
+        _docs_ds(sf_dir, columns=("source", "lang", "n_chars")))
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -1437,6 +1471,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_nchars_per_source": _q_grouped_mode,
         "latest_event_per_user": _q_latest_event,
         "top_customers_by_revenue": _q_top_customers,
+        "anti_join_docs_bloom": _q_anti_join_bloom,
+        "rollup_source_lang": _q_rollup_source_lang,
         "filter_large_docs": _q_filter_large_docs,
         "window_tumbling": _q_window_tumbling,
         "window_sliding": _q_window_sliding,
@@ -1886,6 +1922,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(value * 1000) AS BIGINT) AS v1000 FROM events "
             "QUALIFY row_number() OVER (PARTITION BY user_id "
             "ORDER BY ts DESC, event_id DESC) = 1"),
+        "anti_join_docs_bloom": (
+            "SELECT doc_id, n_chars FROM documents WHERE doc_id NOT IN "
+            "(SELECT vec_id FROM embeddings WHERE vec_id % 3 = 0)"),
+        # ROLLUP margins: NULL key2 = per-key1 subtotal, both NULL =
+        # grand total, matching the engine's derived-margin rows
+        "rollup_source_lang": (
+            "SELECT source, lang, CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(n_chars) AS BIGINT) AS val_sum FROM documents "
+            "GROUP BY ROLLUP(source, lang)"),
         "top_customers_by_revenue": (
             "WITH r AS (SELECT o_custkey AS c_custkey, "
             "sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "

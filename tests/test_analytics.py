@@ -917,3 +917,35 @@ def test_grouped_mode(ray_session):
         .to_pandas().set_index("source")
     assert out.loc["a", "mode_n_chars"] == 5 and out.loc["a", "n_mode"] == 2
     assert out.loc["b", "mode_n_chars"] == 7 and out.loc["b", "n_mode"] == 3
+
+
+def test_rollup_counts(ray_session):
+    # leaves + per-key1 subtotals + grand total, exact sums
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rwcf.analytics import rollup_counts
+
+    rng = np.random.default_rng(53)
+    n = 120
+    df = pd.DataFrame({
+        "source": [f"s{int(x)}" for x in rng.integers(0, 3, n)],
+        "lang": [f"l{int(x)}" for x in rng.integers(0, 2, n)],
+        "n_chars": rng.integers(1, 100, n).astype(np.int64),
+    })
+    out = rollup_counts(rd.from_pandas(df).repartition(4)).to_pandas()
+    leaves = out[out["lang"].notna()]
+    subs = out[out["lang"].isna() & out["source"].notna()]
+    tot = out[out["source"].isna()]
+    exp_leaf = df.groupby(["source", "lang"], as_index=False).agg(
+        n_rows=("n_chars", "size"), val_sum=("n_chars", "sum"))
+    a = leaves.sort_values(["source", "lang"], ignore_index=True)
+    b = exp_leaf.sort_values(["source", "lang"], ignore_index=True)
+    assert a["n_rows"].tolist() == b["n_rows"].tolist()
+    assert a["val_sum"].tolist() == b["val_sum"].tolist()
+    assert len(subs) == df["source"].nunique()
+    assert subs["n_rows"].sum() == n
+    assert len(tot) == 1
+    assert tot.iloc[0]["n_rows"] == n
+    assert tot.iloc[0]["val_sum"] == df["n_chars"].sum()
