@@ -1556,16 +1556,43 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"),
         "dedup_exact": ("SELECT min(doc_id) AS doc_id, text FROM documents "
                         "GROUP BY text"),
-        "dedup_simhash": ("SELECT doc_id AS a_id, doc_id + 1000000 AS b_id "
-                          "FROM documents WHERE doc_id % 10 = 0"),
-        "dedup_jaccard": ("SELECT doc_id AS a_id, doc_id + 1000000 AS b_id "
-                          "FROM documents WHERE doc_id % 10 = 0"),
+        # scale-robust dedup oracles: the FULL byte-identical pair clique
+        # over the augmented (base + planted-copy) corpus, not just the
+        # planted pairs — at sf0.1 the fixture contains natural
+        # byte-identical duplicates (8 pairs among 5000 docs) which the
+        # engine correctly reports and a planted-only oracle would
+        # falsely fail. Reduces to exactly the planted pairs at sf0.01.
+        # Residual assumption (documented): the fixture has no
+        # near-but-not-identical pairs above the 0.8 verify threshold.
+        "dedup_simhash": (
+            "WITH aug AS (SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 1000000, text FROM documents "
+            "WHERE doc_id % 10 = 0) "
+            "SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM aug a "
+            "JOIN aug b ON a.text = b.text AND a.doc_id < b.doc_id"),
+        "dedup_jaccard": (
+            "WITH aug AS (SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 1000000, text FROM documents "
+            "WHERE doc_id % 10 = 0) "
+            "SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM aug a "
+            "JOIN aug b ON a.text = b.text AND a.doc_id < b.doc_id"),
         "dedup_embedding": ("SELECT vec_id AS a_id, vec_id + 1000000 AS b_id "
                             "FROM embeddings WHERE vec_id % 10 = 0"),
-        "dedup_cluster_survivors": "SELECT doc_id FROM documents",
-        "dedup_tokens_minhash": ("SELECT doc_id AS a_id, doc_id + 1000000 "
-                                 "AS b_id FROM documents "
-                                 "WHERE doc_id % 10 = 0"),
+        # survivors = augmented corpus minus every doc with an identical
+        # smaller-id twin (cluster min per identical-text group)
+        "dedup_cluster_survivors": (
+            "WITH aug AS (SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 1000000, text FROM documents "
+            "WHERE doc_id % 10 = 0) "
+            "SELECT doc_id FROM aug WHERE doc_id NOT IN ("
+            "SELECT b.doc_id FROM aug a JOIN aug b "
+            "ON a.text = b.text AND a.doc_id < b.doc_id)"),
+        "dedup_tokens_minhash": (
+            "WITH aug AS (SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 1000000, text FROM documents "
+            "WHERE doc_id % 10 = 0) "
+            "SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM aug a "
+            "JOIN aug b ON a.text = b.text AND a.doc_id < b.doc_id"),
         "join_docs_embeddings": (
             "SELECT d.doc_id, CAST(strlen(d.text) AS BIGINT) AS n_tok, "
             "CAST(len(e.embedding) AS BIGINT) AS dim "

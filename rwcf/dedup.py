@@ -881,12 +881,31 @@ def token_minhash_matrix(t: pa.Table, num_perm: int = NUM_PERM,
 def minhash_tokens_batch(t: pa.Table, num_perm: int = NUM_PERM,
                          seed: int = 42) -> pa.Table:
     """Per-row minhash over token sequences, folded to one u64 per row —
-    the compute-scaling bench kernel."""
+    the compute-scaling bench kernel — with an ORDER-SENSITIVE sequence
+    poly-hash and the row length folded in.
+
+    The fold matters for routing: minhash alone keys on the token SET,
+    and small-vocabulary corpora (char-level or small-BPE tokenizers)
+    make most documents' token sets identical (every doc contains the
+    whole alphabet), so set-equal-but-distinct sequences collide en
+    masse — measured at sf0.1: 4.6M candidate pairs from 5.5k docs, a
+    quadratic clique that turned the exact verify into 600+ s of work
+    for 508 true pairs. Folding ``segment_poly_hash`` (positional, mod
+    2^64) plus the length keeps identical sequences identical while
+    routing set-equal imposters apart; the downstream exact verify is
+    unchanged and still owns correctness."""
     sig = token_minhash_matrix(t, num_perm, seed)
     n = sig.shape[0]
     folded = np.zeros(n, dtype=np.uint64)
     for j in range(num_perm):
         folded = folded * textops._FP_BASE + sig[:, j]
+    import pyarrow.compute as pc
+    la = t.column("tokens").combine_chunks()
+    lengths = pc.list_value_length(la).to_numpy().astype(np.int64)
+    flat = la.flatten().to_numpy(zero_copy_only=False)
+    seq = textops.segment_poly_hash(lengths, flat)
+    folded = (folded * textops._FP_BASE + seq) \
+        * textops._FP_BASE + lengths.astype(np.uint64)
     return pa.table({"doc_id": t.column("doc_id"),
                      "sig_hash": pa.array(folded.astype(np.int64))})
 

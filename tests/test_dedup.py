@@ -333,3 +333,30 @@ def test_dup_ngram_counts_bloom_prune_parity(ray_session):
         .sort_values("doc_id", ignore_index=True)
     assert exact["doc_id"].tolist() == bloom["doc_id"].tolist()
     assert exact["n_dup_grams"].tolist() == bloom["n_dup_grams"].tolist()
+
+
+def test_minhash_tokens_batch_set_equal_sequences_route_apart():
+    # small-vocab corpora make token SETS identical across distinct docs;
+    # the folded signature must still differ (order-sensitive poly hash +
+    # length folded in), or exact-dedup routing degenerates into a
+    # quadratic candidate clique (measured 4.6M candidates / 600+ s at
+    # sf0.1 before the fix)
+    import numpy as np
+    import pyarrow as pa
+
+    from rwcf import dedup
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "tokens": pa.array([
+            [1, 2, 3],          # base
+            [3, 2, 1],          # same SET, different order
+            [1, 2, 3, 3],       # same SET, different multiplicity/length
+            [1, 2, 3],          # true duplicate of doc 1
+        ], pa.list_(pa.int32())),
+    })
+    out = dedup.minhash_tokens_batch(t).to_pandas().set_index("doc_id")
+    s = out["sig_hash"]
+    assert s[1] == s[4]                      # identical sequences agree
+    assert s[1] != s[2]                      # order-sensitive
+    assert s[1] != s[3]                      # length/multiplicity-sensitive
