@@ -1603,7 +1603,8 @@ def oracle_sql() -> dict[str, str]:
         "window_tumbling": (
             "SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS win, "
             "CAST(count(*) AS BIGINT) AS n, "
-            "CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS v1000 "
+            "CAST(COALESCE(sum(CAST(floor(value * 1000) AS BIGINT)), 0) "
+            "AS BIGINT) AS v1000 "
             "FROM events GROUP BY user_id, win"),
         # window_sliding: each event belongs to the windows starting at
         # k*hop for k in [floor((e-w)/hop)+1, floor(e/hop)] — expanded in
@@ -1618,8 +1619,8 @@ def oracle_sql() -> dict[str, str]:
             " * 900, 900)) AS win_start FROM events) "
             "SELECT user_id, CAST(win_start AS BIGINT) AS win_start, "
             "CAST(count(*) AS BIGINT) AS n, "
-            "CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) "
-            "AS v1000 FROM ex GROUP BY user_id, win_start"),
+            "CAST(COALESCE(sum(CAST(floor(value * 1000) AS BIGINT)), 0) "
+            "AS BIGINT) AS v1000 FROM ex GROUP BY user_id, win_start"),
         # window_sessions: session semantics (gap-based) are expressible in
         # SQL via window functions:
         "window_sessions": (
@@ -1867,9 +1868,9 @@ def oracle_sql() -> dict[str, str]:
         # order makes ties deterministic
         "running_totals": (
             "SELECT event_id, user_id, CAST(row_number() OVER w AS BIGINT)"
-            " AS row_num, CAST(sum(CAST(floor(value * 1000) AS BIGINT)) "
+            " AS row_num, CAST(COALESCE(sum(CAST(floor(value * 1000) AS BIGINT)) "
             "OVER (PARTITION BY user_id ORDER BY ts, event_id "
-            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_sum1000 "
+            "ROWS UNBOUNDED PRECEDING), 0) AS BIGINT) AS run_sum1000 "
             "FROM events WINDOW w AS "
             "(PARTITION BY user_id ORDER BY ts, event_id)"),
         # trailing RANGE window: both sides order by floored epoch
@@ -1878,7 +1879,7 @@ def oracle_sql() -> dict[str, str]:
         "moving_range_sum": (
             "SELECT event_id, user_id, "
             "CAST(count(*) OVER w AS BIGINT) AS n_win, "
-            "CAST(sum(CAST(floor(value * 1000) AS BIGINT)) OVER w "
+            "CAST(COALESCE(sum(CAST(floor(value * 1000) AS BIGINT)) OVER w, 0) "
             "AS BIGINT) AS win_sum1000 FROM events WINDOW w AS "
             "(PARTITION BY user_id "
             "ORDER BY CAST(floor(epoch(ts)) AS BIGINT) "
@@ -1900,7 +1901,7 @@ def oracle_sql() -> dict[str, str]:
         "rows_window_sum": (
             "SELECT event_id, user_id, "
             "CAST(count(*) OVER w AS BIGINT) AS n_win, "
-            "CAST(sum(CAST(floor(value * 1000) AS BIGINT)) OVER w "
+            "CAST(COALESCE(sum(CAST(floor(value * 1000) AS BIGINT)) OVER w, 0) "
             "AS BIGINT) AS win_sum1000 FROM events WINDOW w AS "
             "(PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"),
@@ -1946,7 +1947,8 @@ def oracle_sql() -> dict[str, str]:
         "latest_event_per_user": (
             "SELECT event_id, user_id, "
             "CAST(floor(epoch(ts)) AS BIGINT) AS last_ts_s, "
-            "CAST(floor(value * 1000) AS BIGINT) AS v1000 FROM events "
+            "COALESCE(CAST(floor(value * 1000) AS BIGINT), 0) AS v1000 "
+            "FROM events "
             "QUALIFY row_number() OVER (PARTITION BY user_id "
             "ORDER BY ts DESC, event_id DESC) = 1"),
         "anti_join_docs_bloom": (

@@ -1516,6 +1516,10 @@ def grouped_corr(ds, key_col: str = "source", x_col: str = "n_chars",
     """
 
     def part(t: pa.Table) -> pa.Table:
+        if (t.column(key_col).null_count or t.column(x_col).null_count
+                or t.column(y_col).null_count):
+            raise ValueError("grouped_corr: NULL keys/values unsupported "
+                             "(exact integer moments need dense int64)")
         kv = t.column(key_col).to_numpy(zero_copy_only=False)
         x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
         y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1657,6 +1661,9 @@ def grouped_mode(ds, key_col: str = "source", val_col: str = "n_chars",
     def part(t: pa.Table) -> pa.Table:
         # numpy-native pair counting (hot path: runs on corpus rows):
         # factorize key and value independently, count the combined codes
+        if t.column(key_col).null_count or t.column(val_col).null_count:
+            raise ValueError("grouped_mode: NULL keys/values unsupported "
+                             "(np.unique factorization cannot order None)")
         kv = t.column(key_col).to_numpy(zero_copy_only=False)
         vv = t.column(val_col).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
@@ -1725,6 +1732,11 @@ def rollup_counts(ds, key1: str = "source", key2: str = "lang",
     """
 
     def part(t: pa.Table) -> pa.Table:
+        if t.column(key1).null_count or t.column(key2).null_count:
+            # a NULL leaf key would be indistinguishable from the derived
+            # NULL-marked margin rows (SQL disambiguates with GROUPING();
+            # this operator declares non-null keys instead)
+            raise ValueError("rollup_counts: NULL group keys unsupported")
         k1 = t.column(key1).to_numpy(zero_copy_only=False)
         k2 = t.column(key2).to_numpy(zero_copy_only=False)
         v = t.column(val_col).to_numpy(zero_copy_only=False) \

@@ -32,6 +32,22 @@ from . import rayenv
 from .joins import hash_join
 
 
+def _segsum(k: np.ndarray, v: np.ndarray):
+    """Group-sum of int64 ``v`` by int64 key ``k`` (sort + cumsum-diff):
+    returns (distinct_keys, per_key_totals). The shared in-batch collapse
+    kernel of the join-chain partials."""
+    order = np.argsort(k, kind="stable")
+    ks, vs = k[order], v[order]
+    new = np.ones(ks.size, dtype=bool)
+    if ks.size > 1:
+        new[1:] = ks[1:] != ks[:-1]
+    seg = np.flatnonzero(new)
+    cs = np.cumsum(vs)
+    totals = np.diff(np.concatenate([cs[seg] - vs[seg], cs[-1:]])) \
+        if ks.size else np.empty(0, np.int64)
+    return ks[seg], totals.astype(np.int64)
+
+
 def _money_partial(t: pa.Table, key: str, price: str, disc: str,
                    out_key: str) -> pa.Table:
     """Per-batch partial: one (key, rev_scaled) row per distinct key.
@@ -42,18 +58,9 @@ def _money_partial(t: pa.Table, key: str, price: str, disc: str,
                     .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
     bp = np.rint(t.column(disc).combine_chunks()
                  .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
-    rev = cents * (100 - bp)
-    order = np.argsort(k, kind="stable")
-    ks, rs = k[order], rev[order]
-    new = np.ones(ks.size, dtype=bool)
-    if ks.size > 1:
-        new[1:] = ks[1:] != ks[:-1]
-    seg = np.flatnonzero(new)
-    cs = np.cumsum(rs)
-    totals = np.diff(np.concatenate([cs[seg] - rs[seg], cs[-1:]])) \
-        if ks.size else np.empty(0, np.int64)
-    return pa.table({out_key: pa.array(ks[seg]),
-                     "rev_scaled": pa.array(totals.astype(np.int64))})
+    keys, totals = _segsum(k, cents * (100 - bp))
+    return pa.table({out_key: pa.array(keys),
+                     "rev_scaled": pa.array(totals)})
 
 
 def revenue_by_nation(lineitem, orders, customer, nation,
@@ -90,17 +97,9 @@ def revenue_by_nation(lineitem, orders, customer, nation,
         k = t.column("ck").combine_chunks().to_numpy(zero_copy_only=False)
         r = t.column("rev_scaled").combine_chunks() \
             .to_numpy(zero_copy_only=False)
-        order = np.argsort(k, kind="stable")
-        ks, rs = k[order], r[order]
-        new = np.ones(ks.size, dtype=bool)
-        if ks.size > 1:
-            new[1:] = ks[1:] != ks[:-1]
-        seg = np.flatnonzero(new)
-        cs = np.cumsum(rs)
-        totals = np.diff(np.concatenate([cs[seg] - rs[seg], cs[-1:]])) \
-            if ks.size else np.empty(0, np.int64)
-        return pa.table({"ck": pa.array(ks[seg]),
-                         "rev_scaled": pa.array(totals.astype(np.int64))})
+        keys, totals = _segsum(k.astype(np.int64), r.astype(np.int64))
+        return pa.table({"ck": pa.array(keys),
+                         "rev_scaled": pa.array(totals)})
 
     j1p = j1.map_batches(cust_partial, batch_format="pyarrow",
                          **rayenv.remote_args())
@@ -122,10 +121,10 @@ def revenue_by_nation(lineitem, orders, customer, nation,
     def add_name(t: pa.Table) -> pa.Table:
         nmap = ray.get(nmap_ref)
         nk = t.column("nk").combine_chunks().to_numpy(zero_copy_only=False)
-        names = np.array([nmap[int(x)] for x in np.unique(nk)], dtype=object)
-        lut = {int(x): i for i, x in enumerate(np.unique(nk))}
-        idx = np.fromiter((lut[int(x)] for x in nk), np.int64, nk.size)
-        return pa.table({"n_name": pa.array(names[idx], pa.string()),
+        # one unique pass; Python touches only the nations-sized u, not rows
+        u, inv = np.unique(nk, return_inverse=True)
+        names = np.array([nmap[int(x)] for x in u], dtype=object)[inv]
+        return pa.table({"n_name": pa.array(names, pa.string()),
                          "rev_scaled": t.column("rev_scaled")})
 
     named = j2.map_batches(add_name, batch_format="pyarrow",

@@ -60,8 +60,12 @@ def tumbling_window_aggregate(ds, window_s: int = 3600,
     def partial(t: pa.Table) -> pa.Table:
         epoch = _epoch_seconds_floor(t.column(ts_col).combine_chunks())
         win = epoch // np.int64(window_s)  # floor toward -inf, like SQL floor
-        vals = t.column(val_col).combine_chunks().to_numpy(zero_copy_only=False)
-        scaled = np.floor(vals * 1000).astype(np.int64)
+        vals = np.asarray(t.column(val_col).combine_chunks()
+                          .to_numpy(zero_copy_only=False), dtype=np.float64)
+        # NULL adds 0, row still counts (the shared window NULL rule;
+        # unmasked floor(NaN) would become INT64_MIN and corrupt the sum)
+        scaled = np.where(np.isnan(vals), np.int64(0),
+                          np.floor(vals * 1000)).astype(np.int64)
         g = pa.table({
             key: t.column(key),
             "win": pa.array(win, type=pa.int64()),
@@ -107,9 +111,10 @@ def sliding_window_aggregate(ds, window_s: int = 3600, hop_s: int = 900,
         out_starts = np.cumsum(cnt) - cnt
         pos = np.arange(tot, dtype=np.int64) - np.repeat(out_starts, cnt)
         win = (np.repeat(k_lo, cnt) + pos) * np.int64(hop_s)
-        vals = t.column(val_col).combine_chunks().to_numpy(
-            zero_copy_only=False)
-        scaled = np.floor(vals * 1000).astype(np.int64)
+        vals = np.asarray(t.column(val_col).combine_chunks()
+                          .to_numpy(zero_copy_only=False), dtype=np.float64)
+        scaled = np.where(np.isnan(vals), np.int64(0),
+                          np.floor(vals * 1000)).astype(np.int64)
         kv = t.column(key).combine_chunks()
         g = pa.table({
             key: kv.take(pa.array(np.repeat(np.arange(t.num_rows), cnt))),
@@ -622,14 +627,22 @@ def latest_event_per_key(ds, key: str = "user_id", ts_col: str = "ts",
     """Per-key LAST event — SQL's
     ``row_number() OVER (PARTITION BY key ORDER BY ts DESC, id DESC) = 1``:
     each key's most recent event with its floored-epoch timestamp and the
-    integer-scaled value (``floor(v*1000)``; NaN -> 0 like the window
-    sums). The current-state primitive (latest profile, last-seen, most
-    recent reading per entity).
+    integer-scaled value. NULL semantics (declared, and replayed by the
+    oracle with COALESCE): a NULL/NaN value on the winning row emits
+    ``v1000 = 0``, consistent with the window sums' NULL-adds-zero rule.
+    The current-state primitive (latest profile, last-seen, most recent
+    reading per entity).
 
     Scale shape: per-batch partial cut FIRST (each batch keeps one row
     per batch-local key), so the one ``hash(key)`` bucketed exchange
     moves at most one row per (key, batch), never raw events; the
-    in-bucket final takes the last row of each sorted segment.
+    in-bucket final takes the last row of each sorted segment. The raw
+    NATIVE-UNIT ticks ride through the exchange (every batch sees the
+    same column unit, so ticks are globally comparable), so the
+    cross-batch tie-break replays the oracle's raw-ts order exactly even
+    for timestamp[ns] inputs — a microsecond-floored carry would collapse
+    sub-microsecond ties onto the id tie-break and could pick a different
+    row than ORDER BY ts DESC.
     """
 
     def local_last(t: pa.Table) -> pa.Table:
@@ -641,14 +654,14 @@ def latest_event_per_key(ds, key: str = "user_id", ts_col: str = "ts",
         if n == 0:
             return pa.table({id_col: pa.array([], pa.int64()),
                              key: pa.array([], t.schema.field(key).type),
-                             "_ts_us": pa.array([], pa.int64()),
+                             "_ts_ticks": pa.array([], pa.int64()),
+                             "_ts_s": pa.array([], pa.int64()),
                              "v1000": pa.array([], pa.int64())})
         kn = t.column(key).combine_chunks().to_numpy(zero_copy_only=False)
         last = np.concatenate((kn[1:] != kn[:-1], [True]))
-        # carry MICROSECOND ticks through the exchange: the final's
-        # cross-batch tie-break must replay the oracle's raw-ts order,
-        # not the floored-seconds output granularity
-        tus = _epoch_micros(t.column(ts_col))[last]
+        ticks = pc.cast(t.column(ts_col).combine_chunks(),
+                        pa.int64()).to_numpy(zero_copy_only=False)[last]
+        tsec = _epoch_seconds_floor(t.column(ts_col))[last]
         v = np.asarray(t.column(val_col).combine_chunks()
                        .to_numpy(zero_copy_only=False),
                        dtype=np.float64)[last]
@@ -657,7 +670,8 @@ def latest_event_per_key(ds, key: str = "user_id", ts_col: str = "ts",
         keep = pa.array(last)
         out = pa.table({id_col: t.column(id_col).filter(keep),
                         key: t.column(key).filter(keep),
-                        "_ts_us": pa.array(tus),
+                        "_ts_ticks": pa.array(ticks),
+                        "_ts_s": pa.array(tsec),
                         "v1000": pa.array(v1000)})
         from .joins import hash_bucket
         kv = out.column(key).combine_chunks() \
@@ -668,7 +682,7 @@ def latest_event_per_key(ds, key: str = "user_id", ts_col: str = "ts",
     def final_last(g: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         g = g.take(pc.sort_indices(g, sort_keys=[
-            (key, "ascending"), ("_ts_us", "ascending"),
+            (key, "ascending"), ("_ts_ticks", "ascending"),
             (id_col, "ascending")]))
         n = g.num_rows
         if n == 0:
@@ -678,13 +692,9 @@ def latest_event_per_key(ds, key: str = "user_id", ts_col: str = "ts",
                              "v1000": pa.array([], pa.int64())})
         kn = g.column(key).combine_chunks().to_numpy(zero_copy_only=False)
         last = pa.array(np.concatenate((kn[1:] != kn[:-1], [True])))
-        tus = g.column("_ts_us").combine_chunks() \
-            .to_numpy(zero_copy_only=False)[
-                np.concatenate((kn[1:] != kn[:-1], [True]))]
         return pa.table({id_col: g.column(id_col).filter(last),
                          key: g.column(key).filter(last),
-                         "last_ts_s": pa.array(
-                             tus // np.int64(1_000_000)),
+                         "last_ts_s": g.column("_ts_s").filter(last),
                          "v1000": g.column("v1000").filter(last)})
 
     return (ds.map_batches(local_last, batch_format="pyarrow",

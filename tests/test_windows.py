@@ -425,3 +425,61 @@ def test_latest_event_per_key(ray_session):
     exp_v = np.where(np.isnan(v), 0, np.floor(v * 1000)).astype(np.int64)
     assert out["v1000"].tolist() == exp_v.tolist()
     assert len(out) == df["user_id"].nunique()
+
+
+def test_latest_event_ns_subsecond_ties(ray_session):
+    # timestamp[ns] input: two events in the same MICROSECOND where the
+    # later raw-ns event has the smaller id — the native-unit tick carry
+    # must pick the later raw ts (a microsecond-floored carry would fall
+    # back to the id tie-break and pick the wrong row)
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rwcf.windows import latest_event_per_key
+
+    ts = pd.to_datetime(
+        np.array([1_000_000_900, 1_000_000_200, 500_000_000],
+                 dtype=np.int64), unit="ns")
+    df = pd.DataFrame({
+        "event_id": np.array([3, 7, 9], dtype=np.int64),
+        "user_id": np.array([1, 1, 1], dtype=np.int64),
+        "ts": ts.astype("datetime64[ns]"),
+        "value": np.array([1.0, 2.0, 3.0]),
+    })
+    out = latest_event_per_key(rd.from_pandas(df).repartition(3)) \
+        .to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["event_id"] == 3     # later ns tick wins over id 7
+    assert out.iloc[0]["last_ts_s"] == 1
+    assert out.iloc[0]["v1000"] == 1000
+
+
+def test_window_sums_null_values(ray_session):
+    # declared NULL rule across the window family: NULL/NaN adds 0 to
+    # sums, the row still counts / gets a frame slot
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rwcf.windows import (moving_range_sum, rows_window_sum,
+                              tumbling_window_aggregate)
+
+    df = pd.DataFrame({
+        "event_id": np.arange(4, dtype=np.int64),
+        "user_id": np.zeros(4, dtype=np.int64),
+        "ts": pd.to_datetime([0, 10, 20, 5000], unit="s"),
+        "value": [np.nan, 2.0, np.nan, np.nan],
+    })
+    ds = rd.from_pandas(df)
+    mr = moving_range_sum(ds, range_s=3600).to_pandas() \
+        .sort_values("event_id", ignore_index=True)
+    assert mr["n_win"].tolist() == [1, 2, 3, 1]
+    assert mr["win_sum1000"].tolist() == [0, 2000, 2000, 0]
+    rw = rows_window_sum(ds, preceding=1).to_pandas() \
+        .sort_values("event_id", ignore_index=True)
+    assert rw["win_sum1000"].tolist() == [0, 2000, 2000, 0]
+    tw = tumbling_window_aggregate(ds, window_s=3600).to_pandas() \
+        .sort_values("win", ignore_index=True)
+    assert tw["n"].tolist() == [3, 1]
+    assert tw["v1000"].tolist() == [2000, 0]
