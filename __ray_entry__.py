@@ -1383,6 +1383,15 @@ def _q_rollup_source_lang(sf_dir: str):
         _docs_ds(sf_dir, columns=("source", "lang", "n_chars")))
 
 
+def _q_share_of_source(sf_dir: str):
+    """RATIO_TO_REPORT in exact integer basis points (v*10000 // group
+    total): group sums broadcast once, zero corpus shuffles, no float
+    division on either side."""
+    from rwcf import analytics
+    return analytics.ratio_to_group_total(
+        _docs_ds(sf_dir, columns=("doc_id", "source", "n_chars")))
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -1473,6 +1482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers_by_revenue": _q_top_customers,
         "anti_join_docs_bloom": _q_anti_join_bloom,
         "rollup_source_lang": _q_rollup_source_lang,
+        "share_of_source": _q_share_of_source,
         "filter_large_docs": _q_filter_large_docs,
         "window_tumbling": _q_window_tumbling,
         "window_sliding": _q_window_sliding,
@@ -1954,6 +1964,11 @@ def oracle_sql() -> dict[str, str]:
         "anti_join_docs_bloom": (
             "SELECT doc_id, n_chars FROM documents WHERE doc_id NOT IN "
             "(SELECT vec_id FROM embeddings WHERE vec_id % 3 = 0)"),
+        # exact integer basis points (// is DuckDB integer division)
+        "share_of_source": (
+            "SELECT doc_id, source, CAST(n_chars * 10000 // "
+            "sum(n_chars) OVER (PARTITION BY source) AS BIGINT) "
+            "AS share_bp FROM documents"),
         # ROLLUP margins: NULL key2 = per-key1 subtotal, both NULL =
         # grand total, matching the engine's derived-margin rows
         "rollup_source_lang": (

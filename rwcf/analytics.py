@@ -1784,3 +1784,54 @@ def rollup_counts(ds, key1: str = "source", key2: str = "lang",
     return (leaf.repartition(1)
             .map_batches(add_margins, batch_format="pyarrow",
                          **rayenv.remote_args()))
+
+
+def ratio_to_group_total(ds, key_col: str = "source",
+                         val_col: str = "n_chars",
+                         id_col: str = "doc_id"):
+    """Each row's share of its group's total in exact integer basis
+    points — SQL's RATIO_TO_REPORT, ``v * 10000 // sum(v) OVER
+    (PARTITION BY key)`` — the mix-share probe (how much of a source one
+    document is; flags single-doc-dominated sources). Exact int64 on
+    both sides: no float division anywhere, so no rounding-mode
+    divergence by construction.
+
+    Scale shape: same zero-corpus-shuffle pattern as
+    :func:`zscore_by_group` — per-batch (key, sum) partials into a
+    group-count-sized groupby, the totals map broadcasts via ``ray.put``,
+    pass 2 is a stateless vectorized map. Int64 bound: group totals must
+    stay under 2^63 / 10000 (~9e14), documented like the zscore moments.
+    """
+    import ray
+
+    def part(t: pa.Table) -> pa.Table:
+        kv = t.column(key_col).to_numpy(zero_copy_only=False)
+        v = t.column(val_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ug, inv = np.unique(kv, return_inverse=True)
+        s = np.zeros(ug.size, dtype=np.int64)
+        np.add.at(s, inv, v)
+        return pa.table({key_col: pa.array(ug.astype(object), pa.string()),
+                         "s": pa.array(s)})
+
+    from ray.data.aggregate import Sum
+    stats = (ds.map_batches(part, batch_format="pyarrow",
+                            **rayenv.remote_args())
+             .groupby(key_col).aggregate(Sum("s", alias_name="s")))
+    sp = stats.to_pandas()
+    totals_ref = ray.put(dict(zip(sp[key_col], sp["s"].astype(np.int64))))
+
+    def share(t: pa.Table) -> pa.Table:
+        tot = ray.get(totals_ref)
+        kv = t.column(key_col).to_numpy(zero_copy_only=False)
+        v = t.column(val_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        u, inv = np.unique(kv, return_inverse=True)
+        tv = np.array([tot[k] for k in u], dtype=np.int64)[inv]
+        bp = np.where(tv > 0, v * 10000 // np.maximum(tv, 1), np.int64(0))
+        return pa.table({id_col: t.column(id_col),
+                         key_col: t.column(key_col),
+                         "share_bp": pa.array(bp.astype(np.int64))})
+
+    return ds.map_batches(share, batch_format="pyarrow",
+                          **rayenv.remote_args())

@@ -949,3 +949,27 @@ def test_rollup_counts(ray_session):
     assert len(tot) == 1
     assert tot.iloc[0]["n_rows"] == n
     assert tot.iloc[0]["val_sum"] == df["n_chars"].sum()
+
+
+def test_ratio_to_group_total(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rwcf.analytics import ratio_to_group_total
+
+    rng = np.random.default_rng(61)
+    df = pd.DataFrame({
+        "doc_id": np.arange(90, dtype=np.int64),
+        "source": [f"s{int(x)}" for x in rng.integers(0, 4, 90)],
+        "n_chars": rng.integers(1, 500, 90).astype(np.int64),
+    })
+    out = ratio_to_group_total(rd.from_pandas(df).repartition(3)) \
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    tot = df.groupby("source")["n_chars"].transform("sum")
+    exp = (df["n_chars"] * 10000 // tot).astype(np.int64)
+    assert out["share_bp"].tolist() == exp.tolist()
+    # shares of a group sum to <= 10000 and within group-size of it
+    g = out.merge(df, on=["doc_id", "source"]).groupby("source")["share_bp"]
+    for k, s in g.sum().items():
+        assert s <= 10000
