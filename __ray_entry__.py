@@ -1392,6 +1392,103 @@ def _q_share_of_source(sf_dir: str):
         _docs_ds(sf_dir, columns=("doc_id", "source", "n_chars")))
 
 
+def _q_cube_source_lang(sf_dir: str):
+    """GROUP BY CUBE(source, lang) counts + n_chars sums (leaves, both
+    one-key subtotal levels, grand total): one corpus pass; all three
+    margin levels derived from the domain-sized leaf aggregate."""
+    from rwcf import analytics
+    return analytics.cube_counts(
+        _docs_ds(sf_dir, columns=("source", "lang", "n_chars")))
+
+
+def _q_pivot_lang_counts(sf_dir: str):
+    """Conditional-aggregation pivot: documents per language per source
+    as wide columns (declared domain; out-of-domain raises). Per-batch
+    key x domain count-matrix partials, one group-sized exchange."""
+    from rwcf import analytics
+    return analytics.pivot_counts(
+        _docs_ds(sf_dir, columns=("source", "lang")))
+
+
+def _q_outlier_docs(sf_dir: str):
+    """Per-source IQR-fence length outliers at the aggressive curation
+    setting k=0.5 (flag-for-review pass): exact discrete q1/q3 broadcast
+    once, integer fence compare (2v vs 2q±1*IQR — no fractional
+    multiplier on either side), zero corpus shuffles."""
+    from rwcf import analytics
+    return analytics.iqr_outliers(
+        _docs_ds(sf_dir, columns=("doc_id", "source", "n_chars")),
+        fence_half=1)
+
+
+def _q_vocab_except(sf_dir: str):
+    """Collocation EXCEPT: word bigrams in src0's documents never seen
+    in src1's (domain-shift probe — unigram vocabularies saturate and
+    coincide; bigrams keep discriminating). Unique (gram, flag)
+    partials, one hash(gram) exchange, in-bucket flag-OR."""
+    from rwcf import analytics
+    return analytics.vocab_except(
+        _docs_ds(sf_dir, columns=("source", "text")), "src0", "src1",
+        ngram=2)
+
+
+def _q_first_event(sf_dir: str):
+    """Per-user FIRST event (raw-ts ASC order, id tie-break) — the
+    acquisition anchor; same one-row-per-(key,batch) partial cut as
+    latest_event_per_user."""
+    import ray.data as rd
+
+    from rwcf import windows
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "ts", "value"])
+    return windows.first_event_per_key(ev)
+
+
+def _q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped pricing summary in exact integer money (cents /
+    basis points): per-batch ~6-row Arrow partials, one domain-sized
+    groupby — the corpus never reshuffles."""
+    import ray.data as rd
+
+    from rwcf.relational import pricing_summary
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_shipdate", "l_returnflag",
+                                  "l_linestatus", "l_quantity",
+                                  "l_extendedprice", "l_discount",
+                                  "l_tax"])
+    return pricing_summary(li)
+
+
+def _q_orders_by_month(sf_dir: str):
+    """Orders per (year*100+month, priority) with exact cents totals:
+    per-batch domain-sized partials, one small groupby."""
+    import ray.data as rd
+
+    from rwcf.relational import orders_by_month_priority
+    od = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderdate", "o_orderpriority",
+                                  "o_totalprice"])
+    return orders_by_month_priority(od)
+
+
+def _q_id_islands(sf_dir: str):
+    """Gaps-and-islands: maximal consecutive doc_id runs per source
+    (shard-completeness probe). In-batch interval collapse, one
+    hash(key) exchange of intervals, vectorized adjacent-merge."""
+    from rwcf import analytics
+    return analytics.id_islands(
+        _docs_ds(sf_dir, columns=("doc_id", "source")))
+
+
+def _q_mad_nchars(sf_dir: str):
+    """Per-source exact median + MAD of n_chars (discrete
+    rank-ceil(q*n) order stats, two quantile passes with the median map
+    broadcast between them)."""
+    from rwcf import analytics
+    return analytics.mad_by_group(
+        _docs_ds(sf_dir, columns=("source", "n_chars")))
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -1483,6 +1580,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_docs_bloom": _q_anti_join_bloom,
         "rollup_source_lang": _q_rollup_source_lang,
         "share_of_source": _q_share_of_source,
+        "cube_source_lang": _q_cube_source_lang,
+        "pivot_lang_counts": _q_pivot_lang_counts,
+        "outlier_docs": _q_outlier_docs,
+        "vocab_except": _q_vocab_except,
+        "first_event_per_user": _q_first_event,
+        "pricing_summary": _q_pricing_summary,
+        "orders_by_month_priority": _q_orders_by_month,
+        "id_islands": _q_id_islands,
+        "mad_nchars": _q_mad_nchars,
         "filter_large_docs": _q_filter_large_docs,
         "window_tumbling": _q_window_tumbling,
         "window_sliding": _q_window_sliding,
@@ -1975,6 +2081,108 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, lang, CAST(count(*) AS BIGINT) AS n_rows, "
             "CAST(sum(n_chars) AS BIGINT) AS val_sum FROM documents "
             "GROUP BY ROLLUP(source, lang)"),
+        # CUBE adds the per-lang (source NULL) margin level to ROLLUP
+        "cube_source_lang": (
+            "SELECT source, lang, CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(n_chars) AS BIGINT) AS val_sum FROM documents "
+            "GROUP BY CUBE(source, lang)"),
+        # declared pivot domain {de,en,es,fr,zh}; engine raises on any
+        # out-of-domain lang, so coverage can't silently diverge
+        "pivot_lang_counts": (
+            "SELECT source, "
+            "CAST(count(*) FILTER (lang = 'de') AS BIGINT) AS n_de, "
+            "CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS n_en, "
+            "CAST(count(*) FILTER (lang = 'es') AS BIGINT) AS n_es, "
+            "CAST(count(*) FILTER (lang = 'fr') AS BIGINT) AS n_fr, "
+            "CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS n_zh, "
+            "CAST(count(*) AS BIGINT) AS n_rows "
+            "FROM documents GROUP BY source"),
+        # q1/q3 = discrete rank-ceil(q*n) order stats (the
+        # grouped_quantiles_source definition); fences compared in
+        # integers (2v vs 2q±3*IQR) so no float 1.5 exists either side
+        "outlier_docs": (
+            "WITH s AS (SELECT source, n_chars AS v, row_number() OVER "
+            "(PARTITION BY source ORDER BY n_chars) AS rn, "
+            "count(*) OVER (PARTITION BY source) AS n FROM documents), "
+            "q AS (SELECT source, "
+            "max(CASE WHEN rn = greatest(1, CAST(ceil(0.25 * n) AS "
+            "BIGINT)) THEN v END) AS q1, "
+            "max(CASE WHEN rn = greatest(1, CAST(ceil(0.75 * n) AS "
+            "BIGINT)) THEN v END) AS q3 FROM s GROUP BY source) "
+            "SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS "
+            "n_chars FROM documents d JOIN q ON d.source = q.source "
+            "WHERE 2 * d.n_chars < 2 * q.q1 - 1 * (q.q3 - q.q1) "
+            "OR 2 * d.n_chars > 2 * q.q3 + 1 * (q.q3 - q.q1)"),
+        # same \S+ tokenization as distinct_words_per_source; bigrams
+        # joined with a single space within each document
+        "vocab_except": (
+            "WITH w AS (SELECT source, regexp_extract_all(text, '\\S+') "
+            "AS ws FROM documents), "
+            "b AS (SELECT source, ws[i] || ' ' || ws[i + 1] AS word "
+            "FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)) "
+            "SELECT word FROM (SELECT DISTINCT word FROM b "
+            "WHERE source = 'src0') "
+            "EXCEPT SELECT word FROM (SELECT DISTINCT word FROM b "
+            "WHERE source = 'src1')"),
+        # exact integer money: qty integral, price cents, discount /
+        # tax basis points; AVGs are derivable as sum/count, not emitted
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) "
+            "AS sum_qty, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS sum_base_cents, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)"
+            " AS sum_disc_scaled, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT)) * "
+            "(100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) "
+            "AS sum_charge_scaled, "
+            "CAST(count(*) AS BIGINT) AS n_rows "
+            "FROM lineitem "
+            "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+            "GROUP BY l_returnflag, l_linestatus"),
+        "orders_by_month_priority": (
+            "SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) "
+            "AS BIGINT) AS ym, o_orderpriority, "
+            "CAST(count(*) AS BIGINT) AS n_orders, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS total_cents "
+            "FROM orders GROUP BY ym, o_orderpriority"),
+        # row_number-difference idiom; ids are unique per corpus
+        "id_islands": (
+            "SELECT source, CAST(min(doc_id) AS BIGINT) AS island_start,"
+            " CAST(max(doc_id) AS BIGINT) AS island_end, "
+            "CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM (SELECT source, doc_id, doc_id - row_number() OVER "
+            "(PARTITION BY source ORDER BY doc_id) AS g FROM documents) "
+            "GROUP BY source, g"),
+        # both medians at discrete rank ceil(0.5*n), like the
+        # grouped_quantiles_source oracle
+        "mad_nchars": (
+            "WITH m AS (SELECT source, v AS med FROM "
+            "(SELECT source, n_chars AS v, row_number() OVER "
+            "(PARTITION BY source ORDER BY n_chars) AS rn, "
+            "count(*) OVER (PARTITION BY source) AS n FROM documents) "
+            "WHERE rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))), "
+            "x AS (SELECT a.source, a.av, row_number() OVER "
+            "(PARTITION BY a.source ORDER BY a.av) AS rn, "
+            "count(*) OVER (PARTITION BY a.source) AS n FROM "
+            "(SELECT d.source, abs(d.n_chars - m.med) AS av "
+            "FROM documents d JOIN m ON d.source = m.source) a) "
+            "SELECT x.source, CAST(m.med AS BIGINT) AS med, "
+            "CAST(x.av AS BIGINT) AS mad FROM x "
+            "JOIN m ON x.source = m.source "
+            "WHERE x.rn = greatest(1, CAST(ceil(0.5 * x.n) AS BIGINT))"),
+        # mirror of latest_event_per_user with ASC order
+        "first_event_per_user": (
+            "SELECT event_id, user_id, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS first_ts_s, "
+            "COALESCE(CAST(floor(value * 1000) AS BIGINT), 0) AS v1000 "
+            "FROM events "
+            "QUALIFY row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts ASC, event_id ASC) = 1"),
         "top_customers_by_revenue": (
             "WITH r AS (SELECT o_custkey AS c_custkey, "
             "sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "

@@ -1718,11 +1718,13 @@ def grouped_mode(ds, key_col: str = "source", val_col: str = "n_chars",
 
 
 def rollup_counts(ds, key1: str = "source", key2: str = "lang",
-                  val_col: str = "n_chars"):
+                  val_col: str = "n_chars", cube: bool = False):
     """GROUP BY ROLLUP(key1, key2) — leaf rows per (key1, key2), subtotal
     rows per key1 (key2 NULL) and one grand-total row (both NULL), each
-    with exact row count + int64 value sum. The hierarchy-report
-    primitive (per-source-per-language corpus inventory with margins).
+    with exact row count + int64 value sum. With ``cube=True`` (see
+    :func:`cube_counts`) the per-key2 subtotal level (key1 NULL) is
+    emitted too. The hierarchy-report primitive
+    (per-source-per-language corpus inventory with margins).
 
     Scale shape: one corpus pass of per-batch (key1, key2, n, sum)
     partials into a domain-sized groupby; the subtotal and grand-total
@@ -1763,15 +1765,23 @@ def rollup_counts(ds, key1: str = "source", key2: str = "lang",
                        Sum("val_sum", alias_name="val_sum")))
 
     def add_margins(t: pa.Table) -> pa.Table:
-        # domain-sized input: emit leaves + key1 subtotals + grand total
+        # domain-sized input: emit leaves + key1 subtotals (+ key2
+        # subtotals when cube) + grand total
         df = t.to_pandas()
-        sub = df.groupby(key1, as_index=False)[["n_rows", "val_sum"]].sum()
-        sub[key2] = None
-        tot = pd.DataFrame({key1: [None], key2: [None],
-                            "n_rows": [df["n_rows"].sum()],
-                            "val_sum": [df["val_sum"].sum()]})
-        out = pd.concat([df, sub[[key1, key2, "n_rows", "val_sum"]], tot],
-                        ignore_index=True)
+        parts = [df]
+        sub1 = df.groupby(key1, as_index=False)[["n_rows",
+                                                 "val_sum"]].sum()
+        sub1[key2] = None
+        parts.append(sub1[[key1, key2, "n_rows", "val_sum"]])
+        if cube:
+            sub2 = df.groupby(key2, as_index=False)[["n_rows",
+                                                     "val_sum"]].sum()
+            sub2[key1] = None
+            parts.append(sub2[[key1, key2, "n_rows", "val_sum"]])
+        parts.append(pd.DataFrame({key1: [None], key2: [None],
+                                   "n_rows": [df["n_rows"].sum()],
+                                   "val_sum": [df["val_sum"].sum()]}))
+        out = pd.concat(parts, ignore_index=True)
         return pa.table({key1: pa.array(out[key1].to_numpy(object),
                                         pa.string()),
                          key2: pa.array(out[key2].to_numpy(object),
@@ -1784,6 +1794,19 @@ def rollup_counts(ds, key1: str = "source", key2: str = "lang",
     return (leaf.repartition(1)
             .map_batches(add_margins, batch_format="pyarrow",
                          **rayenv.remote_args()))
+
+
+def cube_counts(ds, key1: str = "source", key2: str = "lang",
+                val_col: str = "n_chars"):
+    """GROUP BY CUBE(key1, key2) — everything :func:`rollup_counts`
+    emits PLUS the per-key2 subtotal rows (key1 NULL), i.e. the full
+    cross-margin report (per-source, per-language, and joint corpus
+    inventory in one result). Same one-corpus-pass scale shape: the
+    extra margin level is derived from the SAME domain-sized leaf
+    aggregate, so CUBE costs nothing over ROLLUP beyond
+    |key2| extra output rows."""
+    return rollup_counts(ds, key1=key1, key2=key2, val_col=val_col,
+                         cube=True)
 
 
 def ratio_to_group_total(ds, key_col: str = "source",
@@ -1835,3 +1858,291 @@ def ratio_to_group_total(ds, key_col: str = "source",
 
     return ds.map_batches(share, batch_format="pyarrow",
                           **rayenv.remote_args())
+
+
+def pivot_counts(ds, key_col: str = "source", pivot_col: str = "lang",
+                 domain: tuple = ("de", "en", "es", "fr", "zh")):
+    """Conditional-aggregation pivot — SQL's ``count(*) FILTER
+    (pivot = v)`` per declared domain value, one output column per
+    value (``n_{v}``) plus a row-count total: the wide-format corpus
+    composition report (documents per language per source, one row per
+    source). The pivot domain is DECLARED, not discovered — stable
+    output schema regardless of which values a given shard happens to
+    contain; an out-of-domain value raises rather than silently
+    vanishing (engine and oracle can never disagree on coverage).
+
+    Scale shape: each batch collapses to a |keys_in_batch| x |domain|
+    integer count matrix (np.add.at on a 2-D grid — no per-value pass),
+    so the single groupby exchanges group-count-sized partial rows with
+    |domain|+1 int columns; the final is a domain-width column sum. Zero
+    corpus-row shuffles; pivot width is a declared constant, so the
+    partial row stays O(|domain|) forever."""
+    dom = list(domain)
+    idx = {v: i for i, v in enumerate(dom)}
+    cols = [f"n_{v}" for v in dom]
+
+    def part(t: pa.Table) -> pa.Table:
+        kv = t.column(key_col).to_numpy(zero_copy_only=False)
+        pv = t.column(pivot_col).to_numpy(zero_copy_only=False)
+        up, pinv = np.unique(pv, return_inverse=True)
+        bad = [v for v in up if v not in idx]
+        if bad:
+            raise ValueError(
+                f"pivot_counts: values {bad!r} outside declared domain")
+        code = np.array([idx[v] for v in up], dtype=np.int64)[pinv]
+        uk, kinv = np.unique(kv, return_inverse=True)
+        mat = np.zeros((uk.size, len(dom)), dtype=np.int64)
+        np.add.at(mat, (kinv, code), 1)
+        out = {key_col: pa.array(uk.astype(object), pa.string())}
+        for j, c in enumerate(cols):
+            out[c] = pa.array(mat[:, j])
+        out["n_rows"] = pa.array(mat.sum(axis=1))
+        return pa.table(out)
+
+    from ray.data.aggregate import Sum
+    aggs = [Sum(c, alias_name=c) for c in cols]
+    aggs.append(Sum("n_rows", alias_name="n_rows"))
+    return (ds.map_batches(part, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .groupby(key_col).aggregate(*aggs))
+
+
+def iqr_outliers(ds, key_col: str = "source", val_col: str = "n_chars",
+                 id_col: str = "doc_id", fence_half: int = 3):
+    """Per-group Tukey-fence outlier filter — rows outside
+    ``[q1 - k*IQR, q3 + k*IQR]`` with ``k = fence_half/2`` of their OWN
+    group's distribution (the per-source length-anomaly probe: truncated
+    fragments and concatenation blobs surface per source, not against a
+    global threshold that a long-form source would saturate). The
+    default ``fence_half=3`` is the classic k=1.5; a curation pass that
+    flags aggressively for review uses ``fence_half=1`` (k=0.5).
+    Quantiles are the exact discrete order statistics of
+    :func:`grouped_quantiles` (rank ``ceil(q*N_key)``), and the fence
+    comparison is kept in integers —
+    ``2*v < 2*q1 - fence_half*(q3-q1)`` /
+    ``2*v > 2*q3 + fence_half*(q3-q1)`` — so no fractional multiplier
+    exists on either side.
+
+    Scale shape: pass 1 is :func:`grouped_quantiles` (histogram
+    partials, one bucketed exchange, group-count-sized result); the
+    (key -> q1, q3) map broadcasts via ``ray.put``; pass 2 is a
+    stateless vectorized filter — zero corpus-row shuffles."""
+    import ray
+
+    qt = grouped_quantiles(ds.select_columns([key_col, val_col]),
+                           key_col, val_col, qs=(0.25, 0.75)).to_pandas()
+    fences = {}
+    for k, sub in qt.groupby(key_col):
+        m = dict(zip(sub["q"], sub["v"].astype(np.int64)))
+        q1, q3 = np.int64(m[0.25]), np.int64(m[0.75])
+        fences[k] = (2 * q1 - fence_half * (q3 - q1),
+                     2 * q3 + fence_half * (q3 - q1))
+    f_ref = ray.put(fences)
+
+    def keep_outliers(t: pa.Table) -> pa.Table:
+        fen = ray.get(f_ref)
+        kv = t.column(key_col).to_numpy(zero_copy_only=False)
+        v = t.column(val_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        u, inv = np.unique(kv, return_inverse=True)
+        lo = np.array([fen[k][0] for k in u], dtype=np.int64)[inv]
+        hi = np.array([fen[k][1] for k in u], dtype=np.int64)[inv]
+        mask = pa.array((2 * v < lo) | (2 * v > hi))
+        return pa.table({id_col: t.column(id_col).filter(mask),
+                         key_col: t.column(key_col).filter(mask),
+                         val_col: pc.cast(
+                             t.column(val_col).filter(mask), pa.int64())})
+
+    return ds.map_batches(keep_outliers, batch_format="pyarrow",
+                          **rayenv.remote_args())
+
+
+def vocab_except(ds, source_a: str, source_b: str,
+                 key_col: str = "source", text_col: str = "text",
+                 ngram: int = 1, buckets: int = 64):
+    """Vocabulary set-difference — word ``ngram``-grams that appear in
+    ``source_a``'s documents but in NONE of ``source_b``'s (SQL
+    ``EXCEPT`` over the two distinct-ngram sets): the domain-shift probe
+    between two slices of a corpus (what one crawl source says that
+    another never does — at ``ngram>=2`` this is the collocation-level
+    diff, the sharper signal when slices share a base vocabulary).
+    Tokenization matches :func:`grouped_distinct_count` (whitespace
+    split, empties dropped); n-grams are space-joined within a document
+    (never across documents).
+
+    Scale shape: rows of either source tokenize in-batch to unique
+    ``(gram, in_a, in_b)`` flag partials (Zipf collapses each batch
+    before any exchange; other sources are filtered out before
+    tokenizing) -> ONE bucketed shuffle on hash(gram) -> in-bucket
+    flag-OR per gram keeps ``in_a AND NOT in_b``. Only unique grams
+    ship, never text."""
+    if ngram < 1:
+        raise ValueError("ngram must be >= 1")
+
+    def partial(t: pa.Table) -> pa.Table:
+        kv = t.column(key_col).to_numpy(zero_copy_only=False)
+        sel = (kv == source_a) | (kv == source_b)
+        empty = pa.table({"w": pa.array([], pa.string()),
+                          "a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "_b": pa.array([], pa.int64())})
+        if not sel.any():
+            return empty
+        t = t.filter(pa.array(sel))
+        kv = kv[sel]
+        words = pc.split_pattern_regex(t.column(text_col), r"\s+")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = words.flatten()
+        ok = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        toks = flat.filter(pa.array(ok)).to_numpy(zero_copy_only=False)
+        # per-document token counts after empty-drop
+        dlen = np.zeros(len(lens), dtype=np.int64)
+        np.add.at(dlen, np.repeat(np.arange(len(lens)), lens), ok)
+        if ngram == 1:
+            grams, srcs = toks, np.repeat(kv, dlen)
+        else:
+            # windowed join WITHIN each doc: gram i = toks[i..i+n-1]
+            # where i+n-1 stays inside the doc's segment
+            starts = np.cumsum(dlen) - dlen
+            glen = np.maximum(dlen - (ngram - 1), 0)
+            if int(glen.sum()) == 0:
+                return empty
+            gstart = np.repeat(starts, glen)
+            off = np.arange(int(glen.sum()), dtype=np.int64) \
+                - np.repeat(np.cumsum(glen) - glen, glen)
+            base = gstart + off
+            parts = [toks[base + j].astype(str) for j in range(ngram)]
+            grams = parts[0]
+            for p in parts[1:]:
+                grams = np.char.add(np.char.add(grams, " "), p)
+            srcs = np.repeat(kv, glen)
+        is_a = (srcs == source_a).astype(np.int64)
+        pairs = pa.table({"w": pa.array(grams.astype(object), pa.string()),
+                          "a": pa.array(is_a),
+                          "b": pa.array(1 - is_a)})
+        u = pairs.group_by("w").aggregate([("a", "max"), ("b", "max")])
+        bkt = hash_bucket(u.column("w").to_numpy(zero_copy_only=False),
+                          buckets=buckets)
+        return pa.table({"w": u.column("w"),
+                         "a": pc.cast(u.column("a_max"), pa.int64()),
+                         "b": pc.cast(u.column("b_max"), pa.int64()),
+                         "_b": pa.array(bkt)})
+
+    def diff_bucket(g: pa.Table) -> pa.Table:
+        m = g.group_by("w").aggregate([("a", "max"), ("b", "max")])
+        keep = pc.and_(pc.equal(m.column("a_max"), 1),
+                       pc.equal(m.column("b_max"), 0))
+        return pa.table({"word": m.column("w").filter(keep)})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .repartition(buckets)
+            .groupby("_b")
+            .map_groups(diff_bucket, batch_format="pyarrow",
+                        **rayenv.remote_args()))
+
+
+def id_islands(ds, key_col: str = "source", id_col: str = "doc_id",
+               buckets: int = 32):
+    """Gaps-and-islands per group — maximal runs of CONSECUTIVE ids
+    within each key (``island_start``, ``island_end``, ``n_docs``): the
+    shard-completeness probe (a missing id range inside a source shows
+    up as an island boundary, pointing at the lost upstream partition).
+    Matches SQL's row_number-difference idiom exactly for unique ids.
+
+    Scale shape: each batch collapses its ids to maximal in-batch run
+    INTERVALS first (lexsort + boundary diff — thousands of ids become a
+    handful of (key, start, end) rows), so the one ``hash(key)``
+    bucketed exchange ships intervals, not ids; the in-bucket final
+    sorts each key's intervals once and merges the adjacent ones
+    vectorized (ids are unique, so intervals never overlap and
+    ``start == prev_end + 1`` is the only merge case)."""
+
+    def part(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        i = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((i, k))
+        ks, si = k[order], i[order]
+        new = np.ones(ks.size, dtype=bool)
+        if ks.size > 1:
+            new[1:] = (ks[1:] != ks[:-1]) | (si[1:] != si[:-1] + 1)
+        starts = np.flatnonzero(new)
+        ends = np.concatenate([starts[1:] - 1, [ks.size - 1]]) \
+            if ks.size else np.empty(0, np.int64)
+        out = pa.table({key_col: pa.array(ks[starts].astype(object),
+                                          pa.string()),
+                        "s": pa.array(si[starts]),
+                        "e": pa.array(si[ends])})
+        b = hash_bucket(ks[starts], buckets=buckets)
+        return out.append_column("_b", pa.array(b))
+
+    def merge(g: pa.Table) -> pa.Table:
+        k = g.column(key_col).to_numpy(zero_copy_only=False)
+        s = g.column("s").to_numpy(zero_copy_only=False)
+        e = g.column("e").to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, k))
+        ks, ss, es = k[order], s[order], e[order]
+        new = np.ones(ks.size, dtype=bool)
+        if ks.size > 1:
+            new[1:] = (ks[1:] != ks[:-1]) | (ss[1:] != es[:-1] + 1)
+        first = np.flatnonzero(new)
+        # members of one island are consecutive after the sort, so each
+        # island's end is simply its last member's end
+        last = np.concatenate([new[1:], [True]]) if ks.size \
+            else np.empty(0, bool)
+        i_end = es[last]
+        return pa.table({key_col: pa.array(ks[first].astype(object),
+                                           pa.string()),
+                         "island_start": pa.array(ss[first]),
+                         "island_end": pa.array(i_end),
+                         "n_docs": pa.array(i_end - ss[first] + 1)})
+
+    return (ds.map_batches(part, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .repartition(buckets)
+            .groupby("_b")
+            .map_groups(merge, batch_format="pyarrow",
+                        **rayenv.remote_args()))
+
+
+def mad_by_group(ds, key_col: str = "source", val_col: str = "n_chars"):
+    """Per-group exact median and median absolute deviation (MAD) of an
+    integer column — the robust spread statistic (outlier-resistant
+    where stddev is not; the scale parameter curation thresholds hang
+    off). Both medians are the discrete rank-``ceil(0.5*N)`` order
+    statistic of :func:`grouped_quantiles`, so every value in the result
+    is an integer that occurs in the data.
+
+    Scale shape: two :func:`grouped_quantiles` passes (histogram
+    partials, one bucketed exchange each, group-count-sized results)
+    with the (key -> median) map broadcast between them; the absolute
+    deviations are derived in a stateless vectorized map, never
+    materialized beyond their per-batch histograms."""
+    import ray
+
+    base = ds.select_columns([key_col, val_col])
+    med_df = grouped_quantiles(base, key_col, val_col,
+                               qs=(0.5,)).to_pandas()
+    med = dict(zip(med_df[key_col], med_df["v"].astype(np.int64)))
+    med_ref = ray.put(med)
+
+    def absdev(t: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        kv = t.column(key_col).to_numpy(zero_copy_only=False)
+        v = t.column(val_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        u, inv = np.unique(kv, return_inverse=True)
+        mv = np.array([m[k] for k in u], dtype=np.int64)[inv]
+        return pa.table({key_col: t.column(key_col),
+                         "av": pa.array(np.abs(v - mv))})
+
+    dev = base.map_batches(absdev, batch_format="pyarrow",
+                           **rayenv.remote_args())
+    mad_df = grouped_quantiles(dev, key_col, "av", qs=(0.5,)).to_pandas()
+    out = mad_df[[key_col, "v"]].rename(columns={"v": "mad"})
+    out["med"] = out[key_col].map(med).astype(np.int64)
+    out["mad"] = out["mad"].astype(np.int64)
+    return out[[key_col, "med", "mad"]].reset_index(drop=True)

@@ -196,3 +196,114 @@ def top_customers_by_revenue(lineitem, orders, k: int = 10,
             .repartition(1)
             .map_batches(final_cut, batch_format="pyarrow",
                          **rayenv.remote_args()))
+
+
+def pricing_summary(lineitem, cutoff: str = "1998-09-02"):
+    """TPC-H-Q1-shaped pricing summary: lineitem shipped on or before
+    ``cutoff``, grouped by (returnflag, linestatus) with exact integer
+    measures — quantity sum, base price in cents, discounted price in
+    cents x (100 - discount bp), charge in cents x (100 - discount bp) x
+    (100 + tax bp), and the row count. All sums are order-independent
+    int64 (the module's exact-money rule), so the result is
+    byte-comparable to the SQL oracle; the float AVG columns of the
+    classic query are derivable client-side as sum/count and are
+    deliberately not materialized.
+
+    Scale shape: the date filter prunes at the batch level and each
+    batch collapses to at most |returnflag| x |linestatus| (~6) partial
+    rows via an Arrow group_by, so the one groupby exchange moves a few
+    rows per block regardless of corpus size — the cheapest possible
+    wide plan for a full-table aggregate."""
+    cut = np.datetime64(cutoff)
+
+    def part(t: pa.Table) -> pa.Table:
+        sd = t.column("l_shipdate").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        mask = sd <= cut  # numpy promotes date units exactly
+        if not mask.any():
+            return pa.table({
+                "l_returnflag": pa.array([], pa.string()),
+                "l_linestatus": pa.array([], pa.string()),
+                "sum_qty": pa.array([], pa.int64()),
+                "sum_base_cents": pa.array([], pa.int64()),
+                "sum_disc_scaled": pa.array([], pa.int64()),
+                "sum_charge_scaled": pa.array([], pa.int64()),
+                "n_rows": pa.array([], pa.int64())})
+        sel = pa.array(mask)
+        qty = np.rint(t.column("l_quantity").combine_chunks()
+                      .to_numpy(zero_copy_only=False)[mask]) \
+            .astype(np.int64)
+        cents = np.rint(t.column("l_extendedprice").combine_chunks()
+                        .to_numpy(zero_copy_only=False)[mask] * 100) \
+            .astype(np.int64)
+        bp = np.rint(t.column("l_discount").combine_chunks()
+                     .to_numpy(zero_copy_only=False)[mask] * 100) \
+            .astype(np.int64)
+        taxbp = np.rint(t.column("l_tax").combine_chunks()
+                        .to_numpy(zero_copy_only=False)[mask] * 100) \
+            .astype(np.int64)
+        disc = cents * (100 - bp)
+        g = pa.table({
+            "l_returnflag": t.column("l_returnflag").filter(sel),
+            "l_linestatus": t.column("l_linestatus").filter(sel),
+            "sum_qty": pa.array(qty),
+            "sum_base_cents": pa.array(cents),
+            "sum_disc_scaled": pa.array(disc),
+            "sum_charge_scaled": pa.array(disc * (100 + taxbp)),
+            "n_rows": pa.array(np.ones(int(mask.sum()), dtype=np.int64)),
+        }).group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("sum_qty", "sum"), ("sum_base_cents", "sum"),
+             ("sum_disc_scaled", "sum"), ("sum_charge_scaled", "sum"),
+             ("n_rows", "sum")])
+        return pa.table({c: g.column(c if c in ("l_returnflag",
+                                                "l_linestatus")
+                                     else f"{c}_sum")
+                         for c in ("l_returnflag", "l_linestatus",
+                                   "sum_qty", "sum_base_cents",
+                                   "sum_disc_scaled", "sum_charge_scaled",
+                                   "n_rows")})
+
+    from ray.data.aggregate import Sum
+    cols = ("sum_qty", "sum_base_cents", "sum_disc_scaled",
+            "sum_charge_scaled", "n_rows")
+    return (lineitem.map_batches(part, batch_format="pyarrow",
+                                 **rayenv.remote_args())
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(*[Sum(c, alias_name=c) for c in cols]))
+
+
+def orders_by_month_priority(orders):
+    """Order volume and exact cents revenue per (calendar month,
+    priority) — the seasonality/intake report. Month is the integer
+    ``year*100 + month`` (no date-typed output column to disagree on),
+    revenue is ``sum(round(totalprice*100))`` int64.
+
+    Scale shape: per-batch collapse to |months| x |priorities| partial
+    rows (Arrow group_by), then one domain-sized groupby — the corpus
+    never reshuffles."""
+
+    def part(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate").combine_chunks()
+        ym = pc.add(pc.multiply(pc.cast(pc.year(d), pa.int64()), 100),
+                    pc.cast(pc.month(d), pa.int64()))
+        cents = np.rint(t.column("o_totalprice").combine_chunks()
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        g = pa.table({
+            "ym": ym,
+            "o_orderpriority": t.column("o_orderpriority"),
+            "n_orders": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "total_cents": pa.array(cents),
+        }).group_by(["ym", "o_orderpriority"]).aggregate(
+            [("n_orders", "sum"), ("total_cents", "sum")])
+        return pa.table({"ym": g.column("ym"),
+                         "o_orderpriority": g.column("o_orderpriority"),
+                         "n_orders": g.column("n_orders_sum"),
+                         "total_cents": g.column("total_cents_sum")})
+
+    from ray.data.aggregate import Sum
+    return (orders.map_batches(part, batch_format="pyarrow",
+                               **rayenv.remote_args())
+            .groupby(["ym", "o_orderpriority"])
+            .aggregate(Sum("n_orders", alias_name="n_orders"),
+                       Sum("total_cents", alias_name="total_cents")))

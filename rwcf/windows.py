@@ -623,7 +623,7 @@ def rows_window_sum(ds, preceding: int = 4, key: str = "user_id",
 
 def latest_event_per_key(ds, key: str = "user_id", ts_col: str = "ts",
                          val_col: str = "value", id_col: str = "event_id",
-                         buckets: int = 32):
+                         buckets: int = 32, which: str = "last"):
     """Per-key LAST event — SQL's
     ``row_number() OVER (PARTITION BY key ORDER BY ts DESC, id DESC) = 1``:
     each key's most recent event with its floored-epoch timestamp and the
@@ -643,7 +643,22 @@ def latest_event_per_key(ds, key: str = "user_id", ts_col: str = "ts",
     for timestamp[ns] inputs — a microsecond-floored carry would collapse
     sub-microsecond ties onto the id tie-break and could pick a different
     row than ORDER BY ts DESC.
+
+    ``which="first"`` flips both cuts to each key's EARLIEST event
+    (``ORDER BY ts ASC, id ASC``) — the acquisition/first-touch mirror
+    (see :func:`first_event_per_key`); the output timestamp column is
+    named ``{which}_ts_s``. Identical scale shape either way.
     """
+    if which not in ("last", "first"):
+        raise ValueError(f"which must be 'last' or 'first', got {which!r}")
+    out_ts = f"{which}_ts_s"
+
+    def _cut(kn: np.ndarray) -> np.ndarray:
+        # rows sorted (key, ts, id) ascending: per-key winner is the
+        # segment's last row for "last", first row for "first"
+        if which == "last":
+            return np.concatenate((kn[1:] != kn[:-1], [True]))
+        return np.concatenate(([True], kn[1:] != kn[:-1]))
 
     def local_last(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -658,7 +673,7 @@ def latest_event_per_key(ds, key: str = "user_id", ts_col: str = "ts",
                              "_ts_s": pa.array([], pa.int64()),
                              "v1000": pa.array([], pa.int64())})
         kn = t.column(key).combine_chunks().to_numpy(zero_copy_only=False)
-        last = np.concatenate((kn[1:] != kn[:-1], [True]))
+        last = _cut(kn)
         ticks = pc.cast(t.column(ts_col).combine_chunks(),
                         pa.int64()).to_numpy(zero_copy_only=False)[last]
         tsec = _epoch_seconds_floor(t.column(ts_col))[last]
@@ -688,13 +703,13 @@ def latest_event_per_key(ds, key: str = "user_id", ts_col: str = "ts",
         if n == 0:
             return pa.table({id_col: pa.array([], pa.int64()),
                              key: pa.array([], g.schema.field(key).type),
-                             "last_ts_s": pa.array([], pa.int64()),
+                             out_ts: pa.array([], pa.int64()),
                              "v1000": pa.array([], pa.int64())})
         kn = g.column(key).combine_chunks().to_numpy(zero_copy_only=False)
-        last = pa.array(np.concatenate((kn[1:] != kn[:-1], [True])))
+        last = pa.array(_cut(kn))
         return pa.table({id_col: g.column(id_col).filter(last),
                          key: g.column(key).filter(last),
-                         "last_ts_s": g.column("_ts_s").filter(last),
+                         out_ts: g.column("_ts_s").filter(last),
                          "v1000": g.column("v1000").filter(last)})
 
     return (ds.map_batches(local_last, batch_format="pyarrow",
@@ -703,3 +718,16 @@ def latest_event_per_key(ds, key: str = "user_id", ts_col: str = "ts",
             .groupby("_b")
             .map_groups(final_last, batch_format="pyarrow",
                         **rayenv.remote_args()))
+
+
+def first_event_per_key(ds, key: str = "user_id", ts_col: str = "ts",
+                        val_col: str = "value", id_col: str = "event_id",
+                        buckets: int = 32):
+    """Per-key FIRST event — SQL's ``row_number() OVER (PARTITION BY key
+    ORDER BY ts ASC, id ASC) = 1``: the acquisition/first-touch mirror
+    of :func:`latest_event_per_key` (signup event, first session, cohort
+    anchor). Same one-row-per-(key, batch) partial-cut scale shape;
+    output ``(id, key, first_ts_s, v1000)``."""
+    return latest_event_per_key(ds, key=key, ts_col=ts_col,
+                                val_col=val_col, id_col=id_col,
+                                buckets=buckets, which="first")

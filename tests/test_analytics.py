@@ -973,3 +973,162 @@ def test_ratio_to_group_total(ray_session):
     g = out.merge(df, on=["doc_id", "source"]).groupby("source")["share_bp"]
     for k, s in g.sum().items():
         assert s <= 10000
+
+
+def test_cube_counts(ray_session):
+    # ROLLUP levels + the per-key2 (key1 NULL) subtotal level
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rwcf.analytics import cube_counts
+
+    rng = np.random.default_rng(54)
+    n = 150
+    df = pd.DataFrame({
+        "source": [f"s{int(x)}" for x in rng.integers(0, 3, n)],
+        "lang": [f"l{int(x)}" for x in rng.integers(0, 4, n)],
+        "n_chars": rng.integers(1, 100, n).astype(np.int64),
+    })
+    out = cube_counts(rd.from_pandas(df).repartition(4)).to_pandas()
+    sub2 = out[out["source"].isna() & out["lang"].notna()]
+    exp2 = df.groupby("lang", as_index=False).agg(
+        n_rows=("n_chars", "size"), val_sum=("n_chars", "sum"))
+    a = sub2.sort_values("lang", ignore_index=True)
+    b = exp2.sort_values("lang", ignore_index=True)
+    assert a["n_rows"].tolist() == b["n_rows"].tolist()
+    assert a["val_sum"].tolist() == b["val_sum"].tolist()
+    # total row count = leaves + |k1| + |k2| + 1
+    nl = df.groupby(["source", "lang"]).ngroups
+    assert len(out) == nl + df["source"].nunique() \
+        + df["lang"].nunique() + 1
+
+
+def test_pivot_counts(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from rwcf.analytics import pivot_counts
+
+    rng = np.random.default_rng(55)
+    n = 200
+    dom = ("de", "en", "zh")
+    df = pd.DataFrame({
+        "source": [f"s{int(x)}" for x in rng.integers(0, 4, n)],
+        "lang": [dom[int(x)] for x in rng.integers(0, 3, n)],
+    })
+    out = pivot_counts(rd.from_pandas(df).repartition(5), domain=dom) \
+        .to_pandas().set_index("source").sort_index()
+    exp = pd.crosstab(df["source"], df["lang"])
+    for v in dom:
+        assert out[f"n_{v}"].tolist() == exp[v].tolist()
+    assert out["n_rows"].tolist() == df.groupby("source").size().tolist()
+    # out-of-domain value raises instead of silently vanishing
+    bad = rd.from_pandas(pd.DataFrame({"source": ["s0"], "lang": ["xx"]}))
+    with pytest.raises(Exception, match="outside declared domain"):
+        pivot_counts(bad, domain=dom).to_pandas()
+
+
+def test_iqr_outliers(ray_session):
+    # exact discrete q1/q3 (rank ceil(q*n)), integer fences
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rwcf.analytics import iqr_outliers
+
+    rng = np.random.default_rng(56)
+    n = 400
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "source": [f"s{int(x)}" for x in rng.integers(0, 3, n)],
+        "n_chars": rng.integers(50, 150, n).astype(np.int64),
+    })
+    # plant unmistakable outliers
+    df.loc[0, "n_chars"] = 10_000
+    df.loc[1, "n_chars"] = 1
+    out = iqr_outliers(rd.from_pandas(df).repartition(4), fence_half=3) \
+        .to_pandas()
+    got = set(out["doc_id"])
+    assert {0, 1} <= got
+    # oracle replay in pandas with identical rank semantics
+    import math
+    exp = set()
+    for k, sub in df.groupby("source"):
+        v = np.sort(sub["n_chars"].to_numpy())
+        q1 = v[max(1, math.ceil(0.25 * len(v))) - 1]
+        q3 = v[max(1, math.ceil(0.75 * len(v))) - 1]
+        lo, hi = 2 * q1 - 3 * (q3 - q1), 2 * q3 + 3 * (q3 - q1)
+        m = (2 * sub["n_chars"] < lo) | (2 * sub["n_chars"] > hi)
+        exp |= set(sub.loc[m, "doc_id"])
+    assert got == exp
+
+
+def test_vocab_except(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from rwcf.analytics import vocab_except
+
+    df = pd.DataFrame({
+        "source": ["a", "a", "b", "b", "c"],
+        "text": ["x y z", "z q", "x y", "y  z", "only c words"],
+    })
+    ds = rd.from_pandas(df).repartition(3)
+    out = set(vocab_except(ds, "a", "b")
+              .to_pandas()["word"])
+    assert out == {"q"}  # a has {x,y,z,q}; b has {x,y,z}
+    # bigrams: within-doc pairs only, never across documents
+    # a: {x y, y z, z q}; b: {x y, y z} (double space = one separator)
+    out2 = set(vocab_except(ds, "a", "b", ngram=2)
+               .to_pandas()["word"])
+    assert out2 == {"z q"}
+
+
+def test_id_islands(ray_session):
+    # islands survive arbitrary batch splits (adjacent-interval merge)
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rwcf.analytics import id_islands
+
+    ids_a = [1, 2, 3, 7, 8, 20]          # islands [1,3] [7,8] [20,20]
+    ids_b = [4, 5, 6, 100]               # islands [4,6] [100,100]
+    df = pd.DataFrame({
+        "doc_id": np.array(ids_a + ids_b, dtype=np.int64),
+        "source": ["a"] * len(ids_a) + ["b"] * len(ids_b),
+    }).sample(frac=1.0, random_state=7).reset_index(drop=True)
+    out = id_islands(rd.from_pandas(df).repartition(5)).to_pandas()
+    got = {(r.source, r.island_start, r.island_end, r.n_docs)
+           for r in out.itertuples()}
+    assert got == {("a", 1, 3, 3), ("a", 7, 8, 2), ("a", 20, 20, 1),
+                   ("b", 4, 6, 3), ("b", 100, 100, 1)}
+
+
+def test_mad_by_group(ray_session):
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rwcf.analytics import mad_by_group
+
+    rng = np.random.default_rng(58)
+    n = 300
+    df = pd.DataFrame({
+        "source": [f"s{int(x)}" for x in rng.integers(0, 3, n)],
+        "n_chars": rng.integers(10, 500, n).astype(np.int64),
+    })
+    out = mad_by_group(rd.from_pandas(df).repartition(4)) \
+        .set_index("source")
+    for k, sub in df.groupby("source"):
+        v = np.sort(sub["n_chars"].to_numpy())
+        med = v[max(1, math.ceil(0.5 * len(v))) - 1]
+        av = np.sort(np.abs(sub["n_chars"].to_numpy() - med))
+        mad = av[max(1, math.ceil(0.5 * len(av))) - 1]
+        assert out.loc[k, "med"] == med
+        assert out.loc[k, "mad"] == mad

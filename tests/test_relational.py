@@ -108,3 +108,53 @@ def test_top_customers_by_revenue(ray_session):
     assert out["c_custkey"].tolist() == per["o_custkey"].tolist()
     assert out["rev_scaled"].tolist() == per["r"].tolist()
     assert out["rank"].tolist() == list(range(1, 11))
+
+
+def test_pricing_summary(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    li = rd.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    from rwcf.relational import pricing_summary
+    out = pricing_summary(li).to_pandas() \
+        .sort_values(["l_returnflag", "l_linestatus"],
+                     ignore_index=True)
+    exp = duckdb.sql(
+        "SELECT l_returnflag, l_linestatus, "
+        "sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty, "
+        "sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_cents, "
+        "sum(CAST(round(l_extendedprice*100) AS BIGINT) * "
+        "(100 - CAST(round(l_discount*100) AS BIGINT))) AS sum_disc_scaled, "
+        "sum(CAST(round(l_extendedprice*100) AS BIGINT) * "
+        "(100 - CAST(round(l_discount*100) AS BIGINT)) * "
+        "(100 + CAST(round(l_tax*100) AS BIGINT))) AS sum_charge_scaled, "
+        "count(*) AS n_rows "
+        "FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet') "
+        "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+        "GROUP BY 1, 2 ORDER BY 1, 2").df()
+    assert len(out) == len(exp)
+    for c in ("sum_qty", "sum_base_cents", "sum_disc_scaled",
+              "sum_charge_scaled", "n_rows"):
+        assert out[c].astype("int64").tolist() == \
+            exp[c].astype("int64").tolist(), c
+
+
+def test_orders_by_month_priority(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    od = rd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    from rwcf.relational import orders_by_month_priority
+    out = orders_by_month_priority(od).to_pandas() \
+        .sort_values(["ym", "o_orderpriority"], ignore_index=True)
+    exp = duckdb.sql(
+        "SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS BIGINT)"
+        " AS ym, o_orderpriority, count(*) AS n_orders, "
+        "sum(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents "
+        "FROM read_parquet('/root/testdata/sf0.001/orders.parquet') "
+        "GROUP BY 1, 2 ORDER BY 1, 2").df()
+    assert out["ym"].tolist() == exp["ym"].astype("int64").tolist()
+    assert out["n_orders"].tolist() == \
+        exp["n_orders"].astype("int64").tolist()
+    assert out["total_cents"].tolist() == \
+        exp["total_cents"].astype("int64").tolist()

@@ -483,3 +483,28 @@ def test_window_sums_null_values(ray_session):
         .sort_values("win", ignore_index=True)
     assert tw["n"].tolist() == [3, 1]
     assert tw["v1000"].tolist() == [2000, 0]
+
+
+def test_first_event_per_key(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rwcf.windows import first_event_per_key
+
+    ts = pd.to_datetime([10, 5, 5, 30, 20], unit="s", utc=False)
+    df = pd.DataFrame({
+        "event_id": np.array([1, 2, 3, 4, 5], dtype=np.int64),
+        "user_id": np.array([7, 7, 7, 8, 8], dtype=np.int64),
+        "ts": ts,
+        "value": [1.0, 2.0, 3.0, np.nan, 4.0],
+    })
+    out = first_event_per_key(rd.from_pandas(df).repartition(3)) \
+        .to_pandas().set_index("user_id").sort_index()
+    # user 7: ts tie at 5s -> smaller event_id (2) wins
+    assert out.loc[7, "event_id"] == 2
+    assert out.loc[7, "first_ts_s"] == 5
+    assert out.loc[7, "v1000"] == 2000
+    # user 8: earliest is event 5 at 20s, value 4.0
+    assert out.loc[8, "event_id"] == 5
+    assert out.loc[8, "v1000"] == 4000
