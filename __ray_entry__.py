@@ -1489,6 +1489,26 @@ def _q_mad_nchars(sf_dir: str):
         _docs_ds(sf_dir, columns=("source", "n_chars")))
 
 
+def _q_local_supplier_volume(sf_dir: str):
+    """TPC-H-Q5-shaped local supplier volume over all six relational
+    tables: supplier broadcast at the line level, two bucketed joins
+    with partial collapses between, same-nation filter, broadcast
+    nation+region name map, nations-sized final groupby."""
+    import ray.data as rd
+
+    from rwcf.relational import local_supplier_volume
+    rp = lambda t, cols: rd.read_parquet(  # noqa: E731
+        os.path.join(sf_dir, f"{t}.parquet"), columns=cols)
+    return local_supplier_volume(
+        rp("lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"]),
+        rp("orders", ["o_orderkey", "o_custkey"]),
+        rp("customer", ["c_custkey", "c_nationkey"]),
+        rp("supplier", ["s_suppkey", "s_nationkey"]),
+        rp("nation", ["n_nationkey", "n_name", "n_regionkey"]),
+        rp("region", ["r_regionkey", "r_name"]))
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -1589,6 +1609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_month_priority": _q_orders_by_month,
         "id_islands": _q_id_islands,
         "mad_nchars": _q_mad_nchars,
+        "local_supplier_volume": _q_local_supplier_volume,
         "filter_large_docs": _q_filter_large_docs,
         "window_tumbling": _q_window_tumbling,
         "window_sliding": _q_window_sliding,
@@ -2175,6 +2196,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(x.av AS BIGINT) AS mad FROM x "
             "JOIN m ON x.source = m.source "
             "WHERE x.rn = greatest(1, CAST(ceil(0.5 * x.n) AS BIGINT))"),
+        # Q5 shape: supplier and ordering customer in the same nation;
+        # exact integer money like revenue_by_nation
+        "local_supplier_volume": (
+            "SELECT r_name, n_name, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)"
+            " AS rev_scaled "
+            "FROM lineitem, orders, customer, supplier, nation, region "
+            "WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey "
+            "AND l_suppkey = s_suppkey "
+            "AND c_nationkey = s_nationkey "
+            "AND s_nationkey = n_nationkey "
+            "AND n_regionkey = r_regionkey "
+            "GROUP BY r_name, n_name"),
         # mirror of latest_event_per_user with ASC order
         "first_event_per_user": (
             "SELECT event_id, user_id, "

@@ -307,3 +307,113 @@ def orders_by_month_priority(orders):
             .groupby(["ym", "o_orderpriority"])
             .aggregate(Sum("n_orders", alias_name="n_orders"),
                        Sum("total_cents", alias_name="total_cents")))
+
+
+def local_supplier_volume(lineitem, orders, customer, supplier,
+                          nation, region, buckets: int = 32):
+    """TPC-H-Q5-shaped local supplier volume: revenue from lineitems
+    whose SUPPLIER and ordering CUSTOMER sit in the same nation, rolled
+    up to ``(r_name, n_name, rev_scaled)`` — the one pipeline that
+    touches every relational table. Exact integer money
+    (``cents x (100 - bp)``), so the sums are order-independent.
+
+    Scale shape (the module's composition rules end-to-end): supplier
+    is broadcast as an int suppkey -> nationkey map (supplier is ~1% of
+    lineitem rows in TPC-H proportions — a worker-heap-sized int map
+    far beyond this corpus; the join constraint needs the supplier
+    nation AT THE LINE LEVEL, so a shuffle join here would move every
+    lineitem row twice). Lineitem collapses in-batch to
+    ``(orderkey, s_nat, rev)`` partials, two bucketed hash joins re-key
+    orderkey -> custkey with another partial collapse between, the
+    same-nation filter drops mismatches the moment the customer nation
+    appears, and the nations+regions name map broadcasts for the final
+    domain-sized groupby. Exchanges: 2 bucketed joins + 1
+    nations-sized groupby."""
+    import ray
+
+    st = supplier.select_columns(["s_suppkey", "s_nationkey"]).to_pandas()
+    smap_ref = ray.put(dict(zip(st["s_suppkey"].astype(np.int64),
+                                st["s_nationkey"].astype(np.int64))))
+
+    def li_part(t: pa.Table) -> pa.Table:
+        smap = ray.get(smap_ref)
+        sk = t.column("l_suppkey").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(sk, return_inverse=True)
+        snat = np.array([smap[int(x)] for x in u], dtype=np.int64)[inv]
+        ok = t.column("l_orderkey").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(t.column("l_extendedprice").combine_chunks()
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        bp = np.rint(t.column("l_discount").combine_chunks()
+                     .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        g = pa.table({"ok": pa.array(ok), "snat": pa.array(snat),
+                      "rev_scaled": pa.array(cents * (100 - bp))}) \
+            .group_by(["ok", "snat"]).aggregate([("rev_scaled", "sum")])
+        return pa.table({"ok": g.column("ok"), "snat": g.column("snat"),
+                         "rev_scaled": g.column("rev_scaled_sum")})
+
+    li = lineitem.map_batches(li_part, batch_format="pyarrow",
+                              **rayenv.remote_args())
+
+    def ord_proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "ok": pc.cast(t.column("o_orderkey"), pa.int64()),
+            "ck": pc.cast(t.column("o_custkey"), pa.int64())})
+
+    od = orders.map_batches(ord_proj, batch_format="pyarrow",
+                            **rayenv.remote_args())
+    j1 = hash_join(li, od, on="ok", buckets=buckets)
+
+    def ck_part(t: pa.Table) -> pa.Table:
+        g = t.select(["ck", "snat", "rev_scaled"]) \
+            .group_by(["ck", "snat"]).aggregate([("rev_scaled", "sum")])
+        return pa.table({"ck": g.column("ck"), "snat": g.column("snat"),
+                         "rev_scaled": g.column("rev_scaled_sum")})
+
+    j1p = j1.map_batches(ck_part, batch_format="pyarrow",
+                         **rayenv.remote_args())
+
+    def cust_proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "ck": pc.cast(t.column("c_custkey"), pa.int64()),
+            "cnat": pc.cast(t.column("c_nationkey"), pa.int64())})
+
+    cu = customer.map_batches(cust_proj, batch_format="pyarrow",
+                              **rayenv.remote_args())
+    j2 = hash_join(j1p, cu, on="ck", buckets=buckets)
+
+    # nations and regions are tiny forever: broadcast key -> names
+    nt = nation.select_columns(["n_nationkey", "n_name",
+                                "n_regionkey"]).to_pandas()
+    rt = region.select_columns(["r_regionkey", "r_name"]).to_pandas()
+    rmap = dict(zip(rt["r_regionkey"].astype(np.int64), rt["r_name"]))
+    nmap_ref = ray.put({int(k): (nm, rmap[int(rk)])
+                        for k, nm, rk in zip(nt["n_nationkey"],
+                                             nt["n_name"],
+                                             nt["n_regionkey"])})
+
+    def local_only(t: pa.Table) -> pa.Table:
+        nmap = ray.get(nmap_ref)
+        snat = t.column("snat").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        cnat = t.column("cnat").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        keep = snat == cnat
+        snat = snat[keep]
+        rev = t.column("rev_scaled").combine_chunks() \
+            .to_numpy(zero_copy_only=False)[keep]
+        u, inv = np.unique(snat, return_inverse=True)
+        names = np.array([nmap[int(x)][0] for x in u], dtype=object)[inv]
+        regs = np.array([nmap[int(x)][1] for x in u], dtype=object)[inv]
+        return pa.table({"r_name": pa.array(regs, pa.string()),
+                         "n_name": pa.array(names, pa.string()),
+                         "rev_scaled": pa.array(rev.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+    return (j2.map_batches(local_only, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .groupby(["r_name", "n_name"])
+            .aggregate(Sum("rev_scaled", alias_name="rev_scaled")))

@@ -158,3 +158,40 @@ def test_orders_by_month_priority(ray_session):
         exp["n_orders"].astype("int64").tolist()
     assert out["total_cents"].tolist() == \
         exp["total_cents"].astype("int64").tolist()
+
+
+def test_local_supplier_volume(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    sf = "/root/testdata/sf0.001"
+    rp = lambda t, cols: rd.read_parquet(  # noqa: E731
+        f"{sf}/{t}.parquet", columns=cols)
+    from rwcf.relational import local_supplier_volume
+    out = local_supplier_volume(
+        rp("lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"]),
+        rp("orders", ["o_orderkey", "o_custkey"]),
+        rp("customer", ["c_custkey", "c_nationkey"]),
+        rp("supplier", ["s_suppkey", "s_nationkey"]),
+        rp("nation", ["n_nationkey", "n_name", "n_regionkey"]),
+        rp("region", ["r_regionkey", "r_name"])).to_pandas() \
+        .sort_values(["r_name", "n_name"], ignore_index=True)
+    exp = duckdb.sql(
+        f"SELECT r_name, n_name, "
+        "sum(CAST(round(l_extendedprice*100) AS BIGINT) * "
+        "(100 - CAST(round(l_discount*100) AS BIGINT))) AS rev_scaled "
+        f"FROM read_parquet('{sf}/lineitem.parquet') li, "
+        f"read_parquet('{sf}/orders.parquet') o, "
+        f"read_parquet('{sf}/customer.parquet') c, "
+        f"read_parquet('{sf}/supplier.parquet') s, "
+        f"read_parquet('{sf}/nation.parquet') n, "
+        f"read_parquet('{sf}/region.parquet') r "
+        "WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey "
+        "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+        "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+        "GROUP BY 1, 2 ORDER BY 1, 2").df()
+    assert out["r_name"].tolist() == exp["r_name"].tolist()
+    assert out["n_name"].tolist() == exp["n_name"].tolist()
+    assert out["rev_scaled"].tolist() == \
+        exp["rev_scaled"].astype("int64").tolist()
