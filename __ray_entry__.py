@@ -1509,6 +1509,33 @@ def _q_local_supplier_volume(sf_dir: str):
         rp("region", ["r_regionkey", "r_name"]))
 
 
+def _q_revenue_by_brand(sf_dir: str):
+    """Lineitem revenue by part brand: (partkey, rev, n) in-batch
+    partials, one bucketed join, brand-sized final groupby."""
+    import ray.data as rd
+
+    from rwcf.relational import revenue_by_brand
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount"])
+    pt = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand"])
+    return revenue_by_brand(li, pt)
+
+
+def _q_orders_by_segment(sf_dir: str):
+    """Order intake by customer market segment: (custkey, cents, n)
+    in-batch partials, one bucketed join, segment-sized groupby."""
+    import ray.data as rd
+
+    from rwcf.relational import orders_by_segment
+    od = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_custkey", "o_totalprice"])
+    cu = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    return orders_by_segment(od, cu)
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -1610,6 +1637,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "id_islands": _q_id_islands,
         "mad_nchars": _q_mad_nchars,
         "local_supplier_volume": _q_local_supplier_volume,
+        "revenue_by_brand": _q_revenue_by_brand,
+        "orders_by_segment": _q_orders_by_segment,
         "filter_large_docs": _q_filter_large_docs,
         "window_tumbling": _q_window_tumbling,
         "window_sliding": _q_window_sliding,
@@ -2210,6 +2239,20 @@ def oracle_sql() -> dict[str, str]:
             "AND s_nationkey = n_nationkey "
             "AND n_regionkey = r_regionkey "
             "GROUP BY r_name, n_name"),
+        "revenue_by_brand": (
+            "SELECT p_brand, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)"
+            " AS rev_scaled, CAST(count(*) AS BIGINT) AS n_items "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "GROUP BY p_brand"),
+        "orders_by_segment": (
+            "SELECT c_mktsegment, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS total_cents, "
+            "CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment"),
         # mirror of latest_event_per_user with ASC order
         "first_event_per_user": (
             "SELECT event_id, user_id, "

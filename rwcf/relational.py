@@ -417,3 +417,90 @@ def local_supplier_volume(lineitem, orders, customer, supplier,
                            **rayenv.remote_args())
             .groupby(["r_name", "n_name"])
             .aggregate(Sum("rev_scaled", alias_name="rev_scaled")))
+
+
+def revenue_by_brand(lineitem, part, buckets: int = 32):
+    """Lineitem revenue rolled up to part brand — the
+    assortment-profitability report (which brands move money). Exact
+    integer money (``cents x (100 - bp)``) plus the lineitem count.
+
+    Scale shape: part is corpus-proportional in TPC-H (unlike nation),
+    so it does NOT broadcast — lineitem collapses in-batch to
+    ``(partkey, rev, n)`` partials, ONE bucketed hash join re-keys them
+    to the brand-carrying part row, and the final groupby is
+    brand-domain-sized. Exchanges: 1 bucketed join + 1 tiny groupby."""
+
+    def li_part(t: pa.Table) -> pa.Table:
+        pk = t.column("l_partkey").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(t.column("l_extendedprice").combine_chunks()
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        bp = np.rint(t.column("l_discount").combine_chunks()
+                     .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        g = pa.table({"pk": pa.array(pk),
+                      "rev_scaled": pa.array(cents * (100 - bp)),
+                      "n_items": pa.array(np.ones(pk.size, np.int64))}) \
+            .group_by("pk").aggregate([("rev_scaled", "sum"),
+                                       ("n_items", "sum")])
+        return pa.table({"pk": g.column("pk"),
+                         "rev_scaled": g.column("rev_scaled_sum"),
+                         "n_items": g.column("n_items_sum")})
+
+    li = lineitem.map_batches(li_part, batch_format="pyarrow",
+                              **rayenv.remote_args())
+
+    def part_proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "pk": pc.cast(t.column("p_partkey"), pa.int64()),
+            "p_brand": t.column("p_brand")})
+
+    pt = part.map_batches(part_proj, batch_format="pyarrow",
+                          **rayenv.remote_args())
+    j = hash_join(li, pt, on="pk", buckets=buckets)
+
+    from ray.data.aggregate import Sum
+    return (j.groupby("p_brand")
+            .aggregate(Sum("rev_scaled", alias_name="rev_scaled"),
+                       Sum("n_items", alias_name="n_items")))
+
+
+def orders_by_segment(orders, customer, buckets: int = 32):
+    """Order intake per customer market segment — count and exact cents
+    totals (the demand-mix report). Scale shape: orders collapses
+    in-batch to ``(custkey, cents, n)`` partials, ONE bucketed hash
+    join attaches the segment, and the final groupby is
+    segment-domain-sized."""
+
+    def ord_part(t: pa.Table) -> pa.Table:
+        ck = t.column("o_custkey").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(t.column("o_totalprice").combine_chunks()
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        g = pa.table({"ck": pa.array(ck),
+                      "total_cents": pa.array(cents),
+                      "n_orders": pa.array(np.ones(ck.size, np.int64))}) \
+            .group_by("ck").aggregate([("total_cents", "sum"),
+                                       ("n_orders", "sum")])
+        return pa.table({"ck": g.column("ck"),
+                         "total_cents": g.column("total_cents_sum"),
+                         "n_orders": g.column("n_orders_sum")})
+
+    od = orders.map_batches(ord_part, batch_format="pyarrow",
+                            **rayenv.remote_args())
+
+    def cust_proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "ck": pc.cast(t.column("c_custkey"), pa.int64()),
+            "c_mktsegment": t.column("c_mktsegment")})
+
+    cu = customer.map_batches(cust_proj, batch_format="pyarrow",
+                              **rayenv.remote_args())
+    j = hash_join(od, cu, on="ck", buckets=buckets)
+
+    from ray.data.aggregate import Sum
+    return (j.groupby("c_mktsegment")
+            .aggregate(Sum("total_cents", alias_name="total_cents"),
+                       Sum("n_orders", alias_name="n_orders")))

@@ -195,3 +195,57 @@ def test_local_supplier_volume(ray_session):
     assert out["n_name"].tolist() == exp["n_name"].tolist()
     assert out["rev_scaled"].tolist() == \
         exp["rev_scaled"].astype("int64").tolist()
+
+
+def test_revenue_by_brand(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    sf = "/root/testdata/sf0.001"
+    from rwcf.relational import revenue_by_brand
+    li = rd.read_parquet(f"{sf}/lineitem.parquet",
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount"])
+    pt = rd.read_parquet(f"{sf}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    out = revenue_by_brand(li, pt).to_pandas() \
+        .sort_values("p_brand", ignore_index=True)
+    exp = duckdb.sql(
+        "SELECT p_brand, "
+        "sum(CAST(round(l_extendedprice*100) AS BIGINT) * "
+        "(100 - CAST(round(l_discount*100) AS BIGINT))) AS rev_scaled, "
+        "count(*) AS n_items "
+        f"FROM read_parquet('{sf}/lineitem.parquet') li "
+        f"JOIN read_parquet('{sf}/part.parquet') p "
+        "ON l_partkey = p_partkey GROUP BY 1 ORDER BY 1").df()
+    assert out["p_brand"].tolist() == exp["p_brand"].tolist()
+    assert out["rev_scaled"].tolist() == \
+        exp["rev_scaled"].astype("int64").tolist()
+    assert out["n_items"].tolist() == \
+        exp["n_items"].astype("int64").tolist()
+
+
+def test_orders_by_segment(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    sf = "/root/testdata/sf0.001"
+    from rwcf.relational import orders_by_segment
+    od = rd.read_parquet(f"{sf}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+    cu = rd.read_parquet(f"{sf}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    out = orders_by_segment(od, cu).to_pandas() \
+        .sort_values("c_mktsegment", ignore_index=True)
+    exp = duckdb.sql(
+        "SELECT c_mktsegment, "
+        "sum(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents, "
+        "count(*) AS n_orders "
+        f"FROM read_parquet('{sf}/orders.parquet') o "
+        f"JOIN read_parquet('{sf}/customer.parquet') c "
+        "ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1").df()
+    assert out["c_mktsegment"].tolist() == exp["c_mktsegment"].tolist()
+    assert out["total_cents"].tolist() == \
+        exp["total_cents"].astype("int64").tolist()
+    assert out["n_orders"].tolist() == \
+        exp["n_orders"].astype("int64").tolist()
