@@ -1536,6 +1536,32 @@ def _q_orders_by_segment(sf_dir: str):
     return orders_by_segment(od, cu)
 
 
+def _q_customer_order_histogram(sf_dir: str):
+    """Customers bucketed by order count (engagement-shape report): two
+    stacked partial-then-final aggregations, second exchange bounded by
+    the order-count domain."""
+    import ray.data as rd
+
+    from rwcf.relational import customer_order_histogram
+    od = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_custkey"])
+    return customer_order_histogram(od)
+
+
+def _q_event_transitions(sf_dir: str):
+    """First-order Markov transition counts over each user's
+    time-ordered event stream ((ts, id) order, native ticks): one
+    hash(user) exchange, in-bucket vectorized pair counting,
+    |types|^2-sized final."""
+    import ray.data as rd
+
+    from rwcf import windows
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+    return windows.event_transitions(ev)
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -1639,6 +1665,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume": _q_local_supplier_volume,
         "revenue_by_brand": _q_revenue_by_brand,
         "orders_by_segment": _q_orders_by_segment,
+        "customer_order_histogram": _q_customer_order_histogram,
+        "event_transitions": _q_event_transitions,
         "filter_large_docs": _q_filter_large_docs,
         "window_tumbling": _q_window_tumbling,
         "window_sliding": _q_window_sliding,
@@ -2253,6 +2281,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_orders "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_mktsegment"),
+        # customers with zero orders don't appear (inner semantics)
+        "customer_order_histogram": (
+            "SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers "
+            "FROM (SELECT o_custkey, CAST(count(*) AS BIGINT) "
+            "AS n_orders FROM orders GROUP BY o_custkey) "
+            "GROUP BY n_orders"),
+        # (ts, id) ascending order with native-tick carry, like the
+        # latest/first event contract
+        "event_transitions": (
+            "SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n "
+            "FROM (SELECT lag(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS from_type, "
+            "event_type AS to_type FROM events) "
+            "WHERE from_type IS NOT NULL GROUP BY from_type, to_type"),
         # mirror of latest_event_per_user with ASC order
         "first_event_per_user": (
             "SELECT event_id, user_id, "

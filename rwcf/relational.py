@@ -504,3 +504,40 @@ def orders_by_segment(orders, customer, buckets: int = 32):
     return (j.groupby("c_mktsegment")
             .aggregate(Sum("total_cents", alias_name="total_cents"),
                        Sum("n_orders", alias_name="n_orders")))
+
+
+def customer_order_histogram(orders):
+    """Distribution of customers by how many orders they placed —
+    ``(n_orders, n_customers)``, the engagement-shape report (how heavy
+    is the head, how long the tail). Customers with zero orders do not
+    appear (inner semantics, matching the SQL oracle's derived table).
+
+    Scale shape: two stacked aggregations, each collapsed in-batch
+    first — (custkey, n) partials into a customer-sized groupby, then
+    per-batch (n_orders, n_customers) histogram partials into an
+    order-count-domain-sized groupby. The second exchange is bounded by
+    the distinct order-count domain (tiny), the first is the module's
+    standard partial-then-final key exchange."""
+    from ray.data.aggregate import Sum
+
+    def ord_part(t: pa.Table) -> pa.Table:
+        ck = t.column("o_custkey").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, counts = _segsum(ck, np.ones(ck.size, dtype=np.int64))
+        return pa.table({"ck": pa.array(keys), "n": pa.array(counts)})
+
+    per_cust = (orders.map_batches(ord_part, batch_format="pyarrow",
+                                   **rayenv.remote_args())
+                .groupby("ck").aggregate(Sum("n", alias_name="n")))
+
+    def hist_part(t: pa.Table) -> pa.Table:
+        n = t.column("n").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, counts = _segsum(n, np.ones(n.size, dtype=np.int64))
+        return pa.table({"n_orders": pa.array(keys),
+                         "n_customers": pa.array(counts)})
+
+    return (per_cust.map_batches(hist_part, batch_format="pyarrow",
+                                 **rayenv.remote_args())
+            .groupby("n_orders")
+            .aggregate(Sum("n_customers", alias_name="n_customers")))

@@ -731,3 +731,66 @@ def first_event_per_key(ds, key: str = "user_id", ts_col: str = "ts",
     return latest_event_per_key(ds, key=key, ts_col=ts_col,
                                 val_col=val_col, id_col=id_col,
                                 buckets=buckets, which="first")
+
+
+def event_transitions(ds, key: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type",
+                      id_col: str = "event_id", buckets: int = 32):
+    """Per-key event-type transition counts — for each user's
+    time-ordered stream, count consecutive ``(from_type, to_type)``
+    pairs corpus-wide (the first-order Markov matrix behaviour-model
+    features come from). Order is ``(ts, id)`` ascending with the raw
+    NATIVE-UNIT ticks carried, the same tie-break contract as
+    :func:`latest_event_per_key`, replayed by the oracle's LAG window.
+
+    Scale shape: adjacency crosses batch boundaries, so each key's
+    events must co-locate once — ONE ``hash(key)`` bucketed exchange of
+    ``(key, ticks, id, type)`` projections (the standard window-family
+    exchange); in-bucket, one sort resolves every key's stream and the
+    pair counting is a vectorized unique over integer-coded type pairs.
+    The final groupby is |types|^2-sized — nothing corpus-sized leaves
+    the buckets."""
+
+    def project(t: pa.Table) -> pa.Table:
+        from .joins import hash_bucket
+        kv = t.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+        ticks = pc.cast(t.column(ts_col).combine_chunks(), pa.int64())
+        out = pa.table({key: t.column(key), "_t": ticks,
+                        id_col: t.column(id_col),
+                        type_col: t.column(type_col)})
+        return out.append_column(
+            "_b", pa.array(hash_bucket(kv, buckets=buckets)))
+
+    def pairs(g: pa.Table) -> pa.Table:
+        g = g.take(pc.sort_indices(g, sort_keys=[
+            (key, "ascending"), ("_t", "ascending"),
+            (id_col, "ascending")]))
+        n = g.num_rows
+        if n < 2:
+            return pa.table({"from_type": pa.array([], pa.string()),
+                             "to_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        kn = g.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+        tv = g.column(type_col).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        ut, code = np.unique(tv, return_inverse=True)
+        same = kn[1:] == kn[:-1]
+        pair = code[:-1].astype(np.int64) * np.int64(ut.size) + code[1:]
+        pair = pair[same]
+        up, cnt = np.unique(pair, return_counts=True)
+        return pa.table({
+            "from_type": pa.array(ut[(up // ut.size)].astype(object),
+                                  pa.string()),
+            "to_type": pa.array(ut[(up % ut.size)].astype(object),
+                                pa.string()),
+            "n": pa.array(cnt.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+    return (ds.map_batches(project, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .repartition(buckets)
+            .groupby("_b")
+            .map_groups(pairs, batch_format="pyarrow",
+                        **rayenv.remote_args())
+            .groupby(["from_type", "to_type"])
+            .aggregate(Sum("n", alias_name="n")))

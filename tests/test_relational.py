@@ -249,3 +249,22 @@ def test_orders_by_segment(ray_session):
         exp["total_cents"].astype("int64").tolist()
     assert out["n_orders"].tolist() == \
         exp["n_orders"].astype("int64").tolist()
+
+
+def test_customer_order_histogram(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rwcf.relational import customer_order_histogram
+
+    rng = np.random.default_rng(61)
+    od = pd.DataFrame({"o_custkey":
+                       rng.integers(0, 40, 500).astype(np.int64)})
+    out = customer_order_histogram(rd.from_pandas(od).repartition(5)) \
+        .to_pandas().sort_values("n_orders", ignore_index=True)
+    per = od.groupby("o_custkey").size()
+    exp = per.value_counts().sort_index()
+    assert out["n_orders"].tolist() == exp.index.tolist()
+    assert out["n_customers"].tolist() == exp.tolist()
+    assert out["n_customers"].sum() == per.size

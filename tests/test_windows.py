@@ -508,3 +508,23 @@ def test_first_event_per_key(ray_session):
     # user 8: earliest is event 5 at 20s, value 4.0
     assert out.loc[8, "event_id"] == 5
     assert out.loc[8, "v1000"] == 4000
+
+
+def test_event_transitions(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rwcf.windows import event_transitions
+
+    # user 1: a->b->a (ts tie at 20 broken by event_id); user 2: c->c
+    df = pd.DataFrame({
+        "event_id": np.array([1, 2, 3, 4, 5], dtype=np.int64),
+        "user_id": np.array([1, 1, 1, 2, 2], dtype=np.int64),
+        "ts": pd.to_datetime([10, 20, 20, 5, 9], unit="s"),
+        "event_type": ["a", "b", "a", "c", "c"],
+    })
+    out = event_transitions(rd.from_pandas(df).repartition(3)) \
+        .to_pandas()
+    got = {(r.from_type, r.to_type): r.n for r in out.itertuples()}
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("c", "c"): 1}
