@@ -1562,6 +1562,20 @@ def _q_event_transitions(sf_dir: str):
     return windows.event_transitions(ev)
 
 
+def _q_time_since_purchase(sf_dir: str):
+    """Recency feature: seconds since the same user's most recent prior
+    'purchase' at every event ((ts, id) native-tick order); one
+    hash(user) exchange, searchsorted carry-forward, no per-key
+    dispatch."""
+    import ray.data as rd
+
+    from rwcf import windows
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+    return windows.time_since_event(ev, match_type="purchase")
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -1667,6 +1681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": _q_orders_by_segment,
         "customer_order_histogram": _q_customer_order_histogram,
         "event_transitions": _q_event_transitions,
+        "time_since_purchase": _q_time_since_purchase,
         "filter_large_docs": _q_filter_large_docs,
         "window_tumbling": _q_window_tumbling,
         "window_sliding": _q_window_sliding,
@@ -2295,6 +2310,18 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id) AS from_type, "
             "event_type AS to_type FROM events) "
             "WHERE from_type IS NOT NULL GROUP BY from_type, to_type"),
+        # ROWS frame (not RANGE): the row before in (ts, id) order
+        # counts even at equal ts, matching the engine's strict
+        # position-before rule; no-prior-match rows are omitted
+        "time_since_purchase": (
+            "SELECT event_id, user_id, "
+            "CAST(floor(epoch(ts)) AS BIGINT) - "
+            "CAST(floor(epoch(pts)) AS BIGINT) AS secs_since "
+            "FROM (SELECT event_id, user_id, ts, "
+            "max(CASE WHEN event_type = 'purchase' THEN ts END) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pts "
+            "FROM events) WHERE pts IS NOT NULL"),
         # mirror of latest_event_per_user with ASC order
         "first_event_per_user": (
             "SELECT event_id, user_id, "

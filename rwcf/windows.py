@@ -794,3 +794,79 @@ def event_transitions(ds, key: str = "user_id", ts_col: str = "ts",
                         **rayenv.remote_args())
             .groupby(["from_type", "to_type"])
             .aggregate(Sum("n", alias_name="n")))
+
+
+def time_since_event(ds, match_type: str = "purchase",
+                     key: str = "user_id", ts_col: str = "ts",
+                     type_col: str = "event_type",
+                     id_col: str = "event_id", buckets: int = 32):
+    """Conditional carry-forward window — for every event, the seconds
+    elapsed since the SAME user's most recent prior ``match_type``
+    event (the recency feature behind "time since last purchase");
+    events with no prior match are omitted. Order is ``(ts, id)``
+    ascending over native ticks (the window family's tie-break
+    contract); the delta is taken between floored epoch seconds on both
+    sides, exactly as the oracle subtracts them.
+
+    Scale shape: the carry-forward crosses batch boundaries, so events
+    co-locate per key once — ONE ``hash(key)`` bucketed exchange of
+    4-column projections; in-bucket, one sort orders every stream, and
+    the "latest prior match" resolves for ALL rows at once with a
+    searchsorted over the match rows' positions (no per-key dispatch,
+    no scan-back loop) — valid because rows sort key-first, so a match
+    position is in-segment iff it is at or after the row's segment
+    start."""
+
+    def project(t: pa.Table) -> pa.Table:
+        from .joins import hash_bucket
+        kv = t.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+        out = pa.table({key: t.column(key),
+                        "_t": pc.cast(t.column(ts_col).combine_chunks(),
+                                      pa.int64()),
+                        "_s": pa.array(_epoch_seconds_floor(
+                            t.column(ts_col))),
+                        id_col: t.column(id_col),
+                        type_col: t.column(type_col)})
+        return out.append_column(
+            "_b", pa.array(hash_bucket(kv, buckets=buckets)))
+
+    def recency(g: pa.Table) -> pa.Table:
+        g = g.take(pc.sort_indices(g, sort_keys=[
+            (key, "ascending"), ("_t", "ascending"),
+            (id_col, "ascending")]))
+        n = g.num_rows
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          key: pa.array([], pa.int64()),
+                          "secs_since": pa.array([], pa.int64())})
+        if n == 0:
+            return empty
+        kn = g.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+        secs = g.column("_s").to_numpy(zero_copy_only=False)
+        is_m = g.column(type_col).combine_chunks() \
+            .to_numpy(zero_copy_only=False) == match_type
+        mpos = np.flatnonzero(is_m)
+        if mpos.size == 0:
+            return empty
+        # per-row segment start (first index of its key run)
+        new = np.ones(n, dtype=bool)
+        new[1:] = kn[1:] != kn[:-1]
+        seg_start = np.flatnonzero(new)[np.cumsum(new) - 1]
+        # last match STRICTLY before each row, globally ...
+        ji = np.searchsorted(mpos, np.arange(n), side="left") - 1
+        valid = ji >= 0
+        j = mpos[np.maximum(ji, 0)]
+        # ... and only in-segment matches count
+        valid &= j >= seg_start
+        keep = pa.array(valid)
+        return pa.table({
+            id_col: g.column(id_col).filter(keep),
+            key: g.column(key).filter(keep),
+            "secs_since": pa.array(
+                (secs[valid] - secs[j[valid]]).astype(np.int64))})
+
+    return (ds.map_batches(project, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .repartition(buckets)
+            .groupby("_b")
+            .map_groups(recency, batch_format="pyarrow",
+                        **rayenv.remote_args()))

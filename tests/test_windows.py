@@ -528,3 +528,31 @@ def test_event_transitions(ray_session):
         .to_pandas()
     got = {(r.from_type, r.to_type): r.n for r in out.itertuples()}
     assert got == {("a", "b"): 1, ("b", "a"): 1, ("c", "c"): 1}
+
+
+def test_time_since_event(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rwcf.windows import time_since_event
+
+    # user 1: purchase@10, view@25, purchase@30, click@30 (id order
+    # puts the purchase row BEFORE the click at equal ts), view@50;
+    # user 2: view@5 only (no prior purchase anywhere)
+    df = pd.DataFrame({
+        "event_id": np.array([1, 2, 3, 4, 5, 6], dtype=np.int64),
+        "user_id": np.array([1, 1, 1, 1, 1, 2], dtype=np.int64),
+        "ts": pd.to_datetime([10, 25, 30, 30, 50, 5], unit="s"),
+        "event_type": ["purchase", "view", "purchase", "click",
+                       "view", "view"],
+    })
+    out = time_since_event(rd.from_pandas(df).repartition(3),
+                           match_type="purchase").to_pandas() \
+        .set_index("event_id").sort_index()
+    # event 1 (the first purchase) has no PRIOR purchase -> omitted
+    # event 2: 25-10; event 3 (purchase): prior purchase@10 -> 20
+    # event 4 (click@30, after purchase@30 in row order): 0
+    # event 5: since purchase@30 -> 20; user 2 omitted entirely
+    assert out.index.tolist() == [2, 3, 4, 5]
+    assert out["secs_since"].tolist() == [15, 20, 0, 20]
