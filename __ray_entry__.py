@@ -1576,6 +1576,29 @@ def _q_time_since_purchase(sf_dir: str):
     return windows.time_since_event(ev, match_type="purchase")
 
 
+def _q_vocab_intersect(sf_dir: str):
+    """Collocation INTERSECT: word bigrams shared by src0 and src1
+    (overlap mirror of vocab_except; same one hash(gram) exchange)."""
+    from rwcf import analytics
+    return analytics.vocab_except(
+        _docs_ds(sf_dir, columns=("source", "text")), "src0", "src1",
+        ngram=2, op="intersect")
+
+
+def _q_status_pivot_priority(sf_dir: str):
+    """The declared-domain pivot reused on a second table: orders per
+    (priority, status) as wide columns — same key x domain count-matrix
+    partials, group-sized exchange."""
+    import ray.data as rd
+
+    from rwcf import analytics
+    od = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderpriority", "o_orderstatus"])
+    return analytics.pivot_counts(od, key_col="o_orderpriority",
+                                  pivot_col="o_orderstatus",
+                                  domain=("F", "O", "P"))
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -1682,6 +1705,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_histogram": _q_customer_order_histogram,
         "event_transitions": _q_event_transitions,
         "time_since_purchase": _q_time_since_purchase,
+        "vocab_intersect": _q_vocab_intersect,
+        "status_pivot_priority": _q_status_pivot_priority,
         "filter_large_docs": _q_filter_large_docs,
         "window_tumbling": _q_window_tumbling,
         "window_sliding": _q_window_sliding,
@@ -2310,6 +2335,25 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id) AS from_type, "
             "event_type AS to_type FROM events) "
             "WHERE from_type IS NOT NULL GROUP BY from_type, to_type"),
+        "vocab_intersect": (
+            "WITH w AS (SELECT source, regexp_extract_all(text, '\\S+') "
+            "AS ws FROM documents), "
+            "b AS (SELECT source, ws[i] || ' ' || ws[i + 1] AS word "
+            "FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)) "
+            "SELECT word FROM (SELECT DISTINCT word FROM b "
+            "WHERE source = 'src0') "
+            "INTERSECT SELECT word FROM (SELECT DISTINCT word FROM b "
+            "WHERE source = 'src1')"),
+        "status_pivot_priority": (
+            "SELECT o_orderpriority, "
+            "CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) "
+            "AS n_F, "
+            "CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) "
+            "AS n_O, "
+            "CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) "
+            "AS n_P, "
+            "CAST(count(*) AS BIGINT) AS n_rows "
+            "FROM orders GROUP BY o_orderpriority"),
         # ROWS frame (not RANGE): the row before in (ts, id) order
         # counts even at equal ts, matching the engine's strict
         # position-before rule; no-prior-match rows are omitted

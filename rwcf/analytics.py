@@ -1959,7 +1959,8 @@ def iqr_outliers(ds, key_col: str = "source", val_col: str = "n_chars",
 
 def vocab_except(ds, source_a: str, source_b: str,
                  key_col: str = "source", text_col: str = "text",
-                 ngram: int = 1, buckets: int = 64):
+                 ngram: int = 1, buckets: int = 64,
+                 op: str = "except"):
     """Vocabulary set-difference — word ``ngram``-grams that appear in
     ``source_a``'s documents but in NONE of ``source_b``'s (SQL
     ``EXCEPT`` over the two distinct-ngram sets): the domain-shift probe
@@ -1975,9 +1976,16 @@ def vocab_except(ds, source_a: str, source_b: str,
     before any exchange; other sources are filtered out before
     tokenizing) -> ONE bucketed shuffle on hash(gram) -> in-bucket
     flag-OR per gram keeps ``in_a AND NOT in_b``. Only unique grams
-    ship, never text."""
+    ship, never text.
+
+    With ``op="intersect"`` the in-bucket keep rule flips to
+    ``in_a AND in_b`` (SQL ``INTERSECT``) — the shared-collocation
+    overlap between two slices; everything else is identical.
+    """
     if ngram < 1:
         raise ValueError("ngram must be >= 1")
+    if op not in ("except", "intersect"):
+        raise ValueError(f"op must be 'except' or 'intersect', got {op!r}")
 
     def partial(t: pa.Table) -> pa.Table:
         kv = t.column(key_col).to_numpy(zero_copy_only=False)
@@ -2032,8 +2040,9 @@ def vocab_except(ds, source_a: str, source_b: str,
 
     def diff_bucket(g: pa.Table) -> pa.Table:
         m = g.group_by("w").aggregate([("a", "max"), ("b", "max")])
+        want_b = 1 if op == "intersect" else 0
         keep = pc.and_(pc.equal(m.column("a_max"), 1),
-                       pc.equal(m.column("b_max"), 0))
+                       pc.equal(m.column("b_max"), want_b))
         return pa.table({"word": m.column("w").filter(keep)})
 
     return (ds.map_batches(partial, batch_format="pyarrow",

@@ -1132,3 +1132,23 @@ def test_mad_by_group(ray_session):
         mad = av[max(1, math.ceil(0.5 * len(av))) - 1]
         assert out.loc[k, "med"] == med
         assert out.loc[k, "mad"] == mad
+
+
+def test_vocab_intersect(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from rwcf.analytics import vocab_except
+
+    df = pd.DataFrame({
+        "source": ["a", "a", "b", "c"],
+        "text": ["x y z", "z q", "x y q", "noise"],
+    })
+    ds = rd.from_pandas(df).repartition(2)
+    # unigrams: a={x,y,z,q}, b={x,y,q} -> intersect {x,y,q}
+    got = set(vocab_except(ds, "a", "b", op="intersect")
+              .to_pandas()["word"])
+    assert got == {"x", "y", "q"}
+    # except + intersect partition a's vocabulary
+    exc = set(vocab_except(ds, "a", "b").to_pandas()["word"])
+    assert exc == {"z"} and not (got & exc)
