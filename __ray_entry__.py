@@ -1599,6 +1599,18 @@ def _q_status_pivot_priority(sf_dir: str):
                                   domain=("F", "O", "P"))
 
 
+def _q_skyline_events(sf_dir: str):
+    """2-D Pareto frontier of events (recency x value, both maximized,
+    integer derivations on both sides): per-batch local frontiers, one
+    frontier-sized repartition(1) final — no hash exchange at all."""
+    import ray.data as rd
+
+    from rwcf import analytics
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "value"])
+    return analytics.skyline_2d(ev)
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -1707,6 +1719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_since_purchase": _q_time_since_purchase,
         "vocab_intersect": _q_vocab_intersect,
         "status_pivot_priority": _q_status_pivot_priority,
+        "skyline_events": _q_skyline_events,
         "filter_large_docs": _q_filter_large_docs,
         "window_tumbling": _q_window_tumbling,
         "window_sliding": _q_window_sliding,
@@ -2344,6 +2357,18 @@ def oracle_sql() -> dict[str, str]:
             "WHERE source = 'src0') "
             "INTERSECT SELECT word FROM (SELECT DISTINCT word FROM b "
             "WHERE source = 'src1')"),
+        # NOT EXISTS dominance over the SAME integer derivations the
+        # engine compares (floored epoch seconds, floor(v*1000)); equal
+        # points are mutually non-dominating and all survive
+        "skyline_events": (
+            "WITH t AS (SELECT event_id, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS x, "
+            "CAST(floor(value * 1000) AS BIGINT) AS y "
+            "FROM events WHERE value IS NOT NULL) "
+            "SELECT r.event_id, r.x, r.y FROM t r "
+            "WHERE NOT EXISTS (SELECT 1 FROM t s "
+            "WHERE s.x >= r.x AND s.y >= r.y "
+            "AND (s.x > r.x OR s.y > r.y))"),
         "status_pivot_priority": (
             "SELECT o_orderpriority, "
             "CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) "

@@ -2155,3 +2155,73 @@ def mad_by_group(ds, key_col: str = "source", val_col: str = "n_chars"):
     out["med"] = out[key_col].map(med).astype(np.int64)
     out["mad"] = out["mad"].astype(np.int64)
     return out[[key_col, "med", "mad"]].reset_index(drop=True)
+
+
+def skyline_2d(ds, x_col: str = "ts", y_col: str = "value",
+               id_col: str = "event_id"):
+    """2-D skyline (Pareto frontier, maximize both axes) — rows not
+    strictly dominated by any other row (s dominates r iff s.x >= r.x,
+    s.y >= r.y and at least one is strict); equal points are mutually
+    non-dominating and all survive. The "best trade-offs" operator of
+    the retrieved skyline literature (e.g. the SIGMOD'21 top-k/skyline
+    marriage): most-recent-AND-most-valuable events with no preference
+    weights. Dominance is evaluated on the same integer derivations the
+    oracle sees — floored epoch seconds and floor(v*1000) — with
+    NULL/NaN values excluded (declared, mirrored by the oracle's
+    ``value IS NOT NULL``).
+
+    Scale shape: the skyline is distributive — every batch collapses to
+    its LOCAL frontier first (one sort + per-x-group max + a strict
+    suffix-cummax cut, all vectorized; random 2-D frontiers are ~log n
+    of the input), so the single ``repartition(1)`` final runs the same
+    kernel over a union of tiny frontiers, never raw rows. No hash
+    exchange at all — the only data movement is frontier-sized."""
+    from .windows import _epoch_seconds_floor
+
+    def frontier(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "x": pa.array([], pa.int64()),
+                          "y": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        if "x" in t.column_names:  # final pass: already derived
+            x = t.column("x").to_numpy(zero_copy_only=False)
+            y = t.column("y").to_numpy(zero_copy_only=False)
+            ids = t.column(id_col)
+        else:
+            xs = t.column(x_col)
+            x = (_epoch_seconds_floor(xs.combine_chunks())
+                 if getattr(xs.type, "unit", None) is not None
+                 else pc.cast(xs.combine_chunks(), pa.int64())
+                 .to_numpy(zero_copy_only=False))
+            v = np.asarray(t.column(y_col).combine_chunks()
+                           .to_numpy(zero_copy_only=False),
+                           dtype=np.float64)
+            ok = ~np.isnan(v)
+            if not ok.any():
+                return empty
+            x = x[ok]
+            y = np.floor(v[ok] * 1000).astype(np.int64)
+            ids = t.column(id_col).filter(pa.array(ok))
+        # per-distinct-x maximum y (only those rows can be undominated)
+        ux, inv = np.unique(x, return_inverse=True)
+        ymax = np.full(ux.size, np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(ymax, inv, y)
+        # strict suffix cummax over higher x: x asc -> reversed cummax
+        # shifted by one gives max y among STRICTLY greater x
+        higher = np.concatenate(
+            [np.maximum.accumulate(ymax[::-1])[-2::-1],
+             [np.iinfo(np.int64).min]])
+        keep_x = ymax > higher
+        # a row survives iff its x-group is kept and it attains the max
+        row_keep = keep_x[inv] & (y == ymax[inv])
+        kp = pa.array(row_keep)
+        return pa.table({id_col: ids.filter(kp),
+                         "x": pa.array(x[row_keep]),
+                         "y": pa.array(y[row_keep])})
+
+    return (ds.map_batches(frontier, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .repartition(1)
+            .map_batches(frontier, batch_format="pyarrow",
+                         **rayenv.remote_args()))

@@ -1152,3 +1152,33 @@ def test_vocab_intersect(ray_session):
     # except + intersect partition a's vocabulary
     exc = set(vocab_except(ds, "a", "b").to_pandas()["word"])
     assert exc == {"z"} and not (got & exc)
+
+
+def test_skyline_2d(ray_session):
+    # brute-force dominance oracle incl. duplicate frontier points
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rwcf.analytics import skyline_2d
+
+    rng = np.random.default_rng(59)
+    n = 300
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": rng.integers(0, 1000, n).astype(np.int64),
+        "value": np.round(rng.uniform(0, 10, n), 3),
+    })
+    # plant a duplicated frontier point: both copies must survive
+    df.loc[0, ["ts", "value"]] = [999, 99.0]
+    df.loc[1, ["ts", "value"]] = [999, 99.0]
+    out = skyline_2d(rd.from_pandas(df).repartition(6)).to_pandas()
+    x = df["ts"].to_numpy()
+    y = np.floor(df["value"].to_numpy() * 1000).astype(np.int64)
+    keep = []
+    for i in range(n):
+        dom = (x >= x[i]) & (y >= y[i]) & ((x > x[i]) | (y > y[i]))
+        if not dom.any():
+            keep.append(i)
+    assert sorted(out["event_id"]) == keep
+    assert {0, 1} <= set(out["event_id"])
