@@ -1611,6 +1611,68 @@ def _q_skyline_events(sf_dir: str):
     return analytics.skyline_2d(ev)
 
 
+def _q_jsonl_ingest_stats(sf_dir: str):
+    """JSONL ingestion under the driver contract: export the documents
+    table to sharded NDJSON (4 shards, one read task each), re-ingest
+    through the strict-normalizing JSONL source (n_chars revalidated
+    against the text), and aggregate per source — proving the non-
+    parquet ingest path is oracle-grade end-to-end."""
+    import ray.data as rd
+
+    from rwcf.sources import read_jsonl_docs
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join("/tmp", f"rwcf_jsonl_{tag}")
+    import shutil
+    shutil.rmtree(out, ignore_errors=True)
+    (_docs_ds(sf_dir, columns=("doc_id", "text", "source"))
+     .repartition(4).write_json(out))
+    return _ingest_stats(read_jsonl_docs(out))
+
+
+def _q_csv_ingest_stats(sf_dir: str):
+    """CSV ingestion under the driver contract: export documents to
+    sharded CSV, re-ingest through the strict-normalizing CSV source,
+    aggregate per source (same oracle as the JSONL mirror)."""
+    import ray.data as rd  # noqa: F401  (parallel import pattern)
+
+    from rwcf.sources import read_csv_docs
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join("/tmp", f"rwcf_csv_{tag}")
+    import shutil
+    shutil.rmtree(out, ignore_errors=True)
+    (_docs_ds(sf_dir, columns=("doc_id", "text", "source"))
+     .repartition(4).write_csv(out))
+    docs = read_csv_docs(out)
+    return _ingest_stats(docs)
+
+
+def _ingest_stats(docs):
+    """Shared per-source (n_docs, sum_chars) aggregate for the ingest
+    round-trip queries."""
+    from ray.data.aggregate import Sum
+
+    def part(t):
+        import numpy as _np
+        import pyarrow as _pa
+        kv = t.column("source").to_numpy(zero_copy_only=False)
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False)
+        u, inv = _np.unique(kv, return_inverse=True)
+        n = _np.bincount(inv).astype(_np.int64)
+        s = _np.zeros(u.size, dtype=_np.int64)
+        _np.add.at(s, inv, nc)
+        return _pa.table({"source": _pa.array(u.astype(object),
+                                              _pa.string()),
+                          "n_docs": _pa.array(n),
+                          "sum_chars": _pa.array(s)})
+
+    return (docs.map_batches(part, batch_format="pyarrow")
+            .groupby("source")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("sum_chars", alias_name="sum_chars")))
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -1720,6 +1782,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_intersect": _q_vocab_intersect,
         "status_pivot_priority": _q_status_pivot_priority,
         "skyline_events": _q_skyline_events,
+        "jsonl_ingest_stats": _q_jsonl_ingest_stats,
+        "csv_ingest_stats": _q_csv_ingest_stats,
         "filter_large_docs": _q_filter_large_docs,
         "window_tumbling": _q_window_tumbling,
         "window_sliding": _q_window_sliding,
@@ -2357,6 +2421,16 @@ def oracle_sql() -> dict[str, str]:
             "WHERE source = 'src0') "
             "INTERSECT SELECT word FROM (SELECT DISTINCT word FROM b "
             "WHERE source = 'src1')"),
+        # the engine aggregates a JSONL re-export of the same table;
+        # equality proves the ingest path loses/mutates nothing
+        "jsonl_ingest_stats": (
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY source"),
+        "csv_ingest_stats": (
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY source"),
         # NOT EXISTS dominance over the SAME integer derivations the
         # engine compares (floored epoch seconds, floor(v*1000)); equal
         # points are mutually non-dominating and all survive
