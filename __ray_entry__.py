@@ -1673,6 +1673,32 @@ def _ingest_stats(docs):
                        Sum("sum_chars", alias_name="sum_chars")))
 
 
+def _q_parquet_sink_stats(sf_dir: str):
+    """Resumable partitioned-parquet sink under the driver contract:
+    write documents through the deterministic id-hash sink (fresh dir,
+    atomic per-partition commits), read the partition files back, and
+    aggregate per source — equality proves the sink neither loses nor
+    duplicates rows across its one bucketed exchange."""
+    import shutil
+
+    import ray.data as rd
+
+    from rwcf.sinks import write_partitioned
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join("/tmp", f"rwcf_sink_{tag}")
+    shutil.rmtree(out, ignore_errors=True)
+    commits = write_partitioned(
+        _docs_ds(sf_dir, columns=("doc_id", "text", "source",
+                                  "n_chars")),
+        out, id_col="doc_id", buckets=8)
+    n_written = int(commits.to_pandas()["rows"].sum())  # drive the job
+    docs = rd.read_parquet(out)
+    stats = _ingest_stats(docs)
+    assert n_written == int(stats.to_pandas()["n_docs"].sum())
+    return stats
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -1784,6 +1810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline_events": _q_skyline_events,
         "jsonl_ingest_stats": _q_jsonl_ingest_stats,
         "csv_ingest_stats": _q_csv_ingest_stats,
+        "parquet_sink_stats": _q_parquet_sink_stats,
         "filter_large_docs": _q_filter_large_docs,
         "window_tumbling": _q_window_tumbling,
         "window_sliding": _q_window_sliding,
@@ -2428,6 +2455,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY source"),
         "csv_ingest_stats": (
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY source"),
+        "parquet_sink_stats": (
             "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY source"),
