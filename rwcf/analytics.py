@@ -1882,6 +1882,11 @@ def pivot_counts(ds, key_col: str = "source", pivot_col: str = "lang",
     cols = [f"n_{v}" for v in dom]
 
     def part(t: pa.Table) -> pa.Table:
+        if t.column(key_col).null_count or t.column(pivot_col).null_count:
+            # a clean raise: np.unique on a None-bearing object array
+            # would die in a confusing numpy sort TypeError instead
+            raise ValueError("pivot_counts: NULL key/pivot values "
+                             "unsupported (out-of-domain rule)")
         kv = t.column(key_col).to_numpy(zero_copy_only=False)
         pv = t.column(pivot_col).to_numpy(zero_copy_only=False)
         up, pinv = np.unique(pv, return_inverse=True)

@@ -1182,3 +1182,15 @@ def test_skyline_2d(ray_session):
             keep.append(i)
     assert sorted(out["event_id"]) == keep
     assert {0, 1} <= set(out["event_id"])
+
+
+def test_pivot_counts_null_raises(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from rwcf.analytics import pivot_counts
+
+    bad = rd.from_pandas(pd.DataFrame({"source": ["s0"], "lang": [None]}))
+    with pytest.raises(Exception, match="NULL key/pivot"):
+        pivot_counts(bad, domain=("de",)).to_pandas()
