@@ -1699,6 +1699,36 @@ def _q_parquet_sink_stats(sf_dir: str):
     return stats
 
 
+def _q_topk_ties(sf_dir: str):
+    """Top-3 longest docs per source WITH TIES (rank() <= 3 — the
+    value-determined fair cut): partial cut, one bucketed exchange."""
+    from rwcf import analytics
+    return analytics.grouped_topk_ties(
+        _docs_ds(sf_dir, columns=("doc_id", "source", "n_chars")),
+        key_col="source", order_col="n_chars", id_col="doc_id", k=3)
+
+
+def _q_distinct_users_per_type(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per event type (generic pair-distinct
+    sibling of the word variant): unique pairs, one hash(key,val)
+    exchange, additive bucket counts."""
+    import ray.data as rd
+
+    from rwcf import analytics
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "user_id"])
+    return analytics.grouped_distinct_pairs(ev, "event_type", "user_id")
+
+
+def _q_melt_lang_counts(sf_dir: str):
+    """Unpivot closure: melt(pivot(docs)) must equal the plain GROUP BY
+    (source, lang) counts — a stateless reshape of the group-sized wide
+    result, no extra exchange."""
+    from rwcf import analytics
+    return analytics.melt_counts(
+        _docs_ds(sf_dir, columns=("source", "lang")))
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -1811,6 +1841,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_ingest_stats": _q_jsonl_ingest_stats,
         "csv_ingest_stats": _q_csv_ingest_stats,
         "parquet_sink_stats": _q_parquet_sink_stats,
+        "topk_ties_docs": _q_topk_ties,
+        "distinct_users_per_type": _q_distinct_users_per_type,
+        "melt_lang_counts": _q_melt_lang_counts,
         "filter_large_docs": _q_filter_large_docs,
         "window_tumbling": _q_window_tumbling,
         "window_sliding": _q_window_sliding,
@@ -2462,6 +2495,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY source"),
+        # WITH TIES: every row tying the 3rd value survives; gap-style
+        # rank, no id tie-break because ties are kept
+        "topk_ties_docs": (
+            "SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars, "
+            "CAST(rank() OVER (PARTITION BY source "
+            "ORDER BY n_chars DESC) AS BIGINT) AS rank "
+            "FROM documents QUALIFY rank <= 3"),
+        "distinct_users_per_type": (
+            "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) "
+            "AS n_distinct FROM events GROUP BY event_type"),
+        # melt(pivot(x)) closure == the plain long-form GROUP BY
+        "melt_lang_counts": (
+            "SELECT source, lang, CAST(count(*) AS BIGINT) AS n "
+            "FROM documents GROUP BY source, lang"),
         # NOT EXISTS dominance over the SAME integer derivations the
         # engine compares (floored epoch seconds, floor(v*1000)); equal
         # points are mutually non-dominating and all survive

@@ -2230,3 +2230,136 @@ def skyline_2d(ds, x_col: str = "ts", y_col: str = "value",
             .repartition(1)
             .map_batches(frontier, batch_format="pyarrow",
                          **rayenv.remote_args()))
+
+
+def grouped_topk_ties(ds, key_col: str, order_col: str, id_col: str,
+                      k: int = 3, buckets: int = 32):
+    """Top-k rows per group WITH TIES — SQL's ``rank() OVER (... ORDER
+    BY v DESC) <= k``: every row tying the k-th value survives, so the
+    boundary is value-determined, not row-determined (the fair-cut
+    variant of :func:`grouped_topk`; no id tie-break exists because ties
+    are kept, not broken). Output carries the gap-style ``rank``.
+
+    Scale shape: same partial-cut-then-one-exchange as grouped_topk —
+    a row can be dropped locally iff >= k batch-local rows of its key
+    are STRICTLY greater (a superset of the global condition, so local
+    cuts never lose a survivor); per-batch survivors are <= k distinct
+    values' runs per key. Pathological inputs where one value ties
+    corpus-wide make the k-th run corpus-sized — the documented bound:
+    per-key survivors must fit a bucket."""
+
+    def cut(t: pa.Table, with_rank: bool) -> pa.Table:
+        kv = t.column(key_col).to_numpy(zero_copy_only=False)
+        v = t.column(order_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((-v, kv))
+        ks, vs = kv[order], v[order]
+        n = ks.size
+        if n == 0:
+            out = pa.table({key_col: t.column(key_col),
+                            id_col: t.column(id_col),
+                            order_col: pc.cast(t.column(order_col),
+                                               pa.int64())})
+            return out.append_column("rank", pa.array([], pa.int64())) \
+                if with_rank else out
+        new_key = np.ones(n, dtype=bool)
+        new_key[1:] = ks[1:] != ks[:-1]
+        seg = np.flatnonzero(new_key)[np.cumsum(new_key) - 1]
+        new_run = new_key.copy()
+        new_run[1:] |= vs[1:] != vs[:-1]
+        # strictly-greater count = segment-relative offset of the
+        # value-run start
+        run_start = np.flatnonzero(new_run)[np.cumsum(new_run) - 1]
+        greater = run_start - seg
+        keepm = greater < k
+        sel = order[keepm]
+        out = pa.table({key_col: t.column(key_col).take(pa.array(sel)),
+                        id_col: t.column(id_col).take(pa.array(sel)),
+                        order_col: pc.cast(
+                            t.column(order_col).take(pa.array(sel)),
+                            pa.int64())})
+        if with_rank:
+            out = out.append_column(
+                "rank", pa.array((greater[keepm] + 1).astype(np.int64)))
+        return out
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = cut(t, with_rank=False)
+        b = hash_bucket(t.column(key_col).to_numpy(zero_copy_only=False),
+                        buckets=buckets)
+        return t.append_column("_b", pa.array(b))
+
+    def final(g: pa.Table) -> pa.Table:
+        return cut(g.drop_columns(["_b"]), with_rank=True)
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .repartition(buckets)
+            .groupby("_b")
+            .map_groups(final, batch_format="pyarrow",
+                        **rayenv.remote_args()))
+
+
+def grouped_distinct_pairs(ds, key_col: str, val_col: str,
+                           buckets: int = 64):
+    """Exact COUNT(DISTINCT val) per group over ARBITRARY columns (the
+    generic sibling of :func:`grouped_distinct_count`, which tokenizes
+    text) — e.g. distinct users per event type. Same shape: per-batch
+    unique (key, val) pairs, ONE bucketed shuffle on hash(key, val)
+    (disjoint buckets keep per-key counts additive), in-bucket distinct
+    + per-key partials, final key-sized groupby sum."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t.select([key_col, val_col]) \
+            .group_by([key_col, val_col]).aggregate([])
+        b = hash_bucket(u.column(key_col).to_numpy(zero_copy_only=False),
+                        u.column(val_col).to_numpy(zero_copy_only=False),
+                        buckets=buckets)
+        return u.append_column("_b", pa.array(b))
+
+    def count_bucket(g: pa.Table) -> pa.Table:
+        u = g.select([key_col, val_col]) \
+            .group_by([key_col, val_col]).aggregate([])
+        agg = u.group_by(key_col).aggregate([(val_col, "count")])
+        return pa.table({key_col: agg.column(key_col),
+                         "nd": pc.cast(agg.column(f"{val_col}_count"),
+                                       pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .repartition(buckets)
+            .groupby("_b")
+            .map_groups(count_bucket, batch_format="pyarrow",
+                        **rayenv.remote_args())
+            .groupby(key_col)
+            .aggregate(Sum("nd", alias_name="n_distinct")))
+
+
+def melt_counts(ds, key_col: str = "source", pivot_col: str = "lang",
+                domain: tuple = ("de", "en", "es", "fr", "zh")):
+    """Unpivot — the inverse of :func:`pivot_counts`: run the wide pivot
+    and melt it back to long ``(key, pivot, n)`` rows, dropping empty
+    cells (SQL GROUP BY emits only existing combinations). Closure
+    property: melt(pivot(ds)) == GROUP BY key, pivot — which is exactly
+    what the oracle checks. The melt is a stateless per-batch reshape of
+    the already group-sized pivot result; no extra exchange."""
+    wide = pivot_counts(ds, key_col=key_col, pivot_col=pivot_col,
+                        domain=domain)
+    dom = list(domain)
+
+    def melt(t: pa.Table) -> pa.Table:
+        kv = t.column(key_col).to_numpy(zero_copy_only=False)
+        mats = np.stack([t.column(f"n_{v}").to_numpy(zero_copy_only=False)
+                         for v in dom], axis=1)
+        keys = np.repeat(kv, len(dom))
+        pv = np.tile(np.array(dom, dtype=object), kv.size)
+        n = mats.reshape(-1)
+        keep = n > 0
+        return pa.table({key_col: pa.array(keys[keep].astype(object),
+                                           pa.string()),
+                         pivot_col: pa.array(pv[keep], pa.string()),
+                         "n": pa.array(n[keep].astype(np.int64))})
+
+    return wide.map_batches(melt, batch_format="pyarrow",
+                            **rayenv.remote_args())

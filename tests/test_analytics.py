@@ -1194,3 +1194,69 @@ def test_pivot_counts_null_raises(ray_session):
     bad = rd.from_pandas(pd.DataFrame({"source": ["s0"], "lang": [None]}))
     with pytest.raises(Exception, match="NULL key/pivot"):
         pivot_counts(bad, domain=("de",)).to_pandas()
+
+
+def test_grouped_topk_ties(ray_session):
+    # every row tying the k-th value survives; gap-style rank
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rwcf.analytics import grouped_topk_ties
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(8, dtype=np.int64),
+        "source": ["a"] * 6 + ["b"] * 2,
+        "n_chars": [9, 9, 9, 5, 5, 1,     # a, k=2: all three 9s, no 5s
+                    7, 7],                # b: both 7s (rank 1)
+    })
+    out = grouped_topk_ties(rd.from_pandas(df).repartition(4),
+                            key_col="source", order_col="n_chars",
+                            id_col="doc_id", k=2).to_pandas()
+    a = out[out["source"] == "a"]
+    assert sorted(a["doc_id"]) == [0, 1, 2]
+    assert (a["rank"] == 1).all()
+    b = out[out["source"] == "b"]
+    assert sorted(b["doc_id"]) == [6, 7] and (b["rank"] == 1).all()
+
+
+def test_grouped_distinct_pairs(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rwcf.analytics import grouped_distinct_pairs
+
+    rng = np.random.default_rng(63)
+    df = pd.DataFrame({
+        "event_type": rng.choice(["x", "y", "z"], 400),
+        "user_id": rng.integers(0, 37, 400).astype(np.int64),
+    })
+    out = grouped_distinct_pairs(rd.from_pandas(df).repartition(5),
+                                 "event_type", "user_id") \
+        .to_pandas().set_index("event_type").sort_index()
+    exp = df.groupby("event_type")["user_id"].nunique()
+    assert out["n_distinct"].tolist() == exp.tolist()
+
+
+def test_melt_counts_closure(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rwcf.analytics import melt_counts
+
+    rng = np.random.default_rng(64)
+    dom = ("de", "en")
+    df = pd.DataFrame({
+        "source": [f"s{int(x)}" for x in rng.integers(0, 3, 120)],
+        "lang": [dom[int(x)] for x in rng.integers(0, 2, 120)],
+    })
+    out = melt_counts(rd.from_pandas(df).repartition(4), domain=dom) \
+        .to_pandas().sort_values(["source", "lang"], ignore_index=True)
+    exp = df.groupby(["source", "lang"], as_index=False).size() \
+        .rename(columns={"size": "n"}) \
+        .sort_values(["source", "lang"], ignore_index=True)
+    assert out["source"].tolist() == exp["source"].tolist()
+    assert out["lang"].tolist() == exp["lang"].tolist()
+    assert out["n"].tolist() == exp["n"].tolist()
