@@ -1729,6 +1729,63 @@ def _q_melt_lang_counts(sf_dir: str):
         _docs_ds(sf_dir, columns=("source", "lang")))
 
 
+def _q_forecast_revenue(sf_dir: str):
+    """TPC-H-Q6-shaped discount take: pruned scan, per-batch one-row
+    partials, single tiny final — nothing corpus-sized moves."""
+    import ray.data as rd
+
+    from rwcf.relational import forecast_revenue
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_shipdate", "l_quantity",
+                                  "l_discount", "l_extendedprice"])
+    return forecast_revenue(li)
+
+
+def _q_shipping_priority(sf_dir: str):
+    """TPC-H-Q3-shaped in-flight revenue: segment semi-join, date-pruned
+    money partials, one bucketed join, local-cut top-10."""
+    import ray.data as rd
+
+    from rwcf.relational import shipping_priority
+    rp = lambda t, cols: rd.read_parquet(  # noqa: E731
+        os.path.join(sf_dir, f"{t}.parquet"), columns=cols)
+    return shipping_priority(
+        rp("lineitem", ["l_orderkey", "l_shipdate", "l_extendedprice",
+                        "l_discount"]),
+        rp("orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+        rp("customer", ["c_custkey", "c_mktsegment"]))
+
+
+def _q_returned_revenue(sf_dir: str):
+    """TPC-H-Q10-shaped returned-item report: returnflag+date pruning
+    before any exchange, two bucketed joins, nation broadcast, top-20."""
+    import ray.data as rd
+
+    from rwcf.relational import returned_item_revenue
+    rp = lambda t, cols: rd.read_parquet(  # noqa: E731
+        os.path.join(sf_dir, f"{t}.parquet"), columns=cols)
+    return returned_item_revenue(
+        rp("lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice",
+                        "l_discount"]),
+        rp("orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+        rp("customer", ["c_custkey", "c_nationkey"]),
+        rp("nation", ["n_nationkey", "n_name"]))
+
+
+def _q_large_orders(sf_dir: str):
+    """TPC-H-Q18-shaped large-volume orders: HAVING over a
+    pre-aggregation drops ~99% of orders before the single join."""
+    import ray.data as rd
+
+    from rwcf.relational import large_volume_orders
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_quantity"])
+    od = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderkey", "o_custkey",
+                                  "o_totalprice"])
+    return large_volume_orders(li, od)
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -1841,6 +1898,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_ingest_stats": _q_jsonl_ingest_stats,
         "csv_ingest_stats": _q_csv_ingest_stats,
         "parquet_sink_stats": _q_parquet_sink_stats,
+        "forecast_revenue": _q_forecast_revenue,
+        "shipping_priority": _q_shipping_priority,
+        "returned_revenue": _q_returned_revenue,
+        "large_orders": _q_large_orders,
         "topk_ties_docs": _q_topk_ties,
         "distinct_users_per_type": _q_distinct_users_per_type,
         "melt_lang_counts": _q_melt_lang_counts,
@@ -2464,6 +2525,59 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT o_custkey, CAST(count(*) AS BIGINT) "
             "AS n_orders FROM orders GROUP BY o_custkey) "
             "GROUP BY n_orders"),
+        # Q6 shape: boundary-exact discount filter AFTER the bp rounding
+        "forecast_revenue": (
+            "SELECT CAST(coalesce(sum(CAST(round(l_extendedprice * 100) "
+            "AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)), 0) "
+            "AS BIGINT) AS rev_scaled, "
+            "CAST(count(*) AS BIGINT) AS n_rows FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7 "
+            "AND CAST(round(l_quantity) AS BIGINT) < 24"),
+        # Q3 shape: ties break on the smaller orderkey
+        "shipping_priority": (
+            "WITH r AS (SELECT l_orderkey AS o_orderkey, "
+            "sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) "
+            "AS rev_scaled FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "AND l_shipdate > TIMESTAMP '1998-01-01' "
+            "GROUP BY l_orderkey) "
+            "SELECT o_orderkey, CAST(rev_scaled AS BIGINT) AS rev_scaled, "
+            "CAST(row_number() OVER (ORDER BY rev_scaled DESC, "
+            "o_orderkey ASC) AS BIGINT) AS rank FROM r "
+            "ORDER BY rank LIMIT 10"),
+        # Q10 shape: ties break on the smaller custkey
+        "returned_revenue": (
+            "WITH r AS (SELECT c_custkey, n_name, "
+            "sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) "
+            "AS rev_scaled FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE l_returnflag = 'R' "
+            "AND o_orderdate >= TIMESTAMP '1999-01-01' "
+            "AND o_orderdate < TIMESTAMP '1999-07-01' "
+            "GROUP BY c_custkey, n_name) "
+            "SELECT c_custkey, n_name, "
+            "CAST(rev_scaled AS BIGINT) AS rev_scaled, "
+            "CAST(row_number() OVER (ORDER BY rev_scaled DESC, "
+            "c_custkey ASC) AS BIGINT) AS rank FROM r "
+            "ORDER BY rank LIMIT 20"),
+        # Q18 shape: the HAVING bound is the cut, no arbitrary top-k
+        "large_orders": (
+            "SELECT q.o_orderkey, o.o_custkey, q.sum_qty, "
+            "CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents "
+            "FROM (SELECT l_orderkey AS o_orderkey, "
+            "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) "
+            "AS sum_qty FROM lineitem GROUP BY l_orderkey "
+            "HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 250) q "
+            "JOIN orders o ON q.o_orderkey = o.o_orderkey"),
         # (ts, id) ascending order with native-tick carry, like the
         # latest/first event contract
         "event_transitions": (

@@ -541,3 +541,315 @@ def customer_order_histogram(orders):
                                  **rayenv.remote_args())
             .groupby("n_orders")
             .aggregate(Sum("n_customers", alias_name="n_customers")))
+
+
+def forecast_revenue(lineitem, date_lo: str = "1996-01-01",
+                     date_hi: str = "1997-01-01", bp_lo: int = 5,
+                     bp_hi: int = 7, max_qty: int = 24):
+    """TPC-H-Q6-shaped forecast revenue: lineitems shipped inside
+    ``[date_lo, date_hi)`` with discount in ``[bp_lo, bp_hi]`` basis
+    points (compared AFTER the round-to-bp step, so engine and oracle
+    agree on boundary values like 0.05) and quantity below ``max_qty``.
+    Output one row ``(rev_scaled, n_rows)`` where ``rev_scaled =
+    sum(cents * bp)`` — the *discount take*, exact int64.
+
+    Scale shape: the cheapest wide plan possible — a pruned scan whose
+    batches collapse to ONE partial row each; only #blocks 2-int rows
+    reach the single-block final. Nothing corpus-sized moves."""
+    lo, hi = np.datetime64(date_lo), np.datetime64(date_hi)
+
+    def part(t: pa.Table) -> pa.Table:
+        sd = t.column("l_shipdate").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        qty = np.rint(t.column("l_quantity").combine_chunks()
+                      .to_numpy(zero_copy_only=False)).astype(np.int64)
+        bp = np.rint(t.column("l_discount").combine_chunks()
+                     .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        mask = ((sd >= lo) & (sd < hi) & (bp >= bp_lo) & (bp <= bp_hi)
+                & (qty < max_qty))
+        cents = np.rint(t.column("l_extendedprice").combine_chunks()
+                        .to_numpy(zero_copy_only=False)[mask] * 100) \
+            .astype(np.int64)
+        return pa.table({
+            "rev_scaled": pa.array([int((cents * bp[mask]).sum())],
+                                   pa.int64()),
+            "n_rows": pa.array([int(mask.sum())], pa.int64())})
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "rev_scaled": pa.array([int(pc.sum(t.column("rev_scaled"))
+                                        .as_py() or 0)], pa.int64()),
+            "n_rows": pa.array([int(pc.sum(t.column("n_rows"))
+                                    .as_py() or 0)], pa.int64())})
+
+    return (lineitem.map_batches(part, batch_format="pyarrow",
+                                 **rayenv.remote_args())
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow",
+                         **rayenv.remote_args()))
+
+
+def _topk_cut(key_cols: list[str], rank_name: str | None, k: int):
+    """Shared local/final top-k kernel over ``rev_scaled`` (desc) with
+    ascending int-key tie-breaks — deterministic across engines. Used as
+    a per-block cut (rank_name=None) and, after repartition(1), as the
+    final cut that assigns 1-based ranks."""
+
+    def cut(t: pa.Table) -> pa.Table:
+        r = t.column("rev_scaled").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = [t.column(c).combine_chunks()
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+                for c in key_cols]
+        order = np.lexsort(tuple(reversed(keys)) + (-r,))[:k]
+        cols = {c: pa.array(kv[order]) for c, kv in zip(key_cols, keys)}
+        cols["rev_scaled"] = pa.array(r[order])
+        for name in t.column_names:
+            if name not in cols and name != "rev_scaled":
+                cols[name] = t.column(name).take(pa.array(order))
+        if rank_name:
+            cols[rank_name] = pa.array(
+                np.arange(1, len(order) + 1, dtype=np.int64))
+        return pa.table(cols)
+
+    return cut
+
+
+def shipping_priority(lineitem, orders, customer,
+                      segment: str = "BUILDING",
+                      cutoff: str = "1998-01-01", k: int = 10,
+                      buckets: int = 32):
+    """TPC-H-Q3-shaped shipping priority: revenue still in flight at
+    ``cutoff`` (orders placed before it, lineitems shipped after it)
+    for one market segment; top-``k`` orders by exact integer revenue
+    (``cents x (100 - bp)``), ties on the smaller orderkey. Output
+    ``(o_orderkey, rev_scaled, rank)``.
+
+    Scale shape: customer collapses to a segment-filtered key set and
+    joins orders bucketed on custkey; the date-filtered lineitem
+    collapses in-batch to (orderkey, rev) partials; ONE more bucketed
+    join re-keys them; the top-k is a per-block local cut + one tiny
+    final — the order-level aggregate never leaves the workers."""
+    cut = np.datetime64(cutoff)
+
+    def cust_proj(t: pa.Table) -> pa.Table:
+        sel = pc.equal(t.column("c_mktsegment"), segment)
+        return pa.table({"ck": pc.cast(t.column("c_custkey")
+                                       .filter(sel), pa.int64())})
+
+    cu = customer.map_batches(cust_proj, batch_format="pyarrow",
+                              **rayenv.remote_args())
+
+    def ord_proj(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        sel = pa.array(d < cut)
+        return pa.table({
+            "ok": pc.cast(t.column("o_orderkey").filter(sel), pa.int64()),
+            "ck": pc.cast(t.column("o_custkey").filter(sel), pa.int64())})
+
+    od = orders.map_batches(ord_proj, batch_format="pyarrow",
+                            **rayenv.remote_args())
+    # semi: only the orderkey survives — the lineitem join needs no
+    # customer attributes, just membership
+    ok_ds = hash_join(od, cu, on="ck", how="semi", buckets=buckets) \
+        .map_batches(lambda t: t.select(["ok"]), batch_format="pyarrow",
+                     **rayenv.remote_args())
+
+    def li_part(t: pa.Table) -> pa.Table:
+        sd = t.column("l_shipdate").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        mask = sd > cut
+        sel = pa.array(mask)
+        return _money_partial(
+            pa.table({"l_orderkey": t.column("l_orderkey").filter(sel),
+                      "l_extendedprice":
+                          t.column("l_extendedprice").filter(sel),
+                      "l_discount": t.column("l_discount").filter(sel)}),
+            "l_orderkey", "l_extendedprice", "l_discount", "ok")
+
+    li = lineitem.map_batches(li_part, batch_format="pyarrow",
+                              **rayenv.remote_args())
+    j = hash_join(li, ok_ds, on="ok", how="semi", buckets=buckets)
+
+    from ray.data.aggregate import Sum
+    per_order = j.groupby("ok").aggregate(
+        Sum("rev_scaled", alias_name="rev_scaled"))
+
+    def rename_ok(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["o_orderkey" if c == "ok" else c for c in t.column_names])
+
+    return (per_order.map_batches(_topk_cut(["ok"], None, k),
+                                  batch_format="pyarrow",
+                                  **rayenv.remote_args())
+            .repartition(1)
+            .map_batches(_topk_cut(["ok"], "rank", k),
+                         batch_format="pyarrow", **rayenv.remote_args())
+            .map_batches(rename_ok, batch_format="pyarrow",
+                         **rayenv.remote_args()))
+
+
+def returned_item_revenue(lineitem, orders, customer, nation,
+                          date_lo: str = "1999-01-01",
+                          date_hi: str = "1999-07-01", k: int = 20,
+                          buckets: int = 32):
+    """TPC-H-Q10-shaped returned-item report: revenue lost to returns
+    (``l_returnflag = 'R'``) on orders placed in ``[date_lo, date_hi)``,
+    per customer, top-``k`` by exact integer revenue (ties on the
+    smaller custkey). Output ``(c_custkey, n_name, rev_scaled, rank)``.
+
+    Scale shape: the returnflag+date filters prune at the batch level on
+    both fact tables BEFORE any exchange; lineitem collapses to
+    (orderkey, rev) partials; two bucketed joins re-key
+    orderkey -> custkey (partials collapsed between); nation broadcasts;
+    the top-k is local-cut + tiny final."""
+    import ray
+
+    lo, hi = np.datetime64(date_lo), np.datetime64(date_hi)
+
+    def li_part(t: pa.Table) -> pa.Table:
+        sel = pc.equal(t.column("l_returnflag"), "R")
+        return _money_partial(
+            pa.table({"l_orderkey": t.column("l_orderkey").filter(sel),
+                      "l_extendedprice":
+                          t.column("l_extendedprice").filter(sel),
+                      "l_discount": t.column("l_discount").filter(sel)}),
+            "l_orderkey", "l_extendedprice", "l_discount", "ok")
+
+    li = lineitem.map_batches(li_part, batch_format="pyarrow",
+                              **rayenv.remote_args())
+
+    def ord_proj(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        sel = pa.array((d >= lo) & (d < hi))
+        return pa.table({
+            "ok": pc.cast(t.column("o_orderkey").filter(sel), pa.int64()),
+            "ck": pc.cast(t.column("o_custkey").filter(sel), pa.int64())})
+
+    od = orders.map_batches(ord_proj, batch_format="pyarrow",
+                            **rayenv.remote_args())
+    j1 = hash_join(li, od, on="ok", buckets=buckets)
+
+    def ck_part(t: pa.Table) -> pa.Table:
+        k_ = t.column("ck").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        r = t.column("rev_scaled").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, totals = _segsum(k_, r)
+        return pa.table({"ck": pa.array(keys),
+                         "rev_scaled": pa.array(totals)})
+
+    j1p = j1.map_batches(ck_part, batch_format="pyarrow",
+                         **rayenv.remote_args())
+
+    from ray.data.aggregate import Sum
+    per_cust = j1p.groupby("ck").aggregate(
+        Sum("rev_scaled", alias_name="rev_scaled"))
+
+    # customer is corpus-proportional but the SURVIVING key set here is
+    # top-k-bounded only after the final cut, so the nationkey ride-along
+    # joins bucketed; nation itself broadcasts as a key -> name map
+    def cust_proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "ck": pc.cast(t.column("c_custkey"), pa.int64()),
+            "nk": pc.cast(t.column("c_nationkey"), pa.int64())})
+
+    cu = customer.map_batches(cust_proj, batch_format="pyarrow",
+                              **rayenv.remote_args())
+    j2 = hash_join(per_cust, cu, on="ck", buckets=buckets)
+
+    nt = nation.select_columns(["n_nationkey", "n_name"]).to_pandas()
+    nmap_ref = ray.put(dict(zip(nt["n_nationkey"].astype(np.int64),
+                                nt["n_name"])))
+
+    def add_name(t: pa.Table) -> pa.Table:
+        nmap = ray.get(nmap_ref)
+        nk = t.column("nk").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        u, inv = np.unique(nk, return_inverse=True)
+        names = np.array([nmap[int(x)] for x in u], dtype=object)[inv] \
+            if u.size else np.empty(0, object)
+        return pa.table({
+            "ck": t.column("ck"),
+            "n_name": pa.array(names, pa.string()),
+            "rev_scaled": t.column("rev_scaled")})
+
+    named = j2.map_batches(add_name, batch_format="pyarrow",
+                           **rayenv.remote_args())
+
+    def rename_ck(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["c_custkey" if c == "ck" else c for c in t.column_names])
+
+    return (named.map_batches(_topk_cut(["ck"], None, k),
+                              batch_format="pyarrow",
+                              **rayenv.remote_args())
+            .repartition(1)
+            .map_batches(_topk_cut(["ck"], "rank", k),
+                         batch_format="pyarrow", **rayenv.remote_args())
+            .map_batches(rename_ck, batch_format="pyarrow",
+                         **rayenv.remote_args()))
+
+
+def large_volume_orders(lineitem, orders, min_qty: int = 250,
+                        buckets: int = 32):
+    """TPC-H-Q18-shaped large-volume orders: orders whose total lineitem
+    quantity exceeds ``min_qty`` (HAVING over a pre-aggregation), with
+    the ordering customer and exact cents order value attached. Output
+    ``(o_orderkey, o_custkey, sum_qty, total_cents)`` — all survivors,
+    no arbitrary top-k (the HAVING bound is the cut).
+
+    Scale shape: lineitem collapses in-batch to (orderkey, qty)
+    partials; one orderkey groupby sums; the HAVING filter drops ~99%
+    of orders BEFORE the single bucketed join attaches order
+    attributes. Exchanges: 1 groupby + 1 join, both on orderkey."""
+
+    def li_part(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = np.rint(t.column("l_quantity").combine_chunks()
+                      .to_numpy(zero_copy_only=False)).astype(np.int64)
+        keys, totals = _segsum(ok, qty)
+        return pa.table({"ok": pa.array(keys),
+                         "sum_qty": pa.array(totals)})
+
+    li = lineitem.map_batches(li_part, batch_format="pyarrow",
+                              **rayenv.remote_args())
+
+    from ray.data.aggregate import Sum
+    per_order = li.groupby("ok").aggregate(
+        Sum("sum_qty", alias_name="sum_qty"))
+
+    def having(t: pa.Table) -> pa.Table:
+        q = t.column("sum_qty").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(q > min_qty))
+
+    big = per_order.map_batches(having, batch_format="pyarrow",
+                                **rayenv.remote_args())
+
+    def ord_proj(t: pa.Table) -> pa.Table:
+        cents = np.rint(t.column("o_totalprice").combine_chunks()
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        return pa.table({
+            "ok": pc.cast(t.column("o_orderkey"), pa.int64()),
+            "o_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+            "total_cents": pa.array(cents)})
+
+    od = orders.map_batches(ord_proj, batch_format="pyarrow",
+                            **rayenv.remote_args())
+    j = hash_join(big, od, on="ok", buckets=buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t.column("ok"),
+            "o_custkey": t.column("o_custkey"),
+            "sum_qty": t.column("sum_qty"),
+            "total_cents": t.column("total_cents")})
+
+    return j.map_batches(finish, batch_format="pyarrow",
+                         **rayenv.remote_args())

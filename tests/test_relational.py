@@ -268,3 +268,129 @@ def test_customer_order_histogram(ray_session):
     assert out["n_orders"].tolist() == exp.index.tolist()
     assert out["n_customers"].tolist() == exp.tolist()
     assert out["n_customers"].sum() == per.size
+
+
+def test_forecast_revenue(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from rwcf.relational import forecast_revenue
+    li = rd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_shipdate", "l_quantity",
+                                  "l_discount", "l_extendedprice"])
+    out = forecast_revenue(li).to_pandas()
+    exp = duckdb.sql(
+        f"SELECT sum(CAST(round(l_extendedprice*100) AS BIGINT) * "
+        f"CAST(round(l_discount*100) AS BIGINT)) AS rev_scaled, "
+        f"count(*) AS n_rows "
+        f"FROM read_parquet('{SF}/lineitem.parquet') "
+        f"WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        f"AND l_shipdate < TIMESTAMP '1997-01-01' "
+        f"AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7 "
+        f"AND CAST(round(l_quantity) AS BIGINT) < 24").df()
+    assert len(out) == 1
+    assert int(out["rev_scaled"][0]) == int(exp["rev_scaled"][0])
+    assert int(out["n_rows"][0]) == int(exp["n_rows"][0])
+
+
+def test_forecast_revenue_empty_window(ray_session):
+    # a window before the corpus starts: exact zero row, not an error
+    import ray.data as rd
+
+    from rwcf.relational import forecast_revenue
+    li = rd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_shipdate", "l_quantity",
+                                  "l_discount", "l_extendedprice"])
+    out = forecast_revenue(li, date_lo="1990-01-01",
+                           date_hi="1991-01-01").to_pandas()
+    assert out["rev_scaled"].tolist() == [0]
+    assert out["n_rows"].tolist() == [0]
+
+
+def test_shipping_priority(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from rwcf.relational import shipping_priority
+    li = rd.read_parquet(f"{SF}/lineitem.parquet")
+    od = rd.read_parquet(f"{SF}/orders.parquet")
+    cu = rd.read_parquet(f"{SF}/customer.parquet")
+    out = shipping_priority(li, od, cu, buckets=8).to_pandas() \
+        .sort_values("rank", ignore_index=True)
+    exp = duckdb.sql(
+        f"WITH r AS (SELECT l_orderkey AS ok, "
+        f"sum(CAST(round(l_extendedprice*100) AS BIGINT) * "
+        f"(100 - CAST(round(l_discount*100) AS BIGINT))) AS rev "
+        f"FROM read_parquet('{SF}/lineitem.parquet') l "
+        f"JOIN read_parquet('{SF}/orders.parquet') o "
+        f"ON l_orderkey = o_orderkey "
+        f"JOIN read_parquet('{SF}/customer.parquet') c "
+        f"ON o_custkey = c_custkey "
+        f"WHERE c_mktsegment = 'BUILDING' "
+        f"AND o_orderdate < TIMESTAMP '1998-01-01' "
+        f"AND l_shipdate > TIMESTAMP '1998-01-01' GROUP BY 1) "
+        f"SELECT ok, rev FROM r ORDER BY rev DESC, ok LIMIT 10").df()
+    assert out["o_orderkey"].tolist() == exp["ok"].astype("int64").tolist()
+    assert out["rev_scaled"].tolist() == exp["rev"].astype("int64").tolist()
+    assert out["rank"].tolist() == list(range(1, len(exp) + 1))
+
+
+def test_returned_item_revenue(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from rwcf.relational import returned_item_revenue
+    li = rd.read_parquet(f"{SF}/lineitem.parquet")
+    od = rd.read_parquet(f"{SF}/orders.parquet")
+    cu = rd.read_parquet(f"{SF}/customer.parquet")
+    na = rd.read_parquet(f"{SF}/nation.parquet")
+    out = returned_item_revenue(li, od, cu, na, buckets=8).to_pandas() \
+        .sort_values("rank", ignore_index=True)
+    exp = duckdb.sql(
+        f"WITH r AS (SELECT c_custkey AS ck, n_name, "
+        f"sum(CAST(round(l_extendedprice*100) AS BIGINT) * "
+        f"(100 - CAST(round(l_discount*100) AS BIGINT))) AS rev "
+        f"FROM read_parquet('{SF}/lineitem.parquet') l "
+        f"JOIN read_parquet('{SF}/orders.parquet') o "
+        f"ON l_orderkey = o_orderkey "
+        f"JOIN read_parquet('{SF}/customer.parquet') c "
+        f"ON o_custkey = c_custkey "
+        f"JOIN read_parquet('{SF}/nation.parquet') n "
+        f"ON c_nationkey = n_nationkey "
+        f"WHERE l_returnflag = 'R' "
+        f"AND o_orderdate >= TIMESTAMP '1999-01-01' "
+        f"AND o_orderdate < TIMESTAMP '1999-07-01' GROUP BY 1, 2) "
+        f"SELECT ck, n_name, rev FROM r "
+        f"ORDER BY rev DESC, ck LIMIT 20").df()
+    assert out["c_custkey"].tolist() == exp["ck"].astype("int64").tolist()
+    assert out["n_name"].tolist() == exp["n_name"].tolist()
+    assert out["rev_scaled"].tolist() == exp["rev"].astype("int64").tolist()
+
+
+def test_large_volume_orders(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from rwcf.relational import large_volume_orders
+    li = rd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+    od = rd.read_parquet(f"{SF}/orders.parquet",
+                         columns=["o_orderkey", "o_custkey",
+                                  "o_totalprice"])
+    out = large_volume_orders(li, od, buckets=8).to_pandas() \
+        .sort_values("o_orderkey", ignore_index=True)
+    exp = duckdb.sql(
+        f"SELECT q.ok, o.o_custkey, q.sum_qty, "
+        f"CAST(round(o.o_totalprice*100) AS BIGINT) AS total_cents "
+        f"FROM (SELECT l_orderkey AS ok, "
+        f"sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty "
+        f"FROM read_parquet('{SF}/lineitem.parquet') "
+        f"GROUP BY 1 HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 250)"
+        f" q JOIN read_parquet('{SF}/orders.parquet') o "
+        f"ON q.ok = o.o_orderkey ORDER BY q.ok").df()
+    assert out["o_orderkey"].tolist() == exp["ok"].astype("int64").tolist()
+    assert out["o_custkey"].tolist() == \
+        exp["o_custkey"].astype("int64").tolist()
+    assert out["sum_qty"].tolist() == exp["sum_qty"].astype("int64").tolist()
+    assert out["total_cents"].tolist() == \
+        exp["total_cents"].astype("int64").tolist()
