@@ -1786,6 +1786,61 @@ def _q_large_orders(sf_dir: str):
     return large_volume_orders(li, od)
 
 
+def _q_small_qty_revenue(sf_dir: str):
+    """TPC-H-Q17-shaped correlated-subquery revenue: brand key set
+    broadcast, ONE hash(partkey) exchange of brand rows, in-bucket
+    exact cross-multiplied avg comparison."""
+    import ray.data as rd
+
+    from rwcf.relational import small_quantity_revenue
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice"])
+    pt = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand"])
+    return small_quantity_revenue(li, pt)
+
+
+def _q_top_supplier(sf_dir: str):
+    """TPC-H-Q15-shaped argmax-with-ties: date-pruned money partials,
+    one supplier groupby, per-block max-ties cut + tiny final."""
+    import ray.data as rd
+
+    from rwcf.relational import top_supplier
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_suppkey", "l_shipdate",
+                                  "l_extendedprice", "l_discount"])
+    return top_supplier(li)
+
+
+def _q_lapsed_customers(sf_dir: str):
+    """TPC-H-Q22-shaped scalar-subquery + NOT EXISTS: broadcast balance
+    scalars, bloom-anti join against recent-order custkeys."""
+    import ray.data as rd
+
+    from rwcf.relational import lapsed_high_value_customers
+    cu = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey",
+                                  "c_acctbal"])
+    od = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_custkey", "o_orderdate"])
+    return lapsed_high_value_customers(cu, od)
+
+
+def _q_disjunctive_revenue(sf_dir: str):
+    """TPC-H-Q19-shaped OR-of-conjunctions: both sides prune to the
+    predicate envelope before ONE bucketed partkey join."""
+    import ray.data as rd
+
+    from rwcf.relational import disjunctive_revenue
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+    pt = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand", "p_size"])
+    return disjunctive_revenue(li, pt)
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -1899,6 +1954,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_ingest_stats": _q_csv_ingest_stats,
         "parquet_sink_stats": _q_parquet_sink_stats,
         "forecast_revenue": _q_forecast_revenue,
+        "small_qty_revenue": _q_small_qty_revenue,
+        "top_supplier": _q_top_supplier,
+        "lapsed_customers": _q_lapsed_customers,
+        "disjunctive_revenue": _q_disjunctive_revenue,
         "shipping_priority": _q_shipping_priority,
         "returned_revenue": _q_returned_revenue,
         "large_orders": _q_large_orders,
@@ -2535,6 +2594,57 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate < TIMESTAMP '1997-01-01' "
             "AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7 "
             "AND CAST(round(l_quantity) AS BIGINT) < 24"),
+        # Q17 shape: exact cross-multiplied average comparison
+        "small_qty_revenue": (
+            "WITH agg AS (SELECT l_partkey AS apk, "
+            "sum(CAST(round(l_quantity) AS BIGINT)) AS s, "
+            "count(*) AS n FROM lineitem "
+            "JOIN part ON l_partkey = p_partkey "
+            "WHERE p_brand = 'Brand#13' GROUP BY 1) "
+            "SELECT CAST(coalesce(sum(CAST(round(l_extendedprice * 100) "
+            "AS BIGINT)), 0) AS BIGINT) AS rev_cents, "
+            "CAST(count(*) AS BIGINT) AS n_rows FROM lineitem "
+            "JOIN agg ON l_partkey = apk "
+            "WHERE 5 * CAST(round(l_quantity) AS BIGINT) * n < s"),
+        # Q15 shape: argmax WITH ties, no arbitrary tie-break
+        "top_supplier": (
+            "WITH r AS (SELECT l_suppkey AS s_suppkey, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)"
+            " AS rev_scaled FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-04-01' GROUP BY 1) "
+            "SELECT s_suppkey, rev_scaled FROM r "
+            "WHERE rev_scaled = (SELECT max(rev_scaled) FROM r)"),
+        # Q22 shape: integer cross-multiplied above-average test +
+        # NOT EXISTS on the date-pruned order side
+        "lapsed_customers": (
+            "WITH pos AS (SELECT count(*) AS n, "
+            "sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s "
+            "FROM customer WHERE CAST(round(c_acctbal * 100) AS BIGINT) "
+            "> 0) "
+            "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, "
+            "CAST(count(*) AS BIGINT) AS n_cust, "
+            "CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)"
+            " AS acctbal_cents FROM customer, pos "
+            "WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n > s "
+            "AND NOT EXISTS (SELECT 1 FROM orders "
+            "WHERE o_custkey = c_custkey "
+            "AND o_orderdate >= TIMESTAMP '2000-01-01') "
+            "GROUP BY c_nationkey"),
+        # Q19 shape: OR of brand/size/quantity conjunctions
+        "disjunctive_revenue": (
+            "SELECT CAST(coalesce(sum(CAST(round(l_extendedprice * 100) "
+            "AS BIGINT) * (100 - CAST(round(l_discount * 100) "
+            "AS BIGINT))), 0) AS BIGINT) AS rev_scaled, "
+            "CAST(count(*) AS BIGINT) AS n_rows "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 "
+            "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 1 AND 11) "
+            "OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10 "
+            "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20) "
+            "OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15 "
+            "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)"),
         # Q3 shape: ties break on the smaller orderkey
         "shipping_priority": (
             "WITH r AS (SELECT l_orderkey AS o_orderkey, "

@@ -853,3 +853,340 @@ def large_volume_orders(lineitem, orders, min_qty: int = 250,
 
     return j.map_batches(finish, batch_format="pyarrow",
                          **rayenv.remote_args())
+
+
+def small_quantity_revenue(lineitem, part, brand: str = "Brand#13",
+                           buckets: int = 32):
+    """TPC-H-Q17-shaped small-quantity revenue: lineitems of one brand's
+    parts whose quantity is below 20% of that part's average lineitem
+    quantity — the correlated-subquery shape (per-row predicate against
+    the row's own group aggregate). The comparison is exact integer
+    cross-multiplication (``5 * qty * n_part < sum_qty_part``), never a
+    float average. Output one row ``(rev_cents, n_rows)`` — the base
+    price (no discount) of the qualifying rows, in cents.
+
+    Scale shape: the brand's partkey set broadcasts once (~1/25 of
+    parts; an int64 array — worker-heap-sized into the tens of millions
+    of keys; swap to a Bloom prefilter + in-bucket exact check beyond
+    that). Non-brand lineitems drop at the batch level, so ONE
+    hash(partkey) exchange moves only the brand's rows; each bucket
+    computes per-part (sum, n) with segmented numpy and filters its own
+    rows against them — the correlated aggregate never leaves the
+    bucket. Partial one-row sums then a tiny final."""
+    import ray
+
+    def brand_keys(t: pa.Table) -> pa.Table:
+        sel = pc.equal(t.column("p_brand"), brand)
+        return pa.table({"pk": pc.cast(t.column("p_partkey").filter(sel),
+                                       pa.int64())})
+
+    # only the BRAND's keys reach the driver (brand-sized, never the
+    # part table); broadcast once as a sorted array. A fully-empty
+    # filter result loses its schema, hence the column guard.
+    kdf = part.map_batches(brand_keys, batch_format="pyarrow",
+                           **rayenv.remote_args()).to_pandas()
+    keys = np.sort(kdf["pk"].to_numpy(dtype=np.int64)) \
+        if "pk" in kdf.columns else np.empty(0, np.int64)
+    if keys.size == 0:
+        # unknown brand: nothing can match — exact zero row, and the
+        # empty pipeline downstream would never invoke its final block
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "rev_cents": pa.array([0], pa.int64()),
+            "n_rows": pa.array([0], pa.int64())}))
+    keys_ref = ray.put(keys)
+
+    def li_filter(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        pk = t.column("l_partkey").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        if ks.size:
+            # sorted-array membership: searchsorted beats np.isin's
+            # internal sort when the probe side is the batch
+            pos = np.searchsorted(ks, pk)
+            pos[pos == ks.size] = 0
+            mask = ks[pos] == pk
+        else:
+            mask = np.zeros(pk.size, dtype=bool)
+        qty = np.rint(t.column("l_quantity").combine_chunks()
+                      .to_numpy(zero_copy_only=False)[mask]) \
+            .astype(np.int64)
+        cents = np.rint(t.column("l_extendedprice").combine_chunks()
+                        .to_numpy(zero_copy_only=False)[mask] * 100) \
+            .astype(np.int64)
+        pk = pk[mask]
+        from .joins import hash_bucket
+        return pa.table({
+            "_b": pa.array(hash_bucket(pk, buckets=buckets)),
+            "pk": pa.array(pk), "qty": pa.array(qty),
+            "cents": pa.array(cents)})
+
+    rows = lineitem.map_batches(li_filter, batch_format="pyarrow",
+                                **rayenv.remote_args())
+
+    def bucket_eval(g: pa.Table) -> pa.Table:
+        pk = g.column("pk").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        qty = g.column("qty").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        cents = g.column("cents").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        order = np.argsort(pk, kind="stable")
+        pk, qty, cents = pk[order], qty[order], cents[order]
+        n = pk.size
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = pk[1:] != pk[:-1]
+        seg_of = np.cumsum(new) - 1
+        _, sums = _segsum(pk, qty)
+        _, cnts = _segsum(pk, np.ones(n, dtype=np.int64))
+        keep = 5 * qty * cnts[seg_of] < sums[seg_of]
+        return pa.table({
+            "rev_cents": pa.array([int(cents[keep].sum())], pa.int64()),
+            "n_rows": pa.array([int(keep.sum())], pa.int64())})
+
+    def final(t: pa.Table) -> pa.Table:
+        # an empty key set yields zero groups upstream, so the single
+        # final block can arrive schema-less — still emit the exact 0 row
+        empty = "rev_cents" not in t.column_names
+        return pa.table({
+            "rev_cents": pa.array(
+                [0 if empty else int(pc.sum(t.column("rev_cents"))
+                                     .as_py() or 0)], pa.int64()),
+            "n_rows": pa.array(
+                [0 if empty else int(pc.sum(t.column("n_rows"))
+                                     .as_py() or 0)], pa.int64())})
+
+    return (rows.repartition(buckets).groupby("_b")
+            .map_groups(bucket_eval, batch_format="pyarrow",
+                        **rayenv.remote_args())
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow",
+                         **rayenv.remote_args()))
+
+
+def top_supplier(lineitem, date_lo: str = "1997-01-01",
+                 date_hi: str = "1997-04-01"):
+    """TPC-H-Q15-shaped top supplier: the supplier(s) whose revenue over
+    ``[date_lo, date_hi)`` equals the global maximum — argmax WITH ties
+    (the view + WHERE rev = (SELECT max(...)) shape). Exact integer
+    money. Output ``(s_suppkey, rev_scaled)``, one row per tied winner.
+
+    Scale shape: date-pruned money partials, one supplier-keyed groupby;
+    then each block of the per-supplier aggregate keeps only its own
+    max-tied rows (a per-block cut that cannot lose a global winner,
+    since the global max is some block's max) and the #blocks survivors
+    meet in one tiny final. The per-supplier aggregate never leaves the
+    workers."""
+    lo, hi = np.datetime64(date_lo), np.datetime64(date_hi)
+
+    def li_part(t: pa.Table) -> pa.Table:
+        sd = t.column("l_shipdate").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        sel = pa.array((sd >= lo) & (sd < hi))
+        return _money_partial(
+            pa.table({"l_suppkey": t.column("l_suppkey").filter(sel),
+                      "l_extendedprice":
+                          t.column("l_extendedprice").filter(sel),
+                      "l_discount": t.column("l_discount").filter(sel)}),
+            "l_suppkey", "l_extendedprice", "l_discount", "sk")
+
+    li = lineitem.map_batches(li_part, batch_format="pyarrow",
+                              **rayenv.remote_args())
+
+    from ray.data.aggregate import Sum
+    per_supp = li.groupby("sk").aggregate(
+        Sum("rev_scaled", alias_name="rev_scaled"))
+
+    def max_ties(t: pa.Table) -> pa.Table:
+        r = t.column("rev_scaled").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = t.column("sk").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        if r.size == 0:
+            return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                             "rev_scaled": pa.array([], pa.int64())})
+        keep = r == r.max()
+        return pa.table({"s_suppkey": pa.array(sk[keep]),
+                         "rev_scaled": pa.array(r[keep])})
+
+    def rename_back(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["sk", "rev_scaled"])
+
+    return (per_supp.map_batches(max_ties, batch_format="pyarrow",
+                                 **rayenv.remote_args())
+            .map_batches(rename_back, batch_format="pyarrow",
+                         **rayenv.remote_args())
+            .repartition(1)
+            .map_batches(max_ties, batch_format="pyarrow",
+                         **rayenv.remote_args()))
+
+
+def lapsed_high_value_customers(customer, orders,
+                                since: str = "2000-01-01",
+                                buckets: int = 32,
+                                bloom_bits: int = 1 << 20):
+    """TPC-H-Q22-shaped lapsed high-value customers: customers whose
+    account balance beats the global average positive balance but who
+    placed NO order since ``since`` — the scalar-subquery + NOT EXISTS
+    shape. The above-average test is exact integer cross-multiplication
+    (``cents * n_pos > sum_pos_cents``), never a float mean. Output
+    ``(c_nationkey, n_cust, acctbal_cents)`` per nation.
+
+    Scale shape: pass 1 collapses customer batches to one
+    ``(sum_pos, n_pos)`` row each — two broadcast scalars. Pass 2
+    filters customers at the batch level against the scalars, then a
+    Bloom-accelerated ANTI join against the date-pruned order custkeys
+    routes only maybe-active customers through the all-to-all; the
+    definite-lapsed bulk bypasses it. Final groupby is nations-sized."""
+    import ray
+
+    from .joins import hash_join
+
+    def bal_part(t: pa.Table) -> pa.Table:
+        cents = np.rint(t.column("c_acctbal").combine_chunks()
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        pos = cents[cents > 0]
+        return pa.table({"s": pa.array([int(pos.sum())], pa.int64()),
+                         "n": pa.array([int(pos.size)], pa.int64())})
+
+    # #blocks 2-int rows -> two scalars; the only driver materialization
+    bal = customer.map_batches(bal_part, batch_format="pyarrow",
+                               **rayenv.remote_args()).to_pandas()
+    s_pos, n_pos = int(bal["s"].sum()), int(bal["n"].sum())
+
+    def cust_filter(t: pa.Table) -> pa.Table:
+        cents = np.rint(t.column("c_acctbal").combine_chunks()
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        sel = pa.array(cents * n_pos > s_pos)
+        return pa.table({
+            "ck": pc.cast(t.column("c_custkey").filter(sel), pa.int64()),
+            "c_nationkey": pc.cast(t.column("c_nationkey").filter(sel),
+                                   pa.int64()),
+            "acctbal_cents": pa.array(cents[cents * n_pos > s_pos])})
+
+    rich = customer.map_batches(cust_filter, batch_format="pyarrow",
+                                **rayenv.remote_args())
+
+    lo = np.datetime64(since)
+
+    def ord_proj(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        sel = pa.array(d >= lo)
+        return pa.table({
+            "ck": pc.cast(t.column("o_custkey").filter(sel), pa.int64())})
+
+    recent = orders.map_batches(ord_proj, batch_format="pyarrow",
+                                **rayenv.remote_args())
+    lapsed = hash_join(rich, recent, on="ck", how="anti",
+                       buckets=buckets, bloom_bits=bloom_bits)
+
+    def nat_part(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "c_nationkey": t.column("c_nationkey"),
+            "n_cust": pa.array(np.ones(t.num_rows, np.int64)),
+            "acctbal_cents": t.column("acctbal_cents"),
+        }).group_by("c_nationkey").aggregate(
+            [("n_cust", "sum"), ("acctbal_cents", "sum")])
+        return pa.table({"c_nationkey": g.column("c_nationkey"),
+                         "n_cust": g.column("n_cust_sum"),
+                         "acctbal_cents": g.column("acctbal_cents_sum")})
+
+    from ray.data.aggregate import Sum
+    return (lapsed.map_batches(nat_part, batch_format="pyarrow",
+                               **rayenv.remote_args())
+            .groupby("c_nationkey")
+            .aggregate(Sum("n_cust", alias_name="n_cust"),
+                       Sum("acctbal_cents", alias_name="acctbal_cents")))
+
+
+_Q19_BRANCHES = (("Brand#1", 1, 5, 1, 11),
+                 ("Brand#12", 1, 10, 10, 20),
+                 ("Brand#20", 1, 15, 20, 30))
+
+
+def disjunctive_revenue(lineitem, part, branches=_Q19_BRANCHES,
+                        buckets: int = 32):
+    """TPC-H-Q19-shaped disjunctive-predicate revenue: an OR of
+    (brand, size-range, quantity-range) conjunctions that needs columns
+    from BOTH sides of the join per branch. Exact integer money
+    (``cents x (100 - bp)``). Output one row ``(rev_scaled, n_rows)``.
+
+    Scale shape: both sides prune at the batch level to the predicate's
+    envelope (quantity within any branch's range; parts matching some
+    branch's brand+size) BEFORE the one bucketed partkey join, so the
+    all-to-all moves only candidate rows; the disjunction evaluates
+    vectorized on the joined rows and collapses to one-row partials."""
+    from .joins import hash_join
+
+    qty_lo = min(b[3] for b in branches)
+    qty_hi = max(b[4] for b in branches)
+
+    def li_proj(t: pa.Table) -> pa.Table:
+        qty = np.rint(t.column("l_quantity").combine_chunks()
+                      .to_numpy(zero_copy_only=False)).astype(np.int64)
+        mask = (qty >= qty_lo) & (qty <= qty_hi)
+        cents = np.rint(t.column("l_extendedprice").combine_chunks()
+                        .to_numpy(zero_copy_only=False)[mask] * 100) \
+            .astype(np.int64)
+        bp = np.rint(t.column("l_discount").combine_chunks()
+                     .to_numpy(zero_copy_only=False)[mask] * 100) \
+            .astype(np.int64)
+        pk = t.column("l_partkey").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)[mask]
+        return pa.table({"pk": pa.array(pk), "qty": pa.array(qty[mask]),
+                         "rev": pa.array(cents * (100 - bp))})
+
+    li = lineitem.map_batches(li_proj, batch_format="pyarrow",
+                              **rayenv.remote_args())
+
+    def part_proj(t: pa.Table) -> pa.Table:
+        brand = t.column("p_brand").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        size = t.column("p_size").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.zeros(len(t), dtype=bool)
+        for bname, s_lo, s_hi, _, _ in branches:
+            keep |= (brand == bname) & (size >= s_lo) & (size <= s_hi)
+        sel = pa.array(keep)
+        return pa.table({
+            "pk": pc.cast(t.column("p_partkey").filter(sel), pa.int64()),
+            "p_brand": t.column("p_brand").filter(sel),
+            "p_size": pa.array(size[keep])})
+
+    pt = part.map_batches(part_proj, batch_format="pyarrow",
+                          **rayenv.remote_args())
+    j = hash_join(li, pt, on="pk", buckets=buckets)
+
+    def eval_part(t: pa.Table) -> pa.Table:
+        brand = t.column("p_brand").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        size = t.column("p_size").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        qty = t.column("qty").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        rev = t.column("rev").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        hit = np.zeros(len(t), dtype=bool)
+        for bname, s_lo, s_hi, q_lo, q_hi in branches:
+            hit |= ((brand == bname) & (size >= s_lo) & (size <= s_hi)
+                    & (qty >= q_lo) & (qty <= q_hi))
+        return pa.table({
+            "rev_scaled": pa.array([int(rev[hit].sum())], pa.int64()),
+            "n_rows": pa.array([int(hit.sum())], pa.int64())})
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "rev_scaled": pa.array([int(pc.sum(t.column("rev_scaled"))
+                                        .as_py() or 0)], pa.int64()),
+            "n_rows": pa.array([int(pc.sum(t.column("n_rows"))
+                                    .as_py() or 0)], pa.int64())})
+
+    return (j.map_batches(eval_part, batch_format="pyarrow",
+                          **rayenv.remote_args())
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow",
+                         **rayenv.remote_args()))

@@ -394,3 +394,148 @@ def test_large_volume_orders(ray_session):
     assert out["sum_qty"].tolist() == exp["sum_qty"].astype("int64").tolist()
     assert out["total_cents"].tolist() == \
         exp["total_cents"].astype("int64").tolist()
+
+
+def test_small_quantity_revenue(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from rwcf.relational import small_quantity_revenue
+    li = rd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice"])
+    pt = rd.read_parquet(f"{SF}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    out = small_quantity_revenue(li, pt, buckets=8).to_pandas()
+    exp = duckdb.sql(
+        f"WITH agg AS (SELECT l_partkey AS apk, "
+        f"sum(CAST(round(l_quantity) AS BIGINT)) AS s, count(*) AS n "
+        f"FROM read_parquet('{SF}/lineitem.parquet') l "
+        f"JOIN read_parquet('{SF}/part.parquet') p "
+        f"ON l_partkey = p_partkey "
+        f"WHERE p_brand = 'Brand#13' GROUP BY 1) "
+        f"SELECT coalesce(sum(CAST(round(l_extendedprice*100) AS BIGINT))"
+        f", 0) AS rev, count(*) AS n "
+        f"FROM read_parquet('{SF}/lineitem.parquet') JOIN agg "
+        f"ON l_partkey = apk "
+        f"WHERE 5 * CAST(round(l_quantity) AS BIGINT) * n < s").df()
+    assert out["rev_cents"].tolist() == [int(exp["rev"][0])]
+    assert out["n_rows"].tolist() == [int(exp["n"][0])]
+
+
+def test_small_quantity_revenue_unknown_brand(ray_session):
+    # empty brand key set: exact zero row, no searchsorted crash
+    import ray.data as rd
+
+    from rwcf.relational import small_quantity_revenue
+    li = rd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice"])
+    pt = rd.read_parquet(f"{SF}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    out = small_quantity_revenue(li, pt, brand="Brand#none",
+                                 buckets=4).to_pandas()
+    assert out["rev_cents"].tolist() == [0]
+    assert out["n_rows"].tolist() == [0]
+
+
+def test_top_supplier(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from rwcf.relational import top_supplier
+    li = rd.read_parquet(f"{SF}/lineitem.parquet")
+    out = top_supplier(li).to_pandas() \
+        .sort_values("s_suppkey", ignore_index=True)
+    exp = duckdb.sql(
+        f"WITH r AS (SELECT l_suppkey AS sk, "
+        f"sum(CAST(round(l_extendedprice*100) AS BIGINT) * "
+        f"(100 - CAST(round(l_discount*100) AS BIGINT))) AS rev "
+        f"FROM read_parquet('{SF}/lineitem.parquet') "
+        f"WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+        f"AND l_shipdate < TIMESTAMP '1997-04-01' GROUP BY 1) "
+        f"SELECT sk, rev FROM r WHERE rev = (SELECT max(rev) FROM r) "
+        f"ORDER BY sk").df()
+    assert out["s_suppkey"].tolist() == exp["sk"].astype("int64").tolist()
+    assert out["rev_scaled"].tolist() == exp["rev"].astype("int64").tolist()
+
+
+def test_top_supplier_keeps_all_ties(ray_session):
+    # synthetic: two suppliers with identical max revenue both survive
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rwcf.relational import top_supplier
+    t = pa.table({
+        "l_suppkey": pa.array([1, 2, 2, 3], pa.int64()),
+        "l_shipdate": pa.array(
+            [pa.scalar("1997-02-01").cast(pa.timestamp("us"))] * 4
+        ).cast(pa.timestamp("us")),
+        "l_extendedprice": pa.array([200.0, 100.0, 100.0, 50.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0, 0.0])})
+    ds = rd.from_arrow(t)
+    out = top_supplier(ds).to_pandas().sort_values(
+        "s_suppkey", ignore_index=True)
+    assert out["s_suppkey"].tolist() == [1, 2]
+    assert out["rev_scaled"].tolist() == [2000000, 2000000]
+
+
+def test_lapsed_high_value_customers(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from rwcf.relational import lapsed_high_value_customers
+    cu = rd.read_parquet(f"{SF}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey",
+                                  "c_acctbal"])
+    od = rd.read_parquet(f"{SF}/orders.parquet",
+                         columns=["o_custkey", "o_orderdate"])
+    out = lapsed_high_value_customers(cu, od, buckets=8).to_pandas() \
+        .sort_values("c_nationkey", ignore_index=True)
+    exp = duckdb.sql(
+        f"WITH pos AS (SELECT count(*) AS n, "
+        f"sum(CAST(round(c_acctbal*100) AS BIGINT)) AS s "
+        f"FROM read_parquet('{SF}/customer.parquet') "
+        f"WHERE CAST(round(c_acctbal*100) AS BIGINT) > 0) "
+        f"SELECT c_nationkey, count(*) AS n_cust, "
+        f"sum(CAST(round(c_acctbal*100) AS BIGINT)) AS cents "
+        f"FROM read_parquet('{SF}/customer.parquet') c, pos "
+        f"WHERE CAST(round(c_acctbal*100) AS BIGINT) * n > s "
+        f"AND NOT EXISTS (SELECT 1 FROM "
+        f"read_parquet('{SF}/orders.parquet') o "
+        f"WHERE o_custkey = c_custkey "
+        f"AND o_orderdate >= TIMESTAMP '2000-01-01') "
+        f"GROUP BY 1 ORDER BY 1").df()
+    assert out["c_nationkey"].tolist() == \
+        exp["c_nationkey"].astype("int64").tolist()
+    assert out["n_cust"].tolist() == exp["n_cust"].astype("int64").tolist()
+    assert out["acctbal_cents"].tolist() == \
+        exp["cents"].astype("int64").tolist()
+
+
+def test_disjunctive_revenue(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from rwcf.relational import disjunctive_revenue
+    li = rd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+    pt = rd.read_parquet(f"{SF}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    out = disjunctive_revenue(li, pt, buckets=8).to_pandas()
+    exp = duckdb.sql(
+        f"SELECT coalesce(sum(CAST(round(l_extendedprice*100) AS BIGINT)"
+        f" * (100 - CAST(round(l_discount*100) AS BIGINT))), 0) AS rev, "
+        f"count(*) AS n "
+        f"FROM read_parquet('{SF}/lineitem.parquet') l "
+        f"JOIN read_parquet('{SF}/part.parquet') p "
+        f"ON l_partkey=p_partkey "
+        f"WHERE (p_brand='Brand#1' AND p_size BETWEEN 1 AND 5 "
+        f"AND CAST(round(l_quantity) AS BIGINT) BETWEEN 1 AND 11) "
+        f"OR (p_brand='Brand#12' AND p_size BETWEEN 1 AND 10 "
+        f"AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20) "
+        f"OR (p_brand='Brand#20' AND p_size BETWEEN 1 AND 15 "
+        f"AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)").df()
+    assert out["rev_scaled"].tolist() == [int(exp["rev"][0])]
+    assert out["n_rows"].tolist() == [int(exp["n"][0])]
