@@ -1841,6 +1841,37 @@ def _q_disjunctive_revenue(sf_dir: str):
     return disjunctive_revenue(li, pt)
 
 
+def _q_nation_trade(sf_dir: str):
+    """TPC-H-Q7-shaped cross-nation trade volume: supplier map
+    broadcast, date-pruned partials, two bucketed joins, |nations|^2
+    final."""
+    import ray.data as rd
+
+    from rwcf.relational import nation_trade_volume
+    rp = lambda t, cols: rd.read_parquet(  # noqa: E731
+        os.path.join(sf_dir, f"{t}.parquet"), columns=cols)
+    return nation_trade_volume(
+        rp("lineitem", ["l_orderkey", "l_suppkey", "l_shipdate",
+                        "l_extendedprice", "l_discount"]),
+        rp("orders", ["o_orderkey", "o_custkey"]),
+        rp("customer", ["c_custkey", "c_nationkey"]),
+        rp("supplier", ["s_suppkey", "s_nationkey"]),
+        rp("nation", ["n_nationkey", "n_name"]))
+
+
+def _q_suppliers_per_brand(sf_dir: str):
+    """COUNT(DISTINCT supplier) per brand over a join: unique pairs
+    in-batch, one bucketed join, additive disjoint-bucket distinct."""
+    import ray.data as rd
+
+    from rwcf.relational import suppliers_per_brand
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey", "l_suppkey"])
+    pt = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand"])
+    return suppliers_per_brand(li, pt)
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -1958,6 +1989,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_supplier": _q_top_supplier,
         "lapsed_customers": _q_lapsed_customers,
         "disjunctive_revenue": _q_disjunctive_revenue,
+        "nation_trade_volume": _q_nation_trade,
+        "suppliers_per_brand": _q_suppliers_per_brand,
         "shipping_priority": _q_shipping_priority,
         "returned_revenue": _q_returned_revenue,
         "large_orders": _q_large_orders,
@@ -2645,6 +2678,28 @@ def oracle_sql() -> dict[str, str]:
             "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20) "
             "OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15 "
             "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)"),
+        # Q7 shape: every cross-nation pair, per ship year
+        "nation_trade_volume": (
+            "SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation, "
+            "CAST(year(l_shipdate) AS BIGINT) AS l_year, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)"
+            " AS rev_scaled "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ns ON s_nationkey = ns.n_nationkey "
+            "JOIN nation nc ON c_nationkey = nc.n_nationkey "
+            "WHERE ns.n_nationkey <> nc.n_nationkey "
+            "AND l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY 1, 2, 3"),
+        # Q16 shape on this schema: COUNT(DISTINCT) over a join
+        "suppliers_per_brand": (
+            "SELECT p_brand, "
+            "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "GROUP BY p_brand"),
         # Q3 shape: ties break on the smaller orderkey
         "shipping_priority": (
             "WITH r AS (SELECT l_orderkey AS o_orderkey, "

@@ -1190,3 +1190,169 @@ def disjunctive_revenue(lineitem, part, branches=_Q19_BRANCHES,
             .repartition(1)
             .map_batches(final, batch_format="pyarrow",
                          **rayenv.remote_args()))
+
+
+def nation_trade_volume(lineitem, orders, customer, supplier, nation,
+                        date_lo: str = "1996-01-01",
+                        date_hi: str = "1998-01-01", buckets: int = 32):
+    """TPC-H-Q7-shaped cross-nation trade volume: revenue shipped in
+    ``[date_lo, date_hi)`` between every DIFFERENT (supplier nation,
+    customer nation) pair, per ship year. Exact integer money. Output
+    ``(supp_nation, cust_nation, l_year, rev_scaled)``.
+
+    Scale shape: supplier broadcasts as a suppkey -> nationkey int map
+    (the supplier nation is needed at the line level, like
+    :func:`local_supplier_volume`); the date-pruned lineitem collapses
+    in-batch to (orderkey, snat, year, rev) partials; two bucketed
+    joins re-key orderkey -> custkey with a partial collapse between;
+    the cross-nation filter drops same-nation rows the moment the
+    customer nation appears; nation names broadcast for the final
+    |nations|^2 x years groupby."""
+    import ray
+
+    st = supplier.select_columns(["s_suppkey", "s_nationkey"]).to_pandas()
+    smap_ref = ray.put(dict(zip(st["s_suppkey"].astype(np.int64),
+                                st["s_nationkey"].astype(np.int64))))
+    lo, hi = np.datetime64(date_lo), np.datetime64(date_hi)
+
+    def li_part(t: pa.Table) -> pa.Table:
+        smap = ray.get(smap_ref)
+        sd = t.column("l_shipdate").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        mask = (sd >= lo) & (sd < hi)
+        sel = pa.array(mask)
+        year = pc.cast(pc.year(t.column("l_shipdate").filter(sel)),
+                       pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        sk = t.column("l_suppkey").filter(sel).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(sk, return_inverse=True)
+        snat = (np.array([smap[int(x)] for x in u], dtype=np.int64)[inv]
+                if u.size else np.empty(0, np.int64))
+        ok = t.column("l_orderkey").filter(sel).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(t.column("l_extendedprice").filter(sel)
+                        .combine_chunks()
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        bp = np.rint(t.column("l_discount").filter(sel).combine_chunks()
+                     .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        g = pa.table({"ok": pa.array(ok), "snat": pa.array(snat),
+                      "l_year": pa.array(year),
+                      "rev_scaled": pa.array(cents * (100 - bp))}) \
+            .group_by(["ok", "snat", "l_year"]) \
+            .aggregate([("rev_scaled", "sum")])
+        return pa.table({"ok": g.column("ok"), "snat": g.column("snat"),
+                         "l_year": g.column("l_year"),
+                         "rev_scaled": g.column("rev_scaled_sum")})
+
+    li = lineitem.map_batches(li_part, batch_format="pyarrow",
+                              **rayenv.remote_args())
+
+    def ord_proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "ok": pc.cast(t.column("o_orderkey"), pa.int64()),
+            "ck": pc.cast(t.column("o_custkey"), pa.int64())})
+
+    od = orders.map_batches(ord_proj, batch_format="pyarrow",
+                            **rayenv.remote_args())
+    j1 = hash_join(li, od, on="ok", buckets=buckets)
+
+    def ck_part(t: pa.Table) -> pa.Table:
+        g = t.select(["ck", "snat", "l_year", "rev_scaled"]) \
+            .group_by(["ck", "snat", "l_year"]) \
+            .aggregate([("rev_scaled", "sum")])
+        return pa.table({"ck": g.column("ck"), "snat": g.column("snat"),
+                         "l_year": g.column("l_year"),
+                         "rev_scaled": g.column("rev_scaled_sum")})
+
+    j1p = j1.map_batches(ck_part, batch_format="pyarrow",
+                         **rayenv.remote_args())
+
+    def cust_proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "ck": pc.cast(t.column("c_custkey"), pa.int64()),
+            "cnat": pc.cast(t.column("c_nationkey"), pa.int64())})
+
+    cu = customer.map_batches(cust_proj, batch_format="pyarrow",
+                              **rayenv.remote_args())
+    j2 = hash_join(j1p, cu, on="ck", buckets=buckets)
+
+    nt = nation.select_columns(["n_nationkey", "n_name"]).to_pandas()
+    nmap_ref = ray.put(dict(zip(nt["n_nationkey"].astype(np.int64),
+                                nt["n_name"])))
+
+    def cross_only(t: pa.Table) -> pa.Table:
+        nmap = ray.get(nmap_ref)
+        snat = t.column("snat").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        cnat = t.column("cnat").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        keep = snat != cnat
+        snat, cnat = snat[keep], cnat[keep]
+        rev = t.column("rev_scaled").combine_chunks() \
+            .to_numpy(zero_copy_only=False)[keep]
+        yr = t.column("l_year").combine_chunks() \
+            .to_numpy(zero_copy_only=False)[keep]
+
+        def names(arr):
+            u, inv = np.unique(arr, return_inverse=True)
+            return (np.array([nmap[int(x)] for x in u],
+                             dtype=object)[inv]
+                    if u.size else np.empty(0, object))
+
+        return pa.table({
+            "supp_nation": pa.array(names(snat), pa.string()),
+            "cust_nation": pa.array(names(cnat), pa.string()),
+            "l_year": pa.array(yr.astype(np.int64)),
+            "rev_scaled": pa.array(rev.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+    return (j2.map_batches(cross_only, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .groupby(["supp_nation", "cust_nation", "l_year"])
+            .aggregate(Sum("rev_scaled", alias_name="rev_scaled")))
+
+
+def suppliers_per_brand(lineitem, part, buckets: int = 32):
+    """Distinct supplier count per part brand — COUNT(DISTINCT) over a
+    join (the TPC-H-Q16 shape on this schema, which has no partsupp).
+    Output ``(p_brand, n_suppliers)``.
+
+    Scale shape: lineitem collapses in-batch to unique
+    (partkey, suppkey) PAIRS (duplicates never ship); one bucketed join
+    attaches the brand; then the generic exact-distinct machinery
+    (:func:`rwcf.analytics.grouped_distinct_pairs`) does per-batch
+    unique pairs -> one hash(brand, suppkey) exchange with additive
+    disjoint-bucket counts -> brand-sized final."""
+    from .analytics import grouped_distinct_pairs
+
+    def li_pairs(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "pk": pc.cast(t.column("l_partkey"), pa.int64()),
+            "sk": pc.cast(t.column("l_suppkey"), pa.int64()),
+        }).group_by(["pk", "sk"]).aggregate([])
+        return g
+
+    li = lineitem.map_batches(li_pairs, batch_format="pyarrow",
+                              **rayenv.remote_args())
+
+    def part_proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "pk": pc.cast(t.column("p_partkey"), pa.int64()),
+            "p_brand": t.column("p_brand")})
+
+    pt = part.map_batches(part_proj, batch_format="pyarrow",
+                          **rayenv.remote_args())
+    j = hash_join(li, pt, on="pk", buckets=buckets)
+
+    def rename(t: pa.Table) -> pa.Table:
+        agg = t.rename_columns(
+            ["n_suppliers" if c == "n_distinct" else c
+             for c in t.column_names])
+        return agg
+
+    return grouped_distinct_pairs(j, "p_brand", "sk", buckets=buckets) \
+        .map_batches(rename, batch_format="pyarrow",
+                     **rayenv.remote_args())

@@ -539,3 +539,65 @@ def test_disjunctive_revenue(ray_session):
         f"AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)").df()
     assert out["rev_scaled"].tolist() == [int(exp["rev"][0])]
     assert out["n_rows"].tolist() == [int(exp["n"][0])]
+
+
+def test_nation_trade_volume(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from rwcf.relational import nation_trade_volume
+    rp = lambda t, cols: rd.read_parquet(  # noqa: E731
+        f"{SF}/{t}.parquet", columns=cols)
+    out = nation_trade_volume(
+        rp("lineitem", ["l_orderkey", "l_suppkey", "l_shipdate",
+                        "l_extendedprice", "l_discount"]),
+        rp("orders", ["o_orderkey", "o_custkey"]),
+        rp("customer", ["c_custkey", "c_nationkey"]),
+        rp("supplier", ["s_suppkey", "s_nationkey"]),
+        rp("nation", ["n_nationkey", "n_name"]),
+        buckets=8).to_pandas().sort_values(
+        ["supp_nation", "cust_nation", "l_year"], ignore_index=True)
+    exp = duckdb.sql(
+        f"SELECT ns.n_name AS sn, nc.n_name AS cn, "
+        f"CAST(year(l_shipdate) AS BIGINT) AS y, "
+        f"sum(CAST(round(l_extendedprice*100) AS BIGINT) * "
+        f"(100 - CAST(round(l_discount*100) AS BIGINT))) AS rev "
+        f"FROM read_parquet('{SF}/lineitem.parquet') l "
+        f"JOIN read_parquet('{SF}/orders.parquet') o "
+        f"ON l_orderkey = o_orderkey "
+        f"JOIN read_parquet('{SF}/customer.parquet') c "
+        f"ON o_custkey = c_custkey "
+        f"JOIN read_parquet('{SF}/supplier.parquet') s "
+        f"ON l_suppkey = s_suppkey "
+        f"JOIN read_parquet('{SF}/nation.parquet') ns "
+        f"ON s_nationkey = ns.n_nationkey "
+        f"JOIN read_parquet('{SF}/nation.parquet') nc "
+        f"ON c_nationkey = nc.n_nationkey "
+        f"WHERE ns.n_nationkey <> nc.n_nationkey "
+        f"AND l_shipdate >= TIMESTAMP '1996-01-01' "
+        f"AND l_shipdate < TIMESTAMP '1998-01-01' "
+        f"GROUP BY 1, 2, 3 ORDER BY 1, 2, 3").df()
+    assert out["supp_nation"].tolist() == exp["sn"].tolist()
+    assert out["cust_nation"].tolist() == exp["cn"].tolist()
+    assert out["l_year"].tolist() == exp["y"].astype("int64").tolist()
+    assert out["rev_scaled"].tolist() == exp["rev"].astype("int64").tolist()
+
+
+def test_suppliers_per_brand(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from rwcf.relational import suppliers_per_brand
+    li = rd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"])
+    pt = rd.read_parquet(f"{SF}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    out = suppliers_per_brand(li, pt, buckets=8).to_pandas() \
+        .sort_values("p_brand", ignore_index=True)
+    exp = duckdb.sql(
+        f"SELECT p_brand, count(DISTINCT l_suppkey) AS n "
+        f"FROM read_parquet('{SF}/lineitem.parquet') l "
+        f"JOIN read_parquet('{SF}/part.parquet') p "
+        f"ON l_partkey = p_partkey GROUP BY 1 ORDER BY 1").df()
+    assert out["p_brand"].tolist() == exp["p_brand"].tolist()
+    assert out["n_suppliers"].tolist() == exp["n"].astype("int64").tolist()
