@@ -1872,6 +1872,25 @@ def _q_suppliers_per_brand(sf_dir: str):
     return suppliers_per_brand(li, pt)
 
 
+def _q_vocab_overlap(sf_dir: str):
+    """Pairwise source-vocabulary overlap: distinct (source, word)
+    pairs, one hash(word) exchange, 2^G-bounded mask histograms."""
+    from rwcf import analytics
+    return analytics.vocab_overlap(
+        _docs_ds(sf_dir, columns=("source", "text")))
+
+
+def _q_user_type_overlap(sf_dir: str):
+    """Audience overlap between event types: distinct (type, user)
+    pairs, one hash(user) exchange, mask-histogram reduce."""
+    import ray.data as rd
+
+    from rwcf import analytics
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "user_id"])
+    return analytics.cooccurrence_pairs(ev, "event_type", "user_id")
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -1991,6 +2010,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "disjunctive_revenue": _q_disjunctive_revenue,
         "nation_trade_volume": _q_nation_trade,
         "suppliers_per_brand": _q_suppliers_per_brand,
+        "vocab_overlap_sources": _q_vocab_overlap,
+        "user_type_overlap": _q_user_type_overlap,
         "shipping_priority": _q_shipping_priority,
         "returned_revenue": _q_returned_revenue,
         "large_orders": _q_large_orders,
@@ -2678,6 +2699,31 @@ def oracle_sql() -> dict[str, str]:
             "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20) "
             "OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15 "
             "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)"),
+        # pairwise set overlap via distinct-pair self-join; engine's
+        # sorted-domain pair order matches a.g < b.g string compare
+        "vocab_overlap_sources": (
+            "WITH v AS (SELECT DISTINCT source AS g, word AS i FROM "
+            "(SELECT source, unnest(regexp_extract_all(text, '\\S+')) "
+            "AS word FROM documents)), "
+            "c AS (SELECT g, count(*) AS n FROM v GROUP BY g) "
+            "SELECT a.g AS group_a, b.g AS group_b, "
+            "CAST(count(*) AS BIGINT) AS n_common, "
+            "CAST(any_value(ca.n) + any_value(cb.n) - count(*) "
+            "AS BIGINT) AS n_union "
+            "FROM v a JOIN v b ON a.i = b.i AND a.g < b.g "
+            "JOIN c ca ON ca.g = a.g JOIN c cb ON cb.g = b.g "
+            "GROUP BY a.g, b.g"),
+        "user_type_overlap": (
+            "WITH v AS (SELECT DISTINCT event_type AS g, user_id AS i "
+            "FROM events), "
+            "c AS (SELECT g, count(*) AS n FROM v GROUP BY g) "
+            "SELECT a.g AS group_a, b.g AS group_b, "
+            "CAST(count(*) AS BIGINT) AS n_common, "
+            "CAST(any_value(ca.n) + any_value(cb.n) - count(*) "
+            "AS BIGINT) AS n_union "
+            "FROM v a JOIN v b ON a.i = b.i AND a.g < b.g "
+            "JOIN c ca ON ca.g = a.g JOIN c cb ON cb.g = b.g "
+            "GROUP BY a.g, b.g"),
         # Q7 shape: every cross-nation pair, per ship year
         "nation_trade_volume": (
             "SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation, "

@@ -2363,3 +2363,165 @@ def melt_counts(ds, key_col: str = "source", pivot_col: str = "lang",
 
     return wide.map_batches(melt, batch_format="pyarrow",
                             **rayenv.remote_args())
+
+
+def _group_domain(ds, group_col: str, max_groups: int) -> list:
+    """Distinct values of a SMALL categorical column (per-batch unique
+    partials, tiny driver collect). Raises if the domain exceeds
+    ``max_groups`` — the pairwise-overlap kernels below use G bits of
+    an int64 mask and emit O(G^2) pairs; histograms hold only OBSERVED
+    masks, so the bound protects the pair fan-out, not memory."""
+
+    def part(t: pa.Table) -> pa.Table:
+        return t.select([group_col]).group_by([group_col]).aggregate([])
+
+    df = ds.map_batches(part, batch_format="pyarrow",
+                        **rayenv.remote_args()).to_pandas()
+    vals = sorted(df[group_col].unique().tolist()) \
+        if group_col in df.columns else []
+    if len(vals) > max_groups:
+        raise ValueError(
+            f"pairwise overlap needs a small group domain; got "
+            f"{len(vals)} distinct {group_col!r} values (max "
+            f"{max_groups}). Pre-bucket the groups or use the sketch "
+            f"family for wide domains.")
+    return vals
+
+
+def _pair_overlap(pairs, groups: list, buckets: int):
+    """Shared tail of the pairwise-overlap kernels: ``pairs`` is a
+    Dataset of ``(g, i)`` rows (batch-level distinct already applied).
+    ONE hash(item) exchange co-locates each item's rows; per bucket the
+    item's group-bit mask ORs together and the bucket emits its
+    ``(mask, n_items)`` histogram (<= 2^G rows); the final stage turns
+    the global histogram into per-pair intersection/union counts.
+    Nothing larger than the distinct (group, item) pair stream ever
+    moves, and the reduce side is 2^G-bounded."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    bit_of = {g: 1 << i for i, g in enumerate(groups)}
+    bit_ref = ray.put(bit_of)
+
+    def bucket_masks(g: pa.Table) -> pa.Table:
+        bits = ray.get(bit_ref)
+        gv = g.column("g").combine_chunks()
+        iv = g.column("i").combine_chunks()
+        # dictionary-encode the bucket-local items: integer codes for a
+        # vectorized OR-scatter regardless of the item's type
+        codes = iv.dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        # group bits via a domain-sized LUT — Python touches only the
+        # <= max_groups dictionary, never the rows
+        genc = gv.dictionary_encode()
+        lut = np.array([bits[x] for x in genc.dictionary.to_pylist()],
+                       dtype=np.int64) if len(g) else np.empty(0, np.int64)
+        gb = lut[genc.indices.to_numpy(zero_copy_only=False)
+                 .astype(np.int64)] if len(g) else np.empty(0, np.int64)
+        n_items = int(codes.max()) + 1 if codes.size else 0
+        masks = np.zeros(n_items, dtype=np.int64)
+        np.bitwise_or.at(masks, codes, gb)
+        u, cnt = np.unique(masks, return_counts=True)
+        return pa.table({"mask": pa.array(u),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    hist = (pairs.repartition(buckets).groupby("_b")
+            .map_groups(bucket_masks, batch_format="pyarrow",
+                        **rayenv.remote_args())
+            .groupby("mask").aggregate(Sum("n", alias_name="n")))
+
+    glist = list(groups)
+
+    def finish(t: pa.Table) -> pa.Table:
+        mask = t.column("mask").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64) \
+            if "mask" in t.column_names else np.empty(0, np.int64)
+        n = t.column("n").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64) \
+            if "n" in t.column_names else np.empty(0, np.int64)
+        a_out, b_out, common, union = [], [], [], []
+        cnt = [int(n[(mask & (1 << i)) != 0].sum())
+               for i in range(len(glist))]
+        for i in range(len(glist)):
+            for j in range(i + 1, len(glist)):
+                both = int(n[((mask & (1 << i)) != 0)
+                             & ((mask & (1 << j)) != 0)].sum())
+                if both == 0:
+                    continue  # inner-join semantics: no-overlap pairs
+                a_out.append(glist[i])
+                b_out.append(glist[j])
+                common.append(both)
+                union.append(cnt[i] + cnt[j] - both)
+        return pa.table({
+            "group_a": pa.array(a_out),
+            "group_b": pa.array(b_out),
+            "n_common": pa.array(common, pa.int64()),
+            "n_union": pa.array(union, pa.int64())})
+
+    return hist.repartition(1).map_batches(
+        finish, batch_format="pyarrow", **rayenv.remote_args())
+
+
+def cooccurrence_pairs(ds, group_col: str, item_col: str,
+                       buckets: int = 64, max_groups: int = 32):
+    """Pairwise group overlap over an item column — e.g. how many USERS
+    touched both event types A and B (audience overlap), for every
+    unordered type pair. Output ``(group_a, group_b, n_common,
+    n_union)`` with ``n_common > 0`` (inner semantics); group_a <
+    group_b in the sorted domain order.
+
+    Scale shape: per-batch distinct (group, item) pairs, ONE
+    hash(item) exchange (each item's rows co-locate, so its group
+    bitmask is exact), per-bucket 2^G-bounded mask histograms, one
+    tiny final. The group domain must be small (<= ``max_groups``) —
+    that is what makes the mask trick exact and cheap."""
+    groups = _group_domain(ds, group_col, max_groups)
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t.select([group_col, item_col]) \
+            .group_by([group_col, item_col]).aggregate([])
+        u = u.rename_columns(["g", "i"])
+        b = hash_bucket(u.column("i").to_numpy(zero_copy_only=False),
+                        buckets=buckets)
+        return u.append_column("_b", pa.array(b))
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow",
+                           **rayenv.remote_args())
+    return _pair_overlap(pairs, groups, buckets)
+
+
+def vocab_overlap(ds, key_col: str = "source", text_col: str = "text",
+                  buckets: int = 64, max_groups: int = 32):
+    """Pairwise VOCABULARY overlap between sources — shared distinct
+    words and union vocabulary size per source pair (the corpus-mixing
+    redundancy signal: near-identical vocabularies suggest mirrored or
+    templated sources). Tokenization is the package-standard
+    whitespace split (RE2 ``\\s+``, empties dropped), matching
+    ``regexp_extract_all(text, '\\S+')`` in SQL. Output
+    ``(group_a, group_b, n_common, n_union)``.
+
+    Scale shape: identical to :func:`cooccurrence_pairs` — Zipf
+    collapses each batch's (source, word) pairs before the ONE
+    hash(word) exchange; reduce side is 2^G-bounded."""
+    groups = _group_domain(ds, key_col, max_groups)
+
+    def partial(t: pa.Table) -> pa.Table:
+        kv = t.column(key_col).to_numpy(zero_copy_only=False)
+        words = pc.split_pattern_regex(t.column(text_col), r"\s+")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = words.flatten()
+        keys = np.repeat(kv, lens)
+        ok = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        u = pa.table({"g": pa.array(keys[ok]),
+                      "i": flat.filter(pa.array(ok))}) \
+            .group_by(["g", "i"]).aggregate([])
+        b = hash_bucket(u.column("i").to_numpy(zero_copy_only=False),
+                        buckets=buckets)
+        return u.append_column("_b", pa.array(b))
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow",
+                           **rayenv.remote_args())
+    return _pair_overlap(pairs, groups, buckets)

@@ -1260,3 +1260,80 @@ def test_melt_counts_closure(ray_session):
     assert out["source"].tolist() == exp["source"].tolist()
     assert out["lang"].tolist() == exp["lang"].tolist()
     assert out["n"].tolist() == exp["n"].tolist()
+
+
+def test_vocab_overlap_oracle(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from rwcf.analytics import vocab_overlap
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/documents.parquet",
+                         columns=["source", "text"])
+    out = vocab_overlap(ds, buckets=8).to_pandas() \
+        .sort_values(["group_a", "group_b"], ignore_index=True)
+    exp = duckdb.sql(
+        f"WITH v AS (SELECT DISTINCT source AS g, word AS i FROM "
+        f"(SELECT source, unnest(regexp_extract_all(text, '\\S+')) "
+        f"AS word FROM read_parquet('{sf}/documents.parquet'))), "
+        f"c AS (SELECT g, count(*) AS n FROM v GROUP BY g) "
+        f"SELECT a.g AS ga, b.g AS gb, count(*) AS nc, "
+        f"any_value(ca.n) + any_value(cb.n) - count(*) AS nu "
+        f"FROM v a JOIN v b ON a.i = b.i AND a.g < b.g "
+        f"JOIN c ca ON ca.g = a.g JOIN c cb ON cb.g = b.g "
+        f"GROUP BY 1, 2 ORDER BY 1, 2").df()
+    assert out["group_a"].tolist() == exp["ga"].tolist()
+    assert out["group_b"].tolist() == exp["gb"].tolist()
+    assert out["n_common"].tolist() == exp["nc"].astype("int64").tolist()
+    assert out["n_union"].tolist() == exp["nu"].astype("int64").tolist()
+
+
+def test_cooccurrence_pairs_oracle(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from rwcf.analytics import cooccurrence_pairs
+    sf = "/root/testdata/sf0.001"
+    ev = rd.read_parquet(f"{sf}/events.parquet",
+                         columns=["event_type", "user_id"])
+    out = cooccurrence_pairs(ev, "event_type", "user_id",
+                             buckets=8).to_pandas() \
+        .sort_values(["group_a", "group_b"], ignore_index=True)
+    exp = duckdb.sql(
+        f"WITH v AS (SELECT DISTINCT event_type AS g, user_id AS i "
+        f"FROM read_parquet('{sf}/events.parquet')), "
+        f"c AS (SELECT g, count(*) AS n FROM v GROUP BY g) "
+        f"SELECT a.g AS ga, b.g AS gb, count(*) AS nc, "
+        f"any_value(ca.n) + any_value(cb.n) - count(*) AS nu "
+        f"FROM v a JOIN v b ON a.i = b.i AND a.g < b.g "
+        f"JOIN c ca ON ca.g = a.g JOIN c cb ON cb.g = b.g "
+        f"GROUP BY 1, 2 ORDER BY 1, 2").df()
+    assert out["group_a"].tolist() == exp["ga"].tolist()
+    assert out["group_b"].tolist() == exp["gb"].tolist()
+    assert out["n_common"].tolist() == exp["nc"].astype("int64").tolist()
+    assert out["n_union"].tolist() == exp["nu"].astype("int64").tolist()
+
+
+def test_cooccurrence_wide_domain_raises(ray_session):
+    import ray.data as rd
+
+    from rwcf.analytics import cooccurrence_pairs
+    t = pa.table({"g": pa.array([f"g{i}" for i in range(40)]),
+                  "i": pa.array(np.arange(40, dtype=np.int64))})
+    with pytest.raises(ValueError, match="small group domain"):
+        cooccurrence_pairs(rd.from_arrow(t), "g", "i")
+
+
+def test_cooccurrence_disjoint_groups_drop(ray_session):
+    # groups that share no items must NOT appear (inner semantics)
+    import ray.data as rd
+
+    t = pa.table({"g": pa.array(["a", "a", "b", "c"]),
+                  "i": pa.array([1, 2, 2, 9], pa.int64())})
+    from rwcf.analytics import cooccurrence_pairs
+    out = cooccurrence_pairs(rd.from_arrow(t), "g", "i",
+                             buckets=4).to_pandas()
+    assert out["group_a"].tolist() == ["a"]
+    assert out["group_b"].tolist() == ["b"]
+    assert out["n_common"].tolist() == [1]
+    assert out["n_union"].tolist() == [2]
