@@ -1891,6 +1891,17 @@ def _q_user_type_overlap(sf_dir: str):
     return analytics.cooccurrence_pairs(ev, "event_type", "user_id")
 
 
+def _q_session_conversion(sf_dir: str):
+    """Sessionized purchase conversion per user: one hash(user)
+    exchange, in-bucket boundary pass + segmented conversion max."""
+    import ray.data as rd
+
+    from rwcf import windows
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_type"])
+    return windows.session_conversion(ev, gap_s=1800)
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -2012,6 +2023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_per_brand": _q_suppliers_per_brand,
         "vocab_overlap_sources": _q_vocab_overlap,
         "user_type_overlap": _q_user_type_overlap,
+        "session_conversion": _q_session_conversion,
         "shipping_priority": _q_shipping_priority,
         "returned_revenue": _q_returned_revenue,
         "large_orders": _q_large_orders,
@@ -2699,6 +2711,25 @@ def oracle_sql() -> dict[str, str]:
             "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20) "
             "OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15 "
             "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)"),
+        # same floor(epoch)/gap boundary rule as window_sessions; tie
+        # order inside a second cannot move a boundary, so (ts, id)
+        # ordering is determinism-only
+        "session_conversion": (
+            "WITH x AS (SELECT user_id, event_type, ts, event_id, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR "
+            "CAST(floor(epoch(ts)) AS BIGINT) - "
+            "CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800 "
+            "THEN 1 ELSE 0 END AS ns FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "y AS (SELECT user_id, event_type, "
+            "sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS sid FROM x), "
+            "z AS (SELECT user_id, sid, "
+            "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+            "AS conv FROM y GROUP BY 1, 2) "
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions, "
+            "CAST(sum(conv) AS BIGINT) AS n_converted "
+            "FROM z GROUP BY user_id"),
         # pairwise set overlap via distinct-pair self-join; engine's
         # sorted-domain pair order matches a.g < b.g string compare
         "vocab_overlap_sources": (

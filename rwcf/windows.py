@@ -870,3 +870,67 @@ def time_since_event(ds, match_type: str = "purchase",
             .groupby("_b")
             .map_groups(recency, batch_format="pyarrow",
                         **rayenv.remote_args()))
+
+
+def session_conversion(ds, gap_s: int = 1800,
+                       convert_type: str = "purchase",
+                       key: str = "user_id", ts_col: str = "ts",
+                       type_col: str = "event_type",
+                       buckets: int = 32):
+    """Sessionized conversion: per user, how many sessions (gap >
+    ``gap_s`` seconds splits, same boundary rule as
+    :func:`session_windows`) and how many of them contain at least one
+    ``convert_type`` event. The funnel-health rollup a product pipeline
+    runs right after sessionization. Output
+    ``(user_id, n_sessions, n_converted)``.
+
+    Scale shape: identical to :func:`session_windows` — ONE
+    hash(key) bucketed exchange; per bucket one (key, ts) sort, a
+    vectorized boundary pass, and a segmented max over the conversion
+    flag resolve every user at once. The rollup to per-user counts is
+    bucket-local (a bucket holds whole keys), so no second exchange."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        from .joins import hash_bucket
+        kv = t.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_b", pa.array(hash_bucket(kv, buckets=buckets)))
+
+    def conv(g: pa.Table) -> pa.Table:
+        g = g.take(pc.sort_indices(g, sort_keys=[(key, "ascending"),
+                                                 (ts_col, "ascending")]))
+        ts = _epoch_seconds_floor(g.column(ts_col).combine_chunks())
+        if not ts.size:
+            return pa.table({key: pa.array([], g.schema.field(key).type),
+                             "n_sessions": pa.array([], pa.int64()),
+                             "n_converted": pa.array([], pa.int64())})
+        kv = g.column(key).combine_chunks()
+        kn = kv.to_numpy(zero_copy_only=False)
+        is_conv = pc.equal(g.column(type_col).combine_chunks(),
+                           convert_type) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        new_key = np.concatenate(([True], kn[1:] != kn[:-1]))
+        new_session = new_key | np.concatenate(([True],
+                                                np.diff(ts) > gap_s))
+        sid = np.cumsum(new_session) - 1          # global session index
+        n_sess_total = int(sid[-1]) + 1
+        conv_per_session = np.zeros(n_sess_total, dtype=np.int64)
+        np.maximum.at(conv_per_session, sid, is_conv)
+        # per-key rollup: sessions whose FIRST row starts a key segment
+        sess_key_rows = np.flatnonzero(new_session)   # one row per session
+        key_of_session = kn[sess_key_rows]
+        uk, counts = np.unique(key_of_session, return_counts=True)
+        conv_counts = np.zeros(uk.size, dtype=np.int64)
+        inv = np.searchsorted(uk, key_of_session)
+        np.add.at(conv_counts, inv, conv_per_session)
+        return pa.table({
+            key: pa.array(uk, g.schema.field(key).type),
+            "n_sessions": pa.array(counts.astype(np.int64)),
+            "n_converted": pa.array(conv_counts)})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .repartition(buckets)
+            .groupby("_b")
+            .map_groups(conv, batch_format="pyarrow",
+                        **rayenv.remote_args()))

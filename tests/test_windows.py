@@ -556,3 +556,58 @@ def test_time_since_event(ray_session):
     # event 5: since purchase@30 -> 20; user 2 omitted entirely
     assert out.index.tolist() == [2, 3, 4, 5]
     assert out["secs_since"].tolist() == [15, 20, 0, 20]
+
+
+def test_session_conversion_oracle(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from rwcf.windows import session_conversion
+    sf = "/root/testdata/sf0.001"
+    ev = rd.read_parquet(f"{sf}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    out = session_conversion(ev, gap_s=1800, buckets=8).to_pandas() \
+        .sort_values("user_id", ignore_index=True)
+    exp = duckdb.sql(
+        f"WITH x AS (SELECT user_id, event_type, ts, event_id, "
+        f"CASE WHEN lag(ts) OVER w IS NULL OR "
+        f"CAST(floor(epoch(ts)) AS BIGINT) - "
+        f"CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800 "
+        f"THEN 1 ELSE 0 END AS ns "
+        f"FROM read_parquet('{sf}/events.parquet') "
+        f"WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        f"y AS (SELECT user_id, event_type, sum(ns) OVER "
+        f"(PARTITION BY user_id ORDER BY ts, event_id "
+        f"ROWS UNBOUNDED PRECEDING) AS sid FROM x), "
+        f"z AS (SELECT user_id, sid, max(CASE WHEN "
+        f"event_type = 'purchase' THEN 1 ELSE 0 END) AS conv "
+        f"FROM y GROUP BY 1, 2) "
+        f"SELECT user_id, count(*) AS ns, sum(conv) AS nc "
+        f"FROM z GROUP BY 1 ORDER BY 1").df()
+    assert out["user_id"].tolist() == exp["user_id"].astype("int64").tolist()
+    assert out["n_sessions"].tolist() == exp["ns"].astype("int64").tolist()
+    assert out["n_converted"].tolist() == exp["nc"].astype("int64").tolist()
+
+
+def test_session_conversion_synthetic(ray_session):
+    # two users; u1 has two sessions (one converted), u2 one session
+    # with no conversion; gap boundary exactly AT the threshold stays
+    # in-session (strict > splits)
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rwcf.windows import session_conversion
+    base = 1_700_000_000
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "ts": pa.array(
+            [(base + s) * 1_000_000 for s in (0, 1800, 10_000, 0, 50)],
+            pa.timestamp("us")),
+        "event_type": pa.array(
+            ["view", "purchase", "click", "view", "view"])})
+    out = session_conversion(rd.from_arrow(t), gap_s=1800,
+                             buckets=4).to_pandas() \
+        .sort_values("user_id", ignore_index=True)
+    assert out["user_id"].tolist() == [1, 2]
+    assert out["n_sessions"].tolist() == [2, 1]
+    assert out["n_converted"].tolist() == [1, 0]
