@@ -1902,6 +1902,36 @@ def _q_session_conversion(sf_dir: str):
     return windows.session_conversion(ev, gap_s=1800)
 
 
+def _q_hourly_activity(sf_dir: str):
+    """Diurnal profile: <=24x|types| partials per batch, domain-sized
+    groupby."""
+    import ray.data as rd
+
+    from rwcf import analytics
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "event_type", "value"])
+    return analytics.hourly_activity(ev)
+
+
+def _q_gap_histogram(sf_dir: str):
+    """Log2 inter-event gap histogram: one hash(user) exchange,
+    bit-length buckets exactly matched by SQL strlen(bin(gap))."""
+    import ray.data as rd
+
+    from rwcf import analytics
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+    return analytics.inter_event_gap_histogram(ev)
+
+
+def _q_global_ntile(sf_dir: str):
+    """Global NTILE(10) by (n_chars, doc_id) without a global sort:
+    broadcast value-offset map + one hash(value) exchange."""
+    from rwcf import analytics
+    return analytics.global_ntile(
+        _docs_ds(sf_dir, columns=("doc_id", "n_chars")), k=10)
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -2024,6 +2054,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_overlap_sources": _q_vocab_overlap,
         "user_type_overlap": _q_user_type_overlap,
         "session_conversion": _q_session_conversion,
+        "hourly_activity": _q_hourly_activity,
+        "gap_histogram": _q_gap_histogram,
+        "global_ntile_docs": _q_global_ntile,
         "shipping_priority": _q_shipping_priority,
         "returned_revenue": _q_returned_revenue,
         "large_orders": _q_large_orders,
@@ -2711,6 +2744,25 @@ def oracle_sql() -> dict[str, str]:
             "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20) "
             "OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15 "
             "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)"),
+        "hourly_activity": (
+            "SELECT CAST(hour(ts) AS BIGINT) AS hr, event_type, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) "
+            "AS value_sum1000 FROM events GROUP BY 1, 2"),
+        # bit_length via strlen(bin(gap)) — exact at power-of-two
+        # boundaries where float log2 could round either way
+        "gap_histogram": (
+            "WITH d AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) - "
+            "CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id))) AS BIGINT) AS g FROM events) "
+            "SELECT CASE WHEN g = 0 THEN 0 "
+            "ELSE CAST(strlen(bin(g)) AS BIGINT) END AS gap_bucket, "
+            "CAST(count(*) AS BIGINT) AS n FROM d "
+            "WHERE g IS NOT NULL GROUP BY 1"),
+        "global_ntile_docs": (
+            "SELECT doc_id, CAST(ntile(10) OVER "
+            "(ORDER BY n_chars, doc_id) AS BIGINT) AS tile "
+            "FROM documents"),
         # same floor(epoch)/gap boundary rule as window_sessions; tie
         # order inside a second cannot move a boundary, so (ts, id)
         # ordering is determinism-only

@@ -2525,3 +2525,171 @@ def vocab_overlap(ds, key_col: str = "source", text_col: str = "text",
     pairs = ds.map_batches(partial, batch_format="pyarrow",
                            **rayenv.remote_args())
     return _pair_overlap(pairs, groups, buckets)
+
+
+def hourly_activity(ds, ts_col: str = "ts", type_col: str = "event_type",
+                    val_col: str = "value"):
+    """Diurnal activity profile: events and integer-scaled value totals
+    per (hour-of-day, event type). Output ``(hr, event_type, n_events,
+    value_sum1000)`` — value is ``floor(v*1000)`` int64 with NaN adding
+    0 (SQL SUM-skips-NULL semantics), the package exactness rule.
+
+    Scale shape: per-batch collapse to <= 24 x |types| partial rows
+    (Arrow group_by), one domain-sized groupby — the stream never
+    reshuffles."""
+    from ray.data.aggregate import Sum
+
+    def part(t: pa.Table) -> pa.Table:
+        hr = pc.cast(pc.hour(t.column(ts_col)), pa.int64())
+        v = t.column(val_col).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        v1000 = np.where(np.isnan(v), np.int64(0),
+                         np.floor(v * 1000)).astype(np.int64)
+        g = pa.table({
+            "hr": hr, type_col: t.column(type_col),
+            "n_events": pa.array(np.ones(t.num_rows, np.int64)),
+            "value_sum1000": pa.array(v1000),
+        }).group_by(["hr", type_col]).aggregate(
+            [("n_events", "sum"), ("value_sum1000", "sum")])
+        return pa.table({"hr": g.column("hr"),
+                         type_col: g.column(type_col),
+                         "n_events": g.column("n_events_sum"),
+                         "value_sum1000": g.column("value_sum1000_sum")})
+
+    return (ds.map_batches(part, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .groupby(["hr", type_col])
+            .aggregate(Sum("n_events", alias_name="n_events"),
+                       Sum("value_sum1000", alias_name="value_sum1000")))
+
+
+def inter_event_gap_histogram(ds, key: str = "user_id",
+                              ts_col: str = "ts", buckets: int = 32):
+    """Log2 histogram of the gaps between consecutive same-user events
+    (floor-epoch-seconds deltas): bucket = bit_length(gap), with gap 0
+    in its own bucket 0 — the burstiness/periodicity fingerprint of an
+    event stream, exactly reproducible in SQL via
+    ``strlen(bin(gap))`` (no float log2 at bucket boundaries). Output
+    ``(gap_bucket, n)``.
+
+    Scale shape: ONE hash(key) bucketed exchange; per bucket one
+    (key, ts) sort + vectorized diff (equal-ts ties cannot change the
+    sorted delta multiset, so no id tie-break is needed); per-bucket
+    <= 64-row histograms, tiny final groupby."""
+    from ray.data.aggregate import Sum
+
+    from .windows import _epoch_seconds_floor
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        kv = t.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_b", pa.array(hash_bucket(kv, buckets=buckets)))
+
+    def hist(g: pa.Table) -> pa.Table:
+        g = g.take(pc.sort_indices(g, sort_keys=[(key, "ascending"),
+                                                 (ts_col, "ascending")]))
+        ts = _epoch_seconds_floor(g.column(ts_col).combine_chunks())
+        if ts.size < 2:
+            return pa.table({"gap_bucket": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        kn = g.column(key).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        same = kn[1:] == kn[:-1]
+        gaps = np.diff(ts)[same]
+        # exact bit_length: frexp exponents are exact for ints < 2^53
+        # (gap seconds are far below), 0 stays bucket 0
+        bits = np.frexp(gaps.astype(np.float64))[1].astype(np.int64)
+        u, cnt = np.unique(bits, return_counts=True)
+        return pa.table({"gap_bucket": pa.array(u),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .repartition(buckets)
+            .groupby("_b")
+            .map_groups(hist, batch_format="pyarrow",
+                        **rayenv.remote_args())
+            .groupby("gap_bucket")
+            .aggregate(Sum("n", alias_name="n")))
+
+
+def global_ntile(ds, val_col: str = "n_chars", id_col: str = "doc_id",
+                 k: int = 10, buckets: int = 64):
+    """Global NTILE(k) over (value, id) order WITHOUT a global sort —
+    every row's exact tile in the corpus-wide ordering (the
+    length-decile label a curation pipeline stratifies on). Output
+    ``(id, tile)`` with SQL's ntile fill rule (first ``n % k`` tiles
+    get the extra row).
+
+    Scale shape: phase 1 builds the VALUE histogram (per-batch value
+    counts, one domain-sized groupby) and broadcasts the cumulative
+    offsets — the bounded-domain assumption of the exact-quantile
+    family (distinct values fit a worker; the sketch family covers
+    unbounded domains). Phase 2 is ONE hash(value) exchange: each
+    bucket holds whole value-groups, sorts them by id, and adds the
+    broadcast offset to the within-value rank — a distributed rank
+    with no all-to-all sort."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    def vpart(t: pa.Table) -> pa.Table:
+        v = t.column(val_col).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        u, cnt = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(u),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    hist = (ds.map_batches(vpart, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .groupby("v").aggregate(Sum("c", alias_name="c"))
+            .to_pandas().sort_values("v", ignore_index=True))
+    vals = hist["v"].to_numpy(dtype=np.int64)
+    cnts = hist["c"].to_numpy(dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+    total = int(cnts.sum())
+    off_ref = ray.put((vals, offsets))
+
+    q, r0 = divmod(total, k)
+
+    def tile_of(rank: np.ndarray) -> np.ndarray:
+        # SQL ntile fill: first r0 tiles hold q+1 rows, the rest q
+        head = r0 * (q + 1)
+        big = rank < head
+        out = np.empty(rank.size, dtype=np.int64)
+        if q + 1 > 0:
+            out[big] = rank[big] // (q + 1) + 1
+        if q > 0:
+            out[~big] = r0 + (rank[~big] - head) // q + 1
+        return out
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        v = t.column(val_col).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "_b": pa.array(hash_bucket(v, buckets=buckets)),
+            "v": pa.array(v),
+            "i": pc.cast(t.column(id_col), pa.int64())})
+
+    def rank_bucket(g: pa.Table) -> pa.Table:
+        vals_b, offs_b = ray.get(off_ref)
+        v = g.column("v").combine_chunks().to_numpy(zero_copy_only=False)
+        i = g.column("i").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, v))
+        v, i = v[order], i[order]
+        new = np.ones(v.size, dtype=bool)
+        if v.size > 1:
+            new[1:] = v[1:] != v[:-1]
+        seg = np.flatnonzero(new)
+        within = np.arange(v.size, dtype=np.int64) \
+            - seg[np.cumsum(new) - 1]
+        rank = offs_b[np.searchsorted(vals_b, v)] + within
+        return pa.table({id_col: pa.array(i),
+                         "tile": pa.array(tile_of(rank))})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .repartition(buckets)
+            .groupby("_b")
+            .map_groups(rank_bucket, batch_format="pyarrow",
+                        **rayenv.remote_args()))

@@ -1337,3 +1337,100 @@ def test_cooccurrence_disjoint_groups_drop(ray_session):
     assert out["group_b"].tolist() == ["b"]
     assert out["n_common"].tolist() == [1]
     assert out["n_union"].tolist() == [2]
+
+
+def test_hourly_activity_oracle(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from rwcf.analytics import hourly_activity
+    sf = "/root/testdata/sf0.001"
+    ev = rd.read_parquet(f"{sf}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+    out = hourly_activity(ev).to_pandas() \
+        .sort_values(["hr", "event_type"], ignore_index=True)
+    exp = duckdb.sql(
+        f"SELECT CAST(hour(ts) AS BIGINT) AS hr, event_type, "
+        f"count(*) AS n, sum(CAST(floor(value*1000) AS BIGINT)) AS v "
+        f"FROM read_parquet('{sf}/events.parquet') "
+        f"GROUP BY 1, 2 ORDER BY 1, 2").df()
+    assert out["hr"].tolist() == exp["hr"].astype("int64").tolist()
+    assert out["event_type"].tolist() == exp["event_type"].tolist()
+    assert out["n_events"].tolist() == exp["n"].astype("int64").tolist()
+    assert out["value_sum1000"].tolist() == \
+        exp["v"].astype("int64").tolist()
+
+
+def test_gap_histogram_oracle(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from rwcf.analytics import inter_event_gap_histogram
+    sf = "/root/testdata/sf0.001"
+    ev = rd.read_parquet(f"{sf}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+    out = inter_event_gap_histogram(ev, buckets=8).to_pandas() \
+        .sort_values("gap_bucket", ignore_index=True)
+    exp = duckdb.sql(
+        f"WITH d AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) - "
+        f"CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id "
+        f"ORDER BY ts, event_id))) AS BIGINT) AS g "
+        f"FROM read_parquet('{sf}/events.parquet')) "
+        f"SELECT CASE WHEN g = 0 THEN 0 ELSE CAST(strlen(bin(g)) "
+        f"AS BIGINT) END AS b, count(*) AS n FROM d "
+        f"WHERE g IS NOT NULL GROUP BY 1 ORDER BY 1").df()
+    assert out["gap_bucket"].tolist() == exp["b"].astype("int64").tolist()
+    assert out["n"].tolist() == exp["n"].astype("int64").tolist()
+
+
+def test_gap_histogram_power_of_two_boundaries(ray_session):
+    # gaps 0,1,2,3,4 -> buckets 0,1,2,2,3: bit_length exactness at the
+    # power-of-two edges where float log2 could round either way
+    import ray.data as rd
+
+    from rwcf.analytics import inter_event_gap_histogram
+    base = 1_700_000_000
+    times = [0, 0, 1, 3, 6, 10]  # gaps 0,1,2,3,4
+    t = pa.table({
+        "user_id": pa.array([7] * len(times), pa.int64()),
+        "ts": pa.array([(base + s) * 1_000_000 for s in times],
+                       pa.timestamp("us"))})
+    out = inter_event_gap_histogram(rd.from_arrow(t),
+                                    buckets=4).to_pandas() \
+        .sort_values("gap_bucket", ignore_index=True)
+    assert out["gap_bucket"].tolist() == [0, 1, 2, 3]
+    assert out["n"].tolist() == [1, 1, 2, 1]
+
+
+def test_global_ntile_oracle(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from rwcf.analytics import global_ntile
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    out = global_ntile(ds, k=10, buckets=8).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    exp = duckdb.sql(
+        f"SELECT doc_id, CAST(ntile(10) OVER "
+        f"(ORDER BY n_chars, doc_id) AS BIGINT) AS tile "
+        f"FROM read_parquet('{sf}/documents.parquet') "
+        f"ORDER BY doc_id").df()
+    assert out["doc_id"].tolist() == exp["doc_id"].astype("int64").tolist()
+    assert out["tile"].tolist() == exp["tile"].astype("int64").tolist()
+
+
+def test_global_ntile_fill_rule(ray_session):
+    # 7 rows, k=3 -> tile sizes 3,2,2 (first n%k tiles take the extra)
+    import ray.data as rd
+
+    from rwcf.analytics import global_ntile
+    t = pa.table({"doc_id": pa.array(np.arange(7), pa.int64()),
+                  "n_chars": pa.array([5, 1, 4, 1, 3, 2, 2], pa.int64())})
+    out = global_ntile(rd.from_arrow(t), k=3, buckets=4).to_pandas()
+    order = out.sort_values("doc_id")["tile"].tolist()
+    # sorted by (n_chars, doc_id): ids 1,3,5,6,4,2,0
+    # ranks:                            0 1 2 3 4 5 6
+    # tiles (3,2,2):                    1 1 1 2 2 3 3
+    assert order == [3, 1, 3, 1, 2, 1, 2]
