@@ -1932,6 +1932,36 @@ def _q_global_ntile(sf_dir: str):
         _docs_ds(sf_dir, columns=("doc_id", "n_chars")), k=10)
 
 
+def _q_robust_outliers(sf_dir: str):
+    """MAD-based robust outlier filter: broadcast (median, MAD) map
+    from two histogram exchanges, stateless vectorized filter."""
+    from rwcf import analytics
+    return analytics.robust_outliers(
+        _docs_ds(sf_dir, columns=("doc_id", "source", "n_chars")))
+
+
+def _q_referential_orphans(sf_dir: str):
+    """FK audit over five child->parent edges: per-batch (key, n)
+    partials, bloom-anti joins, additive counts, zeros guaranteed."""
+    import ray.data as rd
+
+    from rwcf.relational import referential_orphans
+    rp = lambda t, cols: rd.read_parquet(  # noqa: E731
+        os.path.join(sf_dir, f"{t}.parquet"), columns=cols)
+    return referential_orphans([
+        ("lineitem_orders", rp("lineitem", ["l_orderkey"]),
+         "l_orderkey", rp("orders", ["o_orderkey"]), "o_orderkey"),
+        ("lineitem_part", rp("lineitem", ["l_partkey"]),
+         "l_partkey", rp("part", ["p_partkey"]), "p_partkey"),
+        ("lineitem_supplier", rp("lineitem", ["l_suppkey"]),
+         "l_suppkey", rp("supplier", ["s_suppkey"]), "s_suppkey"),
+        ("orders_customer", rp("orders", ["o_custkey"]),
+         "o_custkey", rp("customer", ["c_custkey"]), "c_custkey"),
+        ("customer_nation", rp("customer", ["c_nationkey"]),
+         "c_nationkey", rp("nation", ["n_nationkey"]), "n_nationkey"),
+    ])
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -2057,6 +2087,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_activity": _q_hourly_activity,
         "gap_histogram": _q_gap_histogram,
         "global_ntile_docs": _q_global_ntile,
+        "robust_outlier_docs": _q_robust_outliers,
+        "referential_orphans": _q_referential_orphans,
         "shipping_priority": _q_shipping_priority,
         "returned_revenue": _q_returned_revenue,
         "large_orders": _q_large_orders,
@@ -2744,6 +2776,46 @@ def oracle_sql() -> dict[str, str]:
             "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20) "
             "OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15 "
             "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)"),
+        # same discrete rank-ceil(q*n) stats as the mad_nchars oracle,
+        # then a pure-int64 deviation filter
+        "robust_outlier_docs": (
+            "WITH m AS (SELECT source, v AS med FROM "
+            "(SELECT source, n_chars AS v, row_number() OVER "
+            "(PARTITION BY source ORDER BY n_chars) AS rn, "
+            "count(*) OVER (PARTITION BY source) AS n FROM documents) "
+            "WHERE rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))), "
+            "x AS (SELECT a.source, a.av, row_number() OVER "
+            "(PARTITION BY a.source ORDER BY a.av) AS rn, "
+            "count(*) OVER (PARTITION BY a.source) AS n FROM "
+            "(SELECT d.source, abs(d.n_chars - m.med) AS av "
+            "FROM documents d JOIN m ON d.source = m.source) a), "
+            "mm AS (SELECT x.source, CAST(m.med AS BIGINT) AS med, "
+            "CAST(x.av AS BIGINT) AS mad FROM x "
+            "JOIN m ON x.source = m.source "
+            "WHERE x.rn = greatest(1, CAST(ceil(0.5 * x.n) AS BIGINT))) "
+            "SELECT d.doc_id, d.source, d.n_chars FROM documents d "
+            "JOIN mm ON d.source = mm.source "
+            "WHERE abs(d.n_chars - mm.med) > 3 * mm.mad"),
+        "referential_orphans": (
+            "SELECT 'lineitem_orders' AS relation, "
+            "CAST(count(*) AS BIGINT) AS n_orphan_rows FROM lineitem "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders "
+            "WHERE o_orderkey = l_orderkey) "
+            "UNION ALL SELECT 'lineitem_part', CAST(count(*) AS BIGINT) "
+            "FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM part "
+            "WHERE p_partkey = l_partkey) "
+            "UNION ALL SELECT 'lineitem_supplier', "
+            "CAST(count(*) AS BIGINT) FROM lineitem "
+            "WHERE NOT EXISTS (SELECT 1 FROM supplier "
+            "WHERE s_suppkey = l_suppkey) "
+            "UNION ALL SELECT 'orders_customer', "
+            "CAST(count(*) AS BIGINT) FROM orders "
+            "WHERE NOT EXISTS (SELECT 1 FROM customer "
+            "WHERE c_custkey = o_custkey) "
+            "UNION ALL SELECT 'customer_nation', "
+            "CAST(count(*) AS BIGINT) FROM customer "
+            "WHERE NOT EXISTS (SELECT 1 FROM nation "
+            "WHERE n_nationkey = c_nationkey)"),
         "hourly_activity": (
             "SELECT CAST(hour(ts) AS BIGINT) AS hr, event_type, "
             "CAST(count(*) AS BIGINT) AS n_events, "

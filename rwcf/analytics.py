@@ -2693,3 +2693,44 @@ def global_ntile(ds, val_col: str = "n_chars", id_col: str = "doc_id",
             .groupby("_b")
             .map_groups(rank_bucket, batch_format="pyarrow",
                         **rayenv.remote_args()))
+
+
+def robust_outliers(ds, key_col: str = "source",
+                    val_col: str = "n_chars", id_col: str = "doc_id",
+                    factor: int = 3):
+    """Robust per-group outliers: rows whose value deviates from their
+    group's median by more than ``factor`` x MAD — the
+    outlier-resistant sibling of the IQR filter (a single extreme doc
+    cannot move the threshold). Integer-exact: median and MAD are the
+    discrete order statistics of :func:`mad_by_group`, the comparison
+    is pure int64. Output ``(id, key, val)`` for the outliers.
+
+    Scale shape: :func:`mad_by_group` (two histogram-partial exchanges)
+    produces the group-domain-sized (median, MAD) map, which broadcasts;
+    the filter itself is a stateless vectorized map — the corpus
+    streams through once, nothing reshuffles."""
+    import ray
+
+    stats = mad_by_group(ds.select_columns([key_col, val_col]),
+                         key_col, val_col)
+    smap = {k: (int(m), int(d)) for k, m, d in
+            zip(stats[key_col], stats["med"], stats["mad"])}
+    smap_ref = ray.put(smap)
+
+    def flt(t: pa.Table) -> pa.Table:
+        m = ray.get(smap_ref)
+        kv = t.column(key_col).to_numpy(zero_copy_only=False)
+        v = t.column(val_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        u, inv = np.unique(kv, return_inverse=True)
+        med = np.array([m[k][0] for k in u], dtype=np.int64)[inv] \
+            if u.size else np.empty(0, np.int64)
+        mad = np.array([m[k][1] for k in u], dtype=np.int64)[inv] \
+            if u.size else np.empty(0, np.int64)
+        keep = pa.array(np.abs(v - med) > factor * mad)
+        return pa.table({id_col: t.column(id_col).filter(keep),
+                         key_col: t.column(key_col).filter(keep),
+                         val_col: t.column(val_col).filter(keep)})
+
+    return ds.map_batches(flt, batch_format="pyarrow",
+                          **rayenv.remote_args())

@@ -1356,3 +1356,63 @@ def suppliers_per_brand(lineitem, part, buckets: int = 32):
     return grouped_distinct_pairs(j, "p_brand", "sk", buckets=buckets) \
         .map_batches(rename, batch_format="pyarrow",
                      **rayenv.remote_args())
+
+
+def referential_orphans(child_parent: list, buckets: int = 32,
+                        bloom_bits: int | None = None):
+    """Referential-integrity audit: for each (relation, child, child_key,
+    parent, parent_key) tuple, count child ROWS whose key has no parent
+    (the orphan-reference count a warehouse offload validates before
+    training-data joins trust the keys). Output one
+    ``(relation, n_orphan_rows)`` row per checked FK, zeros included.
+
+    Scale shape per FK: the child collapses in-batch to (key, n) count
+    partials (dupes never ship), then ONE ANTI join against the parent
+    key column, and the per-key counts sum additively into a one-row
+    total. The FK results union into a single |FKs|-sized dataset.
+    ``bloom_bits`` stays OFF by default: on a CLEAN corpus every child
+    key is bloom-positive, so the prefilter saves nothing and costs a
+    second pass over each child — turn it on only when orphans are
+    expected to dominate."""
+    from ray.data.aggregate import Sum
+
+    outs = []
+    for relation, child, child_key, parent, parent_key in child_parent:
+        def ck_part(t: pa.Table, _k=child_key) -> pa.Table:
+            k = t.column(_k).combine_chunks() \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            keys, counts = _segsum(k, np.ones(k.size, dtype=np.int64))
+            return pa.table({"k": pa.array(keys),
+                             "n": pa.array(counts)})
+
+        def pk_proj(t: pa.Table, _k=parent_key) -> pa.Table:
+            return pa.table({"k": pc.cast(t.column(_k), pa.int64())})
+
+        ch = child.map_batches(ck_part, batch_format="pyarrow",
+                               **rayenv.remote_args())
+        pr = parent.map_batches(pk_proj, batch_format="pyarrow",
+                                **rayenv.remote_args())
+        orphans = hash_join(ch, pr, on="k", how="anti", buckets=buckets,
+                            bloom_bits=bloom_bits)
+
+        def total(t: pa.Table, _r=relation) -> pa.Table:
+            n = int(pc.sum(t.column("n")).as_py() or 0) \
+                if "n" in t.column_names else 0
+            return pa.table({"relation": pa.array([_r], pa.string()),
+                             "n_orphan_rows": pa.array([n], pa.int64())})
+
+        outs.append(orphans.map_batches(total, batch_format="pyarrow",
+                                        **rayenv.remote_args()))
+
+    # guaranteed zero row per FK: an all-clean anti join yields ZERO
+    # blocks, so its relation would silently vanish from the union
+    import ray.data as rd
+    baseline = rd.from_arrow(pa.table({
+        "relation": pa.array([cp[0] for cp in child_parent], pa.string()),
+        "n_orphan_rows": pa.array([0] * len(child_parent), pa.int64())}))
+
+    acc = baseline
+    for o in outs:
+        acc = acc.union(o)
+    return (acc.groupby("relation")
+            .aggregate(Sum("n_orphan_rows", alias_name="n_orphan_rows")))

@@ -1434,3 +1434,36 @@ def test_global_ntile_fill_rule(ray_session):
     # ranks:                            0 1 2 3 4 5 6
     # tiles (3,2,2):                    1 1 1 2 2 3 3
     assert order == [3, 1, 3, 1, 2, 1, 2]
+
+
+def test_robust_outliers_oracle(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from rwcf.analytics import robust_outliers
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/documents.parquet",
+                         columns=["doc_id", "source", "n_chars"])
+    out = robust_outliers(ds).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    exp = duckdb.sql(
+        f"WITH m AS (SELECT source, v AS med FROM "
+        f"(SELECT source, n_chars AS v, row_number() OVER "
+        f"(PARTITION BY source ORDER BY n_chars) AS rn, "
+        f"count(*) OVER (PARTITION BY source) AS n "
+        f"FROM read_parquet('{sf}/documents.parquet')) "
+        f"WHERE rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))), "
+        f"x AS (SELECT a.source, a.av, row_number() OVER "
+        f"(PARTITION BY a.source ORDER BY a.av) AS rn, "
+        f"count(*) OVER (PARTITION BY a.source) AS n FROM "
+        f"(SELECT d.source, abs(d.n_chars - m.med) AS av "
+        f"FROM read_parquet('{sf}/documents.parquet') d "
+        f"JOIN m ON d.source = m.source) a), "
+        f"mm AS (SELECT x.source, CAST(m.med AS BIGINT) AS med, "
+        f"CAST(x.av AS BIGINT) AS mad FROM x "
+        f"JOIN m ON x.source = m.source "
+        f"WHERE x.rn = greatest(1, CAST(ceil(0.5 * x.n) AS BIGINT))) "
+        f"SELECT d.doc_id FROM read_parquet('{sf}/documents.parquet') d "
+        f"JOIN mm ON d.source = mm.source "
+        f"WHERE abs(d.n_chars - mm.med) > 3 * mm.mad ORDER BY 1").df()
+    assert out["doc_id"].tolist() == exp["doc_id"].astype("int64").tolist()

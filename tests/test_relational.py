@@ -601,3 +601,37 @@ def test_suppliers_per_brand(ray_session):
         f"ON l_partkey = p_partkey GROUP BY 1 ORDER BY 1").df()
     assert out["p_brand"].tolist() == exp["p_brand"].tolist()
     assert out["n_suppliers"].tolist() == exp["n"].astype("int64").tolist()
+
+
+def test_referential_orphans_clean_fixture(ray_session):
+    import ray.data as rd
+
+    from rwcf.relational import referential_orphans
+    rp = lambda t, cols: rd.read_parquet(  # noqa: E731
+        f"{SF}/{t}.parquet", columns=cols)
+    out = referential_orphans([
+        ("lineitem_orders", rp("lineitem", ["l_orderkey"]),
+         "l_orderkey", rp("orders", ["o_orderkey"]), "o_orderkey"),
+        ("orders_customer", rp("orders", ["o_custkey"]),
+         "o_custkey", rp("customer", ["c_custkey"]), "c_custkey"),
+    ], buckets=8).to_pandas().sort_values("relation", ignore_index=True)
+    assert out["relation"].tolist() == ["lineitem_orders",
+                                        "orders_customer"]
+    assert out["n_orphan_rows"].tolist() == [0, 0]
+
+
+def test_referential_orphans_counts_rows(ray_session):
+    # orphan ROW counts (not distinct keys): child key 9 appears twice
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rwcf.relational import referential_orphans
+    child = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 9, 9, 3], pa.int64())}))
+    parent = rd.from_arrow(pa.table({
+        "p": pa.array([1, 2, 3], pa.int64())}))
+    out = referential_orphans(
+        [("child_parent", child, "k", parent, "p")],
+        buckets=4).to_pandas()
+    assert out["relation"].tolist() == ["child_parent"]
+    assert out["n_orphan_rows"].tolist() == [2]
