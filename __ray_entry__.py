@@ -1962,6 +1962,14 @@ def _q_referential_orphans(sf_dir: str):
     ])
 
 
+def _q_decile_stats(sf_dir: str):
+    """Per-decile stratification report: global_ntile composed with a
+    k-sized grouped rollup — composition adds no corpus exchange."""
+    from rwcf import analytics
+    return analytics.decile_stats(
+        _docs_ds(sf_dir, columns=("doc_id", "n_chars")), k=10)
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -2089,6 +2097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_ntile_docs": _q_global_ntile,
         "robust_outlier_docs": _q_robust_outliers,
         "referential_orphans": _q_referential_orphans,
+        "length_decile_stats": _q_decile_stats,
         "shipping_priority": _q_shipping_priority,
         "returned_revenue": _q_returned_revenue,
         "large_orders": _q_large_orders,
@@ -2776,6 +2785,14 @@ def oracle_sql() -> dict[str, str]:
             "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20) "
             "OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15 "
             "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)"),
+        "length_decile_stats": (
+            "SELECT tile, CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(min(n_chars) AS BIGINT) AS min_val, "
+            "CAST(max(n_chars) AS BIGINT) AS max_val, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_val FROM "
+            "(SELECT n_chars, CAST(ntile(10) OVER "
+            "(ORDER BY n_chars, doc_id) AS BIGINT) AS tile "
+            "FROM documents) GROUP BY tile"),
         # same discrete rank-ceil(q*n) stats as the mad_nchars oracle,
         # then a pure-int64 deviation filter
         "robust_outlier_docs": (

@@ -2614,7 +2614,7 @@ def inter_event_gap_histogram(ds, key: str = "user_id",
 
 
 def global_ntile(ds, val_col: str = "n_chars", id_col: str = "doc_id",
-                 k: int = 10, buckets: int = 64):
+                 k: int = 10, buckets: int = 64, keep_val: bool = False):
     """Global NTILE(k) over (value, id) order WITHOUT a global sort —
     every row's exact tile in the corpus-wide ordering (the
     length-decile label a curation pipeline stratifies on). Output
@@ -2684,8 +2684,10 @@ def global_ntile(ds, val_col: str = "n_chars", id_col: str = "doc_id",
         within = np.arange(v.size, dtype=np.int64) \
             - seg[np.cumsum(new) - 1]
         rank = offs_b[np.searchsorted(vals_b, v)] + within
-        return pa.table({id_col: pa.array(i),
-                         "tile": pa.array(tile_of(rank))})
+        out = {id_col: pa.array(i), "tile": pa.array(tile_of(rank))}
+        if keep_val:
+            out[val_col] = pa.array(v)
+        return pa.table(out)
 
     return (ds.map_batches(add_bucket, batch_format="pyarrow",
                            **rayenv.remote_args())
@@ -2734,3 +2736,41 @@ def robust_outliers(ds, key_col: str = "source",
 
     return ds.map_batches(flt, batch_format="pyarrow",
                           **rayenv.remote_args())
+
+
+def decile_stats(ds, val_col: str = "n_chars", id_col: str = "doc_id",
+                 k: int = 10, buckets: int = 64):
+    """Per-decile population stats — :func:`global_ntile` composed with
+    a grouped rollup: for each tile of the corpus-wide (value, id)
+    ordering, the row count, min/max and exact value total (the
+    stratification report a curation budget is allocated against).
+    Output ``(tile, n_rows, min_val, max_val, sum_val)``.
+
+    Scale shape: the ntile phases (broadcast offsets + one hash(value)
+    exchange), then per-batch <=k-row partials into a k-sized final
+    groupby — composing operators adds no corpus-sized exchange."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    tiled = global_ntile(ds, val_col, id_col, k=k, buckets=buckets,
+                         keep_val=True)
+
+    def part(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "tile": t.column("tile"),
+            "n_rows": pa.array(np.ones(t.num_rows, np.int64)),
+            "v": t.column(val_col),
+        }).group_by("tile").aggregate(
+            [("n_rows", "sum"), ("v", "min"), ("v", "max"), ("v", "sum")])
+        return pa.table({"tile": g.column("tile"),
+                         "n_rows": g.column("n_rows_sum"),
+                         "min_val": g.column("v_min"),
+                         "max_val": g.column("v_max"),
+                         "sum_val": g.column("v_sum")})
+
+    return (tiled.map_batches(part, batch_format="pyarrow",
+                              **rayenv.remote_args())
+            .groupby("tile")
+            .aggregate(Sum("n_rows", alias_name="n_rows"),
+                       Min("min_val", alias_name="min_val"),
+                       Max("max_val", alias_name="max_val"),
+                       Sum("sum_val", alias_name="sum_val")))

@@ -1467,3 +1467,26 @@ def test_robust_outliers_oracle(ray_session):
         f"JOIN mm ON d.source = mm.source "
         f"WHERE abs(d.n_chars - mm.med) > 3 * mm.mad ORDER BY 1").df()
     assert out["doc_id"].tolist() == exp["doc_id"].astype("int64").tolist()
+
+
+def test_decile_stats_oracle(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from rwcf.analytics import decile_stats
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    out = decile_stats(ds, k=10, buckets=8).to_pandas() \
+        .sort_values("tile", ignore_index=True)
+    exp = duckdb.sql(
+        f"SELECT tile, count(*) AS n, min(n_chars) AS lo, "
+        f"max(n_chars) AS hi, sum(n_chars) AS s FROM "
+        f"(SELECT n_chars, ntile(10) OVER (ORDER BY n_chars, doc_id) "
+        f"AS tile FROM read_parquet('{sf}/documents.parquet')) "
+        f"GROUP BY tile ORDER BY tile").df()
+    assert out["tile"].tolist() == exp["tile"].astype("int64").tolist()
+    assert out["n_rows"].tolist() == exp["n"].astype("int64").tolist()
+    assert out["min_val"].tolist() == exp["lo"].astype("int64").tolist()
+    assert out["max_val"].tolist() == exp["hi"].astype("int64").tolist()
+    assert out["sum_val"].tolist() == exp["s"].astype("int64").tolist()
