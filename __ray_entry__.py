@@ -1970,6 +1970,18 @@ def _q_decile_stats(sf_dir: str):
         _docs_ds(sf_dir, columns=("doc_id", "n_chars")), k=10)
 
 
+def _q_peak_concurrency(sf_dir: str):
+    """Peak concurrent sessions: session bounds from one hash(user)
+    exchange, boundary sort (2 rows/session), distributed segmented
+    scan folded over ordered block summaries."""
+    import ray.data as rd
+
+    from rwcf import windows
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+    return windows.peak_concurrency(ev, gap_s=1800)
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -2098,6 +2110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robust_outlier_docs": _q_robust_outliers,
         "referential_orphans": _q_referential_orphans,
         "length_decile_stats": _q_decile_stats,
+        "peak_concurrency": _q_peak_concurrency,
         "shipping_priority": _q_shipping_priority,
         "returned_revenue": _q_returned_revenue,
         "large_orders": _q_large_orders,
@@ -2785,6 +2798,29 @@ def oracle_sql() -> dict[str, str]:
             "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20) "
             "OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15 "
             "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)"),
+        # closed-interval sweep: +1 boundaries sort before -1 at the
+        # same second (ORDER BY t, d DESC), peak = max running sum
+        "peak_concurrency": (
+            "WITH x AS (SELECT user_id, ts, event_id, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR "
+            "CAST(floor(epoch(ts)) AS BIGINT) - "
+            "CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800 "
+            "THEN 1 ELSE 0 END AS ns FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "y AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) "
+            "AS es, sum(ns) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid "
+            "FROM x), "
+            "s AS (SELECT user_id, sid, min(es) AS t0, max(es) AS t1 "
+            "FROM y GROUP BY 1, 2), "
+            "b AS (SELECT t0 AS t, 1 AS d FROM s "
+            "UNION ALL SELECT t1, -1 FROM s), "
+            "r AS (SELECT t, sum(d) OVER (ORDER BY t, d DESC "
+            "ROWS UNBOUNDED PRECEDING) AS c FROM b), "
+            "m AS (SELECT max(c) AS peak FROM r) "
+            "SELECT CAST(m.peak AS BIGINT) AS peak, "
+            "CAST(min(r.t) AS BIGINT) AS at_ts FROM r, m "
+            "WHERE r.c = m.peak GROUP BY m.peak"),
         "length_decile_stats": (
             "SELECT tile, CAST(count(*) AS BIGINT) AS n_rows, "
             "CAST(min(n_chars) AS BIGINT) AS min_val, "

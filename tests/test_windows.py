@@ -611,3 +611,57 @@ def test_session_conversion_synthetic(ray_session):
     assert out["user_id"].tolist() == [1, 2]
     assert out["n_sessions"].tolist() == [2, 1]
     assert out["n_converted"].tolist() == [1, 0]
+
+
+def test_peak_concurrency_oracle(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from rwcf.windows import peak_concurrency
+    sf = "/root/testdata/sf0.001"
+    ev = rd.read_parquet(f"{sf}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+    out = peak_concurrency(ev, gap_s=1800, buckets=8)
+    exp = duckdb.sql(
+        f"WITH x AS (SELECT user_id, ts, event_id, "
+        f"CASE WHEN lag(ts) OVER w IS NULL OR "
+        f"CAST(floor(epoch(ts)) AS BIGINT) - "
+        f"CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800 "
+        f"THEN 1 ELSE 0 END AS ns "
+        f"FROM read_parquet('{sf}/events.parquet') "
+        f"WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        f"y AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es, "
+        f"sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        f"ROWS UNBOUNDED PRECEDING) AS sid FROM x), "
+        f"s AS (SELECT user_id, sid, min(es) AS t0, max(es) AS t1 "
+        f"FROM y GROUP BY 1, 2), "
+        f"b AS (SELECT t0 AS t, 1 AS d FROM s "
+        f"UNION ALL SELECT t1, -1 FROM s), "
+        f"r AS (SELECT t, sum(d) OVER (ORDER BY t, d DESC "
+        f"ROWS UNBOUNDED PRECEDING) AS c FROM b), "
+        f"m AS (SELECT max(c) AS peak FROM r) "
+        f"SELECT m.peak AS peak, min(r.t) AS at_ts FROM r, m "
+        f"WHERE r.c = m.peak GROUP BY m.peak").df()
+    assert out["peak"].tolist() == exp["peak"].astype("int64").tolist()
+    assert out["at_ts"].tolist() == exp["at_ts"].astype("int64").tolist()
+
+
+def test_peak_concurrency_synthetic(ray_session):
+    # three users: u1 [0, 100], u2 [50, 150], u3 [150, 200] (each user's
+    # events merge into one session at gap 1800). Sweep in (t, +1-first)
+    # order: +1(0) +1(50) -1(100) +1(150) -1(150) -1(200) -> running
+    # 1,2,1,2,1,0 -> peak 2, first reached at t=50.
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rwcf.windows import peak_concurrency
+    base = 1_700_000_000
+    rows = [(1, 0), (1, 100), (2, 50), (2, 150), (3, 150), (3, 200)]
+    t = pa.table({
+        "user_id": pa.array([u for u, _ in rows], pa.int64()),
+        "ts": pa.array([(base + s) * 1_000_000 for _, s in rows],
+                       pa.timestamp("us"))})
+    out = peak_concurrency(rd.from_arrow(t), gap_s=1800, buckets=4)
+    assert out["peak"].tolist() == [2]
+    assert out["at_ts"].tolist() == [base + 50]
