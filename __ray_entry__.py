@@ -1982,6 +1982,14 @@ def _q_peak_concurrency(sf_dir: str):
     return windows.peak_concurrency(ev, gap_s=1800)
 
 
+def _q_mass_quantiles(sf_dir: str):
+    """Mass-weighted length quantiles: histogram partials, one
+    domain-sized groupby, exact cross-multiplied threshold."""
+    from rwcf import analytics
+    return analytics.mass_quantiles(
+        _docs_ds(sf_dir, columns=("n_chars",)))
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -2111,6 +2119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "referential_orphans": _q_referential_orphans,
         "length_decile_stats": _q_decile_stats,
         "peak_concurrency": _q_peak_concurrency,
+        "mass_quantiles_nchars": _q_mass_quantiles,
         "shipping_priority": _q_shipping_priority,
         "returned_revenue": _q_returned_revenue,
         "large_orders": _q_large_orders,
@@ -2798,6 +2807,18 @@ def oracle_sql() -> dict[str, str]:
             "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20) "
             "OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15 "
             "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)"),
+        # exact cross-multiplied mass threshold (cum*100 >= q*total)
+        "mass_quantiles_nchars": (
+            "WITH h AS (SELECT n_chars AS v, sum(n_chars) AS m "
+            "FROM documents GROUP BY 1), "
+            "r AS (SELECT v, sum(m) OVER (ORDER BY v) AS cum FROM h), "
+            "t AS (SELECT sum(n_chars) AS total FROM documents), "
+            "picked AS (SELECT q.q_pct, min(r.v) AS v FROM r, t, "
+            "(VALUES (25), (50), (75), (90)) q(q_pct) "
+            "WHERE r.cum * 100 >= q.q_pct * t.total GROUP BY q.q_pct) "
+            "SELECT CAST(p.q_pct AS BIGINT) AS q_pct, "
+            "CAST(p.v AS BIGINT) AS v, CAST(r.cum AS BIGINT) "
+            "AS cum_mass FROM picked p JOIN r ON r.v = p.v"),
         # closed-interval sweep: +1 boundaries sort before -1 at the
         # same second (ORDER BY t, d DESC), peak = max running sum
         "peak_concurrency": (

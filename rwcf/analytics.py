@@ -2774,3 +2774,53 @@ def decile_stats(ds, val_col: str = "n_chars", id_col: str = "doc_id",
                        Min("min_val", alias_name="min_val"),
                        Max("max_val", alias_name="max_val"),
                        Sum("sum_val", alias_name="sum_val")))
+
+
+def mass_quantiles(ds, val_col: str = "n_chars",
+                   qs_pct: tuple = (25, 50, 75, 90)):
+    """Mass-weighted quantiles: for each percentage q, the smallest
+    value v such that rows with value <= v hold at least q% of the
+    TOTAL value mass (e.g. "half the corpus' characters live in docs
+    of <= v chars" — the skew signal row-count quantiles miss when a
+    few huge docs dominate). The threshold test is exact integer
+    cross-multiplication (``cum * 100 >= q * total``), no float
+    division. Output ``(q_pct, v, cum_mass)``.
+
+    Scale shape: per-batch (value, mass) histogram partials, one
+    domain-sized groupby, and a driver-side cumsum over the bounded
+    value domain (the exact-quantile family's documented assumption;
+    the bottom-k sketch is the unbounded-domain path)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def part(t: pa.Table) -> pa.Table:
+        v = t.column(val_col).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(v, kind="stable")
+        vs = v[order]
+        new = np.ones(vs.size, dtype=bool)
+        if vs.size > 1:
+            new[1:] = vs[1:] != vs[:-1]
+        seg = np.flatnonzero(new)
+        cs = np.cumsum(vs)
+        m = np.diff(np.concatenate([cs[seg] - vs[seg], cs[-1:]])) \
+            if vs.size else np.empty(0, np.int64)
+        return pa.table({"v": pa.array(vs[seg]),
+                         "m": pa.array(m.astype(np.int64))})
+
+    hist = (ds.map_batches(part, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .groupby("v").aggregate(Sum("m", alias_name="m"))
+            .to_pandas().sort_values("v", ignore_index=True))
+    v = hist["v"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(hist["m"].to_numpy(dtype=np.int64))
+    total = int(cum[-1]) if cum.size else 0
+    rows = []
+    for q in qs_pct:
+        if total == 0:
+            continue
+        k = int(np.searchsorted(cum * 100, q * total))
+        rows.append((int(q), int(v[k]), int(cum[k])))
+    return pd.DataFrame(rows, columns=["q_pct", "v", "cum_mass"]) \
+        .astype("int64")

@@ -1490,3 +1490,38 @@ def test_decile_stats_oracle(ray_session):
     assert out["min_val"].tolist() == exp["lo"].astype("int64").tolist()
     assert out["max_val"].tolist() == exp["hi"].astype("int64").tolist()
     assert out["sum_val"].tolist() == exp["s"].astype("int64").tolist()
+
+
+def test_mass_quantiles_oracle(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from rwcf.analytics import mass_quantiles
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/documents.parquet", columns=["n_chars"])
+    out = mass_quantiles(ds).sort_values("q_pct", ignore_index=True)
+    exp = duckdb.sql(
+        f"WITH h AS (SELECT n_chars AS v, sum(n_chars) AS m "
+        f"FROM read_parquet('{sf}/documents.parquet') GROUP BY 1), "
+        f"r AS (SELECT v, sum(m) OVER (ORDER BY v) AS cum FROM h), "
+        f"t AS (SELECT sum(n_chars) AS total FROM "
+        f"read_parquet('{sf}/documents.parquet')), "
+        f"picked AS (SELECT q.q_pct, min(r.v) AS v FROM r, t, "
+        f"(VALUES (25), (50), (75), (90)) q(q_pct) "
+        f"WHERE r.cum * 100 >= q.q_pct * t.total GROUP BY q.q_pct) "
+        f"SELECT p.q_pct, p.v, r.cum FROM picked p "
+        f"JOIN r ON r.v = p.v ORDER BY 1").df()
+    assert out["q_pct"].tolist() == exp["q_pct"].astype("int64").tolist()
+    assert out["v"].tolist() == exp["v"].astype("int64").tolist()
+    assert out["cum_mass"].tolist() == exp["cum"].astype("int64").tolist()
+
+
+def test_mass_quantiles_skew(ray_session):
+    # one huge doc holds >75% of the mass: q25/q50/q75 all land on it
+    import ray.data as rd
+
+    from rwcf.analytics import mass_quantiles
+    t = pa.table({"n_chars": pa.array([1, 2, 3, 100], pa.int64())})
+    out = mass_quantiles(rd.from_arrow(t))
+    assert out["v"].tolist() == [100, 100, 100, 100]
+    assert out["cum_mass"].tolist() == [106, 106, 106, 106]
