@@ -1990,6 +1990,31 @@ def _q_mass_quantiles(sf_dir: str):
         _docs_ds(sf_dir, columns=("n_chars",)))
 
 
+def _q_promo_share(sf_dir: str):
+    """TPC-H-Q14-shaped conditional-aggregate ratio: date-pruned
+    partials, one bucketed join, exact HUGEINT-grade floor division."""
+    import ray.data as rd
+
+    from rwcf.relational import promo_revenue_share
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey", "l_shipdate",
+                                  "l_extendedprice", "l_discount"])
+    pt = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_type"])
+    return promo_revenue_share(li, pt)
+
+
+def _q_windowed_pair_join(sf_dir: str):
+    """Stream-stream windowed self-join (errors within 4 h after a
+    purchase): one hash(user) exchange, searchsorted pair counts."""
+    import ray.data as rd
+
+    from rwcf import windows
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_type"])
+    return windows.windowed_pair_join(ev, window_s=14400)
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -2120,6 +2145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_decile_stats": _q_decile_stats,
         "peak_concurrency": _q_peak_concurrency,
         "mass_quantiles_nchars": _q_mass_quantiles,
+        "promo_revenue_share": _q_promo_share,
+        "windowed_pair_join": _q_windowed_pair_join,
         "shipping_priority": _q_shipping_priority,
         "returned_revenue": _q_returned_revenue,
         "large_orders": _q_large_orders,
@@ -2807,6 +2834,34 @@ def oracle_sql() -> dict[str, str]:
             "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20) "
             "OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15 "
             "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)"),
+        # Q14 shape: HUGEINT floor division matches Python-int //
+        "promo_revenue_share": (
+            "WITH r AS (SELECT "
+            "coalesce(sum(CASE WHEN p_type = 'PROMO' THEN "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT)) END), 0) "
+            "AS promo, "
+            "coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "* (100 - CAST(round(l_discount * 100) AS BIGINT))), 0) "
+            "AS total "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-02-01') "
+            "SELECT CAST(promo AS BIGINT) AS promo_rev_scaled, "
+            "CAST(total AS BIGINT) AS total_rev_scaled, "
+            "CAST(CASE WHEN total = 0 THEN 0 "
+            "ELSE (promo * 10000) // total END AS BIGINT) "
+            "AS promo_share_bp FROM r"),
+        # strictly-after, inclusive-window pair counts on floor-epochs
+        "windowed_pair_join": (
+            "SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_pairs "
+            "FROM (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) "
+            "AS ea FROM events WHERE event_type = 'purchase') a "
+            "JOIN (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) "
+            "AS eb FROM events WHERE event_type = 'error') b "
+            "ON a.user_id = b.user_id AND b.eb > a.ea "
+            "AND b.eb - a.ea <= 14400 "
+            "GROUP BY a.user_id"),
         # exact cross-multiplied mass threshold (cum*100 >= q*total)
         "mass_quantiles_nchars": (
             "WITH h AS (SELECT n_chars AS v, sum(n_chars) AS m "

@@ -1416,3 +1416,76 @@ def referential_orphans(child_parent: list, buckets: int = 32,
         acc = acc.union(o)
     return (acc.groupby("relation")
             .aggregate(Sum("n_orphan_rows", alias_name="n_orphan_rows")))
+
+
+def promo_revenue_share(lineitem, part, date_lo: str = "1997-01-01",
+                        date_hi: str = "1997-02-01",
+                        promo_type: str = "PROMO", buckets: int = 32):
+    """TPC-H-Q14-shaped promotion share: of the revenue shipped in
+    ``[date_lo, date_hi)``, what fraction came from promo-typed parts —
+    the conditional-aggregate-ratio shape. The share is exact FLOOR
+    basis points computed in arbitrary-precision Python ints
+    (``promo * 10000 // total``), matching SQL's HUGEINT ``//`` — no
+    float division at any width. Output one row
+    ``(promo_rev_scaled, total_rev_scaled, promo_share_bp)``.
+
+    Scale shape: the date filter prunes lineitem at the batch level;
+    (partkey, rev) partials take ONE bucketed join to the part type;
+    each joined block collapses to a (promo, total) pair and the
+    single-block final does the exact division."""
+    lo, hi = np.datetime64(date_lo), np.datetime64(date_hi)
+
+    def li_part(t: pa.Table) -> pa.Table:
+        sd = t.column("l_shipdate").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        mask = (sd >= lo) & (sd < hi)
+        sel = pa.array(mask)
+        pk = t.column("l_partkey").filter(sel).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(t.column("l_extendedprice").filter(sel)
+                        .combine_chunks()
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        bp = np.rint(t.column("l_discount").filter(sel).combine_chunks()
+                     .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        keys, totals = _segsum(pk, cents * (100 - bp))
+        return pa.table({"pk": pa.array(keys),
+                         "rev_scaled": pa.array(totals)})
+
+    li = lineitem.map_batches(li_part, batch_format="pyarrow",
+                              **rayenv.remote_args())
+
+    def part_proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "pk": pc.cast(t.column("p_partkey"), pa.int64()),
+            "p_type": t.column("p_type")})
+
+    pt = part.map_batches(part_proj, batch_format="pyarrow",
+                          **rayenv.remote_args())
+    j = hash_join(li, pt, on="pk", buckets=buckets)
+
+    def pair(t: pa.Table) -> pa.Table:
+        rev = t.column("rev_scaled").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        promo = pc.equal(t.column("p_type"), promo_type) \
+            .combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({
+            "promo": pa.array([int(rev[promo].sum())], pa.int64()),
+            "total": pa.array([int(rev.sum())], pa.int64())})
+
+    def final(t: pa.Table) -> pa.Table:
+        empty = "promo" not in t.column_names
+        p = 0 if empty else int(pc.sum(t.column("promo")).as_py() or 0)
+        tot = 0 if empty else int(pc.sum(t.column("total")).as_py() or 0)
+        share = (p * 10000) // tot if tot else 0  # exact Python ints
+        return pa.table({
+            "promo_rev_scaled": pa.array([p], pa.int64()),
+            "total_rev_scaled": pa.array([tot], pa.int64()),
+            "promo_share_bp": pa.array([share], pa.int64())})
+
+    return (j.map_batches(pair, batch_format="pyarrow",
+                          **rayenv.remote_args())
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow",
+                         **rayenv.remote_args()))

@@ -1027,3 +1027,72 @@ def peak_concurrency(ds, gap_s: int = 1800, key: str = "user_id",
         peak, at = 0, 0
     return pd.DataFrame({"peak": pd.array([peak], dtype="int64"),
                          "at_ts": pd.array([at], dtype="int64")})
+
+
+def windowed_pair_join(ds, from_type: str = "purchase",
+                       to_type: str = "error", window_s: int = 300,
+                       key: str = "user_id", ts_col: str = "ts",
+                       type_col: str = "event_type", buckets: int = 32):
+    """Stream-stream windowed self-join: per user, count ``to_type``
+    events STRICTLY after a ``from_type`` event and within
+    ``window_s`` seconds of it (floor-epoch) — every qualifying pair
+    counts (join semantics), e.g. errors shortly after purchases. The
+    third temporal-join sibling (as-of = nearest-one, range = static
+    interval; this one is event-to-event sliding). Output
+    ``(user_id, n_pairs)`` for users with at least one pair.
+
+    Scale shape: both sides prune to the two types at the batch level;
+    ONE hash(key) exchange co-locates each user's rows; per bucket the
+    counts fall out of two searchsorted calls on a per-user-offset
+    composite key — no per-user dispatch, no pair materialization
+    (counts, not pairs, leave the bucket)."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        from .joins import hash_bucket
+        sel = pc.is_in(t.column(type_col),
+                       value_set=pa.array([from_type, to_type]))
+        t = t.filter(sel)
+        kv = t.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({
+            "_b": pa.array(hash_bucket(kv, buckets=buckets)),
+            key: t.column(key),
+            "es": pa.array(_epoch_seconds_floor(
+                t.column(ts_col).combine_chunks())),
+            "is_from": pc.equal(t.column(type_col), from_type)})
+
+    def count_pairs(g: pa.Table) -> pa.Table:
+        kn = g.column(key).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        es = g.column("es").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        isf = g.column("is_from").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        if kn.size == 0:
+            return pa.table({key: pa.array([], pa.int64()),
+                             "n_pairs": pa.array([], pa.int64())})
+        # composite monotonic key: user ordinal * span + time offset.
+        # span bounds the per-key time range; int64 holds ordinals x
+        # span comfortably for realistic corpora (documented bound)
+        u, inv = np.unique(kn, return_inverse=True)
+        t0 = es.min()
+        span = int(es.max()) - int(t0) + window_s + 2
+        comp = inv.astype(np.int64) * span + (es - t0)
+        froms = np.sort(comp[isf])
+        tos = np.sort(comp[~isf])
+        lo = np.searchsorted(tos, froms, side="right")   # strictly after
+        hi = np.searchsorted(tos, froms + window_s, side="right")
+        # windows never cross the span padding, so hi stays in-user
+        per_from = hi - lo
+        fu = (froms // span).astype(np.int64)            # user ordinal
+        counts = np.zeros(u.size, dtype=np.int64)
+        np.add.at(counts, fu, per_from)
+        keep = counts > 0
+        return pa.table({key: pa.array(u[keep]),
+                         "n_pairs": pa.array(counts[keep])})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .repartition(buckets)
+            .groupby("_b")
+            .map_groups(count_pairs, batch_format="pyarrow",
+                        **rayenv.remote_args()))

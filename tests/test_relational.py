@@ -635,3 +635,34 @@ def test_referential_orphans_counts_rows(ray_session):
         buckets=4).to_pandas()
     assert out["relation"].tolist() == ["child_parent"]
     assert out["n_orphan_rows"].tolist() == [2]
+
+
+def test_promo_revenue_share(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from rwcf.relational import promo_revenue_share
+    li = rd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_partkey", "l_shipdate",
+                                  "l_extendedprice", "l_discount"])
+    pt = rd.read_parquet(f"{SF}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    out = promo_revenue_share(li, pt, buckets=8).to_pandas()
+    exp = duckdb.sql(
+        f"WITH r AS (SELECT "
+        f"coalesce(sum(CASE WHEN p_type = 'PROMO' THEN "
+        f"CAST(round(l_extendedprice*100) AS BIGINT) * "
+        f"(100 - CAST(round(l_discount*100) AS BIGINT)) END), 0) "
+        f"AS promo, "
+        f"coalesce(sum(CAST(round(l_extendedprice*100) AS BIGINT) * "
+        f"(100 - CAST(round(l_discount*100) AS BIGINT))), 0) AS total "
+        f"FROM read_parquet('{SF}/lineitem.parquet') l "
+        f"JOIN read_parquet('{SF}/part.parquet') p "
+        f"ON l_partkey = p_partkey "
+        f"WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+        f"AND l_shipdate < TIMESTAMP '1997-02-01') "
+        f"SELECT promo, total, CASE WHEN total = 0 THEN 0 "
+        f"ELSE (promo * 10000) // total END AS bp FROM r").df()
+    assert out["promo_rev_scaled"].tolist() == [int(exp["promo"][0])]
+    assert out["total_rev_scaled"].tolist() == [int(exp["total"][0])]
+    assert out["promo_share_bp"].tolist() == [int(exp["bp"][0])]

@@ -665,3 +665,52 @@ def test_peak_concurrency_synthetic(ray_session):
     out = peak_concurrency(rd.from_arrow(t), gap_s=1800, buckets=4)
     assert out["peak"].tolist() == [2]
     assert out["at_ts"].tolist() == [base + 50]
+
+
+def test_windowed_pair_join_oracle(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from rwcf.windows import windowed_pair_join
+    sf = "/root/testdata/sf0.001"
+    ev = rd.read_parquet(f"{sf}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    out = windowed_pair_join(ev, window_s=14400, buckets=8).to_pandas() \
+        .sort_values("user_id", ignore_index=True)
+    exp = duckdb.sql(
+        f"SELECT a.user_id, count(*) AS n FROM "
+        f"(SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ea "
+        f"FROM read_parquet('{sf}/events.parquet') "
+        f"WHERE event_type = 'purchase') a "
+        f"JOIN (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS eb "
+        f"FROM read_parquet('{sf}/events.parquet') "
+        f"WHERE event_type = 'error') b "
+        f"ON a.user_id = b.user_id AND b.eb > a.ea "
+        f"AND b.eb - a.ea <= 14400 GROUP BY 1 ORDER BY 1").df()
+    assert out["user_id"].tolist() == exp["user_id"].astype("int64").tolist()
+    assert out["n_pairs"].tolist() == exp["n"].astype("int64").tolist()
+
+
+def test_windowed_pair_join_boundaries(ray_session):
+    # strictly-after (same-second pair does NOT count), inclusive at
+    # exactly window_s, pairs multiply (2 froms x 1 to = 2)
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rwcf.windows import windowed_pair_join
+    base = 1_700_000_000
+    rows = [(1, 0, "purchase"), (1, 0, "error"),      # same second: no
+            (1, 10, "purchase"), (1, 310, "error"),   # +300 inclusive
+            (2, 0, "purchase"), (2, 5, "purchase"),
+            (2, 100, "error"),                        # 2 pairs
+            (3, 0, "error"), (3, 10, "purchase")]     # error first: no
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([(base + r[1]) * 1_000_000 for r in rows],
+                       pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows])})
+    out = windowed_pair_join(rd.from_arrow(t), window_s=300,
+                             buckets=4).to_pandas() \
+        .sort_values("user_id", ignore_index=True)
+    assert out["user_id"].tolist() == [1, 2]
+    assert out["n_pairs"].tolist() == [1, 2]
