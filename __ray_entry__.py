@@ -2015,6 +2015,14 @@ def _q_windowed_pair_join(sf_dir: str):
     return windows.windowed_pair_join(ev, window_s=14400)
 
 
+def _q_ngram_contamination(sf_dir: str):
+    """Graded n-gram contamination vs the doc_id%97 probe slice:
+    broadcast distinct probe bigrams, stateless is_in scan, exact bp."""
+    from rwcf import curation
+    return curation.probe_ngram_contamination(
+        _docs_ds(sf_dir, columns=("doc_id", "text")), ngram=2)
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -2147,6 +2155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mass_quantiles_nchars": _q_mass_quantiles,
         "promo_revenue_share": _q_promo_share,
         "windowed_pair_join": _q_windowed_pair_join,
+        "ngram_contamination": _q_ngram_contamination,
         "shipping_priority": _q_shipping_priority,
         "returned_revenue": _q_returned_revenue,
         "large_orders": _q_large_orders,
@@ -2834,6 +2843,23 @@ def oracle_sql() -> dict[str, str]:
             "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20) "
             "OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15 "
             "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)"),
+        # graded contamination: occurrence counts (repeats included)
+        # vs the distinct probe bigram set; bp = hits*10000 // total
+        "ngram_contamination": (
+            "WITH pw AS (SELECT regexp_extract_all(text, '\\S+') AS ws "
+            "FROM documents WHERE doc_id % 97 = 0), "
+            "probes AS (SELECT DISTINCT ws[i] || ' ' || ws[i + 1] AS bg "
+            "FROM pw, unnest(generate_series(1, len(ws) - 1)) AS t(i)), "
+            "dw AS (SELECT doc_id, regexp_extract_all(text, '\\S+') "
+            "AS ws FROM documents), "
+            "d AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg "
+            "FROM dw, unnest(generate_series(1, len(ws) - 1)) AS t(i)) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams, "
+            "CAST(sum(CASE WHEN bg IN (SELECT bg FROM probes) "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated, "
+            "CAST((sum(CASE WHEN bg IN (SELECT bg FROM probes) "
+            "THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) "
+            "AS contaminated_bp FROM d GROUP BY doc_id"),
         # Q14 shape: HUGEINT floor division matches Python-int //
         "promo_revenue_share": (
             "WITH r AS (SELECT "

@@ -333,3 +333,96 @@ def pack_stats_ds(ds, seq_len: int = 512, n_buckets: int = 8,
             "n_sequences": pc.cast(t.column("n_sequences"), pa.int64())})
     return out.map_batches(cast, batch_format="pyarrow",
                            **rayenv.remote_args())
+
+
+def probe_ngram_contamination(ds, ngram: int = 2, probe_mod: int = 97,
+                              id_col: str = "doc_id",
+                              text_col: str = "text"):
+    """Per-document n-gram contamination score against a probe set (the
+    GRADED sibling of :func:`decontaminate`'s boolean substring flag):
+    of a document's word ``ngram``-grams, how many — counting repeats —
+    also occur in any probe document, as a count and exact floor basis
+    points (``hits * 10000 // total``). Probe documents are the
+    deterministic ``doc_id % probe_mod == 0`` slice (the same rule the
+    decontaminate fixture uses), and are themselves scored like any
+    other row. Documents with fewer than ``ngram`` words have no
+    n-grams and are absent (inner semantics). Output
+    ``(doc_id, n_ngrams, n_contaminated, contaminated_bp)``.
+
+    Scale shape: the probe slice tokenizes to a DISTINCT n-gram set
+    that is benchmark-suite-sized by construction (1/probe_mod of the
+    corpus; MBs, like decontaminate's probe list) — it broadcasts once
+    via ``ray.put``; scoring is then a stateless vectorized scan
+    (Arrow ``is_in`` membership + one scatter-add per batch) with NO
+    exchange at all."""
+    import ray
+
+    def grams_of(t: pa.Table, with_ids: bool):
+        # package-standard whitespace split (matches
+        # regexp_extract_all(text, '\S+') in SQL, empties dropped)
+        words = pc.split_pattern_regex(t.column(text_col), r"\s+")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = words.flatten()
+        ok = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        toks = flat.filter(pa.array(ok)).to_numpy(zero_copy_only=False)
+        dlen = np.zeros(len(lens), dtype=np.int64)
+        np.add.at(dlen, np.repeat(np.arange(len(lens)), lens), ok)
+        starts = np.cumsum(dlen) - dlen
+        glen = np.maximum(dlen - (ngram - 1), 0)
+        total = int(glen.sum())
+        if total == 0:
+            return np.empty(0, object), glen, np.empty(0, np.int64)
+        gstart = np.repeat(starts, glen)
+        off = np.arange(total, dtype=np.int64) \
+            - np.repeat(np.cumsum(glen) - glen, glen)
+        base = gstart + off
+        parts = [toks[base + j].astype(str) for j in range(ngram)]
+        grams = parts[0]
+        for p in parts[1:]:
+            grams = np.char.add(np.char.add(grams, " "), p)
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), glen)
+        return grams.astype(object), glen, doc_of
+
+    def probe_partial(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        sel = pa.array(ids % probe_mod == 0)
+        grams, _, _ = grams_of(t.filter(sel), with_ids=False)
+        u = np.unique(grams) if grams.size else grams
+        return pa.table({"g": pa.array(u, pa.string())})
+
+    # distinct probe n-grams: probe-suite-sized by construction, the
+    # one (documented) driver materialization — same contract as
+    # decontaminate's probe list
+    pdf = ds.map_batches(probe_partial, batch_format="pyarrow",
+                         **rayenv.remote_args()).to_pandas()
+    probe_list = sorted(set(pdf["g"].tolist())) \
+        if "g" in pdf.columns else []
+    probes_ref = ray.put(probe_list)
+
+    def score(t: pa.Table) -> pa.Table:
+        plist = ray.get(probes_ref)
+        pset = pa.array(plist, pa.string())
+        grams, glen, doc_of = grams_of(t, with_ids=True)
+        n_docs = len(t)
+        hits = np.zeros(n_docs, dtype=np.int64)
+        if grams.size and len(plist):
+            memb = pc.is_in(pa.array(grams, pa.string()),
+                            value_set=pset) \
+                .to_numpy(zero_copy_only=False)
+            np.add.at(hits, doc_of, memb.astype(np.int64))
+        keep = glen > 0
+        ids = t.column(id_col).combine_chunks() \
+            .to_numpy(zero_copy_only=False)[keep]
+        n = glen[keep]
+        h = hits[keep]
+        return pa.table({
+            id_col: pa.array(ids.astype(np.int64)),
+            "n_ngrams": pa.array(n),
+            "n_contaminated": pa.array(h),
+            "contaminated_bp": pa.array((h * 10000) // n)})
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          **rayenv.remote_args())

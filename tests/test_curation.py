@@ -234,3 +234,53 @@ def test_pack_stats_match_arithmetic(ray_session):
         assert r["n_docs"] == len(ids)
         assert r["n_tokens"] == total
         assert r["n_sequences"] == (total + 31) // 32
+
+
+def test_probe_ngram_contamination_oracle(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from rwcf.curation import probe_ngram_contamination
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = probe_ngram_contamination(ds, ngram=2).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    exp = duckdb.sql(
+        f"WITH pw AS (SELECT regexp_extract_all(text, '\\S+') AS ws "
+        f"FROM read_parquet('{sf}/documents.parquet') "
+        f"WHERE doc_id % 97 = 0), "
+        f"probes AS (SELECT DISTINCT ws[i] || ' ' || ws[i + 1] AS bg "
+        f"FROM pw, unnest(generate_series(1, len(ws) - 1)) AS t(i)), "
+        f"dw AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws "
+        f"FROM read_parquet('{sf}/documents.parquet')), "
+        f"d AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg "
+        f"FROM dw, unnest(generate_series(1, len(ws) - 1)) AS t(i)) "
+        f"SELECT doc_id, count(*) AS n, "
+        f"sum(CASE WHEN bg IN (SELECT bg FROM probes) THEN 1 ELSE 0 "
+        f"END) AS h FROM d GROUP BY 1 ORDER BY 1").df()
+    assert out["doc_id"].tolist() == exp["doc_id"].astype("int64").tolist()
+    assert out["n_ngrams"].tolist() == exp["n"].astype("int64").tolist()
+    assert out["n_contaminated"].tolist() == \
+        exp["h"].astype("int64").tolist()
+    bp = (exp["h"].astype("int64") * 10000) // exp["n"].astype("int64")
+    assert out["contaminated_bp"].tolist() == bp.tolist()
+
+
+def test_probe_ngram_contamination_probe_is_full_hit(ray_session):
+    # a probe document's own bigrams are all in the probe set -> 10000bp
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rwcf.curation import probe_ngram_contamination
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),  # 0 is the probe
+        "text": pa.array(["a b c", "a b x", "zz yy"])})
+    out = probe_ngram_contamination(rd.from_arrow(t), ngram=2) \
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    assert out["doc_id"].tolist() == [0, 1, 2]
+    assert out["n_ngrams"].tolist() == [2, 2, 1]
+    # doc1: "a b" hits, "b x" misses -> 5000bp; doc2: nothing
+    assert out["n_contaminated"].tolist() == [2, 1, 0]
+    assert out["contaminated_bp"].tolist() == [10000, 5000, 0]
