@@ -2023,6 +2023,25 @@ def _q_ngram_contamination(sf_dir: str):
         _docs_ds(sf_dir, columns=("doc_id", "text")), ngram=2)
 
 
+def _q_langs_per_source(sf_dir: str):
+    """Sorted DISTINCT string_agg per source: unique pairs, one
+    hash(key) exchange, domain-sized in-bucket join."""
+    from rwcf import analytics
+    return analytics.grouped_string_agg(
+        _docs_ds(sf_dir, columns=("source", "lang")))
+
+
+def _q_monthly_revenue_delta(sf_dir: str):
+    """Month-over-month revenue deltas: window over an aggregate —
+    months-sized lag pass after the partial-then-final groupby."""
+    import ray.data as rd
+
+    from rwcf.relational import monthly_revenue_delta
+    od = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderdate", "o_totalprice"])
+    return monthly_revenue_delta(od)
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -2156,6 +2175,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue_share": _q_promo_share,
         "windowed_pair_join": _q_windowed_pair_join,
         "ngram_contamination": _q_ngram_contamination,
+        "langs_per_source": _q_langs_per_source,
+        "monthly_revenue_delta": _q_monthly_revenue_delta,
         "shipping_priority": _q_shipping_priority,
         "returned_revenue": _q_returned_revenue,
         "large_orders": _q_large_orders,
@@ -2843,6 +2864,21 @@ def oracle_sql() -> dict[str, str]:
             "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20) "
             "OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15 "
             "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)"),
+        "langs_per_source": (
+            "SELECT source, string_agg(DISTINCT lang, ',' ORDER BY lang)"
+            " AS vals, CAST(count(DISTINCT lang) AS BIGINT) AS n_vals "
+            "FROM documents GROUP BY source"),
+        # COALESCE(prev, 0) semantics for the first month
+        "monthly_revenue_delta": (
+            "WITH m AS (SELECT CAST(year(o_orderdate) * 100 + "
+            "month(o_orderdate) AS BIGINT) AS ym, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS total_cents FROM orders GROUP BY 1) "
+            "SELECT ym, total_cents, "
+            "CAST(coalesce(lag(total_cents) OVER (ORDER BY ym), 0) "
+            "AS BIGINT) AS prev_cents, "
+            "CAST(total_cents - coalesce(lag(total_cents) "
+            "OVER (ORDER BY ym), 0) AS BIGINT) AS delta_cents FROM m"),
         # graded contamination: occurrence counts (repeats included)
         # vs the distinct probe bigram set; bp = hits*10000 // total
         "ngram_contamination": (

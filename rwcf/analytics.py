@@ -2824,3 +2824,53 @@ def mass_quantiles(ds, val_col: str = "n_chars",
         rows.append((int(q), int(v[k]), int(cum[k])))
     return pd.DataFrame(rows, columns=["q_pct", "v", "cum_mass"]) \
         .astype("int64")
+
+
+def grouped_string_agg(ds, key_col: str = "source",
+                       val_col: str = "lang", sep: str = ",",
+                       buckets: int = 64):
+    """Grouped DISTINCT string aggregation — the sorted roll-up label
+    (``string_agg(DISTINCT v, ',' ORDER BY v)``): e.g. which languages
+    each source contains, as one deterministic comma-joined string per
+    group. Output ``(key, vals, n_vals)``.
+
+    Scale shape: per-batch unique (key, val) pairs (the categorical
+    domain collapses each batch), ONE hash(key) exchange so a bucket
+    holds whole keys, in-bucket sort + segmented join — the joined
+    strings are domain-sized, never row-sized."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t.select([key_col, val_col]) \
+            .group_by([key_col, val_col]).aggregate([])
+        b = hash_bucket(u.column(key_col).to_numpy(zero_copy_only=False),
+                        buckets=buckets)
+        return u.append_column("_b", pa.array(b))
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        u = g.select([key_col, val_col]) \
+            .group_by([key_col, val_col]).aggregate([])
+        u = u.take(pc.sort_indices(
+            u, sort_keys=[(key_col, "ascending"),
+                          (val_col, "ascending")]))
+        kn = u.column(key_col).to_numpy(zero_copy_only=False)
+        vn = u.column(val_col).to_numpy(zero_copy_only=False)
+        if kn.size == 0:
+            return pa.table({key_col: pa.array([], pa.string()),
+                             "vals": pa.array([], pa.string()),
+                             "n_vals": pa.array([], pa.int64())})
+        new = np.concatenate(([True], kn[1:] != kn[:-1]))
+        seg = np.flatnonzero(new)
+        counts = np.diff(np.append(seg, kn.size))
+        # python join only over the (domain-sized) distinct pairs
+        joined = [sep.join(vn[s:s + c])
+                  for s, c in zip(seg, counts)]
+        return pa.table({key_col: pa.array(kn[seg]),
+                         "vals": pa.array(joined, pa.string()),
+                         "n_vals": pa.array(counts.astype(np.int64))})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .repartition(buckets)
+            .groupby("_b")
+            .map_groups(join_bucket, batch_format="pyarrow",
+                        **rayenv.remote_args()))

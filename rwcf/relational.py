@@ -1489,3 +1489,51 @@ def promo_revenue_share(lineitem, part, date_lo: str = "1997-01-01",
             .repartition(1)
             .map_batches(final, batch_format="pyarrow",
                          **rayenv.remote_args()))
+
+
+def monthly_revenue_delta(orders):
+    """Month-over-month order revenue deltas — a window function OVER an
+    aggregate (the report layered on :func:`orders_by_month_priority`'s
+    family): per calendar month, total cents, the previous month's
+    total and the exact difference. Output
+    ``(ym, total_cents, prev_cents, delta_cents)`` with the first month
+    carrying prev/delta 0 (COALESCE semantics, mirrored in the oracle).
+
+    Scale shape: the corpus collapses to per-batch (month, cents)
+    partials and one months-domain-sized groupby; the lag/delta pass
+    runs on the SINGLE month-sized block — a window over an aggregate
+    adds no corpus exchange."""
+    from ray.data.aggregate import Sum
+
+    def part(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate").combine_chunks()
+        ym = pc.add(pc.multiply(pc.cast(pc.year(d), pa.int64()), 100),
+                    pc.cast(pc.month(d), pa.int64()))
+        cents = np.rint(t.column("o_totalprice").combine_chunks()
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        g = pa.table({"ym": ym, "total_cents": pa.array(cents)}) \
+            .group_by("ym").aggregate([("total_cents", "sum")])
+        return pa.table({"ym": g.column("ym"),
+                         "total_cents": g.column("total_cents_sum")})
+
+    monthly = (orders.map_batches(part, batch_format="pyarrow",
+                                  **rayenv.remote_args())
+               .groupby("ym")
+               .aggregate(Sum("total_cents", alias_name="total_cents")))
+
+    def lag_pass(t: pa.Table) -> pa.Table:
+        ym = t.column("ym").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        tc = t.column("total_cents").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ym)
+        ym, tc = ym[order], tc[order]
+        prev = np.concatenate(([0], tc[:-1]))
+        return pa.table({"ym": pa.array(ym),
+                         "total_cents": pa.array(tc),
+                         "prev_cents": pa.array(prev),
+                         "delta_cents": pa.array(tc - prev)})
+
+    return monthly.repartition(1).map_batches(
+        lag_pass, batch_format="pyarrow", **rayenv.remote_args())

@@ -1525,3 +1525,23 @@ def test_mass_quantiles_skew(ray_session):
     out = mass_quantiles(rd.from_arrow(t))
     assert out["v"].tolist() == [100, 100, 100, 100]
     assert out["cum_mass"].tolist() == [106, 106, 106, 106]
+
+
+def test_grouped_string_agg_oracle(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from rwcf.analytics import grouped_string_agg
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/documents.parquet",
+                         columns=["source", "lang"])
+    out = grouped_string_agg(ds, buckets=8).to_pandas() \
+        .sort_values("source", ignore_index=True)
+    exp = duckdb.sql(
+        f"SELECT source, string_agg(DISTINCT lang, ',' ORDER BY lang) "
+        f"AS vals, count(DISTINCT lang) AS n "
+        f"FROM read_parquet('{sf}/documents.parquet') "
+        f"GROUP BY 1 ORDER BY 1").df()
+    assert out["source"].tolist() == exp["source"].tolist()
+    assert out["vals"].tolist() == exp["vals"].tolist()
+    assert out["n_vals"].tolist() == exp["n"].astype("int64").tolist()

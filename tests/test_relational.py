@@ -666,3 +666,26 @@ def test_promo_revenue_share(ray_session):
     assert out["promo_rev_scaled"].tolist() == [int(exp["promo"][0])]
     assert out["total_rev_scaled"].tolist() == [int(exp["total"][0])]
     assert out["promo_share_bp"].tolist() == [int(exp["bp"][0])]
+
+
+def test_monthly_revenue_delta(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from rwcf.relational import monthly_revenue_delta
+    od = rd.read_parquet(f"{SF}/orders.parquet",
+                         columns=["o_orderdate", "o_totalprice"])
+    out = monthly_revenue_delta(od).to_pandas() \
+        .sort_values("ym", ignore_index=True)
+    exp = duckdb.sql(
+        f"WITH m AS (SELECT CAST(year(o_orderdate)*100 + "
+        f"month(o_orderdate) AS BIGINT) AS ym, "
+        f"sum(CAST(round(o_totalprice*100) AS BIGINT)) AS tc "
+        f"FROM read_parquet('{SF}/orders.parquet') GROUP BY 1) "
+        f"SELECT ym, tc, coalesce(lag(tc) OVER (ORDER BY ym), 0) AS pc "
+        f"FROM m ORDER BY ym").df()
+    assert out["ym"].tolist() == exp["ym"].astype("int64").tolist()
+    assert out["total_cents"].tolist() == exp["tc"].astype("int64").tolist()
+    assert out["prev_cents"].tolist() == exp["pc"].astype("int64").tolist()
+    assert (out["delta_cents"] ==
+            out["total_cents"] - out["prev_cents"]).all()
