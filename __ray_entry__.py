@@ -2042,6 +2042,40 @@ def _q_monthly_revenue_delta(sf_dir: str):
     return monthly_revenue_delta(od)
 
 
+def _q_premium_customers(sf_dir: str):
+    """ALL-quantifier via HAVING min(): associative min partials, one
+    groupby, stateless filter."""
+    import ray.data as rd
+
+    from rwcf.relational import premium_only_customers
+    od = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_custkey", "o_totalprice"])
+    return premium_only_customers(od)
+
+
+def _q_top_event_paths(sf_dir: str):
+    """Top-10 3-step behavioral paths: one hash(user) exchange,
+    in-bucket windowed n-grams, path-domain groupby, local-cut top-k."""
+    import ray.data as rd
+
+    from rwcf import windows
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_type",
+                                  "event_id"])
+    return windows.top_event_paths(ev, n=3, k=10)
+
+
+def _q_median_gap(sf_dir: str):
+    """Per-user median inter-event gap: one hash(user) exchange,
+    in-bucket gap derivation + segmented order statistic."""
+    import ray.data as rd
+
+    from rwcf import windows
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+    return windows.median_gap_per_user(ev)
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -2177,6 +2211,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_contamination": _q_ngram_contamination,
         "langs_per_source": _q_langs_per_source,
         "monthly_revenue_delta": _q_monthly_revenue_delta,
+        "premium_customers": _q_premium_customers,
+        "top_event_paths": _q_top_event_paths,
+        "median_gap_per_user": _q_median_gap,
         "shipping_priority": _q_shipping_priority,
         "returned_revenue": _q_returned_revenue,
         "large_orders": _q_large_orders,
@@ -2864,6 +2901,43 @@ def oracle_sql() -> dict[str, str]:
             "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20) "
             "OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15 "
             "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)"),
+        # ALL-quantifier resolved as HAVING min(total) >= X
+        "premium_customers": (
+            "SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders, "
+            "CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS min_cents_seen, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS total_cents FROM orders GROUP BY o_custkey "
+            "HAVING min(CAST(round(o_totalprice * 100) AS BIGINT)) "
+            ">= 5000000"),
+        # (ts, id) order; top-k ties on the lexicographically smaller
+        # path
+        "top_event_paths": (
+            "WITH g AS (SELECT lag(event_type, 2) OVER w AS p1, "
+            "lag(event_type, 1) OVER w AS p2, event_type AS p3, "
+            "user_id, "
+            "lag(user_id, 2) OVER w AS u1 "
+            "FROM events WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY ts, event_id)), "
+            "p AS (SELECT p1 || '>' || p2 || '>' || p3 AS path, "
+            "count(*) AS n FROM g WHERE u1 IS NOT NULL GROUP BY 1) "
+            "SELECT path, CAST(n AS BIGINT) AS n_occurrences, "
+            "CAST(row_number() OVER (ORDER BY n DESC, path ASC) "
+            "AS BIGINT) AS rank FROM p "
+            "ORDER BY rank LIMIT 10"),
+        # discrete rank-ceil(0.5*n) median over derived per-user gaps
+        "median_gap_per_user": (
+            "WITH d AS (SELECT user_id, "
+            "CAST(floor(epoch(ts)) AS BIGINT) - "
+            "CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id))) AS BIGINT) AS gap FROM events), "
+            "r AS (SELECT user_id, gap, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY gap) AS rn, "
+            "count(*) OVER (PARTITION BY user_id) AS n FROM d "
+            "WHERE gap IS NOT NULL) "
+            "SELECT user_id, CAST(n AS BIGINT) AS n_gaps, "
+            "CAST(gap AS BIGINT) AS median_gap_s FROM r "
+            "WHERE rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))"),
         "langs_per_source": (
             "SELECT source, string_agg(DISTINCT lang, ',' ORDER BY lang)"
             " AS vals, CAST(count(DISTINCT lang) AS BIGINT) AS n_vals "

@@ -1537,3 +1537,55 @@ def monthly_revenue_delta(orders):
 
     return monthly.repartition(1).map_batches(
         lag_pass, batch_format="pyarrow", **rayenv.remote_args())
+
+
+def premium_only_customers(orders, min_cents: int = 5_000_000,
+                           buckets: int = 32):
+    """Customers whose EVERY order is at least ``min_cents`` — the SQL
+    ALL-quantifier shape, resolved as ``HAVING min(total) >= X`` over a
+    pre-aggregation (a universal condition becomes a min aggregate).
+    Output ``(o_custkey, n_orders, min_cents_seen, total_cents)``.
+
+    Scale shape: per-batch (custkey, min, n, sum) partials — min is
+    associative, so batches collapse before the ONE customer-keyed
+    groupby; the HAVING filter is a stateless map on the aggregate."""
+    from ray.data.aggregate import Min, Sum
+
+    def part(t: pa.Table) -> pa.Table:
+        ck = t.column("o_custkey").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(t.column("o_totalprice").combine_chunks()
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        g = pa.table({"ck": pa.array(ck),
+                      "min_cents_seen": pa.array(cents),
+                      "total_cents": pa.array(cents),
+                      "n_orders": pa.array(np.ones(ck.size, np.int64))}) \
+            .group_by("ck").aggregate([("min_cents_seen", "min"),
+                                       ("total_cents", "sum"),
+                                       ("n_orders", "sum")])
+        return pa.table({"ck": g.column("ck"),
+                         "min_cents_seen": g.column("min_cents_seen_min"),
+                         "total_cents": g.column("total_cents_sum"),
+                         "n_orders": g.column("n_orders_sum")})
+
+    per_cust = (orders.map_batches(part, batch_format="pyarrow",
+                                   **rayenv.remote_args())
+                .groupby("ck")
+                .aggregate(Min("min_cents_seen",
+                               alias_name="min_cents_seen"),
+                           Sum("total_cents", alias_name="total_cents"),
+                           Sum("n_orders", alias_name="n_orders")))
+
+    def having(t: pa.Table) -> pa.Table:
+        m = t.column("min_cents_seen").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        sel = pa.array(m >= min_cents)
+        return pa.table({
+            "o_custkey": t.column("ck").filter(sel),
+            "n_orders": t.column("n_orders").filter(sel),
+            "min_cents_seen": t.column("min_cents_seen").filter(sel),
+            "total_cents": t.column("total_cents").filter(sel)})
+
+    return per_cust.map_batches(having, batch_format="pyarrow",
+                                **rayenv.remote_args())

@@ -1096,3 +1096,135 @@ def windowed_pair_join(ds, from_type: str = "purchase",
             .groupby("_b")
             .map_groups(count_pairs, batch_format="pyarrow",
                         **rayenv.remote_args()))
+
+
+def top_event_paths(ds, n: int = 3, k: int = 10, key: str = "user_id",
+                    ts_col: str = "ts", type_col: str = "event_type",
+                    id_col: str = "event_id", buckets: int = 32):
+    """Top-``k`` most common length-``n`` event-type paths across all
+    users' time-ordered streams (the order-``n`` generalization of the
+    transition matrix — what behavioral sequences dominate). Ordering
+    is (ts, id) like the transition/funnel family; ties in the top-k
+    break on the lexicographically smaller path. Output
+    ``(path, n_occurrences, rank)`` with ``>`` joining the steps.
+
+    Scale shape: ONE hash(key) exchange; per bucket one sort and a
+    windowed n-gram pass over each user's segment (same kernel shape
+    as the text n-grams); only (path, count) partials leave the
+    bucket; a |paths|-domain groupby and a per-block top-k cut + tiny
+    final finish it."""
+    from ray.data.aggregate import Sum
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        from .joins import hash_bucket
+        kv = t.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_b", pa.array(hash_bucket(kv, buckets=buckets)))
+
+    def paths(g: pa.Table) -> pa.Table:
+        g = g.take(pc.sort_indices(g, sort_keys=[
+            (key, "ascending"), (ts_col, "ascending"),
+            (id_col, "ascending")]))
+        kn = g.column(key).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        tv = g.column(type_col).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(str)
+        m = kn.size
+        if m < n:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        valid = np.ones(m - n + 1, dtype=bool)
+        for j in range(1, n):
+            valid &= kn[j:m - n + 1 + j] == kn[:m - n + 1]
+        grams = tv[:m - n + 1]
+        for j in range(1, n):
+            grams = np.char.add(np.char.add(grams, ">"),
+                                tv[j:m - n + 1 + j])
+        grams = grams[valid]
+        u, cnt = np.unique(grams, return_counts=True)
+        return pa.table({"path": pa.array(u.astype(object), pa.string()),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    per_path = (ds.map_batches(add_bucket, batch_format="pyarrow",
+                               **rayenv.remote_args())
+                .repartition(buckets)
+                .groupby("_b")
+                .map_groups(paths, batch_format="pyarrow",
+                            **rayenv.remote_args())
+                .groupby("path")
+                .aggregate(Sum("cnt", alias_name="n_occurrences")))
+
+    def cut(rank: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            c = t.column("n_occurrences").combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            p = t.column("path").combine_chunks() \
+                .to_numpy(zero_copy_only=False).astype(object)
+            order = np.lexsort((p, -c))[:k]
+            out = {"path": pa.array(p[order], pa.string()),
+                   "n_occurrences": pa.array(c[order].astype(np.int64))}
+            if rank:
+                out["rank"] = pa.array(
+                    np.arange(1, len(order) + 1, dtype=np.int64))
+            return pa.table(out)
+        return fn
+
+    return (per_path.map_batches(cut(False), batch_format="pyarrow",
+                                 **rayenv.remote_args())
+            .repartition(1)
+            .map_batches(cut(True), batch_format="pyarrow",
+                         **rayenv.remote_args()))
+
+
+def median_gap_per_user(ds, key: str = "user_id", ts_col: str = "ts",
+                        buckets: int = 32):
+    """Per-user median inter-event gap in floor-epoch seconds — the
+    cadence statistic (bots have tight medians, humans are bursty).
+    The median is the discrete rank-ceil(0.5*n) order statistic of the
+    user's gaps (the package's grouped-quantile convention). Users
+    with fewer than two events have no gaps and are absent. Output
+    ``(user_id, n_gaps, median_gap_s)``.
+
+    Scale shape: ONE hash(key) exchange co-locates each user's rows;
+    the bucket derives gaps AND resolves every user's order statistic
+    in a single sort + segmented index pass — deriving data inside
+    the bucket avoids a second exchange entirely."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        from .joins import hash_bucket
+        kv = t.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_b", pa.array(hash_bucket(kv, buckets=buckets)))
+
+    def med(g: pa.Table) -> pa.Table:
+        g = g.take(pc.sort_indices(g, sort_keys=[(key, "ascending"),
+                                                 (ts_col, "ascending")]))
+        ts = _epoch_seconds_floor(g.column(ts_col).combine_chunks())
+        kn = g.column(key).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        if kn.size < 2:
+            return pa.table({key: pa.array([], pa.int64()),
+                             "n_gaps": pa.array([], pa.int64()),
+                             "median_gap_s": pa.array([], pa.int64())})
+        same = kn[1:] == kn[:-1]
+        gaps = np.diff(ts)[same]
+        users = kn[1:][same]
+        # per-user median: sort by (user, gap), index the
+        # rank-ceil(n/2) element of each segment
+        order = np.lexsort((gaps, users))
+        users, gaps = users[order], gaps[order]
+        new = np.concatenate(([True], users[1:] != users[:-1]))
+        seg = np.flatnonzero(new)
+        counts = np.diff(np.append(seg, users.size))
+        med_idx = seg + np.maximum(1, np.ceil(0.5 * counts)
+                                   .astype(np.int64)) - 1
+        return pa.table({key: pa.array(users[seg]),
+                         "n_gaps": pa.array(counts.astype(np.int64)),
+                         "median_gap_s": pa.array(gaps[med_idx])})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .repartition(buckets)
+            .groupby("_b")
+            .map_groups(med, batch_format="pyarrow",
+                        **rayenv.remote_args()))

@@ -689,3 +689,27 @@ def test_monthly_revenue_delta(ray_session):
     assert out["prev_cents"].tolist() == exp["pc"].astype("int64").tolist()
     assert (out["delta_cents"] ==
             out["total_cents"] - out["prev_cents"]).all()
+
+
+def test_premium_only_customers(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from rwcf.relational import premium_only_customers
+    od = rd.read_parquet(f"{SF}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+    out = premium_only_customers(od, min_cents=5_000_000).to_pandas() \
+        .sort_values("o_custkey", ignore_index=True)
+    exp = duckdb.sql(
+        f"SELECT o_custkey, count(*) AS n, "
+        f"min(CAST(round(o_totalprice*100) AS BIGINT)) AS mn, "
+        f"sum(CAST(round(o_totalprice*100) AS BIGINT)) AS tc "
+        f"FROM read_parquet('{SF}/orders.parquet') GROUP BY 1 "
+        f"HAVING min(CAST(round(o_totalprice*100) AS BIGINT)) "
+        f">= 5000000 ORDER BY 1").df()
+    assert out["o_custkey"].tolist() == \
+        exp["o_custkey"].astype("int64").tolist()
+    assert out["n_orders"].tolist() == exp["n"].astype("int64").tolist()
+    assert out["min_cents_seen"].tolist() == \
+        exp["mn"].astype("int64").tolist()
+    assert out["total_cents"].tolist() == exp["tc"].astype("int64").tolist()

@@ -714,3 +714,57 @@ def test_windowed_pair_join_boundaries(ray_session):
         .sort_values("user_id", ignore_index=True)
     assert out["user_id"].tolist() == [1, 2]
     assert out["n_pairs"].tolist() == [1, 2]
+
+
+def test_top_event_paths_oracle(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from rwcf.windows import top_event_paths
+    sf = "/root/testdata/sf0.001"
+    ev = rd.read_parquet(f"{sf}/events.parquet",
+                         columns=["user_id", "ts", "event_type",
+                                  "event_id"])
+    out = top_event_paths(ev, n=3, k=10, buckets=8).to_pandas() \
+        .sort_values("rank", ignore_index=True)
+    exp = duckdb.sql(
+        f"WITH g AS (SELECT lag(event_type, 2) OVER w AS p1, "
+        f"lag(event_type, 1) OVER w AS p2, event_type AS p3, "
+        f"lag(user_id, 2) OVER w AS u1 "
+        f"FROM read_parquet('{sf}/events.parquet') "
+        f"WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        f"p AS (SELECT p1 || '>' || p2 || '>' || p3 AS path, "
+        f"count(*) AS n FROM g WHERE u1 IS NOT NULL GROUP BY 1) "
+        f"SELECT path, n FROM p ORDER BY n DESC, path LIMIT 10").df()
+    assert out["path"].tolist() == exp["path"].tolist()
+    assert out["n_occurrences"].tolist() == \
+        exp["n"].astype("int64").tolist()
+
+
+def test_median_gap_per_user_oracle(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from rwcf.windows import median_gap_per_user
+    sf = "/root/testdata/sf0.001"
+    ev = rd.read_parquet(f"{sf}/events.parquet",
+                         columns=["user_id", "ts"])
+    out = median_gap_per_user(ev, buckets=8).to_pandas() \
+        .sort_values("user_id", ignore_index=True)
+    exp = duckdb.sql(
+        f"WITH d AS (SELECT user_id, "
+        f"CAST(floor(epoch(ts)) AS BIGINT) - "
+        f"CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id "
+        f"ORDER BY ts, event_id))) AS BIGINT) AS gap "
+        f"FROM read_parquet('{sf}/events.parquet')), "
+        f"r AS (SELECT user_id, gap, row_number() OVER "
+        f"(PARTITION BY user_id ORDER BY gap) AS rn, "
+        f"count(*) OVER (PARTITION BY user_id) AS n FROM d "
+        f"WHERE gap IS NOT NULL) "
+        f"SELECT user_id, n, gap FROM r "
+        f"WHERE rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT)) "
+        f"ORDER BY 1").df()
+    assert out["user_id"].tolist() == exp["user_id"].astype("int64").tolist()
+    assert out["n_gaps"].tolist() == exp["n"].astype("int64").tolist()
+    assert out["median_gap_s"].tolist() == \
+        exp["gap"].astype("int64").tolist()
