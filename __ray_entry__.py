@@ -1934,10 +1934,21 @@ def _q_global_ntile(sf_dir: str):
 
 def _q_robust_outliers(sf_dir: str):
     """MAD-based robust outlier filter: broadcast (median, MAD) map
-    from two histogram exchanges, stateless vectorized filter."""
+    from two histogram exchanges, stateless vectorized filter. A
+    legitimately EMPTY outlier set (3xMAD admits everything at some
+    scales) must still carry its schema: Ray's Dataset.to_pandas drops
+    columns when every block is empty, so the wrapper re-types it."""
+    import pandas as pd
+
     from rwcf import analytics
-    return analytics.robust_outliers(
-        _docs_ds(sf_dir, columns=("doc_id", "source", "n_chars")))
+    df = analytics.robust_outliers(
+        _docs_ds(sf_dir, columns=("doc_id", "source", "n_chars"))) \
+        .to_pandas()
+    if df.shape[1] == 0:
+        df = pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                           "source": pd.array([], dtype="string"),
+                           "n_chars": pd.array([], dtype="int64")})
+    return df
 
 
 def _q_referential_orphans(sf_dir: str):
