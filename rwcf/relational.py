@@ -1302,11 +1302,21 @@ def nation_trade_volume(lineitem, orders, customer, supplier, nation,
                              dtype=object)[inv]
                     if u.size else np.empty(0, object))
 
-        return pa.table({
+        # collapse to the |nations|^2 x years domain INSIDE the batch so
+        # the final groupby exchanges domain-sized partials, not
+        # custkey-level rows
+        g2 = pa.table({
             "supp_nation": pa.array(names(snat), pa.string()),
             "cust_nation": pa.array(names(cnat), pa.string()),
             "l_year": pa.array(yr.astype(np.int64)),
-            "rev_scaled": pa.array(rev.astype(np.int64))})
+            "rev_scaled": pa.array(rev.astype(np.int64))}) \
+            .group_by(["supp_nation", "cust_nation", "l_year"]) \
+            .aggregate([("rev_scaled", "sum")])
+        return pa.table({
+            "supp_nation": g2.column("supp_nation"),
+            "cust_nation": g2.column("cust_nation"),
+            "l_year": g2.column("l_year"),
+            "rev_scaled": g2.column("rev_scaled_sum")})
 
     from ray.data.aggregate import Sum
     return (j2.map_batches(cross_only, batch_format="pyarrow",
