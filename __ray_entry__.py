@@ -2087,6 +2087,38 @@ def _q_median_gap(sf_dir: str):
     return windows.median_gap_per_user(ev)
 
 
+def _q_hapax(sf_dir: str):
+    """Hapax legomena rate per source: (source, word, count) partials,
+    one hash(source, word) exchange, exact bp rate."""
+    from rwcf import analytics
+    return analytics.hapax_per_source(
+        _docs_ds(sf_dir, columns=("source", "text")))
+
+
+def _q_new_vs_returning(sf_dir: str):
+    """Daily new vs returning users: distinct (user, day) pairs, one
+    hash(user) exchange, bucket-local first-day split."""
+    import ray.data as rd
+
+    from rwcf import analytics
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+    return analytics.daily_new_vs_returning(ev)
+
+
+def _q_ship_lag(sf_dir: str):
+    """Order-to-ship lag histogram: (orderkey, shipday) partials, one
+    bucketed join, exact whole-day lags."""
+    import ray.data as rd
+
+    from rwcf.relational import ship_lag_histogram
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_shipdate"])
+    od = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderkey", "o_orderdate"])
+    return ship_lag_histogram(li, od)
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -2225,6 +2257,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "premium_customers": _q_premium_customers,
         "top_event_paths": _q_top_event_paths,
         "median_gap_per_user": _q_median_gap,
+        "hapax_per_source": _q_hapax,
+        "daily_new_vs_returning": _q_new_vs_returning,
+        "ship_lag_histogram": _q_ship_lag,
         "shipping_priority": _q_shipping_priority,
         "returned_revenue": _q_returned_revenue,
         "large_orders": _q_large_orders,
@@ -2912,6 +2947,32 @@ def oracle_sql() -> dict[str, str]:
             "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20) "
             "OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15 "
             "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)"),
+        "hapax_per_source": (
+            "WITH wc AS (SELECT source, word, count(*) AS c FROM "
+            "(SELECT source, unnest(regexp_extract_all(text, '\\S+')) "
+            "AS word FROM documents) GROUP BY 1, 2) "
+            "SELECT source, CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_hapax, "
+            "CAST(count(*) AS BIGINT) AS n_distinct, "
+            "CAST((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 10000) // "
+            "count(*) AS BIGINT) AS hapax_bp FROM wc GROUP BY source"),
+        # floor-epoch day arithmetic on both sides
+        "daily_new_vs_returning": (
+            "WITH ud AS (SELECT DISTINCT user_id, "
+            "CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day "
+            "FROM events), "
+            "f AS (SELECT user_id, min(day) AS fday FROM ud GROUP BY 1) "
+            "SELECT day, CAST(sum(CASE WHEN day = fday THEN 1 ELSE 0 "
+            "END) AS BIGINT) AS n_new, "
+            "CAST(sum(CASE WHEN day > fday THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_returning "
+            "FROM ud JOIN f USING (user_id) GROUP BY day"),
+        "ship_lag_histogram": (
+            "SELECT CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400 "
+            "- CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 "
+            "AS lag_days, CAST(count(*) AS BIGINT) AS n "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY 1"),
         # ALL-quantifier resolved as HAVING min(total) >= X
         "premium_customers": (
             "SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders, "

@@ -2874,3 +2874,132 @@ def grouped_string_agg(ds, key_col: str = "source",
             .groupby("_b")
             .map_groups(join_bucket, batch_format="pyarrow",
                         **rayenv.remote_args()))
+
+
+def hapax_per_source(ds, key_col: str = "source",
+                     text_col: str = "text", buckets: int = 64):
+    """Hapax legomena per source — words occurring EXACTLY ONCE within
+    their source (the classic vocabulary-freshness statistic: template
+    farms have few hapaxes, organic text is hapax-rich). Output
+    ``(source, n_hapax, n_distinct, hapax_bp)`` with the rate in exact
+    floor basis points.
+
+    Scale shape: per-batch (source, word, count) partials (Zipf
+    collapses batches), ONE hash(source, word) exchange (disjoint
+    buckets keep per-word counts exact), in-bucket total-count filter
+    to count==1, source-sized final."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        kv = t.column(key_col).to_numpy(zero_copy_only=False)
+        words = pc.split_pattern_regex(t.column(text_col), r"\s+")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = words.flatten()
+        keys = np.repeat(kv, lens)
+        ok = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        pairs = pa.table({"k": pa.array(keys[ok]),
+                          "w": flat.filter(pa.array(ok)),
+                          "c": pa.array(np.ones(int(ok.sum()),
+                                                np.int64))})
+        u = pairs.group_by(["k", "w"]).aggregate([("c", "sum")])
+        b = hash_bucket(u.column("k").to_numpy(zero_copy_only=False),
+                        u.column("w").to_numpy(zero_copy_only=False),
+                        buckets=buckets)
+        return pa.table({"k": u.column("k"), "w": u.column("w"),
+                         "c": u.column("c_sum"),
+                         "_b": pa.array(b)})
+
+    def count_bucket(g: pa.Table) -> pa.Table:
+        m = g.select(["k", "w", "c"]).group_by(["k", "w"]) \
+            .aggregate([("c", "sum")])
+        ones = pc.cast(pc.equal(m.column("c_sum"), 1), pa.int64())
+        agg = pa.table({"k": m.column("k"), "hap": ones,
+                        "nd": pa.array(np.ones(len(m), np.int64))}) \
+            .group_by("k").aggregate([("hap", "sum"), ("nd", "sum")])
+        return pa.table({key_col: agg.column("k"),
+                         "n_hapax": pc.cast(agg.column("hap_sum"),
+                                            pa.int64()),
+                         "n_distinct": pc.cast(agg.column("nd_sum"),
+                                               pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          **rayenv.remote_args())
+           .repartition(buckets)
+           .groupby("_b")
+           .map_groups(count_bucket, batch_format="pyarrow",
+                       **rayenv.remote_args())
+           .groupby(key_col)
+           .aggregate(Sum("n_hapax", alias_name="n_hapax"),
+                      Sum("n_distinct", alias_name="n_distinct")))
+
+    def rate(t: pa.Table) -> pa.Table:
+        h = t.column("n_hapax").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = t.column("n_distinct").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({key_col: t.column(key_col),
+                         "n_hapax": pa.array(h),
+                         "n_distinct": pa.array(nd),
+                         "hapax_bp": pa.array(
+                             np.where(nd > 0, (h * 10000) // np.maximum(
+                                 nd, 1), 0))})
+
+    return agg.map_batches(rate, batch_format="pyarrow",
+                           **rayenv.remote_args())
+
+
+def daily_new_vs_returning(ds, key: str = "user_id",
+                           ts_col: str = "ts", buckets: int = 64):
+    """Per-day NEW vs RETURNING active users — the growth-vs-retention
+    split every activity dashboard opens with. A user is NEW on their
+    first active day (by floor-epoch day), RETURNING on every later
+    active day. Output ``(day, n_new, n_returning)`` with day =
+    epoch_days (exact integer).
+
+    Scale shape: per-batch distinct (user, day) pairs, ONE hash(user)
+    exchange (a bucket holds whole users, so each user's first day is
+    bucket-local), in-bucket per-user min-day + per-day partial
+    counts, day-domain-sized final groupby."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        kv = t.column(key).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        from .windows import _epoch_seconds_floor
+        day = _epoch_seconds_floor(
+            t.column(ts_col).combine_chunks()) // np.int64(86400)
+        u = pa.table({"k": pa.array(kv), "d": pa.array(day)}) \
+            .group_by(["k", "d"]).aggregate([])
+        b = hash_bucket(u.column("k").to_numpy(zero_copy_only=False),
+                        buckets=buckets)
+        return u.append_column("_b", pa.array(b))
+
+    def split_bucket(g: pa.Table) -> pa.Table:
+        m = g.select(["k", "d"]).group_by(["k", "d"]).aggregate([])
+        k = m.column("k").to_numpy(zero_copy_only=False)
+        d = m.column("d").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, k))
+        k, d = k[order], d[order]
+        new_user = np.concatenate(([True], k[1:] != k[:-1])) \
+            if k.size else np.empty(0, bool)
+        out = pa.table({
+            "day": pa.array(d),
+            "n_new": pa.array(new_user.astype(np.int64)),
+            "n_returning": pa.array((~new_user).astype(np.int64))}) \
+            .group_by("day").aggregate([("n_new", "sum"),
+                                        ("n_returning", "sum")])
+        return pa.table({"day": out.column("day"),
+                         "n_new": out.column("n_new_sum"),
+                         "n_returning": out.column("n_returning_sum")})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .repartition(buckets)
+            .groupby("_b")
+            .map_groups(split_bucket, batch_format="pyarrow",
+                        **rayenv.remote_args())
+            .groupby("day")
+            .aggregate(Sum("n_new", alias_name="n_new"),
+                       Sum("n_returning", alias_name="n_returning")))

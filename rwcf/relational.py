@@ -1599,3 +1599,59 @@ def premium_only_customers(orders, min_cents: int = 5_000_000,
 
     return per_cust.map_batches(having, batch_format="pyarrow",
                                 **rayenv.remote_args())
+
+
+def ship_lag_histogram(lineitem, orders, buckets: int = 32):
+    """Order-to-ship lag distribution: exact whole-day differences
+    between each lineitem's ship date and its order's order date,
+    histogrammed — the fulfillment-latency report. Output
+    ``(lag_days, n)``.
+
+    Scale shape: lineitem collapses in-batch to (orderkey, shipday,
+    n) partials — the (key, value)-pair domain per batch; ONE bucketed
+    join attaches the order day; per-block lag histograms collapse to
+    the lag domain before the tiny final groupby."""
+    from ray.data.aggregate import Sum
+
+    def li_part(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        sd = t.column("l_shipdate").combine_chunks()
+        from .windows import _epoch_seconds_floor
+        sday = _epoch_seconds_floor(sd) // np.int64(86400)
+        g = pa.table({"ok": pa.array(ok), "sday": pa.array(sday),
+                      "n": pa.array(np.ones(ok.size, np.int64))}) \
+            .group_by(["ok", "sday"]).aggregate([("n", "sum")])
+        return pa.table({"ok": g.column("ok"),
+                         "sday": g.column("sday"),
+                         "n": g.column("n_sum")})
+
+    li = lineitem.map_batches(li_part, batch_format="pyarrow",
+                              **rayenv.remote_args())
+
+    def ord_proj(t: pa.Table) -> pa.Table:
+        from .windows import _epoch_seconds_floor
+        oday = _epoch_seconds_floor(
+            t.column("o_orderdate").combine_chunks()) // np.int64(86400)
+        return pa.table({
+            "ok": pc.cast(t.column("o_orderkey"), pa.int64()),
+            "oday": pa.array(oday)})
+
+    od = orders.map_batches(ord_proj, batch_format="pyarrow",
+                            **rayenv.remote_args())
+    j = hash_join(li, od, on="ok", buckets=buckets)
+
+    def hist(t: pa.Table) -> pa.Table:
+        lag = (t.column("sday").combine_chunks()
+               .to_numpy(zero_copy_only=False)
+               - t.column("oday").combine_chunks()
+               .to_numpy(zero_copy_only=False)).astype(np.int64)
+        n = t.column("n").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, totals = _segsum(lag, n)
+        return pa.table({"lag_days": pa.array(keys),
+                         "n": pa.array(totals)})
+
+    return (j.map_batches(hist, batch_format="pyarrow",
+                          **rayenv.remote_args())
+            .groupby("lag_days").aggregate(Sum("n", alias_name="n")))

@@ -1545,3 +1545,51 @@ def test_grouped_string_agg_oracle(ray_session):
     assert out["source"].tolist() == exp["source"].tolist()
     assert out["vals"].tolist() == exp["vals"].tolist()
     assert out["n_vals"].tolist() == exp["n"].astype("int64").tolist()
+
+
+def test_hapax_per_source_oracle(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from rwcf.analytics import hapax_per_source
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/documents.parquet",
+                         columns=["source", "text"])
+    out = hapax_per_source(ds, buckets=8).to_pandas() \
+        .sort_values("source", ignore_index=True)
+    exp = duckdb.sql(
+        f"WITH wc AS (SELECT source, word, count(*) AS c FROM "
+        f"(SELECT source, unnest(regexp_extract_all(text, '\\S+')) "
+        f"AS word FROM read_parquet('{sf}/documents.parquet')) "
+        f"GROUP BY 1, 2) "
+        f"SELECT source, sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS h, "
+        f"count(*) AS nd FROM wc GROUP BY 1 ORDER BY 1").df()
+    assert out["source"].tolist() == exp["source"].tolist()
+    assert out["n_hapax"].tolist() == exp["h"].astype("int64").tolist()
+    assert out["n_distinct"].tolist() == exp["nd"].astype("int64").tolist()
+    bp = (exp["h"].astype("int64") * 10000) // exp["nd"].astype("int64")
+    assert out["hapax_bp"].tolist() == bp.tolist()
+
+
+def test_daily_new_vs_returning_oracle(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from rwcf.analytics import daily_new_vs_returning
+    sf = "/root/testdata/sf0.001"
+    ev = rd.read_parquet(f"{sf}/events.parquet",
+                         columns=["user_id", "ts"])
+    out = daily_new_vs_returning(ev, buckets=8).to_pandas() \
+        .sort_values("day", ignore_index=True)
+    exp = duckdb.sql(
+        f"WITH ud AS (SELECT DISTINCT user_id, "
+        f"CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day "
+        f"FROM read_parquet('{sf}/events.parquet')), "
+        f"f AS (SELECT user_id, min(day) AS fday FROM ud GROUP BY 1) "
+        f"SELECT day, sum(CASE WHEN day = fday THEN 1 ELSE 0 END) "
+        f"AS nn, sum(CASE WHEN day > fday THEN 1 ELSE 0 END) AS nr "
+        f"FROM ud JOIN f USING (user_id) GROUP BY 1 ORDER BY 1").df()
+    assert out["day"].tolist() == exp["day"].astype("int64").tolist()
+    assert out["n_new"].tolist() == exp["nn"].astype("int64").tolist()
+    assert out["n_returning"].tolist() == \
+        exp["nr"].astype("int64").tolist()

@@ -713,3 +713,25 @@ def test_premium_only_customers(ray_session):
     assert out["min_cents_seen"].tolist() == \
         exp["mn"].astype("int64").tolist()
     assert out["total_cents"].tolist() == exp["tc"].astype("int64").tolist()
+
+
+def test_ship_lag_histogram(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from rwcf.relational import ship_lag_histogram
+    li = rd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+    od = rd.read_parquet(f"{SF}/orders.parquet",
+                         columns=["o_orderkey", "o_orderdate"])
+    out = ship_lag_histogram(li, od, buckets=8).to_pandas() \
+        .sort_values("lag_days", ignore_index=True)
+    exp = duckdb.sql(
+        f"SELECT CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400 - "
+        f"CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS lag, "
+        f"count(*) AS n "
+        f"FROM read_parquet('{SF}/lineitem.parquet') l "
+        f"JOIN read_parquet('{SF}/orders.parquet') o "
+        f"ON l_orderkey = o_orderkey GROUP BY 1 ORDER BY 1").df()
+    assert out["lag_days"].tolist() == exp["lag"].astype("int64").tolist()
+    assert out["n"].tolist() == exp["n"].astype("int64").tolist()
