@@ -203,6 +203,38 @@ def _q_compressed_sum_nchars(sf_dir: str):
     return pd.DataFrame([{"total_nchars": int(total["total_nchars"])}])
 
 
+def _q_compressed_group_count(sf_dir: str):
+    """GROUP BY computed in the compressed domain: per-value totals are
+    sums of RLE run_lengths over run VALUES (the src/test_rle.rs:8-17
+    tuple view, like _q_compressed_sum_nchars) — the runs never expand.
+    Partial (value, n) rows per batch, one domain-sized groupby."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+    from rwcf import format as fmt
+    from rwcf import rayenv
+    from rwcf.codecs import REGISTRY
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        chunk = fmt.chunk_from_arrow(t.column("lang").combine_chunks())
+        enc = fmt.encode_chunk(chunk, "str", "rle")
+        rv, lens = REGISTRY["rle"].decode_runs(enc.payload, enc.pages,
+                                               enc.meta, "str")
+        g = pa.table({"lang": fmt.chunk_to_arrow(rv, "str")
+                      .cast(pa.string()),
+                      "n_rows": pa.array(lens.astype(np.int64))}) \
+            .group_by("lang").aggregate([("n_rows", "sum")])
+        return pa.table({"lang": g.column("lang"),
+                         "n_rows": g.column("n_rows_sum")})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .groupby("lang").aggregate(Sum("n_rows",
+                                           alias_name="n_rows")))
+
+
 # --- training-data pipeline operators (dedup / similarity / text / mm) ----
 
 def _docs_ds(sf_dir: str, columns=("doc_id", "text")):
@@ -2258,6 +2290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_event_paths": _q_top_event_paths,
         "median_gap_per_user": _q_median_gap,
         "hapax_per_source": _q_hapax,
+        "compressed_group_count": _q_compressed_group_count,
         "daily_new_vs_returning": _q_new_vs_returning,
         "ship_lag_histogram": _q_ship_lag,
         "shipping_priority": _q_shipping_priority,
@@ -2947,6 +2980,9 @@ def oracle_sql() -> dict[str, str]:
             "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20) "
             "OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15 "
             "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)"),
+        "compressed_group_count": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_rows "
+            "FROM documents GROUP BY lang"),
         "hapax_per_source": (
             "WITH wc AS (SELECT source, word, count(*) AS c FROM "
             "(SELECT source, unnest(regexp_extract_all(text, '\\S+')) "

@@ -196,3 +196,21 @@ def test_vec_values_rejected_like_reference():
     rwcf/oracle.py in tests/test_varint.py.)"""
     with pytest.raises(TypeError, match="unsupported data type"):
         api.encode_column([[1, 2, 3], [4, 5]])
+
+
+def test_compressed_group_count_matches_expanded(ray_session):
+    # GROUP BY in the compressed domain: per-value totals from RLE run
+    # tuples must equal the expanded column's value_counts
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entry_mod
+    sf = "/root/testdata/sf0.001"
+    out = entry_mod.queries()["compressed_group_count"](sf).to_pandas() \
+        .sort_values("lang", ignore_index=True)
+    exp = duckdb.sql(
+        f"SELECT lang, count(*) AS n FROM "
+        f"read_parquet('{sf}/documents.parquet') "
+        f"GROUP BY 1 ORDER BY 1").df()
+    assert out["lang"].tolist() == exp["lang"].tolist()
+    assert out["n_rows"].tolist() == exp["n"].astype("int64").tolist()
