@@ -2151,6 +2151,14 @@ def _q_ship_lag(sf_dir: str):
     return ship_lag_histogram(li, od)
 
 
+def _q_multimodal_resize(sf_dir: str):
+    """Actor-pool image resize (RWIM deterministic fake; real kernel
+    stubbed): blobs in, resized dims out — all layout SQL-derivable
+    from strlen(text)."""
+    from rwcf.multimodal import image_resize_ds
+    return image_resize_ds(sf_dir, factor=4)
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -2291,6 +2299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_gap_per_user": _q_median_gap,
         "hapax_per_source": _q_hapax,
         "compressed_group_count": _q_compressed_group_count,
+        "multimodal_resize": _q_multimodal_resize,
         "daily_new_vs_returning": _q_new_vs_returning,
         "ship_lag_histogram": _q_ship_lag,
         "shipping_priority": _q_shipping_priority,
@@ -2980,6 +2989,16 @@ def oracle_sql() -> dict[str, str]:
             "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20) "
             "OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15 "
             "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)"),
+        # RWIM fake-format resize: dims/bytes are pure integer
+        # functions of strlen(text) (factor 4, every 16th body byte)
+        "multimodal_resize": (
+            "SELECT doc_id, "
+            "CAST((strlen(text) % 199 + 1 + 3) // 4 AS BIGINT) "
+            "AS width, "
+            "CAST((strlen(text) // 199 + 1 + 3) // 4 AS BIGINT) "
+            "AS height, "
+            "CAST((strlen(text) + 15) // 16 + 12 AS BIGINT) "
+            "AS n_bytes FROM documents"),
         "compressed_group_count": (
             "SELECT lang, CAST(count(*) AS BIGINT) AS n_rows "
             "FROM documents GROUP BY lang"),

@@ -63,3 +63,46 @@ def test_ray_image_metadata_pipeline(ray_session):
                                         concurrency=2).to_pandas()
     assert len(meta) == 500
     assert (meta["n_bytes"] >= 12).all()
+
+
+def test_image_resize_stage_blob_roundtrip(ray_session):
+    # the resized blob must itself be a valid RWIM: decoding it yields
+    # the resized dims, and the body keeps every 16th byte
+    import numpy as np
+    import pyarrow as pa
+
+    from rwcf.multimodal import (ImageDecodeStage, ImageResizeStage,
+                                 make_blob_batch)
+    text = "x" * 500
+    t = pa.table({"doc_id": pa.array([7], pa.int64()),
+                  "text": pa.array([text])})
+    blobs = make_blob_batch(t)
+    resized = ImageResizeStage(factor=4)(blobs)
+    assert resized["width"].to_pylist() == [(500 % 199 + 1 + 3) // 4]
+    assert resized["height"].to_pylist() == [(500 // 199 + 1 + 3) // 4]
+    assert resized["n_bytes"].to_pylist() == [(500 + 15) // 16 + 12]
+    # decode the resized blob with the standard decode stage
+    dec = ImageDecodeStage()
+    meta = dec(resized.select(["doc_id", "blob"]))
+    assert meta["width"].to_pylist() == resized["width"].to_pylist()
+    assert meta["height"].to_pylist() == resized["height"].to_pylist()
+
+
+def test_image_resize_ds_oracle(ray_session):
+    import duckdb
+
+    from rwcf.multimodal import image_resize_ds
+    sf = "/root/testdata/sf0.001"
+    # concurrency=2 at the fixture's 4 cpus: 4 actors would starve the
+    # upstream read/blob tasks (same sizing as the metadata test)
+    out = image_resize_ds(sf, factor=4, concurrency=2).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    exp = duckdb.sql(
+        f"SELECT doc_id, (strlen(text) % 199 + 1 + 3) // 4 AS w, "
+        f"(strlen(text) // 199 + 1 + 3) // 4 AS h, "
+        f"(strlen(text) + 15) // 16 + 12 AS b "
+        f"FROM read_parquet('{sf}/documents.parquet') ORDER BY 1").df()
+    assert out["doc_id"].tolist() == exp["doc_id"].astype("int64").tolist()
+    assert out["width"].tolist() == exp["w"].astype("int64").tolist()
+    assert out["height"].tolist() == exp["h"].astype("int64").tolist()
+    assert out["n_bytes"].tolist() == exp["b"].astype("int64").tolist()
