@@ -2159,6 +2159,70 @@ def _q_multimodal_resize(sf_dir: str):
     return image_resize_ds(sf_dir, factor=4)
 
 
+def _q_outer_join_coverage(sf_dir: str):
+    """FULL OUTER join mode under the contract: differently-filtered
+    docs/embeddings sides, outer hash join, side-tagged exact counts
+    (both / doc_only / vec_only) so no nullable column reaches the
+    hash compare."""
+    import ray.data as rd
+
+    from rwcf import rayenv
+    from rwcf.joins import hash_join
+
+    docs = _docs_ds(sf_dir, columns=("doc_id", "n_chars"))
+
+    def doc_filter(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        sel = pa.array(ids % 2 == 0)
+        return pa.table({"doc_id": t.column("doc_id").filter(sel),
+                         "n_chars": t.column("n_chars").filter(sel)})
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "label"])
+
+    def emb_filter(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        sel = pa.array(ids % 3 == 0)
+        return pa.table({
+            "vec_id": pc.cast(t.column("vec_id").filter(sel), pa.int64()),
+            "label": pc.cast(t.column("label").filter(sel), pa.int64())})
+
+    left = docs.map_batches(doc_filter, batch_format="pyarrow",
+                            **rayenv.remote_args())
+    right = emb.map_batches(emb_filter, batch_format="pyarrow",
+                            **rayenv.remote_args())
+    j = hash_join(left, right, on="doc_id", right_on="vec_id",
+                  how="outer", buckets=16)
+
+    def sides(t: pa.Table) -> pa.Table:
+        has_doc = pc.is_valid(t.column("doc_id")).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        has_vec = pc.is_valid(t.column("vec_id")).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        side = np.where(has_doc & has_vec, "both",
+                        np.where(has_doc, "doc_only", "vec_only"))
+        nch = t.column("n_chars").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        nch = np.where(has_doc, nch, 0).astype(np.int64)
+        g = pa.table({"side": pa.array(side.astype(object), pa.string()),
+                      "n_rows": pa.array(np.ones(len(t), np.int64)),
+                      "sum_nchars": pa.array(nch)}) \
+            .group_by("side").aggregate([("n_rows", "sum"),
+                                         ("sum_nchars", "sum")])
+        return pa.table({"side": g.column("side"),
+                         "n_rows": g.column("n_rows_sum"),
+                         "sum_nchars": g.column("sum_nchars_sum")})
+
+    from ray.data.aggregate import Sum
+    return (j.map_batches(sides, batch_format="pyarrow",
+                          **rayenv.remote_args())
+            .groupby("side")
+            .aggregate(Sum("n_rows", alias_name="n_rows"),
+                       Sum("sum_nchars", alias_name="sum_nchars")))
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -2300,6 +2364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hapax_per_source": _q_hapax,
         "compressed_group_count": _q_compressed_group_count,
         "multimodal_resize": _q_multimodal_resize,
+        "outer_join_coverage": _q_outer_join_coverage,
         "daily_new_vs_returning": _q_new_vs_returning,
         "ship_lag_histogram": _q_ship_lag,
         "shipping_priority": _q_shipping_priority,
@@ -2989,6 +3054,17 @@ def oracle_sql() -> dict[str, str]:
             "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20) "
             "OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15 "
             "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)"),
+        "outer_join_coverage": (
+            "WITH d AS (SELECT doc_id, n_chars FROM documents "
+            "WHERE doc_id % 2 = 0), "
+            "e AS (SELECT vec_id, label FROM embeddings "
+            "WHERE vec_id % 3 = 0) "
+            "SELECT CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL"
+            " THEN 'both' WHEN doc_id IS NOT NULL THEN 'doc_only' "
+            "ELSE 'vec_only' END AS side, "
+            "CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS sum_nchars "
+            "FROM d FULL JOIN e ON doc_id = vec_id GROUP BY side"),
         # RWIM fake-format resize: dims/bytes are pure integer
         # functions of strlen(text) (factor 4, every 16th body byte)
         "multimodal_resize": (

@@ -486,3 +486,26 @@ def test_hash_join_right_outer_reject_broadcast_and_bloom(ray_session):
         with pytest.raises(ValueError, match="bloom_bits"):
             hash_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
                       right_on="id", how=how, bloom_bits=1 << 10)
+
+
+def test_outer_join_coverage_query(ray_session):
+    import duckdb
+
+    import __ray_entry__ as entry_mod
+    sf = "/root/testdata/sf0.001"
+    out = entry_mod.queries()["outer_join_coverage"](sf).to_pandas() \
+        .sort_values("side", ignore_index=True)
+    exp = duckdb.sql(
+        f"WITH d AS (SELECT doc_id, n_chars FROM "
+        f"read_parquet('{sf}/documents.parquet') WHERE doc_id % 2 = 0),"
+        f" e AS (SELECT vec_id, label FROM "
+        f"read_parquet('{sf}/embeddings.parquet') WHERE vec_id % 3 = 0)"
+        f" SELECT CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL "
+        f"THEN 'both' WHEN doc_id IS NOT NULL THEN 'doc_only' "
+        f"ELSE 'vec_only' END AS side, count(*) AS n, "
+        f"sum(coalesce(n_chars, 0)) AS s "
+        f"FROM d FULL JOIN e ON doc_id = vec_id "
+        f"GROUP BY 1 ORDER BY 1").df()
+    assert out["side"].tolist() == exp["side"].tolist()
+    assert out["n_rows"].tolist() == exp["n"].astype("int64").tolist()
+    assert out["sum_nchars"].tolist() == exp["s"].astype("int64").tolist()
