@@ -2223,6 +2223,22 @@ def _q_outer_join_coverage(sf_dir: str):
                        Sum("sum_nchars", alias_name="sum_nchars")))
 
 
+def _q_quality_by_lang(sf_dir: str):
+    """Per-lang quality rollup: vectorized RE2 counters, domain-sized
+    partials, one tiny groupby — text never reshuffles."""
+    from rwcf import textops
+    return textops.quality_by_group(
+        _docs_ds(sf_dir, columns=("lang", "text")), key_col="lang")
+
+
+def _q_dup_rate_per_source(sf_dir: str):
+    """Exact duplicate rate per source: content-routed distinct with
+    in-bucket exact string equality, exact bp rates."""
+    from rwcf import dedup
+    return dedup.dup_rate_per_source(
+        _docs_ds(sf_dir, columns=("source", "text")))
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -2365,6 +2381,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compressed_group_count": _q_compressed_group_count,
         "multimodal_resize": _q_multimodal_resize,
         "outer_join_coverage": _q_outer_join_coverage,
+        "quality_by_lang": _q_quality_by_lang,
+        "dup_rate_per_source": _q_dup_rate_per_source,
         "daily_new_vs_returning": _q_new_vs_returning,
         "ship_lag_histogram": _q_ship_lag,
         "shipping_priority": _q_shipping_priority,
@@ -3054,6 +3072,25 @@ def oracle_sql() -> dict[str, str]:
             "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20) "
             "OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15 "
             "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)"),
+        # same RE2/SQL regex pairs as the quality_stats contract
+        "quality_by_lang": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(length(regexp_extract_all(text, '\\S+'))) "
+            "AS BIGINT) AS n_words, "
+            "CAST(sum(length(regexp_extract_all(text, '[^\\w\\s]'))) "
+            "AS BIGINT) AS n_punct, "
+            "CAST(sum(length(regexp_extract_all(text, '[0-9]'))) "
+            "AS BIGINT) AS n_digit, "
+            "CAST(sum(length(regexp_extract_all(text, "
+            "'\\b(the|a|and|of|to|in|is|it|that|for)\\b'))) AS BIGINT) "
+            "AS n_stop FROM documents GROUP BY lang"),
+        "dup_rate_per_source": (
+            "WITH s AS (SELECT source, count(*) AS n_docs, "
+            "count(DISTINCT text) AS nd FROM documents GROUP BY 1) "
+            "SELECT source, CAST(n_docs AS BIGINT) AS n_docs, "
+            "CAST(nd AS BIGINT) AS n_distinct_texts, "
+            "CAST(((n_docs - nd) * 10000) // n_docs AS BIGINT) "
+            "AS dup_bp FROM s"),
         "outer_join_coverage": (
             "WITH d AS (SELECT doc_id, n_chars FROM documents "
             "WHERE doc_id % 2 = 0), "

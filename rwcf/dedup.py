@@ -1743,3 +1743,75 @@ def dup_ngram_counts_ds(ds, width: int = 40, text_col: str = "text",
             "n_dup_grams": pc.cast(t.column("n_dup_grams"), pa.int64())})
     return out.map_batches(cast, batch_format="pyarrow",
                            **rayenv.remote_args())
+
+
+def dup_rate_per_source(ds, key_col: str = "source",
+                        text_col: str = "text", buckets: int = 64):
+    """Exact duplicate rate per source: documents minus DISTINCT texts
+    within each source, as counts and floor basis points — the
+    per-slice redundancy dashboard (which crawl source is a template
+    farm). Distinctness is exact STRING equality (the in-bucket
+    group_by compares bytes), not hash equality. Output
+    ``(source, n_docs, n_distinct_texts, dup_bp)``.
+
+    Scale shape: per-batch (source, text) distinct + per-(source,
+    text) counts collapse each batch (duplicate bodies never ship
+    twice per batch); ONE hash(source, text) exchange — the same
+    content-routed shuffle as exact dedup — then in-bucket exact
+    distinct and per-source partials, source-sized final."""
+    import pyarrow.compute as _pc
+
+    from ray.data.aggregate import Sum
+
+    from . import rayenv
+    from .joins import hash_bucket
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "k": t.column(key_col), "x": t.column(text_col),
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+        }).group_by(["k", "x"]).aggregate([("n", "sum")])
+        b = hash_bucket(g.column("k").to_numpy(zero_copy_only=False),
+                        g.column("x").to_numpy(zero_copy_only=False),
+                        buckets=buckets)
+        return pa.table({"k": g.column("k"), "x": g.column("x"),
+                         "n": g.column("n_sum"), "_b": pa.array(b)})
+
+    def count_bucket(g: pa.Table) -> pa.Table:
+        m = g.select(["k", "x", "n"]).group_by(["k", "x"]) \
+            .aggregate([("n", "sum")])
+        agg = pa.table({
+            "k": m.column("k"),
+            "n_docs": m.column("n_sum"),
+            "nd": pa.array(np.ones(len(m), np.int64)),
+        }).group_by("k").aggregate([("n_docs", "sum"), ("nd", "sum")])
+        return pa.table({key_col: agg.column("k"),
+                         "n_docs": _pc.cast(agg.column("n_docs_sum"),
+                                            pa.int64()),
+                         "n_distinct_texts":
+                             _pc.cast(agg.column("nd_sum"), pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          **rayenv.remote_args())
+           .repartition(buckets)
+           .groupby("_b")
+           .map_groups(count_bucket, batch_format="pyarrow",
+                       **rayenv.remote_args())
+           .groupby(key_col)
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_distinct_texts",
+                          alias_name="n_distinct_texts")))
+
+    def rate(t: pa.Table) -> pa.Table:
+        nd = t.column("n_docs").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        nx = t.column("n_distinct_texts").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({key_col: t.column(key_col),
+                         "n_docs": pa.array(nd),
+                         "n_distinct_texts": pa.array(nx),
+                         "dup_bp": pa.array(
+                             ((nd - nx) * 10000) // np.maximum(nd, 1))})
+
+    return agg.map_batches(rate, batch_format="pyarrow",
+                           **rayenv.remote_args())

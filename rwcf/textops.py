@@ -271,3 +271,47 @@ def chunk_docs_ds(ds, width: int = 128, stride: int = 96,
                            text_col=text_col, id_col=id_col)
     return ds.map_batches(fn, batch_format="pyarrow",
                           **rayenv.remote_args())
+
+
+def quality_by_group(ds, key_col: str = "lang", text_col: str = "text"):
+    """Per-group quality rollup — the slice-level view of
+    :func:`quality_batch` (which lang/source ships the punctuation
+    soup): exact integer totals per group. Output ``(key, n_docs,
+    n_words, n_punct, n_digit, n_stop)``.
+
+    Scale shape: the per-doc counters are the same vectorized RE2
+    kernels; each batch collapses to |group domain| partial rows via
+    an Arrow group_by, then one domain-sized groupby — no text ever
+    reshuffles."""
+    from ray.data.aggregate import Sum
+
+    from . import rayenv
+
+    def part(t: pa.Table) -> pa.Table:
+        text = t.column(text_col)
+        n_words = pc.cast(pc.count_substring_regex(text, WORD_PATTERN),
+                          pa.int64())
+        n_punct = pc.cast(pc.count_substring_regex(text, _PUNCT),
+                          pa.int64())
+        n_digit = pc.cast(pc.count_substring_regex(text, _DIGIT),
+                          pa.int64())
+        n_stop = pc.cast(pc.count_substring_regex(
+            text, r"\b(" + "|".join(_STOPWORDS) + r")\b"), pa.int64())
+        g = pa.table({
+            key_col: t.column(key_col),
+            "n_docs": pa.array(np.ones(t.num_rows, np.int64)),
+            "n_words": n_words, "n_punct": n_punct,
+            "n_digit": n_digit, "n_stop": n_stop,
+        }).group_by(key_col).aggregate(
+            [("n_docs", "sum"), ("n_words", "sum"), ("n_punct", "sum"),
+             ("n_digit", "sum"), ("n_stop", "sum")])
+        return pa.table({key_col: g.column(key_col),
+                         **{c: g.column(f"{c}_sum")
+                            for c in ("n_docs", "n_words", "n_punct",
+                                      "n_digit", "n_stop")}})
+
+    cols = ("n_docs", "n_words", "n_punct", "n_digit", "n_stop")
+    return (ds.map_batches(part, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .groupby(key_col)
+            .aggregate(*[Sum(c, alias_name=c) for c in cols]))

@@ -360,3 +360,26 @@ def test_minhash_tokens_batch_set_equal_sequences_route_apart():
     assert s[1] == s[4]                      # identical sequences agree
     assert s[1] != s[2]                      # order-sensitive
     assert s[1] != s[3]                      # length/multiplicity-sensitive
+
+
+def test_dup_rate_per_source_oracle(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from rwcf.dedup import dup_rate_per_source
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/documents.parquet",
+                         columns=["source", "text"])
+    out = dup_rate_per_source(ds, buckets=8).to_pandas() \
+        .sort_values("source", ignore_index=True)
+    exp = duckdb.sql(
+        f"SELECT source, count(*) AS n, count(DISTINCT text) AS nd "
+        f"FROM read_parquet('{sf}/documents.parquet') "
+        f"GROUP BY 1 ORDER BY 1").df()
+    assert out["source"].tolist() == exp["source"].tolist()
+    assert out["n_docs"].tolist() == exp["n"].astype("int64").tolist()
+    assert out["n_distinct_texts"].tolist() == \
+        exp["nd"].astype("int64").tolist()
+    bp = ((exp["n"].astype("int64") - exp["nd"].astype("int64"))
+          * 10000) // exp["n"].astype("int64")
+    assert out["dup_bp"].tolist() == bp.tolist()

@@ -146,3 +146,30 @@ def test_chunk_docs_rejects_non_ascii_and_bad_params():
         chunk_docs_batch(ok, width=0, stride=2)
     with pytest.raises(ValueError):
         chunk_docs_batch(ok, width=4, stride=-1)
+
+
+def test_quality_by_group_oracle(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from rwcf.textops import quality_by_group
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/documents.parquet",
+                         columns=["lang", "text"])
+    out = quality_by_group(ds, key_col="lang").to_pandas() \
+        .sort_values("lang", ignore_index=True)
+    exp = duckdb.sql(
+        f"SELECT lang, count(*) AS n_docs, "
+        f"sum(length(regexp_extract_all(text, '\\S+'))) AS w, "
+        f"sum(length(regexp_extract_all(text, '[^\\w\\s]'))) AS p, "
+        f"sum(length(regexp_extract_all(text, '[0-9]'))) AS d, "
+        f"sum(length(regexp_extract_all(text, "
+        f"'\\b(the|a|and|of|to|in|is|it|that|for)\\b'))) AS s "
+        f"FROM read_parquet('{sf}/documents.parquet') "
+        f"GROUP BY 1 ORDER BY 1").df()
+    assert out["lang"].tolist() == exp["lang"].tolist()
+    assert out["n_docs"].tolist() == exp["n_docs"].astype("int64").tolist()
+    assert out["n_words"].tolist() == exp["w"].astype("int64").tolist()
+    assert out["n_punct"].tolist() == exp["p"].astype("int64").tolist()
+    assert out["n_digit"].tolist() == exp["d"].astype("int64").tolist()
+    assert out["n_stop"].tolist() == exp["s"].astype("int64").tolist()
