@@ -2239,6 +2239,14 @@ def _q_dup_rate_per_source(sf_dir: str):
         _docs_ds(sf_dir, columns=("source", "text")))
 
 
+def _q_grouped_gini(sf_dir: str):
+    """Per-source Gini of doc length as an exact integer rational:
+    one hash(key) exchange, segmented rank-sum pass."""
+    from rwcf import analytics
+    return analytics.grouped_gini(
+        _docs_ds(sf_dir, columns=("source", "n_chars")))
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -2383,6 +2391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outer_join_coverage": _q_outer_join_coverage,
         "quality_by_lang": _q_quality_by_lang,
         "dup_rate_per_source": _q_dup_rate_per_source,
+        "gini_nchars_per_source": _q_grouped_gini,
         "daily_new_vs_returning": _q_new_vs_returning,
         "ship_lag_histogram": _q_ship_lag,
         "shipping_priority": _q_shipping_priority,
@@ -3072,6 +3081,15 @@ def oracle_sql() -> dict[str, str]:
             "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20) "
             "OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15 "
             "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)"),
+        # exact rational Gini: sum((2*rn - n - 1)*v) is tie-invariant
+        "gini_nchars_per_source": (
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum((2 * rn - n - 1) * v) AS BIGINT) AS gini_num, "
+            "CAST(any_value(n) * sum(v) AS BIGINT) AS gini_den FROM "
+            "(SELECT source, n_chars AS v, row_number() OVER "
+            "(PARTITION BY source ORDER BY n_chars) AS rn, "
+            "count(*) OVER (PARTITION BY source) AS n FROM documents) "
+            "GROUP BY source"),
         # same RE2/SQL regex pairs as the quality_stats contract
         "quality_by_lang": (
             "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "

@@ -1593,3 +1593,42 @@ def test_daily_new_vs_returning_oracle(ray_session):
     assert out["n_new"].tolist() == exp["nn"].astype("int64").tolist()
     assert out["n_returning"].tolist() == \
         exp["nr"].astype("int64").tolist()
+
+
+def test_grouped_gini_oracle(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from rwcf.analytics import grouped_gini
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/documents.parquet",
+                         columns=["source", "n_chars"])
+    out = grouped_gini(ds, buckets=8).to_pandas() \
+        .sort_values("source", ignore_index=True)
+    exp = duckdb.sql(
+        f"SELECT source, count(*) AS n_rows, "
+        f"sum((2 * rn - n - 1) * v) AS num, any_value(n) * sum(v) "
+        f"AS den FROM (SELECT source, n_chars AS v, row_number() OVER "
+        f"(PARTITION BY source ORDER BY n_chars) AS rn, count(*) OVER "
+        f"(PARTITION BY source) AS n "
+        f"FROM read_parquet('{sf}/documents.parquet')) "
+        f"GROUP BY 1 ORDER BY 1").df()
+    assert out["source"].tolist() == exp["source"].tolist()
+    assert out["n_rows"].tolist() == exp["n_rows"].astype("int64").tolist()
+    assert out["gini_num"].tolist() == exp["num"].astype("int64").tolist()
+    assert out["gini_den"].tolist() == exp["den"].astype("int64").tolist()
+
+
+def test_grouped_gini_known_values(ray_session):
+    # uniform values -> gini_num 0; one-hot [0,0,0,9] at n=4 ->
+    # num = (2*4-5)*9 = 27, den = 4*9 = 36 -> gini (n-1)/n = 0.75
+    import ray.data as rd
+
+    from rwcf.analytics import grouped_gini
+    t = pa.table({"source": pa.array(["u"] * 3 + ["h"] * 4),
+                  "n_chars": pa.array([5, 5, 5, 0, 0, 0, 9], pa.int64())})
+    out = grouped_gini(rd.from_arrow(t), buckets=4).to_pandas() \
+        .sort_values("source", ignore_index=True)
+    assert out["source"].tolist() == ["h", "u"]
+    assert out["gini_num"].tolist() == [27, 0]
+    assert out["gini_den"].tolist() == [36, 45]
