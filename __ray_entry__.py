@@ -2247,6 +2247,78 @@ def _q_grouped_gini(sf_dir: str):
         _docs_ds(sf_dir, columns=("source", "n_chars")))
 
 
+def _q_segment_value_quantiles(sf_dir: str):
+    """Grouped quantiles OVER A JOIN: order cents re-keyed to market
+    segment by one bucketed join, then the standard exact per-group
+    order statistics (rank-ceil(q*n))."""
+    import ray.data as rd
+
+    from rwcf import analytics, rayenv
+    from rwcf.joins import hash_join
+
+    od = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_custkey", "o_totalprice"])
+
+    def ord_proj(t: pa.Table) -> pa.Table:
+        import numpy as np
+        cents = np.rint(t.column("o_totalprice").combine_chunks()
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        return pa.table({
+            "ck": pc.cast(t.column("o_custkey"), pa.int64()),
+            "cents": pa.array(cents)})
+
+    cu = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+
+    def cust_proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "ck": pc.cast(t.column("c_custkey"), pa.int64()),
+            "c_mktsegment": t.column("c_mktsegment")})
+
+    j = hash_join(
+        od.map_batches(ord_proj, batch_format="pyarrow",
+                       **rayenv.remote_args()),
+        cu.map_batches(cust_proj, batch_format="pyarrow",
+                       **rayenv.remote_args()),
+        on="ck", buckets=16)
+    return analytics.grouped_quantiles(j, "c_mktsegment", "cents",
+                                       qs=(0.5, 0.95))
+
+
+def _q_moments_per_source(sf_dir: str):
+    """Exact group moments (n, sum, sum-of-squares) — variance and
+    stddev derive client-side with no float in the exchange."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+    from rwcf import rayenv
+
+    ds = _docs_ds(sf_dir, columns=("source", "n_chars"))
+
+    def part(t: pa.Table) -> pa.Table:
+        import numpy as np
+        v = t.column("n_chars").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pa.table({
+            "source": t.column("source"),
+            "n_rows": pa.array(np.ones(v.size, np.int64)),
+            "sum_v": pa.array(v), "sum_v2": pa.array(v * v),
+        }).group_by("source").aggregate(
+            [("n_rows", "sum"), ("sum_v", "sum"), ("sum_v2", "sum")])
+        return pa.table({"source": g.column("source"),
+                         "n_rows": g.column("n_rows_sum"),
+                         "sum_v": g.column("sum_v_sum"),
+                         "sum_v2": g.column("sum_v2_sum")})
+
+    return (ds.map_batches(part, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .groupby("source")
+            .aggregate(Sum("n_rows", alias_name="n_rows"),
+                       Sum("sum_v", alias_name="sum_v"),
+                       Sum("sum_v2", alias_name="sum_v2")))
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -2392,6 +2464,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_by_lang": _q_quality_by_lang,
         "dup_rate_per_source": _q_dup_rate_per_source,
         "gini_nchars_per_source": _q_grouped_gini,
+        "segment_value_quantiles": _q_segment_value_quantiles,
+        "moments_per_source": _q_moments_per_source,
         "daily_new_vs_returning": _q_new_vs_returning,
         "ship_lag_histogram": _q_ship_lag,
         "shipping_priority": _q_shipping_priority,
@@ -3081,6 +3155,24 @@ def oracle_sql() -> dict[str, str]:
             "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20) "
             "OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15 "
             "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)"),
+        # grouped order statistics over a JOIN, same rank-ceil idiom as
+        # grouped_quantiles_source
+        "segment_value_quantiles": (
+            "WITH s AS (SELECT c_mktsegment, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS v, "
+            "row_number() OVER (PARTITION BY c_mktsegment "
+            "ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)) AS rn,"
+            " count(*) OVER (PARTITION BY c_mktsegment) AS n "
+            "FROM orders JOIN customer ON o_custkey = c_custkey), "
+            "qs AS (SELECT unnest([0.5, 0.95]) AS q) "
+            "SELECT s.c_mktsegment, qs.q, CAST(s.v AS BIGINT) AS v "
+            "FROM s JOIN qs "
+            "ON s.rn = greatest(1, CAST(ceil(qs.q * s.n) AS BIGINT))"),
+        "moments_per_source": (
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_v, "
+            "CAST(sum(n_chars * n_chars) AS BIGINT) AS sum_v2 "
+            "FROM documents GROUP BY source"),
         # exact rational Gini: sum((2*rn - n - 1)*v) is tie-invariant
         "gini_nchars_per_source": (
             "SELECT source, CAST(count(*) AS BIGINT) AS n_rows, "

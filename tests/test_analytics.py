@@ -1632,3 +1632,47 @@ def test_grouped_gini_known_values(ray_session):
     assert out["source"].tolist() == ["h", "u"]
     assert out["gini_num"].tolist() == [27, 0]
     assert out["gini_den"].tolist() == [36, 45]
+
+
+def test_segment_value_quantiles_query(ray_session):
+    import duckdb
+
+    import __ray_entry__ as entry_mod
+    sf = "/root/testdata/sf0.001"
+    out = entry_mod.queries()["segment_value_quantiles"](sf) \
+        .to_pandas().sort_values(["c_mktsegment", "q"],
+                                 ignore_index=True)
+    exp = duckdb.sql(
+        f"WITH s AS (SELECT c_mktsegment, "
+        f"CAST(round(o_totalprice*100) AS BIGINT) AS v, "
+        f"row_number() OVER (PARTITION BY c_mktsegment ORDER BY "
+        f"CAST(round(o_totalprice*100) AS BIGINT)) AS rn, "
+        f"count(*) OVER (PARTITION BY c_mktsegment) AS n "
+        f"FROM read_parquet('{sf}/orders.parquet') o "
+        f"JOIN read_parquet('{sf}/customer.parquet') c "
+        f"ON o_custkey = c_custkey), "
+        f"qs AS (SELECT unnest([0.5, 0.95]) AS q) "
+        f"SELECT s.c_mktsegment, qs.q, s.v FROM s JOIN qs "
+        f"ON s.rn = greatest(1, CAST(ceil(qs.q * s.n) AS BIGINT)) "
+        f"ORDER BY 1, 2").df()
+    assert out["c_mktsegment"].tolist() == exp["c_mktsegment"].tolist()
+    assert out["q"].tolist() == exp["q"].tolist()
+    assert out["v"].tolist() == exp["v"].astype("int64").tolist()
+
+
+def test_moments_per_source_query(ray_session):
+    import duckdb
+
+    import __ray_entry__ as entry_mod
+    sf = "/root/testdata/sf0.001"
+    out = entry_mod.queries()["moments_per_source"](sf).to_pandas() \
+        .sort_values("source", ignore_index=True)
+    exp = duckdb.sql(
+        f"SELECT source, count(*) AS n, sum(n_chars) AS s, "
+        f"sum(n_chars * n_chars) AS s2 "
+        f"FROM read_parquet('{sf}/documents.parquet') "
+        f"GROUP BY 1 ORDER BY 1").df()
+    assert out["source"].tolist() == exp["source"].tolist()
+    assert out["n_rows"].tolist() == exp["n"].astype("int64").tolist()
+    assert out["sum_v"].tolist() == exp["s"].astype("int64").tolist()
+    assert out["sum_v2"].tolist() == exp["s2"].astype("int64").tolist()
