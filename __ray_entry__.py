@@ -2319,6 +2319,143 @@ def _q_moments_per_source(sf_dir: str):
                        Sum("sum_v2", alias_name="sum_v2")))
 
 
+def _q_late_ship_priority(sf_dir: str):
+    """TPC-H-Q4-shaped EXISTS count: lineitem collapses to per-order
+    max-shipdate partials (EXISTS == pred on the group max), one
+    bucketed orderkey join, exact-distinct per-priority count."""
+    import ray.data as rd
+
+    from rwcf.relational import late_ship_priority
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_shipdate"])
+    od = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderkey", "o_orderdate",
+                                  "o_orderpriority"])
+    return late_ship_priority(li, od, grace_days=60)
+
+
+def _q_market_share(sf_dir: str):
+    """TPC-H-Q8-shaped market share: supplier target-set broadcast,
+    (orderkey, flag) revenue partials, one bucketed join, years-sized
+    final with exact floor-bp share."""
+    import ray.data as rd
+
+    from rwcf.relational import market_share_by_year
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+    od = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderkey", "o_orderdate"])
+    su = rd.read_parquet(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    return market_share_by_year(li, od, su, target_nationkey=3)
+
+
+def _q_profit_nation_year(sf_dir: str):
+    """TPC-H-Q9-shaped profit rollup: part-name filter rides a
+    Bloom-pruned semi join, supplier nation map broadcast, one
+    bucketed orderkey join, |nations| x |years| final."""
+    import ray.data as rd
+
+    from rwcf.relational import profit_by_nation_year
+    rp = lambda t, cols: rd.read_parquet(  # noqa: E731
+        os.path.join(sf_dir, f"{t}.parquet"), columns=cols)
+    return profit_by_nation_year(
+        rp("lineitem", ["l_partkey", "l_orderkey", "l_suppkey",
+                        "l_extendedprice", "l_discount"]),
+        rp("orders", ["o_orderkey", "o_orderdate"]),
+        rp("supplier", ["s_suppkey", "s_nationkey"]),
+        rp("nation", ["n_nationkey", "n_name"]),
+        rp("part", ["p_partkey", "p_name"]),
+        name_pattern="ar")
+
+
+def _q_important_brands(sf_dir: str):
+    """TPC-H-Q11-shaped HAVING vs global total: brand partials, one
+    bucketed join, cross-multiplied threshold on the brand-sized
+    rollup (no division, no second fact pass)."""
+    import ray.data as rd
+
+    from rwcf.relational import important_brands
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey", "l_quantity"])
+    pt = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand"])
+    return important_brands(li, pt, threshold_bp=400)
+
+
+def _q_bulk_suppliers(sf_dir: str):
+    """TPC-H-Q20-shaped nested-aggregate semi: small-part keys ride a
+    Bloom-pruned semi join, per-supplier sums, threshold filter BEFORE
+    the name join ships anything."""
+    import ray.data as rd
+
+    from rwcf.relational import bulk_suppliers
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey", "l_suppkey",
+                                  "l_quantity"])
+    su = rd.read_parquet(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_name"])
+    pt = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_size"])
+    return bulk_suppliers(li, su, pt, max_size=10, min_qty=500)
+
+
+def _q_sole_return_suppliers(sf_dir: str):
+    """TPC-H-Q21-shaped sole-fault analysis: distinct
+    (order, supplier, had_R) partials, ONE hash(orderkey) exchange,
+    segmented in-bucket quantifier kernel, supplier-sized count."""
+    import ray.data as rd
+
+    from rwcf.relational import sole_return_suppliers
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_returnflag"])
+    su = rd.read_parquet(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_name"])
+    return sole_return_suppliers(li, su)
+
+
+def _q_cheapest_supplier(sf_dir: str):
+    """TPC-H-Q2-shaped per-group argmin over a join: distinct pair
+    partials, two bucketed joins, per-batch lexicographic argmin, a
+    |brands|-sized final fold."""
+    import ray.data as rd
+
+    from rwcf.relational import cheapest_supplier_per_brand
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey", "l_suppkey"])
+    su = rd.read_parquet(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_name", "s_acctbal"])
+    pt = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand"])
+    return cheapest_supplier_per_brand(li, su, pt)
+
+
+def _q_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary growth: (word, min doc_id) partials, one
+    hash(word) exchange, deciles-sized histogram final."""
+    from rwcf import analytics
+    return analytics.vocab_growth(
+        _docs_ds(sf_dir, columns=("doc_id", "text")))
+
+
+def _q_max_tf(sf_dir: str):
+    """Per-doc max term frequency rolled up per source: in-batch
+    segmented word counts, source-sized final — zero wide exchanges."""
+    from rwcf import analytics
+    return analytics.max_tf_per_source(
+        _docs_ds(sf_dir, columns=("source", "doc_id", "text")))
+
+
+def _q_distinct_words_hist(sf_dir: str):
+    """Vocabulary-richness histogram: per-doc distinct counts in-batch,
+    value-domain-sized final groupby."""
+    from rwcf import analytics
+    return analytics.distinct_words_histogram(
+        _docs_ds(sf_dir, columns=("doc_id", "text")))
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -2514,6 +2651,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                                fromlist=["x"])
                                     .normalize_text_batch),
         "asof_join_orders": _q_asof_join,
+        "late_ship_priority": _q_late_ship_priority,
+        "market_share_by_year": _q_market_share,
+        "profit_by_nation_year": _q_profit_nation_year,
+        "important_brands": _q_important_brands,
+        "bulk_suppliers": _q_bulk_suppliers,
+        "sole_return_suppliers": _q_sole_return_suppliers,
+        "cheapest_supplier_per_brand": _q_cheapest_supplier,
+        "vocab_growth": _q_vocab_growth,
+        "max_tf_per_source": _q_max_tf,
+        "distinct_words_histogram": _q_distinct_words_hist,
     }
 
 
@@ -3930,6 +4077,112 @@ def oracle_sql() -> dict[str, str]:
             "HAVING count(*) >= 2) "
             "SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams "
             "FROM g JOIN dup USING (gram) GROUP BY g.doc_id"),
+        # Q4 shape: EXISTS == predicate on the per-order max shipdate
+        "late_ship_priority": (
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) "
+            "AS n_late_orders FROM orders WHERE EXISTS "
+            "(SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+            "AND l_shipdate > o_orderdate + INTERVAL 60 DAY) "
+            "GROUP BY 1"),
+        # Q8 shape: exact floor-bp share via HUGEINT // (matches Python
+        # int floor division on non-negative sums)
+        "market_share_by_year": (
+            "WITH r AS (SELECT CAST(year(o_orderdate) AS BIGINT) "
+            "AS o_year, CASE WHEN s_nationkey = 3 THEN 1 ELSE 0 END "
+            "AS ist, CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey) "
+            "SELECT o_year, CAST(sum(rev * ist) AS BIGINT) "
+            "AS target_rev_scaled, CAST(sum(rev) AS BIGINT) "
+            "AS total_rev_scaled, CAST(sum(rev * ist) * 10000 // "
+            "sum(rev) AS BIGINT) AS share_bp FROM r GROUP BY 1"),
+        # Q9 shape on this schema (no partsupp): revenue of
+        # pattern-matching parts by supplier nation x order year
+        "profit_by_nation_year": (
+            "SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,"
+            " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)"
+            " AS rev_scaled "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN part ON l_partkey = p_partkey "
+            "WHERE p_name LIKE '%ar%' GROUP BY 1, 2"),
+        # Q11 shape: cross-multiplied HAVING against the global total
+        "important_brands": (
+            "WITH b AS (SELECT p_brand, "
+            "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) "
+            "AS qty_sum FROM lineitem JOIN part "
+            "ON l_partkey = p_partkey GROUP BY 1), "
+            "t AS (SELECT sum(qty_sum) AS total FROM b) "
+            "SELECT p_brand, qty_sum FROM b, t "
+            "WHERE qty_sum * 10000 > total * 400"),
+        # Q20 shape: nested-aggregate threshold before the name join
+        "bulk_suppliers": (
+            "WITH q AS (SELECT l_suppkey AS sk, "
+            "sum(CAST(round(l_quantity) AS BIGINT)) AS qty_sum "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE p_size <= 10 GROUP BY 1) "
+            "SELECT s_name, CAST(qty_sum AS BIGINT) AS qty_sum "
+            "FROM q JOIN supplier ON sk = s_suppkey "
+            "WHERE qty_sum > 500"),
+        # Q21 shape: >=2 suppliers, exactly one with a returned line
+        "sole_return_suppliers": (
+            "WITH ps AS (SELECT l_orderkey AS ok, l_suppkey AS sk, "
+            "max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) "
+            "AS had_r FROM lineitem GROUP BY 1, 2), "
+            "o AS (SELECT ok, count(*) AS nsupp, sum(had_r) AS nr "
+            "FROM ps GROUP BY 1), "
+            "f AS (SELECT ps.sk FROM ps JOIN o USING (ok) "
+            "WHERE o.nsupp >= 2 AND o.nr = 1 AND ps.had_r = 1) "
+            "SELECT s_name, CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM f JOIN supplier ON sk = s_suppkey GROUP BY 1"),
+        # Q2 shape: per-brand argmin with (balance, suppkey) tiebreak
+        "cheapest_supplier_per_brand": (
+            "WITH pr AS (SELECT DISTINCT l_partkey AS pk, "
+            "l_suppkey AS sk FROM lineitem), "
+            "b AS (SELECT DISTINCT p_brand, sk FROM pr "
+            "JOIN part ON pk = p_partkey), "
+            "j AS (SELECT p_brand, s_name, "
+            "CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents, "
+            "sk FROM b JOIN supplier ON sk = s_suppkey), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY p_brand "
+            "ORDER BY acctbal_cents, sk) AS rn FROM j) "
+            "SELECT p_brand, s_name, acctbal_cents FROM r WHERE rn = 1"),
+        # Heaps-law curve: a word counts at threshold t iff its FIRST
+        # doc_id <= t
+        "vocab_growth": (
+            "WITH m AS (SELECT max(doc_id) AS mx FROM documents), "
+            "w AS (SELECT doc_id, unnest(regexp_extract_all(text, "
+            "'\\S+')) AS word FROM documents), "
+            "f AS (SELECT word, min(doc_id) AS fid FROM w GROUP BY 1), "
+            "d AS (SELECT CAST(i AS BIGINT) AS decile, "
+            "CAST((mx * i) // 10 AS BIGINT) AS threshold_id "
+            "FROM generate_series(1, 10) t(i), m) "
+            "SELECT d.decile, d.threshold_id, CAST(count(*) FILTER "
+            "(WHERE f.fid <= d.threshold_id) AS BIGINT) AS n_distinct "
+            "FROM d CROSS JOIN f GROUP BY 1, 2"),
+        # wordless docs count with mtf = 0 on both sides
+        "max_tf_per_source": (
+            "WITH w AS (SELECT source, doc_id, "
+            "unnest(regexp_extract_all(text, '\\S+')) AS word "
+            "FROM documents), "
+            "c AS (SELECT doc_id, word, count(*) AS n FROM w "
+            "GROUP BY 1, 2), "
+            "m AS (SELECT doc_id, max(n) AS mtf FROM c GROUP BY 1) "
+            "SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(max(coalesce(m.mtf, 0)) AS BIGINT) AS max_mtf, "
+            "CAST(sum(coalesce(m.mtf, 0)) AS BIGINT) AS sum_mtf "
+            "FROM documents d LEFT JOIN m USING (doc_id) GROUP BY 1"),
+        "distinct_words_histogram": (
+            "WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, "
+            "'\\S+')) AS word FROM documents), "
+            "c AS (SELECT doc_id, count(DISTINCT word) AS v FROM w "
+            "GROUP BY 1) "
+            "SELECT CAST(coalesce(c.v, 0) AS BIGINT) "
+            "AS n_distinct_words, CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM documents d LEFT JOIN c USING (doc_id) GROUP BY 1"),
         # rows-only (not SQL-expressible): codec_selection, flagship_synthetic,
         # distinct_tokens_approx (HLL sketch; error bound pinned in tests),
         # quantiles_value_approx (bottom-k sample sketch; rank-error bound

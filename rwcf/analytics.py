@@ -3073,3 +3073,164 @@ def _ssum(seg_starts: np.ndarray, v: np.ndarray):
     out = cs[ends] - np.concatenate(([0], cs[ends[:-1]])) \
         if seg_starts.size else np.empty(0, np.int64)
     return seg_starts, out.astype(np.int64)
+
+
+def _batch_words(t: pa.Table, text_col: str = "text"):
+    """Whitespace-tokenize a batch: returns (flat_words ChunkedArray-free
+    StringArray, per_row_lengths int64 ndarray) with empty tokens
+    dropped per row. Shared kernel of the vocabulary-curve family;
+    matches the ``regexp_extract_all(text, '\\S+')`` oracle convention."""
+    words = pc.split_pattern_regex(t.column(text_col), r"\s+")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = words.flatten()
+    lens = pc.list_value_length(words).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    # recompute per-row lengths after dropping in-row empties
+    row_id = np.repeat(np.arange(lens.size), lens)
+    kept_lens = np.bincount(row_id[keep], minlength=lens.size) \
+        .astype(np.int64)
+    return flat.filter(pa.array(keep)), kept_lens
+
+
+def vocab_growth(ds, id_col: str = "doc_id", text_col: str = "text",
+                 deciles: int = 10, buckets: int = 64):
+    """Heaps-law vocabulary-growth curve: cumulative distinct-word count
+    after ingesting all documents with ``doc_id <= max_id * i //
+    deciles``, for i = 1..deciles (the dataset-curation curve that says
+    whether more crawl still buys new vocabulary). Output
+    ``(decile, threshold_id, n_distinct)`` — exact integers.
+
+    Scale shape: a word's contribution to the curve is fully described
+    by its FIRST doc_id, so per-batch partials collapse to
+    (word, min_id); ONE hash(word) exchange re-mins across batches
+    (disjoint buckets keep words whole); each bucket histograms its
+    words' first-ids over the deciles-sized threshold grid and the
+    final is a deciles-sized additive groupby + cumsum. The max id
+    rides a column-pruned metadata pass, never a full scan."""
+    from ray.data.aggregate import Sum
+
+    mx = int(ds.select_columns([id_col]).max(id_col))
+    thr = np.array([(mx * i) // deciles for i in range(1, deciles + 1)],
+                   dtype=np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, lens = _batch_words(t, text_col)
+        rep = np.repeat(ids, lens)
+        g = pa.table({"w": flat, "fid": pa.array(rep)}) \
+            .group_by("w").aggregate([("fid", "min")])
+        b = hash_bucket(g.column("w").to_numpy(zero_copy_only=False),
+                        buckets=buckets)
+        return pa.table({"w": g.column("w"),
+                         "fid": g.column("fid_min"),
+                         "_b": pa.array(b)})
+
+    def bucket_hist(g: pa.Table) -> pa.Table:
+        m = g.select(["w", "fid"]).group_by("w") \
+            .aggregate([("fid", "min")])
+        fid = m.column("fid_min").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # n words whose first id <= each threshold (cumulative by design)
+        counts = np.searchsorted(np.sort(fid), thr, side="right") \
+            .astype(np.int64)
+        return pa.table({
+            "decile": pa.array(np.arange(1, deciles + 1, dtype=np.int64)),
+            "threshold_id": pa.array(thr),
+            "n_distinct": pa.array(counts)})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .repartition(buckets)
+            .groupby("_b")
+            .map_groups(bucket_hist, batch_format="pyarrow",
+                        **rayenv.remote_args())
+            .groupby(["decile", "threshold_id"])
+            .aggregate(Sum("n_distinct", alias_name="n_distinct")))
+
+
+def max_tf_per_source(ds, key_col: str = "source",
+                      id_col: str = "doc_id", text_col: str = "text"):
+    """Burstiness / self-repetition rollup: each document's MAX term
+    frequency (count of its most-repeated word; 0 for wordless docs),
+    aggregated per source as (n_docs, max over docs, sum over docs) —
+    the cheap template-spam detector that needs no shuffle at all.
+    Output ``(source, n_docs, max_mtf, sum_mtf)``.
+
+    Scale shape: a document lives wholly inside its row, so the
+    per-doc max-TF computes in-batch (segmented word sort per doc);
+    batches collapse to per-source partials and the only exchange is
+    the source-domain-sized final groupby."""
+    from ray.data.aggregate import Max, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        src = t.column(key_col).to_numpy(zero_copy_only=False)
+        flat, lens = _batch_words(t, text_col)
+        n_rows = lens.size
+        row_id = np.repeat(np.arange(n_rows), lens)
+        w = flat.to_numpy(zero_copy_only=False)
+        # per (row, word) counts via lexsort; then per-row max
+        order = np.lexsort((w, row_id))
+        r, ww = row_id[order], w[order]
+        new = np.ones(r.size, dtype=bool)
+        if r.size > 1:
+            new[1:] = (r[1:] != r[:-1]) | (ww[1:] != ww[:-1])
+        seg = np.flatnonzero(new)
+        counts = np.diff(np.append(seg, r.size)).astype(np.int64)
+        mtf = np.zeros(n_rows, np.int64)
+        if seg.size:
+            np.maximum.at(mtf, r[seg], counts)
+        g = pa.table({key_col: pa.array(src, pa.string()),
+                      "n_docs": pa.array(np.ones(n_rows, np.int64)),
+                      "max_mtf": pa.array(mtf),
+                      "sum_mtf": pa.array(mtf)}) \
+            .group_by(key_col) \
+            .aggregate([("n_docs", "sum"), ("max_mtf", "max"),
+                        ("sum_mtf", "sum")])
+        return pa.table({key_col: g.column(key_col),
+                         "n_docs": g.column("n_docs_sum"),
+                         "max_mtf": g.column("max_mtf_max"),
+                         "sum_mtf": g.column("sum_mtf_sum")})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .groupby(key_col)
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Max("max_mtf", alias_name="max_mtf"),
+                       Sum("sum_mtf", alias_name="sum_mtf")))
+
+
+def distinct_words_histogram(ds, text_col: str = "text"):
+    """Per-document vocabulary-richness histogram: distinct-word count
+    per document (0 for wordless docs), histogrammed over the corpus.
+    Output ``(n_distinct_words, n_docs)``.
+
+    Scale shape: the per-doc distinct count is in-batch (documents are
+    row-local); batches collapse to histogram partials keyed by the
+    count value, and the only exchange is the value-domain-sized final
+    groupby (bounded by the longest document, not the corpus)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, lens = _batch_words(t, text_col)
+        n_rows = lens.size
+        row_id = np.repeat(np.arange(n_rows), lens)
+        w = flat.to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, row_id))
+        r, ww = row_id[order], w[order]
+        new = np.ones(r.size, dtype=bool)
+        if r.size > 1:
+            new[1:] = (r[1:] != r[:-1]) | (ww[1:] != ww[:-1])
+        distinct = np.zeros(n_rows, np.int64)
+        if r.size:
+            np.add.at(distinct, r[new], 1)
+        keys, counts = np.unique(distinct, return_counts=True)
+        return pa.table({"n_distinct_words": pa.array(keys),
+                         "n_docs": pa.array(counts.astype(np.int64))})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .groupby("n_distinct_words")
+            .aggregate(Sum("n_docs", alias_name="n_docs")))

@@ -1655,3 +1655,580 @@ def ship_lag_histogram(lineitem, orders, buckets: int = 32):
     return (j.map_batches(hist, batch_format="pyarrow",
                           **rayenv.remote_args())
             .groupby("lag_days").aggregate(Sum("n", alias_name="n")))
+
+
+def _segmax(k: np.ndarray, v: np.ndarray):
+    """Group-max of int64 ``v`` by int64 key ``k``: returns
+    (distinct_keys, per_key_max). Sort + reduceat — the in-batch
+    collapse kernel for EXISTS-style predicates (EXISTS(pred(x)) over a
+    group == pred holds for the group max/min)."""
+    order = np.argsort(k, kind="stable")
+    ks, vs = k[order], v[order]
+    new = np.ones(ks.size, dtype=bool)
+    if ks.size > 1:
+        new[1:] = ks[1:] != ks[:-1]
+    seg = np.flatnonzero(new)
+    if not ks.size:
+        return ks[:0], vs[:0]
+    return ks[seg], np.maximum.reduceat(vs, seg)
+
+
+def late_ship_priority(lineitem, orders, grace_days: int = 60,
+                       buckets: int = 32):
+    """TPC-H-Q4-shaped EXISTS count: orders with at least one lineitem
+    shipped more than ``grace_days`` after the order date, counted per
+    order priority. Output ``(o_orderpriority, n_late_orders)``.
+
+    Scale shape: EXISTS(shipdate > odate + g) over an order's lines is
+    equivalent to max(shipdate) > odate + g, so lineitem collapses
+    in-batch to (orderkey, max_ship_us) partials — raw lines never
+    ship; ONE bucketed orderkey join attaches (odate, priority);
+    because partials from different batches can repeat an orderkey,
+    the satisfied rows go through the exact-distinct machinery
+    (:func:`rwcf.analytics.grouped_distinct_pairs`, additive over
+    disjoint hash buckets) so each order counts once; the final is
+    priority-sized.
+
+    Reference scope note: the reference engine (src/lib.rs:25-48) has
+    no joins; this is part of the mandated training-data extension."""
+    from .analytics import grouped_distinct_pairs
+
+    def li_part(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ship = t.column("l_shipdate").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype("datetime64[us]") \
+            .astype(np.int64)
+        keys, mx = _segmax(ok, ship)
+        return pa.table({"ok": pa.array(keys),
+                         "max_ship_us": pa.array(mx)})
+
+    li = lineitem.map_batches(li_part, batch_format="pyarrow",
+                              **rayenv.remote_args())
+
+    def ord_proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "ok": pc.cast(t.column("o_orderkey"), pa.int64()),
+            "odate_us": pc.cast(t.column("o_orderdate"),
+                                pa.timestamp("us")).cast(pa.int64()),
+            "o_orderpriority": t.column("o_orderpriority")})
+
+    od = orders.map_batches(ord_proj, batch_format="pyarrow",
+                            **rayenv.remote_args())
+    j = hash_join(li, od, on="ok", buckets=buckets)
+    grace_us = np.int64(grace_days) * np.int64(86_400_000_000)
+
+    def satisfied(t: pa.Table) -> pa.Table:
+        ms = t.column("max_ship_us").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        od_ = t.column("odate_us").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        keep = pa.array(ms > od_ + grace_us)
+        return pa.table({
+            "o_orderpriority": t.column("o_orderpriority").filter(keep),
+            "ok": t.column("ok").filter(keep)})
+
+    sat = j.map_batches(satisfied, batch_format="pyarrow",
+                        **rayenv.remote_args())
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["n_late_orders" if c == "n_distinct" else c
+             for c in t.column_names])
+
+    return grouped_distinct_pairs(sat, "o_orderpriority", "ok",
+                                  buckets=buckets) \
+        .map_batches(rename, batch_format="pyarrow",
+                     **rayenv.remote_args())
+
+
+def market_share_by_year(lineitem, orders, supplier,
+                         target_nationkey: int = 3, buckets: int = 32):
+    """TPC-H-Q8-shaped market share: the share (exact floor basis
+    points) of revenue supplied by ``target_nationkey``'s suppliers in
+    ALL revenue, per order year. Output
+    ``(o_year, target_rev_scaled, total_rev_scaled, share_bp)`` with
+    ``share_bp = target*10000 // total`` (Python int floor division ==
+    DuckDB HUGEINT ``//``).
+
+    Scale shape: supplier broadcasts as a suppkey -> is-target int map
+    (same broadcast rule as :func:`nation_trade_volume`); lineitem
+    collapses in-batch to (orderkey, is_target, rev) partials; ONE
+    bucketed orderkey join attaches the order year; the post-join
+    collapse is (year, is_target)-sized, so the final groupby
+    exchanges a handful of rows; the share division happens on the
+    years-sized result."""
+    import ray
+
+    st = supplier.select_columns(["s_suppkey", "s_nationkey"]).to_pandas()
+    tgt_ref = ray.put(set(
+        st.loc[st["s_nationkey"].astype(np.int64)
+               == np.int64(target_nationkey),
+               "s_suppkey"].astype(np.int64).tolist()))
+
+    def li_part(t: pa.Table) -> pa.Table:
+        tgt = ray.get(tgt_ref)
+        ok = t.column("l_orderkey").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = t.column("l_suppkey").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(sk, return_inverse=True)
+        is_t = (np.array([int(x) in tgt for x in u], dtype=np.int64)[inv]
+                if u.size else np.empty(0, np.int64))
+        cents = np.rint(t.column("l_extendedprice").combine_chunks()
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        bp = np.rint(t.column("l_discount").combine_chunks()
+                     .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        g = pa.table({"ok": pa.array(ok), "is_t": pa.array(is_t),
+                      "rev_scaled": pa.array(cents * (100 - bp))}) \
+            .group_by(["ok", "is_t"]).aggregate([("rev_scaled", "sum")])
+        return pa.table({"ok": g.column("ok"), "is_t": g.column("is_t"),
+                         "rev_scaled": g.column("rev_scaled_sum")})
+
+    li = lineitem.map_batches(li_part, batch_format="pyarrow",
+                              **rayenv.remote_args())
+
+    def ord_proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "ok": pc.cast(t.column("o_orderkey"), pa.int64()),
+            "o_year": pc.cast(pc.year(t.column("o_orderdate")),
+                              pa.int64())})
+
+    od = orders.map_batches(ord_proj, batch_format="pyarrow",
+                            **rayenv.remote_args())
+    j = hash_join(li, od, on="ok", buckets=buckets)
+
+    def year_part(t: pa.Table) -> pa.Table:
+        g = t.select(["o_year", "is_t", "rev_scaled"]) \
+            .group_by(["o_year", "is_t"]) \
+            .aggregate([("rev_scaled", "sum")])
+        return pa.table({"o_year": g.column("o_year"),
+                         "is_t": g.column("is_t"),
+                         "rev_scaled": g.column("rev_scaled_sum")})
+
+    from ray.data.aggregate import Sum
+    agg = (j.map_batches(year_part, batch_format="pyarrow",
+                         **rayenv.remote_args())
+           .groupby(["o_year", "is_t"])
+           .aggregate(Sum("rev_scaled", alias_name="rev_scaled")))
+
+    def share(t: pa.Table) -> pa.Table:
+        # years x {0,1} rows: pivot the is_target axis and divide
+        yr = t.column("o_year").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        it = t.column("is_t").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        rv = t.column("rev_scaled").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        years = np.unique(yr)
+        tgt = np.zeros(years.size, np.int64)
+        tot = np.zeros(years.size, np.int64)
+        idx = np.searchsorted(years, yr)
+        np.add.at(tot, idx, rv)
+        np.add.at(tgt, idx, rv * it)
+        bp = np.array([(int(a) * 10000) // int(b) if b else 0
+                       for a, b in zip(tgt, tot)], np.int64)
+        return pa.table({"o_year": pa.array(years),
+                         "target_rev_scaled": pa.array(tgt),
+                         "total_rev_scaled": pa.array(tot),
+                         "share_bp": pa.array(bp)})
+
+    # the years x 2 result is tiny: collapse it in one batch
+    return agg.repartition(1).map_batches(share, batch_format="pyarrow",
+                                          **rayenv.remote_args())
+
+
+def profit_by_nation_year(lineitem, orders, supplier, nation, part,
+                          name_pattern: str = "ar", buckets: int = 32):
+    """TPC-H-Q9-shaped profit rollup (no partsupp on this schema):
+    revenue from lineitems whose PART NAME contains ``name_pattern``,
+    grouped by supplier nation and order year. Output
+    ``(n_name, o_year, rev_scaled)``.
+
+    Scale shape: the part side filters to matching partkeys IN-BATCH
+    (pattern match never leaves the read stage) and rides a bucketed
+    SEMI join against lineitem with ``bloom_bits`` pruning the exchange
+    upstream of the bucket shuffle (the Bloom filter of matching keys is
+    MB-scale regardless of part-table size — :func:`rwcf.joins.hash_join`
+    builds it from the right side). Supplier broadcasts as suppkey ->
+    nationkey; the surviving lines collapse in-batch to
+    (orderkey, nat, rev) partials; ONE bucketed orderkey join attaches
+    the year; final is |nations| x |years|."""
+    import ray
+
+    st = supplier.select_columns(["s_suppkey", "s_nationkey"]).to_pandas()
+    smap_ref = ray.put(dict(zip(st["s_suppkey"].astype(np.int64),
+                                st["s_nationkey"].astype(np.int64))))
+
+    def li_proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "pk": pc.cast(t.column("l_partkey"), pa.int64()),
+            "ok": pc.cast(t.column("l_orderkey"), pa.int64()),
+            "sk": pc.cast(t.column("l_suppkey"), pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(
+                t.column("l_extendedprice"), 100.0)), pa.int64()),
+            "bp": pc.cast(pc.round(pc.multiply(
+                t.column("l_discount"), 100.0)), pa.int64())})
+
+    li = lineitem.map_batches(li_proj, batch_format="pyarrow",
+                              **rayenv.remote_args())
+
+    def part_keys(t: pa.Table) -> pa.Table:
+        keep = pc.match_substring(t.column("p_name"), name_pattern)
+        return pa.table({"pk": pc.cast(
+            t.column("p_partkey").filter(keep), pa.int64())})
+
+    pk = part.map_batches(part_keys, batch_format="pyarrow",
+                          **rayenv.remote_args())
+    matched = hash_join(li, pk, on="pk", how="semi", buckets=buckets,
+                        bloom_bits=1 << 20)
+
+    def li_part(t: pa.Table) -> pa.Table:
+        smap = ray.get(smap_ref)
+        sk = t.column("sk").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(sk, return_inverse=True)
+        nat = (np.array([smap[int(x)] for x in u], dtype=np.int64)[inv]
+               if u.size else np.empty(0, np.int64))
+        cents = t.column("cents").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        bp = t.column("bp").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        g = pa.table({"ok": t.column("ok"), "nat": pa.array(nat),
+                      "rev_scaled": pa.array(cents * (100 - bp))}) \
+            .group_by(["ok", "nat"]).aggregate([("rev_scaled", "sum")])
+        return pa.table({"ok": g.column("ok"), "nat": g.column("nat"),
+                         "rev_scaled": g.column("rev_scaled_sum")})
+
+    lp = matched.map_batches(li_part, batch_format="pyarrow",
+                             **rayenv.remote_args())
+
+    def ord_proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "ok": pc.cast(t.column("o_orderkey"), pa.int64()),
+            "o_year": pc.cast(pc.year(t.column("o_orderdate")),
+                              pa.int64())})
+
+    od = orders.map_batches(ord_proj, batch_format="pyarrow",
+                            **rayenv.remote_args())
+    j = hash_join(lp, od, on="ok", buckets=buckets)
+
+    nt = nation.select_columns(["n_nationkey", "n_name"]).to_pandas()
+    nmap_ref = ray.put(dict(zip(nt["n_nationkey"].astype(np.int64),
+                                nt["n_name"])))
+
+    def nat_part(t: pa.Table) -> pa.Table:
+        nmap = ray.get(nmap_ref)
+        nat = t.column("nat").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(nat, return_inverse=True)
+        names = (np.array([nmap[int(x)] for x in u], dtype=object)[inv]
+                 if u.size else np.empty(0, object))
+        g = pa.table({"n_name": pa.array(names, pa.string()),
+                      "o_year": t.column("o_year"),
+                      "rev_scaled": t.column("rev_scaled")}) \
+            .group_by(["n_name", "o_year"]) \
+            .aggregate([("rev_scaled", "sum")])
+        return pa.table({"n_name": g.column("n_name"),
+                         "o_year": g.column("o_year"),
+                         "rev_scaled": g.column("rev_scaled_sum")})
+
+    from ray.data.aggregate import Sum
+    return (j.map_batches(nat_part, batch_format="pyarrow",
+                          **rayenv.remote_args())
+            .groupby(["n_name", "o_year"])
+            .aggregate(Sum("rev_scaled", alias_name="rev_scaled")))
+
+
+def important_brands(lineitem, part, threshold_bp: int = 400,
+                     buckets: int = 32):
+    """TPC-H-Q11-shaped HAVING-vs-global-total filter (no partsupp on
+    this schema): brands whose total shipped quantity exceeds
+    ``threshold_bp`` basis points of the GLOBAL shipped quantity.
+    Output ``(p_brand, qty_sum)`` with qty as exact int64 (quantities
+    are integral in the domain) — kept iff
+    ``qty_sum * 10000 > total * threshold_bp`` (cross-multiplied, no
+    division).
+
+    Scale shape: lineitem collapses in-batch to (partkey, qty) partials;
+    ONE bucketed join attaches the brand; per-batch brand partials feed
+    a brand-sized groupby, and the global total is the sum of that
+    SAME small result — computed in one final single-batch kernel, so
+    no second pass over the fact table."""
+    def li_part(t: pa.Table) -> pa.Table:
+        k = t.column("l_partkey").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        q = np.rint(t.column("l_quantity").combine_chunks()
+                    .to_numpy(zero_copy_only=False)).astype(np.int64)
+        keys, totals = _segsum(k, q)
+        return pa.table({"pk": pa.array(keys), "qty": pa.array(totals)})
+
+    li = lineitem.map_batches(li_part, batch_format="pyarrow",
+                              **rayenv.remote_args())
+
+    def part_proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "pk": pc.cast(t.column("p_partkey"), pa.int64()),
+            "p_brand": t.column("p_brand")})
+
+    pt = part.map_batches(part_proj, batch_format="pyarrow",
+                          **rayenv.remote_args())
+    j = hash_join(li, pt, on="pk", buckets=buckets)
+
+    def brand_part(t: pa.Table) -> pa.Table:
+        g = t.select(["p_brand", "qty"]).group_by("p_brand") \
+            .aggregate([("qty", "sum")])
+        return pa.table({"p_brand": g.column("p_brand"),
+                         "qty": g.column("qty_sum")})
+
+    from ray.data.aggregate import Sum
+    agg = (j.map_batches(brand_part, batch_format="pyarrow",
+                         **rayenv.remote_args())
+           .groupby("p_brand").aggregate(Sum("qty", alias_name="qty")))
+
+    thr = int(threshold_bp)
+
+    def keep_important(t: pa.Table) -> pa.Table:
+        q = t.column("qty").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(q.sum())
+        keep = pa.array(q * 10000 > total * thr)
+        return pa.table({"p_brand": t.column("p_brand").filter(keep),
+                         "qty_sum": t.column("qty").filter(keep)})
+
+    # the brand rollup is |brands|-sized: one batch holds it all, so the
+    # global total is in-kernel — no broadcast round-trip needed
+    return agg.repartition(1).map_batches(
+        keep_important, batch_format="pyarrow", **rayenv.remote_args())
+
+
+def bulk_suppliers(lineitem, supplier, part, max_size: int = 10,
+                   min_qty: int = 500, buckets: int = 32):
+    """TPC-H-Q20-shaped nested-aggregate semi filter: suppliers whose
+    TOTAL shipped quantity of small parts (``p_size <= max_size``)
+    exceeds ``min_qty``. Output ``(s_name, qty_sum)``.
+
+    Scale shape: part filters in-batch to matching partkeys and rides a
+    Bloom-pruned bucketed SEMI join against (partkey, suppkey, qty)
+    partials; survivors collapse to per-suppkey sums (in-batch partial
+    then ONE suppkey-sized groupby); the threshold filter runs on that
+    supplier-sized result before a final bucketed join attaches the
+    supplier name — so names only ship for qualifying suppliers."""
+    def li_part(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "pk": pc.cast(t.column("l_partkey"), pa.int64()),
+            "sk": pc.cast(t.column("l_suppkey"), pa.int64()),
+            "qty": pc.cast(pc.round(t.column("l_quantity")),
+                           pa.int64())}) \
+            .group_by(["pk", "sk"]).aggregate([("qty", "sum")])
+        return pa.table({"pk": g.column("pk"), "sk": g.column("sk"),
+                         "qty": g.column("qty_sum")})
+
+    li = lineitem.map_batches(li_part, batch_format="pyarrow",
+                              **rayenv.remote_args())
+
+    def part_keys(t: pa.Table) -> pa.Table:
+        keep = pc.less_equal(t.column("p_size"), max_size)
+        return pa.table({"pk": pc.cast(
+            t.column("p_partkey").filter(keep), pa.int64())})
+
+    pk = part.map_batches(part_keys, batch_format="pyarrow",
+                          **rayenv.remote_args())
+    matched = hash_join(li, pk, on="pk", how="semi", buckets=buckets,
+                        bloom_bits=1 << 20)
+
+    def sk_part(t: pa.Table) -> pa.Table:
+        k = t.column("sk").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        q = t.column("qty").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, totals = _segsum(k, q)
+        return pa.table({"sk": pa.array(keys), "qty": pa.array(totals)})
+
+    from ray.data.aggregate import Sum
+    agg = (matched.map_batches(sk_part, batch_format="pyarrow",
+                               **rayenv.remote_args())
+           .groupby("sk").aggregate(Sum("qty", alias_name="qty_sum")))
+
+    thr = int(min_qty)
+
+    def over(t: pa.Table) -> pa.Table:
+        keep = pc.greater(t.column("qty_sum"), thr)
+        return pa.table({"sk": t.column("sk").filter(keep),
+                         "qty_sum": t.column("qty_sum").filter(keep)})
+
+    qualified = agg.map_batches(over, batch_format="pyarrow",
+                                **rayenv.remote_args())
+
+    def sup_proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "sk": pc.cast(t.column("s_suppkey"), pa.int64()),
+            "s_name": t.column("s_name")})
+
+    su = supplier.map_batches(sup_proj, batch_format="pyarrow",
+                              **rayenv.remote_args())
+    j = hash_join(qualified, su, on="sk", buckets=buckets)
+    return j.select_columns(["s_name", "qty_sum"])
+
+
+def sole_return_suppliers(lineitem, supplier, buckets: int = 32):
+    """TPC-H-Q21-shaped per-order sole-fault analysis: in orders served
+    by >= 2 distinct suppliers, find the supplier who was the ONLY one
+    with a returned line (``l_returnflag = 'R'``), and count such
+    orders per supplier. Output ``(s_name, n_orders)`` for suppliers
+    with at least one such order.
+
+    Scale shape: lineitem collapses in-batch to distinct
+    (orderkey, suppkey, had_R) partials (had_R ORs across a pair's
+    lines); ONE hash(orderkey) exchange makes each order bucket-local;
+    the in-bucket kernel re-ORs pair partials, then a segmented numpy
+    pass finds orders with >= 2 suppliers and exactly one R-supplier —
+    emitting (suppkey, 1) rows only for those; a supplier-sized count
+    groupby and a name join finish."""
+    from .joins import hash_bucket
+
+    def li_part(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "ok": pc.cast(t.column("l_orderkey"), pa.int64()),
+            "sk": pc.cast(t.column("l_suppkey"), pa.int64()),
+            "had_r": pc.cast(pc.equal(t.column("l_returnflag"), "R"),
+                             pa.int64())}) \
+            .group_by(["ok", "sk"]).aggregate([("had_r", "max")])
+        b = hash_bucket(g.column("ok").to_numpy(zero_copy_only=False),
+                        buckets=buckets)
+        return pa.table({"ok": g.column("ok"), "sk": g.column("sk"),
+                         "had_r": g.column("had_r_max"),
+                         "_b": pa.array(b)})
+
+    def bucket_kernel(g: pa.Table) -> pa.Table:
+        m = g.select(["ok", "sk", "had_r"]).group_by(["ok", "sk"]) \
+            .aggregate([("had_r", "max")])
+        ok = m.column("ok").to_numpy(zero_copy_only=False)
+        sk = m.column("sk").to_numpy(zero_copy_only=False)
+        hr = m.column("had_r_max").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(ok, kind="stable")
+        ok, sk, hr = ok[order], sk[order], hr[order]
+        new = np.ones(ok.size, dtype=bool)
+        if ok.size > 1:
+            new[1:] = ok[1:] != ok[:-1]
+        seg = np.flatnonzero(new)
+        if not ok.size:
+            return pa.table({"sk": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        counts = np.diff(np.append(seg, ok.size))
+        n_r = np.add.reduceat(hr, seg)
+        # qualifying orders: >=2 suppliers, exactly one with a return
+        qual = (counts >= 2) & (n_r == 1)
+        # the sole R-supplier of each qualifying order
+        grp_id = np.repeat(np.arange(seg.size), counts)
+        pick = qual[grp_id] & (hr == 1)
+        keys, totals = _segsum(sk[pick],
+                               np.ones(int(pick.sum()), np.int64))
+        return pa.table({"sk": pa.array(keys), "n": pa.array(totals)})
+
+    from ray.data.aggregate import Sum
+    agg = (lineitem.map_batches(li_part, batch_format="pyarrow",
+                                **rayenv.remote_args())
+           .repartition(buckets)
+           .groupby("_b")
+           .map_groups(bucket_kernel, batch_format="pyarrow",
+                       **rayenv.remote_args())
+           .groupby("sk").aggregate(Sum("n", alias_name="n_orders")))
+
+    def sup_proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "sk": pc.cast(t.column("s_suppkey"), pa.int64()),
+            "s_name": t.column("s_name")})
+
+    su = supplier.map_batches(sup_proj, batch_format="pyarrow",
+                              **rayenv.remote_args())
+    j = hash_join(agg, su, on="sk", buckets=buckets)
+    return j.select_columns(["s_name", "n_orders"])
+
+
+def cheapest_supplier_per_brand(lineitem, supplier, part,
+                                buckets: int = 32):
+    """TPC-H-Q2-shaped per-group argmin over a join (no partsupp on
+    this schema): for each part brand, the supplier with the LOWEST
+    account balance among suppliers who ever shipped that brand, ties
+    broken on the smaller suppkey. Output
+    ``(p_brand, s_name, acctbal_cents)`` — balance in exact cents.
+
+    Scale shape: lineitem collapses in-batch to distinct
+    (partkey, suppkey) pairs; one bucketed join swaps partkey for
+    brand; pairs re-collapse to distinct (brand, suppkey) and a second
+    bucketed join (on suppkey) attaches (acctbal_cents, name);
+    per-batch partials then keep only the lexicographic
+    (acctbal, suppkey) min PER BRAND, so the final single-batch kernel
+    folds a <=|brands|-per-batch stream — the argmin never ships raw
+    pairs to the driver."""
+    def li_pairs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "pk": pc.cast(t.column("l_partkey"), pa.int64()),
+            "sk": pc.cast(t.column("l_suppkey"), pa.int64())}) \
+            .group_by(["pk", "sk"]).aggregate([])
+
+    li = lineitem.map_batches(li_pairs, batch_format="pyarrow",
+                              **rayenv.remote_args())
+
+    def part_proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "pk": pc.cast(t.column("p_partkey"), pa.int64()),
+            "p_brand": t.column("p_brand")})
+
+    pt = part.map_batches(part_proj, batch_format="pyarrow",
+                          **rayenv.remote_args())
+    j1 = hash_join(li, pt, on="pk", buckets=buckets)
+
+    def brand_pairs(t: pa.Table) -> pa.Table:
+        return t.select(["p_brand", "sk"]).group_by(["p_brand", "sk"]) \
+            .aggregate([])
+
+    bp = j1.map_batches(brand_pairs, batch_format="pyarrow",
+                        **rayenv.remote_args())
+
+    def sup_proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "sk": pc.cast(t.column("s_suppkey"), pa.int64()),
+            "s_name": t.column("s_name"),
+            "acctbal_cents": pc.cast(pc.round(pc.multiply(
+                t.column("s_acctbal"), 100.0)), pa.int64())})
+
+    su = supplier.map_batches(sup_proj, batch_format="pyarrow",
+                              **rayenv.remote_args())
+    j2 = hash_join(bp, su, on="sk", buckets=buckets)
+
+    def argmin_partial(t: pa.Table) -> pa.Table:
+        br = t.column("p_brand").to_numpy(zero_copy_only=False)
+        ab = t.column("acctbal_cents").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = t.column("sk").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        nm = t.column("s_name").to_numpy(zero_copy_only=False)
+        order = np.lexsort((sk, ab, br))
+        br, ab, sk, nm = br[order], ab[order], sk[order], nm[order]
+        new = np.ones(br.size, dtype=bool)
+        if br.size > 1:
+            new[1:] = br[1:] != br[:-1]
+        first = np.flatnonzero(new)
+        return pa.table({
+            "p_brand": pa.array(br[first], pa.string()),
+            "acctbal_cents": pa.array(ab[first]),
+            "sk": pa.array(sk[first]),
+            "s_name": pa.array(nm[first], pa.string())})
+
+    partials = j2.map_batches(argmin_partial, batch_format="pyarrow",
+                              **rayenv.remote_args())
+
+    def final(t: pa.Table) -> pa.Table:
+        m = argmin_partial(t)
+        return pa.table({"p_brand": m.column("p_brand"),
+                         "s_name": m.column("s_name"),
+                         "acctbal_cents": m.column("acctbal_cents")})
+
+    # partials are <=|brands| rows per batch: the fold is tiny
+    return partials.repartition(1).map_batches(
+        final, batch_format="pyarrow", **rayenv.remote_args())

@@ -735,3 +735,39 @@ def test_ship_lag_histogram(ray_session):
         f"ON l_orderkey = o_orderkey GROUP BY 1 ORDER BY 1").df()
     assert out["lag_days"].tolist() == exp["lag"].astype("int64").tolist()
     assert out["n"].tolist() == exp["n"].astype("int64").tolist()
+
+
+# --- round-4 TPC-H tail (Q2/Q4/Q8/Q9/Q11/Q20/Q21 shapes) and the
+# --- vocabulary-curve analytics family: engine vs its own published
+# --- oracle SQL on the sf0.001 fixture (the same comparison the graft
+# --- driver runs at sf0.01)
+
+_R4_TAIL = [
+    "late_ship_priority", "market_share_by_year",
+    "profit_by_nation_year", "important_brands", "bulk_suppliers",
+    "sole_return_suppliers", "cheapest_supplier_per_brand",
+    "vocab_growth", "max_tf_per_source", "distinct_words_histogram",
+]
+
+
+@pytest.mark.skipif(not os.path.exists(f"{SF}/lineitem.parquet"),
+                    reason="driver testdata not present")
+@pytest.mark.parametrize("name", _R4_TAIL)
+def test_r4_tail_query_matches_oracle(ray_session, name):
+    import __ray_entry__ as entry_mod
+
+    out = entry_mod.queries()[name](SF).to_pandas()
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    exp = con.execute(entry_mod.oracle_sql()[name]).fetchdf()
+
+    def canon(df):
+        df = df[sorted(df.columns)]
+        return df.sort_values(list(df.columns), ignore_index=True)
+
+    assert sorted(out.columns) == sorted(exp.columns)
+    pd.testing.assert_frame_equal(canon(out), canon(exp),
+                                  check_dtype=False)
