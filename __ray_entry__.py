@@ -2319,6 +2319,33 @@ def _q_moments_per_source(sf_dir: str):
                        Sum("sum_v2", alias_name="sum_v2")))
 
 
+def _q_compressed_count_large(sf_dir: str):
+    """Zone-map-pruned count over the encoded corpus: count docs with
+    n_tok > 300 decoding ONLY pages whose (min, max) stats admit a
+    match (rwcf.pipeline.scan_column_pages — fully-pruned zstd page
+    frames are never even read)."""
+    import pandas as pd
+    from rwcf import pipeline
+
+    out = _encoded_run(sf_dir)
+    scanned = pipeline.scan_column_pages(out, "n_tok",
+                                         lambda lo, hi: hi > 300)
+
+    def count(t: pa.Table) -> pa.Table:
+        v = t.column("n_tok").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({"partial": pa.array([int((v > 300).sum())],
+                                             pa.int64())})
+
+    from ray.data.aggregate import Sum
+    from rwcf import rayenv
+    total = scanned.map_batches(count, batch_format="pyarrow",
+                                **rayenv.remote_args()) \
+        .aggregate(Sum("partial", alias_name="n_large"))
+    # a fully-pruned scan yields ZERO blocks and a None aggregate
+    return pd.DataFrame([{"n_large": int(total["n_large"] or 0)}])
+
+
 def _q_late_ship_priority(sf_dir: str):
     """TPC-H-Q4-shaped EXISTS count: lineitem collapses to per-order
     max-shipdate partials (EXISTS == pred on the group max), one
@@ -2661,6 +2688,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": _q_vocab_growth,
         "max_tf_per_source": _q_max_tf,
         "distinct_words_histogram": _q_distinct_words_hist,
+        "rt_dd_docid": _rt_query("doc_id", "dd"),
+        "rt_dictrle_lang": _rt_query("lang", "dictrle"),
+        "compressed_count_large": _q_compressed_count_large,
     }
 
 
@@ -4183,6 +4213,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(coalesce(c.v, 0) AS BIGINT) "
             "AS n_distinct_words, CAST(count(*) AS BIGINT) AS n_docs "
             "FROM documents d LEFT JOIN c USING (doc_id) GROUP BY 1"),
+        "rt_dd_docid": "SELECT doc_id FROM documents",
+        "rt_dictrle_lang": "SELECT lang FROM documents",
+        # n_tok == strlen(text) under the byte tokenizer (rwcf.documents)
+        "compressed_count_large": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_large FROM documents "
+            "WHERE strlen(text) > 300"),
         # rows-only (not SQL-expressible): codec_selection, flagship_synthetic,
         # distinct_tokens_approx (HLL sketch; error bound pinned in tests),
         # quantiles_value_approx (bottom-k sample sketch; rank-error bound

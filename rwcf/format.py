@@ -53,7 +53,8 @@ _REF_DT_CODE = {"u8": 0, "i8": 1, "u16": 2, "u32": 2, "u64": 2,
                 "i16": 3, "i32": 3, "i64": 3, "str": 4}
 _REF_CATEGORY_FOR_CODE = {0: "u8", 1: "i8", 2: "u64", 3: "i64", 4: "str"}
 
-CODEC_IDS = ["plain", "rle", "bitpack", "for", "dict", "fsst", "delta"]
+CODEC_IDS = ["plain", "rle", "bitpack", "for", "dict", "fsst", "delta",
+             "dd", "dictrle"]
 
 
 def dtype_code_for_arrow(t: pa.DataType) -> str:

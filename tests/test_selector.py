@@ -63,3 +63,45 @@ def test_selector_fsst_wins_on_common_prefix_unique_strings():
     enc = fmt.encode_chunk(chunk, "str", "fsst")
     # must actually compress: < 1 byte less than raw payload per string at least
     assert enc.encoded_bytes < int(chunk[0].sum())
+
+
+def test_selector_picks_dd_on_regular_cadence():
+    # evenly spaced timestamps (int64 us on a 1 ms tick): second diffs
+    # are ~0, so double-delta's packed width collapses below delta's
+    ts = (np.arange(60_000, dtype=np.int64) * 1_000
+          + 1_700_000_000_000_000)
+    choice = selector.choose_codec(ts, "i64")
+    assert choice.codec == "dd"
+    assert choice.estimates["dd"] < choice.estimates["delta"]
+
+
+def test_selector_picks_cascade_on_clustered_low_cardinality_strings():
+    # lang-like column AFTER a sort: few values, long runs — dict alone
+    # pays per-value index bits, rle alone pays per-run string payloads,
+    # the cascade pays per-run varint tuples
+    vals = (["en"] * 20_000 + ["de"] * 15_000 + ["fr"] * 9_000
+            + ["en"] * 6_000)
+    chunk = mk_chunk(vals, "str")
+    choice = selector.choose_codec(chunk, "str")
+    assert choice.codec == "dictrle"
+    assert choice.estimates["dictrle"] < choice.estimates["dict"]
+    assert choice.estimates["dictrle"] < choice.estimates["rle"]
+
+
+def test_cascade_unclustered_estimates_inf():
+    # unclustered codes: the cascade must bow out instead of underbidding
+    import math
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 4, 30_000).astype(np.int64)
+    from rwcf.codecs import REGISTRY
+    est = REGISTRY["dictrle"].estimate_size(vals, "i64", 30_000, 0)
+    assert math.isinf(est)
+
+
+def test_dd_beats_delta_encoded_bytes_on_cadence():
+    from rwcf.codecs import REGISTRY
+    ts = (np.arange(200_000, dtype=np.int64) * 1_000_000
+          + 1_700_000_000_000_000)
+    _, p_delta, _ = REGISTRY["delta"].encode(ts, "i64", 65536)
+    _, p_dd, _ = REGISTRY["dd"].encode(ts, "i64", 65536)
+    assert p_dd.size * 100 < p_delta.size  # >100x smaller on pure cadence
