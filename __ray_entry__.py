@@ -2483,6 +2483,66 @@ def _q_distinct_words_hist(sf_dir: str):
         _docs_ds(sf_dir, columns=("doc_id", "text")))
 
 
+def _q_fuzzy_name_pairs(sf_dir: str):
+    """Edit-distance self-join: part-name pairs within Levenshtein 2,
+    equality-blocked on p_size — one bucketed exchange, pair-axis
+    vectorized DP verify (rwcf.fuzzy)."""
+    import ray.data as rd
+    from rwcf import fuzzy
+    ds = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_name", "p_size"])
+    return fuzzy.fuzzy_pairs(ds)
+
+
+def _q_bitmap_predicate_counts(sf_dir: str):
+    """Compressed-domain bitmap algebra: AND/OR predicate counts computed
+    on RLE run intervals, never expanding (rwcf.bitmap; extends the
+    src/test_rle.rs:8-17 run-tuple view to boolean predicates)."""
+    import ray.data as rd
+    from rwcf import bitmap
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["lang", "source"])
+    return bitmap.bitmap_predicate_counts(ds)
+
+
+def _q_longest_streak(sf_dir: str):
+    """Per-user longest consecutive same-event-type run (gaps-and-islands),
+    one bucketed exchange + segmented reduceat (rwcf.windows)."""
+    import ray.data as rd
+    from rwcf import windows
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_type",
+                                  "event_id"])
+    return windows.longest_streak_per_user(ds)
+
+
+def _q_winsorized_nchars(sf_dir: str):
+    """Per-source winsorized mean of n_chars clamped at exact [p10, p90]
+    order statistics, single histogram exchange (rwcf.analytics)."""
+    import ray.data as rd
+    from rwcf import analytics
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["source", "n_chars"])
+    return analytics.winsorized_stats(ds)
+
+
+def _q_posting_lists(sf_dir: str):
+    """Inverted-index build: tokens with df >= 10, exact df + capped
+    ascending posting list (rwcf.analytics.posting_lists)."""
+    from rwcf import analytics
+    return analytics.posting_lists(
+        _docs_ds(sf_dir, columns=("doc_id", "text")), min_df=10, cap=15)
+
+
+def _q_column_profile(sf_dir: str):
+    """Schema-audit profile of documents: per-column nulls, exact
+    distinct count, min/max rendered as strings (rwcf.analytics)."""
+    import ray.data as rd
+    from rwcf import analytics
+    return analytics.column_profile(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet")))
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -2691,6 +2751,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rt_dd_docid": _rt_query("doc_id", "dd"),
         "rt_dictrle_lang": _rt_query("lang", "dictrle"),
         "compressed_count_large": _q_compressed_count_large,
+        "fuzzy_name_pairs": _q_fuzzy_name_pairs,
+        "bitmap_predicate_counts": _q_bitmap_predicate_counts,
+        "longest_streak_per_user": _q_longest_streak,
+        "winsorized_nchars": _q_winsorized_nchars,
+        "posting_lists": _q_posting_lists,
+        "column_profile": _q_column_profile,
     }
 
 
@@ -4219,6 +4285,79 @@ def oracle_sql() -> dict[str, str]:
         "compressed_count_large": (
             "SELECT CAST(count(*) AS BIGINT) AS n_large FROM documents "
             "WHERE strlen(text) > 300"),
+        "fuzzy_name_pairs": (
+            "SELECT CAST(a.p_partkey AS BIGINT) AS a_key, "
+            "CAST(b.p_partkey AS BIGINT) AS b_key, "
+            "CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist "
+            "FROM part a JOIN part b ON a.p_size = b.p_size "
+            "AND a.p_partkey < b.p_partkey "
+            "WHERE levenshtein(a.p_name, b.p_name) <= 2"),
+        "bitmap_predicate_counts": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_a, "
+            "CAST(count(*) FILTER (WHERE source = 'src1') AS BIGINT) AS n_b, "
+            "CAST(count(*) FILTER (WHERE lang = 'en' AND source = 'src1') "
+            "AS BIGINT) AS n_and, "
+            "CAST(count(*) FILTER (WHERE lang = 'en' OR source = 'src1') "
+            "AS BIGINT) AS n_or FROM documents"),
+        "longest_streak_per_user": (
+            "WITH e AS (SELECT user_id, event_type, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS rn, "
+            "row_number() OVER (PARTITION BY user_id, event_type "
+            "ORDER BY ts, event_id) AS rt FROM events), "
+            "i AS (SELECT user_id, count(*) AS len FROM e "
+            "GROUP BY user_id, event_type, rn - rt) "
+            "SELECT CAST(user_id AS BIGINT) AS user_id, "
+            "CAST(max(len) AS BIGINT) AS max_streak, "
+            "CAST(sum(len) AS BIGINT) AS n_events FROM i GROUP BY user_id"),
+        "winsorized_nchars": (
+            "WITH s AS (SELECT source, n_chars AS v, "
+            "row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn, "
+            "count(*) OVER (PARTITION BY source) AS n FROM documents), "
+            "q AS (SELECT source, max(CASE WHEN rn = greatest(1, "
+            "CAST(ceil(0.1 * n) AS BIGINT)) THEN v END) AS lo, "
+            "max(CASE WHEN rn = greatest(1, "
+            "CAST(ceil(0.9 * n) AS BIGINT)) THEN v END) AS hi "
+            "FROM s GROUP BY source) "
+            "SELECT d.source, CAST(q.lo AS BIGINT) AS lo, "
+            "CAST(q.hi AS BIGINT) AS hi, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(least(greatest(d.n_chars, q.lo), q.hi)) AS BIGINT) "
+            "AS sum_w, "
+            "(1000 * CAST(sum(least(greatest(d.n_chars, q.lo), q.hi)) "
+            "AS BIGINT)) // count(*) AS mean1000 "
+            "FROM documents d JOIN q ON d.source = q.source "
+            "GROUP BY d.source, q.lo, q.hi"),
+        "posting_lists": (
+            "WITH w AS (SELECT DISTINCT doc_id, "
+            "unnest(regexp_extract_all(text, '\\S+')) AS token "
+            "FROM documents), "
+            "d AS (SELECT token, doc_id, row_number() OVER "
+            "(PARTITION BY token ORDER BY doc_id) AS rn, "
+            "count(*) OVER (PARTITION BY token) AS df FROM w) "
+            "SELECT token, CAST(df AS BIGINT) AS df, "
+            "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) "
+            "AS postings FROM d WHERE df >= 10 AND rn <= 15 "
+            "GROUP BY token, df"),
+        "column_profile": (
+            "SELECT 'doc_id' AS \"column\", "
+            "CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls, "
+            "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct, "
+            "CAST(min(doc_id) AS VARCHAR) AS min_v, "
+            "CAST(max(doc_id) AS VARCHAR) AS max_v FROM documents "
+            "UNION ALL SELECT 'n_chars', "
+            "CAST(count(*) - count(n_chars) AS BIGINT), "
+            "CAST(count(DISTINCT n_chars) AS BIGINT), "
+            "CAST(min(n_chars) AS VARCHAR), "
+            "CAST(max(n_chars) AS VARCHAR) FROM documents "
+            "UNION ALL SELECT 'lang', "
+            "CAST(count(*) - count(lang) AS BIGINT), "
+            "CAST(count(DISTINCT lang) AS BIGINT), min(lang), max(lang) "
+            "FROM documents "
+            "UNION ALL SELECT 'source', "
+            "CAST(count(*) - count(source) AS BIGINT), "
+            "CAST(count(DISTINCT source) AS BIGINT), "
+            "min(source), max(source) FROM documents"),
         # rows-only (not SQL-expressible): codec_selection, flagship_synthetic,
         # distinct_tokens_approx (HLL sketch; error bound pinned in tests),
         # quantiles_value_approx (bottom-k sample sketch; rank-error bound

@@ -3234,3 +3234,237 @@ def distinct_words_histogram(ds, text_col: str = "text"):
                            **rayenv.remote_args())
             .groupby("n_distinct_words")
             .aggregate(Sum("n_docs", alias_name="n_docs")))
+
+
+def winsorized_stats(ds, key_col: str = "source", val_col: str = "n_chars",
+                     q_lo: float = 0.1, q_hi: float = 0.9,
+                     buckets: int = 32):
+    """Per-group winsorized mean — clamp each value to the group's exact
+    [q_lo, q_hi] order statistics (SQL row_number semantics, rank
+    ``max(1, ceil(q*N))``) and report the clamped sum and integer-exact
+    scaled mean ``mean1000 = (1000*sum_w) // n``.  The robust-statistics
+    companion of :func:`mad_by_group` for heavy-tailed length columns.
+
+    Scale shape: a SINGLE exchange does everything — per-batch ``(key, v,
+    count)`` distinct-value histogram partials (never rows) shuffle once
+    on ``hash(key)``; in-bucket, one sort by (key, v) + segmented cumsum
+    yields each key's quantile thresholds AND the winsorized sum directly
+    from the histogram (``sum(clamp(v)*count)``), so no second data pass.
+    Same per-key distinct-value bound as :func:`grouped_quantiles`
+    (bounded-domain integer columns; stated contract).
+
+    Output: (key, lo, hi, n, sum_w, mean1000) — all int64, bit-exact.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        v = pc.cast(t.column(val_col).combine_chunks(),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        g = (pd.DataFrame({"k": k, "v": v})
+             .groupby(["k", "v"], as_index=False).size())
+        from .joins import hash_bucket
+        return pa.table({"k": pa.array(g["k"].to_numpy()),
+                         "v": pa.array(g["v"].to_numpy()),
+                         "cnt": pa.array(g["size"].to_numpy()
+                                         .astype(np.int64)),
+                         "_b": pa.array(hash_bucket(
+                             g["k"].to_numpy(), buckets=buckets))})
+
+    def finish(g: pa.Table) -> pa.Table:
+        k = g.column("k").combine_chunks().to_numpy(zero_copy_only=False)
+        v = g.column("v").combine_chunks().to_numpy(zero_copy_only=False)
+        c = g.column("cnt").combine_chunks().to_numpy(zero_copy_only=False)
+        if not k.size:
+            return pa.table({key_col: pa.array([], pa.string()),
+                             "lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "sum_w": pa.array([], pa.int64()),
+                             "mean1000": pa.array([], pa.int64())})
+        order = np.lexsort((v, k))
+        k, v, c = k[order], v[order], c[order]
+        # merge duplicate (k, v) histogram rows from different batches
+        same = np.concatenate(([False], (k[1:] == k[:-1]) &
+                               (v[1:] == v[:-1])))
+        grp = np.cumsum(~same) - 1
+        uk = k[~same]
+        uv = v[~same]
+        uc = np.bincount(grp, weights=c).astype(np.int64)
+        new_key = np.concatenate(([True], uk[1:] != uk[:-1]))
+        seg = np.flatnonzero(new_key)
+        seg_of = np.cumsum(new_key) - 1
+        cs = np.cumsum(uc)
+        base = cs[seg] - uc[seg]
+        cum_in_key = cs - base[seg_of]          # inclusive per-key cumsum
+        n_key = np.add.reduceat(uc, seg)
+        out_lo = np.empty(seg.size, dtype=np.int64)
+        out_hi = np.empty(seg.size, dtype=np.int64)
+        for q, out in ((q_lo, out_lo), (q_hi, out_hi)):
+            rank = np.maximum(1, np.ceil(q * n_key).astype(np.int64))
+            # first histogram row of each key whose cumsum >= rank
+            hit = cum_in_key >= rank[seg_of]
+            first = np.zeros(uk.size, dtype=bool)
+            # leftmost hit per key: hit AND (prev not hit or new key)
+            prev_hit = np.concatenate(([False], hit[:-1]))
+            prev_hit[seg] = False
+            first = hit & ~prev_hit
+            out[:] = uv[first]
+        lo_of = out_lo[seg_of]
+        hi_of = out_hi[seg_of]
+        w = np.minimum(np.maximum(uv, lo_of), hi_of)
+        sum_w = np.add.reduceat(w * uc, seg).astype(np.int64)
+        mean1000 = (1000 * sum_w) // n_key
+        return pa.table({key_col: pa.array(uk[seg]),
+                         "lo": pa.array(out_lo),
+                         "hi": pa.array(out_hi),
+                         "n": pa.array(n_key),
+                         "sum_w": pa.array(sum_w),
+                         "mean1000": pa.array(mean1000)})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .repartition(buckets)
+            .groupby("_b")
+            .map_groups(finish, batch_format="pyarrow",
+                        **rayenv.remote_args()))
+
+
+def posting_lists(ds, text_col: str = "text", id_col: str = "doc_id",
+                  min_df: int = 20, cap: int = 20, buckets: int = 32):
+    """Inverted index (token -> document frequency + capped posting list):
+    for every token present in at least ``min_df`` documents, its exact
+    df and the first ``cap`` containing doc_ids ascending, comma-joined —
+    the retrieval-index build step of a training-data pipeline.
+
+    Scale shape: per-batch distinct (token, doc_id) pairs (in-doc repeats
+    collapse BEFORE the exchange) -> ONE bucketed shuffle on
+    ``hash(token)``; in-bucket a single lexsort by (token, doc_id) yields
+    df (segment length) and the capped posting string per token with no
+    per-token dispatch.  Posting lists are CAPPED so no output row is
+    unbounded; df stays exact.  The min_df filter bounds the emitted
+    vocabulary to frequent terms (the long tail stays worker-local).
+    """
+
+    def pairs(t: pa.Table) -> pa.Table:
+        flat, lens = _batch_words(t, text_col)
+        ids = np.repeat(t.column(id_col).to_numpy(zero_copy_only=False),
+                        lens)
+        w = flat.to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"token": w, "doc": ids}).drop_duplicates()
+        from .joins import hash_bucket
+        tok = df["token"].to_numpy()
+        return pa.table({"token": pa.array(tok, pa.string()),
+                         "doc": pa.array(df["doc"].to_numpy()
+                                         .astype(np.int64)),
+                         "_b": pa.array(hash_bucket(tok, buckets=buckets))})
+
+    def build(g: pa.Table) -> pa.Table:
+        tok = g.column("token").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        doc = g.column("doc").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        empty = pa.table({"token": pa.array([], pa.string()),
+                          "df": pa.array([], pa.int64()),
+                          "postings": pa.array([], pa.string())})
+        if not tok.size:
+            return empty
+        order = np.lexsort((doc, tok))
+        tok, doc = tok[order], doc[order]
+        # cross-batch duplicate (token, doc) pairs collapse here
+        dup = np.concatenate(([False], (tok[1:] == tok[:-1]) &
+                              (doc[1:] == doc[:-1])))
+        tok, doc = tok[~dup], doc[~dup]
+        new = np.concatenate(([True], tok[1:] != tok[:-1]))
+        seg = np.flatnonzero(new)
+        dfreq = np.diff(np.append(seg, tok.size)).astype(np.int64)
+        keep = dfreq >= min_df
+        if not keep.any():
+            return empty
+        segk, dfk = seg[keep], dfreq[keep]
+        posts = [",".join(map(str, doc[s:s + min(int(d), cap)]))
+                 for s, d in zip(segk, dfk)]
+        return pa.table({"token": pa.array(tok[segk], pa.string()),
+                         "df": pa.array(dfk),
+                         "postings": pa.array(posts, pa.string())})
+
+    return (ds.map_batches(pairs, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .repartition(buckets)
+            .groupby("_b")
+            .map_groups(build, batch_format="pyarrow",
+                        **rayenv.remote_args()))
+
+
+def column_profile(ds, int_cols=("doc_id", "n_chars"),
+                   str_cols=("lang", "source")):
+    """Per-column data-profiling summary — (column, n_nulls, n_distinct,
+    min_v, max_v) with min/max rendered as strings so heterogeneous
+    columns share one output schema.  The schema-audit step that fronts
+    a long-running ingest.
+
+    Scale shape: nulls/min/max come from ONE pass of per-batch partials
+    (one tiny row per column per batch) + a column-domain-sized groupby;
+    exact distinct counts run one count-shuffle per column
+    (``groupby(col).count().count_rows()``) — at open-web scale the
+    distinct pass for a key-like column is the expensive exact path, and
+    the HLL sketch (:func:`distinct_hll`) is the documented cheap
+    substitute; the profile keeps exact semantics so the oracle can pin
+    it."""
+    cols = list(int_cols) + list(str_cols)
+    base = ds.select_columns(cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        rows = {"column": [], "n_nulls": [], "min_i": [], "max_i": [],
+                "min_s": [], "max_s": []}
+        for c in cols:
+            arr = t.column(c)
+            rows["column"].append(c)
+            rows["n_nulls"].append(arr.null_count)
+            valid = arr.drop_null()
+            if c in int_cols:
+                mn = pc.min(valid).as_py() if len(valid) else None
+                mx = pc.max(valid).as_py() if len(valid) else None
+                rows["min_i"].append(mn)
+                rows["max_i"].append(mx)
+                rows["min_s"].append(None)
+                rows["max_s"].append(None)
+            else:
+                mn = pc.min(valid).as_py() if len(valid) else None
+                mx = pc.max(valid).as_py() if len(valid) else None
+                rows["min_i"].append(None)
+                rows["max_i"].append(None)
+                rows["min_s"].append(mn)
+                rows["max_s"].append(mx)
+        return pa.table({"column": pa.array(rows["column"], pa.string()),
+                         "n_nulls": pa.array(rows["n_nulls"], pa.int64()),
+                         "min_i": pa.array(rows["min_i"], pa.int64()),
+                         "max_i": pa.array(rows["max_i"], pa.int64()),
+                         "min_s": pa.array(rows["min_s"], pa.string()),
+                         "max_s": pa.array(rows["max_s"], pa.string())})
+
+    from ray.data.aggregate import Max, Min, Sum
+    stats = (base.map_batches(partial, batch_format="pyarrow",
+                              **rayenv.remote_args())
+             .groupby("column")
+             .aggregate(Sum("n_nulls", alias_name="n_nulls"),
+                        Min("min_i", alias_name="min_i"),
+                        Max("max_i", alias_name="max_i"),
+                        Min("min_s", alias_name="min_s"),
+                        Max("max_s", alias_name="max_s"))
+             .to_pandas())
+    distinct = {c: base.select_columns([c]).groupby(c).count()
+                .count() for c in cols}
+    out = []
+    for _, r in stats.iterrows():
+        c = r["column"]
+        if c in int_cols:
+            mn, mx = r["min_i"], r["max_i"]
+            mn_v = str(int(mn)) if pd.notna(mn) else None
+            mx_v = str(int(mx)) if pd.notna(mx) else None
+        else:
+            mn_v = r["min_s"]
+            mx_v = r["max_s"]
+        out.append({"column": c, "n_nulls": int(r["n_nulls"]),
+                    "n_distinct": int(distinct[c]),
+                    "min_v": mn_v, "max_v": mx_v})
+    return pd.DataFrame(out).sort_values("column").reset_index(drop=True)

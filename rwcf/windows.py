@@ -1228,3 +1228,61 @@ def median_gap_per_user(ds, key: str = "user_id", ts_col: str = "ts",
             .groupby("_b")
             .map_groups(med, batch_format="pyarrow",
                         **rayenv.remote_args()))
+
+
+def longest_streak_per_user(ds, key: str = "user_id", ts_col: str = "ts",
+                            type_col: str = "event_type",
+                            id_col: str = "event_id", buckets: int = 32):
+    """Per-key longest run of CONSECUTIVE equal ``type_col`` values in
+    (ts, id) order — the gaps-and-islands family (SQL: difference of two
+    row_numbers -> island lengths -> max per key).  Engagement-streak /
+    repeated-action detection over event streams.
+
+    Scale shape: ONE bucketed shuffle (whole keys co-locate via the shared
+    routing hash); in-bucket a single sort by (key, ts, id) resolves every
+    key's runs at once with vectorized run-boundary detection + two levels
+    of ``reduceat`` (runs, then keys) — no per-key dispatch, no expansion.
+    Output: (key, n_events, max_streak).
+    """
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        from .joins import hash_bucket
+        kv = t.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+        return (t.select([key, ts_col, type_col, id_col])
+                .append_column("_b",
+                               pa.array(hash_bucket(kv, buckets=buckets))))
+
+    def streaks(g: pa.Table) -> pa.Table:
+        g = g.take(pc.sort_indices(g, sort_keys=[(key, "ascending"),
+                                                 (ts_col, "ascending"),
+                                                 (id_col, "ascending")]))
+        n = g.num_rows
+        if n == 0:
+            return pa.table({key: pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "max_streak": pa.array([], pa.int64())})
+        kn = g.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+        tv = g.column(type_col).combine_chunks()
+        # dictionary-encode the type for a fast != on codes
+        codes = tv.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False)
+        new_key = np.concatenate(([True], kn[1:] != kn[:-1]))
+        new_run = new_key | np.concatenate(([True],
+                                            codes[1:] != codes[:-1]))
+        run_starts = np.flatnonzero(new_run)
+        run_lens = np.diff(np.append(run_starts, n)).astype(np.int64)
+        # key segments over the run array: a run never crosses a key
+        run_is_new_key = new_key[run_starts]
+        key_seg = np.flatnonzero(run_is_new_key)
+        max_streak = np.maximum.reduceat(run_lens, key_seg)
+        n_events = np.add.reduceat(run_lens, key_seg)
+        return pa.table({key: pa.array(kn[run_starts[key_seg]]),
+                         "n_events": pa.array(n_events),
+                         "max_streak": pa.array(max_streak)})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .repartition(buckets)
+            .groupby("_b")
+            .map_groups(streaks, batch_format="pyarrow",
+                        **rayenv.remote_args()))
