@@ -2543,6 +2543,50 @@ def _q_column_profile(sf_dir: str):
         rd.read_parquet(os.path.join(sf_dir, "documents.parquet")))
 
 
+def _q_compressed_range_count(sf_dir: str):
+    """String-range predicate count in the dictionary's compressed domain:
+    the predicate runs once per DISTINCT value, the count is a gather
+    over int codes (rwcf.bitmap.compressed_range_count via
+    DictCodec.decode_codes)."""
+    import ray.data as rd
+    from rwcf import bitmap
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["source"])
+    return bitmap.compressed_range_count(ds)
+
+
+def _q_market_basket_pairs(sf_dir: str):
+    """Market-basket pair mining: support counts of event-type pairs
+    co-occurring in (user, day) baskets (rwcf.windows)."""
+    import ray.data as rd
+    from rwcf import windows
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_type"])
+    return windows.market_basket_pairs(ds)
+
+
+def _q_windowed_dedup_events(sf_dir: str):
+    """Stream dedup: first event per (user, type, hour window) plus the
+    suppressed-count, via local combiners + one winner-row exchange
+    (rwcf.windows.windowed_dedup_events)."""
+    import ray.data as rd
+    from rwcf import windows
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "ts",
+                                  "event_id"])
+    return windows.windowed_dedup_events(ds)
+
+
+def _q_embedding_dim_profile(sf_dir: str):
+    """Per-dimension quantized stats of the embedding column
+    (rwcf.similarity.embedding_dim_profile)."""
+    import ray.data as rd
+    from rwcf import similarity
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["embedding"])
+    return similarity.embedding_dim_profile(ds)
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -2757,6 +2801,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_nchars": _q_winsorized_nchars,
         "posting_lists": _q_posting_lists,
         "column_profile": _q_column_profile,
+        "compressed_range_count": _q_compressed_range_count,
+        "market_basket_pairs": _q_market_basket_pairs,
+        "windowed_dedup_events": _q_windowed_dedup_events,
+        "embedding_dim_profile": _q_embedding_dim_profile,
     }
 
 
@@ -4358,6 +4406,38 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) - count(source) AS BIGINT), "
             "CAST(count(DISTINCT source) AS BIGINT), "
             "min(source), max(source) FROM documents"),
+        "compressed_range_count": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_in_range FROM documents "
+            "WHERE source BETWEEN 'src2' AND 'src5'"),
+        "market_basket_pairs": (
+            "WITH b AS (SELECT DISTINCT user_id, "
+            "CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d, event_type "
+            "FROM events) "
+            "SELECT a.event_type AS t1, c.event_type AS t2, "
+            "CAST(count(*) AS BIGINT) AS support "
+            "FROM b a JOIN b c ON a.user_id = c.user_id AND a.d = c.d "
+            "AND a.event_type < c.event_type GROUP BY 1, 2"),
+        "windowed_dedup_events": (
+            "WITH w AS (SELECT user_id, event_type, "
+            "CAST(floor(epoch(ts) / 3600) AS BIGINT) AS win, event_id, "
+            "row_number() OVER (PARTITION BY user_id, event_type, "
+            "floor(epoch(ts) / 3600) ORDER BY ts, event_id) AS rn, "
+            "count(*) OVER (PARTITION BY user_id, event_type, "
+            "floor(epoch(ts) / 3600)) AS n_in_win FROM events) "
+            "SELECT CAST(user_id AS BIGINT) AS user_id, event_type, win, "
+            "CAST(event_id AS BIGINT) AS keep_id, "
+            "CAST(n_in_win AS BIGINT) AS n_in_win FROM w WHERE rn = 1"),
+        "embedding_dim_profile": (
+            "WITH e AS (SELECT unnest(embedding) AS x, "
+            "generate_subscripts(embedding, 1) AS dim FROM embeddings) "
+            "SELECT CAST(dim - 1 AS BIGINT) AS dim, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) "
+            "AS sum_q, "
+            "CAST(min(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) "
+            "AS min_q, "
+            "CAST(max(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) "
+            "AS max_q FROM e GROUP BY dim"),
         # rows-only (not SQL-expressible): codec_selection, flagship_synthetic,
         # distinct_tokens_approx (HLL sketch; error bound pinned in tests),
         # quantiles_value_approx (bottom-k sample sketch; rank-error bound

@@ -99,3 +99,33 @@ def bitmap_predicate_counts(ds, col_a: str = "lang", val_a: str = "en",
     return pd.DataFrame([{"n_rows": int(agg["n_rows"]), "n_a": n_a,
                           "n_b": n_b, "n_and": n_and,
                           "n_or": n_a + n_b - n_and}])
+
+
+def compressed_range_count(ds, col: str = "source", lo: str = "src2",
+                           hi: str = "src5"):
+    """``count(lo <= col <= hi)`` evaluated in the dictionary's compressed
+    domain: per batch the column dict-encodes once, the range predicate is
+    evaluated ONCE PER DISTINCT VALUE on the (tiny) dictionary, and the
+    count is a vectorized gather over the int codes
+    (``mask[codes].sum()``) — per-row string comparisons never happen
+    (``DictCodec.decode_codes``, the dict analogue of the reference's RLE
+    run-tuple aggregation, src/test_rle.rs:8-17).  Partials are one int
+    per batch; the aggregate is scalar."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        chunk = fmt.chunk_from_arrow(t.column(col).combine_chunks())
+        enc = fmt.encode_chunk(chunk, "str", "dict")
+        (ulens, upay), codes = REGISTRY["dict"].decode_codes(
+            enc.payload, enc.pages, enc.meta, "str")
+        vals = fmt.chunk_to_arrow((ulens, upay), "str").cast(pa.string()) \
+            .to_pylist()
+        mask = np.array([lo <= v <= hi for v in vals], dtype=bool)
+        n = int(mask[codes].sum()) if codes.size else 0
+        return pa.table({"n_in_range": pa.array([n], pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          **rayenv.remote_args())
+           .aggregate(Sum("n_in_range", alias_name="n_in_range")))
+    import pandas as pd
+    return pd.DataFrame([{"n_in_range": int(agg["n_in_range"])}])

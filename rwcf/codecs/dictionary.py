@@ -45,6 +45,28 @@ class DictCodec(base.Codec):
         payload_out, pages = _encode_packed_pages(codes.astype(code_dt), page_target)
         return meta, payload_out, pages
 
+    def decode_codes(self, payload, pages, meta, dtype: str):
+        """Compressed-domain accessor (the dict analogue of
+        ``rle.decode_runs``): returns ``(dict_values, codes)`` WITHOUT
+        expanding values per row — a predicate over the column can be
+        evaluated once per DISTINCT value (dict-cardinality work) and
+        then counted/gathered over the int codes. ``dict_values`` is a
+        string chunk ``(lengths, payload)`` for string dtypes, else an
+        ndarray. NOTE: the string dict is in first-occurrence order, the
+        numeric dict is sorted (np.unique)."""
+        mbuf = np.frombuffer(meta, dtype=np.uint8)
+        r = fmt._Reader(mbuf)
+        n_uniq = r.uvarint()
+        dict_buf = mbuf[r.pos:]
+        n = sum(p.encoded_values_count for p in pages)
+        codes = _decode_packed_pages(payload, pages, np.int64)[:n]
+        if fmt.is_string(dtype):
+            return varint.decode_str_column(dict_buf, n_uniq), codes
+        if dtype in ("u8", "i8"):
+            return dict_buf[:n_uniq].view(fmt.DTYPES[dtype][2]), codes
+        return base.from_unsigned_stream(
+            varint.decode_uvarint(dict_buf, n_uniq), dtype), codes
+
     def decode(self, payload, pages, meta, dtype: str, n: int):
         mbuf = np.frombuffer(meta, dtype=np.uint8)
         r = fmt._Reader(mbuf)
@@ -89,8 +111,9 @@ class DictCodec(base.Codec):
 
 
 def _unique_str(lengths: np.ndarray, payload: np.ndarray):
-    """Sorted-unique over a string chunk via pyarrow; returns
-    ((uniq_lengths, uniq_payload), codes:int64)."""
+    """Unique values of a string chunk via pyarrow dictionary_encode —
+    FIRST-OCCURRENCE order, not sorted (the numeric path's np.unique IS
+    sorted); returns ((uniq_lengths, uniq_payload), codes:int64)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 

@@ -591,3 +591,41 @@ def quantize_embeddings_ds(ds, id_col: str = "vec_id",
     from . import rayenv
     return ds.map_batches(quant, batch_format="pyarrow",
                           **rayenv.remote_args())
+
+
+def embedding_dim_profile(ds, vec_col: str = "embedding",
+                          scale: int = 1_000_000):
+    """Per-dimension profile of an embedding column — count, quantized
+    sum / min / max per coordinate (``floor(x * scale)`` int64, so the
+    sums are bit-exact across engines and batch orders; float32 -> double
+    widening is exact on both sides).  The sanity-audit step before any
+    ANN / clustering stage: dead dimensions, scale drift, outlier
+    coordinates.
+
+    Scale shape: each batch reduces to ONE (dim, n, sum, min, max) row
+    per dimension (a dim-sized partial, rows never leave the worker);
+    the final groupby is dimension-domain-sized."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _batch_matrix(t, vec_col).astype(np.float64)
+        q = np.floor(m * scale).astype(np.int64)
+        d = m.shape[1] if m.size else 0
+        dims = np.arange(d, dtype=np.int64)
+        return pa.table({
+            "dim": pa.array(dims),
+            "n": pa.array(np.full(d, m.shape[0], dtype=np.int64)),
+            "sum_q": pa.array(q.sum(axis=0, dtype=np.int64)
+                              if d else np.empty(0, np.int64)),
+            "min_q": pa.array(q.min(axis=0) if d else
+                              np.empty(0, np.int64)),
+            "max_q": pa.array(q.max(axis=0) if d else
+                              np.empty(0, np.int64))})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .groupby("dim")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_q", alias_name="sum_q"),
+                       Min("min_q", alias_name="min_q"),
+                       Max("max_q", alias_name="max_q")))

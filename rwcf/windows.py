@@ -1286,3 +1286,151 @@ def longest_streak_per_user(ds, key: str = "user_id", ts_col: str = "ts",
             .groupby("_b")
             .map_groups(streaks, batch_format="pyarrow",
                         **rayenv.remote_args()))
+
+
+def market_basket_pairs(ds, key: str = "user_id", ts_col: str = "ts",
+                        item_col: str = "event_type", day_s: int = 86400,
+                        buckets: int = 32):
+    """Frequent-itemset PAIR mining over (key, day) baskets: the support
+    count of every unordered item pair that co-occurs in at least one
+    basket — the market-basket co-occurrence primitive (association-rule
+    numerators) over an event stream.
+
+    Scale shape: in-batch distinct (key, day, item) triples collapse
+    repeats BEFORE the exchange; ONE bucketed shuffle on hash(key, day)
+    co-locates whole baskets; in-bucket a lexsort + per-basket vectorized
+    pair expansion (rwcf.fuzzy._block_pairs) emits (item_a, item_b) pair
+    rows whose count is a final item-domain-sized groupby. A basket's
+    pair count is quadratic in its DISTINCT item count — bounded by the
+    item vocabulary (event-type domain), the stated contract."""
+
+    def triples(t: pa.Table) -> pa.Table:
+        from .joins import hash_bucket
+        us = t.column(key).to_numpy(zero_copy_only=False)
+        day = (_epoch_micros(t.column(ts_col)) //
+               (day_s * 1_000_000)).astype(np.int64)
+        it = t.column(item_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        df = pd.DataFrame({"k": us, "d": day, "i": it}).drop_duplicates()
+        return pa.table({
+            "k": pa.array(df["k"].to_numpy().astype(np.int64)),
+            "d": pa.array(df["d"].to_numpy().astype(np.int64)),
+            "i": pa.array(df["i"].to_numpy(), pa.string()),
+            "_b": pa.array(hash_bucket(df["k"].to_numpy(),
+                                       df["d"].to_numpy(),
+                                       buckets=buckets))})
+
+    def pairs(g: pa.Table) -> pa.Table:
+        from .fuzzy import _block_pairs
+        k = g.column("k").combine_chunks().to_numpy(zero_copy_only=False)
+        d = g.column("d").combine_chunks().to_numpy(zero_copy_only=False)
+        i = g.column("i").combine_chunks().to_numpy(zero_copy_only=False)
+        empty = pa.table({"t1": pa.array([], pa.string()),
+                          "t2": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if not k.size:
+            return empty
+        order = np.lexsort((i, d, k))
+        k, d, i = k[order], d[order], i[order]
+        # cross-batch duplicate triples collapse here
+        dup = np.concatenate(([False], (k[1:] == k[:-1]) &
+                              (d[1:] == d[:-1]) & (i[1:] == i[:-1])))
+        k, d, i = k[~dup], d[~dup], i[~dup]
+        new_basket = np.concatenate(([True], (k[1:] != k[:-1]) |
+                                     (d[1:] != d[:-1])))
+        seg = np.flatnonzero(new_basket)
+        ia, ib = _block_pairs(seg, k.size)
+        if not ia.size:
+            return empty
+        # items are sorted within a basket, so i[ia] < i[ib] already
+        pdf = (pd.DataFrame({"t1": i[ia], "t2": i[ib]})
+               .groupby(["t1", "t2"], as_index=False).size())
+        return pa.table({"t1": pa.array(pdf["t1"].to_numpy(), pa.string()),
+                         "t2": pa.array(pdf["t2"].to_numpy(), pa.string()),
+                         "n": pa.array(pdf["size"].to_numpy()
+                                       .astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+    return (ds.map_batches(triples, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .repartition(buckets)
+            .groupby("_b")
+            .map_groups(pairs, batch_format="pyarrow",
+                        **rayenv.remote_args())
+            .groupby(["t1", "t2"])
+            .aggregate(Sum("n", alias_name="support")))
+
+
+def windowed_dedup_events(ds, key: str = "user_id",
+                          type_col: str = "event_type", ts_col: str = "ts",
+                          id_col: str = "event_id", window_s: int = 3600,
+                          buckets: int = 32):
+    """Windowed deduplication: keep the FIRST event (min (ts, id)) per
+    (key, type, tumbling window) and report how many it suppressed — the
+    stream-dedup primitive (retry collapse, at-least-once delivery
+    cleanup).
+
+    Scale shape: per-batch LOCAL winners (one row per (key, type, window)
+    per batch — the combiner) -> ONE bucketed exchange of winner rows ->
+    in-bucket lexsort picks the global min and sums the suppressed
+    counts. Raw events never shuffle."""
+
+    def local(t: pa.Table) -> pa.Table:
+        us = t.column(key).to_numpy(zero_copy_only=False)
+        et = t.column(type_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        mic = _epoch_micros(t.column(ts_col))
+        win = mic // (window_s * 1_000_000)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"k": us, "t": et, "w": win.astype(np.int64),
+                           "mic": mic, "id": ids})
+        df = df.sort_values(["k", "t", "w", "mic", "id"])
+        g = df.groupby(["k", "t", "w"], as_index=False, sort=False)
+        first = g.first()
+        cnt = g.size()["size"]
+        from .joins import hash_bucket
+        return pa.table({
+            "k": pa.array(first["k"].to_numpy().astype(np.int64)),
+            "t": pa.array(first["t"].to_numpy(), pa.string()),
+            "w": pa.array(first["w"].to_numpy().astype(np.int64)),
+            "mic": pa.array(first["mic"].to_numpy().astype(np.int64)),
+            "id": pa.array(first["id"].to_numpy().astype(np.int64)),
+            "cnt": pa.array(cnt.to_numpy().astype(np.int64)),
+            "_b": pa.array(hash_bucket(first["k"].to_numpy(),
+                                       buckets=buckets))})
+
+    def merge(g: pa.Table) -> pa.Table:
+        k = g.column("k").combine_chunks().to_numpy(zero_copy_only=False)
+        t = g.column("t").combine_chunks().to_numpy(zero_copy_only=False)
+        w = g.column("w").combine_chunks().to_numpy(zero_copy_only=False)
+        mic = g.column("mic").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ids = g.column("id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        cnt = g.column("cnt").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        if not k.size:
+            return pa.table({key: pa.array([], pa.int64()),
+                             type_col: pa.array([], pa.string()),
+                             "win": pa.array([], pa.int64()),
+                             "keep_id": pa.array([], pa.int64()),
+                             "n_in_win": pa.array([], pa.int64())})
+        order = np.lexsort((ids, mic, w, t, k))
+        k, t, w, ids, cnt = (k[order], t[order], w[order], ids[order],
+                             cnt[order])
+        new = np.concatenate(([True], (k[1:] != k[:-1]) |
+                              (t[1:] != t[:-1]) | (w[1:] != w[:-1])))
+        seg = np.flatnonzero(new)
+        n_tot = np.add.reduceat(cnt, seg).astype(np.int64)
+        return pa.table({key: pa.array(k[seg]),
+                         type_col: pa.array(t[seg], pa.string()),
+                         "win": pa.array(w[seg]),
+                         "keep_id": pa.array(ids[seg]),
+                         "n_in_win": pa.array(n_tot)})
+
+    return (ds.map_batches(local, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .repartition(buckets)
+            .groupby("_b")
+            .map_groups(merge, batch_format="pyarrow",
+                        **rayenv.remote_args()))

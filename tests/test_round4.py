@@ -194,3 +194,121 @@ def test_column_profile(ray_session):
     assert rows["lang"]["n_distinct"] == 2
     assert rows["lang"]["min_v"] == "en" and rows["lang"]["max_v"] == "fr"
     assert (out["n_nulls"] == 0).all()
+
+
+# ---------- dict compressed-domain codes ----------
+
+def test_dict_decode_codes_parity():
+    from rwcf import format as fmt
+    from rwcf.codecs import REGISTRY
+    rng = np.random.default_rng(9)
+    vals = rng.choice(["aa", "bb", "cc", "dd"], 500)
+    chunk = fmt.chunk_from_arrow(pa.array(vals, pa.string()))
+    enc = fmt.encode_chunk(chunk, "str", "dict")
+    (ulens, upay), codes = REGISTRY["dict"].decode_codes(
+        enc.payload, enc.pages, enc.meta, "str")
+    uniq = fmt.chunk_to_arrow((ulens, upay), "str").cast(pa.string()) \
+        .to_pylist()
+    rebuilt = np.array([uniq[c] for c in codes])
+    np.testing.assert_array_equal(rebuilt, vals)
+    # numeric dict is np.unique-sorted
+    ivals = rng.integers(0, 7, 300).astype(np.int64) * 100
+    enc2 = fmt.encode_chunk(ivals, "i64", "dict")
+    uniq2, codes2 = REGISTRY["dict"].decode_codes(
+        enc2.payload, enc2.pages, enc2.meta, "i64")
+    assert (np.diff(uniq2) > 0).all()
+    np.testing.assert_array_equal(np.asarray(uniq2)[codes2], ivals)
+
+
+def test_compressed_range_count(ray_session):
+    import ray.data as rd
+    rng = np.random.default_rng(13)
+    src = rng.choice([f"src{i}" for i in range(12)], 4000)
+    t = pa.table({"source": pa.array(src, pa.string())})
+    out = bitmap.compressed_range_count(
+        rd.from_arrow(t).repartition(4), lo="src2", hi="src5")
+    want = sum(1 for s in src if "src2" <= s <= "src5")
+    assert out.iloc[0]["n_in_range"] == want
+
+
+# ---------- market basket ----------
+
+def test_market_basket_pairs(ray_session):
+    import ray.data as rd
+    rng = np.random.default_rng(17)
+    n = 2500
+    users = rng.integers(0, 15, n)
+    ts = (1_700_000_000 + rng.integers(0, 86400 * 5, n)).astype(
+        "datetime64[s]").astype("datetime64[us]")
+    et = rng.choice(["a", "b", "c", "d"], n)
+    t = pa.table({"user_id": pa.array(users.astype(np.int64)),
+                  "ts": pa.array(ts),
+                  "event_type": pa.array(et, pa.string())})
+    out = windows.market_basket_pairs(
+        rd.from_arrow(t).repartition(4)).to_pandas()
+    df = t.to_pandas()
+    df["d"] = df["ts"].to_numpy().astype("datetime64[s]") \
+        .astype(np.int64) // 86400
+    b = df[["user_id", "d", "event_type"]].drop_duplicates()
+    want = {}
+    for (_, _), g in b.groupby(["user_id", "d"]):
+        items = sorted(g["event_type"])
+        for x in range(len(items)):
+            for y in range(x + 1, len(items)):
+                want[(items[x], items[y])] = \
+                    want.get((items[x], items[y]), 0) + 1
+    got = {(r.t1, r.t2): r.support for r in out.itertuples()}
+    assert got == want
+
+
+# ---------- windowed dedup ----------
+
+def test_windowed_dedup_events(ray_session):
+    import ray.data as rd
+    rng = np.random.default_rng(19)
+    n = 3000
+    users = rng.integers(0, 10, n)
+    ts = (1_700_000_000 + rng.integers(0, 36000, n)).astype(
+        "datetime64[s]").astype("datetime64[us]")
+    et = rng.choice(["x", "y"], n)
+    t = pa.table({"user_id": pa.array(users.astype(np.int64)),
+                  "event_type": pa.array(et, pa.string()),
+                  "ts": pa.array(ts),
+                  "event_id": pa.array(np.arange(n, dtype=np.int64))})
+    out = windows.windowed_dedup_events(
+        rd.from_arrow(t).repartition(5)).to_pandas()
+    df = t.to_pandas()
+    df["win"] = df["ts"].to_numpy().astype("datetime64[s]") \
+        .astype(np.int64) // 3600
+    df = df.sort_values(["user_id", "event_type", "win", "ts",
+                         "event_id"])
+    g = df.groupby(["user_id", "event_type", "win"])
+    want = g.first().reset_index()
+    want["n_in_win"] = g.size().to_numpy()
+    a = out.sort_values(["user_id", "event_type", "win"]) \
+        .reset_index(drop=True)
+    b = want.sort_values(["user_id", "event_type", "win"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a[["user_id", "event_type", "win", "keep_id", "n_in_win"]],
+        b.rename(columns={"event_id": "keep_id"})[
+            ["user_id", "event_type", "win", "keep_id", "n_in_win"]],
+        check_dtype=False)
+
+
+# ---------- embedding dim profile ----------
+
+def test_embedding_dim_profile(ray_session):
+    import ray.data as rd
+    from rwcf import similarity
+    rng = np.random.default_rng(23)
+    m = rng.normal(0, 1, (200, 8)).astype(np.float32)
+    t = pa.table({"embedding": pa.array(list(m), pa.list_(pa.float32()))})
+    out = similarity.embedding_dim_profile(
+        rd.from_arrow(t).repartition(4)).to_pandas() \
+        .sort_values("dim").reset_index(drop=True)
+    q = np.floor(m.astype(np.float64) * 1e6).astype(np.int64)
+    np.testing.assert_array_equal(out["sum_q"].to_numpy(), q.sum(axis=0))
+    np.testing.assert_array_equal(out["min_q"].to_numpy(), q.min(axis=0))
+    np.testing.assert_array_equal(out["max_q"].to_numpy(), q.max(axis=0))
+    assert (out["n"] == 200).all()
