@@ -2587,6 +2587,52 @@ def _q_embedding_dim_profile(sf_dir: str):
     return similarity.embedding_dim_profile(ds)
 
 
+def _q_rt_xor_value(sf_dir: str):
+    """Float roundtrip through the byte-aligned XOR (Gorilla-family)
+    transport codec: per batch encode -> decode -> bit-identity assert,
+    emit the decoded rows (rwcf.codecs.xorfloat; split-stream layout so
+    encode AND decode stay fully vectorized)."""
+    import ray.data as rd
+    from rwcf import rayenv
+    from rwcf.codecs import xorfloat
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "value"])
+
+    def rt(t: pa.Table) -> pa.Table:
+        v = t.column("value").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        dec = xorfloat.decode(xorfloat.encode(v))
+        if v.size and v.view(np.uint64).tobytes() != \
+                dec.view(np.uint64).tobytes():
+            raise ValueError("xorfloat roundtrip mismatch")
+        return pa.table({"event_id": t.column("event_id"),
+                         "value": pa.array(dec)})
+
+    return ds.map_batches(rt, batch_format="pyarrow",
+                          **rayenv.remote_args())
+
+
+def _q_interval_coverage(sf_dir: str):
+    """Active-time coverage: per-user union length of +-300 s padded
+    event intervals (rwcf.windows.interval_coverage_per_user)."""
+    import ray.data as rd
+    from rwcf import windows
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+    return windows.interval_coverage_per_user(ds)
+
+
+def _q_higher_moments(sf_dir: str):
+    """Exact per-source raw moments to order 4 over n_chars
+    (rwcf.analytics.higher_moments)."""
+    import ray.data as rd
+    from rwcf import analytics
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["source", "n_chars"])
+    return analytics.higher_moments(ds)
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -2805,6 +2851,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "market_basket_pairs": _q_market_basket_pairs,
         "windowed_dedup_events": _q_windowed_dedup_events,
         "embedding_dim_profile": _q_embedding_dim_profile,
+        "rt_xor_value": _q_rt_xor_value,
+        "interval_coverage_user": _q_interval_coverage,
+        "higher_moments_source": _q_higher_moments,
     }
 
 
@@ -4438,6 +4487,30 @@ def oracle_sql() -> dict[str, str]:
             "AS min_q, "
             "CAST(max(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) "
             "AS max_q FROM e GROUP BY dim"),
+        "rt_xor_value": "SELECT event_id, value FROM events",
+        "interval_coverage_user": (
+            "WITH iv AS (SELECT user_id, epoch_us(ts) - 300000000 AS s, "
+            "epoch_us(ts) + 300000000 AS e FROM events), "
+            "o AS (SELECT user_id, s, e, max(e) OVER (PARTITION BY user_id "
+            "ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+            "AS prev_max FROM iv), "
+            "isl AS (SELECT user_id, s, e, sum(CASE WHEN prev_max IS NULL "
+            "OR s > prev_max THEN 1 ELSE 0 END) OVER (PARTITION BY user_id "
+            "ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS island FROM o), "
+            "g AS (SELECT user_id, island, min(s) AS s0, max(e) AS e1 "
+            "FROM isl GROUP BY user_id, island) "
+            "SELECT CAST(user_id AS BIGINT) AS user_id, "
+            "CAST(count(*) AS BIGINT) AS n_islands, "
+            "CAST(sum(e1 - s0) // 1000000 AS BIGINT) AS covered_s "
+            "FROM g GROUP BY user_id"),
+        "higher_moments_source": (
+            "SELECT source, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_v, "
+            "CAST(sum(n_chars * n_chars) AS BIGINT) AS sum_v2, "
+            "CAST(sum(n_chars * n_chars * n_chars) AS BIGINT) AS sum_v3, "
+            "CAST(sum(n_chars * n_chars * n_chars * n_chars) AS BIGINT) "
+            "AS sum_v4 FROM documents GROUP BY source"),
         # rows-only (not SQL-expressible): codec_selection, flagship_synthetic,
         # distinct_tokens_approx (HLL sketch; error bound pinned in tests),
         # quantiles_value_approx (bottom-k sample sketch; rank-error bound

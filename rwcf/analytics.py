@@ -3468,3 +3468,43 @@ def column_profile(ds, int_cols=("doc_id", "n_chars"),
                     "n_distinct": int(distinct[c]),
                     "min_v": mn_v, "max_v": mx_v})
     return pd.DataFrame(out).sort_values("column").reset_index(drop=True)
+
+
+def higher_moments(ds, key_col: str = "source", val_col: str = "n_chars"):
+    """Exact per-group raw-moment numerators up to order 4 — (n, sum_v,
+    sum_v2, sum_v3, sum_v4) as int64 — the distributive sufficient
+    statistics for skewness/kurtosis, left unnormalized so the result is
+    bit-exact and engine-agnostic (the same contract as
+    :func:`moments_per_source`'s order-2 pair; callers divide).
+
+    Overflow contract (stated): ``sum(v^4) < 2^63`` requires
+    ``n * max(v)^4 < 9.2e18`` — document lengths (v <= ~10^3, v^4 <=
+    1e12) hold to ~9e6 rows PER GROUP PER BATCH partial and to any group
+    total below that bound after the groupby; wider domains need the
+    float or Python-int variant. Partials are one row per (key, batch).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        v = pc.cast(t.column(val_col).combine_chunks(),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"k": k, "v": v, "v2": v * v})
+        df["v3"] = df["v2"] * df["v"]
+        df["v4"] = df["v2"] * df["v2"]
+        g = df.groupby("k", as_index=False).agg(
+            n=("v", "size"), sum_v=("v", "sum"), sum_v2=("v2", "sum"),
+            sum_v3=("v3", "sum"), sum_v4=("v4", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .groupby("k")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_v", alias_name="sum_v"),
+                       Sum("sum_v2", alias_name="sum_v2"),
+                       Sum("sum_v3", alias_name="sum_v3"),
+                       Sum("sum_v4", alias_name="sum_v4"))
+            .map_batches(lambda t: t.rename_columns(
+                [key_col] + list(t.column_names[1:])),
+                batch_format="pyarrow"))

@@ -1434,3 +1434,63 @@ def windowed_dedup_events(ds, key: str = "user_id",
             .groupby("_b")
             .map_groups(merge, batch_format="pyarrow",
                         **rayenv.remote_args()))
+
+
+def interval_coverage_per_user(ds, key: str = "user_id", ts_col: str = "ts",
+                               pad_s: int = 300, buckets: int = 32):
+    """Per-key union length of padded event intervals ``[ts - pad_s,
+    ts + pad_s)`` — merge overlapping intervals (gaps-and-islands on
+    ranges) and report island count + total covered seconds.  The
+    "active time" metric under an activity-halo model.
+
+    Scale shape: ONE bucketed shuffle on the key; in-bucket a single sort
+    by (key, start) + a segment-reset running maximum (np.maximum.accumulate
+    with per-key rebasing) finds island boundaries for every key at once.
+    Integer microsecond arithmetic end-to-end — no float time math.
+    Output: (key, n_islands, covered_s)."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        from .joins import hash_bucket
+        kv = t.column(key).to_numpy(zero_copy_only=False)
+        return (t.select([key, ts_col])
+                .append_column("_b",
+                               pa.array(hash_bucket(kv, buckets=buckets))))
+
+    def cover(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({key: pa.array([], pa.int64()),
+                             "n_islands": pa.array([], pa.int64()),
+                             "covered_s": pa.array([], pa.int64())})
+        k = g.column(key).to_numpy(zero_copy_only=False)
+        mic = _epoch_micros(g.column(ts_col))
+        pad = pad_s * 1_000_000
+        s = mic - pad
+        e = mic + pad
+        order = np.lexsort((s, k))
+        k, s, e = k[order], s[order], e[order]
+        new_key = np.concatenate(([True], k[1:] != k[:-1]))
+        # running max of e within each key segment (prefix max with
+        # per-segment reset; pandas' C cummax path — an additive-shift
+        # accumulate would risk int64 overflow on wide time ranges)
+        seg_id = np.cumsum(new_key) - 1
+        run_max = pd.Series(e).groupby(seg_id).cummax().to_numpy()
+        prev_max = np.concatenate(([np.iinfo(np.int64).min],
+                                   run_max[:-1]))
+        new_island = new_key | (s > prev_max)
+        isl_start = np.flatnonzero(new_island)
+        isl_end_max = run_max[np.append(isl_start[1:], k.size) - 1]
+        isl_len_us = isl_end_max - s[isl_start]
+        isl_key_new = new_key[isl_start]
+        kseg = np.flatnonzero(isl_key_new)
+        n_isl = np.diff(np.append(kseg, isl_start.size)).astype(np.int64)
+        cov_us = np.add.reduceat(isl_len_us, kseg).astype(np.int64)
+        return pa.table({key: pa.array(k[isl_start[kseg]]),
+                         "n_islands": pa.array(n_isl),
+                         "covered_s": pa.array(cov_us // 1_000_000)})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .repartition(buckets)
+            .groupby("_b")
+            .map_groups(cover, batch_format="pyarrow",
+                        **rayenv.remote_args()))

@@ -312,3 +312,88 @@ def test_embedding_dim_profile(ray_session):
     np.testing.assert_array_equal(out["min_q"].to_numpy(), q.min(axis=0))
     np.testing.assert_array_equal(out["max_q"].to_numpy(), q.max(axis=0))
     assert (out["n"] == 200).all()
+
+
+# ---------- xorfloat codec ----------
+
+def test_xorfloat_roundtrip_bitexact():
+    from rwcf.codecs import xorfloat
+    rng = np.random.default_rng(29)
+    cases = [rng.normal(100, 1, 10_000),
+             np.cumsum(rng.normal(0, 0.01, 5_000)) + 50.0,
+             np.array([np.nan, np.inf, -np.inf, -0.0, 0.0, 1.0,
+                       5e-324, 1.7976931348623157e308]),
+             np.zeros(100), np.array([])]
+    for v in cases:
+        enc = xorfloat.encode(v)
+        dec = xorfloat.decode(enc)
+        assert dec.size == v.size
+        assert v.view(np.uint64).tobytes() == dec.view(np.uint64).tobytes()
+        assert len(enc) == xorfloat.encoded_size(v)
+    # slow-drift series must beat raw 8 B/value; constants collapse
+    drift = np.full(10_000, 42.0)
+    assert xorfloat.encoded_size(drift) < 10_000 * 8 * 0.2
+
+
+def test_xorfloat_rejects_corrupt():
+    from rwcf.codecs import xorfloat
+    enc = bytearray(xorfloat.encode(np.array([1.0, 2.0, 3.0])))
+    with pytest.raises(ValueError):
+        xorfloat.decode(bytes(enc[:-1]))  # truncated payload
+    bad = bytearray(enc)
+    bad[0] ^= 0xFF
+    with pytest.raises(ValueError):
+        xorfloat.decode(bytes(bad))  # bad magic
+
+
+# ---------- interval coverage ----------
+
+def test_interval_coverage(ray_session):
+    import ray.data as rd
+    rng = np.random.default_rng(31)
+    n = 2000
+    users = rng.integers(0, 12, n)
+    ts = (1_700_000_000 + rng.integers(0, 86400, n)).astype(
+        "datetime64[s]").astype("datetime64[us]")
+    t = pa.table({"user_id": pa.array(users.astype(np.int64)),
+                  "ts": pa.array(ts)})
+    out = windows.interval_coverage_per_user(
+        rd.from_arrow(t).repartition(4), pad_s=300).to_pandas()
+    mic = ts.astype(np.int64)
+    for u in np.unique(users):
+        iv = np.sort(mic[users == u])
+        s, e = iv - 300_000_000, iv + 300_000_000
+        islands = []
+        cur_s, cur_e = s[0], e[0]
+        for i in range(1, s.size):
+            if s[i] > cur_e:
+                islands.append(cur_e - cur_s)
+                cur_s, cur_e = s[i], e[i]
+            else:
+                cur_e = max(cur_e, e[i])
+        islands.append(cur_e - cur_s)
+        row = out[out["user_id"] == u].iloc[0]
+        assert row["n_islands"] == len(islands)
+        assert row["covered_s"] == sum(islands) // 1_000_000
+
+
+# ---------- higher moments ----------
+
+def test_higher_moments(ray_session):
+    import ray.data as rd
+    rng = np.random.default_rng(37)
+    n = 3000
+    src = rng.choice(["a", "b"], n)
+    v = rng.integers(0, 700, n).astype(np.int64)
+    t = pa.table({"source": pa.array(src, pa.string()),
+                  "n_chars": pa.array(v)})
+    out = analytics.higher_moments(
+        rd.from_arrow(t).repartition(4)).to_pandas()
+    for s in ["a", "b"]:
+        x = v[src == s].astype(object)  # python ints: no overflow in ref
+        row = out[out["source"] == s].iloc[0]
+        assert row["n"] == x.size
+        assert row["sum_v"] == sum(x)
+        assert row["sum_v2"] == sum(xi * xi for xi in x)
+        assert row["sum_v3"] == sum(xi ** 3 for xi in x)
+        assert row["sum_v4"] == sum(xi ** 4 for xi in x)
