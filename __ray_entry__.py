@@ -2633,6 +2633,56 @@ def _q_higher_moments(sf_dir: str):
     return analytics.higher_moments(ds)
 
 
+def _q_bag_dedup(sf_dir: str):
+    """Bag-of-words (order-invariant) duplicate pairs over documents plus
+    planted WORD-REVERSED copies of every 10th doc — catches reordered
+    text that byte-exact dedup misses (rwcf.dedup.bag_dedup_pairs)."""
+    from rwcf import dedup, rayenv
+
+    def plant_reversed(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = ids % 10 == 0
+        sub = t.filter(pa.array(keep))
+        words = pc.split_pattern_regex(sub.column("text"), r"\s+")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        # reverse each row's token list (vectorized reversal via offsets:
+        # flat position p of row r maps to off[r] + off[r+1] - 1 - p)
+        flat = words.flatten()
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        off = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+        total = int(off[-1])
+        row_id = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+        idx = off[row_id] + off[row_id + 1] - 1 - \
+            np.arange(total, dtype=np.int64)
+        w = flat.to_numpy(zero_copy_only=False)
+        lists = pa.ListArray.from_arrays(
+            pa.array(off.astype(np.int32)),
+            pa.array(w[idx] if idx.size else np.empty(0, object),
+                     pa.string()))
+        rev = pc.binary_join(lists, " ")
+        planted = pa.table({
+            "doc_id": pa.array(ids[keep] + 1_000_000),
+            "text": rev})
+        return pa.concat_tables([t.select(["doc_id", "text"]), planted])
+
+    aug = _docs_ds(sf_dir).map_batches(plant_reversed,
+                                       batch_format="pyarrow",
+                                       **rayenv.remote_args())
+    return dedup.bag_dedup_pairs(aug)
+
+
+def _q_regression_stats(sf_dir: str):
+    """Per-brand price-vs-size regression sufficient statistics
+    (rwcf.analytics.group_regression_stats)."""
+    import ray.data as rd
+    from rwcf import analytics
+    ds = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_brand", "p_size", "p_retailprice"])
+    return analytics.group_regression_stats(ds)
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -2854,6 +2904,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rt_xor_value": _q_rt_xor_value,
         "interval_coverage_user": _q_interval_coverage,
         "higher_moments_source": _q_higher_moments,
+        "dedup_bag_of_words": _q_bag_dedup,
+        "brand_price_regression": _q_regression_stats,
     }
 
 
@@ -4511,6 +4563,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(n_chars * n_chars * n_chars) AS BIGINT) AS sum_v3, "
             "CAST(sum(n_chars * n_chars * n_chars * n_chars) AS BIGINT) "
             "AS sum_v4 FROM documents GROUP BY source"),
+        "dedup_bag_of_words": (
+            "WITH aug AS (SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 1000000, array_to_string(list_reverse("
+            "regexp_extract_all(text, '\\S+')), ' ') FROM documents "
+            "WHERE doc_id % 10 = 0), "
+            "c AS (SELECT doc_id, array_to_string(list_sort("
+            "regexp_extract_all(text, '\\S+')), ' ') AS canon FROM aug) "
+            "SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM c a "
+            "JOIN c b ON a.canon = b.canon AND a.doc_id < b.doc_id"),
+        "brand_price_regression": (
+            "SELECT p_brand, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(p_size) AS BIGINT) AS sum_x, "
+            "CAST(sum(CAST(floor(p_retailprice * 1000) AS BIGINT)) "
+            "AS BIGINT) AS sum_y, "
+            "CAST(sum(p_size * CAST(floor(p_retailprice * 1000) "
+            "AS BIGINT)) AS BIGINT) AS sum_xy, "
+            "CAST(sum(p_size * p_size) AS BIGINT) AS sum_x2 "
+            "FROM part GROUP BY p_brand"),
         # rows-only (not SQL-expressible): codec_selection, flagship_synthetic,
         # distinct_tokens_approx (HLL sketch; error bound pinned in tests),
         # quantiles_value_approx (bottom-k sample sketch; rank-error bound

@@ -3508,3 +3508,44 @@ def higher_moments(ds, key_col: str = "source", val_col: str = "n_chars"):
             .map_batches(lambda t: t.rename_columns(
                 [key_col] + list(t.column_names[1:])),
                 batch_format="pyarrow"))
+
+
+def group_regression_stats(ds, key_col: str = "p_brand",
+                           x_col: str = "p_size",
+                           y_col: str = "p_retailprice",
+                           y_scale: int = 1000):
+    """Exact per-group simple-linear-regression sufficient statistics:
+    (n, sum_x, sum_y, sum_xy, sum_x2) with y integer-scaled
+    (``floor(y*scale)``) so every number is bit-exact int64 — slope and
+    intercept derive as ``(n*sum_xy - sum_x*sum_y) / (n*sum_x2 -
+    sum_x^2)`` on the caller's side.  The distributive regression
+    pattern: one partial row per (key, batch), domain-sized final
+    groupby, raw rows never shuffle."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        x = pc.cast(t.column(x_col).combine_chunks(),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        y = t.column(y_col).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        y1000 = np.floor(y * y_scale).astype(np.int64)
+        df = pd.DataFrame({"k": k, "x": x, "y": y1000,
+                           "xy": x * y1000, "x2": x * x})
+        g = df.groupby("k", as_index=False).agg(
+            n=("x", "size"), sum_x=("x", "sum"), sum_y=("y", "sum"),
+            sum_xy=("xy", "sum"), sum_x2=("x2", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          **rayenv.remote_args())
+           .groupby("k")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sum_x", alias_name="sum_x"),
+                      Sum("sum_y", alias_name="sum_y"),
+                      Sum("sum_xy", alias_name="sum_xy"),
+                      Sum("sum_x2", alias_name="sum_x2")))
+    return out.map_batches(
+        lambda t: t.rename_columns([key_col] + list(t.column_names[1:])),
+        batch_format="pyarrow")

@@ -1815,3 +1815,66 @@ def dup_rate_per_source(ds, key_col: str = "source",
 
     return agg.map_batches(rate, batch_format="pyarrow",
                            **rayenv.remote_args())
+
+
+def bag_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Order-invariant (bag-of-words) duplicate pairs: two documents pair
+    when their whitespace-token MULTISETS are identical — catches
+    shuffled/reordered boilerplate that byte-exact dedup misses, the gap
+    between :func:`dedup_exact` and the Jaccard family (which also fires
+    on mere overlap).
+
+    Each row canonicalizes to its tokens sorted and re-joined (vectorized:
+    one stable (row, token) sort + ``pc.binary_join`` — no per-row
+    Python), then the pipeline is exact dedup on the canonical string:
+    ONE content-hash bucketed shuffle, in-bucket lexsort + per-group
+    vectorized pair expansion. Collision-safe by construction (grouped by
+    the actual canonical string; the hash only routes)."""
+    import pyarrow.compute as pc
+
+    from .analytics import _batch_words
+    buckets = _shuffle_buckets()
+
+    def add_canon(t: pa.Table) -> pa.Table:
+        flat, lens = _batch_words(t, text_col)
+        row_id = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+        w = flat.to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, row_id))
+        offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(w[order], pa.string()))
+        canon = pc.binary_join(lists, " ")
+        b = _bucket_of(
+            pd.util.hash_array(canon.to_numpy(zero_copy_only=False)),
+            buckets=buckets)
+        return pa.table({id_col: t.column(id_col),
+                         "canon": canon,
+                         "_b": pa.array(b)})
+
+    def pairs(g: pa.Table) -> pa.Table:
+        from .fuzzy import _block_pairs
+        ids = g.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        canon = g.column("canon").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        empty = pa.table({"a_id": pa.array([], pa.int64()),
+                          "b_id": pa.array([], pa.int64())})
+        if ids.size < 2:
+            return empty
+        order = np.lexsort((ids, canon))
+        ids, canon = ids[order], canon[order]
+        seg = np.flatnonzero(np.concatenate(
+            ([True], canon[1:] != canon[:-1])))
+        ia, ib = _block_pairs(seg, ids.size)
+        if not ia.size:
+            return empty
+        a, b = ids[ia], ids[ib]
+        return pa.table({"a_id": pa.array(np.minimum(a, b)),
+                         "b_id": pa.array(np.maximum(a, b))})
+
+    return (ds.map_batches(add_canon, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .repartition(buckets)
+            .groupby("_b")
+            .map_groups(pairs, batch_format="pyarrow",
+                        **rayenv.remote_args()))

@@ -397,3 +397,58 @@ def test_higher_moments(ray_session):
         assert row["sum_v2"] == sum(xi * xi for xi in x)
         assert row["sum_v3"] == sum(xi ** 3 for xi in x)
         assert row["sum_v4"] == sum(xi ** 4 for xi in x)
+
+
+# ---------- bag-of-words dedup ----------
+
+def test_bag_dedup_pairs(ray_session):
+    import ray.data as rd
+    from rwcf import dedup
+    docs = ["alpha beta gamma", "gamma beta alpha", "alpha beta",
+            "beta  alpha", "delta", "unique words here"]
+    t = pa.table({"doc_id": pa.array(np.arange(6, dtype=np.int64)),
+                  "text": pa.array(docs, pa.string())})
+    out = dedup.bag_dedup_pairs(rd.from_arrow(t).repartition(3)) \
+        .to_pandas().sort_values(["a_id", "b_id"]).reset_index(drop=True)
+    # {0,1} same multiset; {2,3} same multiset (whitespace normalized)
+    assert [tuple(r) for r in out[["a_id", "b_id"]].to_numpy()] == \
+        [(0, 1), (2, 3)]
+
+
+def test_bag_dedup_multiset_not_set(ray_session):
+    import ray.data as rd
+    from rwcf import dedup
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["a a b", "a b b"], pa.string())})
+    out = dedup.bag_dedup_pairs(rd.from_arrow(t)).to_pandas()
+    assert len(out) == 0  # same SET, different MULTISET -> no pair
+
+
+# ---------- regression stats ----------
+
+def test_group_regression_stats(ray_session):
+    import ray.data as rd
+    rng = np.random.default_rng(41)
+    n = 1000
+    brand = rng.choice(["b1", "b2"], n)
+    x = rng.integers(1, 50, n).astype(np.int64)
+    y = (x * 3 + rng.normal(0, 5, n) + 100).round(2)
+    t = pa.table({"p_brand": pa.array(brand, pa.string()),
+                  "p_size": pa.array(x.astype(np.int32)),
+                  "p_retailprice": pa.array(y, pa.float64())})
+    out = analytics.group_regression_stats(
+        rd.from_arrow(t).repartition(4)).to_pandas()
+    for b in ["b1", "b2"]:
+        m = brand == b
+        y1000 = np.floor(y[m] * 1000).astype(np.int64)
+        row = out[out["p_brand"] == b].iloc[0]
+        assert row["n"] == m.sum()
+        assert row["sum_x"] == x[m].sum()
+        assert row["sum_y"] == y1000.sum()
+        assert row["sum_xy"] == (x[m] * y1000).sum()
+        assert row["sum_x2"] == (x[m] * x[m]).sum()
+        # derived slope sanity: close to the planted 3.0 (in y/1000 units)
+        nk = m.sum()
+        slope = (nk * row["sum_xy"] - row["sum_x"] * row["sum_y"]) / \
+            (nk * row["sum_x2"] - row["sum_x"] ** 2) / 1000
+        assert abs(slope - 3.0) < 0.2
