@@ -452,3 +452,22 @@ def test_group_regression_stats(ray_session):
         slope = (nk * row["sum_xy"] - row["sum_x"] * row["sum_y"]) / \
             (nk * row["sum_x2"] - row["sum_x"] ** 2) / 1000
         assert abs(slope - 3.0) < 0.2
+
+
+# ---------- property: xorfloat over adversarial doubles ----------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.floats(allow_nan=True, allow_infinity=True,
+                              allow_subnormal=True, width=64),
+                    min_size=0, max_size=300))
+    def test_xorfloat_property_roundtrip(xs):
+        from rwcf.codecs import xorfloat
+        v = np.array(xs, dtype=np.float64)
+        dec = xorfloat.decode(xorfloat.encode(v))
+        assert v.view(np.uint64).tobytes() == dec.view(np.uint64).tobytes()
+except ImportError:  # pragma: no cover
+    pass
