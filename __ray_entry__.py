@@ -75,6 +75,32 @@ def _encoded_run(sf_dir: str) -> str:
     return cfg.out_dir
 
 
+_INDEXED_RUNS: dict[str, str] = {}
+
+
+def _encoded_run_indexed(sf_dir: str) -> str:
+    """A second cached store tuned for index-style access: rows SORTED by
+    source (clusters the predicate column so page pruning has something to
+    prune) and a small page_target (2 KiB) so each partition carries many
+    zone-mapped pages — the lookup/late-materialization demo store."""
+    if sf_dir in _INDEXED_RUNS:
+        return _INDEXED_RUNS[sf_dir]
+    import ray.data as rd
+    from rwcf import documents, pipeline
+    work = _workdir("encode-idx", sf_dir)
+    tokens_dir = documents.tokens_parquet_for(sf_dir, work)
+    sorted_dir = os.path.join(work, "sorted")
+    rd.read_parquet(documents.parquet_files(tokens_dir)) \
+        .sort("source").write_parquet(sorted_dir)
+    cfg = pipeline.EncodeConfig(out_dir=os.path.join(work, "out"),
+                                partition_token_budget=1_000_000,
+                                page_target=2048)
+    pipeline.encode_job(documents.parquet_files(sorted_dir), cfg) \
+        .materialize()
+    _INDEXED_RUNS[sf_dir] = cfg.out_dir
+    return cfg.out_dir
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -2683,6 +2709,55 @@ def _q_regression_stats(sf_dir: str):
     return analytics.group_regression_stats(ds)
 
 
+def _q_late_sum_ntok(sf_dir: str):
+    """Late materialization over the encoded store: the source predicate
+    evaluates in its compressed domain and decides which n_tok PAGES are
+    ever fetched (rwcf.pipeline.late_materialized_sum — pruned zstd page
+    frames never leave disk). Oracle-checked columns are (n_rows,
+    sum_val); the IO-accounting columns are asserted in
+    tests/test_late_mat.py (pages_kept < pages_total on this
+    source-sorted store)."""
+    from rwcf import pipeline
+    out = _encoded_run_indexed(sf_dir)
+    return pipeline.late_materialized_sum(out, "source", "src3",
+                                          "n_tok")[["n_rows", "sum_val"]]
+
+
+def _q_stats_minmax_ntok(sf_dir: str):
+    """MIN/MAX answered purely from the manifest's zone-map page stats —
+    zero partition-file IO (rwcf.pipeline.stats_only_minmax)."""
+    from rwcf import pipeline
+    return pipeline.stats_only_minmax(_encoded_run_indexed(sf_dir), "n_tok")
+
+
+def _q_doc_lookup(sf_dir: str):
+    """Point lookup by doc_id over the encoded store: partition prune via
+    manifest string stats, page prune via truncated string zone maps
+    (fmt.page_value_stats), row-range gather fetching ONLY the token pages
+    covering the matched rows (rwcf.pipeline.lookup_docs) — the
+    reference's 'efficient row skipping' roadmap item realized at row
+    granularity."""
+    import pyarrow.compute as pc
+    from rwcf import pipeline, rayenv
+
+    def to_text(t: pa.Table) -> pa.Table:
+        la = t.column("tokens").combine_chunks()
+        lens = pc.list_value_length(la).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = la.flatten().to_numpy(zero_copy_only=False).astype(np.uint8)
+        offsets = np.concatenate(([0], np.cumsum(lens)))
+        text = pa.Array.from_buffers(
+            pa.large_utf8(), len(lens),
+            [None, pa.py_buffer(offsets.astype(np.int64).tobytes()),
+             pa.py_buffer(flat.tobytes())]).cast(pa.string())
+        return pa.table({"doc_id": t.column("doc_id"), "text": text})
+
+    return pipeline.lookup_docs(_encoded_run_indexed(sf_dir),
+                                ["7", "57", "123"]) \
+        .map_batches(to_text, batch_format="pyarrow",
+                     **rayenv.remote_args())
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -2906,6 +2981,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "higher_moments_source": _q_higher_moments,
         "dedup_bag_of_words": _q_bag_dedup,
         "brand_price_regression": _q_regression_stats,
+        "late_sum_ntok": _q_late_sum_ntok,
+        "stats_minmax_ntok": _q_stats_minmax_ntok,
+        "doc_lookup": _q_doc_lookup,
     }
 
 
@@ -4581,6 +4659,16 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT)) AS BIGINT) AS sum_xy, "
             "CAST(sum(p_size * p_size) AS BIGINT) AS sum_x2 "
             "FROM part GROUP BY p_brand"),
+        "late_sum_ntok": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(strlen(text)) AS BIGINT) AS sum_val "
+            "FROM documents WHERE source = 'src3'"),
+        "stats_minmax_ntok": (
+            "SELECT CAST(min(strlen(text)) AS BIGINT) AS lo, "
+            "CAST(max(strlen(text)) AS BIGINT) AS hi FROM documents"),
+        "doc_lookup": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text "
+            "FROM documents WHERE doc_id IN (7, 57, 123)"),
         # rows-only (not SQL-expressible): codec_selection, flagship_synthetic,
         # distinct_tokens_approx (HLL sketch; error bound pinned in tests),
         # quantiles_value_approx (bottom-k sample sketch; rank-error bound

@@ -321,14 +321,41 @@ def slice_pages(enc: EncodedColumn, indices) -> EncodedColumn:
                          n_values=sum(p.values_count for p in pages))
 
 
+#: string zone-map bounds are truncated to this many characters; the max
+#: bound is rounded UP so truncation can only widen the range (false keeps,
+#: never false skips) — the same conservatism Parquet's truncated column
+#: statistics use.
+STR_STAT_PREFIX = 16
+_MAX_CODEPOINT = "\U0010ffff"
+
+
 def page_value_stats(chunk, dtype: str, pages: list[PageInfo]):
-    """Per-page (min, max) for numeric chunks, aligned to the encoder's page
-    boundaries (values_count spans) — the zone-map index for page skipping."""
-    if is_string(dtype):
-        return None
-    vals = np.asarray(chunk)
+    """Per-page (min, max) zone-map index aligned to the encoder's page
+    boundaries (values_count spans). Numeric chunks carry exact int bounds;
+    string chunks carry LEXICOGRAPHIC bounds truncated to STR_STAT_PREFIX
+    chars (max rounded up with a trailing max-codepoint sentinel), which
+    enables page-pruned point lookups on string key columns (doc_id) —
+    any stored value v satisfies lo <= v <= hi, so a probe outside
+    [lo, hi] can never live in the page."""
     out = []
     pos = 0
+    if is_string(dtype):
+        import pyarrow.compute as pc
+        arr = chunk_to_arrow(chunk, dtype)
+        for p in pages:
+            seg = arr.slice(pos, p.values_count)
+            pos += p.values_count
+            if len(seg):
+                mm = pc.min_max(seg)
+                lo = mm["min"].as_py()[:STR_STAT_PREFIX]
+                hi = mm["max"].as_py()
+                if len(hi) > STR_STAT_PREFIX:
+                    hi = hi[:STR_STAT_PREFIX] + _MAX_CODEPOINT
+                out.append([lo, hi])
+            else:
+                out.append(["", ""])
+        return out
+    vals = np.asarray(chunk)
     for p in pages:
         seg = vals[pos:pos + p.values_count]
         pos += p.values_count

@@ -701,6 +701,245 @@ def read_column_pages(row: dict, column: str, keep: list[int]):
     return enc, bytes_read, cm["length"]
 
 
+def read_column_skeleton(row: dict, column: str) -> "fmt.EncodedColumn":
+    """Page-layout-only read of one column section: with the default
+    transport="zstd-page" framing, ONLY the trailer frame is fetched and
+    parsed (payload stays on disk) — the metadata entry point for
+    row-range planning (page row offsets come from PageInfo.values_count).
+    Falls back to a full-section read for unframed sections."""
+    cm = next(c for c in row["columns"] if c["column"] == column)
+    frames = cm.get("frames")
+    if not frames:
+        return read_column_section(row, column)
+    codec = _zstd()
+    toff, tclen, trawlen, tcrc = frames[-1]
+    with open(row["file"], "rb") as f:
+        f.seek(cm["offset"] + toff)
+        tcomp = f.read(tclen)
+    if zlib.crc32(tcomp) != tcrc:
+        raise IOError(f"frame checksum mismatch in {row['pid']}:{column}")
+    skel = fmt.read_footer_blob(codec.decompress(tcomp, trawlen,
+                                                 asbytes=True))
+    skel.dtype = cm["dtype"]
+    return skel
+
+
+def _pred_row_mask(enc: "fmt.EncodedColumn", value) -> np.ndarray:
+    """Boolean row mask for ``column == value`` evaluated as far into the
+    compressed domain as the stored codec allows: RLE compares once per RUN
+    (then np.repeat), dict once per DISTINCT value (then a code gather);
+    only other codecs fall back to a full decode + vectorized compare."""
+    from .codecs import REGISTRY
+
+    def _eq(chunk) -> np.ndarray:
+        if fmt.is_string(enc.dtype):
+            arr = fmt.chunk_to_arrow(chunk, "str").cast(pa.string())
+            return pc.equal(arr, value).to_numpy(zero_copy_only=False)
+        return np.asarray(chunk) == value
+
+    if enc.codec == "rle":
+        rv, lens = REGISTRY["rle"].decode_runs(enc.payload, enc.pages,
+                                               enc.meta, enc.dtype)
+        return np.repeat(_eq(rv), lens.astype(np.int64))
+    if enc.codec == "dict":
+        uniq, codes = REGISTRY["dict"].decode_codes(enc.payload, enc.pages,
+                                                    enc.meta, enc.dtype)
+        return _eq(uniq)[codes]
+    return _eq(fmt.decode_chunk(enc))
+
+
+def late_materialized_sum(out_dir: str, pred_col: str = "source",
+                          pred_val: str = "src3", val_col: str = "n_tok",
+                          concurrency: int | None = None):
+    """Late materialization — the classic columnar-engine access path the
+    reference's V0 whole-column decoder cannot do (its roadmap names row
+    skipping, wills-columnar-format.org:187-194): the predicate column
+    decides which PAGES of the value column are ever fetched. Per
+    partition: (1) partition-level prune on manifest stats (zero IO when
+    the predicate value is outside the partition's range), (2) the
+    predicate column evaluates in its compressed domain (_pred_row_mask),
+    (3) only value-column pages containing >= 1 matching row are read
+    (read_column_pages — pruned zstd page frames never leave disk), (4) a
+    vectorized in-page mask finishes the SUM/COUNT. Partials are six ints
+    per manifest block, so the exchange is a scalar aggregate. Returns one
+    row: (n_rows, sum_val, pages_kept, pages_total, bytes_read,
+    bytes_total)."""
+    from ray.data.aggregate import Sum
+
+    n = concurrency or _default_concurrency()
+    ds = manifest_dataset(out_dir, n_blocks=n * 2)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        tot = {"n_rows": 0, "sum_val": 0, "pages_kept": 0,
+               "pages_total": 0, "bytes_read": 0, "bytes_total": 0}
+        for row in manifest_table_to_rows(batch):
+            vcm = next(c for c in row["columns"] if c["column"] == val_col)
+            skel = read_column_skeleton(row, val_col)
+            rows_pp = np.array([p.values_count for p in skel.pages],
+                               dtype=np.int64)
+            tot["pages_total"] += len(skel.pages)
+            tot["bytes_total"] += vcm["length"]
+            st = (row.get("stats") or {}).get(pred_col)
+            if st is not None and not (st["min"] <= pred_val <= st["max"]):
+                continue
+            mask = _pred_row_mask(read_column_section(row, pred_col),
+                                  pred_val)
+            if not mask.any():
+                continue
+            pe = np.cumsum(rows_pp)
+            ps = pe - rows_pp
+            per_page = np.add.reduceat(mask.astype(np.int64), ps)
+            keep = np.flatnonzero(per_page > 0)
+            enc_v, br, _bt = read_column_pages(row, val_col,
+                                               [int(i) for i in keep])
+            vals = np.asarray(fmt.decode_chunk(enc_v), dtype=np.int64)
+            kmask = np.concatenate([mask[ps[i]:pe[i]] for i in keep])
+            tot["n_rows"] += int(mask.sum())
+            tot["sum_val"] += int(vals[kmask].sum())
+            tot["pages_kept"] += int(keep.size)
+            tot["bytes_read"] += br
+        return pa.table({k: pa.array([v], pa.int64())
+                         for k, v in tot.items()})
+
+    agg = ds.map_batches(scan, batch_size=1, batch_format="pyarrow",
+                         num_cpus=1, **rayenv.remote_args()) \
+        .aggregate(*[Sum(k, alias_name=k)
+                     for k in ("n_rows", "sum_val", "pages_kept",
+                               "pages_total", "bytes_read", "bytes_total")])
+    import pandas as pd
+    return pd.DataFrame([{k: int(agg[k] or 0)
+                          for k in ("n_rows", "sum_val", "pages_kept",
+                                    "pages_total", "bytes_read",
+                                    "bytes_total")}])
+
+
+def stats_only_minmax(out_dir: str, column: str = "n_tok",
+                      concurrency: int | None = None):
+    """MIN/MAX answered ENTIRELY from the manifest's zone-map page stats —
+    zero partition-file IO (the manifest rows are the whole input). Valid
+    because page bounds are exact for numeric columns: the global min is
+    the min of page minima. Returns one row (lo, hi)."""
+    from ray.data.aggregate import Max, Min
+
+    n = concurrency or _default_concurrency()
+    ds = manifest_dataset(out_dir, n_blocks=n * 2)
+
+    def part(batch: pa.Table) -> pa.Table:
+        los, his = [], []
+        for row in manifest_table_to_rows(batch):
+            cm = next(c for c in row["columns"] if c["column"] == column)
+            stats = cm.get("page_stats")
+            if stats is None:
+                raise ValueError(f"column {column} carries no page stats")
+            los.append(min(s[0] for s in stats))
+            his.append(max(s[1] for s in stats))
+        return pa.table({"lo": pa.array(los, pa.int64()),
+                         "hi": pa.array(his, pa.int64())})
+
+    agg = ds.map_batches(part, batch_format="pyarrow",
+                         **rayenv.remote_args()) \
+        .aggregate(Min("lo", alias_name="lo"), Max("hi", alias_name="hi"))
+    import pandas as pd
+    return pd.DataFrame([{"lo": int(agg["lo"]), "hi": int(agg["hi"])}])
+
+
+def lookup_docs(out_dir: str, keys: list[str],
+                concurrency: int | None = None):
+    """Distributed point lookup by doc_id over the encoded store — realized
+    "efficient row skipping" (wills-columnar-format.org:187-194) at row
+    granularity: (1) partitions whose manifest doc_id range excludes every
+    probe are skipped with zero IO, (2) within a partition only doc_id
+    PAGES whose truncated string zone maps admit a probe are fetched,
+    (3) matched rows map through n_tok prefix sums to token ranges, and
+    ONLY the token pages covering those ranges are read and decoded.
+    Returns (doc_id, tokens) rows for the found keys (detokenization is
+    the caller's concern — token streams need not be valid UTF-8)."""
+    keys = sorted(set(str(k) for k in keys))
+    n = concurrency or _default_concurrency()
+    ds = manifest_dataset(out_dir, n_blocks=n * 2)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        out_ids: list[str] = []
+        out_toks: list[np.ndarray] = []
+        for row in manifest_table_to_rows(batch):
+            st = (row.get("stats") or {}).get("doc_id")
+            if st is not None and not any(
+                    st["min"] <= k <= st["max"] for k in keys):
+                continue
+            dcm = next(c for c in row["columns"] if c["column"] == "doc_id")
+            skel_d = read_column_skeleton(row, "doc_id")
+            rows_pp = np.array([p.values_count for p in skel_d.pages],
+                               dtype=np.int64)
+            pe = np.cumsum(rows_pp)
+            ps = pe - rows_pp
+            stats = dcm.get("page_stats")
+            if stats is not None:
+                keep = [i for i, (lo, hi) in enumerate(stats)
+                        if any(lo <= k <= hi for k in keys)]
+            else:
+                keep = list(range(len(skel_d.pages)))
+            if not keep:
+                continue
+            enc_d, _br, _bt = read_column_pages(row, "doc_id", keep)
+            ids = fmt.chunk_to_arrow(fmt.decode_chunk(enc_d), "str") \
+                .cast(pa.string())
+            hit = pc.is_in(ids, value_set=pa.array(keys, pa.string())) \
+                .to_numpy(zero_copy_only=False)
+            if not hit.any():
+                continue
+            local_rows = np.concatenate(
+                [np.arange(ps[i], pe[i], dtype=np.int64) for i in keep])
+            hit_rows = local_rows[hit]
+            hit_ids = ids.take(pa.array(np.flatnonzero(hit))).to_pylist()
+            n_tok = np.asarray(
+                fmt.decode_chunk(read_column_section(row, "n_tok")),
+                dtype=np.int64)
+            toff = np.concatenate(([0], np.cumsum(n_tok)))
+            starts = toff[hit_rows]
+            ends = toff[hit_rows + 1]
+            skel_t = read_column_skeleton(row, "tokens")
+            trows = np.array([p.values_count for p in skel_t.pages],
+                             dtype=np.int64)
+            tpe = np.cumsum(trows)
+            tps = tpe - trows
+            lo_pg = np.searchsorted(tpe, starts, side="right")
+            hi_pg = np.searchsorted(tpe, np.maximum(ends - 1, starts),
+                                    side="right")
+            keep_t = sorted({int(p) for a, b in zip(lo_pg, hi_pg)
+                             for p in range(a, min(b, len(trows) - 1) + 1)})
+            if not keep_t:  # every hit row has 0 tokens
+                out_ids.extend(hit_ids)
+                out_toks.extend([np.empty(0, np.int32)] * len(hit_ids))
+                continue
+            enc_t, _br2, _bt2 = read_column_pages(row, "tokens", keep_t)
+            tvals = np.asarray(fmt.decode_chunk(enc_t), dtype=np.int32)
+            kept_starts = tps[keep_t]
+            kcum = np.concatenate(([0], np.cumsum(trows[keep_t])))
+            # each row's token span covers globally-adjacent pages, all of
+            # which were kept, so the local mapping is affine per row
+            # (0-token rows take any in-bounds slot; their slice is empty)
+            idx = np.maximum(
+                np.searchsorted(kept_starts, starts, side="right") - 1, 0)
+            local = np.minimum(kcum[idx] + (starts - kept_starts[idx]),
+                               len(tvals))
+            for j, did in enumerate(hit_ids):
+                out_ids.append(did)
+                out_toks.append(
+                    tvals[local[j]: local[j] + (ends[j] - starts[j])])
+        flat = (np.concatenate(out_toks) if out_toks
+                else np.empty(0, np.int32))
+        offsets = np.concatenate(
+            ([0], np.cumsum([s.size for s in out_toks]))).astype(np.int64)
+        la = pa.LargeListArray.from_arrays(
+            offsets, pa.array(flat.astype(np.int32), pa.int32())) \
+            .cast(pa.list_(pa.int32()))
+        return pa.table({"doc_id": pa.array(out_ids, pa.string()),
+                         "tokens": la})
+
+    return ds.map_batches(scan, batch_size=1, batch_format="pyarrow",
+                          num_cpus=1, **rayenv.remote_args())
+
+
 def scan_column_pages(out_dir: str, column: str, page_pred,
                       concurrency: int | None = None):
     """Page-skipping scan of one column across all partitions: only pages

@@ -1,0 +1,100 @@
+"""Index-style access paths over the encoded store: late-materialized
+predicate-driven page fetch, stats-only MIN/MAX, and doc_id point lookup
+via truncated string zone maps (the reference's "efficient row skipping"
+roadmap, wills-columnar-format.org:187-194, at row granularity)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from rwcf import fixtures, pipeline
+from rwcf import format as fmt
+
+
+@pytest.fixture(scope="module")
+def sorted_store(tmp_path_factory, ray_session):
+    """A source-clustered, small-page store: rows sorted by source so the
+    predicate column's pages are prunable; page_target=512 bytes forces
+    many zone-mapped pages per partition."""
+    import pyarrow.parquet as pq
+    d = tmp_path_factory.mktemp("latemat")
+    tbl = fixtures.tokens_table(1500, seed=7)
+    order = pa.compute.sort_indices(tbl, sort_keys=[("source", "ascending")])
+    pq.write_table(tbl.take(order), str(d / "tokens.parquet"),
+                   row_group_size=500)
+    cfg = pipeline.EncodeConfig(out_dir=str(d / "out"),
+                                partition_token_budget=50_000,
+                                page_target=512)
+    pipeline.encode_job(str(d / "tokens.parquet"), cfg).materialize()
+    return cfg.out_dir, tbl.take(order)
+
+
+def test_string_page_stats_bounds():
+    """String zone maps are genuine lexicographic bounds even after
+    truncation: max rounds UP, so no stored value can escape [lo, hi]."""
+    vals = ["a" * 40, "zebra", "m" * 20, "aardvark", "zz"]
+    lens = np.array([len(v) for v in vals], dtype=np.int64)
+    payload = np.frombuffer("".join(vals).encode(), dtype=np.uint8)
+    enc = fmt.encode_chunk((lens, payload), "str", "plain", page_target=16)
+    stats = fmt.page_value_stats((lens, payload), "str", enc.pages)
+    assert stats is not None and len(stats) == len(enc.pages)
+    pos = 0
+    for (lo, hi), p in zip(stats, enc.pages):
+        seg = vals[pos:pos + p.values_count]
+        pos += p.values_count
+        for v in seg:
+            assert lo <= v <= hi
+        assert len(lo) <= fmt.STR_STAT_PREFIX
+        assert len(hi) <= fmt.STR_STAT_PREFIX + 1
+
+
+def test_late_materialized_sum_matches_and_prunes(sorted_store):
+    out, tbl = sorted_store
+    src = tbl.column("source").to_pylist()
+    ntok = np.asarray(tbl.column("n_tok"))
+    want_val = sorted(set(src))[0]
+    exp_mask = np.array([s == want_val for s in src])
+    res = pipeline.late_materialized_sum(out, "source", want_val, "n_tok") \
+        .iloc[0]
+    assert res["n_rows"] == int(exp_mask.sum())
+    assert res["sum_val"] == int(ntok[exp_mask].astype(np.int64).sum())
+    # the whole point: the source-clustered store skips value pages
+    assert res["pages_kept"] < res["pages_total"]
+    assert res["bytes_read"] < res["bytes_total"]
+
+
+def test_late_materialized_sum_absent_value_zero_io(sorted_store):
+    out, _tbl = sorted_store
+    res = pipeline.late_materialized_sum(out, "source", "\x00nope",
+                                         "n_tok").iloc[0]
+    assert res["n_rows"] == 0 and res["sum_val"] == 0
+    # partition-level stats prune every partition before any page read
+    assert res["pages_kept"] == 0 and res["bytes_read"] == 0
+
+
+def test_stats_only_minmax(sorted_store):
+    out, tbl = sorted_store
+    ntok = np.asarray(tbl.column("n_tok"), dtype=np.int64)
+    res = pipeline.stats_only_minmax(out, "n_tok").iloc[0]
+    assert res["lo"] == int(ntok.min()) and res["hi"] == int(ntok.max())
+
+
+def test_lookup_docs_exact_and_pruned(sorted_store):
+    out, tbl = sorted_store
+    ids = tbl.column("doc_id").to_pylist()
+    toks = tbl.column("tokens").to_pylist()
+    probe = [ids[3], ids[700], ids[1499]]
+    got = pipeline.lookup_docs(out, probe).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert sorted(got["doc_id"]) == sorted(probe)
+    for _, row in got.iterrows():
+        assert list(row["tokens"]) == toks[ids.index(row["doc_id"])]
+
+
+def test_lookup_docs_missing_key_empty(sorted_store):
+    out, _tbl = sorted_store
+    ds = pipeline.lookup_docs(out, ["no-such-doc"])
+    # blocks stay typed even when every partition prunes (Ray's to_pandas
+    # drops columns on all-empty datasets, so assert on the Dataset schema)
+    assert set(ds.schema().names) == {"doc_id", "tokens"}
+    assert ds.count() == 0
