@@ -2758,6 +2758,17 @@ def _q_doc_lookup(sf_dir: str):
                      **rayenv.remote_args())
 
 
+def _q_range_scan_docs(sf_dir: str):
+    """Index range scan over the encoded store: doc_id BETWEEN bounds
+    (lexicographic, matching SQL VARCHAR BETWEEN), partition- and
+    page-pruned via the truncated string zone maps; only admitted doc_id
+    pages and the n_tok pages covering their matches decode
+    (rwcf.pipeline.range_scan_docs)."""
+    from rwcf import pipeline
+    return pipeline.range_scan_docs(_encoded_run_indexed(sf_dir),
+                                    "200", "205")
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -2984,6 +2995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_sum_ntok": _q_late_sum_ntok,
         "stats_minmax_ntok": _q_stats_minmax_ntok,
         "doc_lookup": _q_doc_lookup,
+        "range_scan_docs": _q_range_scan_docs,
     }
 
 
@@ -4669,6 +4681,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_lookup": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text "
             "FROM documents WHERE doc_id IN (7, 57, 123)"),
+        "range_scan_docs": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "CAST(strlen(text) AS BIGINT) AS n_tok FROM documents "
+            "WHERE CAST(doc_id AS VARCHAR) BETWEEN '200' AND '205'"),
         # rows-only (not SQL-expressible): codec_selection, flagship_synthetic,
         # distinct_tokens_approx (HLL sketch; error bound pinned in tests),
         # quantiles_value_approx (bottom-k sample sketch; rank-error bound

@@ -940,6 +940,76 @@ def lookup_docs(out_dir: str, keys: list[str],
                           num_cpus=1, **rayenv.remote_args())
 
 
+def range_scan_docs(out_dir: str, lo: str, hi: str,
+                    concurrency: int | None = None):
+    """Index range scan: all (doc_id, n_tok) rows with lo <= doc_id <= hi
+    (lexicographic — the store's key order), pruned at partition level by
+    manifest string stats and at page level by the truncated string zone
+    maps; only admitted doc_id pages and the n_tok pages covering their
+    matches are decoded (the range analogue of lookup_docs)."""
+    n = concurrency or _default_concurrency()
+    ds = manifest_dataset(out_dir, n_blocks=n * 2)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        out_ids: list = []
+        out_n: list = []
+        for row in manifest_table_to_rows(batch):
+            st = (row.get("stats") or {}).get("doc_id")
+            if st is not None and (st["max"] < lo or st["min"] > hi):
+                continue
+            dcm = next(c for c in row["columns"] if c["column"] == "doc_id")
+            skel_d = read_column_skeleton(row, "doc_id")
+            rows_pp = np.array([p.values_count for p in skel_d.pages],
+                               dtype=np.int64)
+            pe = np.cumsum(rows_pp)
+            ps = pe - rows_pp
+            stats = dcm.get("page_stats")
+            if stats is not None:
+                keep = [i for i, (plo, phi) in enumerate(stats)
+                        if not (phi < lo or plo > hi)]
+            else:
+                keep = list(range(len(skel_d.pages)))
+            if not keep:
+                continue
+            enc_d, _br, _bt = read_column_pages(row, "doc_id", keep)
+            ids = fmt.chunk_to_arrow(fmt.decode_chunk(enc_d), "str") \
+                .cast(pa.string())
+            hit = pc.and_(pc.greater_equal(ids, lo),
+                          pc.less_equal(ids, hi)) \
+                .to_numpy(zero_copy_only=False)
+            if not hit.any():
+                continue
+            local_rows = np.concatenate(
+                [np.arange(ps[i], pe[i], dtype=np.int64) for i in keep])
+            hit_rows = local_rows[hit]
+            # n_tok pages covering the hit rows only
+            skel_n = read_column_skeleton(row, "n_tok")
+            nrows = np.array([p.values_count for p in skel_n.pages],
+                             dtype=np.int64)
+            npe = np.cumsum(nrows)
+            nps = npe - nrows
+            pg = np.searchsorted(npe, hit_rows, side="right")
+            keep_n = sorted({int(p) for p in pg})
+            enc_n, _b2, _t2 = read_column_pages(row, "n_tok", keep_n)
+            nvals = np.asarray(fmt.decode_chunk(enc_n), dtype=np.int64)
+            kept_starts = nps[keep_n]
+            kcum = np.concatenate(([0], np.cumsum(nrows[keep_n])))
+            idx = np.searchsorted(kept_starts, hit_rows, side="right") - 1
+            out_ids.append(ids.filter(pa.array(hit)))
+            out_n.append(nvals[kcum[idx] + (hit_rows - kept_starts[idx])])
+        ids_arr = (pa.concat_arrays([a.combine_chunks()
+                                     if isinstance(a, pa.ChunkedArray)
+                                     else a for a in out_ids])
+                   if out_ids else pa.array([], pa.string()))
+        n_arr = (np.concatenate(out_n) if out_n
+                 else np.empty(0, np.int64))
+        return pa.table({"doc_id": ids_arr,
+                         "n_tok": pa.array(n_arr, pa.int64())})
+
+    return ds.map_batches(scan, batch_size=1, batch_format="pyarrow",
+                          num_cpus=1, **rayenv.remote_args())
+
+
 def scan_column_pages(out_dir: str, column: str, page_pred,
                       concurrency: int | None = None):
     """Page-skipping scan of one column across all partitions: only pages

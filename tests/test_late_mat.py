@@ -98,3 +98,23 @@ def test_lookup_docs_missing_key_empty(sorted_store):
     # drops columns on all-empty datasets, so assert on the Dataset schema)
     assert set(ds.schema().names) == {"doc_id", "tokens"}
     assert ds.count() == 0
+
+
+def test_range_scan_docs(sorted_store):
+    out, tbl = sorted_store
+    ids = np.array(tbl.column("doc_id").to_pylist())
+    ntok = np.asarray(tbl.column("n_tok"), dtype=np.int64)
+    lo, hi = "doc-000000000100", "doc-000000000199"
+    got = pipeline.range_scan_docs(out, lo, hi).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    mask = (ids >= lo) & (ids <= hi)
+    assert list(got["doc_id"]) == sorted(ids[mask])
+    exp = dict(zip(ids[mask], ntok[mask]))
+    for _, row in got.iterrows():
+        assert row["n_tok"] == exp[row["doc_id"]]
+
+
+def test_range_scan_empty_range(sorted_store):
+    out, _tbl = sorted_store
+    ds = pipeline.range_scan_docs(out, "zzz", "zzzz")
+    assert ds.count() == 0
