@@ -2769,6 +2769,28 @@ def _q_range_scan_docs(sf_dir: str):
                                     "200", "205")
 
 
+def _q_split_assign(sf_dir: str):
+    """Deterministic train/val/test split rollup — id-hash pure function,
+    (source, split)-domain-sized exchange
+    (rwcf.curation.split_assign_counts)."""
+    import ray.data as rd
+    from rwcf import curation
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "source"])
+    return curation.split_assign_counts(ds)
+
+
+def _q_embedding_gram(sf_dir: str):
+    """Distributed Gram matrix (X^T X) of the quantized embedding column —
+    one int64 matmul per batch, d x d partials only
+    (rwcf.similarity.embedding_gram)."""
+    import ray.data as rd
+    from rwcf import similarity
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["embedding"])
+    return similarity.embedding_gram(ds)
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -2996,6 +3018,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stats_minmax_ntok": _q_stats_minmax_ntok,
         "doc_lookup": _q_doc_lookup,
         "range_scan_docs": _q_range_scan_docs,
+        "split_assign": _q_split_assign,
+        "embedding_gram": _q_embedding_gram,
     }
 
 
@@ -4685,6 +4709,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
             "CAST(strlen(text) AS BIGINT) AS n_tok FROM documents "
             "WHERE CAST(doc_id AS VARCHAR) BETWEEN '200' AND '205'"),
+        "split_assign": (
+            "SELECT source, CASE WHEN h < 80 THEN 'train' "
+            "WHEN h < 90 THEN 'val' ELSE 'test' END AS split, "
+            "CAST(count(*) AS BIGINT) AS n_docs FROM (SELECT source, "
+            "((doc_id * 1103515245 + 12345) % 2147483648) % 100 AS h "
+            "FROM documents) GROUP BY 1, 2"),
+        "embedding_gram": (
+            "WITH q AS (SELECT vec_id, i, CAST(floor(CAST(e AS DOUBLE) "
+            "* 10000) AS BIGINT) AS v FROM (SELECT vec_id, "
+            "unnest(embedding) AS e, generate_subscripts(embedding, 1) "
+            "AS i FROM embeddings)) "
+            "SELECT a.i AS i, b.i AS j, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(a.v * b.v) AS BIGINT) AS sum_xy "
+            "FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i "
+            "GROUP BY a.i, b.i"),
         # rows-only (not SQL-expressible): codec_selection, flagship_synthetic,
         # distinct_tokens_approx (HLL sketch; error bound pinned in tests),
         # quantiles_value_approx (bottom-k sample sketch; rank-error bound

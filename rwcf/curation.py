@@ -426,3 +426,38 @@ def probe_ngram_contamination(ds, ngram: int = 2, probe_mod: int = 97,
 
     return ds.map_batches(score, batch_format="pyarrow",
                           **rayenv.remote_args())
+
+
+def split_assign_counts(ds, id_col: str = "doc_id",
+                        group_col: str = "source",
+                        bounds: tuple[int, int] = (80, 90)):
+    """Deterministic train/val/test assignment rollup: split membership is
+    a pure function of the id (the LCG hash analytics.hash_sample pins:
+    ((id * 1103515245 + 12345) mod 2^31) mod 100, thresholds
+    bounds=(train<80, val<90, test otherwise)), so the split is stable
+    across runs, shards and engines — the property a reproducible
+    training-data pipeline needs. One (group, split)-domain-sized groupby
+    after per-batch partials; no row ever ships."""
+    from ray.data.aggregate import Sum
+
+    lo, mid = bounds
+    names = np.array(["train", "val", "test"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ((ids * 1103515245 + 12345) % 2147483648) % 100
+        split = names[np.where(h < lo, 0, np.where(h < mid, 1, 2))]
+        g = pa.table({
+            group_col: t.column(group_col),
+            "split": pa.array(split, pa.string()),
+            "n_docs": pa.array(np.ones(ids.size, np.int64)),
+        }).group_by([group_col, "split"]).aggregate([("n_docs", "sum")])
+        return pa.table({group_col: g.column(group_col),
+                         "split": g.column("split"),
+                         "n_docs": g.column("n_docs_sum")})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .groupby([group_col, "split"])
+            .aggregate(Sum("n_docs", alias_name="n_docs")))

@@ -629,3 +629,40 @@ def embedding_dim_profile(ds, vec_col: str = "embedding",
                        Sum("sum_q", alias_name="sum_q"),
                        Min("min_q", alias_name="min_q"),
                        Max("max_q", alias_name="max_q")))
+
+
+def embedding_gram(ds, vec_col: str = "embedding", scale: int = 10_000):
+    """Distributed Gram matrix (X^T X) of the quantized embedding column —
+    the sufficient statistic for PCA / covariance / whitening: per batch
+    one int64 matmul reduces B rows to a single d x d partial (plus a row
+    count); the exchange ships d*(d+1)/2 ints per batch regardless of
+    corpus size. Quantization is ``floor(x * scale)`` int64 with exact
+    float32 -> double widening, so the sums are bit-exact across engines
+    and batch orders (the embedding_dim_profile trick, applied to second
+    moments; scale=1e4 keeps sum(q_i * q_j) far inside int64 at 1e9 rows).
+    Returns (i, j, n, sum_xy) rows for the upper triangle, 1-based dims
+    to mirror SQL generate_subscripts."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _batch_matrix(t, vec_col).astype(np.float64)
+        if not m.size:
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "j": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "sum_xy": pa.array([], pa.int64())})
+        q = np.floor(m * scale).astype(np.int64)
+        g = q.T @ q
+        d = g.shape[0]
+        iu, ju = np.triu_indices(d)
+        return pa.table({
+            "i": pa.array(iu.astype(np.int64) + 1),
+            "j": pa.array(ju.astype(np.int64) + 1),
+            "n": pa.array(np.full(iu.size, m.shape[0], dtype=np.int64)),
+            "sum_xy": pa.array(g[iu, ju])})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .groupby(["i", "j"])
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_xy", alias_name="sum_xy")))

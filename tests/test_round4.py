@@ -471,3 +471,44 @@ try:
         assert v.view(np.uint64).tobytes() == dec.view(np.uint64).tobytes()
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_split_assign_counts(ray_session):
+    import ray.data as rd
+
+    from rwcf import curation
+    rng = np.random.default_rng(11)
+    ids = np.arange(4000, dtype=np.int64)
+    src = rng.choice(["a", "b", "c"], size=ids.size)
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "source": src}))
+    out = curation.split_assign_counts(ds).to_pandas()
+    h = ((ids * 1103515245 + 12345) % 2147483648) % 100
+    split = np.where(h < 80, "train", np.where(h < 90, "val", "test"))
+    exp = pd.DataFrame({"source": src, "split": split}) \
+        .groupby(["source", "split"]).size().rename("n_docs").reset_index()
+    got = out.sort_values(["source", "split"]).reset_index(drop=True)
+    exp = exp.sort_values(["source", "split"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # deterministic: a second run over a different sharding is identical
+    out2 = curation.split_assign_counts(
+        rd.from_arrow(pa.table({"doc_id": ids, "source": src}))
+        .repartition(7)).to_pandas() \
+        .sort_values(["source", "split"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, out2, check_dtype=False)
+
+
+def test_embedding_gram(ray_session):
+    import ray.data as rd
+
+    from rwcf import similarity
+    rng = np.random.default_rng(5)
+    m = rng.normal(size=(300, 6)).astype(np.float32)
+    tbl = pa.table({"embedding": pa.array(list(m), pa.list_(pa.float32()))})
+    out = similarity.embedding_gram(
+        rd.from_arrow(tbl).repartition(5)).to_pandas()
+    q = np.floor(m.astype(np.float64) * 10_000).astype(np.int64)
+    g = q.T @ q
+    assert len(out) == 6 * 7 // 2
+    for _, row in out.iterrows():
+        assert row["n"] == 300
+        assert row["sum_xy"] == g[int(row["i"]) - 1, int(row["j"]) - 1]
