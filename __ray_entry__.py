@@ -2791,6 +2791,36 @@ def _q_embedding_gram(sf_dir: str):
     return similarity.embedding_gram(ds)
 
 
+def _q_store_column_counts(sf_dir: str):
+    """Catalog-style audit answered ENTIRELY from the manifest (zero
+    partition-file IO): per stored column, total logical value count
+    across all partitions — doc_id/source/n_tok carry one value per row,
+    tokens carries one per token, so every number is SQL-checkable
+    against the raw documents table."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    from rwcf import pipeline, rayenv
+
+    out = _encoded_run(sf_dir)
+    ds = pipeline.manifest_dataset(out)
+
+    def part(t: pa.Table) -> pa.Table:
+        cols: dict[str, int] = {}
+        for row in pipeline.manifest_table_to_rows(t):
+            for cm in row["columns"]:
+                cols[cm["column"]] = cols.get(cm["column"], 0) \
+                    + int(cm["n_values"])
+        names = sorted(cols)
+        return pa.table({"column": pa.array(names, pa.string()),
+                         "n_values": pa.array([cols[c] for c in names],
+                                              pa.int64())})
+
+    return (ds.map_batches(part, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .groupby("column")
+            .aggregate(Sum("n_values", alias_name="n_values")))
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -3020,6 +3050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_scan_docs": _q_range_scan_docs,
         "split_assign": _q_split_assign,
         "embedding_gram": _q_embedding_gram,
+        "store_column_counts": _q_store_column_counts,
     }
 
 
@@ -4724,6 +4755,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(a.v * b.v) AS BIGINT) AS sum_xy "
             "FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i "
             "GROUP BY a.i, b.i"),
+        "store_column_counts": (
+            'SELECT "column", n_values FROM (VALUES '
+            "('doc_id', (SELECT CAST(count(*) AS BIGINT) FROM documents)), "
+            "('source', (SELECT CAST(count(*) AS BIGINT) FROM documents)), "
+            "('n_tok', (SELECT CAST(count(*) AS BIGINT) FROM documents)), "
+            "('tokens', (SELECT CAST(sum(strlen(text)) AS BIGINT) "
+            'FROM documents))) AS t("column", n_values)'),
         # rows-only (not SQL-expressible): codec_selection, flagship_synthetic,
         # distinct_tokens_approx (HLL sketch; error bound pinned in tests),
         # quantiles_value_approx (bottom-k sample sketch; rank-error bound
