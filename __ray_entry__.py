@@ -94,7 +94,8 @@ def _encoded_run_indexed(sf_dir: str) -> str:
         .sort("source").write_parquet(sorted_dir)
     cfg = pipeline.EncodeConfig(out_dir=os.path.join(work, "out"),
                                 partition_token_budget=1_000_000,
-                                page_target=2048)
+                                page_target=2048,
+                                bloom_bits_per_key=10)
     pipeline.encode_job(documents.parquet_files(sorted_dir), cfg) \
         .materialize()
     _INDEXED_RUNS[sf_dir] = cfg.out_dir
@@ -2758,6 +2759,30 @@ def _q_doc_lookup(sf_dir: str):
                      **rayenv.remote_args())
 
 
+def _q_doc_lookup_bloom(sf_dir: str):
+    """Point lookup through the Bloom sidecar (rwcf.bloom +
+    pipeline.read_bloom): the indexed store is encoded with
+    bloom_bits_per_key=10 over doc_id, so partitions that survive the
+    zone-map range check are rejected by one tiny sidecar read unless a
+    probe MAY be present — the scale path for hash-like ids where every
+    partition's [min,max] admits every probe. Probes mix present and
+    absent keys; absent keys simply don't appear (no false negatives by
+    construction, pytest-pinned in tests/test_bloom.py)."""
+    import pyarrow.compute as pc
+    from rwcf import pipeline, rayenv
+
+    def to_ntok(t: pa.Table) -> pa.Table:
+        la = t.column("tokens").combine_chunks()
+        n = pc.list_value_length(la).cast(pa.int64())
+        return pa.table({"doc_id": t.column("doc_id"), "n_tok": n})
+
+    return pipeline.lookup_docs(
+        _encoded_run_indexed(sf_dir),
+        ["11", "137", "402", "99999991", "zz"]) \
+        .map_batches(to_ntok, batch_format="pyarrow",
+                     **rayenv.remote_args())
+
+
 def _q_range_scan_docs(sf_dir: str):
     """Index range scan over the encoded store: doc_id BETWEEN bounds
     (lexicographic, matching SQL VARCHAR BETWEEN), partition- and
@@ -3047,6 +3072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_sum_ntok": _q_late_sum_ntok,
         "stats_minmax_ntok": _q_stats_minmax_ntok,
         "doc_lookup": _q_doc_lookup,
+        "doc_lookup_bloom": _q_doc_lookup_bloom,
         "range_scan_docs": _q_range_scan_docs,
         "split_assign": _q_split_assign,
         "embedding_gram": _q_embedding_gram,
@@ -4736,6 +4762,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_lookup": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text "
             "FROM documents WHERE doc_id IN (7, 57, 123)"),
+        "doc_lookup_bloom": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "CAST(strlen(text) AS BIGINT) AS n_tok FROM documents "
+            "WHERE CAST(doc_id AS VARCHAR) IN "
+            "('11', '137', '402', '99999991', 'zz')"),
         "range_scan_docs": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
             "CAST(strlen(text) AS BIGINT) AS n_tok FROM documents "

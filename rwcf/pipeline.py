@@ -62,6 +62,16 @@ class EncodeConfig:
     #: zstd stream is not seekable (the round-1 caveat this removes).
     #: "zstd" keeps the whole-section stream; None stores raw.
     transport: str | None = "zstd-page"
+    #: Bloom sidecar bits per key over each string column named in
+    #: ``bloom_columns`` (0 = off, the default). Zone maps cannot prune
+    #: hash-like/interleaved keys (every partition's [min,max] admits
+    #: every probe); the Bloom sidecar restores O(matching partitions)
+    #: point lookups — the same role as Parquet's split-block blooms.
+    #: Bits are appended AFTER the column sections (data offsets
+    #: unchanged); ``encoded_bytes`` stays data-only and the sidecar is
+    #: accounted separately as ``bloom_bytes`` in the manifest row.
+    bloom_bits_per_key: int = 0
+    bloom_columns: tuple = ("doc_id",)
 
     @property
     def parts_dir(self) -> str:
@@ -244,6 +254,23 @@ def encode_partition(tbl: pa.Table, pid: str, cfg: EncodeConfig,
         sections.append(blob)
         offset += len(blob)
 
+    blooms = {}
+    bloom_bytes = 0
+    if cfg.bloom_bits_per_key > 0:
+        from . import bloom as _bloom
+        boff = offset
+        for name in cfg.bloom_columns:
+            if name not in chunks or not fmt.is_string(chunks[name][1]):
+                continue
+            bf = _bloom.build(tbl.column(name), cfg.bloom_bits_per_key)
+            raw = bf["data"].tobytes()
+            blooms[name] = {"offset": boff, "length": len(raw),
+                            "m_bits": bf["m_bits"], "k": bf["k"],
+                            "n_keys": bf["n_keys"], "crc": zlib.crc32(raw)}
+            sections.append(raw)
+            boff += len(raw)
+            bloom_bytes += len(raw)
+
     stats = {}
     for name in ("n_tok", "doc_id", "source"):
         if name in tbl.column_names:
@@ -274,6 +301,9 @@ def encode_partition(tbl: pa.Table, pid: str, cfg: EncodeConfig,
         "encode_seconds": round(time.perf_counter() - t0, 4),
         "status": "committed",
     }
+    if blooms:
+        row["bloom"] = blooms
+        row["bloom_bytes"] = bloom_bytes
     mpath = os.path.join(cfg.manifest_dir, f"{pid}.json")
     mtmp = mpath + f".tmp{os.getpid()}"
     with open(mtmp, "w") as f:
@@ -455,7 +485,7 @@ def manifest_rows_to_table(rows: list[dict]) -> pa.Table:
         "encode_seconds": pa.array([r["encode_seconds"] for r in rows], pa.float64()),
         "detail": pa.array([json.dumps({k: r.get(k) for k in
                                         ("columns", "lineage", "codec_by_column",
-                                         "status", "stats")})
+                                         "status", "stats", "bloom")})
                             for r in rows], pa.string()),
     })
 
@@ -648,6 +678,22 @@ def read_column_section(row: dict, column: str) -> "fmt.EncodedColumn":
     enc = fmt.read_column_file(blob)
     enc.dtype = cm["dtype"]
     return enc
+
+
+def read_bloom(row: dict, column: str):
+    """Read one column's Bloom sidecar from the partition file (a single
+    ~n*bits_per_key/8-byte read, far smaller than any data section).
+    Returns ``(m_bits, k, data)`` or None when the store was encoded
+    without blooms — callers fall back to zone maps."""
+    bm = (row.get("bloom") or {}).get(column)
+    if not bm:
+        return None
+    with open(row["file"], "rb") as f:
+        f.seek(bm["offset"])
+        raw = f.read(bm["length"])
+    if zlib.crc32(raw) != bm["crc"]:
+        raise IOError(f"bloom checksum mismatch in {row['pid']}:{column}")
+    return bm["m_bits"], bm["k"], np.frombuffer(raw, dtype=np.uint8)
 
 
 def read_column_pages(row: dict, column: str, keep: list[int]):
@@ -852,19 +898,31 @@ def lookup_docs(out_dir: str, keys: list[str],
     PAGES whose truncated string zone maps admit a probe are fetched,
     (3) matched rows map through n_tok prefix sums to token ranges, and
     ONLY the token pages covering those ranges are read and decoded.
+    When the store carries a Bloom sidecar (EncodeConfig
+    bloom_bits_per_key > 0) a partition that survives the range check is
+    additionally probed against its doc_id bloom — one tiny read that
+    skips the partition's data sections entirely unless some probe MAY
+    be present (the scale path for hash-like ids, where every
+    partition's [min,max] range admits every probe).
     Returns (doc_id, tokens) rows for the found keys (detokenization is
     the caller's concern — token streams need not be valid UTF-8)."""
     keys = sorted(set(str(k) for k in keys))
     n = concurrency or _default_concurrency()
     ds = manifest_dataset(out_dir, n_blocks=n * 2)
+    probe_arr = pa.array(keys, pa.string())
 
     def scan(batch: pa.Table) -> pa.Table:
+        from . import bloom as _bloom
         out_ids: list[str] = []
         out_toks: list[np.ndarray] = []
         for row in manifest_table_to_rows(batch):
             st = (row.get("stats") or {}).get("doc_id")
             if st is not None and not any(
                     st["min"] <= k <= st["max"] for k in keys):
+                continue
+            bm = read_bloom(row, "doc_id")
+            if bm is not None and not _bloom.might_contain(
+                    bm[0], bm[1], bm[2], probe_arr).any():
                 continue
             dcm = next(c for c in row["columns"] if c["column"] == "doc_id")
             skel_d = read_column_skeleton(row, "doc_id")
