@@ -116,6 +116,30 @@ def _q_roundtrip_docs(sf_dir: str):
                            **rayenv.remote_args())
 
 
+def _q_compact_roundtrip(sf_dir: str):
+    """LSM-style maintenance pass under the contract: encode with a
+    deliberately tiny partition budget (the shape a long-running ingest
+    leaves behind), merge via pipeline.compact_partitions — one Ray task
+    per merge group, single atomic manifest commit carrying ``replaces``
+    tombstones, GC of shadowed members — then decode + detokenize. The
+    oracle proves the merged store is still bit-identical to the source
+    corpus; the partition-count drop is asserted inline."""
+    from rwcf import documents, pipeline, rayenv
+    work = _workdir("compact", sf_dir)
+    tokens_dir = documents.tokens_parquet_for(sf_dir, work)
+    cfg = pipeline.EncodeConfig(out_dir=os.path.join(work, "out"),
+                                partition_token_budget=150_000)
+    pipeline.encode_job(documents.parquet_files(tokens_dir), cfg) \
+        .materialize()
+    res = pipeline.compact_partitions(cfg.out_dir,
+                                      target_tokens=1_200_000)
+    assert res["parts_after"] < res["parts_before"], res
+    dec = pipeline.decode_job(cfg.out_dir)
+    return dec.map_batches(documents.detokenize_batch,
+                           batch_format="pyarrow",
+                           **rayenv.remote_args())
+
+
 def _q_decode_chunk(sf_dir: str):
     """Training-ops-over-the-engine composition: decode the encoded
     partitions back to documents, then run the overlapping chunker on
@@ -3073,6 +3097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stats_minmax_ntok": _q_stats_minmax_ntok,
         "doc_lookup": _q_doc_lookup,
         "doc_lookup_bloom": _q_doc_lookup_bloom,
+        "compact_roundtrip": _q_compact_roundtrip,
         "range_scan_docs": _q_range_scan_docs,
         "split_assign": _q_split_assign,
         "embedding_gram": _q_embedding_gram,
@@ -3083,6 +3108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "roundtrip_docs": "SELECT doc_id, text FROM documents",
+        "compact_roundtrip": "SELECT doc_id, text FROM documents",
         "decode_project": ("SELECT doc_id, CAST(strlen(text) AS BIGINT)"
                            " AS n_tok FROM documents"),
         "source_stats": ("SELECT source, CAST(count(*) AS BIGINT) AS n_rows, "

@@ -213,10 +213,13 @@ def _untransport(blob: bytes, cm: dict) -> bytes:
 # ---------------------------------------------------------------------------
 
 def encode_partition(tbl: pa.Table, pid: str, cfg: EncodeConfig,
-                     lineage: dict | None = None) -> dict:
+                     lineage: dict | None = None,
+                     extra: dict | None = None) -> dict:
     """Encode one partition's columns, write the partition file + manifest
     row atomically. Returns the manifest row (codec choices, byte counts,
-    checksums — the north rule's lineage record)."""
+    checksums — the north rule's lineage record). ``extra`` is merged into
+    the row BEFORE the manifest commit (compaction uses it to land its
+    ``replaces`` tombstone list atomically with the data)."""
     t0 = time.perf_counter()
     chunks = _table_chunks(tbl)
     sections = []
@@ -304,6 +307,8 @@ def encode_partition(tbl: pa.Table, pid: str, cfg: EncodeConfig,
     if blooms:
         row["bloom"] = blooms
         row["bloom_bytes"] = bloom_bytes
+    if extra:
+        row.update(extra)
     mpath = os.path.join(cfg.manifest_dir, f"{pid}.json")
     mtmp = mpath + f".tmp{os.getpid()}"
     with open(mtmp, "w") as f:
@@ -379,6 +384,7 @@ def encode_fragment(desc: dict, cfg: EncodeConfig, resume: bool = True) -> list[
     token budget, encode + commit each sub-partition."""
     committed = {r["pid"]: r
                  for r in json.loads(desc.get("committed") or "[]")}
+    replaced = set(json.loads(desc.get("replaced") or "[]"))
     pf = pq.ParquetFile(desc["path"])
     tbl = pf.read_row_group(desc["row_group"], columns=cfg.columns)
     n_tok = tbl.column("n_tok").combine_chunks().to_numpy().astype(np.int64)
@@ -386,6 +392,10 @@ def encode_fragment(desc: dict, cfg: EncodeConfig, resume: bool = True) -> list[
     out = []
     for k, (a, b) in enumerate(spans):
         pid = f"{desc['fragment_id']}-p{k:04d}"
+        if resume and pid in replaced:
+            # absorbed into a compacted partition — its data lives there;
+            # emit nothing (the compaction row is already on disk)
+            continue
         if resume and pid in committed:  # compacted-manifest commit
             out.append(committed[pid])
             continue
@@ -485,7 +495,8 @@ def manifest_rows_to_table(rows: list[dict]) -> pa.Table:
         "encode_seconds": pa.array([r["encode_seconds"] for r in rows], pa.float64()),
         "detail": pa.array([json.dumps({k: r.get(k) for k in
                                         ("columns", "lineage", "codec_by_column",
-                                         "status", "stats", "bloom")})
+                                         "status", "stats", "bloom",
+                                         "replaces")})
                             for r in rows], pa.string()),
     })
 
@@ -534,14 +545,25 @@ def encode_job(input_paths, cfg: EncodeConfig, resume: bool = True,
     frags = plan_fragments(input_paths)
     if resume:
         # ship each fragment's already-committed rows (possibly living only
-        # in compacted manifest shards) to its worker
+        # in compacted manifest shards) to its worker; pids absorbed into a
+        # compacted partition (``replaces`` tombstones) count as committed
+        # too — re-encoding them would duplicate their rows
+        all_rows = load_manifest(cfg.out_dir, include_replaced=True)
+        replaced = {p for r in all_rows for p in (r.get("replaces") or [])}
         by_frag: dict[str, list[dict]] = {}
-        for r in load_manifest(cfg.out_dir):
+        repl_by_frag: dict[str, list[str]] = {}
+        for r in all_rows:
+            if r["pid"] in replaced:
+                continue
             fid = r["pid"].rsplit("-p", 1)[0]
             by_frag.setdefault(fid, []).append(r)
+        for p in replaced:
+            repl_by_frag.setdefault(p.rsplit("-p", 1)[0], []).append(p)
         for fr in frags:
             # set on every descriptor (homogeneous keys for from_items)
             fr["committed"] = json.dumps(by_frag.get(fr["fragment_id"], []))
+            fr["replaced"] = json.dumps(
+                repl_by_frag.get(fr["fragment_id"], []))
     n = concurrency or _default_concurrency()
     # one task wave = n*2 blocks, built at from_items time — no shuffle
     ds = rd.from_items(frags,
@@ -588,8 +610,14 @@ def _sliced_blocks(tbl: pa.Table, n_blocks: int):
     return rd.from_arrow([tbl.slice(i, step) for i in range(0, total, step)])
 
 
-def load_manifest(out_dir: str) -> list[dict]:
-    """All committed lineage rows: compacted parquet shards + loose JSONs."""
+def load_manifest(out_dir: str, include_replaced: bool = False) -> list[dict]:
+    """All committed lineage rows: compacted parquet shards + loose JSONs.
+
+    Rows shadowed by a committed compaction row's ``replaces`` list are
+    filtered out (the compacted partition carries their data); the single
+    atomic manifest commit of the compaction row is what flips visibility,
+    so readers never see a row twice regardless of where a crash lands.
+    ``include_replaced=True`` keeps them (resume accounting only)."""
     mdir = os.path.join(out_dir, "manifest")
     rows = []
     if os.path.isdir(mdir):
@@ -608,7 +636,10 @@ def load_manifest(out_dir: str) -> list[dict]:
         if r["pid"] not in seen:
             seen.add(r["pid"])
             out.append(r)
-    return out
+    if include_replaced:
+        return out
+    replaced = {p for r in out for p in (r.get("replaces") or [])}
+    return [r for r in out if r["pid"] not in replaced]
 
 
 def compact_manifest(out_dir: str) -> dict:
@@ -637,6 +668,123 @@ def compact_manifest(out_dir: str) -> dict:
     for name in loose:
         os.remove(os.path.join(mdir, name))
     return {"compacted": len(rows), "shard": shard}
+
+
+def plan_compaction(rows: list[dict], target_tokens: int) -> list[list[dict]]:
+    """Greedy consecutive grouping (pid order) of committed partitions into
+    ~``target_tokens`` merge groups; only groups of >=2 members compact
+    (singletons are already right-sized). Deterministic."""
+    rows = sorted(rows, key=lambda r: r["pid"])
+    groups: list[list[dict]] = []
+    cur: list[dict] = []
+    tok = 0
+    for r in rows:
+        if cur and tok + r["n_tokens"] > target_tokens:
+            if len(cur) >= 2:
+                groups.append(cur)
+            cur, tok = [], 0
+        cur.append(r)
+        tok += r["n_tokens"]
+    if len(cur) >= 2:
+        groups.append(cur)
+    return groups
+
+
+def compaction_pid(members: list[dict]) -> str:
+    """Deterministic output pid for a merge group — resume skips groups
+    whose row already exists."""
+    import hashlib
+    key = "|".join(m["pid"] for m in members)
+    return "cmp-" + hashlib.sha1(key.encode()).hexdigest()[:12]
+
+
+def compact_partitions(out_dir: str, target_tokens: int = 8_000_000,
+                       cfg: EncodeConfig | None = None,
+                       concurrency: int | None = None,
+                       gc: bool = True) -> dict:
+    """Merge small partitions into ~``target_tokens`` ones (the LSM-style
+    maintenance pass a 10^12-sequence store needs: a long-running ingest
+    commits partitions at whatever size the arriving fragments allow, and
+    tiny partitions tax every later scan with per-file seek + manifest
+    fan-out). Distributed: one Ray task per merge group decodes its
+    members, re-encodes through the codec selector, and commits the merged
+    partition whose manifest row carries ``replaces`` (the member pids) —
+    a SINGLE atomic os.replace is the visibility flip, after which
+    ``load_manifest`` shadows the members, so any crash leaves the store
+    readable and exactly-once (before: members visible; after: only the
+    merged row). Resume = deterministic group pids; re-running skips
+    committed groups. ``gc`` then deletes the shadowed members' loose
+    manifest JSONs and partition files (idempotent; safe to re-run).
+
+    The reference has no multi-file store at all (one Write sink,
+    src/lib.rs:29); this belongs to the mandated scale extension."""
+    import ray.data as rd
+    rows = load_manifest(out_dir)
+    groups = plan_compaction(rows, target_tokens)
+    if cfg is None:
+        cfg = EncodeConfig(out_dir=out_dir,
+                           partition_token_budget=target_tokens,
+                           bloom_bits_per_key=(
+                               10 if any(r.get("bloom") for r in rows)
+                               else 0))
+    before_parts = len(rows)
+    before_bytes = sum(r["encoded_bytes"] for r in rows)
+    if groups:
+        items = [{"members": json.dumps(g), "gpid": compaction_pid(g)}
+                 for g in groups]
+
+        def merge_one(batch: pa.Table) -> pa.Table:
+            out = []
+            for d in batch.to_pylist():
+                members = json.loads(d["members"])
+                mpath = os.path.join(cfg.manifest_dir, f"{d['gpid']}.json")
+                if os.path.exists(mpath):  # resume: group already committed
+                    with open(mpath) as f:
+                        out.append(json.load(f))
+                    continue
+                tbl = pa.concat_tables(
+                    [decode_partition(m) for m in members]).combine_chunks()
+                lineage = {"compaction_of": [m["pid"] for m in members]}
+                out.append(encode_partition(
+                    tbl, d["gpid"], cfg, lineage,
+                    extra={"replaces": [m["pid"] for m in members]}))
+            return manifest_rows_to_table(out)
+
+        n = _stage_cap(concurrency, 1)
+        rd.from_items(items, override_num_blocks=min(len(items), n * 2)) \
+            .map_batches(merge_one, batch_size=1, batch_format="pyarrow",
+                         num_cpus=1, concurrency=min(n, len(items)),
+                         max_retries=3, retry_exceptions=True,
+                         **rayenv.remote_args()) \
+            .materialize()
+    removed = gc_store(out_dir) if gc else {"files": 0, "manifests": 0}
+    after = load_manifest(out_dir)
+    return {"groups": len(groups),
+            "parts_before": before_parts, "parts_after": len(after),
+            "encoded_bytes_before": before_bytes,
+            "encoded_bytes_after": sum(r["encoded_bytes"] for r in after),
+            "gc": removed}
+
+
+def gc_store(out_dir: str) -> dict:
+    """Delete partition files + loose manifest JSONs shadowed by a
+    committed ``replaces`` tombstone. Idempotent — correctness never
+    depends on it (load_manifest filters shadowed rows); this only
+    reclaims disk."""
+    all_rows = load_manifest(out_dir, include_replaced=True)
+    replaced = {p for r in all_rows for p in (r.get("replaces") or [])}
+    files = manifests = 0
+    for r in all_rows:
+        if r["pid"] not in replaced:
+            continue
+        if os.path.exists(r["file"]):
+            os.remove(r["file"])
+            files += 1
+        mpath = os.path.join(out_dir, "manifest", f"{r['pid']}.json")
+        if os.path.exists(mpath):
+            os.remove(mpath)
+            manifests += 1
+    return {"files": files, "manifests": manifests}
 
 
 def decode_job(out_dir: str, columns: list[str] | None = None,
