@@ -116,6 +116,51 @@ def _q_roundtrip_docs(sf_dir: str):
                            **rayenv.remote_args())
 
 
+_DELETED_RUNS: dict[str, str] = {}
+#: doc_ids tombstoned in the _deleted_run store (present at every sf)
+_DELETED_KEYS = ["7", "57", "123", "200", "201", "499"]
+
+
+def _deleted_run(sf_dir: str) -> str:
+    """A cached store with row-level tombstones: encode the tokens table,
+    then delete_docs over a fixed key set (bloom-pruned index-grade
+    matching, atomic .del.json sidecars). Shared by the delete_* queries."""
+    if sf_dir in _DELETED_RUNS:
+        return _DELETED_RUNS[sf_dir]
+    from rwcf import documents, pipeline
+    work = _workdir("deleted", sf_dir)
+    tokens_dir = documents.tokens_parquet_for(sf_dir, work)
+    cfg = pipeline.EncodeConfig(out_dir=os.path.join(work, "out"),
+                                partition_token_budget=500_000,
+                                bloom_bits_per_key=10)
+    pipeline.encode_job(documents.parquet_files(tokens_dir), cfg) \
+        .materialize()
+    res = pipeline.delete_docs(cfg.out_dir, _DELETED_KEYS)
+    assert res["rows_deleted"] == len(_DELETED_KEYS), res
+    _DELETED_RUNS[sf_dir] = cfg.out_dir
+    return cfg.out_dir
+
+
+def _q_delete_scan(sf_dir: str):
+    """Row-level deletes under the contract: tombstoned doc_ids are
+    invisible to a full decode while every surviving row stays
+    bit-identical (pipeline.delete_docs + decode_job; Iceberg/Delta-style
+    position deletes over the manifest)."""
+    from rwcf import documents, pipeline, rayenv
+    dec = pipeline.decode_job(_deleted_run(sf_dir))
+    return dec.map_batches(documents.detokenize_batch,
+                           batch_format="pyarrow",
+                           **rayenv.remote_args())
+
+
+def _q_delete_range_scan(sf_dir: str):
+    """Index range scan over a tombstoned key range: the zone-map-pruned
+    scan (pipeline.range_scan_docs) must skip deleted rows inside the
+    range ('200','201' are tombstoned) while returning live neighbors."""
+    from rwcf import pipeline
+    return pipeline.range_scan_docs(_deleted_run(sf_dir), "199", "205")
+
+
 def _q_compact_roundtrip(sf_dir: str):
     """LSM-style maintenance pass under the contract: encode with a
     deliberately tiny partition budget (the shape a long-running ingest
@@ -3098,6 +3143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lookup": _q_doc_lookup,
         "doc_lookup_bloom": _q_doc_lookup_bloom,
         "compact_roundtrip": _q_compact_roundtrip,
+        "delete_scan": _q_delete_scan,
+        "delete_range_scan": _q_delete_range_scan,
         "range_scan_docs": _q_range_scan_docs,
         "split_assign": _q_split_assign,
         "embedding_gram": _q_embedding_gram,
@@ -3109,6 +3156,14 @@ def oracle_sql() -> dict[str, str]:
     return {
         "roundtrip_docs": "SELECT doc_id, text FROM documents",
         "compact_roundtrip": "SELECT doc_id, text FROM documents",
+        "delete_scan": (
+            "SELECT doc_id, text FROM documents WHERE CAST(doc_id AS "
+            "VARCHAR) NOT IN ('7', '57', '123', '200', '201', '499')"),
+        "delete_range_scan": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "CAST(strlen(text) AS BIGINT) AS n_tok FROM documents "
+            "WHERE CAST(doc_id AS VARCHAR) BETWEEN '199' AND '205' "
+            "AND CAST(doc_id AS VARCHAR) NOT IN ('200', '201')"),
         "decode_project": ("SELECT doc_id, CAST(strlen(text) AS BIGINT)"
                            " AS n_tok FROM documents"),
         "source_stats": ("SELECT source, CAST(count(*) AS BIGINT) AS n_rows, "

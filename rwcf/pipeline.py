@@ -354,7 +354,13 @@ def decode_partition(row: dict, columns: list[str] | None = None,
         else:
             cols[name] = pa.array(np.asarray(chunks[name], dtype=np.int32),
                                   type=pa.int32())
-    return pa.table({k: cols[k] for k in TOKEN_COLUMNS if k in cols})
+    out = pa.table({k: cols[k] for k in TOKEN_COLUMNS if k in cols})
+    dr = row.get("deleted_rows")
+    if dr:
+        keep = np.setdiff1d(np.arange(out.num_rows, dtype=np.int64),
+                            np.asarray(dr, dtype=np.int64))
+        out = out.take(pa.array(keep))
+    return out
 
 
 def split_by_token_budget(n_tok: np.ndarray, budget: int) -> list[tuple[int, int]]:
@@ -464,17 +470,27 @@ def _verify_rows(batch: pa.Table) -> pa.Table:
         for row in manifest_table_to_rows(batch):
             dec = decode_partition(row)  # validates section checksums
             lin = row["lineage"]
+            dr = row.get("deleted_rows") or []
             if "path" in lin:  # fragment lineage: bit-exact vs source rows
                 src = pq.ParquetFile(lin["path"]).read_row_group(
                     lin["row_group"], columns=TOKEN_COLUMNS)
                 src = src.slice(lin["row_start"], lin["row_count"])
+                if dr:  # tombstoned rows are invisible by contract
+                    keep = np.setdiff1d(
+                        np.arange(src.num_rows, dtype=np.int64),
+                        np.asarray(dr, dtype=np.int64))
+                    src = src.take(pa.array(keep))
                 eq = dec.cast(src.schema).equals(src)
                 mode = "source"
             else:  # grouped lineage carries no input fragment reference:
-                # self-verify (checksums passed + decoded totals match)
+                # self-verify (checksums passed + decoded totals match;
+                # the token total is unknowable under tombstones without
+                # trusting the very decode being checked, so it is only
+                # asserted on undeleted partitions)
                 import pyarrow.compute as pc
                 toks = pc.sum(pc.list_value_length(dec.column("tokens"))).as_py() or 0
-                eq = dec.num_rows == row["n_rows"] and toks == row["n_tokens"]
+                eq = dec.num_rows == row["n_rows"] - len(dr) and (
+                    bool(dr) or toks == row["n_tokens"])
                 mode = "self"
             out["pid"].append(row["pid"])
             out["n_rows"].append(row["n_rows"])
@@ -496,7 +512,7 @@ def manifest_rows_to_table(rows: list[dict]) -> pa.Table:
         "detail": pa.array([json.dumps({k: r.get(k) for k in
                                         ("columns", "lineage", "codec_by_column",
                                          "status", "stats", "bloom",
-                                         "replaces")})
+                                         "replaces", "deleted_rows")})
                             for r in rows], pa.string()),
     })
 
@@ -617,17 +633,30 @@ def load_manifest(out_dir: str, include_replaced: bool = False) -> list[dict]:
     filtered out (the compacted partition carries their data); the single
     atomic manifest commit of the compaction row is what flips visibility,
     so readers never see a row twice regardless of where a crash lands.
-    ``include_replaced=True`` keeps them (resume accounting only)."""
+    ``include_replaced=True`` keeps them (resume accounting only).
+
+    Row-level delete tombstones (``{pid}.del.json``, written by
+    delete_docs) are attached to their partition's row as
+    ``deleted_rows`` — every reader (decode, verify, lookup, range scan,
+    late materialization) filters through them."""
     mdir = os.path.join(out_dir, "manifest")
     rows = []
+    tombs: dict[str, list[int]] = {}
     if os.path.isdir(mdir):
         for name in sorted(os.listdir(mdir)):
             path = os.path.join(mdir, name)
-            if name.endswith(".json"):
+            if name.endswith(".del.json"):
+                with open(path) as f:
+                    t = json.load(f)
+                tombs[t["pid"]] = t["deleted_rows"]
+            elif name.endswith(".json"):
                 with open(path) as f:
                     rows.append(json.load(f))
             elif name.startswith("compacted-") and name.endswith(".parquet"):
                 rows.extend(manifest_table_to_rows(pq.read_table(path)))
+    for r in rows:
+        if r["pid"] in tombs:
+            r["deleted_rows"] = tombs[r["pid"]]
     # dedupe by pid: a crash between the compaction shard commit and the
     # loose-JSON removal leaves both copies — identical content, keep one
     seen = set()
@@ -653,7 +682,9 @@ def compact_manifest(out_dir: str) -> dict:
     fragment's already-committed rows to its worker so compacted partitions
     are never re-encoded."""
     mdir = os.path.join(out_dir, "manifest")
-    loose = [n for n in sorted(os.listdir(mdir)) if n.endswith(".json")]         if os.path.isdir(mdir) else []
+    loose = [n for n in sorted(os.listdir(mdir))
+             if n.endswith(".json") and not n.endswith(".del.json")] \
+        if os.path.isdir(mdir) else []
     if not loose:
         return {"compacted": 0}
     rows = []
@@ -780,10 +811,11 @@ def gc_store(out_dir: str) -> dict:
         if os.path.exists(r["file"]):
             os.remove(r["file"])
             files += 1
-        mpath = os.path.join(out_dir, "manifest", f"{r['pid']}.json")
-        if os.path.exists(mpath):
-            os.remove(mpath)
-            manifests += 1
+        for suffix in (".json", ".del.json"):
+            mpath = os.path.join(out_dir, "manifest", f"{r['pid']}{suffix}")
+            if os.path.exists(mpath):
+                os.remove(mpath)
+                manifests += 1
     return {"files": files, "manifests": manifests}
 
 
@@ -978,6 +1010,10 @@ def late_materialized_sum(out_dir: str, pred_col: str = "source",
                 continue
             mask = _pred_row_mask(read_column_section(row, pred_col),
                                   pred_val)
+            dr = row.get("deleted_rows")
+            if dr:  # tombstoned rows are invisible to the aggregate
+                mask = mask.copy()
+                mask[np.asarray(dr, dtype=np.int64)] = False
             if not mask.any():
                 continue
             pe = np.cumsum(rows_pp)
@@ -1021,6 +1057,22 @@ def stats_only_minmax(out_dir: str, column: str = "n_tok",
     def part(batch: pa.Table) -> pa.Table:
         los, his = [], []
         for row in manifest_table_to_rows(batch):
+            if row.get("deleted_rows"):
+                # zone maps describe PHYSICAL rows; a tombstoned row may
+                # hold the extremum, so this partition falls back to one
+                # column-section read over its live rows (still no other
+                # columns touched). Compaction re-tightens the stats.
+                vals = np.asarray(
+                    fmt.decode_chunk(read_column_section(row, column)),
+                    dtype=np.int64)
+                keep = np.setdiff1d(
+                    np.arange(vals.size, dtype=np.int64),
+                    np.asarray(row["deleted_rows"], dtype=np.int64))
+                if keep.size == 0:
+                    continue
+                los.append(int(vals[keep].min()))
+                his.append(int(vals[keep].max()))
+                continue
             cm = next(c for c in row["columns"] if c["column"] == column)
             stats = cm.get("page_stats")
             if stats is None:
@@ -1096,7 +1148,15 @@ def lookup_docs(out_dir: str, keys: list[str],
             local_rows = np.concatenate(
                 [np.arange(ps[i], pe[i], dtype=np.int64) for i in keep])
             hit_rows = local_rows[hit]
-            hit_ids = ids.take(pa.array(np.flatnonzero(hit))).to_pylist()
+            hit_idx = np.flatnonzero(hit)
+            dr = row.get("deleted_rows")
+            if dr:  # tombstoned rows are invisible to point lookups
+                alive = ~np.isin(hit_rows, np.asarray(dr, dtype=np.int64))
+                if not alive.any():
+                    continue
+                hit_rows = hit_rows[alive]
+                hit_idx = hit_idx[alive]
+            hit_ids = ids.take(pa.array(hit_idx)).to_pylist()
             n_tok = np.asarray(
                 fmt.decode_chunk(read_column_section(row, "n_tok")),
                 dtype=np.int64)
@@ -1146,6 +1206,91 @@ def lookup_docs(out_dir: str, keys: list[str],
                           num_cpus=1, **rayenv.remote_args())
 
 
+def delete_docs(out_dir: str, keys: list[str],
+                concurrency: int | None = None) -> dict:
+    """Row-level delete by doc_id — lakehouse-style tombstone sidecars
+    (the role of Iceberg/Delta position deletes): immutable partition
+    files stay untouched; per matched partition a ``{pid}.del.json``
+    tombstone (local row indices, committed via atomic tmp+rename) marks
+    rows invisible, and EVERY reader — decode_job, verify_job,
+    lookup_docs, range_scan_docs, late_materialized_sum,
+    stats_only_minmax — filters through it (load_manifest attaches
+    tombstones to manifest rows). Compaction materializes deletes away
+    and drops the tombstones.
+
+    Matching is index-grade, not a scan: partitions prune via manifest
+    stats + Bloom sidecar, then only admitted doc_id PAGES decode.
+    Idempotent (re-deleting union-merges); single concurrent writer per
+    store assumed, like compact_partitions — the atomic rename makes a
+    lost race re-runnable, never a torn file. Returns
+    ``{"partitions", "rows_deleted"}`` (newly deleted rows only)."""
+    keys = sorted(set(str(k) for k in keys))
+    n = concurrency or _default_concurrency()
+    ds = manifest_dataset(out_dir, n_blocks=n * 2)
+    mdir = os.path.join(out_dir, "manifest")
+
+    def scan(batch: pa.Table) -> pa.Table:
+        from . import bloom as _bloom
+        pids: list[str] = []
+        counts: list[int] = []
+        for row in manifest_table_to_rows(batch):
+            st = (row.get("stats") or {}).get("doc_id")
+            if st is not None and not any(
+                    st["min"] <= k <= st["max"] for k in keys):
+                continue
+            bm = read_bloom(row, "doc_id")
+            if bm is not None and not _bloom.might_contain(
+                    bm[0], bm[1], bm[2], keys).any():
+                continue
+            dcm = next(c for c in row["columns"] if c["column"] == "doc_id")
+            skel = read_column_skeleton(row, "doc_id")
+            rows_pp = np.array([p.values_count for p in skel.pages],
+                               dtype=np.int64)
+            pe = np.cumsum(rows_pp)
+            ps = pe - rows_pp
+            stats = dcm.get("page_stats")
+            if stats is not None:
+                keep = [i for i, (lo, hi) in enumerate(stats)
+                        if any(lo <= k <= hi for k in keys)]
+            else:
+                keep = list(range(len(skel.pages)))
+            if not keep:
+                continue
+            enc, _br, _bt = read_column_pages(row, "doc_id", keep)
+            ids = fmt.chunk_to_arrow(fmt.decode_chunk(enc), "str") \
+                .cast(pa.string())
+            hit = pc.is_in(ids, value_set=pa.array(keys, pa.string())) \
+                .to_numpy(zero_copy_only=False)
+            if not hit.any():
+                continue
+            local = np.concatenate(
+                [np.arange(ps[i], pe[i], dtype=np.int64) for i in keep])
+            prev = set(row.get("deleted_rows") or [])
+            tpath = os.path.join(mdir, f"{row['pid']}.del.json")
+            if os.path.exists(tpath):  # newer than the manifest snapshot
+                with open(tpath) as f:
+                    prev |= set(json.load(f)["deleted_rows"])
+            new = set(int(x) for x in local[hit]) - prev
+            if not new:
+                continue
+            dead = sorted(prev | new)
+            tomb = {"pid": row["pid"], "deleted_rows": dead,
+                    "n": len(dead)}
+            tmp = tpath + f".tmp{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(tomb, f)
+            os.replace(tmp, tpath)  # commit point
+            pids.append(row["pid"])
+            counts.append(len(new))
+        return pa.table({"pid": pa.array(pids, pa.string()),
+                         "n_deleted": pa.array(counts, pa.int64())})
+
+    res = ds.map_batches(scan, batch_size=1, batch_format="pyarrow",
+                         num_cpus=1, **rayenv.remote_args()).to_pandas()
+    return {"partitions": int(len(res)),
+            "rows_deleted": int(res["n_deleted"].sum()) if len(res) else 0}
+
+
 def range_scan_docs(out_dir: str, lo: str, hi: str,
                     concurrency: int | None = None):
     """Index range scan: all (doc_id, n_tok) rows with lo <= doc_id <= hi
@@ -1188,6 +1333,14 @@ def range_scan_docs(out_dir: str, lo: str, hi: str,
             local_rows = np.concatenate(
                 [np.arange(ps[i], pe[i], dtype=np.int64) for i in keep])
             hit_rows = local_rows[hit]
+            hit_idx = np.flatnonzero(hit)
+            dr = row.get("deleted_rows")
+            if dr:  # tombstoned rows are invisible to range scans
+                alive = ~np.isin(hit_rows, np.asarray(dr, dtype=np.int64))
+                if not alive.any():
+                    continue
+                hit_rows = hit_rows[alive]
+                hit_idx = hit_idx[alive]
             # n_tok pages covering the hit rows only
             skel_n = read_column_skeleton(row, "n_tok")
             nrows = np.array([p.values_count for p in skel_n.pages],
@@ -1201,7 +1354,7 @@ def range_scan_docs(out_dir: str, lo: str, hi: str,
             kept_starts = nps[keep_n]
             kcum = np.concatenate(([0], np.cumsum(nrows[keep_n])))
             idx = np.searchsorted(kept_starts, hit_rows, side="right") - 1
-            out_ids.append(ids.filter(pa.array(hit)))
+            out_ids.append(ids.take(pa.array(hit_idx)))
             out_n.append(nvals[kcum[idx] + (hit_rows - kept_starts[idx])])
         ids_arr = (pa.concat_arrays([a.combine_chunks()
                                      if isinstance(a, pa.ChunkedArray)
