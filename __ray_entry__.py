@@ -161,6 +161,45 @@ def _q_delete_range_scan(sf_dir: str):
     return pipeline.range_scan_docs(_deleted_run(sf_dir), "199", "205")
 
 
+def _q_upsert_scan(sf_dir: str):
+    """Upsert under the contract (pipeline.upsert_docs, append-then-
+    shadow): two existing doc_ids get replacement text and one brand-new
+    doc_id lands, composed from the resume-safe append path plus an
+    exclude-guarded delete; the decode shows exactly the post-upsert
+    corpus with every untouched row bit-identical."""
+    from rwcf import documents, pipeline, rayenv
+    work = _workdir("upsert", sf_dir)
+    tokens_dir = documents.tokens_parquet_for(sf_dir, work)
+    cfg = pipeline.EncodeConfig(out_dir=os.path.join(work, "out"),
+                                partition_token_budget=500_000,
+                                bloom_bits_per_key=10)
+    pipeline.encode_job(documents.parquet_files(tokens_dir), cfg) \
+        .materialize()
+
+    pairs = [("7", "updated-7"), ("57", "updated-57"),
+             ("999001", "brand-new-doc")]
+    toks = [np.frombuffer(t.encode(), dtype=np.uint8).astype(np.int32)
+            for _, t in pairs]
+    offsets = np.concatenate(([0], np.cumsum([t.size for t in toks])))
+    la = pa.LargeListArray.from_arrays(
+        offsets.astype(np.int64),
+        pa.array(np.concatenate(toks), pa.int32())).cast(pa.list_(pa.int32()))
+    new_rows = pa.table({
+        "doc_id": pa.array([d for d, _ in pairs], pa.string()),
+        "tokens": la,
+        "n_tok": pa.array([t.size for t in toks], pa.int32()),
+        "source": pa.array(["upsert"] * len(pairs), pa.string()),
+    })
+    res = pipeline.upsert_docs(cfg.out_dir, new_rows)
+    assert res["rows_shadowed"] == 2, res  # '999001' is a pure insert
+
+    dec = pipeline.decode_job(cfg.out_dir)
+    return dec.map_batches(documents.detokenize_batch,
+                           batch_format="pyarrow",
+                           **rayenv.remote_args()) \
+        .select_columns(["doc_id", "text"])
+
+
 def _q_compact_roundtrip(sf_dir: str):
     """LSM-style maintenance pass under the contract: encode with a
     deliberately tiny partition budget (the shape a long-running ingest
@@ -3144,6 +3183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lookup_bloom": _q_doc_lookup_bloom,
         "compact_roundtrip": _q_compact_roundtrip,
         "delete_scan": _q_delete_scan,
+        "upsert_scan": _q_upsert_scan,
         "delete_range_scan": _q_delete_range_scan,
         "range_scan_docs": _q_range_scan_docs,
         "split_assign": _q_split_assign,
@@ -3159,6 +3199,11 @@ def oracle_sql() -> dict[str, str]:
         "delete_scan": (
             "SELECT doc_id, text FROM documents WHERE CAST(doc_id AS "
             "VARCHAR) NOT IN ('7', '57', '123', '200', '201', '499')"),
+        "upsert_scan": (
+            "SELECT doc_id, text FROM documents WHERE doc_id NOT IN (7, 57) "
+            "UNION ALL SELECT doc_id, text FROM (VALUES "
+            "(7, 'updated-7'), (57, 'updated-57'), "
+            "(999001, 'brand-new-doc')) AS t(doc_id, text)"),
         "delete_range_scan": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
             "CAST(strlen(text) AS BIGINT) AS n_tok FROM documents "

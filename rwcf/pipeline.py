@@ -1207,7 +1207,8 @@ def lookup_docs(out_dir: str, keys: list[str],
 
 
 def delete_docs(out_dir: str, keys: list[str],
-                concurrency: int | None = None) -> dict:
+                concurrency: int | None = None,
+                exclude_pids: set[str] | None = None) -> dict:
     """Row-level delete by doc_id — lakehouse-style tombstone sidecars
     (the role of Iceberg/Delta position deletes): immutable partition
     files stay untouched; per matched partition a ``{pid}.del.json``
@@ -1223,17 +1224,23 @@ def delete_docs(out_dir: str, keys: list[str],
     Idempotent (re-deleting union-merges); single concurrent writer per
     store assumed, like compact_partitions — the atomic rename makes a
     lost race re-runnable, never a torn file. Returns
-    ``{"partitions", "rows_deleted"}`` (newly deleted rows only)."""
+    ``{"partitions", "rows_deleted"}`` (newly deleted rows only).
+    ``exclude_pids`` exempts partitions from the delete — upsert_docs
+    uses it so the freshly appended versions survive their own
+    shadow pass."""
     keys = sorted(set(str(k) for k in keys))
     n = concurrency or _default_concurrency()
     ds = manifest_dataset(out_dir, n_blocks=n * 2)
     mdir = os.path.join(out_dir, "manifest")
+    excl = frozenset(exclude_pids or ())
 
     def scan(batch: pa.Table) -> pa.Table:
         from . import bloom as _bloom
         pids: list[str] = []
         counts: list[int] = []
         for row in manifest_table_to_rows(batch):
+            if row["pid"] in excl:
+                continue
             st = (row.get("stats") or {}).get("doc_id")
             if st is not None and not any(
                     st["min"] <= k <= st["max"] for k in keys):
@@ -1289,6 +1296,56 @@ def delete_docs(out_dir: str, keys: list[str],
                          num_cpus=1, **rayenv.remote_args()).to_pandas()
     return {"partitions": int(len(res)),
             "rows_deleted": int(res["n_deleted"].sum()) if len(res) else 0}
+
+
+def upsert_docs(out_dir: str, new_rows: pa.Table,
+                cfg: EncodeConfig | None = None,
+                run_id: str | None = None,
+                concurrency: int | None = None) -> dict:
+    """Upsert = append-then-shadow, composed from the store's two
+    mutation primitives: (1) ``new_rows`` (TOKENS_SCHEMA) land as new
+    partitions via the normal resume-safe encode path (staged to a
+    deterministic parquet whose name is a content hash, so a re-run
+    re-uses the committed partitions instead of duplicating them), then
+    (2) ``delete_docs`` tombstones the upserted doc_ids everywhere EXCEPT
+    the new partitions. Idempotent: re-running the same upsert after a
+    crash at any point converges to the same store. Between steps (1)
+    and (2) a concurrent reader can observe both versions of an updated
+    row — the standard anomaly of multi-step commits without a
+    transaction log; re-run-to-completion resolves it, and single-writer
+    discipline (as for compaction/delete) avoids write races."""
+    import hashlib
+    if run_id is None:
+        h = hashlib.sha1()
+        for c in ("doc_id", "n_tok"):
+            for buf in new_rows.column(c).combine_chunks().buffers():
+                if buf is not None:
+                    h.update(buf)
+        flat = new_rows.column("tokens").combine_chunks().flatten()
+        for buf in flat.buffers():
+            if buf is not None:
+                h.update(buf)
+        run_id = h.hexdigest()[:12]
+    if cfg is None:
+        has_bloom = any(r.get("bloom") for r in load_manifest(out_dir))
+        cfg = EncodeConfig(out_dir=out_dir,
+                           bloom_bits_per_key=10 if has_bloom else 0)
+    ingest_dir = os.path.join(out_dir, "ingest")
+    os.makedirs(ingest_dir, exist_ok=True)
+    staged = os.path.join(ingest_dir, f"upsert-{run_id}.parquet")
+    if not os.path.exists(staged):
+        tmp = staged + f".tmp{os.getpid()}"
+        pq.write_table(new_rows.cast(TOKENS_SCHEMA), tmp)
+        os.replace(tmp, staged)
+    man = encode_job(staged, cfg, resume=True,
+                     concurrency=concurrency).to_pandas()
+    new_pids = set(man["pid"])
+    keys = [str(k) for k in new_rows.column("doc_id").to_pylist()]
+    deleted = delete_docs(out_dir, keys, concurrency=concurrency,
+                          exclude_pids=new_pids)
+    return {"run_id": run_id, "new_partitions": len(new_pids),
+            "rows_upserted": int(new_rows.num_rows),
+            "rows_shadowed": deleted["rows_deleted"]}
 
 
 def range_scan_docs(out_dir: str, lo: str, hi: str,
