@@ -200,6 +200,73 @@ def _q_upsert_scan(sf_dir: str):
         .select_columns(["doc_id", "text"])
 
 
+_SNAP_RUNS: dict[str, str] = {}
+
+
+def _snapshot_run(sf_dir: str) -> str:
+    """A cached store with time-travel history: encode the tokens table,
+    snapshot the pristine state, then delete + upsert + compact + gc —
+    the full mutation lifecycle. snap-00000 pins the original corpus
+    through all of it (gc_store keeps snapshot-referenced partitions)."""
+    if sf_dir in _SNAP_RUNS:
+        return _SNAP_RUNS[sf_dir]
+    from rwcf import documents, pipeline
+    work = _workdir("snapshot", sf_dir)
+    tokens_dir = documents.tokens_parquet_for(sf_dir, work)
+    cfg = pipeline.EncodeConfig(out_dir=os.path.join(work, "out"),
+                                partition_token_budget=500_000,
+                                bloom_bits_per_key=10)
+    pipeline.encode_job(documents.parquet_files(tokens_dir), cfg) \
+        .materialize()
+    s0 = pipeline.create_snapshot(cfg.out_dir, note="pristine")
+    assert s0["snapshot"] == "snap-00000", s0
+
+    pipeline.delete_docs(cfg.out_dir, ["11", "42"])
+    txt = "travelled"
+    tok = np.frombuffer(txt.encode(), dtype=np.uint8).astype(np.int32)
+    la = pa.LargeListArray.from_arrays(
+        np.array([0, tok.size], np.int64),
+        pa.array(tok, pa.int32())).cast(pa.list_(pa.int32()))
+    pipeline.upsert_docs(cfg.out_dir, pa.table({
+        "doc_id": pa.array(["99"], pa.string()), "tokens": la,
+        "n_tok": pa.array([tok.size], pa.int32()),
+        "source": pa.array(["upsert"], pa.string())}))
+    pipeline.compact_partitions(cfg.out_dir, target_tokens=10**9)
+    _SNAP_RUNS[sf_dir] = cfg.out_dir
+    return cfg.out_dir
+
+
+def _q_time_travel_scan(sf_dir: str):
+    """Time travel under the contract: decode AS OF snap-00000 must
+    return the pristine corpus bit-identical even though the store has
+    since seen row deletes, an upsert and a full compaction+GC cycle
+    (pipeline.create_snapshot / decode_job(snapshot=...); Iceberg-style
+    O(partitions) metadata snapshots over immutable partition files)."""
+    from rwcf import documents, pipeline, rayenv
+    dec = pipeline.decode_job(_snapshot_run(sf_dir), snapshot="snap-00000")
+    return dec.map_batches(documents.detokenize_batch,
+                           batch_format="pyarrow",
+                           **rayenv.remote_args()) \
+        .select_columns(["doc_id", "text"])
+
+
+def _q_snapshot_diff(sf_dir: str):
+    """Version diff: doc_ids removed/added between snap-00000 and the
+    current view, computed as two distributed anti-joins over doc_id-only
+    decodes (no payload ships). '11'/'42' were deleted; '99' was an
+    update so it appears in neither id-diff; the upsert staging doc is
+    the only added id — none here, so the diff is exactly the deletes."""
+    from rwcf import joins, pipeline
+    out = _snapshot_run(sf_dir)
+    old = pipeline.decode_job(out, columns=["doc_id"], snapshot="snap-00000")
+    cur = pipeline.decode_job(out, columns=["doc_id"])
+    removed = joins.hash_join(old, cur, on="doc_id", how="anti", buckets=4) \
+        .add_column("status", lambda df: "removed", batch_format="pandas")
+    added = joins.hash_join(cur, old, on="doc_id", how="anti", buckets=4) \
+        .add_column("status", lambda df: "added", batch_format="pandas")
+    return removed.union(added)
+
+
 def _q_compact_roundtrip(sf_dir: str):
     """LSM-style maintenance pass under the contract: encode with a
     deliberately tiny partition budget (the shape a long-running ingest
@@ -3184,6 +3251,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compact_roundtrip": _q_compact_roundtrip,
         "delete_scan": _q_delete_scan,
         "upsert_scan": _q_upsert_scan,
+        "time_travel_scan": _q_time_travel_scan,
+        "snapshot_diff": _q_snapshot_diff,
         "delete_range_scan": _q_delete_range_scan,
         "range_scan_docs": _q_range_scan_docs,
         "split_assign": _q_split_assign,
@@ -3204,6 +3273,10 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT doc_id, text FROM (VALUES "
             "(7, 'updated-7'), (57, 'updated-57'), "
             "(999001, 'brand-new-doc')) AS t(doc_id, text)"),
+        "time_travel_scan": "SELECT doc_id, text FROM documents",
+        "snapshot_diff": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'removed' AS status "
+            "FROM documents WHERE doc_id IN (11, 42)"),
         "delete_range_scan": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
             "CAST(strlen(text) AS BIGINT) AS n_tok FROM documents "

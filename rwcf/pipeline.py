@@ -626,7 +626,8 @@ def _sliced_blocks(tbl: pa.Table, n_blocks: int):
     return rd.from_arrow([tbl.slice(i, step) for i in range(0, total, step)])
 
 
-def load_manifest(out_dir: str, include_replaced: bool = False) -> list[dict]:
+def load_manifest(out_dir: str, include_replaced: bool = False,
+                  snapshot: str | None = None) -> list[dict]:
     """All committed lineage rows: compacted parquet shards + loose JSONs.
 
     Rows shadowed by a committed compaction row's ``replaces`` list are
@@ -638,7 +639,34 @@ def load_manifest(out_dir: str, include_replaced: bool = False) -> list[dict]:
     Row-level delete tombstones (``{pid}.del.json``, written by
     delete_docs) are attached to their partition's row as
     ``deleted_rows`` — every reader (decode, verify, lookup, range scan,
-    late materialization) filters through them."""
+    late materialization) filters through them.
+
+    ``snapshot`` time-travels: the returned view is the pid set + per-pid
+    tombstone state recorded by ``create_snapshot`` at that point, with
+    later deletes/compactions/upserts invisible (immutable partition
+    files make old versions readable for free; ``gc_store`` keeps every
+    file a live snapshot references)."""
+    if snapshot is not None:
+        spath = os.path.join(out_dir, "snapshots", f"{snapshot}.parquet")
+        snap = pq.read_table(spath).to_pylist()
+        want = {s["pid"]: s["deleted_rows"] for s in snap}
+        rows = load_manifest(out_dir, include_replaced=True)
+        out = []
+        for r in rows:
+            if r["pid"] not in want:
+                continue
+            dels = want[r["pid"]]
+            if dels:
+                r["deleted_rows"] = list(dels)
+            else:
+                r.pop("deleted_rows", None)
+            out.append(r)
+        missing = set(want) - {r["pid"] for r in out}
+        if missing:
+            raise FileNotFoundError(
+                f"snapshot {snapshot} references gc'd partitions: "
+                f"{sorted(missing)[:5]}")
+        return out
     mdir = os.path.join(out_dir, "manifest")
     rows = []
     tombs: dict[str, list[int]] = {}
@@ -797,16 +825,94 @@ def compact_partitions(out_dir: str, target_tokens: int = 8_000_000,
             "gc": removed}
 
 
+def create_snapshot(out_dir: str, note: str = "") -> dict:
+    """Commit a named, immutable snapshot of the store's visible state
+    (Iceberg/Delta-style time travel over the manifest): the visible pid
+    set plus each pid's delete-tombstone positions AT THIS INSTANT, as
+    one parquet sidecar under ``snapshots/``. O(partitions) metadata,
+    zero data copies — partition files are immutable, so an old version
+    stays readable for free; ``gc_store`` refuses to reclaim any
+    partition a live snapshot references, and ``expire_snapshot``
+    releases it. Atomic commit via os.replace, sequential ids.
+
+    The reference is write-once with no versioning (src/lib.rs:29);
+    snapshots belong to the mandated mutation/scale extension built on
+    its immutable-pages idea."""
+    rows = load_manifest(out_dir)
+    sdir = os.path.join(out_dir, "snapshots")
+    os.makedirs(sdir, exist_ok=True)
+    seq = 0
+    for n in os.listdir(sdir):
+        if n.startswith("snap-") and n.endswith(".parquet"):
+            seq = max(seq, int(n[5:10]) + 1)
+    snap_id = f"snap-{seq:05d}"
+    tbl = pa.table({
+        "pid": pa.array([r["pid"] for r in rows], pa.string()),
+        "deleted_rows": pa.array(
+            [r.get("deleted_rows") or [] for r in rows],
+            pa.list_(pa.int64())),
+        "note": pa.array([note] * len(rows), pa.string()),
+    })
+    path = os.path.join(sdir, f"{snap_id}.parquet")
+    tmp = path + f".tmp{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    live = sum(r["n_rows"] - len(r.get("deleted_rows") or ()) for r in rows)
+    return {"snapshot": snap_id, "partitions": len(rows), "n_rows": live}
+
+
+def list_snapshots(out_dir: str) -> list[dict]:
+    """Committed snapshots, oldest first, with their live-row counts."""
+    sdir = os.path.join(out_dir, "snapshots")
+    out = []
+    if not os.path.isdir(sdir):
+        return out
+    for name in sorted(os.listdir(sdir)):
+        if not (name.startswith("snap-") and name.endswith(".parquet")):
+            continue
+        t = pq.read_table(os.path.join(sdir, name))
+        dels = sum(len(x) for x in t.column("deleted_rows").to_pylist())
+        note = t.column("note")[0].as_py() if t.num_rows else ""
+        out.append({"snapshot": name[:-8], "partitions": t.num_rows,
+                    "deleted_rows": dels, "note": note})
+    return out
+
+
+def expire_snapshot(out_dir: str, snapshot: str) -> dict:
+    """Drop a snapshot so gc_store may reclaim partitions only it pins."""
+    path = os.path.join(out_dir, "snapshots", f"{snapshot}.parquet")
+    if os.path.exists(path):
+        os.remove(path)
+        return {"expired": snapshot}
+    return {"expired": None}
+
+
+def _snapshot_pinned_pids(out_dir: str) -> set:
+    sdir = os.path.join(out_dir, "snapshots")
+    pinned: set = set()
+    if not os.path.isdir(sdir):
+        return pinned
+    for name in os.listdir(sdir):
+        if name.startswith("snap-") and name.endswith(".parquet"):
+            pinned.update(pq.read_table(
+                os.path.join(sdir, name), columns=["pid"])
+                .column("pid").to_pylist())
+    return pinned
+
+
 def gc_store(out_dir: str) -> dict:
     """Delete partition files + loose manifest JSONs shadowed by a
     committed ``replaces`` tombstone. Idempotent — correctness never
     depends on it (load_manifest filters shadowed rows); this only
-    reclaims disk."""
+    reclaims disk. Partitions referenced by a live snapshot are kept
+    (their manifest row too — time travel needs the lineage) until
+    ``expire_snapshot`` releases them."""
     all_rows = load_manifest(out_dir, include_replaced=True)
     replaced = {p for r in all_rows for p in (r.get("replaces") or [])}
+    pinned = _snapshot_pinned_pids(out_dir)
     files = manifests = 0
     for r in all_rows:
-        if r["pid"] not in replaced:
+        if r["pid"] not in replaced or r["pid"] in pinned:
             continue
         if os.path.exists(r["file"]):
             os.remove(r["file"])
@@ -821,7 +927,7 @@ def gc_store(out_dir: str) -> dict:
 
 def decode_job(out_dir: str, columns: list[str] | None = None,
                concurrency: int | None = None, task_cpus: int = 1,
-               where=None):
+               where=None, snapshot: str | None = None):
     """Decode pipeline: manifest Dataset -> stateless decode tasks -> rows.
 
     ``where`` is a partition-pruning predicate over manifest rows (zone-map
@@ -829,9 +935,10 @@ def decode_job(out_dir: str, columns: list[str] | None = None,
     "efficient row skipping", wills-columnar-format.org:187-194): partitions
     whose lineage stats rule them out are never read from disk. The caller
     still applies the exact row filter after decode; pruning is purely a
-    conservative skip."""
+    conservative skip. ``snapshot`` decodes the store AS OF a committed
+    ``create_snapshot`` point (time travel)."""
     n = concurrency or _default_concurrency()
-    rows = load_manifest(out_dir)
+    rows = load_manifest(out_dir, snapshot=snapshot)
     if where is not None:
         kept = [r for r in rows if where(r)]
     else:

@@ -1,0 +1,126 @@
+"""Snapshots / time travel over the manifest: AS-OF reads survive later
+deletes, upserts, compaction and GC; expiry releases pinned partitions.
+
+The reference is a write-once single-file format (src/lib.rs:29); the
+snapshot layer versions the mandated multi-partition store the way
+Iceberg/Delta version a table — O(partitions) metadata sidecars over
+immutable data files, never a data copy.
+"""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from rwcf import fixtures, pipeline
+
+
+def _rows(pairs):
+    ids, texts = zip(*pairs)
+    toks = [np.frombuffer(t.encode(), dtype=np.uint8).astype(np.int32)
+            for t in texts]
+    offsets = np.concatenate(([0], np.cumsum([t.size for t in toks])))
+    la = pa.LargeListArray.from_arrays(
+        offsets.astype(np.int64),
+        pa.array(np.concatenate(toks), pa.int32())).cast(pa.list_(pa.int32()))
+    return pa.table({
+        "doc_id": pa.array(list(ids), pa.string()),
+        "tokens": la,
+        "n_tok": pa.array([t.size for t in toks], pa.int32()),
+        "source": pa.array(["upsert"] * len(ids), pa.string()),
+    })
+
+
+DELETED = ["doc-000000000003", "doc-000000000201"]
+UPDATED = [("doc-000000000005", "rewritten-5")]
+
+
+@pytest.fixture()
+def store(tmp_path, ray_session):
+    path = fixtures.tokens_parquet(300, seed=91,
+                                   cache_dir=str(tmp_path / "tok"),
+                                   row_group_size=100)
+    out = str(tmp_path / "out")
+    cfg = pipeline.EncodeConfig(out_dir=out, partition_token_budget=30_000,
+                                bloom_bits_per_key=10)
+    pipeline.encode_job(path, cfg, concurrency=2).materialize()
+    return {"out": out, "src": path}
+
+
+def _ids(out, snapshot=None):
+    df = pipeline.decode_job(out, columns=["doc_id"], concurrency=2,
+                             snapshot=snapshot).to_pandas()
+    return sorted(df["doc_id"])
+
+
+def test_time_travel_across_mutations_and_gc(store):
+    out = store["out"]
+    orig = sorted(pq.read_table(store["src"]).column("doc_id").to_pylist())
+
+    s0 = pipeline.create_snapshot(out, note="pristine")
+    assert s0["snapshot"] == "snap-00000"
+    assert s0["n_rows"] == 300
+
+    pipeline.delete_docs(out, DELETED, concurrency=2)
+    s1 = pipeline.create_snapshot(out, note="post-delete")
+    assert s1["n_rows"] == 298
+
+    pipeline.upsert_docs(out, _rows(UPDATED), concurrency=2)
+    pipeline.compact_partitions(out, target_tokens=10**9, concurrency=2)
+
+    # current view: deletes + upsert applied, store compacted
+    cur = _ids(out)
+    want_cur = sorted(set(orig) - set(DELETED) | {UPDATED[0][0]})
+    assert cur == want_cur
+    # time travel: snap-00000 is the pristine corpus, bit-identical
+    assert _ids(out, snapshot="snap-00000") == orig
+    dec0 = pipeline.decode_job(out, snapshot="snap-00000",
+                               concurrency=2).to_pandas() \
+        .set_index("doc_id").sort_index()
+    src = pq.read_table(store["src"]).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert all(np.array_equal(a, b)
+               for a, b in zip(dec0["tokens"], src["tokens"]))
+    # snap-00001 sees the deletes but not the upsert
+    assert _ids(out, snapshot="snap-00001") == sorted(set(orig) - set(DELETED))
+
+    snaps = pipeline.list_snapshots(out)
+    assert [s["snapshot"] for s in snaps] == ["snap-00000", "snap-00001"]
+    assert snaps[0]["note"] == "pristine"
+    assert snaps[1]["deleted_rows"] == 2
+
+    # compaction's gc ran with snapshots live: pinned members survive
+    pinned = pipeline._snapshot_pinned_pids(out)
+    live = {r["pid"] for r in pipeline.load_manifest(out)}
+    assert pinned - live, "snapshots should pin replaced (pre-compaction) pids"
+
+    # expiry releases the pins; gc then reclaims, and time travel raises
+    pipeline.expire_snapshot(out, "snap-00000")
+    pipeline.expire_snapshot(out, "snap-00001")
+    gc = pipeline.gc_store(out)
+    assert gc["files"] > 0
+    assert _ids(out) == want_cur  # current view untouched by gc
+    with pytest.raises(FileNotFoundError):
+        pipeline.load_manifest(out, snapshot="snap-00000")
+
+
+def test_snapshot_is_immutable_under_later_delete(store):
+    out = store["out"]
+    pipeline.create_snapshot(out)
+    pipeline.delete_docs(out, DELETED, concurrency=2)
+    # later tombstones must not leak into the old snapshot's view
+    assert len(_ids(out, snapshot="snap-00000")) == 300
+    assert len(_ids(out)) == 298
+
+
+def test_snapshot_sequence_and_expire_missing(store):
+    out = store["out"]
+    a = pipeline.create_snapshot(out)
+    b = pipeline.create_snapshot(out)
+    assert (a["snapshot"], b["snapshot"]) == ("snap-00000", "snap-00001")
+    assert pipeline.expire_snapshot(out, "snap-00000")["expired"]
+    c = pipeline.create_snapshot(out)
+    assert c["snapshot"] == "snap-00002"  # ids never reused after expiry
+    assert pipeline.expire_snapshot(out, "snap-09999")["expired"] is None
