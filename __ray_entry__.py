@@ -231,6 +231,7 @@ def _snapshot_run(sf_dir: str) -> str:
         "doc_id": pa.array(["99"], pa.string()), "tokens": la,
         "n_tok": pa.array([tok.size], pa.int32()),
         "source": pa.array(["upsert"], pa.string())}))
+    pipeline.create_snapshot(cfg.out_dir, note="mutated")  # snap-00001
     pipeline.compact_partitions(cfg.out_dir, target_tokens=10**9)
     _SNAP_RUNS[sf_dir] = cfg.out_dir
     return cfg.out_dir
@@ -265,6 +266,34 @@ def _q_snapshot_diff(sf_dir: str):
     added = joins.hash_join(cur, old, on="doc_id", how="anti", buckets=4) \
         .add_column("status", lambda df: "added", batch_format="pandas")
     return removed.union(added)
+
+
+def _q_cdc_scan(sf_dir: str):
+    """Incremental change-data-capture between two snapshots
+    (pipeline.cdc_scan — the Iceberg incremental-scan idea over this
+    store's manifest): partitions whose (pid, tombstone) state is
+    identical in both views are pruned before any data is read, so the
+    scan costs O(changed partitions), not O(corpus); changed partitions
+    decode to light (doc_id, content-hash) rows into one bucketed
+    distributed outer join. Delta from pristine to post-mutation:
+    '11'/'42' deleted, '99' rewritten."""
+    from rwcf import pipeline
+    out = _snapshot_run(sf_dir)
+    plan = pipeline.cdc_plan(out, "snap-00000", "snap-00001")
+    if plan["parts_from"] > 3:  # tiny sf can put everything in few parts
+        assert plan["pruned"] > 0, plan
+    return pipeline.cdc_scan(out, "snap-00000", "snap-00001", buckets=4)
+
+
+def _q_cdc_scan_rewrite(sf_dir: str):
+    """CDC is content-based, invariant to physical rewrites: the scan
+    from snap-00000 to the CURRENT view crosses a full compaction (every
+    pid replaced, zero manifest-level pruning possible), yet the logical
+    delta is identical to cdc_scan's — rewritten-but-equal rows match on
+    content hash inside the outer join and classify as no-change."""
+    from rwcf import pipeline
+    out = _snapshot_run(sf_dir)
+    return pipeline.cdc_scan(out, "snap-00000", buckets=4)
 
 
 def _q_compact_roundtrip(sf_dir: str):
@@ -3253,6 +3282,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "upsert_scan": _q_upsert_scan,
         "time_travel_scan": _q_time_travel_scan,
         "snapshot_diff": _q_snapshot_diff,
+        "cdc_scan": _q_cdc_scan,
+        "cdc_scan_rewrite": _q_cdc_scan_rewrite,
         "delete_range_scan": _q_delete_range_scan,
         "range_scan_docs": _q_range_scan_docs,
         "split_assign": _q_split_assign,
@@ -3277,6 +3308,14 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'removed' AS status "
             "FROM documents WHERE doc_id IN (11, 42)"),
+        "cdc_scan": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'delete' AS op "
+            "FROM documents WHERE doc_id IN (11, 42) "
+            "UNION ALL SELECT '99', 'update'"),
+        "cdc_scan_rewrite": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'delete' AS op "
+            "FROM documents WHERE doc_id IN (11, 42) "
+            "UNION ALL SELECT '99', 'update'"),
         "delete_range_scan": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
             "CAST(strlen(text) AS BIGINT) AS n_tok FROM documents "

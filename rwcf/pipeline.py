@@ -925,6 +925,134 @@ def gc_store(out_dir: str) -> dict:
     return {"files": files, "manifests": manifests}
 
 
+def cdc_plan(out_dir: str, from_snapshot: str,
+             to_snapshot: str | None = None) -> dict:
+    """Manifest-level change-data-capture plan between two snapshot views
+    (``to_snapshot=None`` = the current store). A partition whose
+    ``(pid, delete-tombstone positions)`` state is IDENTICAL in both views
+    cannot contribute a change — its live rows are bit-identical on both
+    sides (partition files are immutable) and any other version of one of
+    its doc_ids necessarily changed some OTHER partition's state (upsert
+    and delete always commit a tombstone). Those partitions are pruned
+    before any data is read, so a CDC scan costs O(changed partitions),
+    not O(corpus) — the Iceberg incremental-scan idea re-expressed over
+    this store's manifest. The reference is write-once with no versioning
+    (src/lib.rs:29); CDC belongs to the mandated mutation extension."""
+    rows_a = load_manifest(out_dir, snapshot=from_snapshot)
+    rows_b = load_manifest(out_dir, snapshot=to_snapshot)
+
+    def key(r):
+        return (r["pid"], tuple(r.get("deleted_rows") or ()))
+
+    ka = {key(r): r for r in rows_a}
+    kb = {key(r): r for r in rows_b}
+    changed_a = [r for k, r in ka.items() if k not in kb]
+    changed_b = [r for k, r in kb.items() if k not in ka]
+    return {
+        "parts_from": len(rows_a), "parts_to": len(rows_b),
+        "changed_from": len(changed_a), "changed_to": len(changed_b),
+        "pruned": len([k for k in ka if k in kb]),
+        "_rows_from": changed_a, "_rows_to": changed_b,
+    }
+
+
+def _cdc_hash_batch(batch: pa.Table, col: str) -> pa.Table:
+    """Manifest rows -> one (doc_id, content-hash) row per LIVE row of
+    each partition. The hash folds the token payload and the source
+    string through two segmented polynomial streams (rwcf.textops
+    segment_poly_hash — vectorized, no row loop), so equal hash means
+    equal content for CDC purposes and the comparison is invariant to
+    physical rewrites (compaction re-packs rows into new partitions
+    without changing their hashes)."""
+    from . import textops
+    ids, hs = [], []
+    for row in manifest_table_to_rows(batch):
+        t = decode_partition(row)
+        la = t.column("tokens").combine_chunks()
+        lengths = pc.list_value_length(la).to_numpy().astype(np.int64)
+        flat = la.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+        h_tok = textops.segment_poly_hash(lengths, flat)
+        slen, spay = fmt.chunk_from_arrow(t.column("source"))
+        h_src = textops.segment_poly_hash(
+            np.asarray(slen, np.int64), np.asarray(spay))
+        comb = h_tok * textops._FP_BASE + h_src
+        ids.append(t.column("doc_id").combine_chunks())
+        hs.append(comb.astype(np.int64))  # two's-complement view for Arrow
+    if not ids:
+        return pa.table({"doc_id": pa.array([], pa.string()),
+                         col: pa.array([], pa.int64())})
+    return pa.table({"doc_id": pa.concat_arrays([a.cast(pa.string())
+                                                 for a in ids]),
+                     col: pa.array(np.concatenate(hs))})
+
+
+def cdc_scan(out_dir: str, from_snapshot: str,
+             to_snapshot: str | None = None, buckets: int = 8,
+             concurrency: int | None = None, task_cpus: int = 1):
+    """Row-level CDC between two snapshots: a Dataset of
+    ``(doc_id, op)`` with op in {insert, delete, update}.
+
+    Pipeline: :func:`cdc_plan` prunes partitions unchanged between the
+    views (never read); each changed partition decodes to light
+    ``(doc_id, content-hash)`` rows — the token payload itself never
+    ships; one bucketed distributed full-outer join on doc_id
+    (rwcf.joins.hash_join) aligns the sides; classification is a
+    vectorized per-batch mask. Rows present in changed partitions on
+    both sides with equal hashes (e.g. a compaction rewrite) classify as
+    no-change and are dropped, so the output is exactly the logical
+    delta regardless of physical layout churn."""
+    import functools
+
+    import ray.data as rd
+
+    from . import joins
+
+    plan = cdc_plan(out_dir, from_snapshot, to_snapshot)
+    if not plan["_rows_from"] and not plan["_rows_to"]:
+        # views identical at the manifest level: empty delta, stable schema
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.string()),
+            "op": pa.array([], pa.string())}))
+
+    def side(rows, col):
+        if not rows:
+            return rd.from_arrow(pa.table({
+                "doc_id": pa.array([], pa.string()),
+                col: pa.array([], pa.int64())}))
+        ds = _sliced_blocks(manifest_rows_to_table(rows), len(rows))
+        cap = _stage_cap(concurrency, task_cpus)
+        return ds.map_batches(functools.partial(_cdc_hash_batch, col=col),
+                              batch_size=1, batch_format="pyarrow",
+                              num_cpus=task_cpus, concurrency=cap,
+                              **rayenv.remote_args())
+
+    old = side(plan["_rows_from"], "h_old")
+    new = side(plan["_rows_to"], "h_new")
+    j = joins.hash_join(old, new, on="doc_id", how="outer", buckets=buckets)
+
+    def classify(df):
+        import pandas as pd
+        did = df["doc_id"].where(df["doc_id"].notna(), df["doc_id_r"])
+        dele = df["h_new"].isna() & df["h_old"].notna()
+        ins = df["h_old"].isna() & df["h_new"].notna()
+        # the != on nullable Int64 yields Kleene "boolean"; the notna
+        # guards make every NA collapse to False — force plain bool for
+        # np.select
+        upd = (df["h_old"].notna() & df["h_new"].notna()
+               & (df["h_old"] != df["h_new"])).fillna(False) \
+            .to_numpy(dtype=bool)
+        out = pd.DataFrame({
+            "doc_id": did.astype(str),
+            "op": np.select([dele.to_numpy(dtype=bool),
+                             ins.to_numpy(dtype=bool), upd],
+                            ["delete", "insert", "update"], default=""),
+        })
+        return out[out["op"] != ""]
+
+    return j.map_batches(classify, batch_format="pandas",
+                         **rayenv.remote_args())
+
+
 def decode_job(out_dir: str, columns: list[str] | None = None,
                concurrency: int | None = None, task_cpus: int = 1,
                where=None, snapshot: str | None = None):

@@ -124,3 +124,60 @@ def test_snapshot_sequence_and_expire_missing(store):
     c = pipeline.create_snapshot(out)
     assert c["snapshot"] == "snap-00002"  # ids never reused after expiry
     assert pipeline.expire_snapshot(out, "snap-09999")["expired"] is None
+
+
+# ---------------------------------------------------------------------------
+# CDC scan between snapshots
+# ---------------------------------------------------------------------------
+
+NEW_DOC = [("doc-999999999999", "brand-new-cdc-doc")]
+
+
+def _cdc_sorted(out, a, b=None):
+    ds = pipeline.cdc_scan(out, a, to_snapshot=b, buckets=4, concurrency=2)
+    assert set(ds.schema().names) == {"doc_id", "op"}
+    df = ds.to_pandas()
+    if df.empty:  # this Ray's to_pandas drops columns on 0-row datasets
+        return []
+    return sorted(map(tuple, df[["doc_id", "op"]].itertuples(index=False)))
+
+
+def test_cdc_scan_logical_delta_with_pruning(store):
+    out = store["out"]
+    pipeline.create_snapshot(out, note="pristine")
+    pipeline.delete_docs(out, DELETED, concurrency=2)
+    pipeline.upsert_docs(out, _rows(UPDATED + NEW_DOC), concurrency=2)
+    pipeline.create_snapshot(out, note="mutated")
+
+    plan = pipeline.cdc_plan(out, "snap-00000", "snap-00001")
+    # most partitions are untouched by the 4-doc delta: pruned unread
+    assert plan["pruned"] > 0
+    assert plan["changed_from"] < plan["parts_from"]
+    assert plan["changed_to"] <= plan["changed_from"] + 2  # + upsert parts
+
+    want = sorted([(d, "delete") for d in DELETED]
+                  + [(UPDATED[0][0], "update"), (NEW_DOC[0][0], "insert")])
+    assert _cdc_sorted(out, "snap-00000", "snap-00001") == want
+    # current view == snap-00001: empty delta both ways
+    assert _cdc_sorted(out, "snap-00001") == []
+    assert _cdc_sorted(out, "snap-00000", "snap-00000") == []
+
+
+def test_cdc_scan_invariant_to_compaction_rewrite(store):
+    out = store["out"]
+    pipeline.create_snapshot(out)
+    pipeline.delete_docs(out, DELETED, concurrency=2)
+    pipeline.upsert_docs(out, _rows(UPDATED), concurrency=2)
+    pipeline.create_snapshot(out)
+    # rewrite every partition: physical layout churns, logical delta must not
+    res = pipeline.compact_partitions(out, target_tokens=10**9, concurrency=2)
+    assert res["parts_after"] < res["parts_before"]
+
+    want = sorted([(d, "delete") for d in DELETED]
+                  + [(UPDATED[0][0], "update")])
+    assert _cdc_sorted(out, "snap-00000") == want
+    # snap-00001 -> compacted current: pure rewrite, no logical change,
+    # even though zero partitions could be pruned at the manifest level
+    plan = pipeline.cdc_plan(out, "snap-00001")
+    assert plan["pruned"] == 0
+    assert _cdc_sorted(out, "snap-00001") == []
