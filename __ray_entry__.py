@@ -296,6 +296,110 @@ def _q_cdc_scan_rewrite(sf_dir: str):
     return pipeline.cdc_scan(out, "snap-00000", buckets=4)
 
 
+def _q_incremental_stats_refresh(sf_dir: str):
+    """Incremental materialized-view maintenance over CDC: the per-source
+    (n_rows, n_tokens) aggregate computed at snap-00000 rolls forward to
+    the current view by applying ONLY the CDC delta
+    (pipeline.incremental_source_stats) — deletes subtract, updates
+    swap, the corpus is never rescanned (O(changed partitions) via
+    cdc_plan pruning). The oracle is the full recompute the refresh must
+    equal: base stats minus docs 11/42/99 plus the 9-token 'travelled'
+    upsert doc."""
+    from rwcf import pipeline
+    out = _snapshot_run(sf_dir)
+    prev = pipeline.source_stats_job(out, snapshot="snap-00000")
+    return pipeline.incremental_source_stats(out, "snap-00000", prev,
+                                             buckets=4)
+
+
+_EVOLVED_RUNS: dict[str, str] = {}
+
+
+def _evolved_tokens(pairs, src_name="src"):
+    ids, texts = zip(*pairs)
+    toks = [np.frombuffer(t.encode(), dtype=np.uint8).astype(np.int32)
+            for t in texts]
+    offsets = np.concatenate(([0], np.cumsum([t.size for t in toks])))
+    la = pa.LargeListArray.from_arrays(
+        offsets.astype(np.int64),
+        pa.array(np.concatenate(toks), pa.int32())).cast(pa.list_(pa.int32()))
+    return pa.table({
+        "doc_id": pa.array(list(ids), pa.string()), "tokens": la,
+        "n_tok": pa.array([t.size for t in toks], pa.int32()),
+        src_name: pa.array(["evoteam"] * len(ids), pa.string()),
+        "quality": pa.array([7] * len(ids), pa.int64()),
+    })
+
+
+def _evolved_run(sf_dir: str) -> str:
+    """A cached store that lives through schema evolution (rwcf.schema —
+    Iceberg-style field-id log): encode the base corpus, rename
+    source->src, add quality:int64 default 0, then ingest a second batch
+    under the NEW schema (physically carrying src + quality, manifest
+    rows stamped schema_version=2). Old partitions keep their old bytes;
+    readers resolve by field id."""
+    if sf_dir in _EVOLVED_RUNS:
+        return _EVOLVED_RUNS[sf_dir]
+    import pyarrow.parquet as pq
+    from rwcf import documents, pipeline, schema
+    work = _workdir("evolved", sf_dir)
+    tokens_dir = documents.tokens_parquet_for(sf_dir, work)
+    cfg = pipeline.EncodeConfig(out_dir=os.path.join(work, "out"),
+                                partition_token_budget=500_000)
+    pipeline.encode_job(documents.parquet_files(tokens_dir), cfg) \
+        .materialize()
+    schema.rename_column(cfg.out_dir, "source", "src")
+    schema.add_column(cfg.out_dir, "quality", "i64", default=0)
+    staged = os.path.join(work, "evo-batch.parquet")
+    pq.write_table(_evolved_tokens(
+        [("evo-1", "first evolved doc"), ("evo-2", "second evolved doc"),
+         ("evo-3", "third evolved doc")]), staged, row_group_size=3)
+    cfg2 = pipeline.EncodeConfig(out_dir=cfg.out_dir, columns=None)
+    pipeline.encode_job(staged, cfg2).materialize()
+    assert cfg2.schema_version == 2, cfg2.schema_version
+    _EVOLVED_RUNS[sf_dir] = cfg.out_dir
+    return cfg.out_dir
+
+
+def _q_schema_evolution_scan(sf_dir: str):
+    """Schema evolution under the contract: after a rename + a
+    default-carrying add, one schema-aware scan (rwcf.schema.scan) reads
+    partitions written under BOTH schema versions — old sections surface
+    under the new name via their stable field id, pre-add partitions fill
+    the registered default, post-evolution partitions carry real values —
+    with column pruning still reaching the disk reads."""
+    from rwcf import schema
+    return schema.scan(_evolved_run(sf_dir),
+                       columns=["doc_id", "src", "quality"])
+
+
+def _q_schema_drop_compact(sf_dir: str):
+    """Drop + upgrade-on-rewrite: dropping a column removes it from every
+    read immediately (O(1) metadata commit); the following compaction
+    rewrites partitions under the current schema, physically shedding the
+    dropped column's bytes — asserted on the manifest — while the logical
+    table stays bit-identical."""
+    from rwcf import documents, pipeline, schema
+    work = _workdir("evodrop", sf_dir)
+    tokens_dir = documents.tokens_parquet_for(sf_dir, work)
+    cfg = pipeline.EncodeConfig(out_dir=os.path.join(work, "out"),
+                                partition_token_budget=500_000)
+    pipeline.encode_job(documents.parquet_files(tokens_dir), cfg) \
+        .materialize()
+    schema.drop_column(cfg.out_dir, "source")
+    bytes_before = sum(r["encoded_bytes"]
+                       for r in pipeline.load_manifest(cfg.out_dir))
+    pipeline.compact_partitions(cfg.out_dir, target_tokens=2_000_000)
+    rows = pipeline.load_manifest(cfg.out_dir)
+    assert all("source" not in {c["column"] for c in r["columns"]}
+               for r in rows), "compaction must shed the dropped column"
+    assert sum(r["encoded_bytes"] for r in rows) < bytes_before
+    return schema.scan(cfg.out_dir, columns=["doc_id", "n_tok"]) \
+        .map_batches(lambda t: t.set_column(
+            t.schema.get_field_index("n_tok"), "n_tok",
+            t.column("n_tok").cast(pa.int64())), batch_format="pyarrow")
+
+
 def _q_compact_roundtrip(sf_dir: str):
     """LSM-style maintenance pass under the contract: encode with a
     deliberately tiny partition budget (the shape a long-running ingest
@@ -3284,6 +3388,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": _q_snapshot_diff,
         "cdc_scan": _q_cdc_scan,
         "cdc_scan_rewrite": _q_cdc_scan_rewrite,
+        "schema_evolution_scan": _q_schema_evolution_scan,
+        "schema_drop_compact": _q_schema_drop_compact,
+        "incremental_stats_refresh": _q_incremental_stats_refresh,
         "delete_range_scan": _q_delete_range_scan,
         "range_scan_docs": _q_range_scan_docs,
         "split_assign": _q_split_assign,
@@ -3316,6 +3423,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'delete' AS op "
             "FROM documents WHERE doc_id IN (11, 42) "
             "UNION ALL SELECT '99', 'update'"),
+        "schema_evolution_scan": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, source AS src, "
+            "CAST(0 AS BIGINT) AS quality FROM documents "
+            "UNION ALL SELECT * FROM (VALUES "
+            "('evo-1', 'evoteam', CAST(7 AS BIGINT)), "
+            "('evo-2', 'evoteam', CAST(7 AS BIGINT)), "
+            "('evo-3', 'evoteam', CAST(7 AS BIGINT))) "
+            "AS t(doc_id, src, quality)"),
+        "schema_drop_compact": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "CAST(strlen(text) AS BIGINT) AS n_tok FROM documents"),
+        "incremental_stats_refresh": (
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(strlen(text)) AS BIGINT) AS n_tokens FROM ("
+            "SELECT text, source FROM documents "
+            "WHERE doc_id NOT IN (11, 42, 99) "
+            "UNION ALL SELECT 'travelled', 'upsert') GROUP BY source"),
         "delete_range_scan": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
             "CAST(strlen(text) AS BIGINT) AS n_tok FROM documents "

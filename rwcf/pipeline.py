@@ -72,6 +72,13 @@ class EncodeConfig:
     #: accounted separately as ``bloom_bytes`` in the manifest row.
     bloom_bits_per_key: int = 0
     bloom_columns: tuple = ("doc_id",)
+    #: schema-log version (rwcf.schema) the input columns are named under;
+    #: stamped into each manifest row so readers can resolve physical
+    #: column names by stable field id. None (default) = the base
+    #: TOKENS_SCHEMA, matching manifests written before schema evolution
+    #: existed. encode_job fills it automatically when the store has a
+    #: schema log.
+    schema_version: int | None = None
 
     @property
     def parts_dir(self) -> str:
@@ -147,20 +154,36 @@ def read_parquet_rowgroups(input_paths, columns: list[str] | None = None,
 def _table_chunks(tbl: pa.Table) -> dict[str, tuple]:
     """Split the tokens table into codec chunks: (chunk, dtype) per stream.
     ``tokens`` becomes a flattened int32 value stream; row lengths ride in
-    ``n_tok`` (list-offset handling, SURVEY.md §7 hard part c)."""
+    ``n_tok`` (list-offset handling, SURVEY.md §7 hard part c). Columns
+    beyond the base four (schema-evolution adds, rwcf.schema) chunk
+    generically by their Arrow type — any fmt.DTYPES integer width or
+    string."""
     out = {}
-    la = tbl.column("tokens").combine_chunks()
-    if la.type != pa.list_(pa.int32()) and la.type != pa.large_list(pa.int32()):
-        la = la.cast(pa.list_(pa.int32()))  # safe cast: raises on overflow
-    lengths = pc.list_value_length(la).to_numpy().astype(np.int64)
-    flat = la.flatten().to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
-    out["tokens"] = (flat, "i32")
-    out["n_tok"] = (tbl.column("n_tok").combine_chunks().to_numpy().astype(np.int32),
-                    "i32")
-    if not np.array_equal(lengths, out["n_tok"][0].astype(np.int64)):
-        raise ValueError("n_tok != len(tokens): input invariant violated")
-    out["doc_id"] = (fmt.chunk_from_arrow(tbl.column("doc_id")), "str")
-    out["source"] = (fmt.chunk_from_arrow(tbl.column("source")), "str")
+    for name in tbl.column_names:
+        if name == "tokens":
+            la = tbl.column("tokens").combine_chunks()
+            if la.type != pa.list_(pa.int32()) \
+                    and la.type != pa.large_list(pa.int32()):
+                la = la.cast(pa.list_(pa.int32()))  # raises on overflow
+            flat = la.flatten().to_numpy(zero_copy_only=False) \
+                .astype(np.int32, copy=False)
+            out["tokens"] = (flat, "i32")
+        elif name == "n_tok":
+            out["n_tok"] = (tbl.column("n_tok").combine_chunks().to_numpy()
+                            .astype(np.int32), "i32")
+        else:
+            col = tbl.column(name).combine_chunks()
+            code = fmt.dtype_code_for_arrow(col.type)
+            if fmt.is_string(code):
+                out[name] = (fmt.chunk_from_arrow(col), "str")
+            else:
+                out[name] = (col.to_numpy().astype(fmt.DTYPES[code][2],
+                                                   copy=False), code)
+    if "tokens" in out and "n_tok" in out:
+        la = tbl.column("tokens").combine_chunks()
+        lengths = pc.list_value_length(la).to_numpy().astype(np.int64)
+        if not np.array_equal(lengths, out["n_tok"][0].astype(np.int64)):
+            raise ValueError("n_tok != len(tokens): input invariant violated")
     return out
 
 
@@ -226,7 +249,7 @@ def encode_partition(tbl: pa.Table, pid: str, cfg: EncodeConfig,
     col_meta = []
     offset = 0
     decoded_bytes = 0
-    for name in ["doc_id", "tokens", "n_tok", "source"]:
+    for name in tbl.column_names:
         chunk, dtype = chunks[name]
         enc, choice = selector.encode_auto(chunk, dtype, cfg.page_target, cfg.codecs)
         blob = fmt.write_column_file(enc)
@@ -275,11 +298,11 @@ def encode_partition(tbl: pa.Table, pid: str, cfg: EncodeConfig,
             bloom_bytes += len(raw)
 
     stats = {}
-    for name in ("n_tok", "doc_id", "source"):
-        if name in tbl.column_names:
-            col = tbl.column(name)
-            mm = pc.min_max(col)
-            stats[name] = {"min": mm["min"].as_py(), "max": mm["max"].as_py()}
+    for name in tbl.column_names:
+        if name == "tokens":  # flattened value stream; zone map is per-row
+            continue
+        mm = pc.min_max(tbl.column(name))
+        stats[name] = {"min": mm["min"].as_py(), "max": mm["max"].as_py()}
     os.makedirs(cfg.parts_dir, exist_ok=True)
     os.makedirs(cfg.manifest_dir, exist_ok=True)
     file_path = os.path.join(cfg.parts_dir, f"{pid}.rwcf")
@@ -304,6 +327,8 @@ def encode_partition(tbl: pa.Table, pid: str, cfg: EncodeConfig,
         "encode_seconds": round(time.perf_counter() - t0, 4),
         "status": "committed",
     }
+    if cfg.schema_version is not None:
+        row["schema_version"] = cfg.schema_version
     if blooms:
         row["bloom"] = blooms
         row["bloom_bytes"] = bloom_bytes
@@ -320,12 +345,16 @@ def encode_partition(tbl: pa.Table, pid: str, cfg: EncodeConfig,
 def decode_partition(row: dict, columns: list[str] | None = None,
                      with_tokens: bool = True) -> pa.Table:
     """Read + decode one partition from its manifest row (column-pruned:
-    only requested sections are read from disk)."""
-    want = set(columns or TOKEN_COLUMNS)
+    only requested sections are read from disk). Columns are PHYSICAL
+    names as written; schema-evolution renames/defaults resolve one level
+    up in rwcf.schema.scan. Output column order = section order."""
+    avail = [cm["column"] for cm in row["columns"]]
+    want = set(columns if columns is not None else avail)
     need = set(want)
     if "tokens" in want:
         need.add("n_tok")
     chunks = {}
+    dtypes = {}
     with open(row["file"], "rb") as f:
         for cm in row["columns"]:
             if cm["column"] not in need:
@@ -338,9 +367,10 @@ def decode_partition(row: dict, columns: list[str] | None = None,
             enc = fmt.read_column_file(blob)
             enc.dtype = cm["dtype"]  # concrete width from lineage
             chunks[cm["column"]] = fmt.decode_chunk(enc)
+            dtypes[cm["column"]] = cm["dtype"]
     cols = {}
-    for name in TOKEN_COLUMNS:
-        if name not in want or name not in need:
+    for name in avail:
+        if name not in want or name not in chunks:
             continue
         if name == "tokens":
             n_tok = np.asarray(chunks["n_tok"], dtype=np.int32)
@@ -349,12 +379,12 @@ def decode_partition(row: dict, columns: list[str] | None = None,
                 offsets, pa.array(np.asarray(chunks["tokens"], dtype=np.int32),
                                   type=pa.int32()))
             cols["tokens"] = la.cast(pa.list_(pa.int32()))
-        elif name in ("doc_id", "source"):
-            cols[name] = fmt.chunk_to_arrow(chunks[name], "str").cast(pa.string())
+        elif fmt.is_string(dtypes[name]):
+            cols[name] = fmt.chunk_to_arrow(chunks[name], "str") \
+                .cast(pa.string())
         else:
-            cols[name] = pa.array(np.asarray(chunks[name], dtype=np.int32),
-                                  type=pa.int32())
-    out = pa.table({k: cols[k] for k in TOKEN_COLUMNS if k in cols})
+            cols[name] = fmt.chunk_to_arrow(chunks[name], dtypes[name])
+    out = pa.table({k: cols[k] for k in avail if k in cols})
     dr = row.get("deleted_rows")
     if dr:
         keep = np.setdiff1d(np.arange(out.num_rows, dtype=np.int64),
@@ -512,7 +542,8 @@ def manifest_rows_to_table(rows: list[dict]) -> pa.Table:
         "detail": pa.array([json.dumps({k: r.get(k) for k in
                                         ("columns", "lineage", "codec_by_column",
                                          "status", "stats", "bloom",
-                                         "replaces", "deleted_rows")})
+                                         "replaces", "deleted_rows",
+                                         "schema_version")})
                             for r in rows], pa.string()),
     })
 
@@ -558,6 +589,11 @@ def encode_job(input_paths, cfg: EncodeConfig, resume: bool = True,
     """Full encode pipeline: plan fragments (metadata only) -> actor-pool
     encode -> manifest Dataset. Returns the manifest as a ray Dataset."""
     import ray.data as rd
+    if cfg.schema_version is None:
+        from . import schema as _schema
+        v = _schema.current_version(cfg.out_dir)
+        if v:  # evolved store: stamp new partitions with the live version
+            cfg.schema_version = v
     frags = plan_fragments(input_paths)
     if resume:
         # ship each fragment's already-committed rows (possibly living only
@@ -778,6 +814,8 @@ def compact_partitions(out_dir: str, target_tokens: int = 8_000_000,
     The reference has no multi-file store at all (one Write sink,
     src/lib.rs:29); this belongs to the mandated scale extension."""
     import ray.data as rd
+
+    from . import schema as _schema
     rows = load_manifest(out_dir)
     groups = plan_compaction(rows, target_tokens)
     if cfg is None:
@@ -786,6 +824,15 @@ def compact_partitions(out_dir: str, target_tokens: int = 8_000_000,
                            bloom_bits_per_key=(
                                10 if any(r.get("bloom") for r in rows)
                                else 0))
+    # upgrade-on-rewrite: on an evolved store, members decode through the
+    # CURRENT logical schema (renames resolved, added defaults
+    # materialized, dropped columns physically shed) and the merged
+    # partition is stamped with the live schema version
+    sver = _schema.current_version(out_dir)
+    smaps = swant = None
+    if sver:
+        smaps, swant = _schema.resolution(out_dir)
+        cfg.schema_version = sver
     before_parts = len(rows)
     before_bytes = sum(r["encoded_bytes"] for r in rows)
     if groups:
@@ -801,8 +848,11 @@ def compact_partitions(out_dir: str, target_tokens: int = 8_000_000,
                     with open(mpath) as f:
                         out.append(json.load(f))
                     continue
+                from . import schema as _sch
                 tbl = pa.concat_tables(
-                    [decode_partition(m) for m in members]).combine_chunks()
+                    [_sch.logical_table(m, smaps, swant) if sver
+                     else decode_partition(m)
+                     for m in members]).combine_chunks()
                 lineage = {"compaction_of": [m["pid"] for m in members]}
                 out.append(encode_partition(
                     tbl, d["gpid"], cfg, lineage,
@@ -956,16 +1006,19 @@ def cdc_plan(out_dir: str, from_snapshot: str,
     }
 
 
-def _cdc_hash_batch(batch: pa.Table, col: str) -> pa.Table:
+def _cdc_hash_batch(batch: pa.Table, col: str, suffix: str = "",
+                    payload: list[str] | None = None) -> pa.Table:
     """Manifest rows -> one (doc_id, content-hash) row per LIVE row of
     each partition. The hash folds the token payload and the source
     string through two segmented polynomial streams (rwcf.textops
     segment_poly_hash — vectorized, no row loop), so equal hash means
     equal content for CDC purposes and the comparison is invariant to
     physical rewrites (compaction re-packs rows into new partitions
-    without changing their hashes)."""
+    without changing their hashes). ``payload`` columns (light scalars —
+    never tokens) ride along ``suffix``-renamed so downstream consumers
+    (e.g. incremental view maintenance) see the per-side values."""
     from . import textops
-    ids, hs = [], []
+    tables = []
     for row in manifest_table_to_rows(batch):
         t = decode_partition(row)
         la = t.column("tokens").combine_chunks()
@@ -976,21 +1029,30 @@ def _cdc_hash_batch(batch: pa.Table, col: str) -> pa.Table:
         h_src = textops.segment_poly_hash(
             np.asarray(slen, np.int64), np.asarray(spay))
         comb = h_tok * textops._FP_BASE + h_src
-        ids.append(t.column("doc_id").combine_chunks())
-        hs.append(comb.astype(np.int64))  # two's-complement view for Arrow
-    if not ids:
-        return pa.table({"doc_id": pa.array([], pa.string()),
-                         col: pa.array([], pa.int64())})
-    return pa.table({"doc_id": pa.concat_arrays([a.cast(pa.string())
-                                                 for a in ids]),
-                     col: pa.array(np.concatenate(hs))})
+        cols = {"doc_id": t.column("doc_id").combine_chunks()
+                .cast(pa.string()),
+                col: pa.array(comb.astype(np.int64))}  # 2's-compl. view
+        for p in payload or ():
+            cols[p + suffix] = t.column(p)
+        tables.append(pa.table(cols))
+    if not tables:
+        cols = {"doc_id": pa.array([], pa.string()),
+                col: pa.array([], pa.int64())}
+        for p in payload or ():
+            cols[p + suffix] = pa.array([], TOKENS_SCHEMA.field(p).type)
+        return pa.table(cols)
+    return pa.concat_tables(tables)
 
 
 def cdc_scan(out_dir: str, from_snapshot: str,
              to_snapshot: str | None = None, buckets: int = 8,
-             concurrency: int | None = None, task_cpus: int = 1):
+             concurrency: int | None = None, task_cpus: int = 1,
+             payload: list[str] | None = None):
     """Row-level CDC between two snapshots: a Dataset of
-    ``(doc_id, op)`` with op in {insert, delete, update}.
+    ``(doc_id, op)`` with op in {insert, delete, update}. ``payload``
+    names light scalar columns to carry through per side as
+    ``<name>_old`` / ``<name>_new`` (null on the side a row is absent
+    from) — the fuel for O(delta) incremental view maintenance.
 
     Pipeline: :func:`cdc_plan` prunes partitions unchanged between the
     views (never read); each changed partition decodes to light
@@ -1007,27 +1069,37 @@ def cdc_scan(out_dir: str, from_snapshot: str,
 
     from . import joins
 
+    payload = list(payload or ())
+    pay_cols = [p + s for s in ("_old", "_new") for p in payload]
     plan = cdc_plan(out_dir, from_snapshot, to_snapshot)
     if not plan["_rows_from"] and not plan["_rows_to"]:
         # views identical at the manifest level: empty delta, stable schema
-        return rd.from_arrow(pa.table({
-            "doc_id": pa.array([], pa.string()),
-            "op": pa.array([], pa.string())}))
+        cols = {"doc_id": pa.array([], pa.string()),
+                "op": pa.array([], pa.string())}
+        for name in pay_cols:
+            cols[name] = pa.array(
+                [], TOKENS_SCHEMA.field(name[:-4]).type)
+        return rd.from_arrow(pa.table(cols))
 
-    def side(rows, col):
+    def side(rows, col, suffix):
         if not rows:
-            return rd.from_arrow(pa.table({
-                "doc_id": pa.array([], pa.string()),
-                col: pa.array([], pa.int64())}))
+            cols = {"doc_id": pa.array([], pa.string()),
+                    col: pa.array([], pa.int64())}
+            for p in payload:
+                cols[p + suffix] = pa.array(
+                    [], TOKENS_SCHEMA.field(p).type)
+            return rd.from_arrow(pa.table(cols))
         ds = _sliced_blocks(manifest_rows_to_table(rows), len(rows))
         cap = _stage_cap(concurrency, task_cpus)
-        return ds.map_batches(functools.partial(_cdc_hash_batch, col=col),
-                              batch_size=1, batch_format="pyarrow",
-                              num_cpus=task_cpus, concurrency=cap,
-                              **rayenv.remote_args())
+        return ds.map_batches(
+            functools.partial(_cdc_hash_batch, col=col, suffix=suffix,
+                              payload=payload),
+            batch_size=1, batch_format="pyarrow",
+            num_cpus=task_cpus, concurrency=cap,
+            **rayenv.remote_args())
 
-    old = side(plan["_rows_from"], "h_old")
-    new = side(plan["_rows_to"], "h_new")
+    old = side(plan["_rows_from"], "h_old", "_old")
+    new = side(plan["_rows_to"], "h_new", "_new")
     j = joins.hash_join(old, new, on="doc_id", how="outer", buckets=buckets)
 
     def classify(df):
@@ -1047,10 +1119,93 @@ def cdc_scan(out_dir: str, from_snapshot: str,
                              ins.to_numpy(dtype=bool), upd],
                             ["delete", "insert", "update"], default=""),
         })
+        for name in pay_cols:
+            out[name] = df[name]
         return out[out["op"] != ""]
 
     return j.map_batches(classify, batch_format="pandas",
                          **rayenv.remote_args())
+
+
+def source_stats_job(out_dir: str, snapshot: str | None = None,
+                     concurrency: int | None = None):
+    """Full computation of the per-source (n_rows, n_tokens) aggregate
+    over the store — column-pruned decode (source + n_tok only; the
+    token payload never leaves disk), per-batch partial aggregation,
+    one small groupby over the bounded source domain. Returns a pandas
+    DataFrame (domain-sized)."""
+    import pandas as pd
+
+    dec = decode_job(out_dir, columns=["source", "n_tok"],
+                     concurrency=concurrency, snapshot=snapshot)
+
+    def part(df):
+        g = df.groupby("source", as_index=False) \
+            .agg(n_rows=("n_tok", "size"), n_tokens=("n_tok", "sum"))
+        g["n_tokens"] = g["n_tokens"].astype("int64")
+        return g
+
+    agg = dec.map_batches(part, batch_format="pandas",
+                          **rayenv.remote_args()).to_pandas()
+    if agg.empty:
+        return pd.DataFrame({"source": pd.Series(dtype=str),
+                             "n_rows": pd.Series(dtype="int64"),
+                             "n_tokens": pd.Series(dtype="int64")})
+    out = agg.groupby("source", as_index=False).sum()
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out
+
+
+def incremental_source_stats(out_dir: str, from_snapshot: str, prev,
+                             to_snapshot: str | None = None,
+                             buckets: int = 8):
+    """O(delta) maintenance of a materialized per-source aggregate: take
+    the view computed AT ``from_snapshot`` (``prev``, a small per-source
+    DataFrame) and roll it forward to ``to_snapshot`` (None = current)
+    by applying only the CDC delta — deletes/old-update-versions
+    subtract their (1, n_tok) contribution, inserts/new-update-versions
+    add theirs. The corpus is never rescanned: cost is
+    O(changed partitions) via :func:`cdc_scan`'s manifest pruning plus a
+    delta-sized groupby, the scale path for refreshing corpus dashboards
+    after incremental ingest/curation at 10^12-token scale."""
+    import pandas as pd
+
+    delta = cdc_scan(out_dir, from_snapshot, to_snapshot, buckets=buckets,
+                     payload=["source", "n_tok"])
+
+    def part(df):
+        outs = []
+        o = df[df["op"].isin(["delete", "update"])]
+        if len(o):
+            outs.append(pd.DataFrame({
+                "source": o["source_old"].astype(str),
+                "d_rows": -1,
+                "d_tokens": -o["n_tok_old"].astype("int64")}))
+        n = df[df["op"].isin(["insert", "update"])]
+        if len(n):
+            outs.append(pd.DataFrame({
+                "source": n["source_new"].astype(str),
+                "d_rows": 1,
+                "d_tokens": n["n_tok_new"].astype("int64")}))
+        if not outs:
+            return pd.DataFrame({"source": pd.Series(dtype=str),
+                                 "d_rows": pd.Series(dtype="int64"),
+                                 "d_tokens": pd.Series(dtype="int64")})
+        return pd.concat(outs).groupby("source", as_index=False).sum()
+
+    d = delta.map_batches(part, batch_format="pandas",
+                          **rayenv.remote_args()).to_pandas()
+    prev = prev.copy()
+    if d.empty:
+        return prev[["source", "n_rows", "n_tokens"]]
+    d = d.groupby("source", as_index=False).sum()
+    m = prev.merge(d, on="source", how="outer")
+    for c in ("n_rows", "n_tokens", "d_rows", "d_tokens"):
+        m[c] = m[c].fillna(0).astype("int64")
+    m["n_rows"] = m["n_rows"] + m["d_rows"]
+    m["n_tokens"] = m["n_tokens"] + m["d_tokens"]
+    m = m[m["n_rows"] > 0]
+    return m[["source", "n_rows", "n_tokens"]].reset_index(drop=True)
 
 
 def decode_job(out_dir: str, columns: list[str] | None = None,

@@ -181,3 +181,25 @@ def test_cdc_scan_invariant_to_compaction_rewrite(store):
     plan = pipeline.cdc_plan(out, "snap-00001")
     assert plan["pruned"] == 0
     assert _cdc_sorted(out, "snap-00001") == []
+
+
+def test_incremental_source_stats_matches_full(store):
+    out = store["out"]
+    pipeline.create_snapshot(out)
+    prev = pipeline.source_stats_job(out, snapshot="snap-00000",
+                                     concurrency=2)
+    pipeline.delete_docs(out, DELETED, concurrency=2)
+    pipeline.upsert_docs(out, _rows(UPDATED + NEW_DOC), concurrency=2)
+    # physical rewrite between the snapshots must not disturb the delta
+    pipeline.compact_partitions(out, target_tokens=10**9, concurrency=2)
+
+    inc = pipeline.incremental_source_stats(out, "snap-00000", prev) \
+        .sort_values("source").reset_index(drop=True)
+    full = pipeline.source_stats_job(out, concurrency=2) \
+        .sort_values("source").reset_index(drop=True)
+    assert inc.equals(full)
+    # rolling an empty delta forward is the identity
+    pipeline.create_snapshot(out)
+    again = pipeline.incremental_source_stats(out, "snap-00001", full) \
+        .sort_values("source").reset_index(drop=True)
+    assert again.equals(full)
