@@ -296,6 +296,51 @@ def _q_cdc_scan_rewrite(sf_dir: str):
     return pipeline.cdc_scan(out, "snap-00000", buckets=4)
 
 
+def _q_clustered_scan(sf_dir: str):
+    """Sort-order clustering maintenance under the contract
+    (pipeline.cluster_store — the Delta OPTIMIZE / Iceberg sort-order
+    idea): the interleaved-source ingest leaves every partition's
+    source zone map admitting every probe; one clustering pass (global
+    Ray sort -> re-encode -> ONE atomic manifest-shard commit shadowing
+    all old pids) makes the ranges disjoint, so the zone-map-pruned
+    point scan below reads only the admitting partitions. Pruning gain
+    asserted inline; the oracle proves the rewrite lossless."""
+    import pyarrow.compute as pc
+    from rwcf import documents, pipeline
+    work = _workdir("cluster", sf_dir)
+    tokens_dir = documents.tokens_parquet_for(sf_dir, work)
+    cfg = pipeline.EncodeConfig(out_dir=os.path.join(work, "out"),
+                                partition_token_budget=150_000)
+    pipeline.encode_job(documents.parquet_files(tokens_dir), cfg) \
+        .materialize()
+    probe = "src7"
+
+    def admits(r):
+        s = r["stats"]["source"]
+        return s["min"] <= probe <= s["max"]
+
+    before = sum(1 for r in pipeline.load_manifest(cfg.out_dir)
+                 if admits(r))
+    res = pipeline.cluster_store(cfg.out_dir, by="source",
+                                 target_tokens=150_000)
+    assert res["committed"], res
+    rows = pipeline.load_manifest(cfg.out_dir)
+    after = sum(1 for r in rows if admits(r))
+    if len(rows) > 3:  # tiny sf can fit everything in a few partitions
+        assert after < before, (after, before)
+
+    dec = pipeline.decode_job(cfg.out_dir,
+                              columns=["doc_id", "n_tok", "source"],
+                              where=admits)
+
+    def filt(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("source"), probe))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_tok": t.column("n_tok").cast(pa.int64())})
+
+    return dec.map_batches(filt, batch_format="pyarrow")
+
+
 def _q_incremental_stats_refresh(sf_dir: str):
     """Incremental materialized-view maintenance over CDC: the per-source
     (n_rows, n_tokens) aggregate computed at snap-00000 rolls forward to
@@ -3391,6 +3436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "schema_evolution_scan": _q_schema_evolution_scan,
         "schema_drop_compact": _q_schema_drop_compact,
         "incremental_stats_refresh": _q_incremental_stats_refresh,
+        "clustered_scan": _q_clustered_scan,
         "delete_range_scan": _q_delete_range_scan,
         "range_scan_docs": _q_range_scan_docs,
         "split_assign": _q_split_assign,
@@ -3440,6 +3486,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT text, source FROM documents "
             "WHERE doc_id NOT IN (11, 42, 99) "
             "UNION ALL SELECT 'travelled', 'upsert') GROUP BY source"),
+        "clustered_scan": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "CAST(strlen(text) AS BIGINT) AS n_tok FROM documents "
+            "WHERE source = 'src7'"),
         "delete_range_scan": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
             "CAST(strlen(text) AS BIGINT) AS n_tok FROM documents "

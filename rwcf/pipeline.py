@@ -875,6 +875,87 @@ def compact_partitions(out_dir: str, target_tokens: int = 8_000_000,
             "gc": removed}
 
 
+def cluster_store(out_dir: str, by: str = "source",
+                  target_tokens: int = 8_000_000,
+                  concurrency: int | None = None) -> dict:
+    """Sort-order maintenance (the Delta OPTIMIZE / Iceberg sort-order
+    idea over this store): rewrite the store globally SORTED by ``by``
+    so each new partition covers a narrow disjoint key range and the
+    zone maps every reader prunes on (decode_job ``where``, lookup_docs,
+    range scans, late materialization) become selective — an unsorted
+    ingest leaves every partition's [min,max] admitting every probe.
+
+    Distributed: decode (schema-aware on evolved stores) -> one Ray Data
+    range-partitioning sort (the one all-to-all this maintenance
+    inherently costs; clustering IS data movement) -> staged parquet ->
+    the normal resume-safe encode path into a work sub-store -> ONE
+    atomic manifest-shard commit whose rows carry ``replaces`` for every
+    old pid, so readers flip from the unclustered to the clustered
+    layout in a single os.replace (crash before it: store unchanged;
+    after: only the clustered rows are visible). Idempotent per epoch:
+    the epoch id is a hash of the replaced pid set, and a committed
+    epoch shard short-circuits the rerun. Row-level delete tombstones
+    are materialized away (decode filters them); live snapshots keep
+    pinning the pre-cluster partition files until expiry."""
+    import shutil
+
+    import ray.data as rd
+
+    from . import schema as _schema
+    rows = load_manifest(out_dir)
+    old_pids = sorted(r["pid"] for r in rows)
+    epoch = f"{zlib.crc32('|'.join(old_pids).encode()) & 0xFFFFFFFF:08x}"
+    shard_path = os.path.join(out_dir, "manifest",
+                              f"compacted-cluster-{epoch}.parquet")
+    work = os.path.join(out_dir, f"cluster-{epoch}")
+    if os.path.exists(shard_path):  # committed epoch: rerun is a no-op
+        if os.path.isdir(os.path.join(work, "sorted")):
+            shutil.rmtree(os.path.join(work, "sorted"))
+        after = load_manifest(out_dir)
+        return {"epoch": epoch, "by": by, "parts_before": len(rows),
+                "parts_after": len(after), "committed": False}
+    if os.path.isdir(work):  # uncommitted leftovers from a crashed run
+        shutil.rmtree(work)
+
+    sver = _schema.current_version(out_dir)
+    if sver:
+        dec = _schema.scan(out_dir, concurrency=concurrency)
+    else:
+        dec = decode_job(out_dir, concurrency=concurrency)
+    staged = os.path.join(work, "sorted")
+    dec.sort(by).write_parquet(staged)
+
+    cfg = EncodeConfig(out_dir=work, partition_token_budget=target_tokens,
+                       bloom_bits_per_key=(
+                           10 if any(r.get("bloom") for r in rows) else 0))
+    if sver:
+        cfg.schema_version = sver
+    files = sorted(os.path.join(staged, f) for f in os.listdir(staged)
+                   if f.endswith(".parquet"))
+    encode_job(files, cfg, concurrency=concurrency).materialize()
+    new_rows = load_manifest(work)
+    # spread the replaces list over the new rows (any row's commit would
+    # do — the single shard os.replace below is the visibility flip; the
+    # spread just keeps rows uniformly sized)
+    k = max(1, (len(old_pids) + len(new_rows) - 1) // len(new_rows))
+    for i, r in enumerate(new_rows):
+        r["replaces"] = old_pids[i * k:(i + 1) * k]
+    tbl = manifest_rows_to_table(new_rows)
+    tmp = shard_path + f".tmp{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, shard_path)  # ATOMIC visibility flip
+
+    # cleanup: staged parquet + the work store's loose manifest JSONs
+    # (their content now lives in the committed shard); partition FILES
+    # stay under the work dir — manifest rows reference them absolutely
+    shutil.rmtree(staged)
+    shutil.rmtree(os.path.join(work, "manifest"))
+    removed = gc_store(out_dir)
+    after = load_manifest(out_dir)
+    return {"epoch": epoch, "by": by, "parts_before": len(rows),
+            "parts_after": len(after), "gc": removed, "committed": True}
+
+
 def create_snapshot(out_dir: str, note: str = "") -> dict:
     """Commit a named, immutable snapshot of the store's visible state
     (Iceberg/Delta-style time travel over the manifest): the visible pid
