@@ -341,6 +341,36 @@ def _q_clustered_scan(sf_dir: str):
     return dec.map_batches(filt, batch_format="pyarrow")
 
 
+def _q_delete_where_scan(sf_dir: str):
+    """Predicate deletes under the contract (pipeline.delete_where — the
+    Iceberg-v2-equality-delete role resolved to position tombstones via
+    zone maps -> Bloom -> page zone maps -> predicate-column pages only):
+    an equality takedown on a non-key column (source = 'src7') composes
+    with a range delete on n_tok in [100, 200]; the surviving corpus
+    decodes bit-identically with no data file rewritten."""
+    import pyarrow.compute as pc
+    from rwcf import documents, pipeline
+    work = _workdir("delwhere", sf_dir)
+    tokens_dir = documents.tokens_parquet_for(sf_dir, work)
+    cfg = pipeline.EncodeConfig(out_dir=os.path.join(work, "out"),
+                                partition_token_budget=150_000,
+                                bloom_bits_per_key=10)
+    pipeline.encode_job(documents.parquet_files(tokens_dir), cfg) \
+        .materialize()
+    pipeline.delete_where(cfg.out_dir, "source", values=["src7"])
+    pipeline.delete_where(cfg.out_dir, "n_tok", lo=100, hi=200)
+
+    dec = pipeline.decode_job(cfg.out_dir,
+                              columns=["doc_id", "n_tok", "source"])
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_tok": t.column("n_tok").cast(pa.int64()),
+                         "source": t.column("source")})
+
+    return dec.map_batches(cast, batch_format="pyarrow")
+
+
 def _q_incremental_stats_refresh(sf_dir: str):
     """Incremental materialized-view maintenance over CDC: the per-source
     (n_rows, n_tokens) aggregate computed at snap-00000 rolls forward to
@@ -3437,6 +3467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "schema_drop_compact": _q_schema_drop_compact,
         "incremental_stats_refresh": _q_incremental_stats_refresh,
         "clustered_scan": _q_clustered_scan,
+        "delete_where_scan": _q_delete_where_scan,
         "delete_range_scan": _q_delete_range_scan,
         "range_scan_docs": _q_range_scan_docs,
         "split_assign": _q_split_assign,
@@ -3490,6 +3521,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
             "CAST(strlen(text) AS BIGINT) AS n_tok FROM documents "
             "WHERE source = 'src7'"),
+        "delete_where_scan": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "CAST(strlen(text) AS BIGINT) AS n_tok, source FROM documents "
+            "WHERE source <> 'src7' "
+            "AND strlen(text) NOT BETWEEN 100 AND 200"),
         "delete_range_scan": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
             "CAST(strlen(text) AS BIGINT) AS n_tok FROM documents "

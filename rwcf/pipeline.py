@@ -768,20 +768,27 @@ def compact_manifest(out_dir: str) -> dict:
 def plan_compaction(rows: list[dict], target_tokens: int) -> list[list[dict]]:
     """Greedy consecutive grouping (pid order) of committed partitions into
     ~``target_tokens`` merge groups; only groups of >=2 members compact
-    (singletons are already right-sized). Deterministic."""
+    (singletons are already right-sized), EXCEPT a singleton carrying
+    delete tombstones — rewriting it materializes the deletes away
+    (Delta OPTIMIZE semantics: files with attached deletes always
+    qualify). Deterministic."""
     rows = sorted(rows, key=lambda r: r["pid"])
     groups: list[list[dict]] = []
+
+    def flush(cur):
+        if len(cur) >= 2 or any(r.get("deleted_rows") for r in cur):
+            groups.append(cur)
+
     cur: list[dict] = []
     tok = 0
     for r in rows:
         if cur and tok + r["n_tokens"] > target_tokens:
-            if len(cur) >= 2:
-                groups.append(cur)
+            flush(cur)
             cur, tok = [], 0
         cur.append(r)
         tok += r["n_tokens"]
-    if len(cur) >= 2:
-        groups.append(cur)
+    if cur:
+        flush(cur)
     return groups
 
 
@@ -1677,6 +1684,27 @@ def lookup_docs(out_dir: str, keys: list[str],
                           num_cpus=1, **rayenv.remote_args())
 
 
+def _merge_tombstone(mdir: str, row: dict, hit_positions) -> int:
+    """Union-merge newly dead local row indices into the partition's
+    ``{pid}.del.json`` tombstone sidecar (atomic tmp+rename; idempotent).
+    Returns the count of NEWLY deleted rows (0 = nothing written)."""
+    prev = set(row.get("deleted_rows") or [])
+    tpath = os.path.join(mdir, f"{row['pid']}.del.json")
+    if os.path.exists(tpath):  # newer than the manifest snapshot
+        with open(tpath) as f:
+            prev |= set(json.load(f)["deleted_rows"])
+    new = set(int(x) for x in np.asarray(hit_positions)) - prev
+    if not new:
+        return 0
+    dead = sorted(prev | new)
+    tomb = {"pid": row["pid"], "deleted_rows": dead, "n": len(dead)}
+    tmp = tpath + f".tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(tomb, f)
+    os.replace(tmp, tpath)  # commit point
+    return len(new)
+
+
 def delete_docs(out_dir: str, keys: list[str],
                 concurrency: int | None = None,
                 exclude_pids: set[str] | None = None) -> dict:
@@ -1743,23 +1771,115 @@ def delete_docs(out_dir: str, keys: list[str],
                 continue
             local = np.concatenate(
                 [np.arange(ps[i], pe[i], dtype=np.int64) for i in keep])
-            prev = set(row.get("deleted_rows") or [])
-            tpath = os.path.join(mdir, f"{row['pid']}.del.json")
-            if os.path.exists(tpath):  # newer than the manifest snapshot
-                with open(tpath) as f:
-                    prev |= set(json.load(f)["deleted_rows"])
-            new = set(int(x) for x in local[hit]) - prev
-            if not new:
+            n_new = _merge_tombstone(mdir, row, local[hit])
+            if not n_new:
                 continue
-            dead = sorted(prev | new)
-            tomb = {"pid": row["pid"], "deleted_rows": dead,
-                    "n": len(dead)}
-            tmp = tpath + f".tmp{os.getpid()}"
-            with open(tmp, "w") as f:
-                json.dump(tomb, f)
-            os.replace(tmp, tpath)  # commit point
             pids.append(row["pid"])
-            counts.append(len(new))
+            counts.append(n_new)
+        return pa.table({"pid": pa.array(pids, pa.string()),
+                         "n_deleted": pa.array(counts, pa.int64())})
+
+    res = ds.map_batches(scan, batch_size=1, batch_format="pyarrow",
+                         num_cpus=1, **rayenv.remote_args()).to_pandas()
+    return {"partitions": int(len(res)),
+            "rows_deleted": int(res["n_deleted"].sum()) if len(res) else 0}
+
+
+def delete_where(out_dir: str, column: str, values: list | None = None,
+                 lo=None, hi=None, concurrency: int | None = None,
+                 exclude_pids: set[str] | None = None) -> dict:
+    """Predicate delete on ANY row-aligned column (the role of Iceberg v2
+    equality deletes / ``DELETE FROM t WHERE col IN (...)`` or
+    ``BETWEEN lo AND hi``): resolves the predicate to position tombstones
+    through the same index-grade path every point reader uses — manifest
+    zone maps prune partitions, the Bloom sidecar (equality mode, when
+    present) prunes further, per-page zone maps keep only admitting
+    PAGES, and only those pages of ONLY the predicate column ever decode.
+    Partition data files are never rewritten; the committed tombstones
+    are the same ``{pid}.del.json`` sidecars ``delete_docs`` writes, so
+    every reader (decode_job, verify_job, lookup_docs, range_scan_docs,
+    late_materialized_sum, stats_only_minmax, cdc_scan, compaction's
+    materialize-away) honors them with no new code paths.
+
+    Exactly one predicate form: ``values`` (equality set) or ``lo``/``hi``
+    (closed range; one side open is allowed). GDPR-style takedowns
+    ("delete every row with source = X") cost O(admitting partitions'
+    predicate-column pages), not a corpus rewrite. Idempotent; same
+    single-concurrent-writer discipline as delete_docs."""
+    if (values is None) == (lo is None and hi is None):
+        raise ValueError("pass exactly one of values= or lo=/hi=")
+    if column == "tokens":
+        raise ValueError("tokens is a flattened value stream, not "
+                         "row-aligned; delete on a per-row column")
+    vals = sorted(set(values)) if values is not None else None
+    n = concurrency or _default_concurrency()
+    ds = manifest_dataset(out_dir, n_blocks=n * 2)
+    mdir = os.path.join(out_dir, "manifest")
+    excl = frozenset(exclude_pids or ())
+
+    def admits(mn, mx) -> bool:
+        if vals is not None:
+            return any(mn <= v <= mx for v in vals)
+        if lo is not None and mx < lo:
+            return False
+        if hi is not None and mn > hi:
+            return False
+        return True
+
+    def scan(batch: pa.Table) -> pa.Table:
+        from . import bloom as _bloom
+        pids: list[str] = []
+        counts: list[int] = []
+        for row in manifest_table_to_rows(batch):
+            if row["pid"] in excl:
+                continue
+            st = (row.get("stats") or {}).get(column)
+            if st is not None and not admits(st["min"], st["max"]):
+                continue
+            cm = next((c for c in row["columns"] if c["column"] == column),
+                      None)
+            if cm is None:  # evolved store: column absent in this version
+                continue
+            if vals is not None and fmt.is_string(cm["dtype"]):
+                bm = read_bloom(row, column)
+                if bm is not None and not _bloom.might_contain(
+                        bm[0], bm[1], bm[2], [str(v) for v in vals]).any():
+                    continue
+            skel = read_column_skeleton(row, column)
+            rows_pp = np.array([p.values_count for p in skel.pages],
+                               dtype=np.int64)
+            pe = np.cumsum(rows_pp)
+            ps = pe - rows_pp
+            pstats = cm.get("page_stats")
+            if pstats is not None:
+                keep = [i for i, (pmn, pmx) in enumerate(pstats)
+                        if admits(pmn, pmx)]
+            else:
+                keep = list(range(len(skel.pages)))
+            if not keep:
+                continue
+            enc, _br, _bt = read_column_pages(row, column, keep)
+            arr = fmt.chunk_to_arrow(fmt.decode_chunk(enc), cm["dtype"])
+            if vals is not None:
+                hit = pc.is_in(arr, value_set=pa.array(vals, arr.type))
+            else:
+                hit = pa.array(np.ones(len(arr), dtype=bool))
+                if lo is not None:
+                    hit = pc.and_(hit, pc.greater_equal(
+                        arr, pa.scalar(lo, arr.type)))
+                if hi is not None:
+                    hit = pc.and_(hit, pc.less_equal(
+                        arr, pa.scalar(hi, arr.type)))
+            hit = hit.to_numpy(zero_copy_only=False)
+            if not hit.any():
+                continue
+            local = np.concatenate(
+                [np.arange(ps[i], pe[i], dtype=np.int64) for i in keep])
+            n_new = _merge_tombstone(mdir, row, local[hit])
+            if not n_new:
+                continue
+            pids.append(row["pid"])
+            counts.append(n_new)
         return pa.table({"pid": pa.array(pids, pa.string()),
                          "n_deleted": pa.array(counts, pa.int64())})
 
