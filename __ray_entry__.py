@@ -341,6 +341,52 @@ def _q_clustered_scan(sf_dir: str):
     return dec.map_batches(filt, batch_format="pyarrow")
 
 
+def _q_zorder_scan(sf_dir: str):
+    """Z-order clustering under the contract (pipeline.cluster_store
+    order="zorder" — the Delta ZORDER BY idea): interleaving 16-bit rank
+    bits of (source, n_tok) keeps BOTH columns' per-partition [min,max]
+    narrow, so a range probe on the SECOND dimension prunes partitions
+    a linear source-sort could never prune. Pruning gain asserted
+    inline; the zone-map-pruned range scan below reads only admitting
+    partitions and the oracle proves the rewrite lossless."""
+    import pyarrow.compute as pc
+    from rwcf import documents, pipeline
+    work = _workdir("zorder", sf_dir)
+    tokens_dir = documents.tokens_parquet_for(sf_dir, work)
+    cfg = pipeline.EncodeConfig(out_dir=os.path.join(work, "out"),
+                                partition_token_budget=15_000)
+    pipeline.encode_job(documents.parquet_files(tokens_dir), cfg) \
+        .materialize()
+    lo, hi = 100, 200
+
+    def admits(r):
+        s = r["stats"]["n_tok"]
+        return not (s["max"] < lo or s["min"] > hi)
+
+    res = pipeline.cluster_store(cfg.out_dir, by=["source", "n_tok"],
+                                 order="zorder", target_tokens=15_000)
+    assert res["committed"], res
+    rows = pipeline.load_manifest(cfg.out_dir)
+    if len(rows) > 4:  # tiny sf fits in a few partitions
+        n_adm = sum(1 for r in rows if admits(r))
+        assert n_adm < len(rows), (n_adm, len(rows))
+
+    dec = pipeline.decode_job(cfg.out_dir,
+                              columns=["doc_id", "n_tok", "source"],
+                              where=admits)
+
+    def filt(t: pa.Table) -> pa.Table:
+        nt = t.column("n_tok").cast(pa.int64())
+        keep = pc.and_(pc.greater_equal(nt, pa.scalar(lo, pa.int64())),
+                       pc.less_equal(nt, pa.scalar(hi, pa.int64())))
+        t = t.append_column("n_tok64", nt).filter(keep)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_tok": t.column("n_tok64"),
+                         "source": t.column("source")})
+
+    return dec.map_batches(filt, batch_format="pyarrow")
+
+
 def _q_delete_where_scan(sf_dir: str):
     """Predicate deletes under the contract (pipeline.delete_where — the
     Iceberg-v2-equality-delete role resolved to position tombstones via
@@ -3467,6 +3513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "schema_drop_compact": _q_schema_drop_compact,
         "incremental_stats_refresh": _q_incremental_stats_refresh,
         "clustered_scan": _q_clustered_scan,
+        "zorder_scan": _q_zorder_scan,
         "delete_where_scan": _q_delete_where_scan,
         "delete_range_scan": _q_delete_range_scan,
         "range_scan_docs": _q_range_scan_docs,
@@ -3521,6 +3568,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
             "CAST(strlen(text) AS BIGINT) AS n_tok FROM documents "
             "WHERE source = 'src7'"),
+        "zorder_scan": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "CAST(strlen(text) AS BIGINT) AS n_tok, source FROM documents "
+            "WHERE strlen(text) BETWEEN 100 AND 200"),
         "delete_where_scan": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
             "CAST(strlen(text) AS BIGINT) AS n_tok, source FROM documents "

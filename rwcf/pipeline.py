@@ -882,15 +882,77 @@ def compact_partitions(out_dir: str, target_tokens: int = 8_000_000,
             "gc": removed}
 
 
-def cluster_store(out_dir: str, by: str = "source",
+def _zorder_bounds(out_dir: str, cols: list[str], sample_per_block: int = 256,
+                   concurrency: int | None = None) -> dict:
+    """Per-column rank boundaries for z-ordering, from a column-pruned
+    sample pass: each block contributes up to ``sample_per_block`` evenly
+    spaced values per column, the driver collects only that bounded
+    sample (O(blocks * 256), never the corpus) and keeps it sorted.
+    Values later map to 16-bit ranks by binary search — rank
+    normalization is what makes bit interleaving meaningful across
+    columns with wildly different domains (string sources vs int
+    lengths)."""
+    bounds = {}
+    for c in cols:
+        ds = decode_job(out_dir, columns=[c], concurrency=concurrency)
+
+        def take(batch: pa.Table, _c=c) -> pa.Table:
+            arr = batch.column(_c)
+            n = len(arr)
+            idx = np.unique(np.linspace(0, max(n - 1, 0),
+                                        min(n, sample_per_block)).astype(np.int64))
+            return pa.table({_c: arr.take(pa.array(idx, pa.int64()))})
+
+        samp = ds.map_batches(take, batch_format="pyarrow",
+                              **rayenv.remote_args()).to_pandas()[c]
+        vals = np.sort(np.asarray(samp))
+        bounds[c] = vals
+    return bounds
+
+
+def _zkey_batch(batch: pa.Table, cols: list[str], bounds: dict) -> pa.Table:
+    """Append the interleaved-bit ``_zkey`` (uint64) column: each z
+    column's value maps to its 16-bit rank within the sampled boundary
+    set, then the k columns' rank bits interleave (Morton order) so the
+    global sort places rows close in EVERY dimension close on disk."""
+    k = len(cols)
+    ranks = []
+    for c in cols:
+        arr = batch.column(c)
+        if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+            v = arr.to_numpy(zero_copy_only=False)
+        else:
+            v = np.asarray(arr)
+        b = bounds[c]
+        r = np.searchsorted(b, v, side="right").astype(np.float64)
+        ranks.append(np.minimum(r / max(len(b), 1) * 65535, 65535)
+                     .astype(np.uint64))
+    z = np.zeros(batch.num_rows, dtype=np.uint64)
+    for bit in range(16):
+        for j, r in enumerate(ranks):
+            z |= ((r >> np.uint64(bit)) & np.uint64(1)) \
+                << np.uint64(bit * k + j)
+    return batch.append_column("_zkey", pa.array(z, pa.uint64()))
+
+
+def cluster_store(out_dir: str, by="source",
                   target_tokens: int = 8_000_000,
-                  concurrency: int | None = None) -> dict:
+                  concurrency: int | None = None,
+                  order: str = "linear") -> dict:
     """Sort-order maintenance (the Delta OPTIMIZE / Iceberg sort-order
     idea over this store): rewrite the store globally SORTED by ``by``
     so each new partition covers a narrow disjoint key range and the
     zone maps every reader prunes on (decode_job ``where``, lookup_docs,
     range scans, late materialization) become selective — an unsorted
     ingest leaves every partition's [min,max] admitting every probe.
+
+    ``order="zorder"`` with ``by=[colA, colB, ...]`` (2-4 columns)
+    interleaves 16-bit rank bits per column (Delta ``ZORDER BY`` /
+    space-filling-curve clustering): a linear sort makes zone maps
+    selective on the FIRST key only, while z-order keeps every listed
+    column's per-partition [min,max] narrow, so point/range probes on
+    ANY of them prune. Rank boundaries come from a bounded,
+    column-pruned sample pass (O(blocks x 256) driver bytes).
 
     Distributed: decode (schema-aware on evolved stores) -> one Ray Data
     range-partitioning sort (the one all-to-all this maintenance
@@ -900,18 +962,25 @@ def cluster_store(out_dir: str, by: str = "source",
     old pid, so readers flip from the unclustered to the clustered
     layout in a single os.replace (crash before it: store unchanged;
     after: only the clustered rows are visible). Idempotent per epoch:
-    the epoch id is a hash of the replaced pid set, and a committed
-    epoch shard short-circuits the rerun. Row-level delete tombstones
-    are materialized away (decode filters them); live snapshots keep
-    pinning the pre-cluster partition files until expiry."""
+    the epoch id is a hash of (replaced pid set, by, order), and a
+    committed epoch shard short-circuits the rerun. Row-level delete
+    tombstones are materialized away (decode filters them); live
+    snapshots keep pinning the pre-cluster partition files until
+    expiry."""
     import shutil
 
     import ray.data as rd
 
     from . import schema as _schema
+    cols = [by] if isinstance(by, str) else list(by)
+    if order not in ("linear", "zorder"):
+        raise ValueError(f"unknown order={order!r}")
+    if order == "zorder" and not 2 <= len(cols) <= 4:
+        raise ValueError("zorder takes 2-4 columns")
     rows = load_manifest(out_dir)
     old_pids = sorted(r["pid"] for r in rows)
-    epoch = f"{zlib.crc32('|'.join(old_pids).encode()) & 0xFFFFFFFF:08x}"
+    tag = "|".join(old_pids) + f"::{order}:" + ",".join(cols)
+    epoch = f"{zlib.crc32(tag.encode()) & 0xFFFFFFFF:08x}"
     shard_path = os.path.join(out_dir, "manifest",
                               f"compacted-cluster-{epoch}.parquet")
     work = os.path.join(out_dir, f"cluster-{epoch}")
@@ -930,7 +999,14 @@ def cluster_store(out_dir: str, by: str = "source",
     else:
         dec = decode_job(out_dir, concurrency=concurrency)
     staged = os.path.join(work, "sorted")
-    dec.sort(by).write_parquet(staged)
+    if order == "zorder":
+        bounds = _zorder_bounds(out_dir, cols, concurrency=concurrency)
+        dec = dec.map_batches(_zkey_batch, batch_format="pyarrow",
+                              fn_args=(cols, bounds),
+                              **rayenv.remote_args())
+        dec.sort("_zkey").drop_columns(["_zkey"]).write_parquet(staged)
+    else:
+        dec.sort(cols if len(cols) > 1 else cols[0]).write_parquet(staged)
 
     cfg = EncodeConfig(out_dir=work, partition_token_budget=target_tokens,
                        bloom_bits_per_key=(

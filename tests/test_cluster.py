@@ -78,6 +78,71 @@ def test_cluster_idempotent_and_resumable(store):
     assert len(_decoded(out)) == 300
 
 
+@pytest.fixture()
+def wide_store(tmp_path, ray_session):
+    path = fixtures.tokens_parquet(900, seed=29,
+                                   cache_dir=str(tmp_path / "tok"),
+                                   row_group_size=150)
+    out = str(tmp_path / "out")
+    cfg = pipeline.EncodeConfig(out_dir=out, partition_token_budget=15_000)
+    pipeline.encode_job(path, cfg, concurrency=2).materialize()
+    return {"out": out, "src": path}
+
+
+def _admit_frac(out, col, lo, hi):
+    rows = pipeline.load_manifest(out)
+    n = sum(1 for r in rows
+            if not (r["stats"][col]["max"] < lo
+                    or r["stats"][col]["min"] > hi))
+    return n / len(rows), len(rows)
+
+
+def test_zorder_prunes_on_every_listed_dimension(wide_store):
+    out = wide_store["out"]
+    before_df = _decoded(out)
+    src_probe = sorted(before_df["source"].unique())[1]
+    n_lo, n_hi = 120, 160
+
+    res = pipeline.cluster_store(out, by=["source", "n_tok"],
+                                 order="zorder", target_tokens=15_000,
+                                 concurrency=2)
+    assert res["committed"] is True
+    # lossless rewrite
+    ntk = pipeline.decode_job(out, columns=["doc_id", "n_tok"],
+                              concurrency=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert ntk["n_tok"].tolist() == before_df["n_tok"].tolist()
+
+    f_src, parts = _admit_frac(out, "source", src_probe, src_probe)
+    f_ntk, _ = _admit_frac(out, "n_tok", n_lo, n_hi)
+    assert parts > 4
+    # z-order: BOTH dimensions prune (a linear sort by source would leave
+    # every partition admitting every n_tok range)
+    assert f_src < 1.0
+    assert f_ntk < 1.0
+
+
+def test_zorder_beats_linear_on_second_dimension(wide_store, tmp_path):
+    out = wide_store["out"]
+    # linear clustering by source first: n_tok zone maps stay useless
+    pipeline.cluster_store(out, by="source", target_tokens=15_000,
+                           concurrency=2)
+    f_lin, parts = _admit_frac(out, "n_tok", 120, 160)
+    res = pipeline.cluster_store(out, by=["source", "n_tok"],
+                                 order="zorder", target_tokens=15_000,
+                                 concurrency=2)
+    assert res["committed"] is True
+    f_z, _ = _admit_frac(out, "n_tok", 120, 160)
+    assert f_z < f_lin, (f_z, f_lin)
+
+
+def test_zorder_validation(store):
+    with pytest.raises(ValueError, match="2-4 columns"):
+        pipeline.cluster_store(store["out"], by="source", order="zorder")
+    with pytest.raises(ValueError, match="unknown order"):
+        pipeline.cluster_store(store["out"], by="source", order="hilbert")
+
+
 def test_cluster_materializes_deletes_and_respects_snapshots(store):
     out = store["out"]
     ids = sorted(pq.read_table(store["src"]).column("doc_id").to_pylist())
