@@ -200,6 +200,46 @@ def _q_upsert_scan(sf_dir: str):
         .select_columns(["doc_id", "text"])
 
 
+def _q_merge_scan(sf_dir: str):
+    """MERGE INTO under the contract (pipeline.merge_docs): a source
+    delta of two existing doc_ids plus one new one runs with
+    WHEN MATCHED THEN DELETE / WHEN NOT MATCHED THEN INSERT — the arms
+    upsert cannot express. Matched rows tombstone via the index-grade
+    lookup, the new row lands through the content-hash-keyed append;
+    the decode shows exactly the post-merge corpus."""
+    from rwcf import documents, pipeline, rayenv
+    work = _workdir("merge", sf_dir)
+    tokens_dir = documents.tokens_parquet_for(sf_dir, work)
+    cfg = pipeline.EncodeConfig(out_dir=os.path.join(work, "out"),
+                                partition_token_budget=500_000,
+                                bloom_bits_per_key=10)
+    pipeline.encode_job(documents.parquet_files(tokens_dir), cfg) \
+        .materialize()
+
+    pairs = [("7", "x"), ("57", "x"), ("999002", "merge-new-doc")]
+    toks = [np.frombuffer(t.encode(), dtype=np.uint8).astype(np.int32)
+            for _, t in pairs]
+    offsets = np.concatenate(([0], np.cumsum([t.size for t in toks])))
+    la = pa.LargeListArray.from_arrays(
+        offsets.astype(np.int64),
+        pa.array(np.concatenate(toks), pa.int32())).cast(pa.list_(pa.int32()))
+    src = pa.table({
+        "doc_id": pa.array([d for d, _ in pairs], pa.string()),
+        "tokens": la,
+        "n_tok": pa.array([t.size for t in toks], pa.int32()),
+        "source": pa.array(["merge"] * len(pairs), pa.string()),
+    })
+    res = pipeline.merge_docs(cfg.out_dir, src, when_matched="delete")
+    assert res["matched"] == 2 and res["deleted"] == 2, res
+    assert res["inserted"] == 1, res
+
+    dec = pipeline.decode_job(cfg.out_dir)
+    return dec.map_batches(documents.detokenize_batch,
+                           batch_format="pyarrow",
+                           **rayenv.remote_args()) \
+        .select_columns(["doc_id", "text"])
+
+
 _SNAP_RUNS: dict[str, str] = {}
 
 
@@ -3514,6 +3554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_stats_refresh": _q_incremental_stats_refresh,
         "clustered_scan": _q_clustered_scan,
         "zorder_scan": _q_zorder_scan,
+        "merge_scan": _q_merge_scan,
         "delete_where_scan": _q_delete_where_scan,
         "delete_range_scan": _q_delete_range_scan,
         "range_scan_docs": _q_range_scan_docs,
@@ -3535,6 +3576,9 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT doc_id, text FROM (VALUES "
             "(7, 'updated-7'), (57, 'updated-57'), "
             "(999001, 'brand-new-doc')) AS t(doc_id, text)"),
+        "merge_scan": (
+            "SELECT doc_id, text FROM documents WHERE doc_id NOT IN (7, 57) "
+            "UNION ALL SELECT 999002, 'merge-new-doc'"),
         "time_travel_scan": "SELECT doc_id, text FROM documents",
         "snapshot_diff": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'removed' AS status "

@@ -2015,6 +2015,65 @@ def upsert_docs(out_dir: str, new_rows: pa.Table,
             "rows_shadowed": deleted["rows_deleted"]}
 
 
+def merge_docs(out_dir: str, source: pa.Table,
+               when_matched: str = "update",
+               when_not_matched: str = "insert",
+               cfg: EncodeConfig | None = None,
+               concurrency: int | None = None) -> dict:
+    """``MERGE INTO store USING source ON doc_id`` composed from the
+    store's mutation primitives. A source row is *matched* when its
+    doc_id is live in the store (decided by the index-grade point lookup:
+    zone maps -> Bloom -> admitted doc_id pages only — never a scan).
+
+    - ``when_matched="update"``  -> matched rows get their new version
+      (append-then-shadow, like upsert)
+    - ``when_matched="delete"``  -> matched doc_ids are tombstoned
+    - ``when_matched="ignore"``  -> matched source rows are dropped
+    - ``when_not_matched="insert" | "ignore"`` for the rest
+
+    ``update``/``insert`` arms share ONE append (one encode pass, one
+    shadow delete excluding the new pids), so
+    (update, insert) == upsert_docs exactly. The source delta is
+    driver-resident by assumption — MERGE sources are incremental
+    batches, orders of magnitude smaller than the store; the store side
+    never materializes. Idempotent for the same (store, source) pair:
+    the append stage is content-hash keyed and re-deletes are no-ops.
+    Single-writer discipline as for compaction/delete/upsert."""
+    if when_matched not in ("update", "delete", "ignore"):
+        raise ValueError(f"when_matched={when_matched!r}")
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError(f"when_not_matched={when_not_matched!r}")
+    keys = [str(k) for k in source.column("doc_id").to_pylist()]
+    found = lookup_docs(out_dir, keys, concurrency=concurrency) \
+        .to_pandas()
+    matched = set(found["doc_id"]) if len(found) else set()
+    is_m = pa.array([k in matched for k in keys])
+    m_rows = source.filter(is_m)
+    u_rows = source.filter(pc.invert(is_m))
+
+    to_append = []
+    if when_matched == "update" and m_rows.num_rows:
+        to_append.append(m_rows)
+    if when_not_matched == "insert" and u_rows.num_rows:
+        to_append.append(u_rows)
+    stats = {"matched": int(m_rows.num_rows),
+             "not_matched": int(u_rows.num_rows),
+             "inserted": 0, "updated": 0, "deleted": 0}
+    if to_append:
+        app = pa.concat_tables(to_append)
+        res = upsert_docs(out_dir, app, cfg=cfg, concurrency=concurrency)
+        stats["inserted"] = int(u_rows.num_rows) \
+            if when_not_matched == "insert" else 0
+        stats["updated"] = int(m_rows.num_rows) \
+            if when_matched == "update" else 0
+        stats["run_id"] = res["run_id"]
+    if when_matched == "delete" and m_rows.num_rows:
+        dkeys = [str(k) for k in m_rows.column("doc_id").to_pylist()]
+        d = delete_docs(out_dir, dkeys, concurrency=concurrency)
+        stats["deleted"] = int(d["rows_deleted"])
+    return stats
+
+
 def range_scan_docs(out_dir: str, lo: str, hi: str,
                     concurrency: int | None = None):
     """Index range scan: all (doc_id, n_tok) rows with lo <= doc_id <= hi
