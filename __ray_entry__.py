@@ -427,6 +427,29 @@ def _q_zorder_scan(sf_dir: str):
     return dec.map_batches(filt, batch_format="pyarrow")
 
 
+def _q_token_needle_search(sf_dir: str):
+    """Inverted-token-index search under the contract
+    (rwcf.invindex — per-partition posting shards; pg_trgm-style role):
+    build the index once, then answer the conjunctive needle "documents
+    containing BOTH token 'q' and token 'j'" by decoding only
+    index-admitted partitions. On this char-vocabulary corpus most
+    partitions contain most letters, so the pruning GAIN is pinned
+    instead on the Zipf-vocab fixture (tests/test_invindex.py:
+    0 < admitted < total); the oracle here proves exactness."""
+    from rwcf import documents, invindex, pipeline
+    work = _workdir("invidx", sf_dir)
+    tokens_dir = documents.tokens_parquet_for(sf_dir, work)
+    cfg = pipeline.EncodeConfig(out_dir=os.path.join(work, "out"),
+                                partition_token_budget=150_000)
+    pipeline.encode_job(documents.parquet_files(tokens_dir), cfg) \
+        .materialize()
+    res = invindex.build_token_index(cfg.out_dir)
+    assert res["indexed"] + res["skipped"] == \
+        len(pipeline.load_manifest(cfg.out_dir))
+    return invindex.scan_docs_with_tokens(cfg.out_dir,
+                                          [ord("q"), ord("j")])
+
+
 def _q_delete_where_scan(sf_dir: str):
     """Predicate deletes under the contract (pipeline.delete_where — the
     Iceberg-v2-equality-delete role resolved to position tombstones via
@@ -3555,6 +3578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustered_scan": _q_clustered_scan,
         "zorder_scan": _q_zorder_scan,
         "merge_scan": _q_merge_scan,
+        "token_needle_search": _q_token_needle_search,
         "delete_where_scan": _q_delete_where_scan,
         "delete_range_scan": _q_delete_range_scan,
         "range_scan_docs": _q_range_scan_docs,
@@ -3579,6 +3603,9 @@ def oracle_sql() -> dict[str, str]:
         "merge_scan": (
             "SELECT doc_id, text FROM documents WHERE doc_id NOT IN (7, 57) "
             "UNION ALL SELECT 999002, 'merge-new-doc'"),
+        "token_needle_search": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents "
+            "WHERE contains(text, 'q') AND contains(text, 'j')"),
         "time_travel_scan": "SELECT doc_id, text FROM documents",
         "snapshot_diff": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'removed' AS status "
