@@ -240,6 +240,51 @@ def _q_merge_scan(sf_dir: str):
         .select_columns(["doc_id", "text"])
 
 
+def _q_cdc_replicate(sf_dir: str):
+    """CDC replication under the contract (pipeline.replicate_cdc): a
+    replica store holding the primary's snapshot state rolls forward by
+    applying only the CDC delta — two deletes tombstone, one update and
+    one brand-new row upsert with tokens fetched point-to-point via the
+    index-grade lookup; the corpus is never rescanned. The replica's
+    decode must equal the primary's post-mutation state."""
+    from rwcf import documents, pipeline, rayenv
+    work = _workdir("replicate", sf_dir)
+    tokens_dir = documents.tokens_parquet_for(sf_dir, work)
+    outs = {}
+    for name in ("primary", "replica"):
+        cfg = pipeline.EncodeConfig(out_dir=os.path.join(work, name),
+                                    partition_token_budget=500_000,
+                                    bloom_bits_per_key=10)
+        pipeline.encode_job(documents.parquet_files(tokens_dir), cfg) \
+            .materialize()
+        outs[name] = cfg.out_dir
+    snap = pipeline.create_snapshot(outs["primary"])["snapshot"]
+
+    pipeline.delete_docs(outs["primary"], ["11", "42"])
+    pairs = [("5", "replicated-5"), ("999003", "repl-new-doc")]
+    toks = [np.frombuffer(t.encode(), dtype=np.uint8).astype(np.int32)
+            for _, t in pairs]
+    offsets = np.concatenate(([0], np.cumsum([t.size for t in toks])))
+    la = pa.LargeListArray.from_arrays(
+        offsets.astype(np.int64),
+        pa.array(np.concatenate(toks), pa.int32())).cast(pa.list_(pa.int32()))
+    pipeline.upsert_docs(outs["primary"], pa.table({
+        "doc_id": pa.array([d for d, _ in pairs], pa.string()),
+        "tokens": la,
+        "n_tok": pa.array([t.size for t in toks], pa.int32()),
+        "source": pa.array(["repl"] * len(pairs), pa.string()),
+    }))
+
+    res = pipeline.replicate_cdc(outs["primary"], outs["replica"], snap)
+    assert res["deleted"] == 2 and res["applied"] == 2, res
+
+    dec = pipeline.decode_job(outs["replica"])
+    return dec.map_batches(documents.detokenize_batch,
+                           batch_format="pyarrow",
+                           **rayenv.remote_args()) \
+        .select_columns(["doc_id", "text"])
+
+
 _SNAP_RUNS: dict[str, str] = {}
 
 
@@ -3579,6 +3624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_scan": _q_zorder_scan,
         "merge_scan": _q_merge_scan,
         "token_needle_search": _q_token_needle_search,
+        "cdc_replicate": _q_cdc_replicate,
         "delete_where_scan": _q_delete_where_scan,
         "delete_range_scan": _q_delete_range_scan,
         "range_scan_docs": _q_range_scan_docs,
@@ -3606,6 +3652,11 @@ def oracle_sql() -> dict[str, str]:
         "token_needle_search": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents "
             "WHERE contains(text, 'q') AND contains(text, 'j')"),
+        "cdc_replicate": (
+            "SELECT doc_id, text FROM documents "
+            "WHERE doc_id NOT IN (5, 11, 42) "
+            "UNION ALL SELECT * FROM (VALUES (5, 'replicated-5'), "
+            "(999003, 'repl-new-doc')) AS t(doc_id, text)"),
         "time_travel_scan": "SELECT doc_id, text FROM documents",
         "snapshot_diff": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'removed' AS status "

@@ -1372,6 +1372,65 @@ def incremental_source_stats(out_dir: str, from_snapshot: str, prev,
     return m[["source", "n_rows", "n_tokens"]].reset_index(drop=True)
 
 
+def replicate_cdc(primary_dir: str, replica_dir: str, from_snapshot: str,
+                  to_snapshot: str | None = None,
+                  cfg: EncodeConfig | None = None,
+                  concurrency: int | None = None) -> dict:
+    """Keep a downstream replica store in sync by applying ONLY the CDC
+    delta (the lakehouse CDC-replication pattern): the replica must
+    already hold the primary's ``from_snapshot`` state; after this call
+    it holds the ``to_snapshot`` (default: current) state without ever
+    rescanning the corpus.
+
+    Composition keeps every stage O(changed): :func:`cdc_scan` ships
+    2-int hash rows through its one bucketed exchange plus the scalar
+    payload columns (n_tok, source); the TOKEN payload never rides the
+    join — inserted/updated rows' tokens come point-to-point from the
+    primary via :func:`lookup_docs` (zone-map + Bloom pruned, admitted
+    pages only). Deletes tombstone, inserts/updates apply as one
+    append-then-shadow upsert, so replication inherits upsert's
+    idempotency: re-running a crashed replicate converges. The delta is
+    driver-resident by the same incremental-batch assumption as
+    merge_docs/upsert_docs."""
+    delta = cdc_scan(primary_dir, from_snapshot, to_snapshot,
+                     concurrency=concurrency,
+                     payload=["n_tok", "source"]).to_pandas()
+    stats = {"delta_rows": int(len(delta)),
+             "deleted": 0, "applied": 0}
+    if not len(delta):
+        return stats
+    dead = delta.loc[delta["op"] == "delete", "doc_id"].tolist()
+    live = delta[delta["op"].isin(["insert", "update"])]
+    if len(live):
+        toks = lookup_docs(primary_dir, live["doc_id"].tolist(),
+                           concurrency=concurrency).to_pandas() \
+            .set_index("doc_id")["tokens"]
+        meta = live.set_index("doc_id")
+        ids = sorted(toks.index)
+        seqs = [np.asarray(toks[d], dtype=np.int32) for d in ids]
+        offsets = np.concatenate(
+            ([0], np.cumsum([s.size for s in seqs]))).astype(np.int64)
+        la = pa.LargeListArray.from_arrays(
+            offsets, pa.array(np.concatenate(seqs) if seqs
+                              else np.array([], np.int32), pa.int32())) \
+            .cast(pa.list_(pa.int32()))
+        tbl = pa.table({
+            "doc_id": pa.array(ids, pa.string()),
+            "tokens": la,
+            "n_tok": pa.array([s.size for s in seqs], pa.int32()),
+            "source": pa.array([meta.loc[d, "source_new"] for d in ids],
+                               pa.string()),
+        })
+        res = upsert_docs(replica_dir, tbl, cfg=cfg,
+                          concurrency=concurrency)
+        stats["applied"] = int(tbl.num_rows)
+        stats["run_id"] = res["run_id"]
+    if dead:
+        d = delete_docs(replica_dir, dead, concurrency=concurrency)
+        stats["deleted"] = int(d["rows_deleted"])
+    return stats
+
+
 def decode_job(out_dir: str, columns: list[str] | None = None,
                concurrency: int | None = None, task_cpus: int = 1,
                where=None, snapshot: str | None = None):
