@@ -285,6 +285,51 @@ def _q_cdc_replicate(sf_dir: str):
         .select_columns(["doc_id", "text"])
 
 
+def _q_rollback_scan(sf_dir: str):
+    """RESTORE TABLE under the contract (pipeline.rollback_to_snapshot —
+    Delta RESTORE / Iceberg rollback, the write-side complement of time
+    travel): after two deletes, an update, a brand-new row AND a full
+    compaction rewrite, rolling back to the pristine snapshot applies
+    only the REVERSE CDC delta — the insert is tombstoned away,
+    deleted/updated rows re-upsert with token payloads read point-to-
+    point AS OF the snapshot (whose pins survive the compaction). The
+    decode must be bit-identical to the pristine corpus."""
+    from rwcf import documents, pipeline, rayenv
+    work = _workdir("rollback", sf_dir)
+    tokens_dir = documents.tokens_parquet_for(sf_dir, work)
+    cfg = pipeline.EncodeConfig(out_dir=os.path.join(work, "out"),
+                                partition_token_budget=500_000,
+                                bloom_bits_per_key=10)
+    pipeline.encode_job(documents.parquet_files(tokens_dir), cfg) \
+        .materialize()
+    snap = pipeline.create_snapshot(cfg.out_dir, note="pristine")["snapshot"]
+
+    pipeline.delete_docs(cfg.out_dir, ["11", "42"])
+    pairs = [("5", "rolled-away-5"), ("999005", "rollback-new-doc")]
+    toks = [np.frombuffer(t.encode(), dtype=np.uint8).astype(np.int32)
+            for _, t in pairs]
+    offsets = np.concatenate(([0], np.cumsum([t.size for t in toks])))
+    la = pa.LargeListArray.from_arrays(
+        offsets.astype(np.int64),
+        pa.array(np.concatenate(toks), pa.int32())).cast(pa.list_(pa.int32()))
+    pipeline.upsert_docs(cfg.out_dir, pa.table({
+        "doc_id": pa.array([d for d, _ in pairs], pa.string()),
+        "tokens": la,
+        "n_tok": pa.array([t.size for t in toks], pa.int32()),
+        "source": pa.array(["rollback"] * len(pairs), pa.string()),
+    }))
+    pipeline.compact_partitions(cfg.out_dir, target_tokens=10**9)
+
+    res = pipeline.rollback_to_snapshot(cfg.out_dir, snap)
+    assert res["restored"] == 3 and res["deleted"] == 1, res
+
+    dec = pipeline.decode_job(cfg.out_dir)
+    return dec.map_batches(documents.detokenize_batch,
+                           batch_format="pyarrow",
+                           **rayenv.remote_args()) \
+        .select_columns(["doc_id", "text"])
+
+
 _SNAP_RUNS: dict[str, str] = {}
 
 
@@ -3463,6 +3508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- CORRECTNESS rows from rounds 1-3, or — for the round-4
         # ---- additions right here — full-contract evidence in
         # ---- CONTRACT_FULL_r04.json) ----
+        "rollback_scan": _q_rollback_scan,
         "roundtrip_docs": _q_roundtrip_docs,
         "decode_project": _q_decode_project,
         "source_stats": _q_source_stats,
@@ -3661,6 +3707,7 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT * FROM (VALUES (5, 'replicated-5'), "
             "(999003, 'repl-new-doc')) AS t(doc_id, text)"),
         "time_travel_scan": "SELECT doc_id, text FROM documents",
+        "rollback_scan": "SELECT doc_id, text FROM documents",
         "snapshot_diff": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'removed' AS status "
             "FROM documents WHERE doc_id IN (11, 42)"),

@@ -637,11 +637,13 @@ def encode_job(input_paths, cfg: EncodeConfig, resume: bool = True,
                           **rayenv.remote_args())
 
 
-def manifest_dataset(out_dir: str, n_blocks: int | None = None):
+def manifest_dataset(out_dir: str, n_blocks: int | None = None,
+                     snapshot: str | None = None):
     """Resume/metadata entry: read committed lineage rows (the decode_footer
     analogue, src/lib.rs:45-48 — metadata only, no payload bytes).
-    ``n_blocks`` fans the rows out for downstream task parallelism."""
-    rows = load_manifest(out_dir)
+    ``n_blocks`` fans the rows out for downstream task parallelism;
+    ``snapshot`` yields the AS-OF view (see load_manifest)."""
+    rows = load_manifest(out_dir, snapshot=snapshot)
     return _sliced_blocks(manifest_rows_to_table(rows), n_blocks or 1)
 
 
@@ -1431,6 +1433,72 @@ def replicate_cdc(primary_dir: str, replica_dir: str, from_snapshot: str,
     return stats
 
 
+def rollback_to_snapshot(out_dir: str, snapshot: str,
+                         cfg: EncodeConfig | None = None,
+                         concurrency: int | None = None) -> dict:
+    """RESTORE TABLE ... TO VERSION (Delta RESTORE / Iceberg rollback):
+    roll the CURRENT store state back so a full scan equals the committed
+    ``snapshot`` view, applying only the REVERSE CDC delta — the write-side
+    complement of ``decode_job(snapshot=...)`` time travel. The reference
+    is write-once with no versioning (src/lib.rs:29); rollback belongs to
+    the mandated mutation extension.
+
+    Composition (every stage O(changed), the corpus never rescans):
+    :func:`cdc_scan` computes the forward delta snapshot->current through
+    its one bucketed exchange of 2-int hash rows; each op inverts —
+    rows INSERTED since the snapshot are tombstoned away
+    (:func:`delete_docs`), rows DELETED or UPDATED since are restored by
+    one append-then-shadow :func:`upsert_docs` whose token payloads come
+    point-to-point from the snapshot view via
+    ``lookup_docs(snapshot=...)`` (zone-map + Bloom pruned — readable
+    even after a compaction rewrote the live store, because snapshots
+    pin their partition files from gc). History stays intact: earlier
+    snapshots remain time-travelable, and re-running a crashed rollback
+    converges (the recomputed delta only contains what's still
+    different). The delta is driver-resident by the same
+    incremental-batch assumption as merge_docs/upsert_docs/replicate_cdc."""
+    delta = cdc_scan(out_dir, snapshot, None, concurrency=concurrency,
+                     payload=["n_tok", "source"]).to_pandas()
+    stats = {"delta_rows": int(len(delta)), "deleted": 0, "restored": 0}
+    if not len(delta):
+        return stats
+    # forward-inserted rows vanish; forward-deleted/updated rows revert
+    dead = delta.loc[delta["op"] == "insert", "doc_id"].tolist()
+    back = delta[delta["op"].isin(["delete", "update"])]
+    if len(back):
+        toks = lookup_docs(out_dir, back["doc_id"].tolist(),
+                           concurrency=concurrency, snapshot=snapshot) \
+            .to_pandas().set_index("doc_id")["tokens"]
+        meta = back.set_index("doc_id")
+        ids = sorted(toks.index)
+        missing = set(back["doc_id"]) - set(ids)
+        if missing:
+            raise FileNotFoundError(
+                f"snapshot {snapshot} payloads unavailable for "
+                f"{sorted(missing)[:5]} (gc'd?)")
+        seqs = [np.asarray(toks[d], dtype=np.int32) for d in ids]
+        offsets = np.concatenate(
+            ([0], np.cumsum([s.size for s in seqs]))).astype(np.int64)
+        la = pa.LargeListArray.from_arrays(
+            offsets, pa.array(np.concatenate(seqs) if seqs
+                              else np.array([], np.int32), pa.int32())) \
+            .cast(pa.list_(pa.int32()))
+        tbl = pa.table({
+            "doc_id": pa.array(ids, pa.string()),
+            "tokens": la,
+            "n_tok": pa.array([s.size for s in seqs], pa.int32()),
+            "source": pa.array([meta.loc[d, "source_old"] for d in ids],
+                               pa.string()),
+        })
+        res = upsert_docs(out_dir, tbl, cfg=cfg, concurrency=concurrency)
+        stats["restored"] = int(tbl.num_rows)
+        stats["run_id"] = res["run_id"]
+    if dead:
+        d = delete_docs(out_dir, dead, concurrency=concurrency)
+        stats["deleted"] = int(d["rows_deleted"])
+    return stats
+
+
 def decode_job(out_dir: str, columns: list[str] | None = None,
                concurrency: int | None = None, task_cpus: int = 1,
                where=None, snapshot: str | None = None):
@@ -1703,7 +1771,8 @@ def stats_only_minmax(out_dir: str, column: str = "n_tok",
 
 
 def lookup_docs(out_dir: str, keys: list[str],
-                concurrency: int | None = None):
+                concurrency: int | None = None,
+                snapshot: str | None = None):
     """Distributed point lookup by doc_id over the encoded store — realized
     "efficient row skipping" (wills-columnar-format.org:187-194) at row
     granularity: (1) partitions whose manifest doc_id range excludes every
@@ -1718,10 +1787,14 @@ def lookup_docs(out_dir: str, keys: list[str],
     be present (the scale path for hash-like ids, where every
     partition's [min,max] range admits every probe).
     Returns (doc_id, tokens) rows for the found keys (detokenization is
-    the caller's concern — token streams need not be valid UTF-8)."""
+    the caller's concern — token streams need not be valid UTF-8).
+    ``snapshot`` looks up the store AS OF that committed snapshot —
+    immutable partition files plus the snapshot's pid/tombstone view
+    make historical point reads free (rollback_to_snapshot's payload
+    source)."""
     keys = sorted(set(str(k) for k in keys))
     n = concurrency or _default_concurrency()
-    ds = manifest_dataset(out_dir, n_blocks=n * 2)
+    ds = manifest_dataset(out_dir, n_blocks=n * 2, snapshot=snapshot)
     probe_arr = pa.array(keys, pa.string())
 
     def scan(batch: pa.Table) -> pa.Table:
