@@ -3376,6 +3376,20 @@ def _q_range_scan_docs(sf_dir: str):
                                     "200", "205")
 
 
+def _q_leakage_safe_split(sf_dir: str):
+    """Train/val/test split with a duplicate-leakage guard: split
+    membership is the LCG hash of each exact-dup cluster's min-id
+    REPRESENTATIVE, so a test document can never have a duplicate in
+    train (rwcf.curation.leakage_safe_split_counts — one content-hash
+    bucket shuffle, vectorized in-bucket group-min, count partials
+    only leave the bucket)."""
+    import ray.data as rd
+    from rwcf import curation
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "source"])
+    return curation.leakage_safe_split_counts(ds)
+
+
 def _q_split_assign(sf_dir: str):
     """Deterministic train/val/test split rollup — id-hash pure function,
     (source, split)-domain-sized exchange
@@ -3678,6 +3692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "delete_range_scan": _q_delete_range_scan,
         "range_scan_docs": _q_range_scan_docs,
         "split_assign": _q_split_assign,
+        "leakage_safe_split": _q_leakage_safe_split,
         "embedding_gram": _q_embedding_gram,
         "store_column_counts": _q_store_column_counts,
     }
@@ -5447,6 +5462,13 @@ def oracle_sql() -> dict[str, str]:
             "WHEN h < 90 THEN 'val' ELSE 'test' END AS split, "
             "CAST(count(*) AS BIGINT) AS n_docs FROM (SELECT source, "
             "((doc_id * 1103515245 + 12345) % 2147483648) % 100 AS h "
+            "FROM documents) GROUP BY 1, 2"),
+        "leakage_safe_split": (
+            "SELECT source, CASE WHEN h < 80 THEN 'train' "
+            "WHEN h < 90 THEN 'val' ELSE 'test' END AS split, "
+            "CAST(count(*) AS BIGINT) AS n_docs FROM (SELECT source, "
+            "((MIN(doc_id) OVER (PARTITION BY text) * 1103515245 "
+            "+ 12345) % 2147483648) % 100 AS h "
             "FROM documents) GROUP BY 1, 2"),
         "embedding_gram": (
             "WITH q AS (SELECT vec_id, i, CAST(floor(CAST(e AS DOUBLE) "

@@ -428,6 +428,71 @@ def probe_ngram_contamination(ds, ngram: int = 2, probe_mod: int = 97,
                           **rayenv.remote_args())
 
 
+def leakage_safe_split_counts(ds, id_col: str = "doc_id",
+                              text_col: str = "text",
+                              group_col: str = "source",
+                              bounds: tuple[int, int] = (80, 90)):
+    """Train/val/test split with a duplicate-leakage guard: every member
+    of an exact-duplicate cluster lands in the SAME split, because split
+    membership is the LCG hash of the cluster REPRESENTATIVE (min id per
+    distinct content) rather than of the row's own id. Plain id-hash
+    splits leak — a test document whose duplicate sits in train inflates
+    eval; benchmark-grade corpora route duplicates together first.
+
+    Pipeline = dedup_exact's shape fused with split_assign_counts' rollup:
+    ONE content-hash bucket shuffle co-locates identical texts (hash is
+    routing only — grouping is by real content, collision-safe); inside
+    each bucket the representative is a vectorized dictionary-encode +
+    ``np.minimum.at`` group-min (no per-row loop, no pandas), each row
+    hashes its rep through the same SQL-replayable LCG as
+    :func:`split_assign_counts`, and only (group, split, count) partials
+    leave the bucket for the final domain-sized groupby. Payload text
+    ships exactly once — the unavoidable cost of content grouping, same
+    as exact dedup."""
+    from ray.data.aggregate import Sum
+
+    from .dedup import _bucket_of, _shuffle_buckets
+    from . import textops
+
+    buckets = _shuffle_buckets()
+    lo, mid = bounds
+    names = np.array(["train", "val", "test"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        fp = textops.fingerprint_batch(t, text_col)
+        b = _bucket_of(fp.column("fingerprint").to_numpy(), buckets=buckets)
+        return t.select([id_col, text_col, group_col]) \
+            .append_column("_b", pa.array(b))
+
+    def counts_in_bucket(g: pa.Table) -> pa.Table:
+        codes = pc.dictionary_encode(g.column(text_col).combine_chunks()) \
+            .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = g.column(id_col).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        rep = np.full(int(codes.max()) + 1 if codes.size else 1,
+                      np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(rep, codes, ids)
+        h = ((rep[codes] * 1103515245 + 12345) % 2147483648) % 100
+        split = names[np.where(h < lo, 0, np.where(h < mid, 1, 2))]
+        part = pa.table({
+            group_col: g.column(group_col),
+            "split": pa.array(split, pa.string()),
+            "n_docs": pa.array(np.ones(codes.size, np.int64)),
+        }).group_by([group_col, "split"]).aggregate([("n_docs", "sum")])
+        return pa.table({group_col: part.column(group_col),
+                         "split": part.column("split"),
+                         "n_docs": part.column("n_docs_sum")})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           **rayenv.remote_args())
+            .repartition(buckets)
+            .groupby("_b")
+            .map_groups(counts_in_bucket, batch_format="pyarrow",
+                        **rayenv.remote_args())
+            .groupby([group_col, "split"])
+            .aggregate(Sum("n_docs", alias_name="n_docs")))
+
+
 def split_assign_counts(ds, id_col: str = "doc_id",
                         group_col: str = "source",
                         bounds: tuple[int, int] = (80, 90)):

@@ -284,3 +284,47 @@ def test_probe_ngram_contamination_probe_is_full_hit(ray_session):
     # doc1: "a b" hits, "b x" misses -> 5000bp; doc2: nothing
     assert out["n_contaminated"].tolist() == [2, 1, 0]
     assert out["contaminated_bp"].tolist() == [10000, 5000, 0]
+
+
+def test_leakage_safe_split_groups_duplicates(ray_session):
+    # duplicates of one content must share a split: ids 0 and 91 are
+    # copies, and the plain id-hash split WOULD separate them (their own
+    # LCG hashes land in different buckets); the cluster-rep hash keeps
+    # them together
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rwcf.curation import leakage_safe_split_counts
+
+    rng = np.random.default_rng(7)
+    texts = [f"unique document {i} " + "x" * int(rng.integers(1, 30))
+             for i in range(120)]
+    texts[91] = texts[0]   # exact duplicate pair straddling the id space
+    texts[55] = texts[10]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(120, dtype=np.int64)),
+        "text": pa.array(texts),
+        "source": pa.array(["s%d" % (i % 3) for i in range(120)]),
+    })
+    out = leakage_safe_split_counts(rd.from_arrow(t)).to_pandas()
+
+    # oracle: every row hashes its content-cluster min id
+    rep = {}
+    for i, txt in enumerate(texts):
+        rep.setdefault(txt, i)
+    h = np.array([((rep[txt] * 1103515245 + 12345) % 2147483648) % 100
+                  for txt in texts])
+    split = np.where(h < 80, "train", np.where(h < 90, "val", "test"))
+    import pandas as pd
+    exp = pd.DataFrame({"source": ["s%d" % (i % 3) for i in range(120)],
+                        "split": split}) \
+        .groupby(["source", "split"]).size().rename("n_docs").reset_index()
+    got = out.sort_values(["source", "split"], ignore_index=True)
+    exp = exp.sort_values(["source", "split"], ignore_index=True)
+    assert got["n_docs"].astype(int).tolist() == \
+        exp["n_docs"].astype(int).tolist()
+    assert got["source"].tolist() == exp["source"].tolist()
+    assert got["split"].tolist() == exp["split"].tolist()
+    # the guard property itself: duplicate members never straddle splits
+    assert split[0] == split[91] and split[10] == split[55]
