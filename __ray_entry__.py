@@ -3390,6 +3390,32 @@ def _q_leakage_safe_split(sf_dir: str):
     return curation.leakage_safe_split_counts(ds)
 
 
+def _q_store_fsck(sf_dir: str):
+    """Distributed store integrity audit (pipeline.fsck_store, deep
+    scrub): every metadata/structure invariant — file extents, page
+    layouts vs manifest counts, tombstone bounds, bloom + section crcs,
+    manifest reference graph — audited in one O(partitions) pass over
+    the snapshot-lifecycle store (which has seen deletes, an upsert and
+    a compaction). The report rolls up to violations-per-invariant;
+    the oracle pins the full invariant list at zero violations."""
+    from ray.data.aggregate import Sum
+    from rwcf import pipeline, rayenv
+
+    out = _snapshot_run(sf_dir)
+    ds = pipeline.fsck_store(out, deep=True)
+
+    def part(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "check": t.column("check"),
+            "n_violations": pc.cast(pc.invert(t.column("ok")), pa.int64()),
+        })
+
+    return ds.map_batches(part, batch_format="pyarrow",
+                          **rayenv.remote_args()) \
+        .groupby("check") \
+        .aggregate(Sum("n_violations", alias_name="n_violations"))
+
+
 def _q_split_assign(sf_dir: str):
     """Deterministic train/val/test split rollup — id-hash pure function,
     (source, split)-domain-sized exchange
@@ -3693,6 +3719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_scan_docs": _q_range_scan_docs,
         "split_assign": _q_split_assign,
         "leakage_safe_split": _q_leakage_safe_split,
+        "store_fsck": _q_store_fsck,
         "embedding_gram": _q_embedding_gram,
         "store_column_counts": _q_store_column_counts,
     }
@@ -5463,6 +5490,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_docs FROM (SELECT source, "
             "((doc_id * 1103515245 + 12345) % 2147483648) % 100 AS h "
             "FROM documents) GROUP BY 1, 2"),
+        "store_fsck": (
+            'SELECT * FROM (VALUES '
+            "('file_missing', CAST(0 AS BIGINT)), "
+            "('file_truncated', CAST(0 AS BIGINT)), "
+            "('page_counts', CAST(0 AS BIGINT)), "
+            "('tombstone_range', CAST(0 AS BIGINT)), "
+            "('bloom_sidecar', CAST(0 AS BIGINT)), "
+            "('section_crc', CAST(0 AS BIGINT)), "
+            "('replaces_dangling', CAST(0 AS BIGINT)), "
+            "('snapshot_dangling', CAST(0 AS BIGINT))) "
+            'AS t("check", n_violations)'),
         "leakage_safe_split": (
             "SELECT source, CASE WHEN h < 80 THEN 'train' "
             "WHEN h < 90 THEN 'val' ELSE 'test' END AS split, "

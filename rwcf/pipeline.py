@@ -2355,3 +2355,116 @@ def verify_job(out_dir: str, concurrency: int | None = None,
     return ds.map_batches(verify_partition_batch, batch_size=1,
                           batch_format="pyarrow", num_cpus=1,
                           concurrency=cap, **rayenv.remote_args())
+
+
+#: invariant names fsck_store emits, in report order (pinned so the
+#: contract oracle can enumerate them)
+FSCK_CHECKS = ("file_missing", "file_truncated", "page_counts",
+               "tombstone_range", "bloom_sidecar", "section_crc",
+               "replaces_dangling", "snapshot_dangling")
+
+
+def fsck_store(out_dir: str, deep: bool = False,
+               concurrency: int | None = None):
+    """Distributed store integrity audit — the metadata/structure
+    complement of :func:`verify_job` (which decodes every row). At
+    100-TB scale a full decode-verify is an occasional job; fsck is the
+    CONTINUOUS one, costing only manifest metadata + per-section trailer
+    frames + sidecar reads, so it runs in O(partitions) small IOs:
+
+    - ``file_missing`` / ``file_truncated``: partition file present and
+      at least as long as every committed section/bloom extent.
+    - ``page_counts``: per column, the page layout's value counts (from
+      the trailer frame ONLY — payload stays on disk) sum to the
+      manifest's ``n_values``.
+    - ``tombstone_range``: delete tombstones unique, inside
+      ``[0, n_rows)``, and not covering the whole partition silently.
+    - ``bloom_sidecar``: bloom extent readable + crc-valid.
+    - ``section_crc`` (``deep=True`` only): every column section re-read
+      and crc32-validated end-to-end (full-file IO — the fsck analogue
+      of a deep scrub; without deep it reports ok=vacuous).
+    - ``replaces_dangling`` / ``snapshot_dangling`` (driver-side, pure
+      manifest graph): every pid named by a compaction ``replaces`` list
+      or pinned by a live snapshot has a committed manifest row.
+
+    Returns a Dataset of ``(pid, check, ok)`` rows — one row per
+    partition per per-partition check, plus one ``<manifest>`` row per
+    graph check. Roll up with ``group_by(check).aggregate`` for the
+    violations-per-invariant report (`store_fsck` contract query)."""
+    import ray.data as rd
+
+    all_rows = load_manifest(out_dir, include_replaced=True)
+    committed = {r["pid"] for r in all_rows}
+    named = {p for r in all_rows for p in (r.get("replaces") or [])}
+    graph = [("replaces_dangling", named <= committed)]
+    sdir = os.path.join(out_dir, "snapshots")
+    pinned = _snapshot_pinned_pids(out_dir) if os.path.isdir(sdir) else set()
+    graph.append(("snapshot_dangling", pinned <= committed))
+    graph_tbl = pa.table({
+        "pid": pa.array(["<manifest>"] * len(graph), pa.string()),
+        "check": pa.array([c for c, _ in graph], pa.string()),
+        "ok": pa.array([bool(v) for _, v in graph]),
+    })
+
+    n = concurrency or _default_concurrency()
+    ds = manifest_dataset(out_dir, n_blocks=n * 2)
+
+    def audit(batch: pa.Table) -> pa.Table:
+        pids, checks, oks = [], [], []
+
+        def emit(pid, check, ok):
+            pids.append(pid)
+            checks.append(check)
+            oks.append(bool(ok))
+
+        for row in manifest_table_to_rows(batch):
+            pid = row["pid"]
+            exists = os.path.exists(row["file"])
+            emit(pid, "file_missing", exists)
+            extents = [c["offset"] + c["length"] for c in row["columns"]]
+            extents += [b["offset"] + b["length"]
+                        for b in (row.get("bloom") or {}).values()]
+            size = os.path.getsize(row["file"]) if exists else -1
+            emit(pid, "file_truncated", exists and size >= max(extents))
+            ok_pages = exists
+            if exists:
+                try:
+                    for cm in row["columns"]:
+                        skel = read_column_skeleton(row, cm["column"])
+                        got = sum(p.values_count for p in skel.pages)
+                        if got != cm["n_values"]:
+                            ok_pages = False
+                except Exception:
+                    ok_pages = False
+            emit(pid, "page_counts", ok_pages)
+            dr = np.asarray(row.get("deleted_rows") or [], dtype=np.int64)
+            emit(pid, "tombstone_range",
+                 dr.size == np.unique(dr).size
+                 and (dr.size == 0 or (dr.min() >= 0
+                                       and dr.max() < row["n_rows"]))
+                 and dr.size <= row["n_rows"])
+            ok_bloom = exists
+            if exists:
+                try:
+                    for col in (row.get("bloom") or {}):
+                        read_bloom(row, col)  # crc-validates
+                except Exception:
+                    ok_bloom = False
+            emit(pid, "bloom_sidecar", ok_bloom)
+            ok_crc = exists
+            if deep and exists:
+                try:
+                    for cm in row["columns"]:
+                        read_column_section(row, cm["column"])  # crc+frames
+                except Exception:
+                    ok_crc = False
+            emit(pid, "section_crc", ok_crc)
+        return pa.table({"pid": pa.array(pids, pa.string()),
+                         "check": pa.array(checks, pa.string()),
+                         "ok": pa.array(oks)})
+
+    cap = _stage_cap(concurrency, 1)
+    audited = ds.map_batches(audit, batch_size=1, batch_format="pyarrow",
+                             num_cpus=1, concurrency=cap,
+                             **rayenv.remote_args())
+    return audited.union(rd.from_arrow(graph_tbl))
