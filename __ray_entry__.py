@@ -3390,6 +3390,54 @@ def _q_leakage_safe_split(sf_dir: str):
     return curation.leakage_safe_split_counts(ds)
 
 
+def _q_wap_scan(sf_dir: str):
+    """Write-audit-publish under the contract (pipeline.stage_append /
+    publish_staged — the Iceberg WAP ingest pattern): a new batch encodes
+    into an invisible staging store, is audited there (deep fsck + the
+    invisibility property asserted inline), then promotes atomically;
+    the decode must show exactly base corpus + staged batch."""
+    import pyarrow.parquet as pq
+    from rwcf import documents, pipeline, rayenv
+    work = _workdir("wap", sf_dir)
+    tokens_dir = documents.tokens_parquet_for(sf_dir, work)
+    cfg = pipeline.EncodeConfig(out_dir=os.path.join(work, "out"),
+                                partition_token_budget=500_000)
+    pipeline.encode_job(documents.parquet_files(tokens_dir), cfg) \
+        .materialize()
+    base_rows = sum(r["n_rows"] for r in pipeline.load_manifest(cfg.out_dir))
+
+    pairs = [("999006", "wap-doc-a"), ("999007", "wap-doc-b"),
+             ("999008", "wap-doc-c")]
+    toks = [np.frombuffer(t.encode(), dtype=np.uint8).astype(np.int32)
+            for _, t in pairs]
+    offsets = np.concatenate(([0], np.cumsum([t.size for t in toks])))
+    la = pa.LargeListArray.from_arrays(
+        offsets.astype(np.int64),
+        pa.array(np.concatenate(toks), pa.int32())).cast(pa.list_(pa.int32()))
+    batch = pa.table({
+        "doc_id": pa.array([d for d, _ in pairs], pa.string()),
+        "tokens": la,
+        "n_tok": pa.array([t.size for t in toks], pa.int32()),
+        "source": pa.array(["wap"] * len(pairs), pa.string()),
+    }).cast(pipeline.TOKENS_SCHEMA)
+    bpath = os.path.join(work, "wap-batch.parquet")
+    pq.write_table(batch, bpath)
+
+    st = pipeline.stage_append(cfg.out_dir, bpath)
+    audit = pipeline.fsck_store(st["staging_dir"], deep=True).to_pandas()
+    assert audit["ok"].all(), audit[~audit["ok"]]
+    now_rows = sum(r["n_rows"] for r in pipeline.load_manifest(cfg.out_dir))
+    assert now_rows == base_rows, "staged rows leaked before publish"
+    res = pipeline.publish_staged(cfg.out_dir, st["staging_id"])
+    assert res["published"] == st["partitions"], res
+
+    dec = pipeline.decode_job(cfg.out_dir)
+    return dec.map_batches(documents.detokenize_batch,
+                           batch_format="pyarrow",
+                           **rayenv.remote_args()) \
+        .select_columns(["doc_id", "text"])
+
+
 def _q_store_fsck(sf_dir: str):
     """Distributed store integrity audit (pipeline.fsck_store, deep
     scrub): every metadata/structure invariant — file extents, page
@@ -3720,6 +3768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign": _q_split_assign,
         "leakage_safe_split": _q_leakage_safe_split,
         "store_fsck": _q_store_fsck,
+        "wap_scan": _q_wap_scan,
         "embedding_gram": _q_embedding_gram,
         "store_column_counts": _q_store_column_counts,
     }
@@ -5490,6 +5539,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_docs FROM (SELECT source, "
             "((doc_id * 1103515245 + 12345) % 2147483648) % 100 AS h "
             "FROM documents) GROUP BY 1, 2"),
+        "wap_scan": (
+            "SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT * FROM (VALUES "
+            "(999006, 'wap-doc-a'), (999007, 'wap-doc-b'), "
+            "(999008, 'wap-doc-c')) AS t(doc_id, text)"),
         "store_fsck": (
             'SELECT * FROM (VALUES '
             "('file_missing', CAST(0 AS BIGINT)), "

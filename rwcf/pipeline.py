@@ -2468,3 +2468,106 @@ def fsck_store(out_dir: str, deep: bool = False,
                              num_cpus=1, concurrency=cap,
                              **rayenv.remote_args())
     return audited.union(rd.from_arrow(graph_tbl))
+
+
+def _staging_dir(out_dir: str, staging_id: str) -> str:
+    return os.path.join(out_dir, "staging", staging_id)
+
+
+def stage_append(out_dir: str, input_paths,
+                 cfg: EncodeConfig | None = None,
+                 staging_id: str | None = None,
+                 concurrency: int | None = None) -> dict:
+    """Write-audit-publish, step 1 (the Iceberg WAP ingest pattern):
+    encode ``input_paths`` into an INVISIBLE staging store under
+    ``out_dir/staging/<id>/`` — a complete store of its own (parts +
+    manifest), so every auditor works on it unchanged (deep
+    :func:`fsck_store`, bit-exact :func:`verify_job`, any contract
+    query via decode_job) while readers of the main store cannot
+    observe a single staged byte (main readers only ever open
+    ``out_dir/manifest``). After auditing, :func:`publish_staged`
+    atomically promotes the batch or :func:`abort_staged` discards it.
+
+    The staging id defaults to a hash of the input paths, and the
+    staged encode runs with ``resume=True`` — re-running a crashed
+    stage resumes its committed partitions instead of duplicating
+    work. Encoding config mirrors the main store (bloom sidecars,
+    live schema version) unless overridden."""
+    import dataclasses
+    import hashlib
+    if staging_id is None:
+        paths = [input_paths] if isinstance(input_paths, str) \
+            else list(input_paths)
+        staging_id = hashlib.sha1(
+            "\n".join(sorted(str(p) for p in paths)).encode()) \
+            .hexdigest()[:12]
+    sdir = _staging_dir(out_dir, staging_id)
+    if cfg is None:
+        has_bloom = any(r.get("bloom") for r in load_manifest(out_dir))
+        cfg = EncodeConfig(out_dir=sdir,
+                           bloom_bits_per_key=10 if has_bloom else 0)
+    else:
+        cfg = dataclasses.replace(cfg, out_dir=sdir)
+    if cfg.schema_version is None:
+        from . import schema as _schema
+        cfg.schema_version = _schema.current_version(out_dir)
+    man = encode_job(input_paths, cfg, resume=True,
+                     concurrency=concurrency).to_pandas()
+    return {"staging_id": staging_id, "staging_dir": sdir,
+            "partitions": int(len(man)),
+            "n_rows": int(man["n_rows"].sum()) if len(man) else 0,
+            "n_tokens": int(man["n_tokens"].sum()) if len(man) else 0}
+
+
+def publish_staged(out_dir: str, staging_id: str) -> dict:
+    """Write-audit-publish, step 3a: promote an audited staging batch
+    into the main store. Per partition the commit protocol is the same
+    as a plain encode — data file lands first (one same-filesystem
+    rename), the manifest row (rewritten to the final file path) lands
+    last as the atomic visibility flip — so a crash at ANY point
+    re-runs to completion: staged manifest rows survive until the final
+    sweep, already-promoted pids are skipped, a moved-but-uncommitted
+    file is recommitted from its staged row. Staged pids that already
+    exist in the main store count as published (the resume semantic —
+    staging the same fragment twice cannot duplicate rows)."""
+    import shutil
+    sdir = _staging_dir(out_dir, staging_id)
+    rows = load_manifest(sdir)
+    committed = {r["pid"] for r in
+                 load_manifest(out_dir, include_replaced=True)}
+    mdir = os.path.join(out_dir, "manifest")
+    pdir = os.path.join(out_dir, "parts")
+    os.makedirs(mdir, exist_ok=True)
+    os.makedirs(pdir, exist_ok=True)
+    published, skipped = 0, 0
+    for row in rows:
+        if row["pid"] in committed:
+            skipped += 1
+            continue
+        dst = os.path.join(pdir, os.path.basename(row["file"]))
+        if os.path.exists(row["file"]):
+            os.replace(row["file"], dst)
+        elif not os.path.exists(dst):
+            raise FileNotFoundError(
+                f"staged partition {row['pid']} has no data file at "
+                f"{row['file']} or {dst}")
+        row = dict(row, file=dst)
+        mpath = os.path.join(mdir, f"{row['pid']}.json")
+        mtmp = mpath + f".tmp{os.getpid()}"
+        with open(mtmp, "w") as f:
+            json.dump(row, f)
+        os.replace(mtmp, mpath)  # visibility flip
+        published += 1
+    shutil.rmtree(sdir, ignore_errors=True)
+    return {"staging_id": staging_id, "published": published,
+            "skipped": skipped}
+
+
+def abort_staged(out_dir: str, staging_id: str) -> dict:
+    """Write-audit-publish, step 3b: discard a staging batch that failed
+    its audit. The main store never saw it; removal is the whole abort."""
+    import shutil
+    sdir = _staging_dir(out_dir, staging_id)
+    existed = os.path.isdir(sdir)
+    shutil.rmtree(sdir, ignore_errors=True)
+    return {"staging_id": staging_id, "aborted": existed}
