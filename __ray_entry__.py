@@ -540,6 +540,28 @@ def _q_token_needle_search(sf_dir: str):
                                           [ord("q"), ord("j")])
 
 
+def _q_token_needle_multi(sf_dir: str):
+    """Batched needle search (rwcf.invindex.scan_docs_with_tokens_multi):
+    three conjunctive queries answered with ONE distributed pass over the
+    index shards and ONE decode of the union of admitted partitions —
+    the batch amortization a search frontend needs. Per-query exactness
+    is unchanged (the oracle replays each conjunction); parity with the
+    single-needle path is pytest-pinned on the Zipf-vocab fixture."""
+    from rwcf import documents, invindex, pipeline
+    work = _workdir("invidx", sf_dir)  # shares token_needle_search's store
+    tokens_dir = documents.tokens_parquet_for(sf_dir, work)
+    cfg = pipeline.EncodeConfig(out_dir=os.path.join(work, "out"),
+                                partition_token_budget=150_000)
+    pipeline.encode_job(documents.parquet_files(tokens_dir), cfg) \
+        .materialize()
+    invindex.build_token_index(cfg.out_dir)
+    return invindex.scan_docs_with_tokens_multi(cfg.out_dir, {
+        "qj": [ord("q"), ord("j")],
+        "zx": [ord("z"), ord("x")],
+        "kw": [ord("k"), ord("w")],
+    })
+
+
 def _q_delete_where_scan(sf_dir: str):
     """Predicate deletes under the contract (pipeline.delete_where — the
     Iceberg-v2-equality-delete role resolved to position tombstones via
@@ -3769,6 +3791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leakage_safe_split": _q_leakage_safe_split,
         "store_fsck": _q_store_fsck,
         "wap_scan": _q_wap_scan,
+        "token_needle_multi": _q_token_needle_multi,
         "embedding_gram": _q_embedding_gram,
         "store_column_counts": _q_store_column_counts,
     }
@@ -3792,6 +3815,16 @@ def oracle_sql() -> dict[str, str]:
         "token_needle_search": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents "
             "WHERE contains(text, 'q') AND contains(text, 'j')"),
+        "token_needle_multi": (
+            "SELECT 'qj' AS qid, CAST(doc_id AS VARCHAR) AS doc_id "
+            "FROM documents WHERE contains(text, 'q') "
+            "AND contains(text, 'j') "
+            "UNION ALL SELECT 'zx', CAST(doc_id AS VARCHAR) "
+            "FROM documents WHERE contains(text, 'z') "
+            "AND contains(text, 'x') "
+            "UNION ALL SELECT 'kw', CAST(doc_id AS VARCHAR) "
+            "FROM documents WHERE contains(text, 'k') "
+            "AND contains(text, 'w')"),
         "cdc_replicate": (
             "SELECT doc_id, text FROM documents "
             "WHERE doc_id NOT IN (5, 11, 42) "

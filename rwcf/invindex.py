@@ -153,3 +153,100 @@ def scan_docs_with_tokens(out_dir: str, tokens: list[int],
 
     return dec.map_batches(filt, batch_format="pyarrow",
                            **rayenv.remote_args())
+
+
+def token_partitions_multi(out_dir: str, queries: dict[str, list[int]],
+                           concurrency: int | None = None) \
+        -> dict[str, set[str]]:
+    """Admitted pids for MANY conjunctive needle queries in ONE pass over
+    the index shards — the batch amortization a search frontend needs:
+    shard IO and the distributed scan cost are paid once regardless of
+    how many queries ride along (each shard batch evaluates every
+    query's membership vectorized). Returns {query_id: pid set}."""
+    import ray.data as rd
+    idx = _index_dir(out_dir)
+    rows = pipeline.load_manifest(out_dir)
+    missing = [r["pid"] for r in rows
+               if not os.path.exists(os.path.join(idx,
+                                                  f"{r['pid']}.parquet"))]
+    if missing:
+        raise FileNotFoundError(
+            f"token index missing shards for {len(missing)} partitions "
+            f"(e.g. {missing[:3]}); run build_token_index first")
+    needs = {qid: sorted(set(int(t) for t in toks))
+             for qid, toks in queries.items()}
+    shards = [os.path.join(idx, f"{r['pid']}.parquet") for r in rows]
+    ds = rd.read_parquet(shards, columns=["token"], include_paths=True)
+
+    def match(batch: pa.Table) -> pa.Table:
+        qids, pids, counts = [], [], []
+        for qid, need in needs.items():
+            hit = pc.is_in(batch.column("token"),
+                           value_set=pa.array(need, pa.int32()))
+            g = batch.filter(hit).group_by("path") \
+                .aggregate([("token", "count")])
+            pid = pc.replace_substring_regex(
+                pc.replace_substring_regex(g.column("path"), r"^.*/", ""),
+                r"\.parquet$", "")
+            n = g.num_rows
+            qids.extend([qid] * n)
+            pids.extend(pid.to_pylist())
+            counts.extend(g.column("token_count").to_pylist())
+        return pa.table({"qid": pa.array(qids, pa.string()),
+                         "pid": pa.array(pids, pa.string()),
+                         "n_matched": pa.array(counts, pa.int64())})
+
+    df = ds.map_batches(match, batch_format="pyarrow",
+                        **rayenv.remote_args()).to_pandas()
+    agg = df.groupby(["qid", "pid"])["n_matched"].sum()
+    out: dict[str, set[str]] = {qid: set() for qid in needs}
+    for (qid, pid), n in agg.items():
+        if n >= len(needs[qid]):
+            out[qid].add(pid)
+    return out
+
+
+def scan_docs_with_tokens_multi(out_dir: str,
+                                queries: dict[str, list[int]],
+                                concurrency: int | None = None):
+    """Batched needle search: Dataset of ``(qid, doc_id)`` rows — one
+    row per (query, qualifying document). The index pass is shared
+    (:func:`token_partitions_multi`) and the UNION of every query's
+    admitted partitions decodes exactly once; inside each decoded batch
+    every query evaluates its own exact vectorized segment-membership
+    mask (the index stays a conservative skip, so per-query exactness
+    is unchanged from the single-needle path)."""
+    needs = {qid: sorted(set(int(t) for t in toks))
+             for qid, toks in queries.items()}
+    admitted = token_partitions_multi(out_dir, needs,
+                                      concurrency=concurrency)
+    union = set().union(*admitted.values()) if admitted else set()
+    dec = pipeline.decode_job(out_dir,
+                              columns=["doc_id", "n_tok", "tokens"],
+                              concurrency=concurrency,
+                              where=lambda r: r["pid"] in union)
+
+    def filt(t: pa.Table) -> pa.Table:
+        n_tok = np.asarray(t.column("n_tok"), dtype=np.int64)
+        offsets = np.concatenate(([0], np.cumsum(n_tok)))
+        flat = np.asarray(t.column("tokens").combine_chunks().flatten())
+        out_qid, out_ids = [], []
+        for qid, need in needs.items():
+            keep = np.ones(t.num_rows, dtype=bool)
+            for tok in need:
+                pos = np.flatnonzero(flat == tok)
+                rows_with = np.unique(np.searchsorted(offsets, pos,
+                                                      side="right") - 1)
+                m = np.zeros(t.num_rows, dtype=bool)
+                m[rows_with] = True
+                keep &= m
+            ids = t.column("doc_id").filter(pa.array(keep))
+            out_qid.extend([qid] * len(ids))
+            out_ids.append(ids)
+        ids_all = pa.concat_arrays([a.combine_chunks() for a in out_ids]) \
+            if out_ids else pa.array([], pa.string())
+        return pa.table({"qid": pa.array(out_qid, pa.string()),
+                         "doc_id": ids_all})
+
+    return dec.map_batches(filt, batch_format="pyarrow",
+                           **rayenv.remote_args())

@@ -89,3 +89,19 @@ def test_build_incremental_and_stale_guard(store, tmp_path):
     res = invindex.build_token_index(out, concurrency=2)
     assert res["indexed"] == 1
     assert os.path.exists(shard)
+
+
+def test_multi_needle_batch_matches_single(store):
+    out, src = store["out"], store["src"]
+    toks = _rare_tokens(src, 4)
+    queries = {"q1": toks[:1], "q2": toks[1:3], "q3": toks[3:4],
+               "q_all": toks}  # incl. a probably-empty conjunction
+    adm = invindex.token_partitions_multi(out, queries, concurrency=2)
+    got = invindex.scan_docs_with_tokens_multi(out, queries,
+                                               concurrency=2).to_pandas()
+    for qid, need in queries.items():
+        # per-query admitted set == the single-query path's
+        assert adm[qid] == invindex.token_partitions(out, need,
+                                                     concurrency=2)
+        mine = sorted(got.loc[got["qid"] == qid, "doc_id"])
+        assert mine == _brute(src, need), qid
