@@ -381,6 +381,42 @@ def _q_time_travel_scan(sf_dir: str):
         .select_columns(["doc_id", "text"])
 
 
+def _q_tag_travel_scan(sf_dir: str):
+    """Snapshot tags under the contract (pipeline.tag_snapshot /
+    resolve_ref — Iceberg-tag named refs): the pristine snapshot gets a
+    stable name and EVERY snapshot reader resolves it transparently
+    through load_manifest; decoding AS OF the TAG must return the
+    pristine corpus bit-identically across the later deletes, upsert
+    and compaction (same oracle as time_travel_scan, via the ref)."""
+    from rwcf import documents, pipeline, rayenv
+    out = _snapshot_run(sf_dir)
+    pipeline.tag_snapshot(out, "golden", "snap-00000")  # idempotent retag
+    assert pipeline.resolve_ref(out, "golden") == "snap-00000"
+    dec = pipeline.decode_job(out, snapshot="golden")
+    return dec.map_batches(documents.detokenize_batch,
+                           batch_format="pyarrow",
+                           **rayenv.remote_args()) \
+        .select_columns(["doc_id", "text"])
+
+
+def _q_leakage_safe_split_near(sf_dir: str):
+    """Near-dup-aware leakage-safe split (rows-only: MinHash is not
+    SQL-expressible): LSH candidates -> distributed exact verify ->
+    distributed connected components -> split counts keyed on each
+    cluster's min-id representative
+    (rwcf.curation.leakage_safe_split_counts_clustered). Guard property
+    and exact-cluster equivalence pytest-pinned in
+    tests/test_split_clustered.py."""
+    import ray.data as rd
+    from rwcf import curation, dedup
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "source"])
+    cands = dedup.minhash_lsh_candidates_ds(ds)
+    verified = dedup.verify_pairs_distributed(cands, ds, threshold=0.8)
+    clusters = dedup.cluster_pairs_ds(verified)
+    return curation.leakage_safe_split_counts_clustered(ds, clusters)
+
+
 def _q_snapshot_diff(sf_dir: str):
     """Version diff: doc_ids removed/added between snap-00000 and the
     current view, computed as two distributed anti-joins over doc_id-only
@@ -3792,6 +3828,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "store_fsck": _q_store_fsck,
         "wap_scan": _q_wap_scan,
         "token_needle_multi": _q_token_needle_multi,
+        "tag_travel_scan": _q_tag_travel_scan,
+        "leakage_safe_split_near": _q_leakage_safe_split_near,
         "embedding_gram": _q_embedding_gram,
         "store_column_counts": _q_store_column_counts,
     }
@@ -3832,6 +3870,7 @@ def oracle_sql() -> dict[str, str]:
             "(999003, 'repl-new-doc')) AS t(doc_id, text)"),
         "time_travel_scan": "SELECT doc_id, text FROM documents",
         "rollback_scan": "SELECT doc_id, text FROM documents",
+        "tag_travel_scan": "SELECT doc_id, text FROM documents",
         "snapshot_diff": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'removed' AS status "
             "FROM documents WHERE doc_id IN (11, 42)"),

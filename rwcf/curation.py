@@ -493,6 +493,58 @@ def leakage_safe_split_counts(ds, id_col: str = "doc_id",
             .aggregate(Sum("n_docs", alias_name="n_docs")))
 
 
+def leakage_safe_split_counts_clustered(ds, clusters_ds,
+                                        id_col: str = "doc_id",
+                                        group_col: str = "source",
+                                        bounds: tuple[int, int] = (80, 90)):
+    """Near-dup-aware variant of :func:`leakage_safe_split_counts`: split
+    membership is the LCG hash of each NEAR-duplicate cluster's min-id
+    representative, with clusters supplied by any upstream clustering —
+    canonically MinHash-LSH verified pairs through
+    :func:`rwcf.dedup.cluster_pairs_ds`, whose ``cluster_id`` IS the
+    component-min doc_id, so no second reduction is needed. Documents
+    absent from ``clusters_ds`` are singletons (rep = own id). One
+    bucketed distributed left join attaches labels (ids only — payloads
+    never ship), then the same domain-sized count rollup. Rows-only by
+    nature (MinHash is not SQL-expressible); the leakage guard — a
+    near-dup pair that is NOT byte-identical still lands in one split —
+    is pytest-pinned, as is equivalence with the exact variant when the
+    clusters come from exact-duplicate pairs."""
+    from ray.data.aggregate import Sum
+
+    from . import joins
+
+    lo, mid = bounds
+    names = np.array(["train", "val", "test"])
+    joined = joins.hash_join(
+        ds.select_columns([id_col, group_col]),
+        clusters_ds, on=id_col, how="left")
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = t.column("cluster_id").combine_chunks()
+        rep = np.where(lab.is_valid().to_numpy(zero_copy_only=False),
+                       lab.fill_null(0).to_numpy(zero_copy_only=False)
+                       .astype(np.int64),
+                       ids)
+        h = ((rep * 1103515245 + 12345) % 2147483648) % 100
+        split = names[np.where(h < lo, 0, np.where(h < mid, 1, 2))]
+        g = pa.table({
+            group_col: t.column(group_col),
+            "split": pa.array(split, pa.string()),
+            "n_docs": pa.array(np.ones(ids.size, np.int64)),
+        }).group_by([group_col, "split"]).aggregate([("n_docs", "sum")])
+        return pa.table({group_col: g.column(group_col),
+                         "split": g.column("split"),
+                         "n_docs": g.column("n_docs_sum")})
+
+    return (joined.map_batches(partial, batch_format="pyarrow",
+                               **rayenv.remote_args())
+            .groupby([group_col, "split"])
+            .aggregate(Sum("n_docs", alias_name="n_docs")))
+
+
 def split_assign_counts(ds, id_col: str = "doc_id",
                         group_col: str = "source",
                         bounds: tuple[int, int] = (80, 90)):

@@ -686,6 +686,9 @@ def load_manifest(out_dir: str, include_replaced: bool = False,
     file a live snapshot references)."""
     if snapshot is not None:
         spath = os.path.join(out_dir, "snapshots", f"{snapshot}.parquet")
+        if not os.path.exists(spath):  # tag indirection (named refs)
+            spath = os.path.join(out_dir, "snapshots",
+                                 f"{resolve_ref(out_dir, snapshot)}.parquet")
         snap = pq.read_table(spath).to_pylist()
         want = {s["pid"]: s["deleted_rows"] for s in snap}
         rows = load_manifest(out_dir, include_replaced=True)
@@ -1094,13 +1097,78 @@ def list_snapshots(out_dir: str) -> list[dict]:
     return out
 
 
-def expire_snapshot(out_dir: str, snapshot: str) -> dict:
-    """Drop a snapshot so gc_store may reclaim partitions only it pins."""
+def expire_snapshot(out_dir: str, snapshot: str,
+                    force: bool = False) -> dict:
+    """Drop a snapshot so gc_store may reclaim partitions only it pins.
+    Refuses (unless ``force``) while a tag still names the snapshot —
+    expiring it would dangle the ref."""
+    holders = [t for t, s in list_tags(out_dir).items() if s == snapshot]
+    if holders and not force:
+        raise ValueError(
+            f"snapshot {snapshot} is still tagged by {sorted(holders)}; "
+            f"delete_tag first or pass force=True")
     path = os.path.join(out_dir, "snapshots", f"{snapshot}.parquet")
     if os.path.exists(path):
         os.remove(path)
         return {"expired": snapshot}
     return {"expired": None}
+
+
+def tag_snapshot(out_dir: str, tag: str,
+                 snapshot: str | None = None) -> dict:
+    """Named ref over a snapshot (Iceberg tags / git-tag role): a tag is
+    one atomic JSON sidecar under ``tags/`` mapping a stable name
+    ("golden", "prod-2026-08") to a snapshot id. Every snapshot-taking
+    reader (``decode_job(snapshot=)``, cdc, rollback, lookup) resolves
+    tags transparently via load_manifest. Re-tagging moves the ref
+    atomically; ``snapshot=None`` tags the latest snapshot."""
+    if snapshot is None:
+        snaps = list_snapshots(out_dir)
+        if not snaps:
+            raise FileNotFoundError(f"no snapshots in {out_dir} to tag")
+        snapshot = snaps[-1]["snapshot"]
+    spath = os.path.join(out_dir, "snapshots", f"{snapshot}.parquet")
+    if not os.path.exists(spath):
+        raise FileNotFoundError(f"snapshot {snapshot} does not exist")
+    tdir = os.path.join(out_dir, "tags")
+    os.makedirs(tdir, exist_ok=True)
+    tpath = os.path.join(tdir, f"{tag}.json")
+    tmp = tpath + f".tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"tag": tag, "snapshot": snapshot}, f)
+    os.replace(tmp, tpath)  # atomic (re)tag
+    return {"tag": tag, "snapshot": snapshot}
+
+
+def list_tags(out_dir: str) -> dict[str, str]:
+    """{tag: snapshot id} for every committed tag."""
+    tdir = os.path.join(out_dir, "tags")
+    out = {}
+    if os.path.isdir(tdir):
+        for name in sorted(os.listdir(tdir)):
+            if name.endswith(".json"):
+                with open(os.path.join(tdir, name)) as f:
+                    out[name[:-5]] = json.load(f)["snapshot"]
+    return out
+
+
+def delete_tag(out_dir: str, tag: str) -> dict:
+    tpath = os.path.join(out_dir, "tags", f"{tag}.json")
+    existed = os.path.exists(tpath)
+    if existed:
+        os.remove(tpath)
+    return {"deleted": tag if existed else None}
+
+
+def resolve_ref(out_dir: str, ref: str) -> str:
+    """Resolve a snapshot id OR tag name to a snapshot id."""
+    if os.path.exists(os.path.join(out_dir, "snapshots",
+                                   f"{ref}.parquet")):
+        return ref
+    tags = list_tags(out_dir)
+    if ref in tags:
+        return tags[ref]
+    raise FileNotFoundError(f"no snapshot or tag named {ref!r}")
 
 
 def _snapshot_pinned_pids(out_dir: str) -> set:

@@ -203,3 +203,41 @@ def test_incremental_source_stats_matches_full(store):
     again = pipeline.incremental_source_stats(out, "snap-00001", full) \
         .sort_values("source").reset_index(drop=True)
     assert again.equals(full)
+
+
+def test_snapshot_tags_resolve_and_guard(tmp_path, ray_session):
+    from rwcf import fixtures, pipeline
+    path = fixtures.tokens_parquet(120, seed=97,
+                                   cache_dir=str(tmp_path / "tok"),
+                                   row_group_size=40)
+    out = str(tmp_path / "out")
+    cfg = pipeline.EncodeConfig(out_dir=out,
+                                partition_token_budget=15_000)
+    pipeline.encode_job(path, cfg, concurrency=2).materialize()
+    snap = pipeline.create_snapshot(out, note="pristine")["snapshot"]
+    res = pipeline.tag_snapshot(out, "golden")  # latest by default
+    assert res["snapshot"] == snap
+    assert pipeline.list_tags(out) == {"golden": snap}
+
+    ids = pq.read_table(path).column("doc_id").to_pylist()
+    pipeline.delete_docs(out, ids[:3], concurrency=2)
+    # every snapshot reader resolves the tag through load_manifest
+    by_tag = pipeline.decode_job(out, columns=["doc_id"], concurrency=2,
+                                 snapshot="golden").to_pandas()
+    by_id = pipeline.decode_job(out, columns=["doc_id"], concurrency=2,
+                                snapshot=snap).to_pandas()
+    assert sorted(by_tag["doc_id"]) == sorted(by_id["doc_id"])
+    assert len(by_tag) == 120  # pre-delete view
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="still tagged"):
+        pipeline.expire_snapshot(out, snap)
+    # re-tag moves the ref atomically; delete_tag releases the guard
+    snap2 = pipeline.create_snapshot(out, note="post-delete")["snapshot"]
+    pipeline.tag_snapshot(out, "golden", snap2)
+    assert pipeline.expire_snapshot(out, snap)["expired"] == snap
+    assert len(pipeline.decode_job(out, columns=["doc_id"], concurrency=2,
+                                   snapshot="golden").to_pandas()) == 117
+    pipeline.delete_tag(out, "golden")
+    with _pytest.raises(FileNotFoundError):
+        pipeline.resolve_ref(out, "golden")
