@@ -1960,25 +1960,70 @@ def lookup_docs(out_dir: str, keys: list[str],
                           num_cpus=1, **rayenv.remote_args())
 
 
+def _pid_lock(tpath: str, timeout_s: float = 30.0,
+              stale_s: float = 120.0) -> str:
+    """Acquire an exclusive per-partition lockfile (``O_CREAT|O_EXCL`` —
+    atomic on POSIX and NFS-safe enough for a shared manifest dir).
+
+    Serializes the tombstone read-merge-write across CONCURRENT delete /
+    upsert / merge jobs on the same store: without it, two jobs reading
+    the same prior tombstone and replacing it union-blind would each
+    publish only its own positions (classic lost update). Locks from
+    crashed writers age out after ``stale_s`` (the critical section is a
+    one-file read+write, so a lock older than minutes is dead, not slow)."""
+    lock = tpath + ".lock"
+    deadline = time.monotonic() + timeout_s
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, f"{os.getpid()}".encode())
+            os.close(fd)
+            return lock
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(lock) > stale_s:
+                    os.unlink(lock)  # break a dead writer's lock
+                    continue
+            except FileNotFoundError:
+                continue  # holder released between our open and stat
+            if time.monotonic() > deadline:
+                raise TimeoutError(f"tombstone lock busy: {lock}")
+            # jittered backoff keyed on pid so stampeding workers desync
+            time.sleep(0.005 + (os.getpid() % 16) * 0.002)
+
+
 def _merge_tombstone(mdir: str, row: dict, hit_positions) -> int:
     """Union-merge newly dead local row indices into the partition's
     ``{pid}.del.json`` tombstone sidecar (atomic tmp+rename; idempotent).
-    Returns the count of NEWLY deleted rows (0 = nothing written)."""
-    prev = set(row.get("deleted_rows") or [])
+    Returns the count of NEWLY deleted rows (0 = nothing written).
+
+    Safe under concurrent writer JOBS: the read-merge-write runs under a
+    per-pid lockfile (:func:`_pid_lock`), so two delete/upsert jobs
+    hitting the same partition serialize and both sets of positions
+    land. Within one job each pid is scanned by exactly one task, so the
+    lock is uncontended on the common path (one O_CREAT+unlink pair)."""
     tpath = os.path.join(mdir, f"{row['pid']}.del.json")
-    if os.path.exists(tpath):  # newer than the manifest snapshot
-        with open(tpath) as f:
-            prev |= set(json.load(f)["deleted_rows"])
-    new = set(int(x) for x in np.asarray(hit_positions)) - prev
-    if not new:
-        return 0
-    dead = sorted(prev | new)
-    tomb = {"pid": row["pid"], "deleted_rows": dead, "n": len(dead)}
-    tmp = tpath + f".tmp{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump(tomb, f)
-    os.replace(tmp, tpath)  # commit point
-    return len(new)
+    lock = _pid_lock(tpath)
+    try:
+        prev = set(row.get("deleted_rows") or [])
+        if os.path.exists(tpath):  # newer than the manifest snapshot
+            with open(tpath) as f:
+                prev |= set(json.load(f)["deleted_rows"])
+        new = set(int(x) for x in np.asarray(hit_positions)) - prev
+        if not new:
+            return 0
+        dead = sorted(prev | new)
+        tomb = {"pid": row["pid"], "deleted_rows": dead, "n": len(dead)}
+        tmp = tpath + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(tomb, f)
+        os.replace(tmp, tpath)  # commit point
+        return len(new)
+    finally:
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass  # a stale-lock breaker raced us; our write already landed
 
 
 def delete_docs(out_dir: str, keys: list[str],
@@ -1996,9 +2041,12 @@ def delete_docs(out_dir: str, keys: list[str],
 
     Matching is index-grade, not a scan: partitions prune via manifest
     stats + Bloom sidecar, then only admitted doc_id PAGES decode.
-    Idempotent (re-deleting union-merges); single concurrent writer per
-    store assumed, like compact_partitions — the atomic rename makes a
-    lost race re-runnable, never a torn file. Returns
+    Idempotent (re-deleting union-merges), and safe under CONCURRENT
+    delete/upsert/merge jobs: each partition's tombstone commit runs
+    under a per-pid lockfile (see _merge_tombstone), so racing jobs
+    serialize per partition and no positions are lost. (Structural
+    rewrites — compact_partitions, cluster_store — remain single-writer
+    like Iceberg's rewrite actions.) Returns
     ``{"partitions", "rows_deleted"}`` (newly deleted rows only).
     ``exclude_pids`` exempts partitions from the delete — upsert_docs
     uses it so the freshly appended versions survive their own

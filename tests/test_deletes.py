@@ -136,3 +136,55 @@ def test_compaction_materializes_deletes(store):
         .sort_values("doc_id").reset_index(drop=True)
     assert len(dec) == 500 - len(DEAD) - 1
     assert not set(DEAD) & set(dec["doc_id"])
+
+
+def test_concurrent_tombstone_merges_lose_nothing(tmp_path):
+    """Racing writer JOBS union-merging the same partition's tombstone
+    serialize on the per-pid lockfile — every writer's positions land
+    (without the lock, read-merge-replace loses whole writers' sets)."""
+    import threading
+
+    mdir = str(tmp_path / "manifest")
+    os.makedirs(mdir)
+    row = {"pid": "p-race"}
+    n_writers, per = 16, 25
+    errs = []
+
+    def writer(i):
+        try:
+            pos = np.arange(i * per, (i + 1) * per, dtype=np.int64)
+            # two half-batches so each thread re-enters the lock
+            pipeline._merge_tombstone(mdir, dict(row), pos[: per // 2])
+            pipeline._merge_tombstone(mdir, dict(row), pos[per // 2:])
+        except Exception as e:  # surfaced below — threads swallow raises
+            errs.append(e)
+
+    ts = [threading.Thread(target=writer, args=(i,)) for i in range(n_writers)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    with open(os.path.join(mdir, "p-race.del.json")) as f:
+        tomb = json.load(f)
+    assert tomb["deleted_rows"] == list(range(n_writers * per))
+    assert tomb["n"] == n_writers * per
+    # lock released (no leftover .lock forcing the next writer to age-out)
+    assert not [n for n in os.listdir(mdir) if n.endswith(".lock")]
+
+
+def test_tombstone_stale_lock_broken(tmp_path):
+    """A lockfile left by a crashed writer ages out instead of wedging
+    every future delete on that partition."""
+    mdir = str(tmp_path / "manifest")
+    os.makedirs(mdir)
+    tpath = os.path.join(mdir, "p-stale.del.json")
+    lock = tpath + ".lock"
+    with open(lock, "w") as f:
+        f.write("dead")
+    old = __import__("time").time() - 600
+    os.utime(lock, (old, old))
+    n = pipeline._merge_tombstone(mdir, {"pid": "p-stale"},
+                                  np.array([1, 2, 3]))
+    assert n == 3
+    assert not os.path.exists(lock)
