@@ -315,22 +315,18 @@ def hash_join(left, right, on: str, right_on: str | None = None,
                                          value_set=rkeys), False)
             m = la.filter(memb if how == "semi" else pc.invert(memb))
             return _align(m.select(out_l), out_schema)
-        l = g.filter(pc.equal(side, 0)).select([_JK] + out_l).to_pandas()
-        r = g.filter(pc.equal(side, 1)).select([_JK] + out_r).to_pandas()
-        if how in ("left", "outer"):
-            # nullable Int64 BEFORE the merge: an unmatched left row would
-            # otherwise coerce the whole right int64 column to float64,
-            # silently rounding matched values above 2^53 (hash-id range)
-            for c in out_r:
-                if pd.api.types.is_integer_dtype(r[c]):
-                    r[c] = r[c].astype("Int64")
-        if how in ("right", "outer"):
-            # mirror image: unmatched right rows null-fill LEFT columns
-            for c in out_l:
-                if pd.api.types.is_integer_dtype(l[c]):
-                    l[c] = l[c].astype("Int64")
-        m = l.merge(r, on=_JK, how=how)  # exact key equality; bucket routed
-        return _from_pandas_nullable(m[out_l + out_r], out_schema)
+        # Arrow-native hash join on the bucket-local slice (Acero): no
+        # pandas round-trip, unmatched rows null-fill int columns without
+        # the float64/Int64 dtype dance, and null keys get SQL semantics
+        # (never match, preserved-side rows still emitted) — exactly what
+        # the DuckDB oracle computes
+        l = g.filter(pc.equal(side, 0)).select([_JK] + out_l)
+        r = g.filter(pc.equal(side, 1)).select([_JK] + out_r)
+        jt = {"inner": "inner", "left": "left outer",
+              "right": "right outer", "outer": "full outer"}[how]
+        m = l.combine_chunks().join(r.combine_chunks(), keys=_JK,
+                                    join_type=jt)
+        return _align(m.select(out_l + out_r), out_schema)
 
     # repartition to the bucket count BEFORE the groupby: Ray's sort-based
     # shuffle fans out to the number of INPUT blocks, so feeding it the
