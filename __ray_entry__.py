@@ -3364,6 +3364,21 @@ def _q_late_sum_ntok(sf_dir: str):
                                           "n_tok")[["n_rows", "sum_val"]]
 
 
+def _q_late_range_sum(sf_dir: str):
+    """Late materialization with a RANGE predicate (SQL BETWEEN) pushed
+    into the compressed domain: ``source BETWEEN 'src2' AND 'src4'``
+    evaluates once per run/distinct value of the stored codec and the
+    zone-map partition prune becomes an interval-overlap test — no
+    order-preserving dictionary needed, the comparison runs over dict
+    VALUES, not codes (rwcf.pipeline.late_materialized_sum
+    pred_between; mask mechanics shared with the equality path)."""
+    from rwcf import pipeline
+    out = _encoded_run_indexed(sf_dir)
+    return pipeline.late_materialized_sum(
+        out, "source", val_col="n_tok",
+        pred_between=("src2", "src4"))[["n_rows", "sum_val"]]
+
+
 def _q_stats_minmax_ntok(sf_dir: str):
     """MIN/MAX answered purely from the manifest's zone-map page stats —
     zero partition-file IO (rwcf.pipeline.stats_only_minmax)."""
@@ -3817,6 +3832,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_bag_of_words": _q_bag_dedup,
         "brand_price_regression": _q_regression_stats,
         "late_sum_ntok": _q_late_sum_ntok,
+        "late_range_sum": _q_late_range_sum,
         "stats_minmax_ntok": _q_stats_minmax_ntok,
         "doc_lookup": _q_doc_lookup,
         "doc_lookup_bloom": _q_doc_lookup_bloom,
@@ -5590,6 +5606,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
             "CAST(sum(strlen(text)) AS BIGINT) AS sum_val "
             "FROM documents WHERE source = 'src3'"),
+        "late_range_sum": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(strlen(text)) AS BIGINT) AS sum_val "
+            "FROM documents WHERE source BETWEEN 'src2' AND 'src4'"),
         "stats_minmax_ntok": (
             "SELECT CAST(min(strlen(text)) AS BIGINT) AS lo, "
             "CAST(max(strlen(text)) AS BIGINT) AS hi FROM documents"),

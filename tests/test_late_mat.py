@@ -63,6 +63,30 @@ def test_late_materialized_sum_matches_and_prunes(sorted_store):
     assert res["bytes_read"] < res["bytes_total"]
 
 
+def test_late_materialized_range_sum(sorted_store):
+    """Inclusive BETWEEN predicate pushed into the compressed domain:
+    correct totals, value pages outside the source range never read, and
+    wholly-disjoint partitions pruned by the zone-map overlap test."""
+    out, tbl = sorted_store
+    src = np.array(tbl.column("source").to_pylist())
+    ntok = np.asarray(tbl.column("n_tok"), dtype=np.int64)
+    uniq = sorted(set(src))
+    lo, hi = uniq[1], uniq[min(3, len(uniq) - 1)]
+    exp = (src >= lo) & (src <= hi)
+    res = pipeline.late_materialized_sum(
+        out, "source", val_col="n_tok", pred_between=(lo, hi)).iloc[0]
+    assert res["n_rows"] == int(exp.sum())
+    assert res["sum_val"] == int(ntok[exp].sum())
+    assert 0 < res["pages_kept"] < res["pages_total"]
+    assert res["bytes_read"] < res["bytes_total"]
+    # a range covering nothing prunes every partition with zero IO
+    none = pipeline.late_materialized_sum(
+        out, "source", val_col="n_tok",
+        pred_between=("\x00a", "\x00b")).iloc[0]
+    assert none["n_rows"] == 0 and none["pages_kept"] == 0 \
+        and none["bytes_read"] == 0
+
+
 def test_late_materialized_sum_absent_value_zero_io(sorted_store):
     out, _tbl = sorted_store
     res = pipeline.late_materialized_sum(out, "source", "\x00nope",
