@@ -3379,6 +3379,19 @@ def _q_late_range_sum(sf_dir: str):
         pred_between=("src2", "src4"))[["n_rows", "sum_val"]]
 
 
+def _q_store_group_sum(sf_dir: str):
+    """GROUP BY over the encoded store evaluated in the compressed
+    domain: the source-clustered store's RLE runs aggregate via ONE
+    np.add.reduceat per partition (dict partitions via two bincounts
+    over the codes) — the group column never expands to per-row values
+    (rwcf.pipeline.compressed_group_sum; the store-level grouped
+    analogue of the reference's compressed-domain RLE sum,
+    src/test_rle.rs:8-17)."""
+    from rwcf import pipeline
+    return pipeline.compressed_group_sum(
+        _encoded_run_indexed(sf_dir), "source", "n_tok")
+
+
 def _q_stats_minmax_ntok(sf_dir: str):
     """MIN/MAX answered purely from the manifest's zone-map page stats —
     zero partition-file IO (rwcf.pipeline.stats_only_minmax)."""
@@ -3833,6 +3846,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_price_regression": _q_regression_stats,
         "late_sum_ntok": _q_late_sum_ntok,
         "late_range_sum": _q_late_range_sum,
+        "store_group_sum": _q_store_group_sum,
         "stats_minmax_ntok": _q_stats_minmax_ntok,
         "doc_lookup": _q_doc_lookup,
         "doc_lookup_bloom": _q_doc_lookup_bloom,
@@ -5610,6 +5624,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
             "CAST(sum(strlen(text)) AS BIGINT) AS sum_val "
             "FROM documents WHERE source BETWEEN 'src2' AND 'src4'"),
+        "store_group_sum": (
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(strlen(text)) AS BIGINT) AS sum_val "
+            "FROM documents GROUP BY source"),
         "stats_minmax_ntok": (
             "SELECT CAST(min(strlen(text)) AS BIGINT) AS lo, "
             "CAST(max(strlen(text)) AS BIGINT) AS hi FROM documents"),

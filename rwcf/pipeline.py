@@ -1818,6 +1818,125 @@ def late_materialized_sum(out_dir: str, pred_col: str = "source",
                                     "bytes_total")}])
 
 
+def compressed_group_sum(out_dir: str, group_col: str = "source",
+                         val_col: str = "n_tok",
+                         concurrency: int | None = None):
+    """GROUP BY + COUNT/SUM over the encoded store with the group column
+    never expanded to per-row values: per partition the stored codec's
+    compressed form drives the aggregation directly —
+
+    - RLE: runs are contiguous row spans, so per-run sums are ONE
+      ``np.add.reduceat`` over the value column at the run starts and
+      per-run counts are the run lengths; runs (<< rows) then collapse
+      by run value in a tiny Arrow group_by.
+    - dict: codes are a dense 0..n_uniq-1 relabeling, so per-group sums
+      and counts are TWO ``np.bincount`` calls over the codes — no hash
+      table, no string materialization.
+    - any other codec: vectorized Arrow group_by over decoded values
+      (the group column was cheap to store precisely because it wasn't
+      repetitive, so there is no compressed structure to exploit).
+
+    The value column decodes in full (every row participates). Row
+    tombstones mask out before aggregating. Partials are
+    (group, n_rows, sum_val) rows per partition — domain-sized, so the
+    exchange ships O(n_groups x partitions), never O(rows). Returns a
+    pandas DataFrame (group_col, n_rows, sum_val) — group-by result
+    sizes here are dashboard-sized; corpus-cardinality keys belong to
+    the sketch family in rwcf.analytics."""
+    from ray.data.aggregate import Sum
+
+    from .codecs import REGISTRY
+
+    n = concurrency or _default_concurrency()
+    ds = manifest_dataset(out_dir, n_blocks=n * 2)
+
+    def _keyarr(chunk, dtype: str) -> pa.Array:
+        a = fmt.chunk_to_arrow(chunk, dtype)
+        return a.cast(pa.string()) if fmt.is_string(dtype) else a
+
+    def _collapse(keys: pa.Array, n_rows: np.ndarray,
+                  sums: np.ndarray) -> pa.Table:
+        t = pa.table({group_col: keys,
+                      "n_rows": pa.array(n_rows.astype(np.int64)),
+                      "sum_val": pa.array(sums.astype(np.int64))})
+        g = t.group_by(group_col).aggregate([("n_rows", "sum"),
+                                             ("sum_val", "sum")])
+        return pa.table({group_col: g.column(group_col),
+                         "n_rows": g.column("n_rows_sum"),
+                         "sum_val": g.column("sum_val_sum")})
+
+    def scan(batch: pa.Table) -> pa.Table:
+        outs = []
+        for row in manifest_table_to_rows(batch):
+            genc = read_column_section(row, group_col)
+            vals = np.asarray(
+                fmt.decode_chunk(read_column_section(row, val_col)),
+                dtype=np.int64)
+            dead = row.get("deleted_rows")
+            live = None
+            if dead:
+                live = np.ones(vals.size, dtype=bool)
+                live[np.asarray(dead, dtype=np.int64)] = False
+            if genc.codec == "rle":
+                rv, lens = REGISTRY["rle"].decode_runs(
+                    genc.payload, genc.pages, genc.meta, genc.dtype)
+                lens = lens.astype(np.int64)
+                starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                if live is None:
+                    run_sum = np.add.reduceat(vals, starts)
+                    run_n = lens
+                else:
+                    run_sum = np.add.reduceat(
+                        np.where(live, vals, 0), starts)
+                    run_n = np.add.reduceat(live.astype(np.int64), starts)
+                # reduceat quirk: an empty slice at the END can't occur
+                # (every run has length >= 1 by construction)
+                outs.append(_collapse(_keyarr(rv, genc.dtype),
+                                      run_n, run_sum))
+            elif genc.codec == "dict":
+                uniq, codes = REGISTRY["dict"].decode_codes(
+                    genc.payload, genc.pages, genc.meta, genc.dtype)
+                codes = codes.astype(np.int64)
+                if live is not None:
+                    codes, vals = codes[live], vals[live]
+                n_uniq = (uniq[0].size if fmt.is_string(genc.dtype)
+                          else np.asarray(uniq).size)
+                n_rows = np.bincount(codes, minlength=n_uniq)
+                sums = np.bincount(codes, weights=vals,
+                                   minlength=n_uniq).astype(np.int64)
+                keys = _keyarr(uniq, genc.dtype)
+                nz = n_rows > 0  # absent-in-partition dict entries
+                outs.append(pa.table({
+                    group_col: keys.filter(pa.array(nz)),
+                    "n_rows": pa.array(n_rows[nz].astype(np.int64)),
+                    "sum_val": pa.array(sums[nz])}))
+            else:
+                gv = _keyarr(fmt.decode_chunk(genc), genc.dtype)
+                if live is not None:
+                    m = pa.array(live)
+                    gv = gv.filter(m)
+                    vals = vals[live]
+                outs.append(_collapse(gv, np.ones(len(gv), dtype=np.int64),
+                                      vals))
+        if not outs:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "n_rows": pa.array([], pa.int64()),
+                             "sum_val": pa.array([], pa.int64())})
+        return pa.concat_tables(outs, promote_options="default")
+
+    import pandas as pd
+    part = ds.map_batches(scan, batch_size=1, batch_format="pyarrow",
+                          num_cpus=1, **rayenv.remote_args()).to_pandas()
+    if part.empty:
+        return pd.DataFrame({group_col: pd.Series(dtype=str),
+                             "n_rows": pd.Series(dtype="int64"),
+                             "sum_val": pd.Series(dtype="int64")})
+    out = part.groupby(group_col, as_index=False).sum()
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["sum_val"] = out["sum_val"].astype("int64")
+    return out
+
+
 def stats_only_minmax(out_dir: str, column: str = "n_tok",
                       concurrency: int | None = None):
     """MIN/MAX answered ENTIRELY from the manifest's zone-map page stats —

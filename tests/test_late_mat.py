@@ -142,3 +142,54 @@ def test_range_scan_empty_range(sorted_store):
     out, _tbl = sorted_store
     ds = pipeline.range_scan_docs(out, "zzz", "zzzz")
     assert ds.count() == 0
+
+
+def _group_expect(tbl, live_mask=None):
+    import pandas as pd
+    src = np.array(tbl.column("source").to_pylist())
+    ntok = np.asarray(tbl.column("n_tok"), dtype=np.int64)
+    if live_mask is not None:
+        src, ntok = src[live_mask], ntok[live_mask]
+    return pd.DataFrame({"source": src, "v": ntok}) \
+        .groupby("source", as_index=False) \
+        .agg(n_rows=("v", "size"), sum_val=("v", "sum")) \
+        .sort_values("source").reset_index(drop=True)
+
+
+def _group_assert(got, exp):
+    got = got.sort_values("source").reset_index(drop=True)
+    assert got["source"].tolist() == exp["source"].tolist()
+    assert got["n_rows"].tolist() == exp["n_rows"].tolist()
+    assert got["sum_val"].tolist() == exp["sum_val"].tolist()
+
+
+def test_compressed_group_sum_rle_store(sorted_store):
+    """Source-sorted store: the group column stores as RLE and the grouped
+    aggregate reduces once per RUN (np.add.reduceat), never per row."""
+    out, tbl = sorted_store
+    _group_assert(pipeline.compressed_group_sum(out), _group_expect(tbl))
+
+
+def test_compressed_group_sum_dict_plain_and_tombstones(tmp_path,
+                                                        ray_session):
+    """Dict stores aggregate via two bincounts over the codes; plain falls
+    back to a vectorized Arrow group_by; tombstoned rows drop out."""
+    import pyarrow.parquet as pq
+    tbl = fixtures.tokens_table(300, seed=11)
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(tbl, p)
+    exp = _group_expect(tbl)
+    outs = {}
+    for codec in ("dict", "plain"):
+        cfg = pipeline.EncodeConfig(out_dir=str(tmp_path / f"out-{codec}"),
+                                    codecs=[codec],
+                                    partition_token_budget=20_000)
+        pipeline.encode_job(p, cfg).materialize()
+        outs[codec] = cfg.out_dir
+        _group_assert(pipeline.compressed_group_sum(cfg.out_dir), exp)
+    ids = tbl.column("doc_id").to_pylist()
+    dead = set(ids[:7])
+    pipeline.delete_docs(outs["dict"], sorted(dead), concurrency=2)
+    live = np.array([d not in dead for d in ids])
+    _group_assert(pipeline.compressed_group_sum(outs["dict"]),
+                  _group_expect(tbl, live))
