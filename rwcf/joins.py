@@ -45,6 +45,8 @@ from . import rayenv
 _JK = "__rwcf_jk"
 _BUCKET = "__rwcf_bucket"
 _SIDE = "__rwcf_side"
+_LIDX = "__rwcf_lidx"
+_RIDX = "__rwcf_ridx"
 
 
 def hash_bucket(*cols, buckets: int) -> np.ndarray:
@@ -320,12 +322,38 @@ def hash_join(left, right, on: str, right_on: str | None = None,
         # the float64/Int64 dtype dance, and null keys get SQL semantics
         # (never match, preserved-side rows still emitted) — exactly what
         # the DuckDB oracle computes
-        l = g.filter(pc.equal(side, 0)).select([_JK] + out_l)
-        r = g.filter(pc.equal(side, 1)).select([_JK] + out_r)
+        l = g.filter(pc.equal(side, 0)).select([_JK] + out_l) \
+            .combine_chunks()
+        r = g.filter(pc.equal(side, 1)).select([_JK] + out_r) \
+            .combine_chunks()
         jt = {"inner": "inner", "left": "left outer",
               "right": "right outer", "outer": "full outer"}[how]
-        m = l.combine_chunks().join(r.combine_chunks(), keys=_JK,
-                                    join_type=jt)
+        nest_l = [n for n in out_l
+                  if pa.types.is_nested(l.schema.field(n).type)]
+        nest_r = [n for n in out_r
+                  if pa.types.is_nested(r.schema.field(n).type)]
+        if nest_l or nest_r:
+            # Acero rejects nested (list/struct) payload columns in a hash
+            # join ("Data type list<...> is not supported in join non-key
+            # field"): join SLIM sides carrying a row index instead, then
+            # gather each nested column by that index — pc.take maps a
+            # null index (unmatched outer row) to a null value, matching
+            # the join's null-fill semantics exactly
+            ls = l.drop_columns(nest_l).append_column(
+                _LIDX, pa.array(np.arange(l.num_rows, dtype=np.int64)))
+            rs = r.drop_columns(nest_r).append_column(
+                _RIDX, pa.array(np.arange(r.num_rows, dtype=np.int64)))
+            m = ls.join(rs, keys=_JK, join_type=jt)
+            for n in nest_l:
+                m = m.append_column(
+                    n, pc.take(l.column(n).combine_chunks(),
+                               m.column(_LIDX)))
+            for n in nest_r:
+                m = m.append_column(
+                    n, pc.take(r.column(n).combine_chunks(),
+                               m.column(_RIDX)))
+        else:
+            m = l.join(r, keys=_JK, join_type=jt)
         return _align(m.select(out_l + out_r), out_schema)
 
     # repartition to the bucket count BEFORE the groupby: Ray's sort-based

@@ -509,3 +509,43 @@ def test_outer_join_coverage_query(ray_session):
     assert out["side"].tolist() == exp["side"].tolist()
     assert out["n_rows"].tolist() == exp["n"].astype("int64").tolist()
     assert out["sum_nchars"].tolist() == exp["s"].astype("int64").tolist()
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "outer"])
+def test_hash_join_nested_payload_columns(ray_session, how):
+    """List-typed payload columns (embeddings) survive the shuffle join:
+    Acero rejects nested non-key fields, so the in-bucket merge joins
+    slim sides and gathers nested columns by row index — unmatched outer
+    rows must come back as NULL lists, matched ones bit-identical."""
+    import ray.data as rd
+    l = pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                  "vec": pa.array([[1.0, 2.0], [3.0], [], [4.0, 5.0]],
+                                  pa.list_(pa.float32()))})
+    r = pa.table({"id": pa.array([2, 3, 5], pa.int64()),
+                  "emb": pa.array([[9.0], [8.0, 7.0], [6.0]],
+                                  pa.list_(pa.float32())),
+                  "w": pa.array([10, 20, 30], pa.int64())})
+    ds = hash_join(rd.from_arrow(l), rd.from_arrow(r), on="k",
+                   right_on="id", how=how, buckets=4)
+    # collect as Arrow: Ray's to_pandas TensorArray cast chokes on
+    # null-bearing list columns, which is exactly what outer joins emit
+    got = pa.concat_tables(
+        ds.iter_batches(batch_format="pyarrow", batch_size=None)
+    ).to_pandas()
+    ldf = l.to_pandas()
+    rdf = r.to_pandas().rename(columns={"id": "id", "emb": "emb", "w": "w"})
+    want = ldf.merge(rdf, left_on="k", right_on="id", how=how)
+    assert len(got) == len(want)
+    got = got.sort_values(["k", "id"], na_position="last",
+                          ignore_index=True)
+    want = want.sort_values(["k", "id"], na_position="last",
+                            ignore_index=True)
+    for i in range(len(got)):
+        gv, wv = got["vec"][i], want["vec"][i]
+        assert (gv is None and (wv is None or wv is np.nan)) or \
+            np.array_equal(np.asarray(gv), np.asarray(wv))
+        ge, we = got["emb"][i], want["emb"][i]
+        if we is None or (isinstance(we, float) and np.isnan(we)):
+            assert ge is None
+        else:
+            assert np.array_equal(np.asarray(ge), np.asarray(we))
