@@ -3524,6 +3524,62 @@ def _q_wap_scan(sf_dir: str):
         .select_columns(["doc_id", "text"])
 
 
+def _q_branch_scan(sf_dir: str):
+    """Branch refs under the contract (pipeline.create_branch /
+    publish_staged(branch=) / merge_branch — Iceberg branch + WAP-to-
+    branch + fast-forward): a batch staged onto branch "dev" must be
+    invisible to main readers (asserted inline), visible to branch
+    readers, and after the atomic fast-forward merge the main scan is
+    exactly base corpus + branch batch — which is what's returned and
+    SQL-checked."""
+    import pyarrow.parquet as pq
+    from rwcf import documents, pipeline, rayenv
+    work = _workdir("branch", sf_dir)
+    tokens_dir = documents.tokens_parquet_for(sf_dir, work)
+    cfg = pipeline.EncodeConfig(out_dir=os.path.join(work, "out"),
+                                partition_token_budget=500_000)
+    pipeline.encode_job(documents.parquet_files(tokens_dir), cfg) \
+        .materialize()
+    base_rows = sum(r["n_rows"] for r in pipeline.load_manifest(cfg.out_dir))
+
+    pairs = [("999010", "branch-doc-a"), ("999011", "branch-doc-b"),
+             ("999012", "branch-doc-c")]
+    toks = [np.frombuffer(t.encode(), dtype=np.uint8).astype(np.int32)
+            for _, t in pairs]
+    offsets = np.concatenate(([0], np.cumsum([t.size for t in toks])))
+    la = pa.LargeListArray.from_arrays(
+        offsets.astype(np.int64),
+        pa.array(np.concatenate(toks), pa.int32())).cast(pa.list_(pa.int32()))
+    batch = pa.table({
+        "doc_id": pa.array([d for d, _ in pairs], pa.string()),
+        "tokens": la,
+        "n_tok": pa.array([t.size for t in toks], pa.int32()),
+        "source": pa.array(["branch"] * len(pairs), pa.string()),
+    }).cast(pipeline.TOKENS_SCHEMA)
+    bpath = os.path.join(work, "branch-batch.parquet")
+    pq.write_table(batch, bpath)
+
+    if "dev" not in pipeline._branch_refs(cfg.out_dir):
+        pipeline.create_branch(cfg.out_dir, "dev")
+    st = pipeline.stage_append(cfg.out_dir, bpath)
+    pipeline.publish_staged(cfg.out_dir, st["staging_id"], branch="dev")
+    # branch isolation, both directions
+    main_rows = sum(r["n_rows"]
+                    for r in pipeline.load_manifest(cfg.out_dir))
+    assert main_rows == base_rows, "branch rows leaked to main pre-merge"
+    br_rows = sum(r["n_rows"] for r in
+                  pipeline.load_manifest(cfg.out_dir, snapshot="dev"))
+    assert br_rows == base_rows + len(pairs), "branch view missing commit"
+    res = pipeline.merge_branch(cfg.out_dir, "dev")
+    assert res["fast_forward"], res
+
+    dec = pipeline.decode_job(cfg.out_dir)
+    return dec.map_batches(documents.detokenize_batch,
+                           batch_format="pyarrow",
+                           **rayenv.remote_args()) \
+        .select_columns(["doc_id", "text"])
+
+
 def _q_store_fsck(sf_dir: str):
     """Distributed store integrity audit (pipeline.fsck_store, deep
     scrub): every metadata/structure invariant — file extents, page
@@ -3857,6 +3913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leakage_safe_split": _q_leakage_safe_split,
         "store_fsck": _q_store_fsck,
         "wap_scan": _q_wap_scan,
+        "branch_scan": _q_branch_scan,
         "token_needle_multi": _q_token_needle_multi,
         "tag_travel_scan": _q_tag_travel_scan,
         "leakage_safe_split_near": _q_leakage_safe_split_near,
@@ -5654,6 +5711,11 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT * FROM (VALUES "
             "(999006, 'wap-doc-a'), (999007, 'wap-doc-b'), "
             "(999008, 'wap-doc-c')) AS t(doc_id, text)"),
+        "branch_scan": (
+            "SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT * FROM (VALUES "
+            "(999010, 'branch-doc-a'), (999011, 'branch-doc-b'), "
+            "(999012, 'branch-doc-c')) AS t(doc_id, text)"),
         "store_fsck": (
             'SELECT * FROM (VALUES '
             "('file_missing', CAST(0 AS BIGINT)), "

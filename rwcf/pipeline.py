@@ -685,6 +685,20 @@ def load_manifest(out_dir: str, include_replaced: bool = False,
     files make old versions readable for free; ``gc_store`` keeps every
     file a live snapshot references)."""
     if snapshot is not None:
+        brefs = _branch_refs(out_dir)
+        if snapshot in brefs:
+            # BRANCH view: the main store AS OF the branch's base snapshot
+            # plus every partition committed onto the branch since.
+            # Branch rows carry no tombstones (branches are append-only);
+            # the base view pins the tombstone state at fork time, so
+            # main-side deletes/compactions after the fork are invisible
+            # here, exactly like Iceberg branch isolation.
+            base = load_manifest(out_dir, snapshot=brefs[snapshot]["base"])
+            raw = load_manifest(out_dir, include_replaced=True)
+            have = {r["pid"] for r in base}
+            return base + [r for r in raw
+                           if r.get("branch") == snapshot
+                           and r["pid"] not in have]
         spath = os.path.join(out_dir, "snapshots", f"{snapshot}.parquet")
         if not os.path.exists(spath):  # tag indirection (named refs)
             spath = os.path.join(out_dir, "snapshots",
@@ -737,7 +751,19 @@ def load_manifest(out_dir: str, include_replaced: bool = False,
     if include_replaced:
         return out
     replaced = {p for r in out for p in (r.get("replaces") or [])}
-    return [r for r in out if r["pid"] not in replaced]
+    out = [r for r in out if r["pid"] not in replaced]
+    # branch isolation: a row committed onto a branch is invisible to the
+    # main view until its branch ref is flipped to merged (one atomic
+    # os.replace of branches/<name>.json = the whole merge's visibility).
+    # include_replaced=True deliberately keeps branch rows — resume
+    # accounting and gc must see every committed pid regardless of ref
+    # state, or a re-encode could duplicate a branch partition's rows.
+    if any(r.get("branch") for r in out):
+        brefs = _branch_refs(out_dir)
+        out = [r for r in out
+               if not r.get("branch")
+               or brefs.get(r["branch"], {}).get("merged")]
+    return out
 
 
 def compact_manifest(out_dir: str) -> dict:
@@ -1103,10 +1129,13 @@ def expire_snapshot(out_dir: str, snapshot: str,
     Refuses (unless ``force``) while a tag still names the snapshot —
     expiring it would dangle the ref."""
     holders = [t for t, s in list_tags(out_dir).items() if s == snapshot]
+    holders += [f"branch:{n}" for n, r in _branch_refs(out_dir).items()
+                if r.get("base") == snapshot and not r.get("merged")]
     if holders and not force:
         raise ValueError(
-            f"snapshot {snapshot} is still tagged by {sorted(holders)}; "
-            f"delete_tag first or pass force=True")
+            f"snapshot {snapshot} is still referenced by "
+            f"{sorted(holders)}; delete the tag/branch first or pass "
+            f"force=True")
     path = os.path.join(out_dir, "snapshots", f"{snapshot}.parquet")
     if os.path.exists(path):
         os.remove(path)
@@ -1158,6 +1187,151 @@ def delete_tag(out_dir: str, tag: str) -> dict:
     if existed:
         os.remove(tpath)
     return {"deleted": tag if existed else None}
+
+
+def _branch_refs(out_dir: str) -> dict[str, dict]:
+    """{branch name: {"base": snapshot id, "merged": bool}} for every
+    committed branch ref (``branches/<name>.json``)."""
+    bdir = os.path.join(out_dir, "branches")
+    out: dict[str, dict] = {}
+    if os.path.isdir(bdir):
+        for name in sorted(os.listdir(bdir)):
+            if name.endswith(".json"):
+                with open(os.path.join(bdir, name)) as f:
+                    out[name[:-5]] = json.load(f)
+    return out
+
+
+def create_branch(out_dir: str, name: str,
+                  from_ref: str | None = None) -> dict:
+    """Iceberg-style BRANCH: a mutable named lineage forked from a
+    snapshot. ``from_ref`` is a snapshot id or tag (default: a fresh
+    snapshot of the current main state). Readers scan the branch by
+    passing its name anywhere a snapshot is accepted
+    (``decode_job(snapshot="dev")``, lookup, cdc); writers append to it
+    with :func:`publish_staged(..., branch=name)` — staged batches become
+    visible ON THE BRANCH ONLY, never to main readers, until
+    :func:`merge_branch` fast-forwards main. Branches here are
+    append-only (no branch-side deletes); main-side mutation after the
+    fork never leaks into the branch because the base snapshot pins the
+    fork-time (pid, tombstone) state.
+
+    The reference is write-once single-lineage (src/lib.rs:29); branches
+    belong to the mandated mutation/versioning scale extension."""
+    if "/" in name or name.startswith("snap-"):
+        raise ValueError(f"invalid branch name {name!r}")
+    refs = _branch_refs(out_dir)
+    if name in refs:
+        raise FileExistsError(f"branch {name!r} already exists")
+    if from_ref is None:
+        base = create_snapshot(out_dir,
+                               note=f"branch-base:{name}")["snapshot"]
+    else:
+        base = resolve_ref(out_dir, from_ref)
+    bdir = os.path.join(out_dir, "branches")
+    os.makedirs(bdir, exist_ok=True)
+    bpath = os.path.join(bdir, f"{name}.json")
+    tmp = bpath + f".tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"branch": name, "base": base, "merged": False}, f)
+    os.replace(tmp, bpath)  # atomic ref creation
+    return {"branch": name, "base": base}
+
+
+def list_branches(out_dir: str) -> list[dict]:
+    """Every branch ref with its base snapshot, merge state and the count
+    of partitions committed onto it (manifest metadata only)."""
+    refs = _branch_refs(out_dir)
+    if not refs:
+        return []
+    raw = load_manifest(out_dir, include_replaced=True)
+    per = {n: {"branch": n, "base": r["base"],
+               "merged": bool(r.get("merged")),
+               "partitions": 0, "n_rows": 0} for n, r in refs.items()}
+    for r in raw:
+        b = r.get("branch")
+        if b in per:
+            per[b]["partitions"] += 1
+            per[b]["n_rows"] += r["n_rows"]
+    return [per[n] for n in sorted(per)]
+
+
+def merge_branch(out_dir: str, name: str) -> dict:
+    """Fast-forward main to a branch head. Precondition (checked): main's
+    current visible (pid, tombstone) state equals the branch's base
+    snapshot state — i.e. main has not advanced since the fork; a
+    diverged main refuses (three-way merge is out of scope, like
+    Iceberg's fast-forward-only ``manageSnapshots().fastForward``).
+
+    The VISIBILITY COMMIT is one atomic ref flip (``merged: true`` via
+    os.replace): the instant it lands, every branch partition is part of
+    the main view (load_manifest admits merged-branch rows). Cleanup then
+    rewrites each row json without the branch marker and drops the ref —
+    idempotent and crash-safe at any point: marked rows stay visible
+    through the merged ref, unmarked rows are visible on their own, and a
+    re-run skips straight to the remaining cleanup."""
+    refs = _branch_refs(out_dir)
+    if name not in refs:
+        raise FileNotFoundError(f"no branch named {name!r}")
+    ref = refs[name]
+    if not ref.get("merged"):
+        cur = {(r["pid"], tuple(r.get("deleted_rows") or ()))
+               for r in load_manifest(out_dir)}
+        base = {(r["pid"], tuple(r.get("deleted_rows") or ()))
+                for r in load_manifest(out_dir, snapshot=ref["base"])}
+        if cur != base:
+            raise ValueError(
+                f"main has diverged from branch {name!r}'s base "
+                f"{ref['base']} ({len(cur ^ base)} partition states "
+                f"differ); fast-forward merge refused")
+        bpath = os.path.join(out_dir, "branches", f"{name}.json")
+        tmp = bpath + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(dict(ref, merged=True), f)
+        os.replace(tmp, bpath)  # THE merge commit
+    # cleanup: demote branch rows to plain main rows, then drop the ref
+    mdir = os.path.join(out_dir, "manifest")
+    merged = 0
+    for r in load_manifest(out_dir, include_replaced=True):
+        if r.get("branch") != name:
+            continue
+        r = {k: v for k, v in r.items() if k != "branch"}
+        mpath = os.path.join(mdir, f"{r['pid']}.json")
+        mtmp = mpath + f".tmp{os.getpid()}"
+        with open(mtmp, "w") as f:
+            json.dump(r, f)
+        os.replace(mtmp, mpath)
+        merged += 1
+    os.remove(os.path.join(out_dir, "branches", f"{name}.json"))
+    return {"branch": name, "merged_partitions": merged,
+            "fast_forward": True}
+
+
+def delete_branch(out_dir: str, name: str,
+                  discard_data: bool = True) -> dict:
+    """Drop a branch ref; with ``discard_data`` also delete every
+    partition committed onto it (file + manifest row + any bloom/del
+    sidecars) — they are unreachable once the ref is gone. A merged
+    branch has no branch-owned rows left (merge_branch demoted them), so
+    deleting it is a no-op beyond the ref."""
+    refs = _branch_refs(out_dir)
+    if name not in refs:
+        return {"branch": name, "deleted": False}
+    files = 0
+    if discard_data and not refs[name].get("merged"):
+        for r in load_manifest(out_dir, include_replaced=True):
+            if r.get("branch") != name:
+                continue
+            if os.path.exists(r["file"]):
+                os.remove(r["file"])
+                files += 1
+            for suffix in (".json", ".del.json"):
+                mpath = os.path.join(out_dir, "manifest",
+                                     f"{r['pid']}{suffix}")
+                if os.path.exists(mpath):
+                    os.remove(mpath)
+    os.remove(os.path.join(out_dir, "branches", f"{name}.json"))
+    return {"branch": name, "deleted": True, "files_removed": files}
 
 
 def resolve_ref(out_dir: str, ref: str) -> str:
@@ -2780,7 +2954,8 @@ def stage_append(out_dir: str, input_paths,
             "n_tokens": int(man["n_tokens"].sum()) if len(man) else 0}
 
 
-def publish_staged(out_dir: str, staging_id: str) -> dict:
+def publish_staged(out_dir: str, staging_id: str,
+                   branch: str | None = None) -> dict:
     """Write-audit-publish, step 3a: promote an audited staging batch
     into the main store. Per partition the commit protocol is the same
     as a plain encode — data file lands first (one same-filesystem
@@ -2790,8 +2965,22 @@ def publish_staged(out_dir: str, staging_id: str) -> dict:
     sweep, already-promoted pids are skipped, a moved-but-uncommitted
     file is recommitted from its staged row. Staged pids that already
     exist in the main store count as published (the resume semantic —
-    staging the same fragment twice cannot duplicate rows)."""
+    staging the same fragment twice cannot duplicate rows).
+
+    ``branch=<name>`` publishes ONTO A BRANCH (Iceberg WAP-to-branch):
+    the promoted rows carry a branch marker, so they are visible only to
+    readers of that branch (``decode_job(snapshot=<name>)``) until
+    :func:`merge_branch` fast-forwards main — main readers cannot observe
+    a single byte of the batch before the merge's atomic ref flip."""
     import shutil
+    if branch is not None:
+        refs = _branch_refs(out_dir)
+        if branch not in refs:
+            raise FileNotFoundError(f"no branch named {branch!r}")
+        if refs[branch].get("merged"):
+            raise ValueError(
+                f"branch {branch!r} is already merged; create a new "
+                f"branch to stage further work")
     sdir = _staging_dir(out_dir, staging_id)
     rows = load_manifest(sdir)
     committed = {r["pid"] for r in
@@ -2813,6 +3002,8 @@ def publish_staged(out_dir: str, staging_id: str) -> dict:
                 f"staged partition {row['pid']} has no data file at "
                 f"{row['file']} or {dst}")
         row = dict(row, file=dst)
+        if branch is not None:
+            row["branch"] = branch
         mpath = os.path.join(mdir, f"{row['pid']}.json")
         mtmp = mpath + f".tmp{os.getpid()}"
         with open(mtmp, "w") as f:
@@ -2821,7 +3012,7 @@ def publish_staged(out_dir: str, staging_id: str) -> dict:
         published += 1
     shutil.rmtree(sdir, ignore_errors=True)
     return {"staging_id": staging_id, "published": published,
-            "skipped": skipped}
+            "skipped": skipped, "branch": branch}
 
 
 def abort_staged(out_dir: str, staging_id: str) -> dict:

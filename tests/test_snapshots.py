@@ -230,7 +230,7 @@ def test_snapshot_tags_resolve_and_guard(tmp_path, ray_session):
     assert len(by_tag) == 120  # pre-delete view
 
     import pytest as _pytest
-    with _pytest.raises(ValueError, match="still tagged"):
+    with _pytest.raises(ValueError, match="still referenced"):
         pipeline.expire_snapshot(out, snap)
     # re-tag moves the ref atomically; delete_tag releases the guard
     snap2 = pipeline.create_snapshot(out, note="post-delete")["snapshot"]
