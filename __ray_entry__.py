@@ -3580,6 +3580,67 @@ def _q_branch_scan(sf_dir: str):
         .select_columns(["doc_id", "text"])
 
 
+def _q_planned_scan(sf_dir: str):
+    """Cost-based scan planning (rwcf.planner.plan_scan/planned_scan):
+    each predicate picks its cheapest metadata-pruned access path —
+    bloom-sidecar probes for the point lookup (zone maps cannot prune
+    doc_id on this source-sorted store), zone-map partition pruning for
+    the source range — and the EXECUTED plan's rows are SQL-checked.
+    Plan metadata (strategy, partitions_read <= partitions_total) is
+    asserted inline; exact strategy selection is pytest-pinned on a
+    controlled store (tests/test_planner.py)."""
+    from rwcf import planner
+    from rwcf import rayenv as _re
+    out = _encoded_run_indexed(sf_dir)
+
+    ds_eq, p_eq = planner.planned_scan(out, "doc_id", "eq", "137",
+                                       columns=["doc_id", "n_tok"])
+    assert "bloom" in p_eq["strategy"], p_eq
+    assert p_eq["partitions_read"] <= p_eq["partitions_total"]
+    ds_rg, p_rg = planner.planned_scan(out, "source", "between",
+                                       "src12", "src14",
+                                       columns=["doc_id", "n_tok"])
+    assert p_rg["strategy"] in ("zonemap", "full"), p_rg
+    assert p_rg["partitions_read"] <= p_rg["partitions_total"]
+
+    def tag(label):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "probe": pa.array([label] * t.num_rows, pa.string()),
+                "doc_id": t.column("doc_id"),
+                "n_tok": pc.cast(t.column("n_tok"), pa.int64()),
+            })
+        return fn
+
+    return ds_eq.map_batches(tag("eq"), batch_format="pyarrow",
+                             **_re.remote_args()) \
+        .union(ds_rg.map_batches(tag("range"), batch_format="pyarrow",
+                                 **_re.remote_args()))
+
+
+def _q_partition_stats_audit(sf_dir: str):
+    """Partition statistics view (rwcf.planner.partition_stats — the
+    catalog surface for cost-based decisions), audited end-to-end: the
+    manifest-only per-partition stats must roll up to EXACTLY the source
+    table's global facts (row count, token count, key extrema) — any
+    drift in n_rows/tombstones/zone-map bookkeeping breaks the hash."""
+    import pandas as pd
+    from ray.data.aggregate import Max, Min, Sum
+    from rwcf import planner
+    out = _encoded_run(sf_dir)
+    st = planner.partition_stats(out)
+    agg = st.aggregate(Sum("live_rows", alias_name="n_docs"),
+                       Sum("n_tokens", alias_name="n_tokens"),
+                       Min("doc_id_min", alias_name="doc_id_min"),
+                       Max("doc_id_max", alias_name="doc_id_max"))
+    return pd.DataFrame([{
+        "n_docs": int(agg["n_docs"]),
+        "n_tokens": int(agg["n_tokens"]),
+        "doc_id_min": agg["doc_id_min"],
+        "doc_id_max": agg["doc_id_max"],
+    }])
+
+
 def _q_store_fsck(sf_dir: str):
     """Distributed store integrity audit (pipeline.fsck_store, deep
     scrub): every metadata/structure invariant — file extents, page
@@ -3914,6 +3975,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "store_fsck": _q_store_fsck,
         "wap_scan": _q_wap_scan,
         "branch_scan": _q_branch_scan,
+        "planned_scan": _q_planned_scan,
+        "partition_stats_audit": _q_partition_stats_audit,
         "token_needle_multi": _q_token_needle_multi,
         "tag_travel_scan": _q_tag_travel_scan,
         "leakage_safe_split_near": _q_leakage_safe_split_near,
@@ -5711,6 +5774,19 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT * FROM (VALUES "
             "(999006, 'wap-doc-a'), (999007, 'wap-doc-b'), "
             "(999008, 'wap-doc-c')) AS t(doc_id, text)"),
+        "planned_scan": (
+            "SELECT 'eq' AS probe, CAST(doc_id AS VARCHAR) AS doc_id, "
+            "CAST(strlen(text) AS BIGINT) AS n_tok FROM documents "
+            "WHERE CAST(doc_id AS VARCHAR) = '137' "
+            "UNION ALL "
+            "SELECT 'range', CAST(doc_id AS VARCHAR), "
+            "CAST(strlen(text) AS BIGINT) FROM documents "
+            "WHERE source BETWEEN 'src12' AND 'src14'"),
+        "partition_stats_audit": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(strlen(text)) AS BIGINT) AS n_tokens, "
+            "min(CAST(doc_id AS VARCHAR)) AS doc_id_min, "
+            "max(CAST(doc_id AS VARCHAR)) AS doc_id_max FROM documents"),
         "branch_scan": (
             "SELECT doc_id, text FROM documents "
             "UNION ALL SELECT * FROM (VALUES "

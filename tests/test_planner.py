@@ -1,0 +1,126 @@
+"""Cost-based scan planner: the partition statistics view is
+manifest-accurate, plan_scan picks the cheapest metadata-pruned access
+path (zone map / bloom / token index / full), and planned_scan's
+execution matches a brute-force full-decode filter exactly.
+"""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from rwcf import fixtures, invindex, pipeline, planner
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory, ray_session):
+    """Clustered store: rows sorted by doc_id (zero-padded strings), a
+    bloom sidecar on doc_id, small partitions so pruning has targets."""
+    tmp = tmp_path_factory.mktemp("planner")
+    path = fixtures.tokens_parquet(300, seed=11, cache_dir=str(tmp / "tok"),
+                                   row_group_size=60)
+    out = str(tmp / "out")
+    cfg = pipeline.EncodeConfig(out_dir=out,
+                                partition_token_budget=15_000,
+                                bloom_bits_per_key=10)
+    pipeline.encode_job(path, cfg, concurrency=2).materialize()
+    return out, path
+
+
+def test_partition_stats_view_matches_manifest(store):
+    out, _ = store
+    st = planner.partition_stats(out).to_pandas()
+    rows = pipeline.load_manifest(out)
+    assert len(st) == len(rows) > 1
+    by_pid = {r["pid"]: r for r in rows}
+    for _, s in st.iterrows():
+        r = by_pid[s["pid"]]
+        assert s["n_rows"] == r["n_rows"]
+        assert s["live_rows"] == r["n_rows"] - len(r.get("deleted_rows")
+                                                   or ())
+        assert s["encoded_bytes"] == r["encoded_bytes"]
+        assert s["has_bloom"]
+        assert "tokens=" in s["codecs"]
+        assert s["doc_id_min"] <= s["doc_id_max"]
+    assert st["n_tokens"].sum() == sum(r["n_tokens"] for r in rows)
+
+
+def test_plan_eq_uses_zonemap_and_bloom(store):
+    out, path = store
+    ids = pq.read_table(path, columns=["doc_id"]).column("doc_id") \
+        .to_pylist()
+    probe = sorted(ids)[len(ids) // 2]
+    plan = planner.plan_scan(out, "doc_id", "eq", probe)
+    assert plan["strategy"] in ("zonemap+bloom", "bloom")
+    assert 1 <= plan["partitions_read"] < plan["partitions_total"]
+    # a key that exists nowhere: zone maps may admit a range but the
+    # bloom probes must reject essentially everything
+    miss = planner.plan_scan(out, "doc_id", "eq", "zz-not-a-doc")
+    assert miss["partitions_read"] <= 1
+    assert miss["prune_ratio"] > 0.5
+
+
+def test_plan_between_zonemap(store):
+    out, path = store
+    ids = sorted(pq.read_table(path, columns=["doc_id"]).column("doc_id")
+                 .to_pylist())
+    lo, hi = ids[10], ids[40]
+    plan = planner.plan_scan(out, "doc_id", "between", lo, hi)
+    assert plan["strategy"] == "zonemap"
+    assert plan["partitions_read"] < plan["partitions_total"]
+    assert plan["est_live_rows"] >= 31
+
+
+def test_planned_scan_matches_full_decode(store):
+    out, path = store
+    ids = sorted(pq.read_table(path, columns=["doc_id"]).column("doc_id")
+                 .to_pylist())
+    lo, hi = ids[5], ids[60]
+    ds, plan = planner.planned_scan(out, "doc_id", "between", lo, hi,
+                                    columns=["doc_id", "n_tok"],
+                                    concurrency=2)
+    got = ds.to_pandas().sort_values("doc_id", ignore_index=True)
+    full = pipeline.decode_job(out, columns=["doc_id", "n_tok"],
+                               concurrency=2).to_pandas()
+    want = full[(full["doc_id"] >= lo) & (full["doc_id"] <= hi)] \
+        .sort_values("doc_id", ignore_index=True)
+    assert got.equals(want)
+    assert plan["partitions_read"] < plan["partitions_total"]
+
+    ds2, plan2 = planner.planned_scan(out, "doc_id", "eq", ids[7],
+                                      columns=["doc_id", "source"],
+                                      concurrency=2)
+    got2 = ds2.to_pandas()
+    assert got2["doc_id"].tolist() == [ids[7]]
+    assert plan2["partitions_read"] <= plan2["partitions_total"]
+
+
+def test_plan_contains_tokens_routes_through_index(store):
+    out, path = store
+    # no index yet -> full scan strategy
+    t = pq.read_table(path, columns=["tokens"])
+    needle = [int(t.column("tokens")[0][0].as_py())]
+    plan0 = planner.plan_scan(out, "tokens", "contains_tokens", needle)
+    assert plan0["strategy"] == "full"
+    invindex.build_token_index(out, concurrency=2)
+    plan1 = planner.plan_scan(out, "tokens", "contains_tokens", needle)
+    assert plan1["strategy"] == "token_index"
+    assert plan1["partitions_read"] <= plan1["partitions_total"]
+    # execution equals the brute-force contains check
+    ds, _ = planner.planned_scan(out, "tokens", "contains_tokens", needle,
+                                 concurrency=2)
+    got = set(ds.to_pandas()["doc_id"])
+    dec = pipeline.decode_job(out, columns=["doc_id", "n_tok", "tokens"],
+                              concurrency=2).to_pandas()
+    want = {d for d, toks in zip(dec["doc_id"], dec["tokens"])
+            if needle[0] in np.asarray(toks)}
+    assert got == want and got
+
+
+def test_plan_full_when_no_stats_column(store):
+    out, _ = store
+    plan = planner.plan_scan(out, "nope", "eq", "x")
+    # unknown column: no stats -> nothing prunes -> full
+    assert plan["strategy"] == "full"
+    assert plan["partitions_read"] == plan["partitions_total"]
+    with pytest.raises(ValueError, match="op must be"):
+        planner.plan_scan(out, "doc_id", "like", "x")
