@@ -1143,6 +1143,58 @@ def expire_snapshot(out_dir: str, snapshot: str,
     return {"expired": None}
 
 
+def expire_snapshots(out_dir: str, keep_last: int = 2,
+                     keep_tagged: bool = True,
+                     older_than_s: float | None = None,
+                     dry_run: bool = False) -> dict:
+    """RETENTION POLICY over the snapshot log (Iceberg
+    ``expireSnapshots`` / Delta ``VACUUM`` role): drop every snapshot
+    except (a) the newest ``keep_last``, (b) tagged ones while
+    ``keep_tagged``, (c) bases of live (unmerged) branches — those pin
+    readable history someone explicitly named. ``older_than_s``
+    additionally protects any snapshot whose sidecar is younger than
+    that many seconds (grace window for in-flight readers), measured
+    from the snapshot file's mtime — commit time, since sidecars are
+    written once and never touched. After expiry, :func:`gc_store`
+    reclaims partition files only the dropped snapshots were pinning.
+
+    O(snapshots) metadata; idempotent; ``dry_run`` reports the plan
+    without deleting. The reference keeps no history at all
+    (src/lib.rs:29); retention belongs to the mandated
+    mutation/versioning extension."""
+    import time as _time
+    snaps = [s["snapshot"] for s in list_snapshots(out_dir)]
+    protected = set(snaps[len(snaps) - keep_last:] if keep_last else [])
+    if keep_tagged:
+        protected |= set(list_tags(out_dir).values())
+    protected |= {r["base"] for r in _branch_refs(out_dir).values()
+                  if not r.get("merged")}
+    now = _time.time()
+    victims = []
+    for s in snaps:
+        if s in protected:
+            continue
+        if older_than_s is not None:
+            path = os.path.join(out_dir, "snapshots", f"{s}.parquet")
+            if now - os.path.getmtime(path) < older_than_s:
+                continue
+        victims.append(s)
+    if dry_run:
+        return {"expired": [], "would_expire": victims,
+                "kept": sorted(set(snaps) - set(victims))}
+    tags = list_tags(out_dir)
+    for s in victims:
+        # keep_tagged=False is an explicit ask to drop tagged history —
+        # remove the tags too so no ref dangles
+        for t, target in tags.items():
+            if target == s:
+                delete_tag(out_dir, t)
+        expire_snapshot(out_dir, s, force=True)  # policy already vetted
+    gc = gc_store(out_dir)
+    return {"expired": victims,
+            "kept": sorted(set(snaps) - set(victims)), "gc": gc}
+
+
 def tag_snapshot(out_dir: str, tag: str,
                  snapshot: str | None = None) -> dict:
     """Named ref over a snapshot (Iceberg tags / git-tag role): a tag is

@@ -241,3 +241,48 @@ def test_snapshot_tags_resolve_and_guard(tmp_path, ray_session):
     pipeline.delete_tag(out, "golden")
     with _pytest.raises(FileNotFoundError):
         pipeline.resolve_ref(out, "golden")
+
+
+def test_expire_snapshots_retention_policy(store, tmp_path):
+    """Bulk retention: keep the newest N + tagged + live branch bases;
+    expired snapshots release their gc pins; dry_run plans without
+    deleting; keep_tagged=False drops the tag along with its snapshot."""
+    out = store["out"]
+    import pyarrow.parquet as pq
+    ids = pq.read_table(store["src"]).column("doc_id").to_pylist()
+    s0 = pipeline.create_snapshot(out, note="s0")["snapshot"]
+    pipeline.delete_docs(out, ids[:2], concurrency=2)
+    s1 = pipeline.create_snapshot(out, note="s1")["snapshot"]
+    pipeline.delete_docs(out, ids[2:4], concurrency=2)
+    s2 = pipeline.create_snapshot(out, note="s2")["snapshot"]
+    s3 = pipeline.create_snapshot(out, note="s3")["snapshot"]
+    pipeline.tag_snapshot(out, "golden", s1)
+    br = pipeline.create_branch(out, "ret")  # base = fresh snapshot s4
+
+    # newest = the branch base; keep_last=1 protects only it, plus the
+    # tag on s1 and the branch base (doubly protected)
+    plan = pipeline.expire_snapshots(out, keep_last=1, dry_run=True)
+    assert plan["expired"] == [] \
+        and set(plan["would_expire"]) == {s0, s2, s3}
+    # still all present
+    assert {s["snapshot"] for s in pipeline.list_snapshots(out)} == \
+        {s0, s1, s2, s3, br["base"]}
+
+    res = pipeline.expire_snapshots(out, keep_last=1)
+    assert set(res["expired"]) == {s0, s2, s3}
+    kept = {s["snapshot"] for s in pipeline.list_snapshots(out)}
+    assert kept == {s1, br["base"]}  # tagged + branch base
+
+    # grace window protects young snapshots regardless of count
+    res2 = pipeline.expire_snapshots(out, keep_last=0, keep_tagged=True,
+                                     older_than_s=3600)
+    assert res2["expired"] == []
+
+    # dropping tagged history removes the tag too (no dangling refs)
+    pipeline.delete_branch(out, "ret")
+    res3 = pipeline.expire_snapshots(out, keep_last=0, keep_tagged=False)
+    assert s1 in res3["expired"]
+    assert "golden" not in pipeline.list_tags(out)
+    assert pipeline.list_snapshots(out) == []
+    # the store itself is untouched by retention
+    assert len(_ids(out)) == 300 - 4
