@@ -3580,6 +3580,55 @@ def _q_branch_scan(sf_dir: str):
         .select_columns(["doc_id", "text"])
 
 
+def _q_vacuum_scan(sf_dir: str):
+    """Maintenance autopilot under the contract (rwcf.maintenance.vacuum
+    — Delta OPTIMIZE/VACUUM role): the store gets dirtied (tombstoned
+    deletes, an upsert, stale snapshots, many small partitions), one
+    vacuum() composes retention + compaction (materializing tombstones
+    away) + manifest folding + gc, and the post-vacuum scan must be
+    bit-identical to the logical state — deletes gone, upsert visible,
+    nothing else disturbed. Inline asserts pin that maintenance actually
+    ran (fewer partitions, zero live tombstones, snapshots expired)."""
+    import pyarrow.parquet as pq
+    from rwcf import documents, maintenance, pipeline, rayenv
+    work = _workdir("vacuum", sf_dir)
+    tokens_dir = documents.tokens_parquet_for(sf_dir, work)
+    cfg = pipeline.EncodeConfig(out_dir=os.path.join(work, "out"),
+                                partition_token_budget=120_000)
+    pipeline.encode_job(documents.parquet_files(tokens_dir), cfg) \
+        .materialize()
+
+    pipeline.delete_docs(cfg.out_dir, ["7", "57", "123"])
+    pipeline.create_snapshot(cfg.out_dir, note="pre")
+    up_text = "vacuumed-doc"
+    toks = np.frombuffer(up_text.encode(), dtype=np.uint8).astype(np.int32)
+    la = pa.LargeListArray.from_arrays(
+        np.array([0, toks.size], np.int64),
+        pa.array(toks, pa.int32())).cast(pa.list_(pa.int32()))
+    pipeline.upsert_docs(cfg.out_dir, pa.table({
+        "doc_id": pa.array(["3"], pa.string()),
+        "tokens": la,
+        "n_tok": pa.array([toks.size], pa.int32()),
+        "source": pa.array(["vac"], pa.string()),
+    }).cast(pipeline.TOKENS_SCHEMA))
+    pipeline.create_snapshot(cfg.out_dir, note="post")
+
+    n_before = len(pipeline.load_manifest(cfg.out_dir))
+    res = maintenance.vacuum(cfg.out_dir, target_tokens=2_000_000,
+                             retention_keep_last=0)
+    after = pipeline.load_manifest(cfg.out_dir)
+    assert len(after) < n_before, res
+    assert not any(r.get("deleted_rows") for r in after)
+    assert pipeline.list_snapshots(cfg.out_dir) == []
+    assert res["plan"]["compaction_groups"] >= 1
+
+    dec = pipeline.decode_job(cfg.out_dir)
+    return dec.map_batches(documents.detokenize_batch,
+                           batch_format="pyarrow",
+                           **rayenv.remote_args()) \
+        .select_columns(["doc_id", "text"])
+
+
 def _q_planned_scan(sf_dir: str):
     """Cost-based scan planning (rwcf.planner.plan_scan/planned_scan):
     each predicate picks its cheapest metadata-pruned access path —
@@ -3977,6 +4026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "branch_scan": _q_branch_scan,
         "planned_scan": _q_planned_scan,
         "partition_stats_audit": _q_partition_stats_audit,
+        "vacuum_scan": _q_vacuum_scan,
         "token_needle_multi": _q_token_needle_multi,
         "tag_travel_scan": _q_tag_travel_scan,
         "leakage_safe_split_near": _q_leakage_safe_split_near,
@@ -5774,6 +5824,10 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT * FROM (VALUES "
             "(999006, 'wap-doc-a'), (999007, 'wap-doc-b'), "
             "(999008, 'wap-doc-c')) AS t(doc_id, text)"),
+        "vacuum_scan": (
+            "SELECT doc_id, text "
+            "FROM documents WHERE doc_id NOT IN (7, 57, 123, 3) "
+            "UNION ALL SELECT 3, 'vacuumed-doc'"),
         "planned_scan": (
             "SELECT 'eq' AS probe, CAST(doc_id AS VARCHAR) AS doc_id, "
             "CAST(strlen(text) AS BIGINT) AS n_tok FROM documents "

@@ -543,7 +543,8 @@ def manifest_rows_to_table(rows: list[dict]) -> pa.Table:
                                         ("columns", "lineage", "codec_by_column",
                                          "status", "stats", "bloom",
                                          "replaces", "deleted_rows",
-                                         "schema_version")})
+                                         "schema_version", "branch",
+                                         "bloom_bytes")})
                             for r in rows], pa.string()),
     })
 

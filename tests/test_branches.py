@@ -169,3 +169,18 @@ def test_branch_api_guards(store, tmp_path):
     delta = pipeline.cdc_scan(store, snap, "g1").to_pandas()
     assert set(delta["doc_id"]) == {"g-1"}
     assert set(delta["op"]) == {"insert"}
+
+
+def test_branch_marker_survives_manifest_compaction(store, tmp_path):
+    """compact_manifest folds loose rows into a parquet shard; the branch
+    marker must survive the round-trip or staged rows would leak into
+    the main view (regression: detail-key allowlist)."""
+    base = _ids(store)
+    pipeline.create_branch(store, "mc")
+    _commit_to_branch(store, tmp_path, "mc", [("mc-1", "kk")], "bmc")
+    res = pipeline.compact_manifest(store)
+    assert res["compacted"] >= 1
+    assert _ids(store) == base          # still invisible on main
+    assert _ids(store, snapshot="mc") == base | {"mc-1"}
+    pipeline.merge_branch(store, "mc")
+    assert _ids(store) == base | {"mc-1"}
