@@ -3667,6 +3667,35 @@ def _q_planned_scan(sf_dir: str):
                                  **_re.remote_args()))
 
 
+def _q_ordered_limit_scan(sf_dir: str):
+    """ORDER BY + LIMIT without a corpus-wide sort shuffle
+    (rwcf.planner.ordered_limit_scan): on the doc_id-clustered store the
+    k lexicographically-smallest doc_ids come from a zone-map-ordered
+    partition PREFIX — only those partitions decode, each yields a
+    vectorized local top-k, and the final Ray sort sees k-sized locals,
+    never the corpus. Prefix pruning asserted inline; result SQL-checked
+    against ORDER BY/LIMIT."""
+    from rwcf import documents, pipeline, planner, rayenv
+    work = _workdir("ordscan", sf_dir)
+    tokens_dir = documents.tokens_parquet_for(sf_dir, work)
+    cfg = pipeline.EncodeConfig(out_dir=os.path.join(work, "out"),
+                                partition_token_budget=120_000)
+    pipeline.encode_job(documents.parquet_files(tokens_dir), cfg) \
+        .materialize()
+    pipeline.cluster_store(cfg.out_dir, by="doc_id",
+                           target_tokens=120_000)
+    ds, plan = planner.ordered_limit_scan(cfg.out_dir, "doc_id", 40,
+                                          columns=["doc_id", "n_tok"])
+    assert plan["partitions_read"] < plan["partitions_total"], plan
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_tok": pc.cast(t.column("n_tok"), pa.int64())})
+
+    return ds.map_batches(widen, batch_format="pyarrow",
+                          **rayenv.remote_args())
+
+
 def _q_partition_stats_audit(sf_dir: str):
     """Partition statistics view (rwcf.planner.partition_stats — the
     catalog surface for cost-based decisions), audited end-to-end: the
@@ -4027,6 +4056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "planned_scan": _q_planned_scan,
         "partition_stats_audit": _q_partition_stats_audit,
         "vacuum_scan": _q_vacuum_scan,
+        "ordered_limit_scan": _q_ordered_limit_scan,
         "token_needle_multi": _q_token_needle_multi,
         "tag_travel_scan": _q_tag_travel_scan,
         "leakage_safe_split_near": _q_leakage_safe_split_near,
@@ -5824,6 +5854,10 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT * FROM (VALUES "
             "(999006, 'wap-doc-a'), (999007, 'wap-doc-b'), "
             "(999008, 'wap-doc-c')) AS t(doc_id, text)"),
+        "ordered_limit_scan": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "CAST(strlen(text) AS BIGINT) AS n_tok FROM documents "
+            "ORDER BY CAST(doc_id AS VARCHAR) LIMIT 40"),
         "vacuum_scan": (
             "SELECT doc_id, text "
             "FROM documents WHERE doc_id NOT IN (7, 57, 123, 3) "

@@ -161,6 +161,127 @@ def plan_scan(out_dir: str, column: str, op: str, value=None,
     return plan
 
 
+def plan_scan_multi(out_dir: str, preds: list[tuple],
+                    snapshot: str | None = None) -> dict:
+    """Conjunctive (AND) plan: intersect each predicate's admitted
+    partition set — metadata-only, so a scan with two half-selective
+    predicates reads only the intersection. ``preds`` is a list of
+    ``(column, op, value[, value2])`` tuples (ops as in plan_scan,
+    contains_tokens included when the token index exists)."""
+    plans = []
+    for p in preds:
+        col, op, *vals = p
+        plans.append(plan_scan(out_dir, col, op, *vals,
+                               snapshot=snapshot))
+    pids = set(plans[0]["pids"])
+    for pl in plans[1:]:
+        pids &= set(pl["pids"])
+    rows = {r["pid"]: r for r in pipeline.load_manifest(
+        out_dir, snapshot=snapshot)}
+    admitted = [rows[p] for p in sorted(pids)]
+    return {
+        "preds": [pl["column"] + ":" + pl["op"] for pl in plans],
+        "strategy": "+".join(pl["strategy"] for pl in plans),
+        "partitions_total": plans[0]["partitions_total"],
+        "partitions_read": len(admitted),
+        "est_live_rows": int(sum(
+            r["n_rows"] - len(r.get("deleted_rows") or ())
+            for r in admitted)),
+        "prune_ratio": round(
+            1.0 - len(admitted) / plans[0]["partitions_total"], 4)
+        if plans[0]["partitions_total"] else 0.0,
+        "pids": sorted(pids),
+        "per_pred": [{k: pl[k] for k in
+                      ("column", "op", "strategy", "partitions_read")}
+                     for pl in plans],
+    }
+
+
+def ordered_limit_scan(out_dir: str, column: str, k: int,
+                       columns: list[str] | None = None,
+                       descending: bool = False,
+                       concurrency: int | None = None,
+                       snapshot: str | None = None):
+    """ORDER BY <column> LIMIT k WITHOUT a global sort shuffle: order
+    partitions by their zone-map min (max when descending), take the
+    shortest prefix whose live rows cover k, and admit only partitions
+    whose range can still beat the prefix's worst admitted value — on a
+    clustered store (non-overlapping ranges) that is O(k) partitions
+    regardless of corpus size; on an unclustered store it degrades
+    gracefully toward a full scan, never returning a wrong answer
+    (admission is conservative). Each admitted partition then yields its
+    LOCAL top-k vectorized, and one tiny final sort over <= k * admitted
+    rows produces the answer — the all-to-all Ray Sort never sees the
+    corpus, only k-sized locals.
+
+    Returns ``(dataset, plan)``; the dataset rows are globally sorted.
+    Partitioning assumption (custom-operator rule): k * admitted
+    partitions fits one final task — use a pre-filter for huge k."""
+    import pyarrow.compute as pc
+    rows = pipeline.load_manifest(out_dir, snapshot=snapshot)
+    total = len(rows)
+    end = "max" if descending else "min"
+
+    def best(r):
+        st = (r.get("stats") or {}).get(column)
+        return None if st is None else st.get(end)
+
+    # stat-less partitions may hold anything: they go FIRST (always in
+    # the admitted prefix) and never prune
+    unknown = [r for r in rows if best(r) is None]
+    known = sorted((r for r in rows if best(r) is not None), key=best,
+                   reverse=descending)
+    srt = unknown + known
+
+    live = [r["n_rows"] - len(r.get("deleted_rows") or ()) for r in srt]
+    cum = 0
+    prefix = 0
+    for i, n in enumerate(live):
+        cum += n
+        prefix = i + 1
+        if cum >= k:
+            break
+    # bound: the k-th best value is no worse than the prefix's worst
+    # possible value; only partitions whose best can beat it matter
+    stats = [(r.get("stats") or {}).get(column) for r in srt]
+    if descending:
+        bound = min((s["min"] for s in stats[:prefix] if s),
+                    default=None)
+        admitted = [r for r, s in zip(srt, stats)
+                    if s is None or bound is None or s["max"] >= bound]
+    else:
+        bound = max((s["max"] for s in stats[:prefix] if s),
+                    default=None)
+        admitted = [r for r, s in zip(srt, stats)
+                    if s is None or bound is None or s["min"] <= bound]
+    plan = {"column": column, "k": k, "descending": descending,
+            "strategy": "ordered-zonemap",
+            "partitions_total": total,
+            "partitions_read": len(admitted),
+            "prune_ratio": round(1.0 - len(admitted) / total, 4)
+            if total else 0.0,
+            "pids": sorted(r["pid"] for r in admitted)}
+
+    want = set(plan["pids"])
+    need = list(dict.fromkeys((columns or ["doc_id", "n_tok"]) + [column]))
+    dec = pipeline.decode_job(out_dir, columns=need,
+                              concurrency=concurrency,
+                              where=lambda r: r["pid"] in want,
+                              snapshot=snapshot)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            t, k=min(k, t.num_rows),
+            sort_keys=[(column, "descending" if descending
+                        else "ascending")])
+        return t.take(idx).select(columns or need)
+
+    ds = dec.map_batches(local_topk, batch_format="pyarrow",
+                         **rayenv.remote_args())
+    ds = ds.sort(column, descending=descending).limit(k)
+    return ds, plan
+
+
 def planned_scan(out_dir: str, column: str, op: str, value=None,
                  value2=None, columns: list[str] | None = None,
                  concurrency: int | None = None,

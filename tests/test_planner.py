@@ -124,3 +124,63 @@ def test_plan_full_when_no_stats_column(store):
     assert plan["partitions_read"] == plan["partitions_total"]
     with pytest.raises(ValueError, match="op must be"):
         planner.plan_scan(out, "doc_id", "like", "x")
+
+
+def test_ordered_limit_scan_prunes_and_matches(store):
+    from rwcf import planner as pl
+    out, path = store
+    full = pipeline.decode_job(out, columns=["doc_id", "n_tok"],
+                               concurrency=2).to_pandas()
+    ds, plan = pl.ordered_limit_scan(out, "doc_id", 25,
+                                     columns=["doc_id", "n_tok"],
+                                     concurrency=2)
+    got = ds.to_pandas()
+    want = full.sort_values("doc_id", ignore_index=True).head(25)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["n_tok"].tolist() == want["n_tok"].tolist()
+    # the clustered store answers ORDER BY LIMIT from a partition prefix
+    assert plan["partitions_read"] < plan["partitions_total"]
+
+    ds_d, plan_d = pl.ordered_limit_scan(out, "doc_id", 10,
+                                         columns=["doc_id"],
+                                         descending=True, concurrency=2)
+    want_d = sorted(full["doc_id"], reverse=True)[:10]
+    assert ds_d.to_pandas()["doc_id"].tolist() == want_d
+    assert plan_d["partitions_read"] < plan_d["partitions_total"]
+
+
+def test_ordered_limit_scan_respects_tombstones(store, tmp_path):
+    from rwcf import planner as pl
+    out, path = store
+    full = pipeline.decode_job(out, columns=["doc_id"],
+                               concurrency=2).to_pandas()
+    first = sorted(full["doc_id"])[:3]
+    pipeline.delete_docs(out, first, concurrency=2)
+    try:
+        ds, _ = pl.ordered_limit_scan(out, "doc_id", 5,
+                                      columns=["doc_id"], concurrency=2)
+        got = ds.to_pandas()["doc_id"].tolist()
+        want = sorted(set(full["doc_id"]) - set(first))[:5]
+        assert got == want
+    finally:
+        # undo for the module-scoped store fixture
+        import os
+        mdir = os.path.join(out, "manifest")
+        for n in os.listdir(mdir):
+            if n.endswith(".del.json"):
+                os.remove(os.path.join(mdir, n))
+
+
+def test_plan_scan_multi_intersects(store):
+    from rwcf import planner as pl
+    out, path = store
+    ids = sorted(pq.read_table(path, columns=["doc_id"]).column("doc_id")
+                 .to_pylist())
+    lo, hi = ids[0], ids[50]
+    multi = pl.plan_scan_multi(out, [("doc_id", "between", lo, hi),
+                                     ("doc_id", "eq", ids[7])])
+    single = pl.plan_scan(out, "doc_id", "eq", ids[7])
+    assert set(multi["pids"]) <= set(single["pids"])
+    assert multi["partitions_read"] <= single["partitions_read"]
+    assert multi["strategy"].count("+") >= 1
+    assert len(multi["per_pred"]) == 2
