@@ -3797,6 +3797,112 @@ def _q_store_column_counts(sf_dir: str):
             .aggregate(Sum("n_values", alias_name="n_values")))
 
 
+_SPJ_RUNS: dict[str, tuple[str, str, str]] = {}
+
+
+def _spj_runs(sf_dir: str) -> tuple[str, str, str]:
+    """Three cached co-bucketed stores (rwcf.spj.bucket_store — ONE
+    write-time groupby shuffle each, then every join is exchange-free):
+    A = the tokens table, B = a token-free per-doc attribute side table
+    (len8 = n_tok % 8), BSUB = B restricted to doc_id % 5 == 0 so left
+    joins see real misses. All commit the same (doc_id, 16-bucket)
+    bucketspec — the partitioning contract storage_partitioned_join
+    validates before running."""
+    if sf_dir in _SPJ_RUNS:
+        return _SPJ_RUNS[sf_dir]
+    import ray.data as rd
+    from rwcf import documents, pipeline, rayenv, spj
+    work = _workdir("spj", sf_dir)
+    tokens_dir = documents.tokens_parquet_for(sf_dir, work)
+    paths = documents.parquet_files(tokens_dir)
+
+    cfg_a = pipeline.EncodeConfig(out_dir=os.path.join(work, "a"),
+                                  partition_token_budget=1_000_000)
+    spj.bucket_store(paths, cfg_a, key="doc_id", n_buckets=16).materialize()
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "len8": pc.cast(pc.bit_wise_and(t.column("n_tok"), 7),
+                            pa.int32()),
+            "source": t.column("source")})
+
+    stats_dir = os.path.join(work, "bstats")
+    rd.read_parquet(paths).map_batches(derive, batch_format="pyarrow",
+                                       **rayenv.remote_args()) \
+        .write_parquet(stats_dir)
+    cfg_b = pipeline.EncodeConfig(out_dir=os.path.join(work, "b"),
+                                  columns=["doc_id", "len8", "source"],
+                                  partition_token_budget=100_000)
+    spj.bucket_store(documents.parquet_files(stats_dir), cfg_b,
+                     key="doc_id", n_buckets=16).materialize()
+
+    def sub(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column("doc_id"), pa.int64())
+        keep = pc.equal(
+            pc.subtract(ids, pc.multiply(pc.divide(ids, 5), 5)), 0)
+        return t.filter(keep)
+
+    sub_dir = os.path.join(work, "bsub")
+    rd.read_parquet(documents.parquet_files(stats_dir)) \
+        .map_batches(sub, batch_format="pyarrow", **rayenv.remote_args()) \
+        .write_parquet(sub_dir)
+    cfg_s = pipeline.EncodeConfig(out_dir=os.path.join(work, "bs"),
+                                  columns=["doc_id", "len8", "source"],
+                                  partition_token_budget=100_000)
+    spj.bucket_store(documents.parquet_files(sub_dir), cfg_s,
+                     key="doc_id", n_buckets=16).materialize()
+    _SPJ_RUNS[sf_dir] = (cfg_a.out_dir, cfg_b.out_dir, cfg_s.out_dir)
+    return _SPJ_RUNS[sf_dir]
+
+
+def _q_spj_join(sf_dir: str):
+    """Storage-partitioned join (rwcf.spj.storage_partitioned_join): both
+    inputs are bucket-encoded on doc_id with the same committed
+    bucketspec, so the join plan is manifest fan-out -> per-bucket decode
+    + local Arrow hash join — ZERO all-to-all exchanges (pytest-pinned:
+    no Sort/AllToAll in ds.stats()). hash_join pays a two-sided payload
+    shuffle per join; this layout pays one shuffle at write time and
+    joins at disk bandwidth forever after — the Spark SPJ / Iceberg
+    bucket-transform role at 100 TB."""
+    from rwcf import rayenv, spj
+    a, b, _ = _spj_runs(sf_dir)
+    ds = spj.storage_partitioned_join(
+        a, b, columns_a=["doc_id", "n_tok"],
+        columns_b=["doc_id", "len8", "source"], how="inner")
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tok": pc.cast(t.column("n_tok"), pa.int64()),
+            "len8": pc.cast(t.column("len8"), pa.int64()),
+            "source": t.column("source")})
+
+    return ds.map_batches(widen, batch_format="pyarrow",
+                          **rayenv.remote_args())
+
+
+def _q_spj_left_join(sf_dir: str):
+    """LEFT storage-partitioned join against the doc_id%5==0 subset store:
+    unmatched rows null-fill from manifest-derived schema (a bucket with
+    no right-side partitions never touches disk), same zero-exchange
+    plan as spj_join."""
+    from rwcf import rayenv, spj
+    a, _, bsub = _spj_runs(sf_dir)
+    ds = spj.storage_partitioned_join(
+        a, bsub, columns_a=["doc_id", "n_tok"],
+        columns_b=["doc_id", "len8"], how="left")
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tok": pc.cast(t.column("n_tok"), pa.int64()),
+            "len8": pc.cast(t.column("len8"), pa.int64())})
+
+    return ds.map_batches(widen, batch_format="pyarrow",
+                          **rayenv.remote_args())
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -4062,6 +4168,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leakage_safe_split_near": _q_leakage_safe_split_near,
         "embedding_gram": _q_embedding_gram,
         "store_column_counts": _q_store_column_counts,
+        "spj_join": _q_spj_join,
+        "spj_left_join": _q_spj_left_join,
     }
 
 
@@ -5914,6 +6022,18 @@ def oracle_sql() -> dict[str, str]:
             "('n_tok', (SELECT CAST(count(*) AS BIGINT) FROM documents)), "
             "('tokens', (SELECT CAST(sum(strlen(text)) AS BIGINT) "
             'FROM documents))) AS t("column", n_values)'),
+        "spj_join": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "CAST(strlen(text) AS BIGINT) AS n_tok, "
+            "CAST(strlen(text) % 8 AS BIGINT) AS len8, source "
+            "FROM documents"),
+        "spj_left_join": (
+            "SELECT CAST(d.doc_id AS VARCHAR) AS doc_id, "
+            "CAST(strlen(d.text) AS BIGINT) AS n_tok, "
+            "CAST(s.len8 AS BIGINT) AS len8 "
+            "FROM documents d LEFT JOIN "
+            "(SELECT doc_id, strlen(text) % 8 AS len8 FROM documents "
+            "WHERE doc_id % 5 = 0) s ON d.doc_id = s.doc_id"),
         # rows-only (not SQL-expressible): codec_selection, flagship_synthetic,
         # distinct_tokens_approx (HLL sketch; error bound pinned in tests),
         # quantiles_value_approx (bottom-k sample sketch; rank-error bound

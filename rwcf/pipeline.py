@@ -312,12 +312,15 @@ def encode_partition(tbl: pa.Table, pid: str, cfg: EncodeConfig,
             f.write(s)
     os.replace(tmp, file_path)
 
-    n_tok = chunks["n_tok"][0]
+    # n_tokens is 0 for stores without token payloads (e.g. a bucketed
+    # key/attribute side table) — every column still gets full lineage
+    n_tokens = (int(np.asarray(chunks["n_tok"][0]).astype(np.int64).sum())
+                if "n_tok" in chunks else 0)
     row = {
         "pid": pid,
         "file": file_path,
         "n_rows": tbl.num_rows,
-        "n_tokens": int(n_tok.astype(np.int64).sum()),
+        "n_tokens": n_tokens,
         "encoded_bytes": offset,
         "decoded_bytes": decoded_bytes,
         "columns": col_meta,

@@ -1,0 +1,300 @@
+"""Storage-partitioned join: pay the shuffle once at WRITE time, then join
+with ZERO exchanges forever after (the Spark storage-partitioned-join /
+Iceberg bucket-transform role, re-expressed over the rwcf encoded store).
+
+``bucket_store`` encodes an input into a store whose partitions each hold
+exactly one bucket of ``hash(key) % n_buckets`` — the one all-to-all this
+layout ever pays.  The routing hash is :func:`rwcf.joins.hash_bucket` (the
+single shared bucketing hash of the whole engine, stable across processes),
+the bucket id is committed in every partition's lineage row, and the store
+root carries an atomic ``bucketspec.json`` so readers can VALIDATE
+compatibility instead of trusting the caller.
+
+``storage_partitioned_join`` joins two stores with identical bucket specs:
+the Ray Data plan is manifest-metadata fan-out -> per-bucket map task
+(decode both sides' partitions for that bucket locally, Arrow/Acero hash
+join in-task) — no AllToAllOperator anywhere.  At 100 TB the cost model is
+the whole point: ``rwcf.joins.hash_join`` moves BOTH payload sides through
+one bucketed exchange per join, while co-bucketed stores join at disk read
+bandwidth every time; skew is bounded at write time by the in-bucket
+token-budget sub-split, and a missing bucket on either side is resolved
+from manifest metadata alone (schema reconstructed from lineage dtypes —
+no IO).
+
+The reference has no joins; this extends its single-column paged format
+(src/lib.rs:25-48) the same way the store's other relational entry points
+do, with the partitioning assumption stated explicitly: both inputs
+bucketed by the SAME key with the SAME n_buckets and the SAME hash.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import format as fmt
+from . import pipeline, rayenv
+from .joins import hash_bucket
+from .pipeline import EncodeConfig, manifest_rows_to_table
+
+BUCKETSPEC = "bucketspec.json"
+
+#: pa.Table.join join_type per public ``how`` (left-relative, as usual)
+_JOIN_TYPES = {
+    "inner": "inner",
+    "left": "left outer",
+    "outer": "full outer",
+    "semi": "left semi",
+    "anti": "left anti",
+}
+
+
+def write_bucketspec(out_dir: str, key: str, n_buckets: int) -> dict:
+    """Commit the store's bucket layout contract (atomic rename, idempotent
+    re-commit of an identical spec; a DIFFERENT spec for an existing store
+    raises — rebucketing must go through a fresh out_dir)."""
+    os.makedirs(out_dir, exist_ok=True)
+    spec = {"key": key, "n_buckets": int(n_buckets), "hash": "rwcf-fnv1a"}
+    path = os.path.join(out_dir, BUCKETSPEC)
+    prev = read_bucketspec(out_dir)
+    if prev is not None:
+        if prev != spec:
+            raise ValueError(f"store {out_dir} already bucketed {prev}, "
+                             f"refusing to overwrite with {spec}")
+        return spec
+    tmp = path + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(spec, f)
+    os.replace(tmp, path)
+    return spec
+
+
+def read_bucketspec(out_dir: str) -> dict | None:
+    path = os.path.join(out_dir, BUCKETSPEC)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def _add_bucket(t: pa.Table, key: str, n_buckets: int) -> pa.Table:
+    vals = np.asarray(t.column(key).combine_chunks())
+    b = hash_bucket(vals, buckets=n_buckets)
+    return t.append_column("_bucket", pa.array(b, type=pa.int32()))
+
+
+def bucket_store(input_paths, cfg: EncodeConfig, key: str = "doc_id",
+                 n_buckets: int = 32, resume: bool = True):
+    """Encode ``input_paths`` (parquet) into a bucket-partitioned store.
+
+    One ``groupby(_bucket).map_groups`` exchange routes rows; each bucket
+    encodes independently (rows sorted by ``key`` for deterministic
+    checksums, then sub-split by ``cfg.partition_token_budget`` so a hot
+    bucket still yields worker-sized partitions — the write-time skew
+    bound).  Returns the manifest Dataset; lineage rows carry
+    ``{bucket_key, bucket, n_buckets}`` and the store root gets a
+    committed ``bucketspec.json``."""
+    import ray.data as rd
+
+    write_bucketspec(cfg.out_dir, key, n_buckets)
+    ds = rd.read_parquet(input_paths, columns=cfg.columns) \
+        .map_batches(lambda t: _add_bucket(t, key, n_buckets),
+                     batch_format="pyarrow", **rayenv.remote_args())
+
+    budget = cfg.partition_token_budget
+
+    def encode_bucket(g: pa.Table) -> pa.Table:
+        b = g.column("_bucket")[0].as_py()
+        body = g.drop_columns(["_bucket"])
+        body = body.take(pc.sort_indices(body.column(key)))
+        if "n_tok" in body.column_names:
+            w = np.asarray(body.column("n_tok").combine_chunks(),
+                           dtype=np.int64)
+        else:  # no token weights: bound partitions by row count instead
+            w = np.ones(body.num_rows, dtype=np.int64)
+        spans = pipeline.split_by_token_budget(w, budget)
+        rows = []
+        for j, (s, e) in enumerate(spans):
+            pid = f"bkt{b:05d}-p{j:03d}"
+            mpath = os.path.join(cfg.manifest_dir, f"{pid}.json")
+            if resume and os.path.exists(mpath):
+                with open(mpath) as f:
+                    rows.append(json.load(f))
+                continue
+            rows.append(pipeline.encode_partition(
+                body.slice(s, e - s), pid, cfg,
+                lineage={"bucket_key": key, "bucket": int(b),
+                         "n_buckets": int(n_buckets), "sub": j}))
+        return manifest_rows_to_table(rows)
+
+    return ds.groupby("_bucket").map_groups(
+        encode_bucket, batch_format="pyarrow", **rayenv.remote_args())
+
+
+def _row_schema(row: dict, columns: list[str] | None) -> pa.Schema:
+    """Arrow schema of a partition's decode output, derived purely from
+    lineage metadata (zero IO) — used to synthesize the empty side of an
+    outer-ish join when a bucket exists on one store only."""
+    fields = []
+    for cm in row["columns"]:
+        name = cm["column"]
+        if columns is not None and name not in columns:
+            continue
+        if name == "tokens":
+            fields.append(pa.field("tokens", pa.list_(pa.int32())))
+        elif fmt.is_string(cm["dtype"]):
+            fields.append(pa.field(name, pa.string()))
+        else:
+            fields.append(pa.field(name, fmt.DTYPES[cm["dtype"]][1]))
+    return pa.schema(fields)
+
+
+def _decode_bucket(rows: list[dict], columns: list[str] | None) -> pa.Table:
+    parts = [pipeline.decode_partition(r, columns=columns) for r in rows]
+    return pa.concat_tables(parts, promote_options="default")
+
+
+_LIDX, _RIDX = "__spj_lidx", "__spj_ridx"
+
+
+def _local_join(ta: pa.Table, tb: pa.Table, key: str, jt: str,
+                suffix: str) -> pa.Table:
+    """Bucket-local Arrow join. Acero rejects nested (list/struct) payload
+    columns ("not supported in join non-key field"), so nested columns are
+    stripped to SLIM sides carrying a row index and gathered back by that
+    index after the join — pc.take maps a null index (unmatched outer row)
+    to a null value, matching join null-fill semantics (same device as
+    rwcf.joins.hash_join's merge)."""
+    ta, tb = ta.combine_chunks(), tb.combine_chunks()
+    nest_a = [n for n in ta.column_names
+              if n != key and pa.types.is_nested(ta.schema.field(n).type)]
+    nest_b = [n for n in tb.column_names
+              if n != key and pa.types.is_nested(tb.schema.field(n).type)]
+    if not nest_a and not nest_b:
+        return ta.join(tb, keys=key, join_type=jt, right_suffix=suffix,
+                       coalesce_keys=True)
+    if jt in ("left semi", "left anti"):
+        # key-only membership: nested payloads never enter the kernel
+        import pyarrow.compute as _pc
+        memb = _pc.fill_null(
+            _pc.is_in(ta.column(key), value_set=tb.column(key).unique()),
+            False)
+        return ta.filter(memb if jt == "left semi" else _pc.invert(memb))
+    sa = ta.drop_columns(nest_a).append_column(
+        _LIDX, pa.array(np.arange(ta.num_rows, dtype=np.int64)))
+    sb = tb.drop_columns(nest_b).append_column(
+        _RIDX, pa.array(np.arange(tb.num_rows, dtype=np.int64)))
+    m = sa.join(sb, keys=key, join_type=jt, right_suffix=suffix,
+                coalesce_keys=True)
+    taken = set(m.column_names)
+    for n in nest_a:
+        m = m.append_column(n, pc.take(ta.column(n), m.column(_LIDX)))
+    for n in nest_b:
+        out = n if n not in taken and n not in nest_a else n + suffix
+        m = m.append_column(out, pc.take(tb.column(n), m.column(_RIDX)))
+    return m.drop_columns([_LIDX, _RIDX])
+
+
+def storage_partitioned_join(dir_a: str, dir_b: str,
+                             columns_a: list[str] | None = None,
+                             columns_b: list[str] | None = None,
+                             how: str = "inner", suffix: str = "_r",
+                             concurrency: int | None = None,
+                             task_cpus: int = 1):
+    """Join two bucket-encoded stores on their shared bucket key with NO
+    shuffle: one map task per bucket decodes both sides' partitions and
+    joins them with the Arrow hash-join kernel.  Raises unless both
+    stores commit the SAME (key, n_buckets, hash) bucketspec — the
+    partitioning assumption this operator's correctness rides on.
+
+    ``how``: inner | left | outer | semi | anti (left-relative)."""
+    import ray
+    import ray.data as rd
+
+    if how not in _JOIN_TYPES:
+        raise ValueError(f"how={how!r} not in {sorted(_JOIN_TYPES)}")
+    spec_a, spec_b = read_bucketspec(dir_a), read_bucketspec(dir_b)
+    if spec_a is None or spec_b is None:
+        raise ValueError("both inputs must be bucket_store outputs "
+                         f"(bucketspec missing: a={spec_a} b={spec_b})")
+    if spec_a != spec_b:
+        raise ValueError(f"incompatible bucket specs: {spec_a} vs {spec_b}")
+    key = spec_a["key"]
+
+    def by_bucket(out_dir: str) -> dict[int, list[dict]]:
+        m: dict[int, list[dict]] = {}
+        for r in pipeline.load_manifest(out_dir):
+            lin = r.get("lineage") or {}
+            if "bucket" not in lin:
+                raise ValueError(f"partition {r['pid']} in {out_dir} has no "
+                                 "bucket lineage (store not bucket-encoded?)")
+            m.setdefault(int(lin["bucket"]), []).append(r)
+        return m
+
+    by_a, by_b = by_bucket(dir_a), by_bucket(dir_b)
+    if how == "inner":
+        buckets = sorted(set(by_a) & set(by_b))
+    elif how == "outer":
+        buckets = sorted(set(by_a) | set(by_b))
+    elif how == "semi":  # a-rows with a match: b-missing buckets emit nothing
+        buckets = sorted(set(by_a) & set(by_b))
+    else:  # left / anti keep every a bucket
+        buckets = sorted(by_a)
+    # empty-side schemas come from any manifest row's column metadata
+    schema_a = _row_schema(next(iter(by_a.values()))[0], columns_a) \
+        if by_a else None
+    schema_b = _row_schema(next(iter(by_b.values()))[0], columns_b) \
+        if by_b else None
+    if schema_a is None or (schema_b is None and how in ("left", "outer")):
+        raise ValueError("cannot join: a side has no partitions" if
+                         schema_a is None else
+                         "left/outer join needs at least one b partition "
+                         "to establish the right-side schema")
+
+    # broadcast the (tiny) manifest maps once; payloads never leave workers
+    ref = ray.put((by_a, by_b))
+    jt = _JOIN_TYPES[how]
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        a_map, b_map = ray.get(ref)
+        outs = []
+        for b in t.column("bucket").to_pylist():
+            ra, rb = a_map.get(b, []), b_map.get(b, [])
+            ta = _decode_bucket(ra, columns_a) if ra \
+                else schema_a.empty_table()
+            tb = _decode_bucket(rb, columns_b) if rb \
+                else (schema_b.empty_table() if schema_b is not None
+                      else None)
+            if not rb and how == "anti":
+                outs.append(ta)  # no right side: every a row survives
+                continue
+            if not rb and how in ("inner", "semi"):
+                continue
+            # an absent side joins as its (metadata-derived) empty table —
+            # full outer then yields null-padded rows from the present side
+            outs.append(_local_join(ta, tb, key, jt, suffix))
+        if not outs:
+            return _empty_join_schema(schema_a, schema_b, key, jt, suffix)
+        return pa.concat_tables(outs, promote_options="default")
+
+    items = pa.table({"bucket": pa.array(buckets, pa.int32())})
+    n = concurrency or pipeline._default_concurrency()
+    ds = pipeline._sliced_blocks(items, min(len(buckets) or 1, n * 2))
+    cap = pipeline._stage_cap(concurrency, task_cpus)
+    return ds.map_batches(join_bucket, batch_size=1, batch_format="pyarrow",
+                          num_cpus=task_cpus, concurrency=cap,
+                          **rayenv.remote_args())
+
+
+def _empty_join_schema(schema_a: pa.Schema, schema_b: pa.Schema | None,
+                       key: str, jt: str, suffix: str) -> pa.Table:
+    """Zero-row table with the join's output schema (a batch whose buckets
+    all skipped must still return a schema-stable block)."""
+    a = schema_a.empty_table()
+    if jt in ("left semi", "left anti") or schema_b is None:
+        return a
+    return _local_join(a, schema_b.empty_table(), key, jt, suffix)

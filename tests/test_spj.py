@@ -1,0 +1,202 @@
+"""Storage-partitioned join (rwcf.spj): co-bucketed stores join with zero
+exchanges — the write-once-shuffle / join-forever-free layout."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from rwcf import documents, pipeline, spj
+from rwcf.joins import hash_bucket
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def stores(tmp_path_factory, ray_session):
+    import ray.data as rd
+    work = str(tmp_path_factory.mktemp("spj"))
+    tokens_dir = documents.tokens_parquet_for(SF, work)
+    paths = documents.parquet_files(tokens_dir)
+
+    cfg_a = pipeline.EncodeConfig(out_dir=os.path.join(work, "a"),
+                                  partition_token_budget=200_000)
+    spj.bucket_store(paths, cfg_a, key="doc_id", n_buckets=8).materialize()
+
+    # side table WITHOUT token payloads (exercises the n_tok-free encode)
+    stats_dir = os.path.join(work, "bstats")
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "len8": pc.cast(pc.bit_wise_and(t.column("n_tok"), 7),
+                            pa.int32()),
+            "source": t.column("source")})
+
+    rd.read_parquet(paths).map_batches(derive, batch_format="pyarrow") \
+        .write_parquet(stats_dir)
+    cfg_b = pipeline.EncodeConfig(
+        out_dir=os.path.join(work, "b"),
+        columns=["doc_id", "len8", "source"],
+        partition_token_budget=50_000)
+    spj.bucket_store(documents.parquet_files(stats_dir), cfg_b,
+                     key="doc_id", n_buckets=8).materialize()
+
+    # PARTIAL b-side store: rows from buckets {0,1,2} only, so left/anti
+    # joins hit genuinely missing right-side buckets
+    part_dir = os.path.join(work, "bpart")
+
+    def keep012(t: pa.Table) -> pa.Table:
+        b = hash_bucket(np.asarray(t.column("doc_id").combine_chunks()),
+                        buckets=8)
+        return t.filter(pa.array(b <= 2))
+
+    rd.read_parquet(stats_dir).map_batches(keep012, batch_format="pyarrow") \
+        .write_parquet(part_dir)
+    cfg_p = pipeline.EncodeConfig(
+        out_dir=os.path.join(work, "bp"),
+        columns=["doc_id", "len8", "source"],
+        partition_token_budget=50_000)
+    spj.bucket_store(documents.parquet_files(part_dir), cfg_p,
+                     key="doc_id", n_buckets=8).materialize()
+
+    src = rd.read_parquet(paths).to_pandas()
+    side = rd.read_parquet(stats_dir).to_pandas()
+    side_part = rd.read_parquet(part_dir).to_pandas()
+    return {"a": cfg_a.out_dir, "b": cfg_b.out_dir, "bp": cfg_p.out_dir,
+            "src": src, "side": side, "side_part": side_part}
+
+
+def _canon(df, cols):
+    return df[cols].sort_values(cols).reset_index(drop=True)
+
+
+def test_bucketspec_committed_and_guarded(stores):
+    spec = spj.read_bucketspec(stores["a"])
+    assert spec == {"key": "doc_id", "n_buckets": 8, "hash": "rwcf-fnv1a"}
+    # idempotent identical re-commit; different spec refuses
+    spj.write_bucketspec(stores["a"], "doc_id", 8)
+    with pytest.raises(ValueError, match="refusing"):
+        spj.write_bucketspec(stores["a"], "doc_id", 16)
+
+
+def test_bucket_lineage_is_consistent(stores):
+    rows = pipeline.load_manifest(stores["a"])
+    assert rows, "bucketed store has partitions"
+    for r in rows:
+        lin = r["lineage"]
+        assert lin["bucket_key"] == "doc_id" and lin["n_buckets"] == 8
+        # every doc in the partition hashes to the lineage bucket
+        t = pipeline.decode_partition(r, columns=["doc_id"])
+        b = hash_bucket(np.asarray(t.column("doc_id").combine_chunks()),
+                        buckets=8)
+        assert (b == lin["bucket"]).all()
+
+
+def test_inner_join_matches_pandas(stores):
+    ds = spj.storage_partitioned_join(
+        stores["a"], stores["b"],
+        columns_a=["doc_id", "tokens", "n_tok"],
+        columns_b=["doc_id", "len8", "source"], how="inner")
+    got = ds.to_pandas()
+    exp = stores["src"][["doc_id", "n_tok"]].merge(stores["side"],
+                                                   on="doc_id")
+    cols = ["doc_id", "n_tok", "len8", "source"]
+    pd.testing.assert_frame_equal(_canon(got, cols), _canon(exp, cols),
+                                  check_dtype=False)
+    # nested payload survived the slim-join gather bit-exact
+    row = got.sort_values("doc_id").iloc[0]
+    src_row = stores["src"].set_index("doc_id").loc[row["doc_id"]]
+    assert list(row["tokens"]) == list(src_row["tokens"])
+
+
+def test_join_plan_has_no_shuffle(stores):
+    ds = spj.storage_partitioned_join(
+        stores["a"], stores["b"], columns_a=["doc_id", "n_tok"],
+        columns_b=["doc_id", "len8"])
+    ds = ds.materialize()
+    stats = ds.stats()
+    assert "AllToAll" not in stats and "Sort" not in stats \
+        and "RandomShuffle" not in stats
+
+
+def test_left_join_null_fills_missing_buckets(stores):
+    ds = spj.storage_partitioned_join(
+        stores["a"], stores["bp"], columns_a=["doc_id", "n_tok"],
+        columns_b=["doc_id", "len8"], how="left")
+    got = ds.to_pandas()
+    exp = stores["src"][["doc_id", "n_tok"]].merge(
+        stores["side_part"][["doc_id", "len8"]], on="doc_id", how="left")
+    cols = ["doc_id", "n_tok", "len8"]
+    pd.testing.assert_frame_equal(_canon(got, cols), _canon(exp, cols),
+                                  check_dtype=False)
+    assert got["len8"].isna().any(), "missing buckets must null-fill"
+
+
+def test_semi_and_anti_partition_the_left_side(stores):
+    semi = spj.storage_partitioned_join(
+        stores["a"], stores["bp"], columns_a=["doc_id", "n_tok"],
+        columns_b=["doc_id"], how="semi").to_pandas()
+    anti = spj.storage_partitioned_join(
+        stores["a"], stores["bp"], columns_a=["doc_id", "n_tok"],
+        columns_b=["doc_id"], how="anti").to_pandas()
+    present = set(stores["side_part"]["doc_id"])
+    assert set(semi["doc_id"]) == set(stores["src"]["doc_id"]) & present
+    assert set(anti["doc_id"]) == set(stores["src"]["doc_id"]) - present
+    assert len(semi) + len(anti) == len(stores["src"])
+
+
+def test_outer_join_covers_both_sides(stores):
+    # outer with the partial side: identical to left here (b ⊆ a keyspace)
+    ds = spj.storage_partitioned_join(
+        stores["a"], stores["bp"], columns_a=["doc_id", "n_tok"],
+        columns_b=["doc_id", "len8"], how="outer")
+    got = ds.to_pandas()
+    exp = stores["src"][["doc_id", "n_tok"]].merge(
+        stores["side_part"][["doc_id", "len8"]], on="doc_id", how="outer")
+    cols = ["doc_id", "n_tok", "len8"]
+    pd.testing.assert_frame_equal(_canon(got, cols), _canon(exp, cols),
+                                  check_dtype=False)
+
+
+def test_incompatible_specs_raise(stores, tmp_path):
+    import ray.data as rd
+    other = str(tmp_path / "other")
+    # same data, DIFFERENT n_buckets -> must refuse to join
+    stats = pa.Table.from_pandas(stores["side"])
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    import pyarrow.parquet as pq
+    pq.write_table(stats, os.path.join(src_dir, "part-0.parquet"))
+    cfg = pipeline.EncodeConfig(out_dir=other,
+                                columns=["doc_id", "len8", "source"],
+                                partition_token_budget=50_000)
+    spj.bucket_store([os.path.join(src_dir, "part-0.parquet")], cfg,
+                     key="doc_id", n_buckets=4).materialize()
+    with pytest.raises(ValueError, match="incompatible"):
+        spj.storage_partitioned_join(stores["a"], other)
+    with pytest.raises(ValueError, match="bucketspec missing"):
+        spj.storage_partitioned_join(stores["a"], str(tmp_path / "nope"))
+
+
+def test_bucket_store_resume_reuses_partitions(stores):
+    # re-running bucket_store over the same input touches no partition
+    # files (manifest rows resolve from disk) — mtimes unchanged
+    import ray.data as rd
+    rows = pipeline.load_manifest(stores["b"])
+    mtimes = {r["pid"]: os.path.getmtime(r["file"]) for r in rows}
+    side_files = sorted({os.path.dirname(r["file"]) for r in rows})
+    cfg = pipeline.EncodeConfig(
+        out_dir=stores["b"], columns=["doc_id", "len8", "source"],
+        partition_token_budget=50_000)
+    # rebuild the same parquet input list from the fixture's stats dir
+    stats_dir = os.path.join(os.path.dirname(stores["b"]), "bstats")
+    spj.bucket_store(documents.parquet_files(stats_dir), cfg,
+                     key="doc_id", n_buckets=8).materialize()
+    rows2 = pipeline.load_manifest(stores["b"])
+    assert {r["pid"] for r in rows2} == set(mtimes)
+    for r in rows2:
+        assert os.path.getmtime(r["file"]) == mtimes[r["pid"]]
