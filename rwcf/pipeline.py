@@ -800,13 +800,25 @@ def compact_manifest(out_dir: str) -> dict:
     return {"compacted": len(rows), "shard": shard}
 
 
-def plan_compaction(rows: list[dict], target_tokens: int) -> list[list[dict]]:
+def plan_compaction(rows: list[dict], target_tokens: int,
+                    key=None) -> list[list[dict]]:
     """Greedy consecutive grouping (pid order) of committed partitions into
     ~``target_tokens`` merge groups; only groups of >=2 members compact
     (singletons are already right-sized), EXCEPT a singleton carrying
     delete tombstones — rewriting it materializes the deletes away
     (Delta OPTIMIZE semantics: files with attached deletes always
-    qualify). Deterministic."""
+    qualify). Deterministic. ``key(row)`` (optional) partitions rows into
+    classes that must never merge across (bucket-encoded stores: merging
+    across hash buckets would break the storage-partitioned-join layout
+    contract)."""
+    if key is not None:
+        classes: dict = {}
+        for r in rows:
+            classes.setdefault(key(r), []).append(r)
+        out: list[list[dict]] = []
+        for k in sorted(classes, key=str):
+            out.extend(plan_compaction(classes[k], target_tokens))
+        return out
     rows = sorted(rows, key=lambda r: r["pid"])
     groups: list[list[dict]] = []
 
@@ -859,7 +871,13 @@ def compact_partitions(out_dir: str, target_tokens: int = 8_000_000,
 
     from . import schema as _schema
     rows = load_manifest(out_dir)
-    groups = plan_compaction(rows, target_tokens)
+    # a bucket-encoded store (rwcf.spj) must never merge across hash
+    # buckets — the committed bucketspec is the join-layout contract
+    from . import spj as _spj
+    bucketed = _spj.read_bucketspec(out_dir) is not None
+    bkey = (lambda r: (r.get("lineage") or {}).get("bucket")) \
+        if bucketed else None
+    groups = plan_compaction(rows, target_tokens, key=bkey)
     if cfg is None:
         cfg = EncodeConfig(out_dir=out_dir,
                            partition_token_budget=target_tokens,
@@ -896,6 +914,15 @@ def compact_partitions(out_dir: str, target_tokens: int = 8_000_000,
                      else decode_partition(m)
                      for m in members]).combine_chunks()
                 lineage = {"compaction_of": [m["pid"] for m in members]}
+                # carry bucket lineage forward so the compacted partition
+                # stays visible to storage_partitioned_join
+                mlin = (members[0].get("lineage") or {})
+                if "bucket" in mlin and all(
+                        (m.get("lineage") or {}).get("bucket")
+                        == mlin["bucket"] for m in members):
+                    lineage.update({k: mlin[k] for k in
+                                    ("bucket_key", "bucket", "n_buckets")
+                                    if k in mlin})
                 out.append(encode_partition(
                     tbl, d["gpid"], cfg, lineage,
                     extra={"replaces": [m["pid"] for m in members]}))

@@ -97,10 +97,23 @@ def bucket_store(input_paths, cfg: EncodeConfig, key: str = "doc_id",
     bucket still yields worker-sized partitions — the write-time skew
     bound).  Returns the manifest Dataset; lineage rows carry
     ``{bucket_key, bucket, n_buckets}`` and the store root gets a
-    committed ``bucketspec.json``."""
+    committed ``bucketspec.json``.
+
+    Partition ids embed a tag of the INPUT file list, so re-running the
+    same input resumes (manifest rows resolve from disk, no re-encode)
+    while a NEW batch of files appends fresh per-bucket partitions into
+    the same buckets — incremental bucketed ingest; joins read every
+    batch's partitions for a bucket."""
     import ray.data as rd
+    import zlib
 
     write_bucketspec(cfg.out_dir, key, n_buckets)
+    if isinstance(input_paths, str):
+        input_paths = [input_paths]
+    tag = zlib.crc32("|".join(
+        os.path.abspath(p) for p in sorted(input_paths)).encode()) \
+        & 0xFFFFFFFF
+    tag = f"{tag:08x}"
     ds = rd.read_parquet(input_paths, columns=cfg.columns) \
         .map_batches(lambda t: _add_bucket(t, key, n_buckets),
                      batch_format="pyarrow", **rayenv.remote_args())
@@ -119,7 +132,7 @@ def bucket_store(input_paths, cfg: EncodeConfig, key: str = "doc_id",
         spans = pipeline.split_by_token_budget(w, budget)
         rows = []
         for j, (s, e) in enumerate(spans):
-            pid = f"bkt{b:05d}-p{j:03d}"
+            pid = f"bkt{b:05d}-{tag}-p{j:03d}"
             mpath = os.path.join(cfg.manifest_dir, f"{pid}.json")
             if resume and os.path.exists(mpath):
                 with open(mpath) as f:

@@ -182,6 +182,58 @@ def test_incompatible_specs_raise(stores, tmp_path):
         spj.storage_partitioned_join(stores["a"], str(tmp_path / "nope"))
 
 
+def test_incremental_append_and_bucketed_compaction(stores, tmp_path):
+    """A second batch of files APPENDS per-bucket partitions (input-tagged
+    pids, no collision with batch 1); compaction on the bucketed store
+    merges only within buckets, carries bucket lineage forward, and the
+    zero-shuffle join stays correct afterwards."""
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    src = stores["src"]
+
+    half1 = pa.table({"doc_id": pa.array(src["doc_id"][:250].astype(str)),
+                      "val": pa.array(np.arange(250, dtype=np.int32))})
+    half2 = pa.table({"doc_id": pa.array(src["doc_id"][250:].astype(str)),
+                      "val": pa.array(np.arange(250, 500, dtype=np.int32))})
+    d1, d2 = str(tmp_path / "h1.parquet"), str(tmp_path / "h2.parquet")
+    pq.write_table(half1, d1)
+    pq.write_table(half2, d2)
+
+    out = str(tmp_path / "inc")
+    cfg = pipeline.EncodeConfig(out_dir=out, columns=["doc_id", "val"],
+                                partition_token_budget=64)
+    spj.bucket_store([d1], cfg, key="doc_id", n_buckets=8).materialize()
+    n1 = len(pipeline.load_manifest(out))
+    spj.bucket_store([d2], cfg, key="doc_id", n_buckets=8).materialize()
+    rows = pipeline.load_manifest(out)
+    assert len(rows) > n1, "second batch must append new partitions"
+    assert len({r["pid"] for r in rows}) == len(rows)
+
+    ds = spj.storage_partitioned_join(
+        stores["a"], out, columns_a=["doc_id", "n_tok"],
+        columns_b=["doc_id", "val"], how="inner")
+    got = ds.to_pandas()
+    assert len(got) == 500 and set(got["val"]) == set(range(500))
+
+    # compact: tiny budget forced many sub-partitions above; merge them
+    res = pipeline.compact_partitions(out, target_tokens=1 << 20)
+    assert res["parts_after"] < res["parts_before"]
+    for r in pipeline.load_manifest(out):
+        lin = r["lineage"]
+        assert "bucket" in lin, "compacted rows must keep bucket lineage"
+        if "compaction_of" in lin:
+            t = pipeline.decode_partition(r, columns=["doc_id"])
+            b = hash_bucket(
+                np.asarray(t.column("doc_id").combine_chunks()), buckets=8)
+            assert (b == lin["bucket"]).all(), "no cross-bucket merge"
+    got2 = spj.storage_partitioned_join(
+        stores["a"], out, columns_a=["doc_id", "n_tok"],
+        columns_b=["doc_id", "val"], how="inner").to_pandas()
+    pd.testing.assert_frame_equal(
+        _canon(got, ["doc_id", "val"]), _canon(got2, ["doc_id", "val"]),
+        check_dtype=False)
+
+
 def test_bucket_store_resume_reuses_partitions(stores):
     # re-running bucket_store over the same input touches no partition
     # files (manifest rows resolve from disk) — mtimes unchanged
