@@ -3903,6 +3903,30 @@ def _q_spj_left_join(sf_dir: str):
                           **rayenv.remote_args())
 
 
+def _q_spj_join3(sf_dir: str):
+    """Three-way storage-partitioned join (star-schema case): tokens
+    store x attribute store x doc_id%5==0 subset store fold their local
+    Arrow joins inside ONE per-bucket task — still zero exchanges, each
+    bucket's partitions decoded exactly once
+    (rwcf.spj.storage_partitioned_join_multi)."""
+    from rwcf import rayenv, spj
+    a, b, bsub = _spj_runs(sf_dir)
+    ds = spj.storage_partitioned_join_multi(
+        [a, b, bsub],
+        columns=[["doc_id", "n_tok"], ["doc_id", "len8"],
+                 ["doc_id", "source"]])
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tok": pc.cast(t.column("n_tok"), pa.int64()),
+            "len8": pc.cast(t.column("len8"), pa.int64()),
+            "source": t.column("source")})
+
+    return ds.map_batches(widen, batch_format="pyarrow",
+                          **rayenv.remote_args())
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -4170,6 +4194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "store_column_counts": _q_store_column_counts,
         "spj_join": _q_spj_join,
         "spj_left_join": _q_spj_left_join,
+        "spj_join3": _q_spj_join3,
     }
 
 
@@ -6034,6 +6059,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d LEFT JOIN "
             "(SELECT doc_id, strlen(text) % 8 AS len8 FROM documents "
             "WHERE doc_id % 5 = 0) s ON d.doc_id = s.doc_id"),
+        "spj_join3": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "CAST(strlen(text) AS BIGINT) AS n_tok, "
+            "CAST(strlen(text) % 8 AS BIGINT) AS len8, source "
+            "FROM documents WHERE doc_id % 5 = 0"),
         # rows-only (not SQL-expressible): codec_selection, flagship_synthetic,
         # distinct_tokens_approx (HLL sketch; error bound pinned in tests),
         # quantiles_value_approx (bottom-k sample sketch; rank-error bound

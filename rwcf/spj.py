@@ -303,6 +303,86 @@ def storage_partitioned_join(dir_a: str, dir_b: str,
                           **rayenv.remote_args())
 
 
+def storage_partitioned_join_multi(dirs: list[str],
+                                   columns: list[list[str] | None]
+                                   | None = None,
+                                   suffix: str = "_r",
+                                   concurrency: int | None = None,
+                                   task_cpus: int = 1):
+    """N-way INNER join of co-bucketed stores in ONE per-bucket task —
+    the star-schema case (fact + several dimensions sharing the bucket
+    key) pays zero exchanges and decodes each bucket's partitions exactly
+    once, folding local Arrow joins left-to-right.  All stores must
+    commit the identical bucketspec (validated)."""
+    import ray
+    import ray.data as rd
+
+    if len(dirs) < 2:
+        raise ValueError("need at least two stores")
+    cols = columns or [None] * len(dirs)
+    if len(cols) != len(dirs):
+        raise ValueError("columns list must match dirs")
+    specs = [read_bucketspec(d) for d in dirs]
+    if any(s is None for s in specs):
+        raise ValueError(f"bucketspec missing: {dirs}")
+    if any(s != specs[0] for s in specs):
+        raise ValueError(f"incompatible bucket specs: {specs}")
+    key = specs[0]["key"]
+
+    maps = []
+    for d in dirs:
+        m: dict[int, list[dict]] = {}
+        for r in pipeline.load_manifest(d):
+            lin = r.get("lineage") or {}
+            if "bucket" not in lin:
+                raise ValueError(f"partition {r['pid']} in {d} has no "
+                                 "bucket lineage")
+            m.setdefault(int(lin["bucket"]), []).append(r)
+        maps.append(m)
+    buckets = sorted(set.intersection(*(set(m) for m in maps)))
+    schemas = [_row_schema(next(iter(m.values()))[0], c) if m else None
+               for m, c in zip(maps, cols)]
+    if any(s is None for s in schemas):
+        return rd.from_arrow(_fold_empty(schemas, key, suffix))
+    ref = ray.put(maps)
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        ms = ray.get(ref)
+        outs = []
+        for b in t.column("bucket").to_pylist():
+            acc = _decode_bucket(ms[0][b], cols[0])
+            for i in range(1, len(ms)):
+                ti = _decode_bucket(ms[i][b], cols[i])
+                acc = _local_join(acc, ti, key, "inner",
+                                  f"{suffix}{i}" if i > 1 else suffix)
+                if acc.num_rows == 0:
+                    break
+            outs.append(acc)
+        if not outs:
+            return _fold_empty(schemas, key, suffix)
+        return pa.concat_tables(outs, promote_options="default")
+
+    items = pa.table({"bucket": pa.array(buckets, pa.int32())})
+    n = concurrency or pipeline._default_concurrency()
+    ds = pipeline._sliced_blocks(items, min(len(buckets) or 1, n * 2))
+    cap = pipeline._stage_cap(concurrency, task_cpus)
+    return ds.map_batches(join_bucket, batch_size=1, batch_format="pyarrow",
+                          num_cpus=task_cpus, concurrency=cap,
+                          **rayenv.remote_args())
+
+
+def _fold_empty(schemas: list[pa.Schema | None], key: str,
+                suffix: str) -> pa.Table:
+    acc = (schemas[0] or pa.schema([pa.field(key, pa.string())])) \
+        .empty_table()
+    for i, s in enumerate(schemas[1:], start=1):
+        if s is None:
+            continue
+        acc = _local_join(acc, s.empty_table(), key, "inner",
+                          f"{suffix}{i}" if i > 1 else suffix)
+    return acc
+
+
 def _empty_join_schema(schema_a: pa.Schema, schema_b: pa.Schema | None,
                        key: str, jt: str, suffix: str) -> pa.Table:
     """Zero-row table with the join's output schema (a batch whose buckets

@@ -182,6 +182,30 @@ def test_incompatible_specs_raise(stores, tmp_path):
         spj.storage_partitioned_join(stores["a"], str(tmp_path / "nope"))
 
 
+def test_multiway_join_matches_pandas(stores):
+    ds = spj.storage_partitioned_join_multi(
+        [stores["a"], stores["b"], stores["bp"]],
+        columns=[["doc_id", "n_tok"], ["doc_id", "len8"],
+                 ["doc_id", "source"]])
+    got = ds.to_pandas()
+    exp = stores["src"][["doc_id", "n_tok"]] \
+        .merge(stores["side"][["doc_id", "len8"]], on="doc_id") \
+        .merge(stores["side_part"][["doc_id", "source"]], on="doc_id")
+    cols = ["doc_id", "n_tok", "len8", "source"]
+    pd.testing.assert_frame_equal(_canon(got, cols), _canon(exp, cols),
+                                  check_dtype=False)
+    st = ds.materialize().stats()
+    assert "AllToAll" not in st and "Sort" not in st
+
+
+def test_multiway_validates_specs(stores, tmp_path):
+    with pytest.raises(ValueError, match="bucketspec missing"):
+        spj.storage_partitioned_join_multi(
+            [stores["a"], str(tmp_path / "missing")])
+    with pytest.raises(ValueError, match="at least two"):
+        spj.storage_partitioned_join_multi([stores["a"]])
+
+
 def test_incremental_append_and_bucketed_compaction(stores, tmp_path):
     """A second batch of files APPENDS per-bucket partitions (input-tagged
     pids, no collision with batch 1); compaction on the bucketed store
