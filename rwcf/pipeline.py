@@ -426,8 +426,11 @@ def encode_fragment(desc: dict, cfg: EncodeConfig, resume: bool = True) -> list[
     replaced = set(json.loads(desc.get("replaced") or "[]"))
     pf = pq.ParquetFile(desc["path"])
     tbl = pf.read_row_group(desc["row_group"], columns=cfg.columns)
-    n_tok = tbl.column("n_tok").combine_chunks().to_numpy().astype(np.int64)
-    spans = split_by_token_budget(n_tok, cfg.partition_token_budget)
+    if "n_tok" in tbl.column_names:
+        w = tbl.column("n_tok").combine_chunks().to_numpy().astype(np.int64)
+    else:  # no token weights (side/attribute tables): budget bounds ROWS
+        w = np.ones(tbl.num_rows, dtype=np.int64)
+    spans = split_by_token_budget(w, cfg.partition_token_budget)
     out = []
     for k, (a, b) in enumerate(spans):
         pid = f"{desc['fragment_id']}-p{k:04d}"
@@ -2904,6 +2907,10 @@ def fsck_store(out_dir: str, deep: bool = False,
     - ``replaces_dangling`` / ``snapshot_dangling`` (driver-side, pure
       manifest graph): every pid named by a compaction ``replaces`` list
       or pinned by a live snapshot has a committed manifest row.
+    - ``bucket_assignment`` (bucket-encoded stores only, rwcf.spj):
+      lineage consistent with the committed bucketspec; ``deep=True``
+      re-hashes the key column and proves every row lands in its
+      partition's bucket (the storage-partitioned-join layout contract).
 
     Returns a Dataset of ``(pid, check, ok)`` rows — one row per
     partition per per-partition check, plus one ``<manifest>`` row per
@@ -2923,6 +2930,9 @@ def fsck_store(out_dir: str, deep: bool = False,
         "check": pa.array([c for c, _ in graph], pa.string()),
         "ok": pa.array([bool(v) for _, v in graph]),
     })
+
+    from . import spj as _spj
+    bspec = _spj.read_bucketspec(out_dir)
 
     n = concurrency or _default_concurrency()
     ds = manifest_dataset(out_dir, n_blocks=n * 2)
@@ -2977,6 +2987,27 @@ def fsck_store(out_dir: str, deep: bool = False,
                 except Exception:
                     ok_crc = False
             emit(pid, "section_crc", ok_crc)
+            if bspec is not None:
+                # bucket layout contract (rwcf.spj): every partition
+                # carries consistent bucket lineage; deep mode re-hashes
+                # the key column and proves each row lands in its bucket
+                lin = row.get("lineage") or {}
+                ok_b = (lin.get("bucket_key") == bspec["key"]
+                        and lin.get("n_buckets") == bspec["n_buckets"]
+                        and isinstance(lin.get("bucket"), int)
+                        and 0 <= lin["bucket"] < bspec["n_buckets"])
+                if ok_b and deep and exists:
+                    try:
+                        from .joins import hash_bucket
+                        t = decode_partition(row, columns=[bspec["key"]])
+                        got_b = hash_bucket(
+                            np.asarray(t.column(bspec["key"])
+                                       .combine_chunks()),
+                            buckets=bspec["n_buckets"])
+                        ok_b = bool((got_b == lin["bucket"]).all())
+                    except Exception:
+                        ok_b = False
+                emit(pid, "bucket_assignment", ok_b)
         return pa.table({"pid": pa.array(pids, pa.string()),
                          "check": pa.array(checks, pa.string()),
                          "ok": pa.array(oks)})

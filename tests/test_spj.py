@@ -258,6 +258,46 @@ def test_incremental_append_and_bucketed_compaction(stores, tmp_path):
         check_dtype=False)
 
 
+def test_fsck_audits_bucket_assignment(stores, tmp_path):
+    import json
+    import shutil
+    # clean bucketed store: every bucket_assignment row ok (deep proves
+    # row-level hashes)
+    rep = pipeline.fsck_store(stores["b"], deep=True).to_pandas()
+    ba = rep[rep["check"] == "bucket_assignment"]
+    assert len(ba) == len(pipeline.load_manifest(stores["b"]))
+    assert ba["ok"].all()
+
+    # injection: copy the store, point one manifest row at a WRONG bucket
+    # — shallow fsck still passes (value in range), deep catches it
+    bad = str(tmp_path / "bad")
+    shutil.copytree(stores["b"], bad)
+    mdir = os.path.join(bad, "manifest")
+    mfile = sorted(f for f in os.listdir(mdir) if f.endswith(".json"))[0]
+    with open(os.path.join(mdir, mfile)) as f:
+        row = json.load(f)
+    row["lineage"]["bucket"] = (row["lineage"]["bucket"] + 1) % 8
+    # partition files are referenced by absolute path: keep data readable
+    with open(os.path.join(mdir, mfile), "w") as f:
+        json.dump(row, f)
+    rep2 = pipeline.fsck_store(bad, deep=True).to_pandas()
+    ba2 = rep2[rep2["check"] == "bucket_assignment"]
+    assert not ba2["ok"].all(), "deep fsck must flag the wrong bucket"
+    assert (~ba2["ok"]).sum() == 1
+
+def test_fsck_plain_store_has_no_bucket_rows(stores, tmp_path):
+    import pyarrow.parquet as pq
+    src = str(tmp_path / "p.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array(["1", "2"]),
+                             "val": pa.array([1, 2], pa.int32())}), src)
+    cfg = pipeline.EncodeConfig(out_dir=str(tmp_path / "plain"),
+                                columns=["doc_id", "val"])
+    pipeline.encode_job([src], cfg).materialize()
+    rep = pipeline.fsck_store(cfg.out_dir).to_pandas()
+    assert not (rep["check"] == "bucket_assignment").any()
+    assert rep["ok"].all()
+
+
 def test_bucket_store_resume_reuses_partitions(stores):
     # re-running bucket_store over the same input touches no partition
     # files (manifest rows resolve from disk) — mtimes unchanged
