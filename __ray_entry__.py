@@ -3903,6 +3903,52 @@ def _q_spj_left_join(sf_dir: str):
                           **rayenv.remote_args())
 
 
+_UPDATED_RUNS: dict[str, str] = {}
+
+
+def _updated_run(sf_dir: str) -> str:
+    """Cached store that has seen a partial-column UPDATE: encode the
+    tokens table, then ``UPDATE SET source='redacted' WHERE n_tok BETWEEN
+    200 AND 400`` (rwcf.update.update_where) — matched partitions rewrote
+    ONLY their source section, token sections byte-copied."""
+    if sf_dir in _UPDATED_RUNS:
+        return _UPDATED_RUNS[sf_dir]
+    from rwcf import documents, pipeline, update
+    work = _workdir("updated", sf_dir)
+    tokens_dir = documents.tokens_parquet_for(sf_dir, work)
+    cfg = pipeline.EncodeConfig(out_dir=os.path.join(work, "out"),
+                                partition_token_budget=500_000)
+    pipeline.encode_job(documents.parquet_files(tokens_dir), cfg) \
+        .materialize()
+    res = update.update_where(cfg.out_dir, "source", "redacted",
+                              pred_col="n_tok", between=(200, 400))
+    assert res["rows_matched"] > 0, res
+    _UPDATED_RUNS[sf_dir] = cfg.out_dir
+    return cfg.out_dir
+
+
+def _q_update_scan(sf_dir: str):
+    """Partial-column UPDATE over the store (rwcf.update.update_where —
+    the section-granular rewrite Iceberg/Delta file rewrites
+    overshoot): UPDATE SET source='redacted' WHERE n_tok BETWEEN 200
+    AND 400, then a full decode proves updated values, untouched
+    byte-copied token payloads, and SQL UPDATE semantics vs the CASE
+    oracle. Atomic per-partition replaces-commit; idempotent re-run
+    rewrites nothing (pytest-pinned in tests/test_update.py)."""
+    from rwcf import pipeline, rayenv
+    out = _updated_run(sf_dir)
+    dec = pipeline.decode_job(out, columns=["doc_id", "n_tok", "source"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tok": pc.cast(t.column("n_tok"), pa.int64()),
+            "source": t.column("source")})
+
+    return dec.map_batches(widen, batch_format="pyarrow",
+                           **rayenv.remote_args())
+
+
 def _q_spj_join3(sf_dir: str):
     """Three-way storage-partitioned join (star-schema case): tokens
     store x attribute store x doc_id%5==0 subset store fold their local
@@ -4195,6 +4241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spj_join": _q_spj_join,
         "spj_left_join": _q_spj_left_join,
         "spj_join3": _q_spj_join3,
+        "update_scan": _q_update_scan,
     }
 
 
@@ -6064,6 +6111,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(strlen(text) AS BIGINT) AS n_tok, "
             "CAST(strlen(text) % 8 AS BIGINT) AS len8, source "
             "FROM documents WHERE doc_id % 5 = 0"),
+        "update_scan": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "CAST(strlen(text) AS BIGINT) AS n_tok, "
+            "CASE WHEN strlen(text) BETWEEN 200 AND 400 "
+            "THEN 'redacted' ELSE source END AS source FROM documents"),
         # rows-only (not SQL-expressible): codec_selection, flagship_synthetic,
         # distinct_tokens_approx (HLL sketch; error bound pinned in tests),
         # quantiles_value_approx (bottom-k sample sketch; rank-error bound
