@@ -3949,6 +3949,58 @@ def _q_update_scan(sf_dir: str):
                            **rayenv.remote_args())
 
 
+_ALTERED_RUNS: dict[str, str] = {}
+
+
+def _altered_run(sf_dir: str) -> str:
+    """Cached store that has seen both section-level ALTERs: derive a
+    computed column (quality = n_tok & 255 — one appended section per
+    partition, token payloads byte-copied) then PHYSICALLY drop source
+    (sections omitted in the byte-copy, bytes reclaimed immediately)."""
+    if sf_dir in _ALTERED_RUNS:
+        return _ALTERED_RUNS[sf_dir]
+    from rwcf import documents, pipeline, update
+    work = _workdir("altered", sf_dir)
+    tokens_dir = documents.tokens_parquet_for(sf_dir, work)
+    cfg = pipeline.EncodeConfig(out_dir=os.path.join(work, "out"),
+                                partition_token_budget=500_000)
+    pipeline.encode_job(documents.parquet_files(tokens_dir), cfg) \
+        .materialize()
+
+    def quality(t: pa.Table) -> pa.Array:
+        return pc.cast(pc.bit_wise_and(t.column("n_tok"), 255),
+                       pa.int32()).combine_chunks()
+
+    update.derive_column(cfg.out_dir, "quality", quality, ["n_tok"])
+    res = update.drop_column(cfg.out_dir, "source")
+    assert res["partitions_rewritten"] > 0, res
+    _ALTERED_RUNS[sf_dir] = cfg.out_dir
+    return cfg.out_dir
+
+
+def _q_alter_scan(sf_dir: str):
+    """Section-level ALTER TABLE (rwcf.update.derive_column /
+    drop_column): ADD COLUMN AS expr materializes ONE appended section
+    per partition and DROP COLUMN physically reclaims its bytes by
+    omitting the section from an IO-bound byte-copy — in both cases the
+    token payload never decodes (file-level lakehouse formats rewrite
+    whole files for either). The decode proves the derived values, the
+    dropped column's absence, and untouched payloads vs the SQL
+    oracle."""
+    from rwcf import pipeline, rayenv
+    out = _altered_run(sf_dir)
+    dec = pipeline.decode_job(out, columns=["doc_id", "n_tok", "quality"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tok": pc.cast(t.column("n_tok"), pa.int64()),
+            "quality": pc.cast(t.column("quality"), pa.int64())})
+
+    return dec.map_batches(widen, batch_format="pyarrow",
+                           **rayenv.remote_args())
+
+
 def _q_spj_join3(sf_dir: str):
     """Three-way storage-partitioned join (star-schema case): tokens
     store x attribute store x doc_id%5==0 subset store fold their local
@@ -4242,6 +4294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spj_left_join": _q_spj_left_join,
         "spj_join3": _q_spj_join3,
         "update_scan": _q_update_scan,
+        "alter_scan": _q_alter_scan,
     }
 
 
@@ -6116,6 +6169,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(strlen(text) AS BIGINT) AS n_tok, "
             "CASE WHEN strlen(text) BETWEEN 200 AND 400 "
             "THEN 'redacted' ELSE source END AS source FROM documents"),
+        "alter_scan": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "CAST(strlen(text) AS BIGINT) AS n_tok, "
+            "CAST(strlen(text) % 256 AS BIGINT) AS quality "
+            "FROM documents"),
         # rows-only (not SQL-expressible): codec_selection, flagship_synthetic,
         # distinct_tokens_approx (HLL sketch; error bound pinned in tests),
         # quantiles_value_approx (bottom-k sample sketch; rank-error bound

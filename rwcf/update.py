@@ -183,19 +183,11 @@ def update_where(out_dir: str, set_col: str, set_value,
     return summary
 
 
-def _rewrite_partition(row: dict, set_col: str, new_vals: pa.Array,
-                       new_pid: str, cfg: EncodeConfig,
-                       n_match: int) -> dict:
-    """Build the successor partition: re-encode ONE column, byte-copy the
-    rest, commit file-first manifest-row-last (single atomic visibility
-    flip carrying ``replaces``)."""
+def _chunk_of(vals: pa.Array, dtype_hint: str | None):
+    """(selector chunk, dtype code, decoded bytes) for an arrow array."""
     import pyarrow.compute as pc
-    t0 = time.perf_counter()
-    # chunk for the selector: strings -> (lengths, payload), ints -> np
-    old_cm = next(c for c in row["columns"] if c["column"] == set_col)
-    if pa.types.is_string(new_vals.type) or \
-            pa.types.is_large_string(new_vals.type):
-        la = new_vals.cast(pa.large_utf8())
+    if pa.types.is_string(vals.type) or pa.types.is_large_string(vals.type):
+        la = vals.cast(pa.large_utf8())
         lens = pc.binary_length(la).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         buf = la.buffers()[2]
@@ -204,26 +196,47 @@ def _rewrite_partition(row: dict, set_col: str, new_vals: pa.Array,
             la.offset: la.offset + len(la) + 1]
         payload = (np.frombuffer(buf, dtype=np.uint8)[offs[0]:offs[-1]]
                    if buf is not None else np.empty(0, np.uint8))
-        chunk, dtype = (lens, payload), "str"
-        dec_b = int(payload.size) + 8 * len(lens)
-    else:
-        np_t = fmt.DTYPES[old_cm["dtype"]][2]
-        arr = new_vals.to_numpy(zero_copy_only=False).astype(np_t)
-        chunk, dtype = arr, old_cm["dtype"]
-        dec_b = int(arr.nbytes)
+        return (lens, payload), "str", int(payload.size) + 8 * len(lens)
+    dtype = dtype_hint or fmt.dtype_code_for_arrow(vals.type)
+    arr = vals.to_numpy(zero_copy_only=False).astype(fmt.DTYPES[dtype][2])
+    return arr, dtype, int(arr.nbytes)
 
+
+def _encode_section(vals: pa.Array, dtype_hint: str | None,
+                    transport, cfg: EncodeConfig):
+    """Encode one column into (blob, col-meta fields, decoded bytes)."""
+    chunk, dtype, dec_b = _chunk_of(vals, dtype_hint)
     enc, choice = selector.encode_auto(chunk, dtype, cfg.page_target,
                                        cfg.codecs)
     blob = fmt.write_column_file(enc)
     raw_length = len(blob)
     frames = None
-    transport = next(c for c in row["columns"]
-                     if c["column"] == set_col).get("transport")
     if transport == "zstd-page":
         blob, frames = _compress_frames(blob, enc)
     elif transport:
         blob = pa.Codec(transport, compression_level=1).compress(
             blob, asbytes=True)
+    meta = {"dtype": dtype, "codec": enc.codec, "n_values": enc.n_values,
+            "length": len(blob), "raw_length": raw_length,
+            "frames": frames, "transport": transport,
+            "crc": zlib.crc32(blob), "estimate": choice.estimate,
+            "decoded_bytes": dec_b,
+            "page_stats": fmt.page_value_stats(chunk, dtype, enc.pages)}
+    return blob, meta, dec_b
+
+
+def _rewrite_partition(row: dict, set_col: str, new_vals: pa.Array,
+                       new_pid: str, cfg: EncodeConfig,
+                       n_match: int) -> dict:
+    """Build the successor partition: re-encode ONE column, byte-copy the
+    rest, commit file-first manifest-row-last (single atomic visibility
+    flip carrying ``replaces``)."""
+    import pyarrow.compute as pc
+    t0 = time.perf_counter()
+    old_cm = next(c for c in row["columns"] if c["column"] == set_col)
+    blob, new_meta, dec_b = _encode_section(
+        new_vals, old_cm["dtype"] if old_cm["dtype"] != "str" else None,
+        old_cm.get("transport"), cfg)
 
     sections: list[bytes] = []
     col_meta = []
@@ -233,13 +246,8 @@ def _rewrite_partition(row: dict, set_col: str, new_vals: pa.Array,
         for cm in row["columns"]:
             if cm["column"] == set_col:
                 nm = dict(cm)
-                nm.update({"codec": enc.codec, "offset": offset,
-                           "length": len(blob), "raw_length": raw_length,
-                           "frames": frames, "crc": zlib.crc32(blob),
-                           "estimate": choice.estimate,
-                           "decoded_bytes": dec_b,
-                           "page_stats": fmt.page_value_stats(
-                               chunk, dtype, enc.pages)})
+                nm.update(new_meta)
+                nm["offset"] = offset
                 sections.append(blob)
                 offset += len(blob)
                 col_meta.append(nm)
@@ -280,6 +288,27 @@ def _rewrite_partition(row: dict, set_col: str, new_vals: pa.Array,
             boff += len(rawb)
             bloom_bytes += len(rawb)
 
+    stats = dict(row.get("stats") or {})
+    mm = pc.min_max(new_vals)
+    stats[set_col] = {"min": mm["min"].as_py(), "max": mm["max"].as_py()}
+    lineage = {"update_of": row["pid"], "set_col": set_col,
+               "rows_matched": n_match}
+    new_row = _commit_successor(
+        row, cfg, new_pid, sections, col_meta, blooms, bloom_bytes,
+        offset, stats, lineage,
+        row["decoded_bytes"] - old_cm["decoded_bytes"] + dec_b, t0)
+    new_row["_matched"] = n_match
+    new_row["_bytes_copied"] = bytes_copied
+    return new_row
+
+
+def _commit_successor(row: dict, cfg: EncodeConfig, new_pid: str,
+                      sections, col_meta, blooms, bloom_bytes,
+                      offset: int, stats: dict, lineage: dict,
+                      decoded_bytes: int, t0: float) -> dict:
+    """Write the successor partition file, carry tombstones as a sidecar,
+    then commit the manifest row naming ``replaces=[old pid]`` — one
+    atomic os.replace is the visibility flip (compaction semantics)."""
     os.makedirs(cfg.parts_dir, exist_ok=True)
     os.makedirs(cfg.manifest_dir, exist_ok=True)
     fpath = os.path.join(cfg.parts_dir, f"{new_pid}.rwcf")
@@ -289,13 +318,9 @@ def _rewrite_partition(row: dict, set_col: str, new_vals: pa.Array,
             f.write(s)
     os.replace(tmp, fpath)
 
-    stats = dict(row.get("stats") or {})
-    mm = pc.min_max(new_vals)
-    stats[set_col] = {"min": mm["min"].as_py(), "max": mm["max"].as_py()}
     old_lin = row.get("lineage") or {}
-    lineage = {"update_of": row["pid"], "set_col": set_col,
-               "rows_matched": n_match}
     # bucket lineage rides along so bucketed stores stay joinable
+    lineage = dict(lineage)
     lineage.update({k: old_lin[k] for k in
                     ("bucket_key", "bucket", "n_buckets")
                     if k in old_lin})
@@ -304,14 +329,15 @@ def _rewrite_partition(row: dict, set_col: str, new_vals: pa.Array,
     new_row.update({
         "pid": new_pid, "file": fpath,
         "encoded_bytes": offset,
-        "decoded_bytes": row["decoded_bytes"]
-        - old_cm["decoded_bytes"] + dec_b,
+        "decoded_bytes": decoded_bytes,
         "columns": col_meta, "stats": stats, "lineage": lineage,
         "codec_by_column": {c["column"]: c["codec"] for c in col_meta},
         "encode_seconds": round(time.perf_counter() - t0, 4),
         "status": "committed",
         "replaces": [row["pid"]],
     })
+    new_row.pop("bloom", None)
+    new_row.pop("bloom_bytes", None)
     if blooms:
         new_row["bloom"] = blooms
         new_row["bloom_bytes"] = bloom_bytes
@@ -329,6 +355,185 @@ def _rewrite_partition(row: dict, set_col: str, new_vals: pa.Array,
     with open(mtmp, "w") as f:
         json.dump(new_row, f)
     os.replace(mtmp, mpath)  # commit point
-    new_row["_matched"] = n_match
-    new_row["_bytes_copied"] = bytes_copied
     return new_row
+
+
+def _copy_sections(row: dict, f, skip: set[str]):
+    """Byte-copy every column section except ``skip`` (crc-checked);
+    returns (sections, col_meta, offset, bytes_copied, dec_dropped)."""
+    sections, col_meta = [], []
+    offset = 0
+    copied = 0
+    dec_dropped = 0
+    for cm in row["columns"]:
+        if cm["column"] in skip:
+            dec_dropped += cm.get("decoded_bytes") or 0
+            continue
+        f.seek(cm["offset"])
+        sec = f.read(cm["length"])
+        if cm.get("crc") is not None and zlib.crc32(sec) != cm["crc"]:
+            raise IOError(
+                f"checksum mismatch in {row['pid']}:{cm['column']}")
+        nm = dict(cm)
+        nm["offset"] = offset
+        sections.append(sec)
+        col_meta.append(nm)
+        copied += len(sec)
+        offset += len(sec)
+    return sections, col_meta, offset, copied, dec_dropped
+
+
+def _copy_blooms(row: dict, f, offset: int, skip: set[str]):
+    blooms = {}
+    bloom_bytes = 0
+    sections = []
+    boff = offset
+    for name, bm in (row.get("bloom") or {}).items():
+        if name in skip:
+            continue
+        f.seek(bm["offset"])
+        rawb = f.read(bm["length"])
+        blooms[name] = dict(bm, offset=boff)
+        sections.append(rawb)
+        boff += len(rawb)
+        bloom_bytes += len(rawb)
+    return sections, blooms, bloom_bytes, boff
+
+
+def derive_column(out_dir: str, new_col: str, fn,
+                  input_cols: list[str],
+                  cfg: EncodeConfig | None = None,
+                  concurrency: int | None = None) -> dict:
+    """Materialize a COMPUTED column (``ALTER TABLE ADD COLUMN AS expr``):
+    per partition, decode only ``input_cols``, evaluate ``fn(tbl) ->
+    pa.Array`` (aligned to raw row positions, tombstones included), append
+    the encoded section + byte-copy everything else — the heavy token
+    payload never decodes.  Atomic replaces-commit per partition,
+    deterministic pids (idempotent resume).  File-level formats must
+    rewrite whole files to physically add a column; the paged single-file
+    layout makes it one section append."""
+    import ray.data as rd
+
+    if cfg is None:
+        cfg = EncodeConfig(out_dir=out_dir)
+    rows = load_manifest(out_dir)
+    for r in rows:
+        if any(c["column"] == new_col for c in r["columns"]):
+            raise ValueError(f"column {new_col!r} already exists "
+                             f"in partition {r['pid']}")
+    tag = zlib.crc32(("derive|" + new_col + "|"
+                      + getattr(fn, "__name__", "fn")
+                      + "|" + ",".join(input_cols)).encode()) & 0xFFFFFFFF
+    dtag = f"{tag:08x}"
+
+    def add_one(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        out = []
+        for row in manifest_table_to_rows(batch):
+            new_pid = f"{row['pid']}-d{dtag}"
+            mpath = os.path.join(cfg.manifest_dir, f"{new_pid}.json")
+            if os.path.exists(mpath):  # resume
+                with open(mpath) as f:
+                    out.append(json.load(f))
+                continue
+            raw = dict(row)
+            raw.pop("deleted_rows", None)  # raw positions, full length
+            dec = decode_partition(raw, columns=list(input_cols))
+            vals = fn(dec)
+            if len(vals) != row["n_rows"]:
+                raise ValueError(
+                    f"derived column length {len(vals)} != n_rows "
+                    f"{row['n_rows']} in {row['pid']}")
+            t0 = time.perf_counter()
+            transport = row["columns"][0].get("transport")
+            blob, meta, dec_b = _encode_section(vals, None, transport, cfg)
+            with open(row["file"], "rb") as f:
+                sections, col_meta, offset, copied, _ = _copy_sections(
+                    row, f, skip=set())
+                nm = {"column": new_col, "offset": offset, **meta}
+                sections.append(blob)
+                col_meta.append(nm)
+                offset += len(blob)
+                bsecs, blooms, bloom_bytes, _ = _copy_blooms(
+                    row, f, offset, skip=set())
+                sections.extend(bsecs)
+            stats = dict(row.get("stats") or {})
+            mm = pc.min_max(vals)
+            stats[new_col] = {"min": mm["min"].as_py(),
+                              "max": mm["max"].as_py()}
+            lineage = {"derive_of": row["pid"], "new_col": new_col}
+            # encoded_bytes stays data-only (blooms account separately),
+            # matching encode_partition's accounting
+            out.append(_commit_successor(
+                row, cfg, new_pid, sections, col_meta, blooms,
+                bloom_bytes, offset, stats, lineage,
+                row["decoded_bytes"] + dec_b, t0))
+        return manifest_rows_to_table(out)
+
+    n = _stage_cap(concurrency, 1)
+    ds = _sliced_blocks(manifest_rows_to_table(rows),
+                        min(len(rows) or 1, n * 2))
+    res = ds.map_batches(add_one, batch_size=1, batch_format="pyarrow",
+                         num_cpus=1, concurrency=min(n, max(len(rows), 1)),
+                         **rayenv.remote_args()).to_pandas()
+    return {"partitions": len(res), "column": new_col}
+
+
+def drop_column(out_dir: str, col: str,
+                cfg: EncodeConfig | None = None,
+                concurrency: int | None = None) -> dict:
+    """PHYSICALLY drop a column: byte-copy every other section into a
+    successor partition (IO-bound; nothing decodes or re-encodes) — the
+    eager complement of rwcf.schema's lazy metadata drop, reclaiming the
+    bytes immediately instead of at next compaction.  Core columns
+    (doc_id / tokens / n_tok) and bucket keys are protected."""
+    import ray.data as rd
+
+    if col in ("doc_id", "tokens", "n_tok"):
+        raise ValueError(f"cannot drop core column {col!r}")
+    bspec_path = os.path.join(out_dir, "bucketspec.json")
+    if os.path.exists(bspec_path):
+        with open(bspec_path) as f:
+            if json.load(f)["key"] == col:
+                raise ValueError(f"cannot drop bucket key {col!r}")
+    if cfg is None:
+        cfg = EncodeConfig(out_dir=out_dir)
+    rows = load_manifest(out_dir)
+    affected = [r for r in rows
+                if any(c["column"] == col for c in r["columns"])]
+    tag = zlib.crc32(f"drop|{col}".encode()) & 0xFFFFFFFF
+    xtag = f"{tag:08x}"
+
+    def drop_one(batch: pa.Table) -> pa.Table:
+        out = []
+        for row in manifest_table_to_rows(batch):
+            new_pid = f"{row['pid']}-x{xtag}"
+            mpath = os.path.join(cfg.manifest_dir, f"{new_pid}.json")
+            if os.path.exists(mpath):  # resume
+                with open(mpath) as f:
+                    out.append(json.load(f))
+                continue
+            t0 = time.perf_counter()
+            with open(row["file"], "rb") as f:
+                sections, col_meta, offset, copied, dec_drop = \
+                    _copy_sections(row, f, skip={col})
+                bsecs, blooms, bloom_bytes, end = _copy_blooms(
+                    row, f, offset, skip={col})
+                sections.extend(bsecs)
+            stats = dict(row.get("stats") or {})
+            stats.pop(col, None)
+            lineage = {"drop_of": row["pid"], "dropped_col": col}
+            out.append(_commit_successor(
+                row, cfg, new_pid, sections, col_meta, blooms,
+                bloom_bytes, offset, stats, lineage,
+                row["decoded_bytes"] - dec_drop, t0))
+        return manifest_rows_to_table(out)
+
+    if affected:
+        n = _stage_cap(concurrency, 1)
+        ds = _sliced_blocks(manifest_rows_to_table(affected),
+                            min(len(affected), n * 2))
+        ds.map_batches(drop_one, batch_size=1, batch_format="pyarrow",
+                       num_cpus=1, concurrency=min(n, len(affected)),
+                       **rayenv.remote_args()).materialize()
+    return {"partitions_rewritten": len(affected), "column": col}

@@ -116,6 +116,61 @@ def test_update_guards(store, tmp_path):
         update.update_where(bdir, "doc_id", "x", pred_col="doc_id", eq="1")
 
 
+def test_derive_column_materializes_computed_section(store):
+    import pyarrow.compute as pc
+    out, src = store
+
+    def quality(t: pa.Table) -> pa.Array:
+        return pc.cast(pc.bit_wise_and(t.column("n_tok"), 255),
+                       pa.int32()).combine_chunks()
+
+    res = update.derive_column(out, "quality", quality, ["n_tok"])
+    assert res["column"] == "quality"
+    got = _decoded(out)
+    assert "quality" in got.columns
+    assert (got["quality"] == (got["n_tok"] & 255)).all()
+    # token payloads byte-copied, still exact
+    gt = got.sort_values("doc_id").reset_index(drop=True)
+    et = src.sort_values("doc_id").reset_index(drop=True)
+    assert list(gt["tokens"][0]) == list(et["tokens"][0])
+    # re-deriving an existing column refuses; store untouched
+    n1 = len(pipeline.load_manifest(out))
+    with pytest.raises(ValueError, match="already exists"):
+        update.derive_column(out, "quality", quality, ["n_tok"])
+    assert len(pipeline.load_manifest(out)) == n1
+    # deep fsck stays green (copied sections, new section, blooms)
+    rep = pipeline.fsck_store(out, deep=True).to_pandas()
+    assert rep["ok"].all()
+    # zone maps for the derived column support pruning immediately
+    rows = pipeline.load_manifest(out)
+    assert all("quality" in (r.get("stats") or {}) for r in rows)
+
+
+def test_drop_column_physically_reclaims_bytes(store):
+    out, src = store
+    before = sum(r["encoded_bytes"] for r in pipeline.load_manifest(out))
+    res = update.drop_column(out, "source")
+    assert res["partitions_rewritten"] > 0
+    rows = pipeline.load_manifest(out)
+    after = sum(r["encoded_bytes"] for r in rows)
+    assert after < before
+    got = _decoded(out)
+    assert "source" not in got.columns
+    assert set(got.columns) >= {"doc_id", "tokens", "n_tok"}
+    # source bloom sidecar dropped with its column
+    assert all("source" not in (r.get("bloom") or {}) for r in rows)
+    assert all("source" not in (r.get("stats") or {}) for r in rows)
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "n_tok"]].sort_values("doc_id")
+        .reset_index(drop=True),
+        src[["doc_id", "n_tok"]].sort_values("doc_id")
+        .reset_index(drop=True), check_dtype=False)
+    rep = pipeline.fsck_store(out, deep=True).to_pandas()
+    assert rep["ok"].all()
+    with pytest.raises(ValueError, match="core column"):
+        update.drop_column(out, "tokens")
+
+
 def test_update_callable_set_fn(store):
     out, src = store
 
