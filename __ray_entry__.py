@@ -4001,6 +4001,66 @@ def _q_alter_scan(sf_dir: str):
                            **rayenv.remote_args())
 
 
+_PLANJOIN_RUNS: dict[str, tuple[str, str]] = {}
+
+
+def _planjoin_runs(sf_dir: str) -> tuple[str, str]:
+    """Two plain (non-bucketed) stores for the join planner: the tokens
+    store and a 5-row per-source rollup side store — manifest stats alone
+    tell the planner the side fits a broadcast."""
+    if sf_dir in _PLANJOIN_RUNS:
+        return _PLANJOIN_RUNS[sf_dir]
+    import ray.data as rd
+    from ray.data.aggregate import Count
+    from rwcf import documents, pipeline, rayenv
+    work = _workdir("planjoin", sf_dir)
+    left = _encoded_run(sf_dir)
+    counts = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["source"])
+              .groupby("source")
+              .aggregate(Count(alias_name="src_docs"))
+              .to_pandas())
+    import pyarrow.parquet as _pq
+    side_pq = os.path.join(work, "side.parquet")
+    _pq.write_table(
+        pa.table({"source": pa.array(counts["source"], pa.string()),
+                  "src_docs": pa.array(counts["src_docs"].astype("int64"),
+                                       pa.int64())}), side_pq)
+    cfg = pipeline.EncodeConfig(out_dir=os.path.join(work, "side"),
+                                columns=["source", "src_docs"],
+                                partition_token_budget=1000)
+    pipeline.encode_job([side_pq], cfg).materialize()
+    _PLANJOIN_RUNS[sf_dir] = (left, cfg.out_dir)
+    return _PLANJOIN_RUNS[sf_dir]
+
+
+def _q_planned_join_scan(sf_dir: str):
+    """Cost-based JOIN planning (rwcf.planner.plan_join/planned_join —
+    the join-side complement of planned_scan): manifest metadata alone
+    routes co-bucketed stores to the zero-exchange SPJ, a small side to
+    a ray.put broadcast (this query: 5-row per-source rollup joined to
+    the decoded tokens store, left side never shuffles), everything
+    else to the two-sided bucketed hash join; the EXPLAIN record pins
+    estimated bytes per strategy (strategy choices pytest-pinned in
+    tests/test_planner.py)."""
+    from rwcf import planner, rayenv
+    left, side = _planjoin_runs(sf_dir)
+    ds, plan = planner.planned_join(
+        left, side, on="source",
+        columns_l=["doc_id", "source"], columns_r=["source", "src_docs"],
+        how="inner")
+    assert plan["strategy"] == "broadcast", plan
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "source": t.column("source"),
+            "src_docs": pc.cast(t.column("src_docs"), pa.int64())})
+
+    return ds.map_batches(widen, batch_format="pyarrow",
+                          **rayenv.remote_args())
+
+
 def _q_spj_join3(sf_dir: str):
     """Three-way storage-partitioned join (star-schema case): tokens
     store x attribute store x doc_id%5==0 subset store fold their local
@@ -4295,6 +4355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spj_join3": _q_spj_join3,
         "update_scan": _q_update_scan,
         "alter_scan": _q_alter_scan,
+        "planned_join_scan": _q_planned_join_scan,
     }
 
 
@@ -6174,6 +6235,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(strlen(text) AS BIGINT) AS n_tok, "
             "CAST(strlen(text) % 256 AS BIGINT) AS quality "
             "FROM documents"),
+        "planned_join_scan": (
+            "SELECT CAST(d.doc_id AS VARCHAR) AS doc_id, d.source, "
+            "s.src_docs FROM documents d JOIN "
+            "(SELECT source, CAST(count(*) AS BIGINT) AS src_docs "
+            "FROM documents GROUP BY source) s USING (source)"),
         # rows-only (not SQL-expressible): codec_selection, flagship_synthetic,
         # distinct_tokens_approx (HLL sketch; error bound pinned in tests),
         # quantiles_value_approx (bottom-k sample sketch; rank-error bound

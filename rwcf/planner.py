@@ -324,3 +324,86 @@ def planned_scan(out_dir: str, column: str, op: str, value=None,
 
     return dec.map_batches(filt, batch_format="pyarrow",
                            **rayenv.remote_args()), plan
+
+
+# ---------------------------------------------------------------------------
+# join planning
+# ---------------------------------------------------------------------------
+
+def plan_join(left_dir: str, right_dir: str, on: str = "doc_id",
+              how: str = "inner",
+              broadcast_row_limit: int = 200_000) -> dict:
+    """Cost-based join strategy from manifest METADATA only (zero data
+    IO) — the join-side complement of :func:`plan_scan`:
+
+    1. ``spj``: both stores commit identical bucketspecs on ``on`` —
+       zero-exchange storage-partitioned join (rwcf.spj).
+    2. ``broadcast``: the right side's live rows fit
+       ``broadcast_row_limit`` — one ``ray.put`` of the small side,
+       left side never moves (rwcf.joins.hash_join(broadcast=True);
+       right/outer joins can't broadcast and fall through).
+    3. ``hash``: two-sided bucketed exchange (the general case).
+
+    The EXPLAIN record carries per-side live rows / decoded bytes and
+    the estimated bytes each strategy would move, so the choice is
+    auditable."""
+    import json as _json
+    import os as _os
+
+    def side(d):
+        rows = pipeline.load_manifest(d)
+        live = sum(r["n_rows"] - len(r.get("deleted_rows") or ())
+                   for r in rows)
+        dec = sum(r["decoded_bytes"] for r in rows)
+        spec = None
+        p = _os.path.join(d, "bucketspec.json")
+        if _os.path.exists(p):
+            with open(p) as f:
+                spec = _json.load(f)
+        return {"rows": live, "decoded_bytes": dec, "bucketspec": spec,
+                "partitions": len(rows)}
+
+    ls, rs = side(left_dir), side(right_dir)
+    est = {
+        "spj": 0,
+        "broadcast": rs["decoded_bytes"],
+        "hash": ls["decoded_bytes"] + rs["decoded_bytes"],
+    }
+    if (ls["bucketspec"] is not None
+            and ls["bucketspec"] == rs["bucketspec"]
+            and ls["bucketspec"]["key"] == on):
+        strategy = "spj"
+    elif rs["rows"] <= broadcast_row_limit and how not in ("right",
+                                                           "outer"):
+        strategy = "broadcast"
+    else:
+        strategy = "hash"
+    return {"strategy": strategy, "on": on, "how": how,
+            "left": ls, "right": rs,
+            "est_bytes_exchanged": est[strategy],
+            "est_bytes_by_strategy": est,
+            "broadcast_row_limit": broadcast_row_limit}
+
+
+def planned_join(left_dir: str, right_dir: str, on: str = "doc_id",
+                 columns_l: list[str] | None = None,
+                 columns_r: list[str] | None = None,
+                 how: str = "inner", suffix: str = "_r",
+                 broadcast_row_limit: int = 200_000,
+                 concurrency: int | None = None):
+    """Plan, then execute the chosen join. Returns ``(dataset, plan)``."""
+    from . import joins, spj
+
+    plan = plan_join(left_dir, right_dir, on, how, broadcast_row_limit)
+    if plan["strategy"] == "spj":
+        ds = spj.storage_partitioned_join(
+            left_dir, right_dir, columns_a=columns_l, columns_b=columns_r,
+            how=how, suffix=suffix, concurrency=concurrency)
+        return ds, plan
+    left = pipeline.decode_job(left_dir, columns=columns_l,
+                               concurrency=concurrency)
+    right = pipeline.decode_job(right_dir, columns=columns_r,
+                                concurrency=concurrency)
+    ds = joins.hash_join(left, right, on=on, how=how, suffix=suffix,
+                         broadcast=(plan["strategy"] == "broadcast"))
+    return ds, plan

@@ -217,14 +217,19 @@ def storage_partitioned_join(dir_a: str, dir_b: str,
                              columns_b: list[str] | None = None,
                              how: str = "inner", suffix: str = "_r",
                              concurrency: int | None = None,
-                             task_cpus: int = 1):
+                             task_cpus: int = 1,
+                             snapshot_a: str | None = None,
+                             snapshot_b: str | None = None):
     """Join two bucket-encoded stores on their shared bucket key with NO
     shuffle: one map task per bucket decodes both sides' partitions and
     joins them with the Arrow hash-join kernel.  Raises unless both
     stores commit the SAME (key, n_buckets, hash) bucketspec — the
     partitioning assumption this operator's correctness rides on.
 
-    ``how``: inner | left | outer | semi | anti (left-relative)."""
+    ``how``: inner | left | outer | semi | anti (left-relative).
+    ``snapshot_a``/``snapshot_b`` join either side AS OF a committed
+    snapshot / tag / branch (manifest-level time travel — partition
+    immutability makes old bucket layouts readable for free)."""
     import ray
     import ray.data as rd
 
@@ -238,9 +243,9 @@ def storage_partitioned_join(dir_a: str, dir_b: str,
         raise ValueError(f"incompatible bucket specs: {spec_a} vs {spec_b}")
     key = spec_a["key"]
 
-    def by_bucket(out_dir: str) -> dict[int, list[dict]]:
+    def by_bucket(out_dir: str, snapshot: str | None) -> dict[int, list[dict]]:
         m: dict[int, list[dict]] = {}
-        for r in pipeline.load_manifest(out_dir):
+        for r in pipeline.load_manifest(out_dir, snapshot=snapshot):
             lin = r.get("lineage") or {}
             if "bucket" not in lin:
                 raise ValueError(f"partition {r['pid']} in {out_dir} has no "
@@ -248,7 +253,8 @@ def storage_partitioned_join(dir_a: str, dir_b: str,
             m.setdefault(int(lin["bucket"]), []).append(r)
         return m
 
-    by_a, by_b = by_bucket(dir_a), by_bucket(dir_b)
+    by_a = by_bucket(dir_a, snapshot_a)
+    by_b = by_bucket(dir_b, snapshot_b)
     if how == "inner":
         buckets = sorted(set(by_a) & set(by_b))
     elif how == "outer":

@@ -184,3 +184,150 @@ def test_plan_scan_multi_intersects(store):
     assert multi["partitions_read"] <= single["partitions_read"]
     assert multi["strategy"].count("+") >= 1
     assert len(multi["per_pred"]) == 2
+
+
+# ---------------------------------------------------------------------------
+# join planning
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def join_stores(tmp_path_factory, ray_session):
+    """Three stores over one 300-row tokens table: two co-bucketed on
+    doc_id (-> spj), one plain tokens store + one small plain side table
+    (-> broadcast), and the same pair with a tiny broadcast limit
+    (-> hash)."""
+    import os
+    import pyarrow as pa
+    import ray.data as rd
+    from rwcf import spj
+
+    tmp = tmp_path_factory.mktemp("planjoin")
+    path = fixtures.tokens_parquet(300, seed=13, cache_dir=str(tmp / "tok"),
+                                   row_group_size=100)
+    side_dir = str(tmp / "sidepq")
+
+    def derive(t):
+        import pyarrow.compute as pc
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "len4": pc.cast(pc.bit_wise_and(t.column("n_tok"), 3),
+                            pa.int32())})
+
+    rd.read_parquet(path).map_batches(derive, batch_format="pyarrow") \
+        .write_parquet(side_dir)
+    side_files = [os.path.join(side_dir, f) for f in os.listdir(side_dir)
+                  if f.endswith(".parquet")]
+
+    ba = str(tmp / "ba")
+    spj.bucket_store(path, pipeline.EncodeConfig(
+        out_dir=ba, partition_token_budget=20_000), "doc_id", 4) \
+        .materialize()
+    bb = str(tmp / "bb")
+    spj.bucket_store(side_files, pipeline.EncodeConfig(
+        out_dir=bb, columns=["doc_id", "len4"],
+        partition_token_budget=200), "doc_id", 4).materialize()
+
+    plain = str(tmp / "plain")
+    pipeline.encode_job(path, pipeline.EncodeConfig(
+        out_dir=plain, partition_token_budget=20_000)).materialize()
+    plain_side = str(tmp / "pside")
+    pipeline.encode_job(side_files, pipeline.EncodeConfig(
+        out_dir=plain_side, columns=["doc_id", "len4"],
+        partition_token_budget=200)).materialize()
+
+    src = rd.read_parquet(path).to_pandas()
+    side = rd.read_parquet(side_files).to_pandas()
+    return {"ba": ba, "bb": bb, "plain": plain, "pside": plain_side,
+            "src": src, "side": side}
+
+
+def _join_exp(js):
+    return js["src"][["doc_id", "n_tok"]].merge(js["side"], on="doc_id")
+
+
+def test_plan_join_picks_spj_for_cobucketed(join_stores):
+    import pandas as pd
+    plan = planner.plan_join(join_stores["ba"], join_stores["bb"])
+    assert plan["strategy"] == "spj"
+    assert plan["est_bytes_exchanged"] == 0
+    ds, plan2 = planner.planned_join(
+        join_stores["ba"], join_stores["bb"],
+        columns_l=["doc_id", "n_tok"], columns_r=["doc_id", "len4"])
+    assert plan2["strategy"] == "spj"
+    got = ds.to_pandas()
+    exp = _join_exp(join_stores)
+    cols = ["doc_id", "n_tok", "len4"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        exp[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False)
+
+
+def test_plan_join_picks_broadcast_for_small_side(join_stores):
+    import pandas as pd
+    plan = planner.plan_join(join_stores["plain"], join_stores["pside"])
+    assert plan["strategy"] == "broadcast"
+    assert plan["est_bytes_exchanged"] == plan["right"]["decoded_bytes"]
+    ds, _ = planner.planned_join(
+        join_stores["plain"], join_stores["pside"],
+        columns_l=["doc_id", "n_tok"], columns_r=["doc_id", "len4"])
+    got = ds.to_pandas()
+    exp = _join_exp(join_stores)
+    cols = ["doc_id", "n_tok", "len4"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        exp[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False)
+
+
+def test_plan_join_falls_back_to_hash(join_stores):
+    import pandas as pd
+    plan = planner.plan_join(join_stores["plain"], join_stores["pside"],
+                             broadcast_row_limit=10)
+    assert plan["strategy"] == "hash"
+    # right/outer joins can never broadcast
+    plan2 = planner.plan_join(join_stores["plain"], join_stores["pside"],
+                              how="outer")
+    assert plan2["strategy"] == "hash"
+    ds, _ = planner.planned_join(
+        join_stores["plain"], join_stores["pside"],
+        columns_l=["doc_id", "n_tok"], columns_r=["doc_id", "len4"],
+        broadcast_row_limit=10)
+    got = ds.to_pandas()
+    exp = _join_exp(join_stores)
+    cols = ["doc_id", "n_tok", "len4"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        exp[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False)
+
+
+def test_spj_snapshot_time_travel(join_stores, tmp_path):
+    """Join AS OF a snapshot: rows appended to a bucketed store after the
+    snapshot are invisible to snapshot_b."""
+    import os
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pqt
+    from rwcf import spj
+
+    bb = join_stores["bb"]
+    snap = pipeline.create_snapshot(bb, note="pre-append")["snapshot"]
+    extra = pa.table({"doc_id": pa.array(["zzz-1", "zzz-2"]),
+                      "len4": pa.array([9, 9], pa.int32())})
+    ep = str(tmp_path / "extra.parquet")
+    pqt.write_table(extra, ep)
+    spj.bucket_store([ep], pipeline.EncodeConfig(
+        out_dir=bb, columns=["doc_id", "len4"],
+        partition_token_budget=200), "doc_id", 4).materialize()
+
+    now = spj.storage_partitioned_join(
+        join_stores["bb"], join_stores["bb"],
+        columns_a=["doc_id", "len4"], columns_b=["doc_id"]).to_pandas()
+    assert (now["len4"] == 9).sum() == 2
+    old = spj.storage_partitioned_join(
+        join_stores["bb"], join_stores["bb"],
+        columns_a=["doc_id", "len4"], columns_b=["doc_id"],
+        snapshot_a=snap, snapshot_b=snap).to_pandas()
+    assert (old["len4"] == 9).sum() == 0
+    assert len(old) == len(join_stores["side"])
