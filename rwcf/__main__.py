@@ -126,6 +126,88 @@ def cmd_resume_status(args) -> int:
     return 0
 
 
+def cmd_fsck(args) -> int:
+    from . import pipeline
+    ray = _init_ray(args.num_cpus)
+    rep = pipeline.fsck_store(args.input, deep=args.deep).to_pandas()
+    roll = rep.groupby("check")["ok"].agg(["count", "sum"])
+    out = {c: {"checked": int(r["count"]),
+               "violations": int(r["count"] - r["sum"])}
+           for c, r in roll.iterrows()}
+    ok = all(v["violations"] == 0 for v in out.values())
+    print(json.dumps({"ok": ok, "checks": out}))
+    ray.shutdown()
+    return 0 if ok else 1
+
+
+def cmd_vacuum(args) -> int:
+    from . import maintenance
+    ray = _init_ray(args.num_cpus)
+    if args.plan_only:
+        print(json.dumps(maintenance.maintenance_plan(
+            args.input, target_tokens=args.target_tokens,
+            retention_keep_last=args.keep_last)))
+    else:
+        print(json.dumps(maintenance.vacuum(
+            args.input, target_tokens=args.target_tokens,
+            retention_keep_last=args.keep_last)))
+    ray.shutdown()
+    return 0
+
+
+def cmd_bucket(args) -> int:
+    from . import pipeline, spj
+    ray = _init_ray(args.num_cpus)
+    cfg = pipeline.EncodeConfig(
+        out_dir=args.out, partition_token_budget=args.token_budget,
+        columns=args.columns.split(",") if args.columns
+        else list(pipeline.TOKEN_COLUMNS))
+    man = spj.bucket_store(_input_files(args.input), cfg, key=args.key,
+                           n_buckets=args.buckets).to_pandas()
+    print(json.dumps({"partitions": len(man),
+                      "rows": int(man["n_rows"].sum()),
+                      "buckets": args.buckets, "key": args.key,
+                      "out_dir": args.out}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_join(args) -> int:
+    from . import planner
+    ray = _init_ray(args.num_cpus)
+    ds, plan = planner.planned_join(
+        args.left, args.right, on=args.on, how=args.how,
+        columns_l=args.columns_l.split(",") if args.columns_l else None,
+        columns_r=args.columns_r.split(",") if args.columns_r else None)
+    ds.write_parquet(args.out)
+    print(json.dumps({"strategy": plan["strategy"],
+                      "est_bytes_exchanged": plan["est_bytes_exchanged"],
+                      "out_dir": args.out}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_update(args) -> int:
+    from . import update
+    ray = _init_ray(args.num_cpus)
+    kw = {}
+    if args.eq is not None:
+        kw["eq"] = args.eq
+    if args.between:
+        lo, hi = args.between
+        # predicate values are typed by the stored column at execution;
+        # ints arrive as strings from argv — try int first
+        try:
+            kw["between"] = (int(lo), int(hi))
+        except ValueError:
+            kw["between"] = (lo, hi)
+    res = update.update_where(args.input, args.set_col, args.value,
+                              pred_col=args.pred_col, **kw)
+    print(json.dumps(res))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="rwcf")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -167,6 +249,58 @@ def main(argv=None) -> int:
     rs.add_argument("input", help="input parquet file/dir")
     rs.add_argument("--out", required=True, help="encode out_dir")
     rs.set_defaults(fn=cmd_resume_status)
+
+    fk = sub.add_parser("fsck", help="distributed store integrity audit")
+    fk.add_argument("input", help="encode out_dir")
+    fk.add_argument("--deep", action="store_true",
+                    help="also crc-scrub every column section")
+    fk.add_argument("--num-cpus", type=int, default=None)
+    fk.set_defaults(fn=cmd_fsck)
+
+    vc = sub.add_parser("vacuum", help="retention -> compaction -> gc -> "
+                                       "index upkeep autopilot")
+    vc.add_argument("input", help="encode out_dir")
+    vc.add_argument("--target-tokens", type=int, default=8_000_000)
+    vc.add_argument("--keep-last", type=int, default=2)
+    vc.add_argument("--plan-only", action="store_true",
+                    help="print the manifest-only plan, touch nothing")
+    vc.add_argument("--num-cpus", type=int, default=None)
+    vc.set_defaults(fn=cmd_vacuum)
+
+    bk = sub.add_parser("bucket", help="encode into a bucket-partitioned "
+                                       "store (storage-partitioned joins)")
+    bk.add_argument("input")
+    bk.add_argument("--out", required=True)
+    bk.add_argument("--key", default="doc_id")
+    bk.add_argument("--buckets", type=int, default=32)
+    bk.add_argument("--columns", default=None)
+    bk.add_argument("--token-budget", type=int, default=2_000_000)
+    bk.add_argument("--num-cpus", type=int, default=None)
+    bk.set_defaults(fn=cmd_bucket)
+
+    jn = sub.add_parser("join", help="cost-planned join of two stores "
+                                     "(spj / broadcast / hash) -> parquet")
+    jn.add_argument("left")
+    jn.add_argument("right")
+    jn.add_argument("--out", required=True)
+    jn.add_argument("--on", default="doc_id")
+    jn.add_argument("--how", default="inner")
+    jn.add_argument("--columns-l", default=None)
+    jn.add_argument("--columns-r", default=None)
+    jn.add_argument("--num-cpus", type=int, default=None)
+    jn.set_defaults(fn=cmd_join)
+
+    up = sub.add_parser("update", help="partial-column UPDATE "
+                                       "(section-granular rewrite)")
+    up.add_argument("input", help="encode out_dir")
+    up.add_argument("--set-col", required=True)
+    up.add_argument("--value", required=True)
+    up.add_argument("--pred-col", required=True)
+    up.add_argument("--eq", default=None)
+    up.add_argument("--between", nargs=2, default=None,
+                    metavar=("LO", "HI"))
+    up.add_argument("--num-cpus", type=int, default=None)
+    up.set_defaults(fn=cmd_update)
 
     args = p.parse_args(argv)
     return args.fn(args)

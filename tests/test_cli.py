@@ -66,3 +66,40 @@ def test_resume_status_counts_rows_not_pids(tmp_path):
     r = run_cli("resume-status", src, "--out", out)
     assert r["committed"] == 0 or frags[0]["fragment_id"] in r["pending"]
     assert r["pending_count"] == len(frags)  # frag 0 partial, frag 1 untouched
+
+
+def test_cli_round4_surfaces(tmp_path):
+    """fsck / vacuum --plan-only / bucket / join / update subcommands."""
+    src = fixtures.tokens_parquet(600, seed=7, cache_dir=str(tmp_path),
+                                  row_group_size=200)
+    out = str(tmp_path / "enc")
+    run_cli("encode", src, "--out", out, "--num-cpus", "4")
+
+    f = run_cli("fsck", out, "--deep", "--num-cpus", "4")
+    assert f["ok"] is True and f["checks"]["section_crc"]["violations"] == 0
+
+    vp = run_cli("vacuum", out, "--plan-only", "--num-cpus", "4")
+    assert "compaction_groups" in json.dumps(vp) or isinstance(vp, dict)
+
+    u = run_cli("update", out, "--set-col", "source", "--value", "redone",
+                "--pred-col", "n_tok", "--between", "100", "300",
+                "--num-cpus", "4")
+    assert u["rows_matched"] > 0
+
+    ba = str(tmp_path / "ba")
+    b = run_cli("bucket", src, "--out", ba, "--key", "doc_id",
+                "--buckets", "4", "--num-cpus", "4")
+    assert b["rows"] == 600 and b["buckets"] == 4
+
+    bb = str(tmp_path / "bb")
+    run_cli("bucket", src, "--out", bb, "--key", "doc_id",
+            "--buckets", "4", "--columns", "doc_id,source",
+            "--token-budget", "100000", "--num-cpus", "4")
+    jout = str(tmp_path / "joined")
+    j = run_cli("join", ba, bb, "--out", jout, "--on", "doc_id",
+                "--columns-l", "doc_id,n_tok", "--columns-r",
+                "doc_id,source", "--num-cpus", "4")
+    assert j["strategy"] == "spj" and j["est_bytes_exchanged"] == 0
+    got = pq.read_table(jout).to_pandas()
+    assert len(got) == 600 and {"doc_id", "n_tok", "source"} <= set(
+        got.columns)
