@@ -4061,6 +4061,58 @@ def _q_planned_join_scan(sf_dir: str):
                           **rayenv.remote_args())
 
 
+_JOINVIEW_RUNS: dict[str, str] = {}
+
+
+def _joinview_run(sf_dir: str) -> str:
+    """Cached materialized JOIN VIEW exercising the full incremental
+    cycle: materialize over the co-bucketed stores, partial-column
+    UPDATE one doc on the side store, refresh — exactly ONE bucket
+    re-materializes (asserted), the rest keep their files."""
+    if sf_dir in _JOINVIEW_RUNS:
+        return _JOINVIEW_RUNS[sf_dir]
+    import shutil
+    from rwcf import spj, update
+    a, b, _ = _spj_runs(sf_dir)
+    work = _workdir("joinview", sf_dir)
+    bcopy = os.path.join(work, "bcopy")
+    if not os.path.isdir(bcopy):
+        shutil.copytree(b, bcopy)
+    view = os.path.join(work, "view")
+    spj.materialize_join_view(view, a, bcopy,
+                              columns_a=["doc_id", "n_tok"],
+                              columns_b=["doc_id", "len8"])
+    update.update_where(bcopy, "len8", 77, pred_col="doc_id", eq="7")
+    res = spj.materialize_join_view(view, a, bcopy,
+                                    columns_a=["doc_id", "n_tok"],
+                                    columns_b=["doc_id", "len8"])
+    assert res["refreshed"] == 1, res  # bucket-granular O(delta) refresh
+    _JOINVIEW_RUNS[sf_dir] = view
+    return view
+
+
+def _q_join_view_scan(sf_dir: str):
+    """Incrementally-maintained materialized JOIN VIEW
+    (rwcf.spj.materialize_join_view — the join-shaped sibling of the
+    CDC-driven aggregate refresh): the view is itself a bucket-encoded
+    store whose per-bucket lineage fingerprints its input partitions;
+    after a partial-column UPDATE of one doc on the side store, refresh
+    re-joined exactly ONE bucket (engine-asserted) and this scan of the
+    view must reflect the update everywhere the oracle says."""
+    from rwcf import pipeline, rayenv
+    view = _joinview_run(sf_dir)
+    dec = pipeline.decode_job(view)
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tok": pc.cast(t.column("n_tok"), pa.int64()),
+            "len8": pc.cast(t.column("len8"), pa.int64())})
+
+    return dec.map_batches(widen, batch_format="pyarrow",
+                           **rayenv.remote_args())
+
+
 def _q_spj_join3(sf_dir: str):
     """Three-way storage-partitioned join (star-schema case): tokens
     store x attribute store x doc_id%5==0 subset store fold their local
@@ -4356,6 +4408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "update_scan": _q_update_scan,
         "alter_scan": _q_alter_scan,
         "planned_join_scan": _q_planned_join_scan,
+        "join_view_scan": _q_join_view_scan,
     }
 
 
@@ -6240,6 +6293,11 @@ def oracle_sql() -> dict[str, str]:
             "s.src_docs FROM documents d JOIN "
             "(SELECT source, CAST(count(*) AS BIGINT) AS src_docs "
             "FROM documents GROUP BY source) s USING (source)"),
+        "join_view_scan": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "CAST(strlen(text) AS BIGINT) AS n_tok, "
+            "CAST(CASE WHEN doc_id = 7 THEN 77 ELSE strlen(text) % 8 "
+            "END AS BIGINT) AS len8 FROM documents"),
         # rows-only (not SQL-expressible): codec_selection, flagship_synthetic,
         # distinct_tokens_approx (HLL sketch; error bound pinned in tests),
         # quantiles_value_approx (bottom-k sample sketch; rank-error bound

@@ -397,3 +397,144 @@ def _empty_join_schema(schema_a: pa.Schema, schema_b: pa.Schema | None,
     if jt in ("left semi", "left anti") or schema_b is None:
         return a
     return _local_join(a, schema_b.empty_table(), key, jt, suffix)
+
+
+# ---------------------------------------------------------------------------
+# materialized join views (incremental, bucket-granular maintenance)
+# ---------------------------------------------------------------------------
+
+def _bucket_fingerprint(rows_a: list[dict], rows_b: list[dict]) -> str:
+    """Deterministic content tag of one bucket's INPUT state: the pid set
+    plus each partition's tombstone positions — exactly the inputs the
+    bucket's join output depends on. Any append / compaction / update /
+    delete on either side changes it."""
+    import zlib as _zlib
+    key = json.dumps([
+        sorted((r["pid"], tuple(r.get("deleted_rows") or ()))
+               for r in rows_a),
+        sorted((r["pid"], tuple(r.get("deleted_rows") or ()))
+               for r in rows_b),
+    ], default=list)
+    return f"{_zlib.crc32(key.encode()) & 0xFFFFFFFF:08x}"
+
+
+def materialize_join_view(view_dir: str, dir_a: str, dir_b: str,
+                          columns_a: list[str] | None = None,
+                          columns_b: list[str] | None = None,
+                          how: str = "inner", suffix: str = "_r",
+                          cfg: EncodeConfig | None = None,
+                          concurrency: int | None = None) -> dict:
+    """Create OR incrementally refresh a materialized JOIN VIEW store.
+
+    The view is itself a bucket-encoded store (same bucketspec as its
+    inputs, so it chains into further storage-partitioned joins).  Each
+    view partition's lineage records the fingerprint of the input
+    partitions it was built from; a refresh re-joins ONLY buckets whose
+    fingerprint changed — an append/update/delete touching one bucket
+    re-materializes one bucket, O(delta), while compaction that rewrites
+    bytes without changing content still refreshes just its buckets.
+    Commit is the store's standard atomic manifest flip with
+    ``replaces`` naming the bucket's previous view partitions, so a
+    crashed refresh leaves the old view fully readable and a re-run
+    converges (fingerprint pids are deterministic).
+
+    The aggregate analogue is pipeline.incremental_source_stats (CDC
+    delta applied to a rollup); this is the JOIN-shaped sibling, the
+    missing piece for star-schema views at 10^12-row scale.
+
+    ``columns_a/b`` must name every column the view carries (include
+    ``n_tok`` when carrying ``tokens``)."""
+    spec_a, spec_b = read_bucketspec(dir_a), read_bucketspec(dir_b)
+    if spec_a is None or spec_b is None or spec_a != spec_b:
+        raise ValueError(f"inputs must share a bucketspec: {spec_a} vs "
+                         f"{spec_b}")
+    if how not in _JOIN_TYPES:
+        raise ValueError(f"how={how!r} not in {sorted(_JOIN_TYPES)}")
+    key = spec_a["key"]
+    if cfg is None:
+        cfg = EncodeConfig(out_dir=view_dir)
+    elif cfg.out_dir != view_dir:
+        raise ValueError("cfg.out_dir must equal view_dir")
+    write_bucketspec(view_dir, key, spec_a["n_buckets"])
+
+    def by_bucket(d):
+        m: dict[int, list[dict]] = {}
+        for r in pipeline.load_manifest(d):
+            m.setdefault(int((r.get("lineage") or {})["bucket"]),
+                         []).append(r)
+        return m
+
+    by_a, by_b = by_bucket(dir_a), by_bucket(dir_b)
+    buckets = sorted(set(by_a) | set(by_b)) if how == "outer" else (
+        sorted(by_a) if how in ("left", "anti") else
+        sorted(set(by_a) & set(by_b)))
+    view_rows = by_bucket(view_dir) if os.path.isdir(
+        os.path.join(view_dir, "manifest")) else {}
+    schema_a = _row_schema(next(iter(by_a.values()))[0], columns_a) \
+        if by_a else None
+    schema_b = _row_schema(next(iter(by_b.values()))[0], columns_b) \
+        if by_b else None
+
+    work = []
+    fresh = 0
+    for b in buckets:
+        tag = _bucket_fingerprint(by_a.get(b, []), by_b.get(b, []))
+        pid = f"bkt{b:05d}-v{tag}"
+        have = [r for r in view_rows.get(b, [])]
+        if any(r["pid"] == pid for r in have):
+            fresh += 1
+            continue
+        work.append({"bucket": b, "pid": pid,
+                     "stale": [r["pid"] for r in have]})
+    if work:
+        import ray
+        import ray.data as rd
+        ref = ray.put((by_a, by_b))
+        jt = _JOIN_TYPES[how]
+
+        def build(batch: pa.Table) -> pa.Table:
+            a_map, b_map = ray.get(ref)
+            out = []
+            for d in batch.to_pylist():
+                b = int(d["bucket"])
+                mpath = os.path.join(cfg.manifest_dir,
+                                     f"{d['pid']}.json")
+                if os.path.exists(mpath):  # resume
+                    with open(mpath) as f:
+                        out.append(json.load(f))
+                    continue
+                stale = json.loads(d["stale"])
+                ra, rb = a_map.get(b, []), b_map.get(b, [])
+                ta = _decode_bucket(ra, columns_a) if ra \
+                    else schema_a.empty_table()
+                if not rb and how == "anti":
+                    j = ta
+                elif not rb and how in ("inner", "semi"):
+                    j = _empty_join_schema(schema_a, schema_b, key, jt,
+                                           suffix)
+                else:
+                    tb = _decode_bucket(rb, columns_b) if rb \
+                        else schema_b.empty_table()
+                    j = _local_join(ta, tb, key, jt, suffix)
+                j = j.take(pc.sort_indices(j.column(key)))
+                out.append(pipeline.encode_partition(
+                    j, d["pid"], cfg,
+                    lineage={"bucket_key": key, "bucket": b,
+                             "n_buckets": spec_a["n_buckets"],
+                             "view_of": [dir_a, dir_b], "how": how},
+                    extra={"replaces": stale} if stale else None))
+            return manifest_rows_to_table(out)
+
+        items = pa.table({
+            "bucket": pa.array([w["bucket"] for w in work], pa.int32()),
+            "pid": pa.array([w["pid"] for w in work], pa.string()),
+            "stale": pa.array([json.dumps(w["stale"]) for w in work],
+                              pa.string())})
+        n = concurrency or pipeline._default_concurrency()
+        ds = pipeline._sliced_blocks(items, min(len(work), n * 2))
+        cap = pipeline._stage_cap(concurrency, 1)
+        ds.map_batches(build, batch_size=1, batch_format="pyarrow",
+                       num_cpus=1, concurrency=min(cap, len(work)),
+                       **rayenv.remote_args()).materialize()
+    return {"buckets": len(buckets), "refreshed": len(work),
+            "fresh": fresh}

@@ -258,6 +258,65 @@ def test_incremental_append_and_bucketed_compaction(stores, tmp_path):
         check_dtype=False)
 
 
+def test_materialized_join_view_incremental(stores, tmp_path):
+    """Join view refresh is bucket-granular: an UPDATE touching one doc
+    re-materializes exactly that doc's bucket; untouched view partitions
+    keep their files."""
+    import shutil
+    from rwcf import update as upd
+
+    # mutate a COPY of the b store (module fixture must stay pristine);
+    # untouched partitions still resolve via their absolute paths
+    bcopy = str(tmp_path / "bcopy")
+    shutil.copytree(stores["b"], bcopy)
+
+    view = str(tmp_path / "view")
+    r1 = spj.materialize_join_view(
+        view, stores["a"], bcopy,
+        columns_a=["doc_id", "n_tok"], columns_b=["doc_id", "len8"])
+    assert r1["refreshed"] == r1["buckets"] > 0 and r1["fresh"] == 0
+    got = pipeline.decode_job(view).to_pandas()
+    exp = stores["src"][["doc_id", "n_tok"]].merge(
+        stores["side"][["doc_id", "len8"]], on="doc_id")
+    cols = ["doc_id", "n_tok", "len8"]
+    pd.testing.assert_frame_equal(_canon(got, cols), _canon(exp, cols),
+                                  check_dtype=False)
+
+    # no-op refresh: every bucket fingerprint is current
+    r2 = spj.materialize_join_view(
+        view, stores["a"], bcopy,
+        columns_a=["doc_id", "n_tok"], columns_b=["doc_id", "len8"])
+    assert r2["refreshed"] == 0 and r2["fresh"] == r2["buckets"]
+
+    # update ONE doc on the b side -> exactly one bucket re-materializes
+    mtimes = {r["pid"]: os.path.getmtime(r["file"])
+              for r in pipeline.load_manifest(view)}
+    upd.update_where(bcopy, "len8", 77, pred_col="doc_id", eq="7")
+    r3 = spj.materialize_join_view(
+        view, stores["a"], bcopy,
+        columns_a=["doc_id", "n_tok"], columns_b=["doc_id", "len8"])
+    assert r3["refreshed"] == 1 and r3["fresh"] == r3["buckets"] - 1
+    got2 = pipeline.decode_job(view).to_pandas()
+    assert (got2.loc[got2["doc_id"] == "7", "len8"] == 77).all()
+    rest = got2[got2["doc_id"] != "7"].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        _canon(rest, cols),
+        _canon(exp[exp["doc_id"] != "7"], cols), check_dtype=False)
+    kept = 0
+    for r in pipeline.load_manifest(view):
+        if r["pid"] in mtimes:
+            assert os.path.getmtime(r["file"]) == mtimes[r["pid"]]
+            kept += 1
+    assert kept == r3["buckets"] - 1
+
+    # the view is itself a bucketed store -> chains into further SPJs
+    assert spj.read_bucketspec(view) == spj.read_bucketspec(stores["a"])
+    again = spj.storage_partitioned_join(
+        view, stores["b"], columns_a=["doc_id", "n_tok", "len8"],
+        columns_b=["doc_id", "source"]).to_pandas()
+    assert len(again) == len(exp)
+
+
 def test_fsck_audits_bucket_assignment(stores, tmp_path):
     import json
     import shutil
