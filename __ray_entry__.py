@@ -4113,6 +4113,69 @@ def _q_join_view_scan(sf_dir: str):
                            **rayenv.remote_args())
 
 
+_RMJ_RUNS: dict[str, tuple[str, str]] = {}
+
+
+def _rmj_runs(sf_dir: str) -> tuple[str, str]:
+    """Two stores CLUSTERED by doc_id (pipeline.cluster_store: one
+    write-time sort each, disjoint zone ranges) for the range-merge
+    join — the range-partitioned sibling of the bucketed _spj_runs."""
+    if sf_dir in _RMJ_RUNS:
+        return _RMJ_RUNS[sf_dir]
+    import ray.data as rd
+    from rwcf import documents, pipeline, rayenv
+    work = _workdir("rmj", sf_dir)
+    tokens_dir = documents.tokens_parquet_for(sf_dir, work)
+    paths = documents.parquet_files(tokens_dir)
+    cfg_a = pipeline.EncodeConfig(out_dir=os.path.join(work, "a"),
+                                  partition_token_budget=500_000)
+    pipeline.encode_job(paths, cfg_a).materialize()
+    pipeline.cluster_store(cfg_a.out_dir, by="doc_id",
+                           target_tokens=500_000)
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "len8": pc.cast(pc.bit_wise_and(t.column("n_tok"), 7),
+                            pa.int32())})
+
+    stats_dir = os.path.join(work, "spq")
+    rd.read_parquet(paths).map_batches(derive, batch_format="pyarrow",
+                                       **rayenv.remote_args())         .write_parquet(stats_dir)
+    cfg_b = pipeline.EncodeConfig(out_dir=os.path.join(work, "b"),
+                                  columns=["doc_id", "len8"],
+                                  partition_token_budget=2_000)
+    pipeline.encode_job(documents.parquet_files(stats_dir),
+                        cfg_b).materialize()
+    pipeline.cluster_store(cfg_b.out_dir, by="doc_id",
+                           target_tokens=2_000)
+    _RMJ_RUNS[sf_dir] = (cfg_a.out_dir, cfg_b.out_dir)
+    return _RMJ_RUNS[sf_dir]
+
+
+def _q_merge_join_scan(sf_dir: str):
+    """Range-merge join over doc_id-CLUSTERED stores
+    (rwcf.spj.range_merge_join — the sorted/range-partitioned sibling of
+    spj_join): partition pairing is a metadata interval-overlap test on
+    zone stats, each task locally joins one a-partition with its
+    overlapping b-partitions — zero exchanges at read time (the one
+    sort was paid by cluster_store), with an explicit fanout guard that
+    rejects unclustered inputs instead of going quadratic."""
+    from rwcf import rayenv, spj
+    a, b = _rmj_runs(sf_dir)
+    ds = spj.range_merge_join(a, b, columns_a=["doc_id", "n_tok"],
+                              columns_b=["doc_id", "len8"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tok": pc.cast(t.column("n_tok"), pa.int64()),
+            "len8": pc.cast(t.column("len8"), pa.int64())})
+
+    return ds.map_batches(widen, batch_format="pyarrow",
+                          **rayenv.remote_args())
+
+
 def _q_spj_join3(sf_dir: str):
     """Three-way storage-partitioned join (star-schema case): tokens
     store x attribute store x doc_id%5==0 subset store fold their local
@@ -4409,6 +4472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "alter_scan": _q_alter_scan,
         "planned_join_scan": _q_planned_join_scan,
         "join_view_scan": _q_join_view_scan,
+        "merge_join_scan": _q_merge_join_scan,
     }
 
 
@@ -6298,6 +6362,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(strlen(text) AS BIGINT) AS n_tok, "
             "CAST(CASE WHEN doc_id = 7 THEN 77 ELSE strlen(text) % 8 "
             "END AS BIGINT) AS len8 FROM documents"),
+        "merge_join_scan": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "CAST(strlen(text) AS BIGINT) AS n_tok, "
+            "CAST(strlen(text) % 8 AS BIGINT) AS len8 FROM documents"),
         # rows-only (not SQL-expressible): codec_selection, flagship_synthetic,
         # distinct_tokens_approx (HLL sketch; error bound pinned in tests),
         # quantiles_value_approx (bottom-k sample sketch; rank-error bound

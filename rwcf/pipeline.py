@@ -1073,13 +1073,17 @@ def cluster_store(out_dir: str, by="source",
     else:
         dec.sort(cols if len(cols) > 1 else cols[0]).write_parquet(staged)
 
+    files = sorted(os.path.join(staged, f) for f in os.listdir(staged)
+                   if f.endswith(".parquet"))
+    # preserve the store's ACTUAL columns (side/attribute stores and
+    # derived columns are not the default tokens schema)
+    staged_cols = [f.name for f in pq.ParquetFile(files[0]).schema_arrow]
     cfg = EncodeConfig(out_dir=work, partition_token_budget=target_tokens,
+                       columns=staged_cols,
                        bloom_bits_per_key=(
                            10 if any(r.get("bloom") for r in rows) else 0))
     if sver:
         cfg.schema_version = sver
-    files = sorted(os.path.join(staged, f) for f in os.listdir(staged)
-                   if f.endswith(".parquet"))
     encode_job(files, cfg, concurrency=concurrency).materialize()
     new_rows = load_manifest(work)
     # spread the replaces list over the new rows (any row's commit would

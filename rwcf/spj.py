@@ -538,3 +538,109 @@ def materialize_join_view(view_dir: str, dir_a: str, dir_b: str,
                        **rayenv.remote_args()).materialize()
     return {"buckets": len(buckets), "refreshed": len(work),
             "fresh": fresh}
+
+
+# ---------------------------------------------------------------------------
+# range-merge join over key-clustered stores
+# ---------------------------------------------------------------------------
+
+def range_merge_join(dir_a: str, dir_b: str, on: str = "doc_id",
+                     columns_a: list[str] | None = None,
+                     columns_b: list[str] | None = None,
+                     how: str = "inner", suffix: str = "_r",
+                     max_avg_fanout: float = 4.0,
+                     concurrency: int | None = None,
+                     task_cpus: int = 1):
+    """Zero-shuffle join for RANGE-partitioned layouts — the sorted
+    sibling of :func:`storage_partitioned_join` for stores maintained by
+    ``pipeline.cluster_store(by=key)`` (Iceberg range distribution /
+    sort-merge-join role).
+
+    Pairing is pure metadata: each a-partition joins the b-partitions
+    whose ``stats[on]`` [min,max] interval OVERLAPS its own — correct
+    regardless of overlap degree (every b row lives in exactly one
+    partition, so a matching row is found exactly once), but only
+    EFFICIENT when both sides are clustered, which keeps the average
+    fanout near 1. If the metadata shows average fanout above
+    ``max_avg_fanout`` (an unclustered side degenerates toward
+    all-pairs), this raises and the caller should hash-join or cluster
+    first — stated cost model, not silent quadratic work.
+
+    ``how``: inner | left | semi | anti (left-relative; full outer would
+    need cross-task dedup of unmatched b rows — use hash_join)."""
+    import ray
+    import ray.data as rd
+
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"how={how!r} not supported by range_merge_join")
+
+    def side(d):
+        rows = pipeline.load_manifest(d)
+        spans = []
+        for r in rows:
+            st = (r.get("stats") or {}).get(on)
+            if not st or st.get("min") is None:
+                raise ValueError(f"partition {r['pid']} in {d} has no "
+                                 f"zone stats for {on!r}")
+            spans.append((st["min"], st["max"], r))
+        return rows, spans
+
+    rows_a, spans_a = side(dir_a)
+    rows_b, spans_b = side(dir_b)
+    spans_b.sort(key=lambda s: (s[0], s[1]))
+    pairs = []
+    n_pairs = 0
+    for lo, hi, ra in spans_a:
+        bs = [rb for blo, bhi, rb in spans_b
+              if not (bhi < lo or blo > hi)]
+        pairs.append((ra, bs))
+        n_pairs += len(bs)
+    if pairs and n_pairs / max(len(pairs), 1) > max_avg_fanout:
+        raise ValueError(
+            f"avg partition fanout {n_pairs / len(pairs):.1f} exceeds "
+            f"{max_avg_fanout} — inputs not clustered on {on!r}; run "
+            "pipeline.cluster_store first or use joins.hash_join")
+
+    schema_b = _row_schema(rows_b[0], columns_b) if rows_b else None
+    if schema_b is None and how == "left":
+        raise ValueError("left join needs at least one b partition")
+    jt = _JOIN_TYPES[how]
+    amap = {r["pid"]: r for r in rows_a}
+    bmap = {r["pid"]: r for r in rows_b}
+    ref = ray.put((amap, bmap))
+
+    def join_span(batch: pa.Table) -> pa.Table:
+        a_by, b_by = ray.get(ref)
+        outs = []
+        for d in batch.to_pylist():
+            ra = a_by[d["a_pid"]]
+            rbs = [b_by[p] for p in json.loads(d["b_pids"])]
+            ta = _decode_bucket([ra], columns_a)
+            if not rbs:
+                if how == "anti":
+                    outs.append(ta)
+                elif how == "left":
+                    outs.append(_local_join(
+                        ta, schema_b.empty_table(), on, jt, suffix))
+                continue
+            # no range-restriction needed for correctness: a (a-row,
+            # b-row) match materializes only in the one task holding the
+            # a-row's partition, so no pair can appear twice
+            tb = _decode_bucket(rbs, columns_b)
+            outs.append(_local_join(ta, tb, on, jt, suffix))
+        if not outs:
+            return _empty_join_schema(
+                _row_schema(rows_a[0], columns_a), schema_b, on, jt,
+                suffix)
+        return pa.concat_tables(outs, promote_options="default")
+
+    items = pa.table({
+        "a_pid": pa.array([ra["pid"] for ra, _ in pairs], pa.string()),
+        "b_pids": pa.array([json.dumps([r["pid"] for r in bs])
+                            for _, bs in pairs], pa.string())})
+    n = concurrency or pipeline._default_concurrency()
+    ds = pipeline._sliced_blocks(items, min(len(pairs) or 1, n * 2))
+    cap = pipeline._stage_cap(concurrency, task_cpus)
+    return ds.map_batches(join_span, batch_size=1, batch_format="pyarrow",
+                          num_cpus=task_cpus, concurrency=cap,
+                          **rayenv.remote_args())

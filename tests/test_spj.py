@@ -375,3 +375,105 @@ def test_bucket_store_resume_reuses_partitions(stores):
     assert {r["pid"] for r in rows2} == set(mtimes)
     for r in rows2:
         assert os.path.getmtime(r["file"]) == mtimes[r["pid"]]
+
+
+# ---------------------------------------------------------------------------
+# range-merge join over clustered stores
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def clustered_stores(tmp_path_factory, ray_session):
+    """Two stores CLUSTERED by doc_id (disjoint zone ranges) + the raw
+    frames, plus an UNclustered store for the fanout guard."""
+    import ray.data as rd
+    from rwcf import fixtures
+    tmp = tmp_path_factory.mktemp("rmj")
+    path = fixtures.tokens_parquet(400, seed=21,
+                                   cache_dir=str(tmp / "tok"),
+                                   row_group_size=100)
+    a = str(tmp / "a")
+    pipeline.encode_job(path, pipeline.EncodeConfig(
+        out_dir=a, partition_token_budget=10_000)).materialize()
+    pipeline.cluster_store(a, by="doc_id", target_tokens=10_000)
+
+    side_dir = str(tmp / "spq")
+
+    def derive(t):
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "len4": pc.cast(pc.bit_wise_and(t.column("n_tok"), 3),
+                            pa.int32())})
+
+    rd.read_parquet(path).map_batches(derive, batch_format="pyarrow") \
+        .write_parquet(side_dir)
+    sfiles = [os.path.join(side_dir, f) for f in os.listdir(side_dir)
+              if f.endswith(".parquet")]
+    b = str(tmp / "b")
+    pipeline.encode_job(sfiles, pipeline.EncodeConfig(
+        out_dir=b, columns=["doc_id", "len4"],
+        partition_token_budget=50)).materialize()
+    pipeline.cluster_store(b, by="doc_id", target_tokens=50)
+
+    # genuinely UNclustered side: GLOBALLY interleave rows by key hash
+    # (one file, hash order) so every 50-row partition's [min,max] spans
+    # nearly the whole doc_id domain
+    import pyarrow.parquet as pqt
+    whole = pqt.read_table(sfiles)
+    h = hash_bucket(np.asarray(whole.column("doc_id").combine_chunks()),
+                    buckets=997)
+    whole = whole.take(pa.array(np.argsort(h, kind="stable")))
+    shuf = str(tmp / "shuffled.parquet")
+    pqt.write_table(whole, shuf, row_group_size=100)
+    unclustered = str(tmp / "u")
+    pipeline.encode_job([shuf], pipeline.EncodeConfig(
+        out_dir=unclustered, columns=["doc_id", "len4"],
+        partition_token_budget=50)).materialize()
+
+    src = rd.read_parquet(path).to_pandas()
+    side = rd.read_parquet(sfiles).to_pandas()
+    return {"a": a, "b": b, "u": unclustered, "src": src, "side": side}
+
+
+def test_range_merge_join_matches_pandas(clustered_stores):
+    cs = clustered_stores
+    ds = spj.range_merge_join(cs["a"], cs["b"],
+                              columns_a=["doc_id", "n_tok"],
+                              columns_b=["doc_id", "len4"])
+    got = ds.to_pandas()
+    exp = cs["src"][["doc_id", "n_tok"]].merge(cs["side"], on="doc_id")
+    cols = ["doc_id", "n_tok", "len4"]
+    pd.testing.assert_frame_equal(_canon(got, cols), _canon(exp, cols),
+                                  check_dtype=False)
+    st = ds.materialize().stats()
+    assert "AllToAll" not in st and "Sort" not in st
+
+
+def test_range_merge_join_semi_anti_left(clustered_stores):
+    cs = clustered_stores
+    # restrict b to half the key space by deleting rows
+    import shutil
+    semi = spj.range_merge_join(cs["a"], cs["b"],
+                                columns_a=["doc_id"],
+                                columns_b=["doc_id"],
+                                how="semi").to_pandas()
+    anti = spj.range_merge_join(cs["a"], cs["b"],
+                                columns_a=["doc_id"],
+                                columns_b=["doc_id"],
+                                how="anti").to_pandas()
+    assert len(semi) == len(cs["src"]) and len(anti) == 0
+    left = spj.range_merge_join(cs["a"], cs["b"],
+                                columns_a=["doc_id", "n_tok"],
+                                columns_b=["doc_id", "len4"],
+                                how="left").to_pandas()
+    assert len(left) == len(cs["src"]) and left["len4"].notna().all()
+
+
+def test_range_merge_join_fanout_guard(clustered_stores):
+    cs = clustered_stores
+    with pytest.raises(ValueError, match="fanout"):
+        spj.range_merge_join(cs["a"], cs["u"],
+                             columns_a=["doc_id"],
+                             columns_b=["doc_id", "len4"],
+                             max_avg_fanout=1.5)
+    with pytest.raises(ValueError, match="not supported"):
+        spj.range_merge_join(cs["a"], cs["b"], how="outer")
