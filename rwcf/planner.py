@@ -360,12 +360,29 @@ def plan_join(left_dir: str, right_dir: str, on: str = "doc_id",
         if _os.path.exists(p):
             with open(p) as f:
                 spec = _json.load(f)
+        spans = []
+        for r in rows:
+            st = (r.get("stats") or {}).get(on)
+            if st and st.get("min") is not None:
+                spans.append((st["min"], st["max"]))
         return {"rows": live, "decoded_bytes": dec, "bucketspec": spec,
-                "partitions": len(rows)}
+                "partitions": len(rows),
+                "spans": spans if len(spans) == len(rows) else None}
 
     ls, rs = side(left_dir), side(right_dir)
+
+    # metadata fanout of a hypothetical range-merge join: overlapping
+    # b-partitions per a-partition (rwcf.spj.range_merge_join cost model)
+    merge_fanout = None
+    if ls["spans"] and rs["spans"]:
+        n_pairs = sum(1 for lo, hi in ls["spans"]
+                      for blo, bhi in rs["spans"]
+                      if not (bhi < lo or blo > hi))
+        merge_fanout = n_pairs / max(len(ls["spans"]), 1)
+
     est = {
         "spj": 0,
+        "merge": 0,
         "broadcast": rs["decoded_bytes"],
         "hash": ls["decoded_bytes"] + rs["decoded_bytes"],
     }
@@ -373,13 +390,21 @@ def plan_join(left_dir: str, right_dir: str, on: str = "doc_id",
             and ls["bucketspec"] == rs["bucketspec"]
             and ls["bucketspec"]["key"] == on):
         strategy = "spj"
+    elif (merge_fanout is not None and merge_fanout <= 4.0
+          and how in ("inner", "left", "semi", "anti")
+          and rs["rows"] > broadcast_row_limit):
+        # both sides key-clustered (near-1 fanout): join at read
+        # bandwidth without moving either side
+        strategy = "merge"
     elif rs["rows"] <= broadcast_row_limit and how not in ("right",
                                                            "outer"):
         strategy = "broadcast"
     else:
         strategy = "hash"
     return {"strategy": strategy, "on": on, "how": how,
-            "left": ls, "right": rs,
+            "left": {k: v for k, v in ls.items() if k != "spans"},
+            "right": {k: v for k, v in rs.items() if k != "spans"},
+            "merge_fanout": merge_fanout,
             "est_bytes_exchanged": est[strategy],
             "est_bytes_by_strategy": est,
             "broadcast_row_limit": broadcast_row_limit}
@@ -399,6 +424,12 @@ def planned_join(left_dir: str, right_dir: str, on: str = "doc_id",
         ds = spj.storage_partitioned_join(
             left_dir, right_dir, columns_a=columns_l, columns_b=columns_r,
             how=how, suffix=suffix, concurrency=concurrency)
+        return ds, plan
+    if plan["strategy"] == "merge":
+        ds = spj.range_merge_join(
+            left_dir, right_dir, on=on, columns_a=columns_l,
+            columns_b=columns_r, how=how, suffix=suffix,
+            concurrency=concurrency)
         return ds, plan
     left = pipeline.decode_job(left_dir, columns=columns_l,
                                concurrency=concurrency)

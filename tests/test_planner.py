@@ -280,15 +280,16 @@ def test_plan_join_picks_broadcast_for_small_side(join_stores):
         check_dtype=False)
 
 
-def test_plan_join_falls_back_to_hash(join_stores):
+def test_plan_join_merge_and_hash_fallbacks(join_stores):
     import pandas as pd
+    # side too big to broadcast, but both stores' zone ranges are
+    # key-clustered (sequential fixture) -> the metadata fanout is ~1
+    # and the planner picks the zero-exchange range-merge join
     plan = planner.plan_join(join_stores["plain"], join_stores["pside"],
                              broadcast_row_limit=10)
-    assert plan["strategy"] == "hash"
-    # right/outer joins can never broadcast
-    plan2 = planner.plan_join(join_stores["plain"], join_stores["pside"],
-                              how="outer")
-    assert plan2["strategy"] == "hash"
+    assert plan["strategy"] == "merge"
+    assert plan["merge_fanout"] is not None and plan["merge_fanout"] <= 4
+    assert plan["est_bytes_exchanged"] == 0
     ds, _ = planner.planned_join(
         join_stores["plain"], join_stores["pside"],
         columns_l=["doc_id", "n_tok"], columns_r=["doc_id", "len4"],
@@ -299,6 +300,21 @@ def test_plan_join_falls_back_to_hash(join_stores):
     pd.testing.assert_frame_equal(
         got[cols].sort_values(cols).reset_index(drop=True),
         exp[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False)
+    # outer joins can neither broadcast nor range-merge -> hash
+    plan2 = planner.plan_join(join_stores["plain"], join_stores["pside"],
+                              how="outer")
+    assert plan2["strategy"] == "hash"
+    ds2, _ = planner.planned_join(
+        join_stores["plain"], join_stores["pside"],
+        columns_l=["doc_id", "n_tok"], columns_r=["doc_id", "len4"],
+        how="outer")
+    got2 = ds2.to_pandas()
+    exp2 = join_stores["src"][["doc_id", "n_tok"]].merge(
+        join_stores["side"], on="doc_id", how="outer")
+    pd.testing.assert_frame_equal(
+        got2[cols].sort_values(cols).reset_index(drop=True),
+        exp2[cols].sort_values(cols).reset_index(drop=True),
         check_dtype=False)
 
 
