@@ -4176,6 +4176,31 @@ def _q_merge_join_scan(sf_dir: str):
                           **rayenv.remote_args())
 
 
+def _q_spj_pushdown(sf_dir: str):
+    """Predicate pushdown THROUGH the storage-partitioned join
+    (rwcf.spj where_a/where_b): zone maps prune whole partitions before
+    any decode, the exact row filter runs in-task ahead of the join
+    kernel, and the predicate column decodes transiently when not in
+    the output — semantics == SQL WHERE after the join (illegal
+    left/outer pushdowns refuse, pytest-pinned)."""
+    from rwcf import rayenv, spj
+    a, b, _ = _spj_runs(sf_dir)
+    ds = spj.storage_partitioned_join(
+        a, b, columns_a=["doc_id", "n_tok"],
+        columns_b=["doc_id", "len8"],
+        where_a={"col": "n_tok", "between": (100, 450)},
+        where_b={"col": "len8", "between": (0, 3)})
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tok": pc.cast(t.column("n_tok"), pa.int64()),
+            "len8": pc.cast(t.column("len8"), pa.int64())})
+
+    return ds.map_batches(widen, batch_format="pyarrow",
+                          **rayenv.remote_args())
+
+
 def _q_spj_join3(sf_dir: str):
     """Three-way storage-partitioned join (star-schema case): tokens
     store x attribute store x doc_id%5==0 subset store fold their local
@@ -4473,6 +4498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "planned_join_scan": _q_planned_join_scan,
         "join_view_scan": _q_join_view_scan,
         "merge_join_scan": _q_merge_join_scan,
+        "spj_pushdown_scan": _q_spj_pushdown,
     }
 
 
@@ -6366,6 +6392,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
             "CAST(strlen(text) AS BIGINT) AS n_tok, "
             "CAST(strlen(text) % 8 AS BIGINT) AS len8 FROM documents"),
+        "spj_pushdown_scan": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "CAST(strlen(text) AS BIGINT) AS n_tok, "
+            "CAST(strlen(text) % 8 AS BIGINT) AS len8 FROM documents "
+            "WHERE strlen(text) BETWEEN 100 AND 450 "
+            "AND strlen(text) % 8 BETWEEN 0 AND 3"),
         # rows-only (not SQL-expressible): codec_selection, flagship_synthetic,
         # distinct_tokens_approx (HLL sketch; error bound pinned in tests),
         # quantiles_value_approx (bottom-k sample sketch; rank-error bound

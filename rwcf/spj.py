@@ -219,7 +219,9 @@ def storage_partitioned_join(dir_a: str, dir_b: str,
                              concurrency: int | None = None,
                              task_cpus: int = 1,
                              snapshot_a: str | None = None,
-                             snapshot_b: str | None = None):
+                             snapshot_b: str | None = None,
+                             where_a: dict | None = None,
+                             where_b: dict | None = None):
     """Join two bucket-encoded stores on their shared bucket key with NO
     shuffle: one map task per bucket decodes both sides' partitions and
     joins them with the Arrow hash-join kernel.  Raises unless both
@@ -229,7 +231,16 @@ def storage_partitioned_join(dir_a: str, dir_b: str,
     ``how``: inner | left | outer | semi | anti (left-relative).
     ``snapshot_a``/``snapshot_b`` join either side AS OF a committed
     snapshot / tag / branch (manifest-level time travel — partition
-    immutability makes old bucket layouts readable for free)."""
+    immutability makes old bucket layouts readable for free).
+
+    ``where_a``/``where_b`` push a declarative predicate
+    ``{"col": name, "eq"|"between"|"isin": ...}`` THROUGH the join:
+    zone maps prune whole partitions before any decode, the exact row
+    filter applies in-task right after decode (before the join kernel).
+    Pruning the preserved side of left/anti (where_a) or either side of
+    outer is rejected — dropped partitions would drop result rows that
+    the predicate alone cannot justify (their rows appear null-padded,
+    not filtered)."""
     import ray
     import ray.data as rd
 
@@ -243,9 +254,19 @@ def storage_partitioned_join(dir_a: str, dir_b: str,
         raise ValueError(f"incompatible bucket specs: {spec_a} vs {spec_b}")
     key = spec_a["key"]
 
-    def by_bucket(out_dir: str, snapshot: str | None) -> dict[int, list[dict]]:
+    if how == "outer" and (where_a or where_b):
+        raise ValueError("predicate pushdown cannot preserve outer-join "
+                         "semantics (filter after the join instead)")
+    if how in ("left", "anti") and where_a:
+        raise ValueError(f"where_a would drop preserved-side rows of a "
+                         f"{how} join — filter after the join instead")
+
+    def by_bucket(out_dir: str, snapshot: str | None,
+                  where: dict | None) -> dict[int, list[dict]]:
         m: dict[int, list[dict]] = {}
-        for r in pipeline.load_manifest(out_dir, snapshot=snapshot):
+        for r in prune_rows(pipeline.load_manifest(out_dir,
+                                                   snapshot=snapshot),
+                            where):
             lin = r.get("lineage") or {}
             if "bucket" not in lin:
                 raise ValueError(f"partition {r['pid']} in {out_dir} has no "
@@ -253,8 +274,8 @@ def storage_partitioned_join(dir_a: str, dir_b: str,
             m.setdefault(int(lin["bucket"]), []).append(r)
         return m
 
-    by_a = by_bucket(dir_a, snapshot_a)
-    by_b = by_bucket(dir_b, snapshot_b)
+    by_a = by_bucket(dir_a, snapshot_a, where_a)
+    by_b = by_bucket(dir_b, snapshot_b, where_b)
     if how == "inner":
         buckets = sorted(set(by_a) & set(by_b))
     elif how == "outer":
@@ -281,13 +302,19 @@ def storage_partitioned_join(dir_a: str, dir_b: str,
     def join_bucket(t: pa.Table) -> pa.Table:
         a_map, b_map = ray.get(ref)
         outs = []
+        need_a = _with_pred_col(columns_a, where_a)
+        need_b = _with_pred_col(columns_b, where_b)
         for b in t.column("bucket").to_pylist():
             ra, rb = a_map.get(b, []), b_map.get(b, [])
-            ta = _decode_bucket(ra, columns_a) if ra \
-                else schema_a.empty_table()
-            tb = _decode_bucket(rb, columns_b) if rb \
-                else (schema_b.empty_table() if schema_b is not None
-                      else None)
+            ta = _row_filter(_decode_bucket(ra, need_a), where_a) \
+                if ra else schema_a.empty_table()
+            if ra and need_a != columns_a and columns_a is not None:
+                ta = ta.select(columns_a)
+            tb = (_row_filter(_decode_bucket(rb, need_b), where_b)
+                  if rb else (schema_b.empty_table()
+                              if schema_b is not None else None))
+            if rb and need_b != columns_b and columns_b is not None:
+                tb = tb.select(columns_b)
             if not rb and how == "anti":
                 outs.append(ta)  # no right side: every a row survives
                 continue
@@ -644,3 +671,43 @@ def range_merge_join(dir_a: str, dir_b: str, on: str = "doc_id",
     return ds.map_batches(join_span, batch_size=1, batch_format="pyarrow",
                           num_cpus=task_cpus, concurrency=cap,
                           **rayenv.remote_args())
+
+
+# ---------------------------------------------------------------------------
+# predicate pushdown through the join
+# ---------------------------------------------------------------------------
+
+def prune_rows(rows: list[dict], where: dict | None) -> list[dict]:
+    """Zone-map partition prune for a declarative predicate
+    ``{"col": name, "eq"|: v, "between": (lo,hi), "isin": [...]}`` —
+    conservative (keeps any partition whose stats admit a match),
+    exactness restored by the in-task row filter."""
+    if not where:
+        return rows
+    from .update import _zone_admits
+    col = where["col"]
+    return [r for r in rows
+            if _zone_admits(r, col, where.get("eq"), where.get("between"),
+                            where.get("isin"))]
+
+
+def _row_filter(t: pa.Table, where: dict | None) -> pa.Table:
+    if not where:
+        return t
+    if where["col"] not in t.column_names:
+        raise ValueError(f"pushdown column {where['col']!r} not decoded "
+                         f"(have {t.column_names})")
+    from .update import _pred_mask
+    m = _pred_mask(t.column(where["col"]).combine_chunks(),
+                   where.get("eq"), where.get("between"),
+                   where.get("isin"))
+    return t.filter(pc.fill_null(m, False))
+
+
+def _with_pred_col(columns: list[str] | None,
+                   where: dict | None) -> list[str] | None:
+    """Decode set = requested columns + the pushdown predicate column
+    (dropped again after filtering when not requested)."""
+    if columns is None or not where or where["col"] in columns:
+        return columns
+    return list(columns) + [where["col"]]

@@ -477,3 +477,46 @@ def test_range_merge_join_fanout_guard(clustered_stores):
                              max_avg_fanout=1.5)
     with pytest.raises(ValueError, match="not supported"):
         spj.range_merge_join(cs["a"], cs["b"], how="outer")
+
+
+def test_pushdown_prunes_and_matches(stores):
+    """Predicate pushdown through the SPJ: zone maps prune partitions
+    pre-decode, exact row filter applies in-task, results == post-join
+    filter."""
+    # bucketed stores sort by doc_id within bucket, so a doc_id range
+    # predicate prunes sub-partitions via zone maps
+    where = {"col": "len8", "between": (0, 3)}
+    ds = spj.storage_partitioned_join(
+        stores["a"], stores["b"], columns_a=["doc_id", "n_tok"],
+        columns_b=["doc_id", "len8"], where_b=where)
+    got = ds.to_pandas()
+    exp = stores["src"][["doc_id", "n_tok"]].merge(
+        stores["side"][["doc_id", "len8"]], on="doc_id")
+    exp = exp[exp["len8"].between(0, 3)]
+    cols = ["doc_id", "n_tok", "len8"]
+    pd.testing.assert_frame_equal(_canon(got, cols), _canon(exp, cols),
+                                  check_dtype=False)
+
+    # pred column NOT in the output: decoded transiently, then dropped
+    ds2 = spj.storage_partitioned_join(
+        stores["a"], stores["b"], columns_a=["doc_id"],
+        columns_b=["doc_id"], where_b=where, how="semi")
+    semi = ds2.to_pandas()
+    assert set(semi.columns) == {"doc_id"}
+    assert set(semi["doc_id"]) == set(exp["doc_id"])
+
+    # zone-map prune actually skips partitions for a clustered predicate
+    rows = pipeline.load_manifest(stores["a"])
+    lo = min(r["stats"]["doc_id"]["min"] for r in rows)
+    kept = spj.prune_rows(rows, {"col": "doc_id", "eq": lo})
+    assert 0 < len(kept) < len(rows)
+
+    # illegal pushdowns refuse
+    with pytest.raises(ValueError, match="preserved-side"):
+        spj.storage_partitioned_join(
+            stores["a"], stores["b"], how="left",
+            where_a={"col": "n_tok", "between": (0, 10)})
+    with pytest.raises(ValueError, match="outer-join"):
+        spj.storage_partitioned_join(
+            stores["a"], stores["b"], how="outer",
+            where_b={"col": "len8", "eq": 1})
