@@ -88,7 +88,8 @@ def _add_bucket(t: pa.Table, key: str, n_buckets: int) -> pa.Table:
 
 
 def bucket_store(input_paths, cfg: EncodeConfig, key: str = "doc_id",
-                 n_buckets: int = 32, resume: bool = True):
+                 n_buckets: int = 32, resume: bool = True,
+                 run_tag: str | None = None):
     """Encode ``input_paths`` (parquet) into a bucket-partitioned store.
 
     One ``groupby(_bucket).map_groups`` exchange routes rows; each bucket
@@ -103,20 +104,33 @@ def bucket_store(input_paths, cfg: EncodeConfig, key: str = "doc_id",
     same input resumes (manifest rows resolve from disk, no re-encode)
     while a NEW batch of files appends fresh per-bucket partitions into
     the same buckets — incremental bucketed ingest; joins read every
-    batch's partitions for a bucket."""
+    batch's partitions for a bucket.
+
+    ``input_paths`` may also be a ray.data.Dataset (bucket the output of
+    an upstream transform without staging parquet); a Dataset has no
+    stable identity, so pass ``run_tag`` to name the batch — required
+    for resume/append correctness across runs."""
     import ray.data as rd
     import zlib
 
     write_bucketspec(cfg.out_dir, key, n_buckets)
-    if isinstance(input_paths, str):
-        input_paths = [input_paths]
-    tag = zlib.crc32("|".join(
-        os.path.abspath(p) for p in sorted(input_paths)).encode()) \
-        & 0xFFFFFFFF
-    tag = f"{tag:08x}"
-    ds = rd.read_parquet(input_paths, columns=cfg.columns) \
-        .map_batches(lambda t: _add_bucket(t, key, n_buckets),
-                     batch_format="pyarrow", **rayenv.remote_args())
+    if isinstance(input_paths, rd.Dataset):
+        if run_tag is None:
+            raise ValueError("bucket_store(Dataset) needs run_tag= (a "
+                             "Dataset has no stable identity for "
+                             "resume/append pids)")
+        tag = f"{zlib.crc32(str(run_tag).encode()) & 0xFFFFFFFF:08x}"
+        src = input_paths.select_columns(list(cfg.columns)) \
+            if cfg.columns else input_paths
+    else:
+        if isinstance(input_paths, str):
+            input_paths = [input_paths]
+        tag = run_tag or "|".join(os.path.abspath(p)
+                                  for p in sorted(input_paths))
+        tag = f"{zlib.crc32(str(tag).encode()) & 0xFFFFFFFF:08x}"
+        src = rd.read_parquet(input_paths, columns=cfg.columns)
+    ds = src.map_batches(lambda t: _add_bucket(t, key, n_buckets),
+                         batch_format="pyarrow", **rayenv.remote_args())
 
     budget = cfg.partition_token_budget
 
@@ -483,6 +497,11 @@ def materialize_join_view(view_dir: str, dir_a: str, dir_b: str,
     elif cfg.out_dir != view_dir:
         raise ValueError("cfg.out_dir must equal view_dir")
     write_bucketspec(view_dir, key, spec_a["n_buckets"])
+    _write_viewspec(view_dir, {"dir_a": os.path.abspath(dir_a),
+                               "dir_b": os.path.abspath(dir_b),
+                               "columns_a": columns_a,
+                               "columns_b": columns_b,
+                               "how": how, "suffix": suffix})
 
     def by_bucket(d):
         m: dict[int, list[dict]] = {}
@@ -711,3 +730,43 @@ def _with_pred_col(columns: list[str] | None,
     if columns is None or not where or where["col"] in columns:
         return columns
     return list(columns) + [where["col"]]
+
+
+def _write_viewspec(view_dir: str, spec: dict) -> None:
+    """Commit the view's definition (atomic; identical re-commit is a
+    no-op, a DIFFERENT definition for an existing view raises — a view
+    dir holds exactly one query)."""
+    path = os.path.join(view_dir, "viewspec.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        if prev != spec:
+            raise ValueError(f"view {view_dir} already defined as {prev}, "
+                             f"refusing {spec}")
+        return
+    tmp = path + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(spec, f)
+    os.replace(tmp, path)
+
+
+def read_viewspec(view_dir: str) -> dict | None:
+    path = os.path.join(view_dir, "viewspec.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def refresh_view(view_dir: str, concurrency: int | None = None) -> dict:
+    """One-call incremental refresh from the view's committed definition
+    (the autopilot entry point: cron/vacuum can walk view dirs and call
+    this; fingerprint-fresh buckets cost zero IO)."""
+    spec = read_viewspec(view_dir)
+    if spec is None:
+        raise ValueError(f"{view_dir} has no viewspec.json "
+                         "(not a materialized join view)")
+    return materialize_join_view(
+        view_dir, spec["dir_a"], spec["dir_b"],
+        columns_a=spec["columns_a"], columns_b=spec["columns_b"],
+        how=spec["how"], suffix=spec["suffix"], concurrency=concurrency)

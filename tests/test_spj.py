@@ -520,3 +520,45 @@ def test_pushdown_prunes_and_matches(stores):
         spj.storage_partitioned_join(
             stores["a"], stores["b"], how="outer",
             where_b={"col": "len8", "eq": 1})
+
+
+def test_refresh_view_from_committed_spec(stores, tmp_path):
+    import shutil
+    bcopy = str(tmp_path / "bc2")
+    shutil.copytree(stores["b"], bcopy)
+    view = str(tmp_path / "view2")
+    spj.materialize_join_view(view, stores["a"], bcopy,
+                              columns_a=["doc_id", "n_tok"],
+                              columns_b=["doc_id", "len8"])
+    spec = spj.read_viewspec(view)
+    assert spec and spec["how"] == "inner"
+    # definition is committed: a different definition refuses
+    with pytest.raises(ValueError, match="already defined"):
+        spj.materialize_join_view(view, stores["a"], bcopy,
+                                  columns_a=["doc_id"],
+                                  columns_b=["doc_id", "len8"])
+    # one-call refresh picks up a side-store change
+    from rwcf import update as upd
+    upd.update_where(bcopy, "len8", 55, pred_col="doc_id", eq="11")
+    res = spj.refresh_view(view)
+    assert res["refreshed"] == 1
+    got = pipeline.decode_job(view).to_pandas()
+    assert (got.loc[got["doc_id"] == "11", "len8"] == 55).all()
+    with pytest.raises(ValueError, match="viewspec"):
+        spj.refresh_view(str(tmp_path / "notaview"))
+
+
+def test_bucket_store_from_dataset(stores, tmp_path):
+    import ray.data as rd
+    out = str(tmp_path / "dsbucket")
+    side = rd.from_pandas(stores["side"][["doc_id", "len8"]])
+    cfg = pipeline.EncodeConfig(out_dir=out, columns=["doc_id", "len8"],
+                                partition_token_budget=100)
+    with pytest.raises(ValueError, match="run_tag"):
+        spj.bucket_store(side, cfg, key="doc_id", n_buckets=8)
+    spj.bucket_store(side, cfg, key="doc_id", n_buckets=8,
+                     run_tag="batch-1").materialize()
+    got = spj.storage_partitioned_join(
+        stores["a"], out, columns_a=["doc_id", "n_tok"],
+        columns_b=["doc_id", "len8"]).to_pandas()
+    assert len(got) == len(stores["src"])
