@@ -415,26 +415,57 @@ def planned_join(left_dir: str, right_dir: str, on: str = "doc_id",
                  columns_r: list[str] | None = None,
                  how: str = "inner", suffix: str = "_r",
                  broadcast_row_limit: int = 200_000,
-                 concurrency: int | None = None):
-    """Plan, then execute the chosen join. Returns ``(dataset, plan)``."""
+                 concurrency: int | None = None,
+                 where_l: dict | None = None,
+                 where_r: dict | None = None):
+    """Plan, then execute the chosen join. Returns ``(dataset, plan)``.
+
+    ``where_l``/``where_r`` (same declarative form as the spj pushdown)
+    apply on EVERY strategy: the zero-shuffle paths push them through
+    the join (zone-map partition prune + in-task filter); the
+    hash/broadcast paths prune partitions at decode via the manifest
+    ``where`` hook and filter rows before the exchange — predicates
+    always cut bytes moved, never just the final result."""
     from . import joins, spj
+    from .spj import _row_filter, _with_pred_col, prune_rows
 
     plan = plan_join(left_dir, right_dir, on, how, broadcast_row_limit)
     if plan["strategy"] == "spj":
         ds = spj.storage_partitioned_join(
             left_dir, right_dir, columns_a=columns_l, columns_b=columns_r,
-            how=how, suffix=suffix, concurrency=concurrency)
+            how=how, suffix=suffix, concurrency=concurrency,
+            where_a=where_l, where_b=where_r)
         return ds, plan
     if plan["strategy"] == "merge":
         ds = spj.range_merge_join(
             left_dir, right_dir, on=on, columns_a=columns_l,
             columns_b=columns_r, how=how, suffix=suffix,
-            concurrency=concurrency)
+            concurrency=concurrency, where_a=where_l, where_b=where_r)
         return ds, plan
-    left = pipeline.decode_job(left_dir, columns=columns_l,
-                               concurrency=concurrency)
-    right = pipeline.decode_job(right_dir, columns=columns_r,
-                                concurrency=concurrency)
+    if how == "outer" and (where_l or where_r):
+        raise ValueError("predicate pushdown cannot preserve outer-join "
+                         "semantics (filter after the join instead)")
+    if how in ("left", "anti") and where_l:
+        raise ValueError(f"where_l would drop preserved-side rows of a "
+                         f"{how} join — filter after the join instead")
+
+    def dec(d, columns, where):
+        kept = {r["pid"] for r in
+                prune_rows(pipeline.load_manifest(d), where)}
+        ds = pipeline.decode_job(
+            d, columns=_with_pred_col(columns, where),
+            concurrency=concurrency,
+            where=(lambda r: r["pid"] in kept) if where else None)
+        if where:
+            def filt(t, _w=where, _c=columns):
+                t = _row_filter(t, _w)
+                return t.select(_c) if _c is not None else t
+            ds = ds.map_batches(filt, batch_format="pyarrow",
+                                **rayenv.remote_args())
+        return ds
+
+    left = dec(left_dir, columns_l, where_l)
+    right = dec(right_dir, columns_r, where_r)
     ds = joins.hash_join(left, right, on=on, how=how, suffix=suffix,
                          broadcast=(plan["strategy"] == "broadcast"))
     return ds, plan

@@ -596,7 +596,9 @@ def range_merge_join(dir_a: str, dir_b: str, on: str = "doc_id",
                      how: str = "inner", suffix: str = "_r",
                      max_avg_fanout: float = 4.0,
                      concurrency: int | None = None,
-                     task_cpus: int = 1):
+                     task_cpus: int = 1,
+                     where_a: dict | None = None,
+                     where_b: dict | None = None):
     """Zero-shuffle join for RANGE-partitioned layouts — the sorted
     sibling of :func:`storage_partitioned_join` for stores maintained by
     ``pipeline.cluster_store(by=key)`` (Iceberg range distribution /
@@ -613,15 +615,23 @@ def range_merge_join(dir_a: str, dir_b: str, on: str = "doc_id",
     first — stated cost model, not silent quadratic work.
 
     ``how``: inner | left | semi | anti (left-relative; full outer would
-    need cross-task dedup of unmatched b rows — use hash_join)."""
+    need cross-task dedup of unmatched b rows — use hash_join).
+
+    ``where_a``/``where_b`` push predicates through the join exactly as
+    in :func:`storage_partitioned_join` (zone-map partition prune, then
+    the exact in-task row filter); pruning the preserved side of
+    left/anti is refused."""
     import ray
     import ray.data as rd
 
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"how={how!r} not supported by range_merge_join")
+    if how in ("left", "anti") and where_a:
+        raise ValueError(f"where_a would drop preserved-side rows of a "
+                         f"{how} join — filter after the join instead")
 
-    def side(d):
-        rows = pipeline.load_manifest(d)
+    def side(d, where):
+        rows = prune_rows(pipeline.load_manifest(d), where)
         spans = []
         for r in rows:
             st = (r.get("stats") or {}).get(on)
@@ -631,8 +641,8 @@ def range_merge_join(dir_a: str, dir_b: str, on: str = "doc_id",
             spans.append((st["min"], st["max"], r))
         return rows, spans
 
-    rows_a, spans_a = side(dir_a)
-    rows_b, spans_b = side(dir_b)
+    rows_a, spans_a = side(dir_a, where_a)
+    rows_b, spans_b = side(dir_b, where_b)
     spans_b.sort(key=lambda s: (s[0], s[1]))
     pairs = []
     n_pairs = 0
@@ -658,10 +668,14 @@ def range_merge_join(dir_a: str, dir_b: str, on: str = "doc_id",
     def join_span(batch: pa.Table) -> pa.Table:
         a_by, b_by = ray.get(ref)
         outs = []
+        need_a = _with_pred_col(columns_a, where_a)
+        need_b = _with_pred_col(columns_b, where_b)
         for d in batch.to_pylist():
             ra = a_by[d["a_pid"]]
             rbs = [b_by[p] for p in json.loads(d["b_pids"])]
-            ta = _decode_bucket([ra], columns_a)
+            ta = _row_filter(_decode_bucket([ra], need_a), where_a)
+            if need_a != columns_a and columns_a is not None:
+                ta = ta.select(columns_a)
             if not rbs:
                 if how == "anti":
                     outs.append(ta)
@@ -672,7 +686,9 @@ def range_merge_join(dir_a: str, dir_b: str, on: str = "doc_id",
             # no range-restriction needed for correctness: a (a-row,
             # b-row) match materializes only in the one task holding the
             # a-row's partition, so no pair can appear twice
-            tb = _decode_bucket(rbs, columns_b)
+            tb = _row_filter(_decode_bucket(rbs, need_b), where_b)
+            if need_b != columns_b and columns_b is not None:
+                tb = tb.select(columns_b)
             outs.append(_local_join(ta, tb, on, jt, suffix))
         if not outs:
             return _empty_join_schema(

@@ -347,3 +347,36 @@ def test_spj_snapshot_time_travel(join_stores, tmp_path):
         snapshot_a=snap, snapshot_b=snap).to_pandas()
     assert (old["len4"] == 9).sum() == 0
     assert len(old) == len(join_stores["side"])
+
+
+def test_planned_join_pushdown_all_strategies(join_stores):
+    import pandas as pd
+    exp = _join_exp(join_stores)
+    exp = exp[exp["len4"] <= 1]
+    cols = ["doc_id", "n_tok", "len4"]
+    w = {"col": "len4", "between": (0, 1)}
+    for kw in (
+        {},                                  # spj stores
+        {"broadcast_row_limit": 10},         # merge (clustered ranges)
+    ):
+        ds, plan = planner.planned_join(
+            join_stores["ba"] if not kw else join_stores["plain"],
+            join_stores["bb"] if not kw else join_stores["pside"],
+            columns_l=["doc_id", "n_tok"], columns_r=["doc_id", "len4"],
+            where_r=w, **kw)
+        got = ds.to_pandas()
+        pd.testing.assert_frame_equal(
+            got[cols].sort_values(cols).reset_index(drop=True),
+            exp[cols].sort_values(cols).reset_index(drop=True),
+            check_dtype=False)
+    # broadcast strategy with filters on both sides
+    ds, plan = planner.planned_join(
+        join_stores["plain"], join_stores["pside"],
+        columns_l=["doc_id", "n_tok"], columns_r=["doc_id", "len4"],
+        where_l={"col": "n_tok", "between": (0, 1 << 30)}, where_r=w)
+    assert plan["strategy"] in ("broadcast", "merge")
+    got = ds.to_pandas()
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        exp[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False)
