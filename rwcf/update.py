@@ -102,10 +102,34 @@ def update_where(out_dir: str, set_col: str, set_value,
     if cfg is None:
         cfg = EncodeConfig(out_dir=out_dir)
 
+    # schema-evolution support: resolve LOGICAL names to each
+    # partition's physical section names (renames are transparent; a
+    # column added after a partition was written has no section there —
+    # compaction's upgrade-on-rewrite materializes it first)
+    from . import schema as _schema
+    sver = _schema.current_version(out_dir)
+    maps = None
+    if sver:
+        maps, _ = _schema.resolution(out_dir, [set_col, pred_col])
+
+    def phys(row, name):
+        if not maps:
+            return name
+        v = int(row.get("schema_version") or 0)
+        m = maps[v] if v in maps else maps[max(maps)]
+        p = m[name]
+        if p is None:
+            raise ValueError(
+                f"column {name!r} has no physical section in partition "
+                f"{row['pid']} (added after it was written) — run "
+                "compact_partitions to materialize it, then update")
+        return p
+
     rows = load_manifest(out_dir)
     admitted = [r for r in rows
-                if any(c["column"] == set_col for c in r["columns"])
-                and _zone_admits(r, pred_col, eq, between, isin)]
+                if any(c["column"] == phys(r, set_col)
+                       for c in r["columns"])
+                and _zone_admits(r, phys(r, pred_col), eq, between, isin)]
     # deterministic update tag -> idempotent resume
     tag = zlib.crc32(json.dumps(
         [set_col, pred_col, repr(eq), repr(between), repr(isin),
@@ -118,10 +142,11 @@ def update_where(out_dir: str, set_col: str, set_value,
         import pyarrow.compute as pc
         out = []
         for row in manifest_table_to_rows(batch):
+            p_set, p_pred = phys(row, set_col), phys(row, pred_col)
             raw = dict(row)
             raw.pop("deleted_rows", None)  # positions must stay aligned
-            dec = decode_partition(raw, columns=[pred_col, set_col])
-            mask_arr = _pred_mask(dec.column(pred_col).combine_chunks(),
+            dec = decode_partition(raw, columns=[p_pred, p_set])
+            mask_arr = _pred_mask(dec.column(p_pred).combine_chunks(),
                                   eq, between, isin)
             mask = mask_arr.to_numpy(zero_copy_only=False)
             mask = np.asarray(mask, dtype=bool)
@@ -143,7 +168,7 @@ def update_where(out_dir: str, set_col: str, set_value,
                 r["_rewrote"] = False
                 out.append(r)
                 continue
-            old = dec.column(set_col).combine_chunks()
+            old = dec.column(p_set).combine_chunks()
             if callable(set_value):
                 new = set_value(old, mask)
             else:
@@ -155,7 +180,7 @@ def update_where(out_dir: str, set_col: str, set_value,
                 out.append({**row, "_matched": n_match,
                             "_rewrote": False})
                 continue
-            out.append(_rewrite_partition(row, set_col, new, new_pid,
+            out.append(_rewrite_partition(row, p_set, new, new_pid,
                                           cfg, n_match))
         for r in out:
             r.setdefault("_matched", 0)

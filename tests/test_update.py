@@ -188,3 +188,31 @@ def test_update_callable_set_fn(store):
     assert hit["source"].str.endswith("-x").all()
     rest = got[~got["doc_id"].isin(["7", "8", "9"])]
     assert not rest["source"].str.endswith("-x").any()
+
+
+def test_update_on_evolved_store_resolves_renames(store):
+    """After rename source->origin, UPDATE on the LOGICAL name rewrites
+    the old physical sections; a column added after partitions were
+    written refuses with a compaction hint."""
+    from rwcf import schema
+    out, src = store
+    schema.rename_column(out, "source", "origin")
+    res = update.update_where(out, "origin", "renamed-hit",
+                              pred_col="doc_id", isin=["5", "6"])
+    assert res["rows_matched"] == 2 and res["partitions_rewritten"] >= 1
+    got = schema.scan(out).to_pandas()
+    assert (got.loc[got["doc_id"].isin(["5", "6"]), "origin"]
+            == "renamed-hit").all()
+    assert (~got.loc[~got["doc_id"].isin(["5", "6"]), "origin"]
+            .eq("renamed-hit")).all()
+
+    schema.add_column(out, "grade", "i32", 1)
+    with pytest.raises(ValueError, match="no physical section"):
+        update.update_where(out, "grade", 2, pred_col="doc_id", eq="5")
+    # upgrade-on-rewrite materializes it; then the update works
+    pipeline.compact_partitions(out, target_tokens=1 << 22)
+    res2 = update.update_where(out, "grade", 2, pred_col="doc_id", eq="5")
+    assert res2["rows_matched"] == 1
+    got2 = schema.scan(out).to_pandas()
+    assert (got2.loc[got2["doc_id"] == "5", "grade"] == 2).all()
+    assert (got2.loc[got2["doc_id"] != "5", "grade"] == 1).all()
