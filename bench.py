@@ -335,6 +335,94 @@ def _record_scaling(result: dict) -> None:
         f.write(content + line)
 
 
+def run_join_bench(sf_dir: str, num_cpus: int) -> dict:
+    """Reproducible storage-partitioned-join vs shuffle-hash-join
+    comparison (``--joins``): same inner join of the decoded tokens
+    store x per-doc attribute table at the given sf; reports read-side
+    best-of-3 for both plus the one-time co-bucketing write cost."""
+    from rwcf import rayenv
+    rayenv.export_pythonpath()
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rwcf import documents, joins, pipeline, spj
+
+    work = f"/tmp/rwcf-joinbench-{os.getpid()}"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    tokens_dir = documents.tokens_parquet_for(sf_dir, work)
+    paths = documents.parquet_files(tokens_dir)
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "len8": pc.cast(pc.bit_wise_and(t.column("n_tok"), 7),
+                            pa.int32())})
+
+    stats_dir = os.path.join(work, "stats")
+    rd.read_parquet(paths).map_batches(derive, batch_format="pyarrow") \
+        .write_parquet(stats_dir)
+
+    t0 = time.perf_counter()
+    cfg_a = pipeline.EncodeConfig(out_dir=os.path.join(work, "a"),
+                                  partition_token_budget=1_000_000)
+    spj.bucket_store(paths, cfg_a, key="doc_id",
+                     n_buckets=32).materialize()
+    cfg_b = pipeline.EncodeConfig(out_dir=os.path.join(work, "b"),
+                                  columns=["doc_id", "len8"],
+                                  partition_token_budget=200_000)
+    spj.bucket_store(documents.parquet_files(stats_dir), cfg_b,
+                     key="doc_id", n_buckets=32).materialize()
+    t_write = time.perf_counter() - t0
+
+    cfg_p = pipeline.EncodeConfig(out_dir=os.path.join(work, "plain"),
+                                  partition_token_budget=1_000_000)
+    pipeline.encode_job(paths, cfg_p).materialize()
+
+    def one_spj():
+        t0 = time.perf_counter()
+        n = spj.storage_partitioned_join(
+            cfg_a.out_dir, cfg_b.out_dir,
+            columns_a=["doc_id", "n_tok"],
+            columns_b=["doc_id", "len8"]).count()
+        return time.perf_counter() - t0, n
+
+    def one_hash():
+        t0 = time.perf_counter()
+        left = pipeline.decode_job(cfg_p.out_dir,
+                                   columns=["doc_id", "n_tok"])
+        right = rd.read_parquet(documents.parquet_files(stats_dir))
+        n = joins.hash_join(left, right, on="doc_id").count()
+        return time.perf_counter() - t0, n
+
+    best_s = best_h = float("inf")
+    rows_s = rows_h = 0
+    for _ in range(3):
+        s, rows_s = one_spj()
+        best_s = min(best_s, s)
+        h, rows_h = one_hash()
+        best_h = min(best_h, h)
+    assert rows_s == rows_h, (rows_s, rows_h)
+    result = {
+        "metric": "storage-partitioned vs hash join (read-side sec)",
+        "value": round(best_s, 3), "unit": "sec",
+        "queries": {"spj": round(best_s, 3), "hash": round(best_h, 3),
+                    "bucket_write_once": round(t_write, 3)},
+        "speedup": round(best_h / best_s, 2), "rows": rows_s,
+        "sf": sf_of(sf_dir), "num_cpus": num_cpus,
+    }
+    shutil.rmtree(work, ignore_errors=True)
+    ray.shutdown()
+    return result
+
+
 def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -342,6 +430,8 @@ def main() -> None:
         print(json.dumps(run_scaling(sf_dir)))
     elif "--compute-once" in sys.argv:
         print(json.dumps(run_compute_bench(sf_dir, num_cpus)))
+    elif "--joins" in sys.argv:
+        print(json.dumps(run_join_bench(sf_dir, num_cpus)))
     else:
         print(json.dumps(run_bench(sf_dir, num_cpus)))
 

@@ -786,3 +786,35 @@ def refresh_view(view_dir: str, concurrency: int | None = None) -> dict:
         view_dir, spec["dir_a"], spec["dir_b"],
         columns_a=spec["columns_a"], columns_b=spec["columns_b"],
         how=spec["how"], suffix=spec["suffix"], concurrency=concurrency)
+
+
+def view_freshness(view_dir: str) -> dict:
+    """Dry-run staleness probe (pure metadata, zero data IO, nothing
+    written): which buckets' input fingerprints have drifted since the
+    view last materialized — the monitoring half of refresh_view."""
+    spec = read_viewspec(view_dir)
+    if spec is None:
+        raise ValueError(f"{view_dir} has no viewspec.json")
+
+    def by_bucket(d):
+        m: dict[int, list[dict]] = {}
+        for r in pipeline.load_manifest(d):
+            m.setdefault(int((r.get("lineage") or {})["bucket"]),
+                         []).append(r)
+        return m
+
+    by_a = by_bucket(spec["dir_a"])
+    by_b = by_bucket(spec["dir_b"])
+    how = spec["how"]
+    buckets = sorted(set(by_a) | set(by_b)) if how == "outer" else (
+        sorted(by_a) if how in ("left", "anti") else
+        sorted(set(by_a) & set(by_b)))
+    view_rows = by_bucket(view_dir)
+    stale = []
+    for b in buckets:
+        tag = _bucket_fingerprint(by_a.get(b, []), by_b.get(b, []))
+        pid = f"bkt{b:05d}-v{tag}"
+        if not any(r["pid"] == pid for r in view_rows.get(b, [])):
+            stale.append(b)
+    return {"buckets": len(buckets), "stale": len(stale),
+            "stale_buckets": stale, "fresh": len(buckets) - len(stale)}

@@ -562,3 +562,22 @@ def test_bucket_store_from_dataset(stores, tmp_path):
         stores["a"], out, columns_a=["doc_id", "n_tok"],
         columns_b=["doc_id", "len8"]).to_pandas()
     assert len(got) == len(stores["src"])
+
+
+def test_view_freshness_probe(stores, tmp_path):
+    import shutil
+    from rwcf import update as upd
+    bcopy = str(tmp_path / "bc3")
+    shutil.copytree(stores["b"], bcopy)
+    view = str(tmp_path / "view3")
+    spj.materialize_join_view(view, stores["a"], bcopy,
+                              columns_a=["doc_id", "n_tok"],
+                              columns_b=["doc_id", "len8"])
+    f0 = spj.view_freshness(view)
+    assert f0["stale"] == 0 and f0["fresh"] == f0["buckets"] > 0
+    upd.update_where(bcopy, "len8", 42, pred_col="doc_id", eq="3")
+    f1 = spj.view_freshness(view)
+    assert f1["stale"] == 1
+    # the probe writes nothing: refresh still reports 1 bucket to do
+    assert spj.refresh_view(view)["refreshed"] == 1
+    assert spj.view_freshness(view)["stale"] == 0
