@@ -53,7 +53,8 @@ def maintenance_plan(out_dir: str, target_tokens: int = 8_000_000,
              and len(r.get("deleted_rows") or ()) / r["n_rows"] > dead_frac]
     mdir = os.path.join(out_dir, "manifest")
     loose = len([n for n in os.listdir(mdir)
-                 if n.endswith(".json") and not n.endswith(".del.json")]) \
+                 if n.endswith(".json") and not n.endswith(".del.json")
+                 and n != "shadowed.json"]) \
         if os.path.isdir(mdir) else 0
     snaps = pipeline.list_snapshots(out_dir)
     expirable = []

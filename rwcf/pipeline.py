@@ -609,6 +609,9 @@ def encode_job(input_paths, cfg: EncodeConfig, resume: bool = True,
         # too — re-encoding them would duplicate their rows
         all_rows = load_manifest(cfg.out_dir, include_replaced=True)
         replaced = {p for r in all_rows for p in (r.get("replaces") or [])}
+        # the persistent shadow ledger remembers pids whose replaces-edge
+        # manifests gc already deleted — still committed, never re-encode
+        replaced |= _shadow_ledger(cfg.out_dir)
         by_frag: dict[str, list[dict]] = {}
         repl_by_frag: dict[str, list[str]] = {}
         for r in all_rows:
@@ -739,6 +742,8 @@ def load_manifest(out_dir: str, include_replaced: bool = False,
                 with open(path) as f:
                     t = json.load(f)
                 tombs[t["pid"]] = t["deleted_rows"]
+            elif name == "shadowed.json":
+                continue  # the gc shadow ledger, not a manifest row
             elif name.endswith(".json"):
                 with open(path) as f:
                     rows.append(json.load(f))
@@ -758,6 +763,13 @@ def load_manifest(out_dir: str, include_replaced: bool = False,
     if include_replaced:
         return out
     replaced = {p for r in out for p in (r.get("replaces") or [])}
+    # gc may have deleted an INTERMEDIATE successor's manifest (multi-hop
+    # chains like p <- update(p) <- compaction) while a snapshot pins the
+    # original p's row: the persistent shadow ledger keeps every pid gc
+    # ever saw shadowed, so pinned originals never resurface in the
+    # CURRENT view (snapshot views list their pids explicitly and are
+    # unaffected)
+    replaced |= _shadow_ledger(out_dir)
     out = [r for r in out if r["pid"] not in replaced]
     # branch isolation: a row committed onto a branch is invisible to the
     # main view until its branch ref is flipped to merged (one atomic
@@ -785,7 +797,8 @@ def compact_manifest(out_dir: str) -> dict:
     are never re-encoded."""
     mdir = os.path.join(out_dir, "manifest")
     loose = [n for n in sorted(os.listdir(mdir))
-             if n.endswith(".json") and not n.endswith(".del.json")] \
+             if n.endswith(".json") and not n.endswith(".del.json")
+             and n != "shadowed.json"] \
         if os.path.isdir(mdir) else []
     if not loose:
         return {"compacted": 0}
@@ -1448,15 +1461,44 @@ def _snapshot_pinned_pids(out_dir: str) -> set:
     return pinned
 
 
+def _shadow_ledger(out_dir: str) -> set:
+    path = os.path.join(out_dir, "manifest", "shadowed.json")
+    if not os.path.exists(path):
+        return set()
+    with open(path) as f:
+        return set(json.load(f))
+
+
+def _record_shadowed(out_dir: str, pids: set) -> None:
+    """Append-only union into the persistent shadow ledger (atomic) —
+    written BEFORE gc deletes any manifest, so a crash between the two
+    can only over-remember (idempotent), never resurrect."""
+    if not pids:
+        return
+    cur = _shadow_ledger(out_dir)
+    if pids <= cur:
+        return
+    path = os.path.join(out_dir, "manifest", "shadowed.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(sorted(cur | pids), f)
+    os.replace(tmp, path)
+
+
 def gc_store(out_dir: str) -> dict:
     """Delete partition files + loose manifest JSONs shadowed by a
     committed ``replaces`` tombstone. Idempotent — correctness never
     depends on it (load_manifest filters shadowed rows); this only
     reclaims disk. Partitions referenced by a live snapshot are kept
     (their manifest row too — time travel needs the lineage) until
-    ``expire_snapshot`` releases them."""
+    ``expire_snapshot`` releases them. Every shadowed pid is recorded in
+    the persistent ledger FIRST, so deleting an intermediate successor's
+    manifest can never let a snapshot-pinned ancestor resurface in the
+    current view."""
     all_rows = load_manifest(out_dir, include_replaced=True)
     replaced = {p for r in all_rows for p in (r.get("replaces") or [])}
+    _record_shadowed(out_dir, replaced)
     pinned = _snapshot_pinned_pids(out_dir)
     files = manifests = 0
     for r in all_rows:
@@ -2925,7 +2967,10 @@ def fsck_store(out_dir: str, deep: bool = False,
     all_rows = load_manifest(out_dir, include_replaced=True)
     committed = {r["pid"] for r in all_rows}
     named = {p for r in all_rows for p in (r.get("replaces") or [])}
-    graph = [("replaces_dangling", named <= committed)]
+    # pids whose manifests gc legitimately deleted live on in the shadow
+    # ledger — a replaces edge naming one is resolved, not dangling
+    graph = [("replaces_dangling",
+              named <= committed | _shadow_ledger(out_dir))]
     sdir = os.path.join(out_dir, "snapshots")
     pinned = _snapshot_pinned_pids(out_dir) if os.path.isdir(sdir) else set()
     graph.append(("snapshot_dangling", pinned <= committed))
