@@ -208,6 +208,21 @@ def cmd_update(args) -> int:
     return 0
 
 
+def cmd_view_status(args) -> int:
+    from . import spj
+    res = spj.view_freshness(args.input)
+    print(json.dumps(res))
+    return 0 if res["stale"] == 0 else 1
+
+
+def cmd_view_refresh(args) -> int:
+    from . import spj
+    ray = _init_ray(args.num_cpus)
+    print(json.dumps(spj.refresh_view(args.input)))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="rwcf")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -301,6 +316,17 @@ def main(argv=None) -> int:
                     metavar=("LO", "HI"))
     up.add_argument("--num-cpus", type=int, default=None)
     up.set_defaults(fn=cmd_update)
+
+    vs = sub.add_parser("view-status", help="materialized-view staleness "
+                                            "probe (zero IO; exit 1 if stale)")
+    vs.add_argument("input", help="view dir")
+    vs.set_defaults(fn=cmd_view_status)
+
+    vr = sub.add_parser("view-refresh", help="incremental join-view refresh "
+                                             "from the committed viewspec")
+    vr.add_argument("input", help="view dir")
+    vr.add_argument("--num-cpus", type=int, default=None)
+    vr.set_defaults(fn=cmd_view_refresh)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -103,3 +103,47 @@ def test_cli_round4_surfaces(tmp_path):
     got = pq.read_table(jout).to_pandas()
     assert len(got) == 600 and {"doc_id", "n_tok", "source"} <= set(
         got.columns)
+
+
+def test_cli_view_commands(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pqt
+    src = fixtures.tokens_parquet(300, seed=9, cache_dir=str(tmp_path),
+                                  row_group_size=100)
+    a = str(tmp_path / "a")
+    run_cli("bucket", src, "--out", a, "--key", "doc_id", "--buckets",
+            "4", "--num-cpus", "4")
+    b = str(tmp_path / "b")
+    run_cli("bucket", src, "--out", b, "--key", "doc_id", "--buckets",
+            "4", "--columns", "doc_id,source", "--token-budget",
+            "100000", "--num-cpus", "4")
+    # build the view via the library, then drive it via the CLI
+    import subprocess, sys
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    view = str(tmp_path / "view")
+    code = (
+        "import ray; ray.init(address='local', num_cpus=4, "
+        "include_dashboard=False, logging_level='ERROR');"
+        "from rwcf import spj;"
+        f"spj.materialize_join_view({view!r}, {a!r}, {b!r}, "
+        "columns_a=['doc_id','n_tok'], columns_b=['doc_id','source'])")
+    subprocess.run([sys.executable, "-c", code], env=env, check=True,
+                   capture_output=True, cwd=REPO)
+    st = run_cli("view-status", view)
+    assert st["stale"] == 0
+    # append a second batch to one side -> stale; view-refresh heals
+    extra = pa.table({"doc_id": pa.array(["zz-1"]),
+                      "source": pa.array(["late"])})
+    ep = str(tmp_path / "extra.parquet")
+    pqt.write_table(extra, ep)
+    run_cli("bucket", ep, "--out", b, "--key", "doc_id", "--buckets",
+            "4", "--columns", "doc_id,source", "--token-budget",
+            "100000", "--num-cpus", "4")
+    out = subprocess.run([sys.executable, "-m", "rwcf", "view-status",
+                          view], capture_output=True, text=True, env=env,
+                         cwd=REPO)
+    assert out.returncode == 1  # stale -> nonzero exit
+    r = run_cli("view-refresh", view, "--num-cpus", "4")
+    assert r["refreshed"] >= 1
+    assert run_cli("view-status", view)["stale"] == 0
