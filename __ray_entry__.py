@@ -1593,6 +1593,17 @@ def _q_decontaminate(sf_dir: str):
     return curation.decontaminate(ds, probes)
 
 
+def _q_contamination_scores(sf_dir: str):
+    """Scored decontamination (rwcf.curation.contamination_scores — the
+    ranking complement of the binary flag): per doc, probe-hit count and
+    permille of the broadcast probe set; one vectorized stream stage,
+    zero shuffles."""
+    from rwcf import curation
+    ds = _docs_ds(sf_dir)
+    probes = curation.probe_strings(ds, every=97, head_chars=60)
+    return curation.contamination_scores(ds, probes)
+
+
 def _q_budget_select(sf_dir: str):
     from rwcf import curation
     ds = _docs_ds(sf_dir, columns=("doc_id", "source", "n_chars"))
@@ -4499,6 +4510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_view_scan": _q_join_view_scan,
         "merge_join_scan": _q_merge_join_scan,
         "spj_pushdown_scan": _q_spj_pushdown,
+        "contamination_scores": _q_contamination_scores,
     }
 
 
@@ -4883,6 +4895,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE doc_id % 97 = 0 AND substr(text, 1, 60) <> '') "
             "SELECT d.doc_id, CAST(max(CASE WHEN contains(d.text, probes.p) "
             "THEN 1 ELSE 0 END) AS BIGINT) AS contaminated "
+            "FROM documents d CROSS JOIN probes GROUP BY d.doc_id"),
+        "contamination_scores": (
+            "WITH probes AS (SELECT substr(text, 1, 60) AS p "
+            "FROM documents WHERE doc_id % 97 = 0 "
+            "AND substr(text, 1, 60) <> ''), "
+            "n AS (SELECT count(*) AS np FROM probes) "
+            "SELECT d.doc_id, CAST(sum(CASE WHEN contains(d.text, "
+            "probes.p) THEN 1 ELSE 0 END) AS BIGINT) AS n_hit, "
+            "CAST(sum(CASE WHEN contains(d.text, probes.p) THEN 1 "
+            "ELSE 0 END) * 1000 // (SELECT np FROM n) AS BIGINT) "
+            "AS score1000 "
             "FROM documents d CROSS JOIN probes GROUP BY d.doc_id"),
         "budget_select_source": (
             "SELECT doc_id, source, n_chars, cum_chars FROM ("

@@ -184,6 +184,45 @@ def decontaminate(ds, probes: list[str], text_col: str = "text"):
                           **rayenv.remote_args())
 
 
+def _contamination_score_batch(t: pa.Table, probes_ref,
+                               text_col: str) -> pa.Table:
+    import ray
+    probes = ray.get(probes_ref) if not isinstance(probes_ref, list) \
+        else probes_ref
+    text = t.column(text_col)
+    hits = np.zeros(len(t), dtype=np.int64)
+    for p in probes:  # per-PROBE vectorized pass; probe sets are small
+        m = pc.match_substring(text, p)
+        hits += m.combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+    n = max(len(probes), 1)
+    return pa.table({
+        "doc_id": t.column("doc_id"),
+        "n_hit": pa.array(hits),
+        # integer permille avoids float-hash flakiness in oracles
+        "score1000": pa.array(hits * 1000 // n),
+    })
+
+
+def contamination_scores(ds, probes: list[str], text_col: str = "text"):
+    """SCORED decontamination (the ranking complement of
+    :func:`decontaminate`'s binary flag): per document, how many of the
+    broadcast probe strings occur in it (``n_hit``) and the permille
+    fraction of the probe set (``score1000``) — the triage signal a
+    curation pipeline thresholds instead of hard-dropping every touch.
+    Same scale shape as decontaminate: probe set ``ray.put`` once,
+    corpus streams through one vectorized per-probe match stage, zero
+    shuffles; empty probes dropped (SQL contains(text,'') is
+    vacuously true)."""
+    import ray
+    kept = [p for p in probes if p]
+    ref = ray.put(kept)
+    fn = functools.partial(_contamination_score_batch, probes_ref=ref,
+                          text_col=text_col)
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          **rayenv.remote_args())
+
+
 def probe_strings(ds, every: int = 97, head_chars: int = 60,
                   text_col: str = "text") -> list[str]:
     """Deterministic probe derivation for tests/queries: the first

@@ -328,3 +328,22 @@ def test_leakage_safe_split_groups_duplicates(ray_session):
     assert got["split"].tolist() == exp["split"].tolist()
     # the guard property itself: duplicate members never straddle splits
     assert split[0] == split[91] and split[10] == split[55]
+
+
+def test_contamination_scores_match_bruteforce(ray_session):
+    import numpy as np
+    import ray.data as rd
+    texts = ["alpha beta gamma delta",
+             "beta only here",
+             "alpha beta and also gamma here",
+             "nothing matching at all",
+             "gamma gamma gamma"]
+    probes = ["alpha beta", "gamma", ""]  # empty probe must be dropped
+    ds = rd.from_arrow(tbl(texts))
+    got = curation.contamination_scores(ds, probes).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    kept = [p for p in probes if p]
+    exp = np.array([sum(p in t for p in kept) for t in texts],
+                   dtype=np.int64)
+    assert got["n_hit"].tolist() == exp.tolist()
+    assert got["score1000"].tolist() == (exp * 1000 // len(kept)).tolist()
