@@ -441,6 +441,15 @@ def derive_column(out_dir: str, new_col: str, fn,
 
     if cfg is None:
         cfg = EncodeConfig(out_dir=out_dir)
+    from . import schema as _schema
+    if _schema.current_version(out_dir):
+        # a physical section invisible to the field-id log would never
+        # surface in schema.scan — register-then-materialize is round-5
+        # work; refuse loudly instead of writing unreachable bytes
+        raise ValueError(
+            "derive_column on a schema-evolved store is not supported "
+            "yet: schema.add_column(default) + compact_partitions "
+            "materializes a new column there")
     rows = load_manifest(out_dir)
     for r in rows:
         if any(c["column"] == new_col for c in r["columns"]):
@@ -523,15 +532,32 @@ def drop_column(out_dir: str, col: str,
                 raise ValueError(f"cannot drop bucket key {col!r}")
     if cfg is None:
         cfg = EncodeConfig(out_dir=out_dir)
+    # schema-evolved stores: resolve the LOGICAL name to each
+    # partition's physical section (renames transparent), and retire
+    # the field from the schema log so scans stop asking for it
+    from . import schema as _schema
+    maps = None
+    if _schema.current_version(out_dir):
+        maps, _ = _schema.resolution(out_dir, [col])
+
+    def phys(row):
+        if not maps:
+            return col
+        v = int(row.get("schema_version") or 0)
+        m = maps[v] if v in maps else maps[max(maps)]
+        return m[col]  # None = column did not exist yet at v
+
     rows = load_manifest(out_dir)
     affected = [r for r in rows
-                if any(c["column"] == col for c in r["columns"])]
+                if phys(r) is not None
+                and any(c["column"] == phys(r) for c in r["columns"])]
     tag = zlib.crc32(f"drop|{col}".encode()) & 0xFFFFFFFF
     xtag = f"{tag:08x}"
 
     def drop_one(batch: pa.Table) -> pa.Table:
         out = []
         for row in manifest_table_to_rows(batch):
+            pcol = phys(row)
             new_pid = f"{row['pid']}-x{xtag}"
             mpath = os.path.join(cfg.manifest_dir, f"{new_pid}.json")
             if os.path.exists(mpath):  # resume
@@ -541,13 +567,13 @@ def drop_column(out_dir: str, col: str,
             t0 = time.perf_counter()
             with open(row["file"], "rb") as f:
                 sections, col_meta, offset, copied, dec_drop = \
-                    _copy_sections(row, f, skip={col})
+                    _copy_sections(row, f, skip={pcol})
                 bsecs, blooms, bloom_bytes, end = _copy_blooms(
-                    row, f, offset, skip={col})
+                    row, f, offset, skip={pcol})
                 sections.extend(bsecs)
             stats = dict(row.get("stats") or {})
-            stats.pop(col, None)
-            lineage = {"drop_of": row["pid"], "dropped_col": col}
+            stats.pop(pcol, None)
+            lineage = {"drop_of": row["pid"], "dropped_col": pcol}
             out.append(_commit_successor(
                 row, cfg, new_pid, sections, col_meta, blooms,
                 bloom_bytes, offset, stats, lineage,
@@ -561,4 +587,11 @@ def drop_column(out_dir: str, col: str,
         ds.map_batches(drop_one, batch_size=1, batch_format="pyarrow",
                        num_cpus=1, concurrency=min(n, len(affected)),
                        **rayenv.remote_args()).materialize()
+    if maps:
+        # retire the field from the log too, so schema.scan stops
+        # resolving it (physical drop + metadata drop stay consistent)
+        try:
+            _schema.drop_column(out_dir, col)
+        except (KeyError, ValueError):
+            pass  # already dropped from the log
     return {"partitions_rewritten": len(affected), "column": col}

@@ -216,3 +216,21 @@ def test_update_on_evolved_store_resolves_renames(store):
     got2 = schema.scan(out).to_pandas()
     assert (got2.loc[got2["doc_id"] == "5", "grade"] == 2).all()
     assert (got2.loc[got2["doc_id"] != "5", "grade"] == 1).all()
+
+
+def test_drop_column_on_evolved_store(store):
+    """drop_column resolves renames through the schema log and retires
+    the field; derive_column on an evolved store refuses loudly."""
+    from rwcf import schema
+    out, src = store
+    schema.rename_column(out, "source", "origin")
+    res = update.drop_column(out, "origin")
+    assert res["partitions_rewritten"] > 0
+    got = schema.scan(out).to_pandas()
+    assert "origin" not in got.columns and "source" not in got.columns
+    rows = pipeline.load_manifest(out)
+    assert all(all(c["column"] != "source" for c in r["columns"])
+               for r in rows), "physical sections gone"
+    with pytest.raises(ValueError, match="not supported"):
+        update.derive_column(out, "extra",
+                             lambda t: t.column("n_tok"), ["n_tok"])
