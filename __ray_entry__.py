@@ -1604,6 +1604,51 @@ def _q_contamination_scores(sf_dir: str):
     return curation.contamination_scores(ds, probes)
 
 
+def _q_pack_export(sf_dir: str):
+    """Training-shard EXPORT round trip: documents pack into fixed-length
+    sequences (curation.pack_sequences_ds — one deterministic bucket
+    shuffle, vectorized scatter), the sequences write through the
+    RESUMABLE partitioned sink (rwcf.sinks.write_partitioned — one
+    parquet shard per seq-id hash bucket, deterministic layout, an
+    existing shard IS completed work), and the shards read BACK and
+    aggregate per packing bucket — so the oracle transitively checks the
+    pack arithmetic AND the sink round trip (totals identical to
+    pack_stats)."""
+    import ray.data as rd
+    from rwcf import curation, rayenv, sinks
+    from ray.data.aggregate import Count, Sum
+    work = _workdir("packexp", sf_dir)
+    out_dir = os.path.join(work, "shards")
+    seqs = curation.pack_sequences_ds(_docs_ds(sf_dir), seq_len=512,
+                                      n_buckets=8)
+
+    def add_gid(t: pa.Table) -> pa.Table:
+        gid = (t.column("part").to_numpy(zero_copy_only=False)
+               * 1_000_000
+               + t.column("seq_idx").to_numpy(zero_copy_only=False))
+        return t.append_column("seq_id", pa.array(gid.astype("int64")))
+
+    tagged = seqs.map_batches(add_gid, batch_format="pyarrow",
+                              **rayenv.remote_args())
+    commits = sinks.write_partitioned(tagged, out_dir, "seq_id",
+                                      buckets=8).to_pandas()
+    assert int(commits["rows"].sum()) > 0, commits
+
+    back = rd.read_parquet(sorted(
+        os.path.join(out_dir, f) for f in os.listdir(out_dir)
+        if f.endswith(".parquet")))
+
+    def slim(t: pa.Table) -> pa.Table:
+        return t.select(["part", "n_real", "n_eos"])
+
+    return (back.map_batches(slim, batch_format="pyarrow",
+                             **rayenv.remote_args())
+            .groupby("part")
+            .aggregate(Sum("n_eos", alias_name="n_docs"),
+                       Sum("n_real", alias_name="n_tokens"),
+                       Count(alias_name="n_sequences")))
+
+
 def _q_budget_select(sf_dir: str):
     from rwcf import curation
     ds = _docs_ds(sf_dir, columns=("doc_id", "source", "n_chars"))
@@ -4511,6 +4556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_join_scan": _q_merge_join_scan,
         "spj_pushdown_scan": _q_spj_pushdown,
         "contamination_scores": _q_contamination_scores,
+        "pack_export_scan": _q_pack_export,
     }
 
 
@@ -4917,6 +4963,12 @@ def oracle_sql() -> dict[str, str]:
         # sequences (EOS counts / non-pad counts / row counts), so the
         # closed-form oracle transitively checks the packing layout
         "pack_stats": (
+            "SELECT CAST(doc_id % 8 AS BIGINT) AS part, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(strlen(text) + 1) AS BIGINT) AS n_tokens, "
+            "CAST((sum(strlen(text) + 1) + 511) // 512 AS BIGINT) "
+            "AS n_sequences FROM documents GROUP BY 1"),
+        "pack_export_scan": (
             "SELECT CAST(doc_id % 8 AS BIGINT) AS part, "
             "CAST(count(*) AS BIGINT) AS n_docs, "
             "CAST(sum(strlen(text) + 1) AS BIGINT) AS n_tokens, "
