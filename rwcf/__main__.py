@@ -187,21 +187,46 @@ def cmd_join(args) -> int:
     return 0
 
 
+def _argv_coercer(out_dir: str):
+    """argv strings against numeric stored columns: Arrow has no
+    equal(int64, string) kernel and pa.scalar('7') won't cast to an
+    int column.  Resolve each target column's dtype from the manifest
+    and cast the argv value accordingly (string columns keep the raw
+    string, so '123' stays '123' for a string column)."""
+    from . import format as fmt
+    from . import pipeline
+    dtypes: dict[str, str] = {}
+    for row in pipeline.load_manifest(out_dir):
+        for cm in row["columns"]:
+            dtypes.setdefault(cm["column"], cm["dtype"])
+
+    def coerce(col: str, s: str):
+        dt = dtypes.get(col)
+        if dt is None or fmt.is_string(dt):
+            return s
+        np_t = fmt.DTYPES[dt][2]
+        try:
+            import numpy as _np
+            return (float(s) if _np.issubdtype(np_t, _np.floating)
+                    else int(s))
+        except ValueError:
+            return s
+    return coerce
+
+
 def cmd_update(args) -> int:
     from . import update
     ray = _init_ray(args.num_cpus)
+    coerce = _argv_coercer(args.input)
     kw = {}
     if args.eq is not None:
-        kw["eq"] = args.eq
+        kw["eq"] = coerce(args.pred_col, args.eq)
     if args.between:
         lo, hi = args.between
-        # predicate values are typed by the stored column at execution;
-        # ints arrive as strings from argv — try int first
-        try:
-            kw["between"] = (int(lo), int(hi))
-        except ValueError:
-            kw["between"] = (lo, hi)
-    res = update.update_where(args.input, args.set_col, args.value,
+        kw["between"] = (coerce(args.pred_col, lo),
+                         coerce(args.pred_col, hi))
+    res = update.update_where(args.input, args.set_col,
+                              coerce(args.set_col, args.value),
                               pred_col=args.pred_col, **kw)
     print(json.dumps(res))
     ray.shutdown()

@@ -72,7 +72,8 @@ def build(keys: pa.Array | pa.ChunkedArray | list,
         np.bitwise_or.at(data, (pos >> np.uint64(3)).astype(np.int64),
                          (np.uint64(1) << (pos & np.uint64(7)))
                          .astype(np.uint8))
-    return {"m_bits": m_bits, "k": k, "n_keys": n, "data": data}
+    return {"m_bits": m_bits, "k": k, "n_keys": n,
+            "bits_per_key": bits_per_key, "data": data}
 
 
 def might_contain(m_bits: int, k: int, data: np.ndarray,

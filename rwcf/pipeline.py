@@ -292,7 +292,9 @@ def encode_partition(tbl: pa.Table, pid: str, cfg: EncodeConfig,
             raw = bf["data"].tobytes()
             blooms[name] = {"offset": boff, "length": len(raw),
                             "m_bits": bf["m_bits"], "k": bf["k"],
-                            "n_keys": bf["n_keys"], "crc": zlib.crc32(raw)}
+                            "n_keys": bf["n_keys"],
+                            "bits_per_key": bf["bits_per_key"],
+                            "crc": zlib.crc32(raw)}
             sections.append(raw)
             boff += len(raw)
             bloom_bytes += len(raw)

@@ -386,9 +386,14 @@ def plan_join(left_dir: str, right_dir: str, on: str = "doc_id",
         "broadcast": rs["decoded_bytes"],
         "hash": ls["decoded_bytes"] + rs["decoded_bytes"],
     }
+    from . import spj as _spj
     if (ls["bucketspec"] is not None
             and ls["bucketspec"] == rs["bucketspec"]
-            and ls["bucketspec"]["key"] == on):
+            and ls["bucketspec"]["key"] == on
+            and how in _spj._JOIN_TYPES):
+        # co-bucketed AND the operator can execute this join type;
+        # e.g. how='right' is not in storage_partitioned_join's set —
+        # fall through to broadcast/hash (joins.hash_join supports it)
         strategy = "spj"
     elif (merge_fanout is not None and merge_fanout <= 4.0
           and how in ("inner", "left", "semi", "anti")

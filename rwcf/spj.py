@@ -215,6 +215,14 @@ def _local_join(ta: pa.Table, tb: pa.Table, key: str, jt: str,
         _LIDX, pa.array(np.arange(ta.num_rows, dtype=np.int64)))
     sb = tb.drop_columns(nest_b).append_column(
         _RIDX, pa.array(np.arange(tb.num_rows, dtype=np.int64)))
+    # Acero-parity naming: a nested left column stripped from sa cannot
+    # trigger Acero's right-side collision suffix inside the slim join,
+    # so pre-suffix right-side scalars that collide with it — otherwise
+    # re-appending the nested left column would duplicate the name.
+    clash = [n for n in sb.column_names if n != key and n in nest_a]
+    if clash:
+        sb = sb.rename_columns(
+            [n + suffix if n in clash else n for n in sb.column_names])
     m = sa.join(sb, keys=key, join_type=jt, right_suffix=suffix,
                 coalesce_keys=True)
     taken = set(m.column_names)

@@ -296,13 +296,18 @@ def _rewrite_partition(row: dict, set_col: str, new_vals: pa.Array,
         for name, bm in (row.get("bloom") or {}).items():
             if name == set_col:
                 from . import bloom as _bloom
-                bits = max(1, (bm["m_bits"] + bm["n_keys"] - 1)
-                           // max(bm["n_keys"], 1))
+                # use the ORIGINAL bits_per_key (persisted since the
+                # manifest gained the field); deriving it from the
+                # power-of-two-rounded m_bits re-rounds upward on every
+                # rebuild -> geometric sidecar growth (ADVICE r4)
+                bits = bm.get("bits_per_key") or max(
+                    1, bm["m_bits"] // max(bm["n_keys"], 1))
                 bf = _bloom.build(new_vals, bits)
                 rawb = bf["data"].tobytes()
                 blooms[name] = {"offset": boff, "length": len(rawb),
                                 "m_bits": bf["m_bits"], "k": bf["k"],
                                 "n_keys": bf["n_keys"],
+                                "bits_per_key": bf["bits_per_key"],
                                 "crc": zlib.crc32(rawb)}
                 sections.append(rawb)
             else:
