@@ -4281,6 +4281,124 @@ def _q_spj_join3(sf_dir: str):
                           **rayenv.remote_args())
 
 
+# ---------------------------------------------------------------------------
+# round 5: null / validity support (rwcf.format v2 footer)
+# ---------------------------------------------------------------------------
+
+def _q_nullable_roundtrip(sf_dir: str):
+    """Distributed per-batch round trip of a NULLABLE column through the
+    v2 container (rwcf.format: dense values + run-length validity footer;
+    the reference format has no null representation, src/lib.rs:59-66):
+    every 5th row's source nulls out, values encode dense under the
+    auto-selected codec, decode scatters them back null-exactly."""
+    import ray.data as rd
+    from rwcf import format as fmt
+    from rwcf import rayenv, selector
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "source", "n_chars"])
+
+    def rt(t: pa.Table) -> pa.Table:
+        nc = t.column("n_chars")
+        nullmask = pc.equal(
+            pc.subtract(nc, pc.multiply(pc.divide(nc, 5), 5)),
+            0)  # n_chars % 5 == 0
+        arr = pc.if_else(nullmask, pa.scalar(None, pa.string()),
+                         t.column("source"))
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        dense, validity = fmt.split_validity(arr)
+        chunk = fmt.chunk_from_arrow(dense)
+        enc, _ = selector.encode_auto(chunk, "str")
+        enc.validity = validity
+        back = fmt.read_column_file(fmt.write_column_file(enc))
+        out = fmt.chunk_to_arrow(fmt.decode_chunk(back), "str") \
+            .cast(pa.string())
+        if back.validity is not None:
+            out = fmt.apply_validity(out, back.validity)
+        return pa.table({"doc_id": t.column("doc_id"), "src_n": out})
+
+    return ds.map_batches(rt, batch_format="pyarrow",
+                          **rayenv.remote_args())
+
+
+def _q_null_agg(sf_dir: str):
+    """SQL null semantics through the FULL store path: a nullable int64
+    column (score = n_chars, null every 3rd doc_id) encodes into an rwcf
+    store (v2 validity footers on disk), decode_job scatters the nulls
+    back, and a per-batch partial + tiny groupby computes COUNT(*) /
+    COUNT(col) / SUM(col) with DuckDB's skip-null rules."""
+    import ray.data as rd
+    from rwcf import pipeline, rayenv
+
+    work = _workdir("nullagg", sf_dir)
+    src = os.path.join(work, "in")
+
+    def derive(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id")
+        m3 = pc.equal(pc.subtract(did, pc.multiply(pc.divide(did, 3), 3)),
+                      0)  # doc_id % 3 == 0
+        score = pc.if_else(m3, pa.scalar(None, pa.int64()),
+                           t.column("n_chars"))
+        return pa.table({"doc_id": did, "lang": t.column("lang"),
+                         "score": score})
+
+    rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id", "lang", "n_chars"]) \
+        .map_batches(derive, batch_format="pyarrow",
+                     **rayenv.remote_args()) \
+        .write_parquet(src)
+    out = os.path.join(work, "enc")
+    cfg = pipeline.EncodeConfig(out_dir=out,
+                                columns=["doc_id", "lang", "score"],
+                                partition_token_budget=200_000)
+    from rwcf.documents import parquet_files
+    pipeline.encode_job(parquet_files(src), cfg).materialize()
+
+    def partial(b: pa.Table) -> pa.Table:
+        # Arrow hash aggregate: count skips nulls, count_all doesn't,
+        # sum skips — exactly DuckDB's rules
+        g = b.group_by("lang").aggregate(
+            [("score", "count"), ("score", "sum"), ([], "count_all")])
+        return pa.table({"lang": g.column("lang"),
+                         "n": g.column("count_all"),
+                         "n_score": g.column("score_count"),
+                         "sum_score": g.column("score_sum")})
+
+    ds = pipeline.decode_job(out, columns=["lang", "score"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     **rayenv.remote_args())
+    agg = ds.groupby("lang").sum(["n", "n_score", "sum_score"])
+    df = agg.to_pandas().rename(columns={
+        "sum(n)": "n", "sum(n_score)": "n_score",
+        "sum(sum_score)": "sum_score"})
+    return df[["lang", "n", "n_score", "sum_score"]]
+
+
+def _q_optional_add_scan(sf_dir: str):
+    """Iceberg-style OPTIONAL column add (default=None): partitions
+    written before the column existed surface it as typed NULLs through
+    the schema-aware scan — no mandatory default, no rewrite
+    (rwcf.schema.add_column + logical_table null fill)."""
+    from rwcf import documents, pipeline, rayenv, schema
+
+    work = _workdir("optadd", sf_dir)
+    tokens_dir = documents.tokens_parquet_for(sf_dir, work)
+    cfg = pipeline.EncodeConfig(out_dir=os.path.join(work, "out"),
+                                partition_token_budget=1_000_000)
+    pipeline.encode_job(documents.parquet_files(tokens_dir), cfg) \
+        .materialize()
+    schema.add_column(cfg.out_dir, "opt_score", "i64", None)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                         "opt_score": t.column("opt_score"),
+                         "has_null": pc.is_null(t.column("opt_score"))})
+
+    return schema.scan(cfg.out_dir, columns=["doc_id", "opt_score"]) \
+        .map_batches(project, batch_format="pyarrow",
+                     **rayenv.remote_args())
+
+
 def entry() -> Any:
     """Flagship on sf0.001: tokenize documents -> encode (size-aware
     partitions, auto codecs, lineage manifest) -> decode -> detokenize."""
@@ -4299,6 +4417,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # green CORRECTNESS history) rotate behind the window. Every entry
     # stays oracle-checked by tools/check_contract.py regardless of order.
     return {
+        # -- round 5: null/validity support (v2 footer) — new, at the
+        # -- front so the driver window evaluates them
+        "nullable_roundtrip": _q_nullable_roundtrip,
+        "null_agg_semantics": _q_null_agg,
+        "optional_add_scan": _q_optional_add_scan,
         # -- never-driven until round 4: curation / analytics-tail / joins
         "range_join_events": _q_range_join,
         "semi_join_lineitem_bloom": _q_semi_join_bloom,
@@ -4562,6 +4685,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "nullable_roundtrip": (
+            "SELECT doc_id, CASE WHEN n_chars % 5 = 0 THEN NULL "
+            "ELSE source END AS src_n FROM documents"),
+        "null_agg_semantics": (
+            "SELECT lang, count(*) AS n, "
+            "count(CASE WHEN doc_id % 3 = 0 THEN NULL ELSE n_chars END) "
+            "AS n_score, "
+            "CAST(sum(CASE WHEN doc_id % 3 = 0 THEN NULL ELSE n_chars "
+            "END) AS BIGINT) AS sum_score FROM documents GROUP BY lang"),
+        "optional_add_scan": (
+            "SELECT doc_id, CAST(NULL AS BIGINT) AS opt_score, "
+            "TRUE AS has_null FROM documents"),
         "roundtrip_docs": "SELECT doc_id, text FROM documents",
         "compact_roundtrip": "SELECT doc_id, text FROM documents",
         "delete_scan": (

@@ -32,6 +32,11 @@ ENGINE_PAGE_SIZE = 256 * 1024  # default page target for engine mode
 
 _V1_MARKER = 0xF5
 _V1_VERSION = 1
+#: v2 = v1 + a trailing validity section (null support). Writers emit
+#: version 1 whenever a column has no nulls, so null-free stores stay
+#: byte-identical to pre-v2 output; v1 readers only ever meet v2 footers
+#: on columns that actually contain nulls.
+_V2_VERSION = 2
 
 #: dtype code -> (reference category, pyarrow type, numpy type)
 DTYPES: dict[str, tuple[str, pa.DataType, np.dtype]] = {
@@ -90,6 +95,17 @@ class EncodedColumn:
     pages: list[PageInfo]
     payload: np.ndarray  # uint8
     n_values: int
+    #: bool array of LOGICAL length (rows incl. nulls); None = no nulls.
+    #: The codec payload stores only the n_values NON-NULL values — the
+    #: same dense-values + validity split Arrow itself uses, so every
+    #: codec stays null-free and untouched.
+    validity: np.ndarray | None = None
+
+    @property
+    def n_logical(self) -> int:
+        """Row count including nulls (== n_values when no validity)."""
+        return int(self.validity.size) if self.validity is not None \
+            else self.n_values
 
     @property
     def encoded_bytes(self) -> int:
@@ -129,6 +145,52 @@ def chunk_from_arrow(arr: pa.Array | pa.ChunkedArray):
         lengths = np.diff(offsets)
         return lengths, payload
     return arr.to_numpy(zero_copy_only=False)
+
+
+def split_validity(arr: pa.Array | pa.ChunkedArray):
+    """(dense_array, validity) split of a possibly-null Arrow array:
+    ``dense`` carries only the non-null values (codec-ready, null-free),
+    ``validity`` is a bool ndarray of logical length (None when the
+    array has no nulls). Inverse of :func:`apply_validity`."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not arr.null_count:
+        return arr, None
+    import pyarrow.compute as pc
+    validity = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+    return arr.drop_null(), np.ascontiguousarray(validity, dtype=bool)
+
+
+def apply_validity(dense: pa.Array, validity: np.ndarray) -> pa.Array:
+    """Scatter a dense (null-free) decoded array back to logical
+    positions: null where validity is False. Vectorized — a prefix-sum
+    index gather (``take`` maps a null index to a null value)."""
+    idx = np.cumsum(validity, dtype=np.int64) - 1
+    take_idx = pa.array(idx, pa.int64(), mask=~validity)
+    return dense.take(take_idx)
+
+
+def runs_from_validity(validity: np.ndarray) -> np.ndarray:
+    """Alternating run lengths of a bool array, FIRST run counting
+    leading True (valid) values — possibly 0. RLE of the validity
+    bitmap: null patterns are usually clustered or sparse, so runs beat
+    a packed bitmap at both extremes."""
+    v = np.asarray(validity, dtype=bool)
+    if not v.size:
+        return np.empty(0, dtype=np.int64)
+    change = np.nonzero(np.diff(v))[0] + 1
+    bounds = np.concatenate(([0], change, [v.size]))
+    runs = np.diff(bounds)
+    if not v[0]:  # first run must describe VALID values
+        runs = np.concatenate(([0], runs))
+    return runs.astype(np.int64)
+
+
+def validity_from_runs(runs: np.ndarray) -> np.ndarray:
+    runs = np.asarray(runs, dtype=np.int64)
+    flags = np.zeros(runs.size, dtype=bool)
+    flags[::2] = True
+    return np.repeat(flags, runs)
 
 
 def chunk_to_arrow(chunk, dtype: str) -> pa.Array:
@@ -212,10 +274,18 @@ def footer_bytes_reference(dtype: str, use_rle: bool, pages: list[PageInfo]) -> 
 
 
 def footer_bytes_v1(enc: EncodedColumn) -> bytes:
-    head = bytes([_V1_MARKER, _V1_VERSION,
+    version = _V2_VERSION if enc.validity is not None else _V1_VERSION
+    head = bytes([_V1_MARKER, version,
                   _DTYPE_ORDER.index(enc.dtype), CODEC_IDS.index(enc.codec)])
     meta = varint.encode_uvarint(np.array([len(enc.meta)], dtype=np.uint64)).tobytes() + enc.meta
-    return head + meta + _pages_to_bincode(enc.pages, with_lengths=True)
+    out = head + meta + _pages_to_bincode(enc.pages, with_lengths=True)
+    if enc.validity is not None:
+        runs = runs_from_validity(enc.validity)
+        out += varint.encode_uvarint(
+            np.array([enc.validity.size, runs.size], dtype=np.uint64)
+        ).tobytes()
+        out += varint.encode_uvarint(runs.astype(np.uint64)).tobytes()
+    return out
 
 
 def write_column_file(enc: EncodedColumn, reference_mode: bool = False) -> bytes:
@@ -231,24 +301,35 @@ def write_column_file(enc: EncodedColumn, reference_mode: bool = False) -> bytes
 
 def _parse_footer_fields(buf: np.ndarray, pos: int):
     """Shared footer parser (both modes, marker-detected): returns
-    (dtype, codec, meta, pages, is_v1). Reference-mode pages come back
-    with byte_length=-1 — only the caller holding the payload extent can
-    derive them (read_column_file does; trailer-only callers cannot)."""
+    (dtype, codec, meta, pages, is_v1, validity). Reference-mode pages
+    come back with byte_length=-1 — only the caller holding the payload
+    extent can derive them (read_column_file does; trailer-only callers
+    cannot). ``validity`` is None except for v2 (nullable) footers."""
     r = _Reader(buf, pos)
     first = int(buf[pos])
     if first == _V1_MARKER:
         r.pos += 1
         version = int(buf[r.pos]); r.pos += 1
-        assert version == _V1_VERSION
+        assert version in (_V1_VERSION, _V2_VERSION)
         dtype = _DTYPE_ORDER[int(buf[r.pos])]; r.pos += 1
         codec = CODEC_IDS[int(buf[r.pos])]; r.pos += 1
         meta = r.take(r.uvarint())
-        return dtype, codec, meta, _pages_from_reader(r, with_lengths=True), True
+        pages = _pages_from_reader(r, with_lengths=True)
+        validity = None
+        if version == _V2_VERSION:
+            n_logical = r.uvarint()
+            n_runs = r.uvarint()
+            runs = np.array([r.uvarint() for _ in range(n_runs)],
+                            dtype=np.int64)
+            validity = validity_from_runs(runs)
+            assert validity.size == n_logical
+        return dtype, codec, meta, pages, True, validity
     dtype = _REF_CATEGORY_FOR_CODE[first]
     r.pos += 1
     use_rle = bool(buf[r.pos]); r.pos += 1
     codec = "rle" if use_rle else "plain"
-    return dtype, codec, b"", _pages_from_reader(r, with_lengths=False), False
+    return dtype, codec, b"", _pages_from_reader(r, with_lengths=False), \
+        False, None
 
 
 def read_column_file(data: bytes | np.ndarray) -> EncodedColumn:
@@ -261,7 +342,8 @@ def read_column_file(data: bytes | np.ndarray) -> EncodedColumn:
     buf = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray)) else data
     footer_size = int.from_bytes(buf[-8:].tobytes(), "little")
     footer_start = buf.size - 8 - footer_size
-    dtype, codec, meta, pages, is_v1 = _parse_footer_fields(buf, footer_start)
+    dtype, codec, meta, pages, is_v1, validity = \
+        _parse_footer_fields(buf, footer_start)
     if not is_v1:
         # derive byte lengths from consecutive offsets + the payload extent
         for i, p in enumerate(pages):
@@ -269,7 +351,8 @@ def read_column_file(data: bytes | np.ndarray) -> EncodedColumn:
             p.byte_length = end - p.file_offset
     n = sum(p.values_count for p in pages)
     return EncodedColumn(dtype=dtype, codec=codec, meta=meta, pages=pages,
-                         payload=buf[:footer_start], n_values=n)
+                         payload=buf[:footer_start], n_values=n,
+                         validity=validity)
 
 
 def read_footer_blob(trailer: bytes | np.ndarray) -> EncodedColumn:
@@ -283,7 +366,7 @@ def read_footer_blob(trailer: bytes | np.ndarray) -> EncodedColumn:
     footer_size = int.from_bytes(buf[-8:].tobytes(), "little")
     if footer_size != buf.size - 8:
         raise ValueError("trailer does not contain exactly footer|size")
-    dtype, codec, meta, pages, is_v1 = _parse_footer_fields(buf, 0)
+    dtype, codec, meta, pages, is_v1, validity = _parse_footer_fields(buf, 0)
     if not is_v1:
         # a reference-mode footer records no page byte lengths and the
         # payload extent is not available here, so per-page extents cannot
@@ -294,7 +377,8 @@ def read_footer_blob(trailer: bytes | np.ndarray) -> EncodedColumn:
             "trailers carry no page byte lengths")
     n = sum(p.values_count for p in pages)
     return EncodedColumn(dtype=dtype, codec=codec, meta=meta, pages=pages,
-                         payload=np.empty(0, dtype=np.uint8), n_values=n)
+                         payload=np.empty(0, dtype=np.uint8), n_values=n,
+                         validity=validity)
 
 
 def slice_pages(enc: EncodedColumn, indices) -> EncodedColumn:
@@ -305,6 +389,12 @@ def slice_pages(enc: EncodedColumn, indices) -> EncodedColumn:
     width/min headers; varint codecs carry per-page counts; dict/fsst state
     lives in the shared meta blob), so any page subset decodes independently.
     """
+    if enc.validity is not None:
+        # pages index the DENSE value stream; a page subset of a nullable
+        # column cannot be mapped back to logical row spans without the
+        # per-page logical extents, which v2 does not record (nullable
+        # columns take the full-section decode path instead)
+        raise ValueError("slice_pages does not support nullable columns")
     idx = sorted(int(i) for i in indices)
     sel = [enc.pages[i] for i in idx]
     parts = [enc.payload[p.file_offset:p.file_offset + p.byte_length]

@@ -152,33 +152,41 @@ def read_parquet_rowgroups(input_paths, columns: list[str] | None = None,
 # ---------------------------------------------------------------------------
 
 def _table_chunks(tbl: pa.Table) -> dict[str, tuple]:
-    """Split the tokens table into codec chunks: (chunk, dtype) per stream.
-    ``tokens`` becomes a flattened int32 value stream; row lengths ride in
-    ``n_tok`` (list-offset handling, SURVEY.md §7 hard part c). Columns
-    beyond the base four (schema-evolution adds, rwcf.schema) chunk
-    generically by their Arrow type — any fmt.DTYPES integer width or
-    string."""
+    """Split the tokens table into codec chunks: (chunk, dtype, validity)
+    per stream. ``tokens`` becomes a flattened int32 value stream; row
+    lengths ride in ``n_tok`` (list-offset handling, SURVEY.md §7 hard
+    part c). Columns beyond the base four (schema-evolution adds,
+    rwcf.schema) chunk generically by their Arrow type — any fmt.DTYPES
+    integer width or string, NULLABLE (dense values + a validity run
+    bitmap in the v2 footer). ``doc_id``/``tokens``/``n_tok`` stay
+    non-nullable: they are the store's row identity / payload / list
+    offsets and every mutation primitive keys on them."""
     out = {}
     for name in tbl.column_names:
+        col = tbl.column(name).combine_chunks()
+        if name in ("tokens", "n_tok", "doc_id") and col.null_count:
+            raise ValueError(
+                f"column {name!r} is part of the store's row identity "
+                f"and cannot contain nulls ({col.null_count} found)")
         if name == "tokens":
-            la = tbl.column("tokens").combine_chunks()
+            la = col
             if la.type != pa.list_(pa.int32()) \
                     and la.type != pa.large_list(pa.int32()):
                 la = la.cast(pa.list_(pa.int32()))  # raises on overflow
             flat = la.flatten().to_numpy(zero_copy_only=False) \
                 .astype(np.int32, copy=False)
-            out["tokens"] = (flat, "i32")
+            out["tokens"] = (flat, "i32", None)
         elif name == "n_tok":
-            out["n_tok"] = (tbl.column("n_tok").combine_chunks().to_numpy()
-                            .astype(np.int32), "i32")
+            out["n_tok"] = (col.to_numpy().astype(np.int32), "i32", None)
         else:
-            col = tbl.column(name).combine_chunks()
+            col, validity = fmt.split_validity(col)
             code = fmt.dtype_code_for_arrow(col.type)
             if fmt.is_string(code):
-                out[name] = (fmt.chunk_from_arrow(col), "str")
+                out[name] = (fmt.chunk_from_arrow(col), "str", validity)
             else:
                 out[name] = (col.to_numpy().astype(fmt.DTYPES[code][2],
-                                                   copy=False), code)
+                                                   copy=False), code,
+                             validity)
     if "tokens" in out and "n_tok" in out:
         la = tbl.column("tokens").combine_chunks()
         lengths = pc.list_value_length(la).to_numpy().astype(np.int64)
@@ -250,8 +258,10 @@ def encode_partition(tbl: pa.Table, pid: str, cfg: EncodeConfig,
     offset = 0
     decoded_bytes = 0
     for name in tbl.column_names:
-        chunk, dtype = chunks[name]
+        chunk, dtype, validity = chunks[name]
         enc, choice = selector.encode_auto(chunk, dtype, cfg.page_target, cfg.codecs)
+        if validity is not None:
+            enc.validity = validity  # v2 footer carries the run bitmap
         blob = fmt.write_column_file(enc)
         raw_length = len(blob)
         frames = None
@@ -264,6 +274,8 @@ def encode_partition(tbl: pa.Table, pid: str, cfg: EncodeConfig,
             dec_b = int(chunk[1].size) + 8 * len(chunk[0])
         else:
             dec_b = int(np.asarray(chunk).nbytes)
+        if validity is not None:
+            dec_b += int(validity.size)  # 1 byte/row validity accounting
         decoded_bytes += dec_b
         col_meta.append({
             "column": name, "dtype": dtype, "codec": enc.codec,
@@ -271,6 +283,8 @@ def encode_partition(tbl: pa.Table, pid: str, cfg: EncodeConfig,
             "page_stats": fmt.page_value_stats(chunk, dtype, enc.pages),
             "transport": cfg.transport, "raw_length": raw_length,
             "frames": frames,
+            **({"null_count": int(validity.size) - int(validity.sum())}
+               if validity is not None else {}),
             # checksum over the ENCODED section: detects file corruption at
             # decode time for half the bytes of a decoded-chunk crc; codec
             # fidelity itself is proven by verify_job + the codec test suite
@@ -303,8 +317,11 @@ def encode_partition(tbl: pa.Table, pid: str, cfg: EncodeConfig,
     for name in tbl.column_names:
         if name == "tokens":  # flattened value stream; zone map is per-row
             continue
-        mm = pc.min_max(tbl.column(name))
+        col = tbl.column(name)
+        mm = pc.min_max(col)  # skips nulls; all-null -> (None, None)
         stats[name] = {"min": mm["min"].as_py(), "max": mm["max"].as_py()}
+        if col.null_count:
+            stats[name]["null_count"] = int(col.null_count)
     os.makedirs(cfg.parts_dir, exist_ok=True)
     os.makedirs(cfg.manifest_dir, exist_ok=True)
     file_path = os.path.join(cfg.parts_dir, f"{pid}.rwcf")
@@ -360,6 +377,7 @@ def decode_partition(row: dict, columns: list[str] | None = None,
         need.add("n_tok")
     chunks = {}
     dtypes = {}
+    validities = {}
     with open(row["file"], "rb") as f:
         for cm in row["columns"]:
             if cm["column"] not in need:
@@ -373,6 +391,8 @@ def decode_partition(row: dict, columns: list[str] | None = None,
             enc.dtype = cm["dtype"]  # concrete width from lineage
             chunks[cm["column"]] = fmt.decode_chunk(enc)
             dtypes[cm["column"]] = cm["dtype"]
+            if enc.validity is not None:
+                validities[cm["column"]] = enc.validity
     cols = {}
     for name in avail:
         if name not in want or name not in chunks:
@@ -389,6 +409,8 @@ def decode_partition(row: dict, columns: list[str] | None = None,
                 .cast(pa.string())
         else:
             cols[name] = fmt.chunk_to_arrow(chunks[name], dtypes[name])
+        if name in validities:  # scatter dense values to logical rows
+            cols[name] = fmt.apply_validity(cols[name], validities[name])
     out = pa.table({k: cols[k] for k in avail if k in cols})
     dr = row.get("deleted_rows")
     if dr:
@@ -1902,9 +1924,18 @@ def decode_job(out_dir: str, columns: list[str] | None = None,
                           **rayenv.remote_args())
 
 
-def read_column_section(row: dict, column: str) -> "fmt.EncodedColumn":
+def read_column_section(row: dict, column: str,
+                        allow_nulls: bool = False) -> "fmt.EncodedColumn":
     """Read + (de-transport) one column section of one partition without
-    decoding it — the metadata/encoded-domain entry point."""
+    decoding it — the metadata/encoded-domain entry point.
+
+    Encoded-domain consumers (predicate masks, compressed aggregation,
+    point lookups) index values by ROW POSITION; on a nullable column the
+    dense value stream is shorter than the row space, so those consumers
+    would silently misalign. They get a loud error instead — nullable
+    columns read through decode_partition / decode_job / schema.scan,
+    which apply the validity scatter. ``allow_nulls=True`` is for callers
+    that handle ``enc.validity`` themselves (fsck, update)."""
     cm = next(c for c in row["columns"] if c["column"] == column)
     with open(row["file"], "rb") as f:
         f.seek(cm["offset"])
@@ -1914,6 +1945,11 @@ def read_column_section(row: dict, column: str) -> "fmt.EncodedColumn":
     blob = _untransport(blob, cm)
     enc = fmt.read_column_file(blob)
     enc.dtype = cm["dtype"]
+    if enc.validity is not None and not allow_nulls:
+        raise fmt.UnsupportedDataType(
+            f"column {column!r} of partition {row['pid']} contains nulls "
+            f"— this encoded-domain access path is position-aligned; "
+            f"read it via decode_job/scan instead")
     return enc
 
 
@@ -3034,7 +3070,8 @@ def fsck_store(out_dir: str, deep: bool = False,
             if deep and exists:
                 try:
                     for cm in row["columns"]:
-                        read_column_section(row, cm["column"])  # crc+frames
+                        read_column_section(row, cm["column"],
+                                            allow_nulls=True)  # crc+frames
                 except Exception:
                     ok_crc = False
             emit(pid, "section_crc", ok_crc)

@@ -15,9 +15,10 @@ schema:
 - **rename** follows the field id — old partitions keep their old section
   name on disk and surface under the new name with zero data movement;
 - **add** fills partitions written before the column existed with the
-  registered default, materialized per batch via ``pa.repeat`` (the
-  format has no null representation — reference src/lib.rs:59-66 — so a
-  default is mandatory);
+  registered default, materialized per batch via ``pa.repeat``; a
+  ``None`` default means NULL (Iceberg optional add) — the v2 validity
+  footer (rwcf.format) gives the format a real null representation,
+  where the reference has none (src/lib.rs:59-66);
 - **drop** removes the field from every read; old bytes stay on disk
   until :func:`rwcf.pipeline.compact_partitions` rewrites the partitions
   under the current schema (upgrade-on-rewrite), which also materializes
@@ -110,18 +111,19 @@ def _arrow_type(dtype: str) -> pa.DataType:
     return fmt.DTYPES[dtype][1]
 
 
-def add_column(out_dir: str, name: str, dtype: str, default) -> dict:
-    """Append a new field with a mandatory default (no-null format)."""
+def add_column(out_dir: str, name: str, dtype: str, default=None) -> dict:
+    """Append a new field. ``default=None`` means NULL: partitions
+    written before the column existed surface it as all-null (the v2
+    validity footer gives the format a real null representation, so the
+    Iceberg-style optional-add now works without a mandatory default)."""
     if dtype not in ADDABLE_DTYPES:
         raise ValueError(f"dtype {dtype!r} not addable; one of "
                          f"{ADDABLE_DTYPES}")
-    if default is None:
-        raise ValueError("add_column requires a default: the format has "
-                         "no null representation to fill old partitions")
     _, fields = current(out_dir)
     if any(f["name"] == name for f in fields):
         raise ValueError(f"column {name!r} already exists")
-    pa.scalar(default, _arrow_type(dtype))  # raises on a mistyped default
+    if default is not None:
+        pa.scalar(default, _arrow_type(dtype))  # raises on mistyped default
     fid = max(f["id"] for f in fields) + 1
     fields.append({"id": fid, "name": name, "dtype": dtype,
                    "default": default})
@@ -192,6 +194,10 @@ def logical_table(row: dict, maps: dict, want: list[dict]) -> pa.Table:
         p = m[f["name"]]
         if p is not None and p in t.column_names:
             out[f["name"]] = t.column(p)
+        elif f.get("default") is None:
+            # optional add: pre-existing partitions surface the field
+            # as all-null (the typed constant the v2 format round-trips)
+            out[f["name"]] = pa.nulls(t.num_rows, _arrow_type(f["dtype"]))
         else:
             out[f["name"]] = pa.repeat(
                 pa.scalar(f["default"], _arrow_type(f["dtype"])),

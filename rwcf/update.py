@@ -148,6 +148,8 @@ def update_where(out_dir: str, set_col: str, set_value,
             dec = decode_partition(raw, columns=[p_pred, p_set])
             mask_arr = _pred_mask(dec.column(p_pred).combine_chunks(),
                                   eq, between, isin)
+            # SQL predicate semantics: NULL comparisons are not matches
+            mask_arr = pc.fill_null(mask_arr, False)
             mask = mask_arr.to_numpy(zero_copy_only=False)
             mask = np.asarray(mask, dtype=bool)
             # SQL UPDATE semantics: tombstoned (deleted) rows are not
@@ -171,10 +173,13 @@ def update_where(out_dir: str, set_col: str, set_value,
             old = dec.column(p_set).combine_chunks()
             if callable(set_value):
                 new = set_value(old, mask)
+                if isinstance(new, pa.ChunkedArray):
+                    new = new.combine_chunks()
             else:
+                # set_value=None is SET col = NULL (v2 validity footer)
                 new = pc.if_else(pa.array(mask), pa.scalar(
                     set_value, old.type), old)
-            if pc.all(pc.equal(new, old)).as_py():
+            if new.equals(old):  # null-exact structural equality
                 # value-level idempotence: a re-run whose matched rows
                 # already hold the target value rewrites nothing
                 out.append({**row, "_matched": n_match,
@@ -229,10 +234,16 @@ def _chunk_of(vals: pa.Array, dtype_hint: str | None):
 
 def _encode_section(vals: pa.Array, dtype_hint: str | None,
                     transport, cfg: EncodeConfig):
-    """Encode one column into (blob, col-meta fields, decoded bytes)."""
-    chunk, dtype, dec_b = _chunk_of(vals, dtype_hint)
+    """Encode one column into (blob, col-meta fields, decoded bytes).
+    Nullable input splits into dense values + a v2 validity footer
+    (same scheme as pipeline.encode_partition)."""
+    dense, validity = fmt.split_validity(vals)
+    chunk, dtype, dec_b = _chunk_of(dense, dtype_hint)
     enc, choice = selector.encode_auto(chunk, dtype, cfg.page_target,
                                        cfg.codecs)
+    if validity is not None:
+        enc.validity = validity
+        dec_b += int(validity.size)
     blob = fmt.write_column_file(enc)
     raw_length = len(blob)
     frames = None
@@ -247,6 +258,11 @@ def _encode_section(vals: pa.Array, dtype_hint: str | None,
             "crc": zlib.crc32(blob), "estimate": choice.estimate,
             "decoded_bytes": dec_b,
             "page_stats": fmt.page_value_stats(chunk, dtype, enc.pages)}
+    # unconditional (0 when null-free): _rewrite_partition merges this
+    # dict OVER the old column meta, so a stale null_count from a prior
+    # nullable state must be overwritten, not inherited
+    meta["null_count"] = (int(validity.size) - int(validity.sum())
+                          if validity is not None else 0)
     return blob, meta, dec_b
 
 
@@ -319,8 +335,10 @@ def _rewrite_partition(row: dict, set_col: str, new_vals: pa.Array,
             bloom_bytes += len(rawb)
 
     stats = dict(row.get("stats") or {})
-    mm = pc.min_max(new_vals)
+    mm = pc.min_max(new_vals)  # skips nulls; all-null -> (None, None)
     stats[set_col] = {"min": mm["min"].as_py(), "max": mm["max"].as_py()}
+    if new_vals.null_count:
+        stats[set_col]["null_count"] = int(new_vals.null_count)
     lineage = {"update_of": row["pid"], "set_col": set_col,
                "rows_matched": n_match}
     new_row = _commit_successor(

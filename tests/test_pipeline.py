@@ -86,7 +86,7 @@ def test_footprint_beats_reference(small_parquet, tmp_path):
     cfg = pipeline.EncodeConfig(out_dir=str(tmp_path / "out"))
     chunks = pipeline._table_chunks(tbl)
     ref_total = 0
-    for name, (chunk, dtype) in chunks.items():
+    for name, (chunk, dtype, _validity) in chunks.items():
         kind = fmt.DTYPES[dtype][0]
         if fmt.is_string(dtype):
             lengths, payload = chunk

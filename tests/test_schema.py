@@ -159,11 +159,16 @@ def test_guards(store):
         schema.add_column(out, "source", "i32", 0)  # name taken
     with pytest.raises(ValueError):
         schema.add_column(out, "x", "f64", 0.0)     # unsupported dtype
-    with pytest.raises(ValueError):
-        schema.add_column(out, "x", "i32", None)    # default mandatory
     with pytest.raises((pa.ArrowInvalid, pa.ArrowTypeError)):
         schema.add_column(out, "x", "i32", "not-an-int")
     assert schema.current_version(out) == 0  # nothing committed
+    # round 5: default=None is now a legal OPTIONAL add (null fill);
+    # old partitions surface the field as all-null
+    schema.add_column(out, "optional_x", "i32", None)
+    assert schema.current_version(out) == 1
+    t = schema.scan(out, columns=["doc_id", "optional_x"]).to_pandas()
+    assert len(t) and t["optional_x"].isna().all()
+    schema.drop_column(out, "optional_x")  # leave the store as before
 
 
 def test_scan_respects_deletes_and_snapshots(store):
