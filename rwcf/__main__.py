@@ -233,6 +233,18 @@ def cmd_update(args) -> int:
     return 0
 
 
+def cmd_rebuild_index(args) -> int:
+    from . import documents, state
+    ray = _init_ray(args.num_cpus)
+    n = state.rebuild_shard(args.input, args.run_id,
+                            documents.parquet_files(args.source),
+                            text_col=args.text_col)
+    print(json.dumps({"run_id": args.run_id, "keys": n,
+                      "index_dir": args.input}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_view_status(args) -> int:
     from . import spj
     res = spj.view_freshness(args.input)
@@ -352,6 +364,19 @@ def main(argv=None) -> int:
     vr.add_argument("input", help="view dir")
     vr.add_argument("--num-cpus", type=int, default=None)
     vr.set_defaults(fn=cmd_view_refresh)
+
+    ri = sub.add_parser(
+        "rebuild-index",
+        help="recompute a dedup-index shard's content keys from its "
+             "source rows under the current hash bases (migrates "
+             "pre-2026-08-18 even-base shards); atomic replace")
+    ri.add_argument("input", help="index dir")
+    ri.add_argument("--run-id", required=True)
+    ri.add_argument("--source", required=True,
+                    help="parquet file/dir of the run's source rows")
+    ri.add_argument("--text-col", default="text")
+    ri.add_argument("--num-cpus", type=int, default=None)
+    ri.set_defaults(fn=cmd_rebuild_index)
 
     args = p.parse_args(argv)
     return args.fn(args)

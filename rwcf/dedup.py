@@ -557,6 +557,9 @@ def distinct_pairs(pairs_ds, buckets: int | None = None):
 #: above this many candidate pairs, ``prune="auto"`` stops collecting the
 #: id list on the driver and routes to the fully distributed semi-join
 _PRUNE_AUTO_MAX_PAIRS = 2_000_000
+#: prune="auto" exact->bloom cutover for dup-hash / candidate-id sets
+#: (2M int64 = 16 MB on the driver — comfortably broadcastable)
+_PRUNE_AUTO_MAX_HASHES = 2_000_000
 
 
 def verify_pairs_distributed(pairs_ds, docs_ds, threshold: float = 0.8,
@@ -1097,10 +1100,16 @@ def token_dedup_twophase_ds(ds, num_perm: int = NUM_PERM, seed: int = 42,
     column-pruned) costs far less than one payload all-to-all, so the
     scale design keeps payloads out of every exchange.
 
-    Caveat (shared with ``verify_pairs_distributed(prune=True)``): the
-    collision-member id set is collected on the driver — output-sized
-    (2 ids per duplicate pair), not corpus-sized, but at extreme dup
-    rates route through the candidate design with ``prune=False``."""
+    The phase-2 member filter is size-routed (round-5 fix for the last
+    driver materialization on this path): small collision sets (<=
+    ``_PRUNE_AUTO_MAX_HASHES`` member ids, known from the Dataset count)
+    collect once, sort once, and filter per batch with
+    ``np.searchsorted``; larger sets never reach the driver — a
+    FIXED-size Bloom filter of the member-id Dataset is built from
+    bloom-sized partials (rwcf.joins.build_bloom) and broadcast instead.
+    Bloom false positives only admit extra rows into the byte-exact
+    phase-2 verify, so the result is bit-identical either way (pinned in
+    tests/test_dedup.py)."""
     import ray
     import ray.data as rd
     import pyarrow.compute as pc
@@ -1118,19 +1127,44 @@ def token_dedup_twophase_ds(ds, num_perm: int = NUM_PERM, seed: int = 42,
     rows = ds.map_batches(sig_rows, batch_format="pyarrow",
                           **rayenv.remote_args())
     cand = _banded_pairs_ds(rows, buckets=buckets).materialize()
-    if cand.count() == 0:
+    n_pairs = cand.count()
+    if n_pairs == 0:
         return rd.from_arrow(pa.table({"a_id": pa.array([], pa.int64()),
                                        "b_id": pa.array([], pa.int64()),
                                        "sim": pa.array([], pa.float64())}))
-    pdf = cand.to_pandas()
-    keep = np.unique(np.concatenate([pdf["a_id"].to_numpy(),
-                                     pdf["b_id"].to_numpy()]))
-    ref = ray.put(keep)
+
+    def member_ids(t: pa.Table) -> pa.Table:
+        ids = np.concatenate([
+            t.column("a_id").to_numpy(zero_copy_only=False),
+            t.column("b_id").to_numpy(zero_copy_only=False)])
+        return pa.table({"id": pa.array(np.unique(ids))})
+
+    if 2 * n_pairs <= _PRUNE_AUTO_MAX_HASHES:
+        pdf = cand.to_pandas()
+        keep = np.unique(np.concatenate([pdf["a_id"].to_numpy(),
+                                         pdf["b_id"].to_numpy()]))
+        ref = ray.put(keep)
+
+        def id_keep(ids: np.ndarray) -> np.ndarray:
+            kp = ray.get(ref)
+            pos = np.searchsorted(kp, ids)
+            return (pos < kp.size) & (kp[np.minimum(pos, kp.size - 1)]
+                                      == ids)
+    else:
+        from .joins import bloom_member, build_bloom
+        mb = 1 << 24  # 2 MiB broadcast regardless of member count
+        ids_ds = cand.map_batches(member_ids, batch_format="pyarrow",
+                                  **rayenv.remote_args())
+        bref = ray.put(build_bloom(ids_ds, "id", m_bits=mb))
+
+        def id_keep(ids: np.ndarray) -> np.ndarray:
+            if ids.size == 0:
+                return np.zeros(0, dtype=bool)
+            return bloom_member(ids, ray.get(bref), mb)
 
     def filt(t: pa.Table) -> pa.Table:
         ids = pc.cast(t.column("doc_id"), pa.int64())
-        m = pa.array(np.isin(ids.to_numpy(zero_copy_only=False),
-                             ray.get(ref)))
+        m = pa.array(id_keep(ids.to_numpy(zero_copy_only=False)))
         f = t.filter(m)
         return pa.table({"doc_id": pc.cast(f.column("doc_id"), pa.int64()),
                          "tokens": f.column("tokens")})
@@ -1596,7 +1630,7 @@ def _distinct_rows(*cols):
 
 
 def dup_ngram_counts_ds(ds, width: int = 40, text_col: str = "text",
-                        buckets: int | None = None, prune: str = "exact",
+                        buckets: int | None = None, prune: str = "auto",
                         bloom_bits: int = 1 << 22):
     """Exact duplicate-substring detection: for every document, count the
     DISTINCT ``width``-byte substrings that also occur in at least one
@@ -1614,6 +1648,10 @@ def dup_ngram_counts_ds(ds, width: int = 40, text_col: str = "text",
 
     ``prune`` picks the pass-2 window filter:
 
+    - ``"auto"`` (default): ``"exact"`` while the dup-hash set is small
+      (<= ``_PRUNE_AUTO_MAX_HASHES``, known from the Dataset count
+      before anything collects), ``"bloom"`` above it — the default is
+      scale-safe: a crawl-scale dup rate can no longer OOM the driver;
     - ``"exact"``: the dup-hash set collects to the driver and broadcasts
       via ``ray.put`` — duplicated-volume-sized, fine while it fits;
     - ``"bloom"``: a FIXED-size Bloom filter of the dup-hash Dataset is
@@ -1626,7 +1664,7 @@ def dup_ngram_counts_ds(ds, width: int = 40, text_col: str = "text",
       shuffle volume."""
     import ray
 
-    if prune not in ("exact", "bloom"):
+    if prune not in ("auto", "exact", "bloom"):
         raise ValueError(f"unknown prune={prune!r}")
     buckets = buckets or _shuffle_buckets()
 
@@ -1661,6 +1699,10 @@ def dup_ngram_counts_ds(ds, width: int = 40, text_col: str = "text",
                 .groupby("_b")
                 .map_groups(dup_hashes, batch_format="pyarrow",
                             **rayenv.remote_args()))
+    if prune == "auto":
+        dup_h_ds = dup_h_ds.materialize()  # counted, then read once more
+        prune = ("exact" if dup_h_ds.count() <= _PRUNE_AUTO_MAX_HASHES
+                 else "bloom")
     if prune == "exact":
         dup_h = np.sort(np.asarray(
             [r["h"] for r in dup_h_ds.take_all()], dtype=np.int64))

@@ -1666,28 +1666,28 @@ def cdc_scan(out_dir: str, from_snapshot: str,
     new = side(plan["_rows_to"], "h_new", "_new")
     j = joins.hash_join(old, new, on="doc_id", how="outer", buckets=buckets)
 
-    def classify(df):
-        import pandas as pd
-        did = df["doc_id"].where(df["doc_id"].notna(), df["doc_id_r"])
-        dele = df["h_new"].isna() & df["h_old"].notna()
-        ins = df["h_old"].isna() & df["h_new"].notna()
-        # the != on nullable Int64 yields Kleene "boolean"; the notna
-        # guards make every NA collapse to False — force plain bool for
-        # np.select
-        upd = (df["h_old"].notna() & df["h_new"].notna()
-               & (df["h_old"] != df["h_new"])).fillna(False) \
-            .to_numpy(dtype=bool)
-        out = pd.DataFrame({
-            "doc_id": did.astype(str),
-            "op": np.select([dele.to_numpy(dtype=bool),
-                             ins.to_numpy(dtype=bool), upd],
-                            ["delete", "insert", "update"], default=""),
-        })
+    def classify(t: pa.Table) -> pa.Table:
+        did = pc.coalesce(t.column("doc_id"), t.column("doc_id_r")) \
+            .combine_chunks().cast(pa.string())
+        old_v = pc.is_valid(t.column("h_old").combine_chunks()) \
+            .to_numpy(zero_copy_only=False)
+        new_v = pc.is_valid(t.column("h_new").combine_chunks()) \
+            .to_numpy(zero_copy_only=False)
+        # Kleene != would yield null on any null input; the validity
+        # guards make every such row fall through to delete/insert
+        neq = pc.fill_null(pc.not_equal(t.column("h_old"),
+                                        t.column("h_new")), False) \
+            .combine_chunks().to_numpy(zero_copy_only=False)
+        op = np.select([old_v & ~new_v, new_v & ~old_v,
+                        old_v & new_v & neq],
+                       ["delete", "insert", "update"], default="")
+        cols = {"doc_id": did, "op": pa.array(op, pa.string())}
         for name in pay_cols:
-            out[name] = df[name]
-        return out[out["op"] != ""]
+            cols[name] = t.column(name)
+        keep = pa.array(op != "")
+        return pa.table(cols).filter(keep)
 
-    return j.map_batches(classify, batch_format="pandas",
+    return j.map_batches(classify, batch_format="pyarrow",
                          **rayenv.remote_args())
 
 
@@ -1703,13 +1703,15 @@ def source_stats_job(out_dir: str, snapshot: str | None = None,
     dec = decode_job(out_dir, columns=["source", "n_tok"],
                      concurrency=concurrency, snapshot=snapshot)
 
-    def part(df):
-        g = df.groupby("source", as_index=False) \
-            .agg(n_rows=("n_tok", "size"), n_tokens=("n_tok", "sum"))
-        g["n_tokens"] = g["n_tokens"].astype("int64")
-        return g
+    def part(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate([("n_tok", "sum"),
+                                            ([], "count_all")])
+        return pa.table({
+            "source": g.column("source"),
+            "n_rows": g.column("count_all").cast(pa.int64()),
+            "n_tokens": g.column("n_tok_sum").cast(pa.int64())})
 
-    agg = dec.map_batches(part, batch_format="pandas",
+    agg = dec.map_batches(part, batch_format="pyarrow",
                           **rayenv.remote_args()).to_pandas()
     if agg.empty:
         return pd.DataFrame({"source": pd.Series(dtype=str),
@@ -1737,27 +1739,35 @@ def incremental_source_stats(out_dir: str, from_snapshot: str, prev,
     delta = cdc_scan(out_dir, from_snapshot, to_snapshot, buckets=buckets,
                      payload=["source", "n_tok"])
 
-    def part(df):
+    def part(t: pa.Table) -> pa.Table:
+        ops = t.column("op")
         outs = []
-        o = df[df["op"].isin(["delete", "update"])]
-        if len(o):
-            outs.append(pd.DataFrame({
-                "source": o["source_old"].astype(str),
-                "d_rows": -1,
-                "d_tokens": -o["n_tok_old"].astype("int64")}))
-        n = df[df["op"].isin(["insert", "update"])]
-        if len(n):
-            outs.append(pd.DataFrame({
-                "source": n["source_new"].astype(str),
-                "d_rows": 1,
-                "d_tokens": n["n_tok_new"].astype("int64")}))
+        o = t.filter(pc.is_in(ops, value_set=pa.array(
+            ["delete", "update"])))
+        if o.num_rows:
+            outs.append(pa.table({
+                "source": o.column("source_old").cast(pa.string()),
+                "d_rows": pa.array(np.full(o.num_rows, -1, np.int64)),
+                "d_tokens": pc.negate(o.column("n_tok_old")
+                                      .cast(pa.int64()))}))
+        n = t.filter(pc.is_in(ops, value_set=pa.array(
+            ["insert", "update"])))
+        if n.num_rows:
+            outs.append(pa.table({
+                "source": n.column("source_new").cast(pa.string()),
+                "d_rows": pa.array(np.ones(n.num_rows, np.int64)),
+                "d_tokens": n.column("n_tok_new").cast(pa.int64())}))
         if not outs:
-            return pd.DataFrame({"source": pd.Series(dtype=str),
-                                 "d_rows": pd.Series(dtype="int64"),
-                                 "d_tokens": pd.Series(dtype="int64")})
-        return pd.concat(outs).groupby("source", as_index=False).sum()
+            return pa.table({"source": pa.array([], pa.string()),
+                             "d_rows": pa.array([], pa.int64()),
+                             "d_tokens": pa.array([], pa.int64())})
+        g = pa.concat_tables(outs).group_by("source").aggregate(
+            [("d_rows", "sum"), ("d_tokens", "sum")])
+        return pa.table({"source": g.column("source"),
+                         "d_rows": g.column("d_rows_sum"),
+                         "d_tokens": g.column("d_tokens_sum")})
 
-    d = delta.map_batches(part, batch_format="pandas",
+    d = delta.map_batches(part, batch_format="pyarrow",
                           **rayenv.remote_args()).to_pandas()
     prev = prev.copy()
     if d.empty:

@@ -121,23 +121,30 @@ def commit_new(ds, index_dir: str, run_id: str,
     double-commit. Returns the number of keys in the shard (0 when
     short-circuited). Only THIS run's leftover tmp dir is swept — a
     concurrent commit of a different run_id keeps its in-flight dir."""
-    import pyarrow.parquet as pq
-
     os.makedirs(index_dir, exist_ok=True)
     final = os.path.join(index_dir, f"shard-{run_id}.parquet")
     if os.path.exists(final):
         return 0
     shutil.rmtree(os.path.join(index_dir, f".tmp-{run_id}"),
                   ignore_errors=True)
+    # per-batch keys -> driver-side distinct: 16 B/doc for THIS RUN only
+    # (the historical corpus never re-materializes); a run too large for
+    # that writes per-partition distinct shards instead (sinks.py layout)
+    return _write_shard(ds, index_dir, run_id, final, text_col)
+
+
+def _write_shard(ds, index_dir: str, run_id: str, final: str,
+                 text_col: str) -> int:
+    """Distinct keys of ``ds`` -> shard file, committed by atomic
+    ``os.replace`` (any prior shard stays readable until the swap
+    instant)."""
+    import pyarrow.parquet as pq
 
     def keys(t: pa.Table) -> pa.Table:
         h1, h2 = doc_keys(t, text_col)
         return pa.table({"h1": pa.array(h1.view(np.int64)),
                          "h2": pa.array(h2.view(np.int64))})
 
-    # per-batch keys -> driver-side distinct: 16 B/doc for THIS RUN only
-    # (the historical corpus never re-materializes); a run too large for
-    # that writes per-partition distinct shards instead (sinks.py layout)
     kt = ds.map_batches(keys, batch_format="pyarrow",
                         **rayenv.remote_args()).to_pandas()
     pairs = np.stack([kt["h1"].to_numpy(), kt["h2"].to_numpy()], axis=1)
@@ -150,3 +157,24 @@ def commit_new(ds, index_dir: str, run_id: str,
     os.replace(tmp_file, final)
     shutil.rmtree(tmp, ignore_errors=True)
     return int(pairs.shape[0])
+
+
+def rebuild_shard(index_dir: str, run_id: str, input_paths,
+                  text_col: str = "text") -> int:
+    """Recompute shard ``run_id``'s content keys from its SOURCE rows
+    under the CURRENT hash bases and atomically replace the committed
+    shard (the old shard stays readable until the ``os.replace``
+    instant — a crashed rebuild loses nothing). The migration tool for
+    shards committed before 2026-08-18 with the old even ``_BASE2``
+    (see the module comment): shards store only (h1, h2) keys, never
+    content, so a base change can only be repaired from the run's
+    source data."""
+    import ray.data as rd
+
+    final = os.path.join(index_dir, f"shard-{run_id}.parquet")
+    if not os.path.exists(final):
+        raise FileNotFoundError(f"no committed shard for run {run_id!r} "
+                                f"at {final}")
+    ds = rd.read_parquet(input_paths) \
+        if isinstance(input_paths, (str, list)) else input_paths
+    return _write_shard(ds, index_dir, run_id, final, text_col)

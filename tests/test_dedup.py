@@ -383,3 +383,56 @@ def test_dup_rate_per_source_oracle(ray_session):
     bp = ((exp["n"].astype("int64") - exp["nd"].astype("int64"))
           * 10000) // exp["n"].astype("int64")
     assert out["dup_bp"].tolist() == bp.tolist()
+
+
+def test_twophase_token_dedup_bloom_route_parity(ray_session, monkeypatch):
+    """Round-5: token_dedup_twophase_ds's phase-2 member filter is
+    size-routed. Forcing the bloom route (threshold=0) must produce the
+    IDENTICAL pair set as the exact sorted-searchsorted route — bloom
+    false positives only feed extra rows into the byte-exact verify."""
+    import ray.data as rd
+    rng = np.random.default_rng(31)
+    toks = [rng.integers(0, 50, size=rng.integers(8, 20)).tolist()
+            for _ in range(40)]
+    toks += [toks[3], toks[11], toks[3]]  # planted duplicates
+    ids = list(range(40)) + [103, 111, 203]
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "tokens": pa.array(toks, pa.list_(pa.int32()))})
+
+    exact = dedup.token_dedup_twophase_ds(rd.from_arrow(t)) \
+        .to_pandas().sort_values(["a_id", "b_id"], ignore_index=True)
+    monkeypatch.setattr(dedup, "_PRUNE_AUTO_MAX_HASHES", 0)
+    bloom = dedup.token_dedup_twophase_ds(rd.from_arrow(t)) \
+        .to_pandas().sort_values(["a_id", "b_id"], ignore_index=True)
+    assert exact[["a_id", "b_id"]].values.tolist() == \
+        bloom[["a_id", "b_id"]].values.tolist()
+    # ground truth: 3 copies of toks[3] -> 3 pairs; 1 copy of toks[11]
+    got = set(map(tuple, exact[["a_id", "b_id"]].values))
+    assert got == {(3, 103), (3, 203), (103, 203), (11, 111)}
+
+
+def test_dup_ngram_auto_routes_by_size(ray_session, monkeypatch):
+    """prune='auto' (new default) picks exact under the threshold and
+    bloom above it, with bit-identical results (the existing
+    exact-vs-bloom parity plus the routing itself)."""
+    import ray.data as rd
+    rng = np.random.default_rng(37)
+    vocab = ["red", "blue", "green", "amber", "teal"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(15, 35)))
+             for _ in range(30)]
+    texts += [texts[2], texts[9]]
+    ids = list(range(30)) + [200, 209]
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+
+    auto_small = dedup.dup_ngram_counts_ds(rd.from_arrow(t), width=40) \
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    exact = dedup.dup_ngram_counts_ds(rd.from_arrow(t), width=40,
+                                      prune="exact") \
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    monkeypatch.setattr(dedup, "_PRUNE_AUTO_MAX_HASHES", 0)
+    auto_bloom = dedup.dup_ngram_counts_ds(rd.from_arrow(t), width=40) \
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    for got in (auto_small, auto_bloom):
+        assert got["doc_id"].tolist() == exact["doc_id"].tolist()
+        assert got["n_dup_grams"].tolist() == exact["n_dup_grams"].tolist()

@@ -101,3 +101,60 @@ def test_composition_with_dedup_exact(ray_session, tmp_path):
     again = state.filter_seen(
         rd.from_arrow(tbl(["x doc", "z doc"], ids=[7, 8])), idx).to_pandas()
     assert again["text"].tolist() == ["z doc"]
+
+
+def test_rebuild_shard_migrates_stale_keys(ray_session, tmp_path):
+    """rebuild_shard recomputes a shard from its SOURCE rows under the
+    current hash bases and atomically replaces it — the migration path
+    for pre-2026-08-18 even-base shards (which stored wrong h2 keys the
+    filter can never match)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    idx = str(tmp_path / "index")
+    texts = ["alpha doc", "beta doc", "gamma doc"]
+    src = str(tmp_path / "day1.parquet")
+    pq.write_table(tbl(texts), src)
+    assert state.commit_new(rd.from_arrow(tbl(texts)), idx, "day1") == 3
+
+    # simulate a stale-base shard: overwrite with garbage h2 keys
+    shard = os.path.join(idx, "shard-day1.parquet")
+    t = pq.read_table(shard)
+    pq.write_table(pa.table({"h1": t.column("h1"),
+                             "h2": pa.array(np.zeros(len(t), np.int64))}),
+                   shard)
+    stale = state.filter_seen(rd.from_arrow(tbl(texts)), idx).to_pandas()
+    assert len(stale) == 3  # stale keys match nothing -> dups readmitted
+
+    n = state.rebuild_shard(idx, "day1", src)
+    assert n == 3
+    fixed = state.filter_seen(rd.from_arrow(tbl(texts)), idx).to_pandas()
+    assert len(fixed) == 0  # index filters again
+
+    # unknown run id refuses (nothing to replace)
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        state.rebuild_shard(idx, "nope", src)
+
+
+def test_rebuild_index_cli(ray_session, tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    idx = str(tmp_path / "index")
+    texts = ["one doc", "two doc"]
+    src = str(tmp_path / "run.parquet")
+    pq.write_table(tbl(texts), src)
+    state.commit_new(rd.from_arrow(tbl(texts)), idx, "runA")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, "-m", "rwcf", "rebuild-index", idx,
+         "--run-id", "runA", "--source", src, "--num-cpus", "2"],
+        capture_output=True, text=True, env=env, cwd=repo)
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = _json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["keys"] == 2 and res["run_id"] == "runA"
