@@ -1775,10 +1775,28 @@ def _q_top_pmi(sf_dir: str):
 def _q_grouped_distinct_approx(sf_dir: str):
     """Per-source HLL distinct-word estimates (sparse register partials
     shuffle, never word pairs) — the documented scale path of the exact
-    grouped distinct."""
+    grouped distinct. Round-5 BOUND-STYLE SQL oracle (was rows-only):
+    the output carries the engine's EXACT per-source count (DuckDB
+    value-checks it against count(DISTINCT word)) plus ``hll_ok`` =
+    |est - exact| / exact <= 5% (~3 sigma at 4096 registers; the sketch
+    is deterministic, so this is a hard assertion, not a flake) — the
+    oracle passing means every group's estimate met the bound against a
+    separately-SQL-verified exact value."""
+    import pandas as pd
+
     from rwcf import analytics
-    return analytics.grouped_distinct_count_approx(
-        _docs_ds(sf_dir, columns=("doc_id", "source", "text")))
+    exact = analytics.grouped_distinct_count(
+        _docs_ds(sf_dir, columns=("doc_id", "source", "text"))) \
+        .to_pandas()
+    est = analytics.grouped_distinct_count_approx(
+        _docs_ds(sf_dir, columns=("doc_id", "source", "text"))) \
+        .to_pandas()
+    m = exact.merge(est, on="source")
+    err = (m["n_distinct_est"] - m["n_distinct"]).abs() \
+        / m["n_distinct"].clip(lower=1)
+    m["hll_ok"] = err <= 0.05
+    return m[["source", "n_distinct", "hll_ok"]] \
+        .sort_values("source", ignore_index=True)
 
 
 def _q_grouped_distinct(sf_dir: str):
@@ -1794,13 +1812,47 @@ def _q_quantiles_value_approx(sf_dir: str):
     """One-pass approximate quantiles of events.value via the bottom-k
     uniform-sample sketch (mergeable, deterministic; ~1/sqrt(k) rank
     error pinned in tests — the sketch family's quantile member next to
-    HLL and Count-Min)."""
+    HLL and Count-Min). Round-5 BOUND-STYLE SQL oracle (was rows-only):
+    the output carries the EXACT discrete quantile (DuckDB value-checks
+    it against quantile_disc) plus ``rank_ok`` = the sketch estimate's
+    true rank (one distributed count(v <= est) pass) within 2.5% of the
+    target rank — 1/sqrt(4096) ~= 1.6% theoretical, and the sketch is
+    deterministic, so this is a hard assertion."""
+    import pandas as pd
     import ray.data as rd
+    from ray.data.aggregate import Sum
 
-    from rwcf import analytics
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                         columns=["event_id", "value"])
-    return analytics.bottomk_sample_quantiles(ev)
+    from rwcf import analytics, rayenv
+
+    def ev():
+        return rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "value"])
+
+    approx = analytics.bottomk_sample_quantiles(ev())
+    exact = analytics.exact_quantiles_float(ev(), "value")
+    ests = approx.sort_values("q")["v"].to_numpy()
+    qs = approx.sort_values("q")["q"].to_numpy()
+
+    def count_le(t: pa.Table) -> pa.Table:
+        v = pc.cast(t.column("value").combine_chunks(), pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        cols = {"n": pa.array([v.size], pa.int64())}
+        for i, e in enumerate(ests):
+            cols[f"le{i}"] = pa.array([int((v <= e).sum())], pa.int64())
+        return pa.table(cols)
+
+    agg = ev().map_batches(count_le, batch_format="pyarrow",
+                           **rayenv.remote_args()) \
+        .aggregate(Sum("n", alias_name="n"),
+                   *[Sum(f"le{i}", alias_name=f"le{i}")
+                     for i in range(len(ests))])
+    n = int(agg["n"])
+    rank_ok = [abs(int(agg[f"le{i}"]) / n - q) <= 0.025
+               for i, q in enumerate(qs)]
+    ex = exact.sort_values("q")
+    return pd.DataFrame({"q": qs, "v_exact": ex["v"].to_numpy(),
+                         "rank_ok": rank_ok})
 
 
 def _q_chunk_dedup(sf_dir: str):
@@ -1851,44 +1903,61 @@ def _q_chunk_docs(sf_dir: str):
 
 def _q_kmeans(sf_dir: str):
     """Distributed Lloyd k-means over the embeddings table (k=10,
-    iters=5, deterministic LCG-hash seeding): per-cluster size + 4dp
-    mean within-cluster distance. Iterative, so no SQL oracle — the
-    assignment parity vs a local single-process Lloyd reference is
-    pinned in tests/test_similarity.py."""
+    iters=5, deterministic LCG-hash seeding). Round-5 BOUND-STYLE SQL
+    oracle (was rows-only — iterative clustering itself is not
+    SQL-expressible): the output row carries the point count (DuckDB
+    value-checks it), the assignment total (must equal it — no row
+    dropped or double-assigned across the iterative passes), and two
+    Lloyd invariants asserted over the REAL run: per-iteration inertia
+    is non-increasing, and every assigned dist2 equals the true minimum
+    distance to the final centroids (re-verified in an independent
+    distributed pass). Per-cluster detail stays pinned in
+    tests/test_similarity.py."""
+    import pandas as pd
     import ray.data as rd
+    from ray.data.aggregate import Sum
 
     from rwcf import rayenv, similarity
     emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                           columns=["vec_id", "embedding"])
-    assign = similarity.kmeans_ds(emb, k=10, iters=5)
+    assign, cents, inertia = similarity.kmeans_ds(emb, k=10, iters=5,
+                                                  return_stats=True)
+    import ray
+    cref = ray.put(np.asarray(cents, dtype=np.float64))
 
-    def part(t):
-        import pyarrow as pa
-        g = t.group_by("cluster").aggregate([("vec_id", "count"),
-                                             ("dist2", "sum")])
-        return pa.table({"cluster": g.column("cluster"),
-                         "n_vecs": g.column("vec_id_count"),
-                         "d2": g.column("dist2_sum")})
+    # re-join assignment to vectors and check dist2 == min over centroids
+    from rwcf import joins
+    j = joins.hash_join(assign, emb, on="vec_id", buckets=8)
 
-    from ray.data.aggregate import Sum
-    out = (assign.map_batches(part, batch_format="pyarrow",
-                              **rayenv.remote_args())
-           .groupby("cluster")
-           .aggregate(Sum("n_vecs", alias_name="n_vecs"),
-                      Sum("d2", alias_name="d2")))
+    def check(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        la = t.column("embedding").combine_chunks()
+        if len(la) == 0:
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "bad": pa.array([0], pa.int64())})
+        mat = la.flatten().to_numpy(zero_copy_only=False) \
+            .reshape(len(la), -1).astype(np.float64)
+        d2 = (mat * mat).sum(1)[:, None] - 2.0 * (mat @ c.T) \
+            + (c * c).sum(1)[None, :]
+        best = np.maximum(d2.min(axis=1), 0.0)
+        got = t.column("dist2").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        bad = int((~np.isclose(got, best, rtol=1e-9, atol=1e-9)).sum())
+        return pa.table({"n": pa.array([len(la)], pa.int64()),
+                         "bad": pa.array([bad], pa.int64())})
 
-    def finish(t):
-        import numpy as np
-        import pyarrow as pa
-        n = t.column("n_vecs").to_numpy(zero_copy_only=False)
-        d2 = t.column("d2").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "cluster": t.column("cluster"),
-            "n_vecs": pa.array(n.astype(np.int64)),
-            "mean_dist2": pa.array(np.round(d2 / n, 4))})
-
-    return out.map_batches(finish, batch_format="pyarrow",
-                           **rayenv.remote_args())
+    agg = j.map_batches(check, batch_format="pyarrow",
+                        **rayenv.remote_args()) \
+        .aggregate(Sum("n", alias_name="n"), Sum("bad", alias_name="bad"))
+    n_assigned = int(agg["n"])
+    nonincreasing = bool(all(b <= a * (1 + 1e-12) for a, b in
+                             zip(inertia, inertia[1:])))
+    return pd.DataFrame([{
+        "n_points": n_assigned,
+        "n_assigned": n_assigned if int(agg["bad"]) == 0 else -1,
+        "assign_is_min_dist": int(agg["bad"]) == 0,
+        "inertia_nonincreasing": nonincreasing,
+    }])
 
 
 def _q_unigram_logprob(sf_dir: str):
@@ -4477,7 +4546,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "null_agg_semantics": _q_null_agg,
         "optional_add_scan": _q_optional_add_scan,
         "ann_ivf_store_full": _q_ann_ivf_store_full,
-        "ann_ivf_store": _q_ann_ivf_store,
         # -- never-driven until round 4: curation / analytics-tail / joins
         "range_join_events": _q_range_join,
         "semi_join_lineitem_bloom": _q_semi_join_bloom,
@@ -4540,6 +4608,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- CORRECTNESS rows from rounds 1-3, or — for the round-4
         # ---- additions right here — full-contract evidence in
         # ---- CONTRACT_FULL_r04.json) ----
+        # approximate-by-design probe variant (rows-only; recall + IO
+        # prune pytest-pinned; its full-probe twin is SQL-checked in
+        # the window above)
+        "ann_ivf_store": _q_ann_ivf_store,
         "rollback_scan": _q_rollback_scan,
         "roundtrip_docs": _q_roundtrip_docs,
         "decode_project": _q_decode_project,
@@ -4760,6 +4832,29 @@ def oracle_sql() -> dict[str, str]:
             "DESC, e.vec_id) AS BIGINT) AS rank "
             "FROM embeddings q, embeddings e "
             "WHERE q.vec_id < 5 QUALIFY rank <= 10"),
+        # bound-style oracles (round 5): the exact column is genuinely
+        # SQL-derived; the *_ok booleans assert the deterministic
+        # sketch/iteration met its error bound against that exact value
+        "distinct_words_per_source_approx": (
+            "SELECT source, CAST(count(DISTINCT word) AS BIGINT) "
+            "AS n_distinct, TRUE AS hll_ok FROM (SELECT source, "
+            "unnest(regexp_extract_all(text, '\\S+')) AS word "
+            "FROM documents) GROUP BY source"),
+        "quantiles_value_approx": (
+            "SELECT q, v_exact, TRUE AS rank_ok FROM ("
+            "SELECT 0.25 AS q, quantile_disc(value, 0.25) AS v_exact "
+            "FROM events WHERE value IS NOT NULL UNION ALL "
+            "SELECT 0.5, quantile_disc(value, 0.5) FROM events "
+            "WHERE value IS NOT NULL UNION ALL "
+            "SELECT 0.9, quantile_disc(value, 0.9) FROM events "
+            "WHERE value IS NOT NULL UNION ALL "
+            "SELECT 0.99, quantile_disc(value, 0.99) FROM events "
+            "WHERE value IS NOT NULL)"),
+        "kmeans_embeddings": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_points, "
+            "CAST(count(*) AS BIGINT) AS n_assigned, "
+            "TRUE AS assign_is_min_dist, TRUE AS inertia_nonincreasing "
+            "FROM embeddings"),
         "roundtrip_docs": "SELECT doc_id, text FROM documents",
         "compact_roundtrip": "SELECT doc_id, text FROM documents",
         "delete_scan": (
