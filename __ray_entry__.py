@@ -4404,6 +4404,66 @@ def _q_ann_ivf_store_full(sf_dir: str):
     return df[["qid", "vec_id", "rank"]]
 
 
+def _q_incremental_cluster_scan(sf_dir: str):
+    """Incremental sort-order maintenance
+    (pipeline.cluster_store_incremental, round 5): after a full
+    doc_id-clustered epoch, an incremental ingest whose ids intrude on
+    a few cluster ranges triggers an epoch that re-sorts ONLY the
+    strictly-overlapping partitions — every interior-disjoint partition
+    keeps its file mtime (asserted inline; also pytest-pinned in
+    tests/test_cluster.py). The oracle proves the epoch lossless: the
+    scan equals base corpus + appended rows."""
+    import pyarrow.compute as pc
+
+    from rwcf import documents, pipeline, rayenv
+    work = _workdir("inccluster", sf_dir)
+    tokens_dir = documents.tokens_parquet_for(sf_dir, work)
+    cfg = pipeline.EncodeConfig(out_dir=os.path.join(work, "out"),
+                                partition_token_budget=150_000)
+    pipeline.encode_job(documents.parquet_files(tokens_dir), cfg) \
+        .materialize()
+    pipeline.cluster_store(cfg.out_dir, by="doc_id",
+                           target_tokens=150_000)
+
+    # appended batch: ids '10<n>x' sort right after their base ids and
+    # stay in ONE narrow lexicographic span ('100x'..'104x'), so they
+    # INTRUDE into a couple of cluster ranges, not all of them
+    import pyarrow.parquet as _pq
+    base = pa.concat_tables([_pq.read_table(f) for f in
+                             documents.parquet_files(tokens_dir)])
+    did = pc.cast(base.column("doc_id"), pa.int64())
+    m = pc.and_(pc.greater_equal(did, 100), pc.less_equal(did, 104))
+    new = base.filter(m)
+    new = new.set_column(
+        new.schema.get_field_index("doc_id"), "doc_id",
+        pc.binary_join_element_wise(new.column("doc_id"), "x", ""))
+    new_path = os.path.join(work, "append.parquet")
+    _pq.write_table(new, new_path)
+    pipeline.encode_job(new_path, cfg).materialize()
+
+    rows = pipeline.load_manifest(cfg.out_dir)
+    mtimes = {r["pid"]: os.path.getmtime(r["file"]) for r in rows}
+    res = pipeline.cluster_store_incremental(cfg.out_dir, by="doc_id",
+                                             target_tokens=150_000)
+    if res["committed"]:
+        assert res["parts_rewritten"] < res["parts_before"], res
+        untouched = [r for r in pipeline.load_manifest(cfg.out_dir)
+                     if r["pid"] in mtimes]
+        assert untouched and all(
+            os.path.getmtime(r["file"]) == mtimes[r["pid"]]
+            for r in untouched), "clean partitions must keep mtimes"
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tok": pc.cast(t.column("n_tok"), pa.int64())})
+
+    return pipeline.decode_job(cfg.out_dir,
+                               columns=["doc_id", "n_tok"]) \
+        .map_batches(project, batch_format="pyarrow",
+                     **rayenv.remote_args())
+
+
 # ---------------------------------------------------------------------------
 # round 5: null / validity support (rwcf.format v2 footer)
 # ---------------------------------------------------------------------------
@@ -4546,6 +4606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "null_agg_semantics": _q_null_agg,
         "optional_add_scan": _q_optional_add_scan,
         "ann_ivf_store_full": _q_ann_ivf_store_full,
+        "incremental_cluster_scan": _q_incremental_cluster_scan,
         # -- never-driven until round 4: curation / analytics-tail / joins
         "range_join_events": _q_range_join,
         "semi_join_lineitem_bloom": _q_semi_join_bloom,
@@ -4832,6 +4893,12 @@ def oracle_sql() -> dict[str, str]:
             "DESC, e.vec_id) AS BIGINT) AS rank "
             "FROM embeddings q, embeddings e "
             "WHERE q.vec_id < 5 QUALIFY rank <= 10"),
+        "incremental_cluster_scan": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "CAST(strlen(text) AS BIGINT) AS n_tok FROM documents "
+            "UNION ALL SELECT CAST(doc_id AS VARCHAR) || 'x', "
+            "CAST(strlen(text) AS BIGINT) FROM documents "
+            "WHERE doc_id BETWEEN 100 AND 104"),
         # bound-style oracles (round 5): the exact column is genuinely
         # SQL-derived; the *_ok booleans assert the deterministic
         # sketch/iteration met its error bound against that exact value

@@ -158,3 +158,70 @@ def test_cluster_materializes_deletes_and_respects_snapshots(store):
     old = pipeline.decode_job(out, columns=["doc_id"], concurrency=2,
                               snapshot="snap-00000").to_pandas()
     assert sorted(old["doc_id"]) == ids
+
+
+def test_incremental_cluster_rewrites_only_overlaps(store, tmp_path):
+    """Round-5: cluster_store_incremental re-sorts ONLY partitions whose
+    `by` ranges strictly overlap (new ingest + intruded clusters);
+    interior-disjoint partitions keep their files and mtimes, and the
+    clustered invariant is restored."""
+    import pyarrow as pa
+    out = store["out"]
+    pipeline.cluster_store(out, by="doc_id", target_tokens=15_000,
+                           concurrency=2)
+    before_df = _decoded(out)
+
+    # fresh clustered store (unique keys -> strictly disjoint ranges):
+    # nothing overlaps -> no-op epoch
+    res0 = pipeline.cluster_store_incremental(out, by="doc_id",
+                                              target_tokens=15_000)
+    assert res0["committed"] is False and res0["parts_rewritten"] == 0
+
+    # append rows whose doc_ids INTRUDE into the first cluster's range
+    # (suffixing an existing mid-range id sorts right after it)
+    base = pq.read_table(store["src"]).slice(0, 20)
+    ids = [f"doc-{i:012d}x" for i in range(3, 23)]
+    new = base.set_column(base.schema.get_field_index("doc_id"), "doc_id",
+                          pa.array(ids, pa.string()))
+    new_path = str(tmp_path / "new.parquet")
+    pq.write_table(new, new_path, row_group_size=10)
+    cfg = pipeline.EncodeConfig(out_dir=out,
+                                partition_token_budget=15_000)
+    pipeline.encode_job(new_path, cfg, concurrency=2).materialize()
+
+    rows = pipeline.load_manifest(out)
+    mtimes = {r["pid"]: os.path.getmtime(r["file"]) for r in rows}
+    lo_new, hi_new = min(ids), max(ids)
+    clean = {r["pid"] for r in rows
+             if r["stats"]["doc_id"]["max"] < lo_new
+             or r["stats"]["doc_id"]["min"] > hi_new}
+    assert clean, "fixture must leave some partitions outside the new range"
+
+    res = pipeline.cluster_store_incremental(out, by="doc_id",
+                                             target_tokens=15_000)
+    assert res["committed"] is True
+    assert 0 < res["parts_rewritten"] < res["parts_before"]
+
+    after_rows = pipeline.load_manifest(out)
+    after_pids = {r["pid"] for r in after_rows}
+    for p in clean:  # untouched: same pid, same file mtime
+        assert p in after_pids
+        r = next(r for r in after_rows if r["pid"] == p)
+        assert os.path.getmtime(r["file"]) == mtimes[p]
+
+    # strict-disjointness restored store-wide
+    sp = sorted((r["stats"]["doc_id"]["min"], r["stats"]["doc_id"]["max"])
+                for r in after_rows)
+    for (lo1, hi1), (lo2, hi2) in zip(sp, sp[1:]):
+        assert hi1 < lo2, (sp,)
+
+    # decode equality: every original + appended row present exactly once
+    got = _decoded(out)
+    exp_ids = set(before_df["doc_id"]) | set(ids)
+    assert set(got["doc_id"]) == exp_ids
+    assert len(got) == len(before_df) + len(ids)
+
+    # idempotent: rerun is a no-op (nothing overlaps anymore)
+    res2 = pipeline.cluster_store_incremental(out, by="doc_id",
+                                              target_tokens=15_000)
+    assert res2["committed"] is False and res2["parts_rewritten"] == 0
