@@ -122,14 +122,36 @@ def build_ivf_store(ds, out_dir: str, n_clusters: int = 16,
         "n_clusters": int(centroids.shape[0]), "dim": dim,
         "seed": int(seed), "id_col": id_col, "vec_col": vec_col,
         "centroids": centroids.tolist()})
-    cref = ray.put(centroids)
+    return append_ivf_store(ds, out_dir, run_tag,
+                            partition_row_budget=partition_row_budget,
+                            resume=resume)
+
+
+def append_ivf_store(ds, out_dir: str, run_tag: str,
+                     partition_row_budget: int = 65_536,
+                     resume: bool = True):
+    """Incremental ingest into an EXISTING inverted file: new vectors
+    assign against the COMMITTED centroids (ivf.json is read, never
+    retrained — retraining would silently re-key every probe) and land
+    as fresh per-list partitions tagged by ``run_tag`` alongside the
+    base batch's. Queries transparently read every batch's partitions
+    for a probed list; a repeated append of the same (input, run_tag)
+    resumes from the manifest like every rwcf encode. Returns the new
+    partitions' manifest Dataset."""
+    import ray
+
+    spec = read_ivf_spec(out_dir)
+    cents = spec["centroids"]
+    id_col, vec_col = spec["id_col"], spec["vec_col"]
+    dim = int(spec["dim"])
+    cref = ray.put(cents)
 
     def assign(t: pa.Table) -> pa.Table:
-        cents = ray.get(cref)
+        c = ray.get(cref)
         la = t.column(vec_col).combine_chunks()
         bm = _normalize(la.flatten().to_numpy(zero_copy_only=False)
                         .reshape(len(la), -1).astype(np.float64))
-        lists = (bm @ cents.T).argmax(axis=1).astype(np.int32)
+        lists = (bm @ c.T).argmax(axis=1).astype(np.int32)
         return _bits_table(t, id_col, vec_col) \
             .append_column("_list", pa.array(lists, pa.int32()))
 
@@ -144,7 +166,8 @@ def build_ivf_store(ds, out_dir: str, n_clusters: int = 16,
         body = body.take(pa.compute.sort_indices(body.column("vec_id")))
         w = np.asarray(body.column("n_tok").combine_chunks(),
                        dtype=np.int64)
-        spans = pipeline.split_by_token_budget(w, cfg.partition_token_budget)
+        spans = pipeline.split_by_token_budget(w,
+                                               cfg.partition_token_budget)
         rows = []
         for j, (s, e) in enumerate(spans):
             pid = f"ivf{c:05d}-{tag}-p{j:03d}"
@@ -155,7 +178,8 @@ def build_ivf_store(ds, out_dir: str, n_clusters: int = 16,
                 continue
             rows.append(pipeline.encode_partition(
                 body.slice(s, e - s), pid, cfg,
-                lineage={"ivf_list": int(c), "dim": dim, "sub": j}))
+                lineage={"ivf_list": int(c), "dim": dim, "sub": j,
+                         "batch": str(run_tag)}))
         return pipeline.manifest_rows_to_table(rows)
 
     return ds.map_batches(assign, batch_format="pyarrow",

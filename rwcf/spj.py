@@ -722,16 +722,18 @@ def range_merge_join(dir_a: str, dir_b: str, on: str = "doc_id",
 
 def prune_rows(rows: list[dict], where: dict | None) -> list[dict]:
     """Zone-map partition prune for a declarative predicate
-    ``{"col": name, "eq"|: v, "between": (lo,hi), "isin": [...]}`` —
-    conservative (keeps any partition whose stats admit a match),
-    exactness restored by the in-task row filter."""
+    ``{"col": name, "eq": v, "between": (lo,hi), "isin": [...],
+    "isnull": bool}`` — conservative (keeps any partition whose stats
+    admit a match; ``isnull`` prunes on the manifest null_count from the
+    v2 validity footers), exactness restored by the in-task row
+    filter."""
     if not where:
         return rows
     from .update import _zone_admits
     col = where["col"]
     return [r for r in rows
             if _zone_admits(r, col, where.get("eq"), where.get("between"),
-                            where.get("isin"))]
+                            where.get("isin"), where.get("isnull"))]
 
 
 def _row_filter(t: pa.Table, where: dict | None) -> pa.Table:
@@ -743,7 +745,7 @@ def _row_filter(t: pa.Table, where: dict | None) -> pa.Table:
     from .update import _pred_mask
     m = _pred_mask(t.column(where["col"]).combine_chunks(),
                    where.get("eq"), where.get("between"),
-                   where.get("isin"))
+                   where.get("isin"), where.get("isnull"))
     return t.filter(pc.fill_null(m, False))
 
 

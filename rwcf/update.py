@@ -50,8 +50,11 @@ from .pipeline import (EncodeConfig, _compress_frames, _sliced_blocks,
                        manifest_table_to_rows)
 
 
-def _pred_mask(vals: pa.Array, eq=None, between=None, isin=None):
+def _pred_mask(vals: pa.Array, eq=None, between=None, isin=None,
+               isnull=None):
     import pyarrow.compute as pc
+    if isnull is not None:
+        return pc.is_null(vals) if isnull else pc.is_valid(vals)
     if eq is not None:
         return pc.equal(vals, eq)
     if between is not None:
@@ -59,11 +62,19 @@ def _pred_mask(vals: pa.Array, eq=None, between=None, isin=None):
         return pc.and_(pc.greater_equal(vals, lo), pc.less_equal(vals, hi))
     if isin is not None:
         return pc.is_in(vals, value_set=pa.array(isin, vals.type))
-    raise ValueError("one of eq / between / isin required")
+    raise ValueError("one of eq / between / isin / isnull required")
 
 
-def _zone_admits(row: dict, column: str, eq=None, between=None, isin=None):
+def _zone_admits(row: dict, column: str, eq=None, between=None, isin=None,
+                 isnull=None):
     st = (row.get("stats") or {}).get(column)
+    if isnull is not None:
+        # null-count zone map (round 5, v2 validity footers): stats
+        # without the key mean the column had no nulls when written
+        if not st:
+            return True  # no stats at all: conservative keep
+        nc = int(st.get("null_count") or 0)
+        return nc > 0 if isnull else nc < int(row["n_rows"])
     if not st or st.get("min") is None:
         return True
     lo, hi = st["min"], st["max"]
@@ -78,7 +89,7 @@ def _zone_admits(row: dict, column: str, eq=None, between=None, isin=None):
 
 def update_where(out_dir: str, set_col: str, set_value,
                  pred_col: str, eq=None, between=None, isin=None,
-                 cfg: EncodeConfig | None = None,
+                 isnull=None, cfg: EncodeConfig | None = None,
                  concurrency: int | None = None) -> dict:
     """UPDATE ``set_col`` = ``set_value`` WHERE ``pred_col`` matches.
 
@@ -129,10 +140,12 @@ def update_where(out_dir: str, set_col: str, set_value,
     admitted = [r for r in rows
                 if any(c["column"] == phys(r, set_col)
                        for c in r["columns"])
-                and _zone_admits(r, phys(r, pred_col), eq, between, isin)]
+                and _zone_admits(r, phys(r, pred_col), eq, between,
+                                 isin, isnull)]
     # deterministic update tag -> idempotent resume
     tag = zlib.crc32(json.dumps(
         [set_col, pred_col, repr(eq), repr(between), repr(isin),
+         repr(isnull),
          repr(set_value) if not callable(set_value)
          else getattr(set_value, "__name__", "fn")],
         sort_keys=False).encode()) & 0xFFFFFFFF
@@ -147,7 +160,7 @@ def update_where(out_dir: str, set_col: str, set_value,
             raw.pop("deleted_rows", None)  # positions must stay aligned
             dec = decode_partition(raw, columns=[p_pred, p_set])
             mask_arr = _pred_mask(dec.column(p_pred).combine_chunks(),
-                                  eq, between, isin)
+                                  eq, between, isin, isnull)
             # SQL predicate semantics: NULL comparisons are not matches
             mask_arr = pc.fill_null(mask_arr, False)
             mask = mask_arr.to_numpy(zero_copy_only=False)

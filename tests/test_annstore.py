@@ -104,3 +104,60 @@ def test_store_decode_is_bit_exact(store):
                     for v in dec["tokens"]])
     want = np.stack(src["embedding"].to_numpy()).astype(np.float32)
     assert np.array_equal(got, want)
+
+
+def test_append_ivf_store_incremental_batch(store, tmp_path, ray_session):
+    """Incremental ingest: a second batch assigns against the COMMITTED
+    centroids (no retrain) into fresh per-list partitions; queries read
+    both batches, full probe stays exactly the brute-force baseline
+    over the union, and a repeated append resumes from the manifest."""
+    import shutil
+
+    import ray.data as rd
+    from rwcf import similarity
+    out = str(tmp_path / "grown")
+    shutil.copytree(store["out"], out)
+    spec_before = annstore.read_ivf_spec(out)
+
+    # second batch: same vectors re-keyed to 10000+vec_id
+    def rekey(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        return t.set_column(t.schema.get_field_index("vec_id"), "vec_id",
+                            pc.add(t.column("vec_id"), 10_000))
+
+    batch2 = rd.read_parquet(EMB, columns=["vec_id", "embedding"]) \
+        .map_batches(rekey, batch_format="pyarrow")
+    annstore.append_ivf_store(batch2, out, run_tag="day2",
+                              partition_row_budget=64).materialize()
+
+    # centroids untouched; rows doubled
+    spec_after = annstore.read_ivf_spec(out)
+    assert np.array_equal(spec_before["centroids"],
+                          spec_after["centroids"])
+    rows = pipeline.load_manifest(out)
+    assert sum(r["n_rows"] for r in rows) == 1000
+    assert {r["lineage"].get("batch") for r in rows} == {"base", "day2"}
+
+    # full probe over the union == brute force over the union
+    union = rd.read_parquet(EMB, columns=["vec_id", "embedding"]) \
+        .union(batch2)
+    exact = similarity.cosine_topk(union, query_ids=QIDS, k=10,
+                                   query_ds=store["ds"])
+    got, st = annstore.query_ivf_store(out, store["qm"], store["qids"],
+                                       k=10, nprobe=10**6)
+    a = got[["qid", "vec_id", "rank"]].astype("int64") \
+        .sort_values(["qid", "rank"]).reset_index(drop=True)
+    b = exact[["qid", "vec_id", "rank"]].astype("int64") \
+        .sort_values(["qid", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert st["partitions_admitted"] == st["partitions_total"]
+
+    # idempotent re-append: same (input, run_tag) resumes, mtimes pinned
+    mtimes = {r["pid"]: os.path.getmtime(r["file"]) for r in rows}
+    annstore.append_ivf_store(batch2, out, run_tag="day2",
+                              partition_row_budget=64).materialize()
+    rows2 = pipeline.load_manifest(out)
+    assert {r["pid"] for r in rows2} == set(mtimes)
+    for r in rows2:
+        assert os.path.getmtime(r["file"]) == mtimes[r["pid"]]

@@ -133,11 +133,9 @@ def test_slice_pages_rejects_nullable():
 # --------------------------------------------------------------- pipeline
 
 
-@pytest.fixture(scope="module")
-def null_store(tmp_path_factory, ray_session):
+def _build_null_store(tmp) -> dict:
     """Tokens store with a nullable string column (source, nulls every
     7th row) and a nullable int column (score, nulls every 3rd row)."""
-    tmp = tmp_path_factory.mktemp("nulls")
     path = fixtures.tokens_parquet(600, seed=71, cache_dir=str(tmp),
                                    row_group_size=150)
     t = pq.read_table(path)
@@ -157,6 +155,11 @@ def null_store(tmp_path_factory, ray_session):
         columns=["doc_id", "tokens", "n_tok", "source", "score"])
     pipeline.encode_job(src2, cfg).materialize()
     return {"out": out, "src": src2, "table": t}
+
+
+@pytest.fixture(scope="module")
+def null_store(tmp_path_factory, ray_session):
+    return _build_null_store(tmp_path_factory.mktemp("nulls"))
 
 
 def test_nullable_store_round_trip(null_store):
@@ -230,9 +233,8 @@ def test_identity_columns_reject_nulls(tmp_path, ray_session):
 def test_update_set_null_and_null_pred(null_store, tmp_path):
     """UPDATE x = NULL works (v2 footer via the update path) and a NULL
     predicate value is never a match (SQL three-valued logic)."""
-    import shutil
-    out = str(tmp_path / "upd")
-    shutil.copytree(null_store["out"], out)
+    fresh = _build_null_store(tmp_path)
+    out = fresh["out"]
     before = pipeline.decode_job(out, columns=["n_tok", "score"]) \
         .to_pandas()
     n_nulls_before = before["score"].isna().sum()
@@ -254,9 +256,8 @@ def test_schema_optional_add_and_compaction_upgrade(null_store, tmp_path):
     """Iceberg optional add: default=None surfaces all-null on old
     partitions; compaction's upgrade-on-rewrite materializes the column
     PHYSICALLY as all-null (v2 footer) and the scan stays null-exact."""
-    import shutil
-    out = str(tmp_path / "evo")
-    shutil.copytree(null_store["out"], out)
+    fresh = _build_null_store(tmp_path)
+    out = fresh["out"]
     schema.add_column(out, "opt", "i64", None)
     t = schema.scan(out, columns=["doc_id", "opt"]).to_pandas()
     assert len(t) == 600 and t["opt"].isna().all()
@@ -273,3 +274,46 @@ def test_schema_optional_add_and_compaction_upgrade(null_store, tmp_path):
     t3 = pipeline.decode_job(out, columns=["source"]).to_pandas()
     assert t3["source"].isna().sum() == null_store["table"] \
         .to_pandas()["source"].isna().sum()
+
+
+def test_isnull_predicate_prunes_and_filters(null_store):
+    """IS NULL / IS NOT NULL as a declarative predicate: the manifest
+    null_count zone map prunes partitions before any IO, the in-task
+    filter is exact (round-5 null-aware pruning)."""
+    from rwcf import spj
+    rows = pipeline.load_manifest(null_store["out"])
+    w_null = {"col": "score", "isnull": True}
+    w_notnull = {"col": "score", "isnull": False}
+    kept_null = spj.prune_rows(rows, w_null)
+    # partitions without nulls in score are pruned for IS NULL
+    assert all(any(c["column"] == "score" and c.get("null_count", 0) > 0
+                   for c in r["columns"]) or
+               (r["stats"]["score"].get("null_count") or 0) > 0
+               for r in kept_null)
+    # exact filter parity vs pandas on a decoded partition
+    t = pipeline.decode_partition(rows[0], columns=["doc_id", "score"])
+    got_null = spj._row_filter(t, w_null).num_rows
+    got_notnull = spj._row_filter(t, w_notnull).num_rows
+    df = t.to_pandas()
+    assert got_null == int(df["score"].isna().sum())
+    assert got_notnull == int(df["score"].notna().sum())
+    assert got_null + got_notnull == len(df)
+
+
+def test_update_where_isnull(null_store, tmp_path):
+    """UPDATE ... WHERE col IS NULL: fill nulls via the predicate path
+    (null-count zone maps admit only partitions that hold nulls)."""
+    fresh = _build_null_store(tmp_path)
+    out = fresh["out"]
+    before = pipeline.decode_job(out, columns=["score"]).to_pandas()
+    n_nulls = int(before["score"].isna().sum())
+    assert n_nulls > 0
+
+    res = update.update_where(
+        out, "score",
+        lambda old, mask: pa.compute.fill_null(old, -1),
+        pred_col="score", isnull=True)
+    assert res["rows_matched"] == n_nulls
+    after = pipeline.decode_job(out, columns=["score"]).to_pandas()
+    assert int(after["score"].isna().sum()) == 0
+    assert int((after["score"] == -1).sum()) == n_nulls
