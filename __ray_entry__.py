@@ -4504,6 +4504,69 @@ def _q_nullable_roundtrip(sf_dir: str):
                           **rayenv.remote_args())
 
 
+_NULL_STORES: dict[str, str] = {}
+
+
+def _null_store_run(sf_dir: str) -> str:
+    """Encode (once per sf per process) the nullable-score store: a
+    nullable int64 column (score = n_chars, null every 3rd doc_id) and
+    lang, persisted with v2 validity footers."""
+    if sf_dir in _NULL_STORES:
+        return _NULL_STORES[sf_dir]
+    import ray.data as rd
+    from rwcf import pipeline, rayenv
+
+    work = _workdir("nullstore", sf_dir)
+    src = os.path.join(work, "in")
+
+    def derive(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id")
+        m3 = pc.equal(pc.subtract(did, pc.multiply(pc.divide(did, 3), 3)),
+                      0)  # doc_id % 3 == 0
+        score = pc.if_else(m3, pa.scalar(None, pa.int64()),
+                           t.column("n_chars"))
+        return pa.table({"doc_id": did, "lang": t.column("lang"),
+                         "score": score})
+
+    rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id", "lang", "n_chars"]) \
+        .map_batches(derive, batch_format="pyarrow",
+                     **rayenv.remote_args()) \
+        .write_parquet(src)
+    out = os.path.join(work, "enc")
+    cfg = pipeline.EncodeConfig(out_dir=out,
+                                columns=["doc_id", "lang", "score"],
+                                partition_token_budget=200_000)
+    from rwcf.documents import parquet_files
+    pipeline.encode_job(parquet_files(src), cfg).materialize()
+    _NULL_STORES[sf_dir] = out
+    return out
+
+
+def _q_null_filter_scan(sf_dir: str):
+    """IS NULL predicate pushdown over the encoded store: the manifest
+    null_count zone map (v2 validity footers) prunes partitions holding
+    no nulls BEFORE any IO; the in-task pc.is_null filter is exact. The
+    oracle replays the same derived-null rule in SQL."""
+    from rwcf import pipeline, rayenv, spj
+
+    out = _null_store_run(sf_dir)
+    where = {"col": "score", "isnull": True}
+    rows = pipeline.load_manifest(out)
+    kept = {r["pid"] for r in spj.prune_rows(rows, where)}
+
+    def filt(t: pa.Table) -> pa.Table:
+        t = spj._row_filter(t, where)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "lang": t.column("lang")})
+
+    return pipeline.decode_job(out,
+                               columns=["doc_id", "lang", "score"],
+                               where=lambda r: r["pid"] in kept) \
+        .map_batches(filt, batch_format="pyarrow",
+                     **rayenv.remote_args())
+
+
 def _q_null_agg(sf_dir: str):
     """SQL null semantics through the FULL store path: a nullable int64
     column (score = n_chars, null every 3rd doc_id) encodes into an rwcf
@@ -4605,6 +4668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nullable_roundtrip": _q_nullable_roundtrip,
         "null_agg_semantics": _q_null_agg,
         "optional_add_scan": _q_optional_add_scan,
+        "null_filter_scan": _q_null_filter_scan,
         "ann_ivf_store_full": _q_ann_ivf_store_full,
         "incremental_cluster_scan": _q_incremental_cluster_scan,
         # -- never-driven until round 4: curation / analytics-tail / joins
@@ -4886,6 +4950,8 @@ def oracle_sql() -> dict[str, str]:
         "optional_add_scan": (
             "SELECT doc_id, CAST(NULL AS BIGINT) AS opt_score, "
             "TRUE AS has_null FROM documents"),
+        "null_filter_scan": (
+            "SELECT doc_id, lang FROM documents WHERE doc_id % 3 = 0"),
         "ann_ivf_store_full": (
             "SELECT q.vec_id AS qid, e.vec_id AS vec_id, "
             "CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY "
