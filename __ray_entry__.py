@@ -4389,6 +4389,24 @@ def _q_ann_ivf_store(sf_dir: str):
     return df[["qid", "vec_id", "rank"]]
 
 
+def _q_ann_ivf_store_filtered(sf_dir: str):
+    """Filtered vector search over the persistent IVF store: a
+    vectorized metadata predicate (even vec_id) composes with the
+    manifest probe prune — candidates filter BEFORE any matmul. Full
+    probe makes the result exact, so the same DuckDB cosine oracle
+    applies with the predicate in SQL."""
+    import numpy as np
+
+    from rwcf import annstore
+    out = _ivf_store(sf_dir)
+    qids, qm = annstore.query_vectors_from_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), [0, 1, 2, 3, 4])
+    df, _ = annstore.query_ivf_store(
+        out, qm, qids, k=10, nprobe=10**6,
+        id_filter=lambda ids: ids % 2 == 0)
+    return df[["qid", "vec_id", "rank"]]
+
+
 def _q_ann_ivf_store_full(sf_dir: str):
     """Full-probe query over the IVF store: float32 bits round-trip
     losslessly through the int32 codecs, so probing every list IS the
@@ -4670,6 +4688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "optional_add_scan": _q_optional_add_scan,
         "null_filter_scan": _q_null_filter_scan,
         "ann_ivf_store_full": _q_ann_ivf_store_full,
+        "ann_ivf_store_filtered": _q_ann_ivf_store_filtered,
         "incremental_cluster_scan": _q_incremental_cluster_scan,
         # -- never-driven until round 4: curation / analytics-tail / joins
         "range_join_events": _q_range_join,
@@ -4959,6 +4978,14 @@ def oracle_sql() -> dict[str, str]:
             "DESC, e.vec_id) AS BIGINT) AS rank "
             "FROM embeddings q, embeddings e "
             "WHERE q.vec_id < 5 QUALIFY rank <= 10"),
+        "ann_ivf_store_filtered": (
+            "SELECT q.vec_id AS qid, e.vec_id AS vec_id, "
+            "CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            "round(list_cosine_similarity(q.embedding, e.embedding), 6) "
+            "DESC, e.vec_id) AS BIGINT) AS rank "
+            "FROM embeddings q, embeddings e "
+            "WHERE q.vec_id < 5 AND e.vec_id % 2 = 0 "
+            "QUALIFY rank <= 10"),
         "incremental_cluster_scan": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
             "CAST(strlen(text) AS BIGINT) AS n_tok FROM documents "

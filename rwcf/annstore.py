@@ -206,6 +206,7 @@ def ivf_store_io_stats(out_dir: str, probe_lists) -> dict:
 def query_ivf_store(out_dir: str, queries: np.ndarray,
                     qids: np.ndarray | list, k: int = 10,
                     nprobe: int = 4,
+                    id_filter=None,
                     concurrency: int | None = None):
     """Top-k by cosine for each query vector, reading ONLY the probed
     lists' partitions: the manifest prune admits a partition iff its
@@ -215,7 +216,14 @@ def query_ivf_store(out_dir: str, queries: np.ndarray,
 
     Full probe (``nprobe >= n_clusters``) reads everything and is
     EXACTLY the brute-force baseline (float32 bits round-trip
-    losslessly) — the correctness anchor for the approximate path."""
+    losslessly) — the correctness anchor for the approximate path.
+
+    ``id_filter`` (filtered vector search): a vectorized predicate
+    ``fn(ids: np.ndarray) -> bool mask`` applied to each admitted
+    partition's candidates BEFORE any normalization or matmul — the
+    metadata filter composes with the probe prune (restrict candidates,
+    not queries; same prune-early contract as
+    similarity.cosine_topk's filtered variant)."""
     import ray
 
     spec = read_ivf_spec(out_dir)
@@ -241,6 +249,11 @@ def query_ivf_store(out_dir: str, queries: np.ndarray,
                 continue
             t = pipeline.decode_partition(row)
             ids, mat = _vectors_from(t)
+            if id_filter is not None:
+                keep = np.asarray(id_filter(ids), dtype=bool)
+                ids, mat = ids[keep], mat[keep]  # prune BEFORE matmul
+                if ids.size == 0:
+                    continue
             bm = _normalize(mat)
             # quantized + id-tie-broken BEFORE the local cut (same
             # device as similarity.cosine_topk.local_topk)

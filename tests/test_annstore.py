@@ -161,3 +161,32 @@ def test_append_ivf_store_incremental_batch(store, tmp_path, ray_session):
     assert {r["pid"] for r in rows2} == set(mtimes)
     for r in rows2:
         assert os.path.getmtime(r["file"]) == mtimes[r["pid"]]
+
+
+def test_filtered_query_composes_with_probe_prune(store):
+    """Filtered vector search: the id predicate drops candidates BEFORE
+    any matmul; full probe + filter is exactly brute force over the
+    filtered corpus."""
+    import ray.data as rd
+    from rwcf import rayenv, similarity
+    full = rd.read_parquet(EMB, columns=["vec_id", "embedding"])
+
+    def keep_even(t):
+        import pyarrow as pa
+        ids = t.column("vec_id").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 2 == 0))
+
+    corpus = full.map_batches(keep_even, batch_format="pyarrow",
+                              **rayenv.remote_args())
+    exact = similarity.cosine_topk(corpus, query_ids=QIDS, k=10,
+                                   query_ds=full)
+    got, _ = annstore.query_ivf_store(
+        store["out"], store["qm"], store["qids"], k=10, nprobe=10**6,
+        id_filter=lambda ids: ids % 2 == 0)
+    assert (got["vec_id"] % 2 == 0).all()
+    a = got[["qid", "vec_id", "rank"]].astype("int64") \
+        .sort_values(["qid", "rank"]).reset_index(drop=True)
+    b = exact[["qid", "vec_id", "rank"]].astype("int64") \
+        .sort_values(["qid", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

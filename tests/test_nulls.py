@@ -317,3 +317,39 @@ def test_update_where_isnull(null_store, tmp_path):
     after = pipeline.decode_job(out, columns=["score"]).to_pandas()
     assert int(after["score"].isna().sum()) == 0
     assert int((after["score"] == -1).sum()) == n_nulls
+
+
+def test_nullable_column_through_bucket_join(tmp_path, ray_session):
+    """A nullable attribute column rides through the bucket store and
+    the zero-shuffle storage-partitioned join null-exactly (Acero join
+    + validity scatter)."""
+    import ray.data as rd
+
+    from rwcf import spj
+    n = 200
+    ids = [f"d{i:04d}" for i in range(n)]
+    t_a = pa.table({
+        "doc_id": pa.array(ids, pa.string()),
+        "val": pa.array(np.arange(n, dtype=np.int64)),
+    })
+    score = pa.array(np.arange(n, dtype=np.int64), pa.int64(),
+                     mask=np.arange(n) % 4 == 0)
+    t_b = pa.table({"doc_id": pa.array(ids, pa.string()), "score": score})
+    pa_dir = str(tmp_path / "a.parquet")
+    pb_dir = str(tmp_path / "b.parquet")
+    pq.write_table(t_a, pa_dir)
+    pq.write_table(t_b, pb_dir)
+    sa, sb = str(tmp_path / "sa"), str(tmp_path / "sb")
+    spj.bucket_store(pa_dir, pipeline.EncodeConfig(
+        out_dir=sa, columns=["doc_id", "val"],
+        partition_token_budget=50), "doc_id", 4).materialize()
+    spj.bucket_store(pb_dir, pipeline.EncodeConfig(
+        out_dir=sb, columns=["doc_id", "score"],
+        partition_token_budget=50), "doc_id", 4).materialize()
+    got = spj.storage_partitioned_join(sa, sb).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == n
+    assert got["score"].isna().sum() == 50
+    ok = got["score"].notna()
+    assert (got.loc[ok, "score"].astype("int64")
+            == got.loc[ok, "val"].astype("int64")).all()
