@@ -308,11 +308,15 @@ def hash_join(left, right, on: str, right_on: str | None = None,
             # semi/anti never materialize pandas: one Arrow is_in on the
             # bucket-local key column does the membership filter zero-copy
             la = g.filter(pc.equal(side, 0)).select([_JK] + out_l)
+            # drop_null: a NULL right key must not enter the membership
+            # set — is_in treats a null value_set member as matching a
+            # null probe, which would give NULL = NULL semi semantics
+            # (SQL: null keys never match; pinned vs DuckDB in
+            # tests/test_nulls.py)
             rkeys = g.filter(pc.equal(side, 1)).column(_JK) \
-                .combine_chunks().unique()
-            # fill_null(False) pins null-key semantics to the prior pandas
-            # isin behavior: a null left key is never a member (semi drops
-            # it, anti keeps it)
+                .combine_chunks().unique().drop_null()
+            # fill_null(False) pins the left side the same way: a null
+            # left key is never a member (semi drops it, anti keeps it)
             memb = pc.fill_null(pc.is_in(la.column(_JK).combine_chunks(),
                                          value_set=rkeys), False)
             m = la.filter(memb if how == "semi" else pc.invert(memb))
@@ -374,8 +378,12 @@ def _broadcast_join(left, right, on, right_on, how, rmap, out_l, out_r,
     import ray
 
     if key_only:
+        # dropna: pandas isin would match a null probe against a null
+        # member — SQL null keys never match (pinned vs DuckDB in
+        # tests/test_nulls.py); with no null in the set, isin(null) is
+        # False, which is exactly semi-drop / anti-keep
         keys = right.select_columns([right_on]).to_pandas()[right_on] \
-            .unique()
+            .dropna().unique()
         ref = ray.put(keys)
 
         def fn(t: pa.Table) -> pa.Table:
@@ -386,12 +394,21 @@ def _broadcast_join(left, right, on, right_on, how, rmap, out_l, out_r,
     else:
         rdf = right.to_pandas()
         rdf = rdf.rename(columns=rmap)
+        # pandas merge MATCHES NaN join keys with each other (unlike
+        # SQL); null-key right rows can never match anything, so drop
+        # them from the broadcast copy
+        rdf = rdf[rdf[rmap[right_on]].notna()]
         ref = ray.put(rdf)
 
         def fn(t: pa.Table) -> pa.Table:
+            import pandas as pd
             l = t.to_pandas()
-            m = l.merge(ray.get(ref), left_on=on, right_on=rmap[right_on],
-                        how=how)
+            nullk = l[on].isna()
+            m = l[~nullk].merge(ray.get(ref), left_on=on,
+                                right_on=rmap[right_on], how=how)
+            if how == "left" and bool(nullk.any()):
+                # null-key left rows are preserved, right side null-fills
+                m = pd.concat([m, l[nullk]], ignore_index=True)
             return _from_pandas_nullable(m[out_l + out_r], out_schema)
 
     return left.map_batches(fn, batch_format="pyarrow",

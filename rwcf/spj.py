@@ -205,10 +205,13 @@ def _local_join(ta: pa.Table, tb: pa.Table, key: str, jt: str,
         return ta.join(tb, keys=key, join_type=jt, right_suffix=suffix,
                        coalesce_keys=True)
     if jt in ("left semi", "left anti"):
-        # key-only membership: nested payloads never enter the kernel
+        # key-only membership: nested payloads never enter the kernel.
+        # drop_null on the set + fill_null(False) on the probe pin SQL
+        # null-key semantics (null never matches; see joins.hash_join)
         import pyarrow.compute as _pc
         memb = _pc.fill_null(
-            _pc.is_in(ta.column(key), value_set=tb.column(key).unique()),
+            _pc.is_in(ta.column(key),
+                      value_set=tb.column(key).unique().drop_null()),
             False)
         return ta.filter(memb if jt == "left semi" else _pc.invert(memb))
     sa = ta.drop_columns(nest_a).append_column(

@@ -353,3 +353,49 @@ def test_nullable_column_through_bucket_join(tmp_path, ray_session):
     ok = got["score"].notna()
     assert (got.loc[ok, "score"].astype("int64")
             == got.loc[ok, "val"].astype("int64")).all()
+
+
+def test_null_key_join_semantics_vs_duckdb(ray_session):
+    """SQL null-key semantics through the distributed hash join: null
+    keys never match (inner drops, left/outer preserve with null fill,
+    semi drops, anti keeps) — DuckDB is the oracle."""
+    import ray.data as rd
+
+    from rwcf import joins
+    a = pa.table({"k": pa.array(["x", None, "y", "z"], pa.string()),
+                  "va": pa.array([1, 2, 3, 4], pa.int64())})
+    b = pa.table({"k": pa.array(["x", None, "y"], pa.string()),
+                  "vb": pa.array([10, 20, 30], pa.int64())})
+    con = duckdb.connect()
+    con.register("a", a.to_pandas())
+    con.register("b", b.to_pandas())
+    cases = {
+        "inner": "SELECT a.k, va, vb FROM a JOIN b ON a.k=b.k",
+        "left": "SELECT a.k, va, vb FROM a LEFT JOIN b ON a.k=b.k",
+        "outer": "SELECT a.k, va, vb FROM a FULL JOIN b ON a.k=b.k",
+        "semi": "SELECT a.k, va FROM a SEMI JOIN b ON a.k=b.k",
+        "anti": "SELECT a.k, va FROM a ANTI JOIN b ON a.k=b.k",
+    }
+    def check(got, sql, label):
+        exp = con.execute(sql).fetchdf()
+        cols = [c for c in ["va", "vb"] if c in exp.columns]
+        g = got[cols].fillna(-99).astype("int64") \
+            .sort_values(cols, ignore_index=True)
+        e = exp[cols].fillna(-99).astype("int64") \
+            .sort_values(cols, ignore_index=True)
+        pd.testing.assert_frame_equal(g, e, obj=label)
+
+    for how, sql in cases.items():
+        check(joins.hash_join(rd.from_arrow(a), rd.from_arrow(b),
+                              on="k", how=how, buckets=2).to_pandas(),
+              sql, f"shuffle:{how}")
+        if how in ("inner", "left", "semi", "anti"):  # broadcast modes
+            check(joins.hash_join(rd.from_arrow(a), rd.from_arrow(b),
+                                  on="k", how=how,
+                                  broadcast=True).to_pandas(),
+                  sql, f"broadcast:{how}")
+        if how in ("inner", "semi", "anti"):  # bloom prefilter modes
+            check(joins.hash_join(rd.from_arrow(a), rd.from_arrow(b),
+                                  on="k", how=how, buckets=2,
+                                  bloom_bits=1 << 12).to_pandas(),
+                  sql, f"bloom:{how}")
