@@ -225,8 +225,14 @@ def cmd_update(args) -> int:
         lo, hi = args.between
         kw["between"] = (coerce(args.pred_col, lo),
                          coerce(args.pred_col, hi))
-    res = update.update_where(args.input, args.set_col,
-                              coerce(args.set_col, args.value),
+    if args.isnull:
+        kw["isnull"] = True
+    if args.notnull:
+        kw["isnull"] = False
+    if args.set_null == (args.value is not None):
+        raise SystemExit("exactly one of --value / --set-null required")
+    value = None if args.set_null else coerce(args.set_col, args.value)
+    res = update.update_where(args.input, args.set_col, value,
                               pred_col=args.pred_col, **kw)
     print(json.dumps(res))
     ray.shutdown()
@@ -346,11 +352,17 @@ def main(argv=None) -> int:
                                        "(section-granular rewrite)")
     up.add_argument("input", help="encode out_dir")
     up.add_argument("--set-col", required=True)
-    up.add_argument("--value", required=True)
+    up.add_argument("--value", default=None)
+    up.add_argument("--set-null", action="store_true",
+                    help="SET col = NULL (v2 validity footer)")
     up.add_argument("--pred-col", required=True)
     up.add_argument("--eq", default=None)
     up.add_argument("--between", nargs=2, default=None,
                     metavar=("LO", "HI"))
+    up.add_argument("--isnull", action="store_true",
+                    help="WHERE pred_col IS NULL")
+    up.add_argument("--notnull", action="store_true",
+                    help="WHERE pred_col IS NOT NULL")
     up.add_argument("--num-cpus", type=int, default=None)
     up.set_defaults(fn=cmd_update)
 

@@ -242,3 +242,41 @@ def test_plan_join_right_falls_through_spj(right_join_stores):
     pd.testing.assert_series_equal(g["len4"].astype("int64"),
                                    e["len4"].astype("int64"),
                                    check_names=False)
+
+
+def test_cli_update_set_null_and_isnull(tmp_path, ray_session):
+    """Round-5 CLI surface: --set-null writes NULLs through the section
+    rewrite (v2 validity footer) and --isnull/--notnull route the
+    predicate; exactly one of --value/--set-null is enforced."""
+    path = fixtures.tokens_parquet(200, seed=54, cache_dir=str(tmp_path),
+                                   row_group_size=100)
+    out = str(tmp_path / "enc")
+    cfg = pipeline.EncodeConfig(out_dir=out, partition_token_budget=30_000)
+    pipeline.encode_job(path, cfg).materialize()
+
+    r = _run_cli("update", out, "--set-col", "source", "--set-null",
+                 "--pred-col", "n_tok", "--between", "0", "200",
+                 "--num-cpus", "2")
+    dec = pipeline.decode_job(out, columns=["n_tok", "source"]).to_pandas()
+    n_nulled = int((dec["n_tok"] <= 200).sum())
+    assert r["rows_matched"] == n_nulled > 0
+    assert int(dec["source"].isna().sum()) == n_nulled
+
+    r2 = _run_cli("update", out, "--set-col", "source",
+                  "--value", "backfilled", "--pred-col", "source",
+                  "--isnull", "--num-cpus", "2")
+    assert r2["rows_matched"] == n_nulled
+    dec2 = pipeline.decode_job(out, columns=["source"]).to_pandas()
+    assert int(dec2["source"].isna().sum()) == 0
+    assert int((dec2["source"] == "backfilled").sum()) == n_nulled
+
+    # exactly one of --value/--set-null
+    import subprocess
+    import sys
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    bad = subprocess.run(
+        [sys.executable, "-m", "rwcf", "update", out, "--set-col",
+         "source", "--pred-col", "n_tok", "--eq", "5"],
+        capture_output=True, text=True, env=env, cwd=REPO)
+    assert bad.returncode != 0
