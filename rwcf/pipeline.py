@@ -532,15 +532,20 @@ def _verify_rows(batch: pa.Table) -> pa.Table:
             lin = row["lineage"]
             dr = row.get("deleted_rows") or []
             if "path" in lin:  # fragment lineage: bit-exact vs source rows
+                # verify the partition's OWN columns (custom-column and
+                # nullable stores verify too, not just the base tokens
+                # schema); null-exact — Table.equals compares validity
+                store_cols = [c["column"] for c in row["columns"]]
                 src = pq.ParquetFile(lin["path"]).read_row_group(
-                    lin["row_group"], columns=TOKEN_COLUMNS)
+                    lin["row_group"], columns=store_cols)
                 src = src.slice(lin["row_start"], lin["row_count"])
                 if dr:  # tombstoned rows are invisible by contract
                     keep = np.setdiff1d(
                         np.arange(src.num_rows, dtype=np.int64),
                         np.asarray(dr, dtype=np.int64))
                     src = src.take(pa.array(keep))
-                eq = dec.cast(src.schema).equals(src)
+                src = src.select(store_cols)  # parquet order != ours
+                eq = dec.select(store_cols).cast(src.schema).equals(src)
                 mode = "source"
             else:  # grouped lineage carries no input fragment reference:
                 # self-verify (checksums passed + decoded totals match;

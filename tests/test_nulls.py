@@ -399,3 +399,14 @@ def test_null_key_join_semantics_vs_duckdb(ray_session):
                                   on="k", how=how, buckets=2,
                                   bloom_bits=1 << 12).to_pandas(),
                   sql, f"bloom:{how}")
+
+
+def test_verify_job_covers_nullable_custom_store(null_store):
+    """verify_job's bit-exact source comparison covers the partition's
+    OWN columns (round-5 fix: it previously hardcoded the base tokens
+    schema and broke on custom/nullable stores) — null-exact, since
+    Table.equals compares validity."""
+    v = pipeline.verify_job(null_store["out"]).to_pandas()
+    assert len(v) > 0
+    assert bool(v["equal"].all()), v[~v["equal"]]
+    assert (v["mode"] == "source").all()
