@@ -2786,21 +2786,37 @@ def delete_where(out_dir: str, column: str, values: list | None = None,
                 if bm is not None and not _bloom.might_contain(
                         bm[0], bm[1], bm[2], [str(v) for v in vals]).any():
                     continue
-            skel = read_column_skeleton(row, column)
-            rows_pp = np.array([p.values_count for p in skel.pages],
-                               dtype=np.int64)
-            pe = np.cumsum(rows_pp)
-            ps = pe - rows_pp
-            pstats = cm.get("page_stats")
-            if pstats is not None:
-                keep = [i for i, (pmn, pmx) in enumerate(pstats)
-                        if admits(pmn, pmx)]
+            if cm.get("null_count"):
+                # nullable column: page spans index the DENSE value
+                # stream, so the selective-page path cannot produce
+                # LOGICAL tombstone positions — read the full section
+                # and map hits through the validity scatter instead
+                # (SQL: NULL never matches a delete predicate, so only
+                # non-null positions are candidates)
+                enc = read_column_section(row, column, allow_nulls=True)
+                arr = fmt.chunk_to_arrow(fmt.decode_chunk(enc),
+                                         cm["dtype"])
+                local_base = np.nonzero(enc.validity)[0].astype(np.int64)
             else:
-                keep = list(range(len(skel.pages)))
-            if not keep:
-                continue
-            enc, _br, _bt = read_column_pages(row, column, keep)
-            arr = fmt.chunk_to_arrow(fmt.decode_chunk(enc), cm["dtype"])
+                skel = read_column_skeleton(row, column)
+                rows_pp = np.array([p.values_count for p in skel.pages],
+                                   dtype=np.int64)
+                pe = np.cumsum(rows_pp)
+                ps = pe - rows_pp
+                pstats = cm.get("page_stats")
+                if pstats is not None:
+                    keep = [i for i, (pmn, pmx) in enumerate(pstats)
+                            if admits(pmn, pmx)]
+                else:
+                    keep = list(range(len(skel.pages)))
+                if not keep:
+                    continue
+                enc, _br, _bt = read_column_pages(row, column, keep)
+                arr = fmt.chunk_to_arrow(fmt.decode_chunk(enc),
+                                         cm["dtype"])
+                local_base = np.concatenate(
+                    [np.arange(ps[i], pe[i], dtype=np.int64)
+                     for i in keep])
             if vals is not None:
                 hit = pc.is_in(arr, value_set=pa.array(vals, arr.type))
             else:
@@ -2811,12 +2827,11 @@ def delete_where(out_dir: str, column: str, values: list | None = None,
                 if hi is not None:
                     hit = pc.and_(hit, pc.less_equal(
                         arr, pa.scalar(hi, arr.type)))
-            hit = hit.to_numpy(zero_copy_only=False)
+            hit = np.asarray(hit.to_numpy(zero_copy_only=False),
+                             dtype=bool)
             if not hit.any():
                 continue
-            local = np.concatenate(
-                [np.arange(ps[i], pe[i], dtype=np.int64) for i in keep])
-            n_new = _merge_tombstone(mdir, row, local[hit])
+            n_new = _merge_tombstone(mdir, row, local_base[hit])
             if not n_new:
                 continue
             pids.append(row["pid"])

@@ -410,3 +410,23 @@ def test_verify_job_covers_nullable_custom_store(null_store):
     assert len(v) > 0
     assert bool(v["equal"].all()), v[~v["equal"]]
     assert (v["mode"] == "source").all()
+
+
+def test_delete_where_on_nullable_column(tmp_path, ray_session):
+    """Predicate delete on a NULLABLE column: hits map through the
+    validity scatter to LOGICAL tombstone positions (the dense-indexed
+    page path would have tombstoned the wrong rows); NULL never matches
+    the predicate."""
+    fresh = _build_null_store(tmp_path)
+    out = fresh["out"]
+    before = pipeline.decode_job(out).to_pandas()
+    target = (before["score"] >= 50) & before["score"].notna()
+    res = pipeline.delete_where(out, "score", lo=50, hi=10**9)
+    assert res["rows_deleted"] == int(target.sum()) > 0
+    after = pipeline.decode_job(out).to_pandas()
+    assert len(after) == len(before) - int(target.sum())
+    # the surviving rows are exactly the complement — doc_id-exact
+    exp_ids = set(before.loc[~target, "doc_id"])
+    assert set(after["doc_id"]) == exp_ids
+    # null-score rows all survive (NULL never matches)
+    assert after["score"].isna().sum() == before["score"].isna().sum()
