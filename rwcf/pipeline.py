@@ -1707,10 +1707,20 @@ def _cdc_hash_batch(batch: pa.Table, col: str, suffix: str = "",
         lengths = pc.list_value_length(la).to_numpy().astype(np.int64)
         flat = la.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
         h_tok = textops.segment_poly_hash(lengths, flat)
-        slen, spay = fmt.chunk_from_arrow(t.column("source"))
+        src_col = t.column("source").combine_chunks()
+        nullmask = None
+        if src_col.null_count:  # nullable source: hash NULL distinctly
+            nullmask = pc.is_null(src_col).to_numpy(zero_copy_only=False)
+            src_col = pc.fill_null(src_col, "")
+        slen, spay = fmt.chunk_from_arrow(src_col)
         h_src = textops.segment_poly_hash(
             np.asarray(slen, np.int64), np.asarray(spay))
         comb = h_tok * textops._FP_BASE + h_src
+        if nullmask is not None:
+            # NULL != '' for CDC purposes (and a later fill to '' IS a
+            # change): flip a fixed mix constant on null positions
+            comb = comb.copy()
+            comb[nullmask] ^= np.uint64(0x9E3779B97F4A7C15)
         cols = {"doc_id": t.column("doc_id").combine_chunks()
                 .cast(pa.string()),
                 col: pa.array(comb.astype(np.int64))}  # 2's-compl. view

@@ -430,3 +430,37 @@ def test_delete_where_on_nullable_column(tmp_path, ray_session):
     assert set(after["doc_id"]) == exp_ids
     # null-score rows all survive (NULL never matches)
     assert after["score"].isna().sum() == before["score"].isna().sum()
+
+
+def test_compaction_preserves_nulls(tmp_path, ray_session):
+    """Plain compaction (no schema evolution) of a nullable custom store
+    re-encodes through the validity split and stays null-exact."""
+    fresh = _build_null_store(tmp_path)
+    out = fresh["out"]
+    before = pipeline.decode_job(out).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    res = pipeline.compact_partitions(out, target_tokens=10**9)
+    assert res.get("compacted") or res.get("partitions_written") or True
+    after = pipeline.decode_job(out).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_series_equal(after["score"], before["score"],
+                                   check_dtype=False)
+    pd.testing.assert_series_equal(after["source"], before["source"])
+    assert len(pipeline.load_manifest(out)) < 5  # actually compacted
+
+
+def test_cdc_scan_nullable_source(tmp_path, ray_session):
+    """CDC between snapshots on a store whose source column holds nulls:
+    hashing is null-aware (NULL hashes distinctly from ''), so a
+    NULL -> value backfill IS an update and untouched null rows are
+    not phantom changes."""
+    fresh = _build_null_store(tmp_path)
+    out = fresh["out"]
+    s0 = pipeline.create_snapshot(out, note="base")["snapshot"]
+    res = update.update_where(out, "source", "backfilled",
+                              pred_col="source", isnull=True)
+    assert res["rows_matched"] > 0
+    s1 = pipeline.create_snapshot(out, note="filled")["snapshot"]
+    delta = pipeline.cdc_scan(out, s0, s1).to_pandas()
+    assert (delta["op"] == "update").all()
+    assert len(delta) == res["rows_matched"]
