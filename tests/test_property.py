@@ -71,3 +71,31 @@ def test_pack_unpack_bits(vals, width):
     from rwcf.codecs import base
     out = base.unpack_bits(base.pack_bits(v, width), width, v.size)
     assert np.array_equal(out, v)
+
+
+@given(st.lists(st.one_of(st.none(), st.integers(-2**31, 2**31 - 1)),
+                max_size=300),
+       st.sampled_from(["plain", "rle", "bitpack", "for", "dict"]))
+@settings(**SETTINGS)
+def test_nullable_i32_roundtrip(vals, codec):
+    """v2 validity container: arbitrary null patterns round-trip
+    null-exactly through every int codec (round 5)."""
+    import pyarrow as pa
+    arr = pa.array(vals, pa.int32())
+    dense, validity = fmt.split_validity(arr)
+    chunk = dense.to_numpy(zero_copy_only=False).astype(np.int32)
+    enc = fmt.encode_chunk(chunk, "i32", codec, page_target=64)
+    enc.validity = validity
+    back = fmt.read_column_file(fmt.write_column_file(enc))
+    out = fmt.chunk_to_arrow(fmt.decode_chunk(back), "i32")
+    if back.validity is not None:
+        out = fmt.apply_validity(out, back.validity)
+    assert out.equals(arr)
+
+
+@given(st.lists(st.booleans(), max_size=400))
+@settings(**SETTINGS)
+def test_validity_runs_roundtrip_property(bits):
+    v = np.array(bits, dtype=bool)
+    assert np.array_equal(fmt.validity_from_runs(fmt.runs_from_validity(v)),
+                          v)
