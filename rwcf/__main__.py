@@ -239,6 +239,61 @@ def cmd_update(args) -> int:
     return 0
 
 
+def cmd_cluster(args) -> int:
+    from . import pipeline
+    ray = _init_ray(args.num_cpus)
+    by = args.by.split(",") if "," in args.by else args.by
+    if args.incremental:
+        if args.order != "linear":
+            raise SystemExit("--incremental supports linear order only")
+        res = pipeline.cluster_store_incremental(
+            args.input, by=by, target_tokens=args.token_budget)
+    else:
+        res = pipeline.cluster_store(args.input, by=by,
+                                     target_tokens=args.token_budget,
+                                     order=args.order)
+    print(json.dumps(res))
+    ray.shutdown()
+    return 0
+
+
+def cmd_ann_build(args) -> int:
+    import ray.data as rd
+
+    from . import annstore
+    ray = _init_ray(args.num_cpus)
+    ds = rd.read_parquet(_input_files(args.input),
+                         columns=[args.id_col, args.vec_col])
+    if args.append_tag:
+        man = annstore.append_ivf_store(
+            ds, args.out, run_tag=args.append_tag,
+            partition_row_budget=args.row_budget).to_pandas()
+    else:
+        man = annstore.build_ivf_store(
+            ds, args.out, n_clusters=args.clusters,
+            id_col=args.id_col, vec_col=args.vec_col,
+            partition_row_budget=args.row_budget).to_pandas()
+    print(json.dumps({"partitions": len(man),
+                      "rows": int(man["n_rows"].sum()),
+                      "out_dir": args.out}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_ann_query(args) -> int:
+    from . import annstore
+    ray = _init_ray(args.num_cpus)
+    qids = [int(x) for x in args.query_ids.split(",")]
+    ids, qm = annstore.query_vectors_from_parquet(
+        args.queries, qids, id_col=args.id_col, vec_col=args.vec_col)
+    df, stats = annstore.query_ivf_store(args.input, qm, ids, k=args.k,
+                                         nprobe=args.nprobe)
+    print(json.dumps({"results": df.to_dict(orient="records"),
+                      "io": stats}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_rebuild_index(args) -> int:
     from . import documents, state
     ray = _init_ray(args.num_cpus)
@@ -376,6 +431,45 @@ def main(argv=None) -> int:
     vr.add_argument("input", help="view dir")
     vr.add_argument("--num-cpus", type=int, default=None)
     vr.set_defaults(fn=cmd_view_refresh)
+
+    cl = sub.add_parser("cluster", help="sort-order clustering epoch "
+                                        "(full, z-order, or incremental)")
+    cl.add_argument("input", help="encode out_dir")
+    cl.add_argument("--by", default="source",
+                    help="column, or comma list for --order zorder")
+    cl.add_argument("--order", default="linear",
+                    choices=["linear", "zorder"])
+    cl.add_argument("--incremental", action="store_true",
+                    help="rewrite only strictly-overlapping partitions")
+    cl.add_argument("--token-budget", type=int, default=8_000_000)
+    cl.add_argument("--num-cpus", type=int, default=None)
+    cl.set_defaults(fn=cmd_cluster)
+
+    ab = sub.add_parser("ann-build", help="build or append the persistent "
+                                          "IVF ANN store")
+    ab.add_argument("input", help="embeddings parquet file/dir")
+    ab.add_argument("--out", required=True)
+    ab.add_argument("--clusters", type=int, default=64)
+    ab.add_argument("--id-col", default="vec_id")
+    ab.add_argument("--vec-col", default="embedding")
+    ab.add_argument("--row-budget", type=int, default=65_536)
+    ab.add_argument("--append-tag", default=None,
+                    help="append this batch against committed centroids")
+    ab.add_argument("--num-cpus", type=int, default=None)
+    ab.set_defaults(fn=cmd_ann_build)
+
+    aq = sub.add_parser("ann-query", help="top-k cosine over the IVF "
+                                          "store (manifest probe prune)")
+    aq.add_argument("input", help="ann store dir")
+    aq.add_argument("--queries", required=True,
+                    help="parquet with query vectors")
+    aq.add_argument("--query-ids", required=True, help="comma ids")
+    aq.add_argument("--k", type=int, default=10)
+    aq.add_argument("--nprobe", type=int, default=4)
+    aq.add_argument("--id-col", default="vec_id")
+    aq.add_argument("--vec-col", default="embedding")
+    aq.add_argument("--num-cpus", type=int, default=None)
+    aq.set_defaults(fn=cmd_ann_query)
 
     ri = sub.add_parser(
         "rebuild-index",

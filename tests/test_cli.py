@@ -147,3 +147,41 @@ def test_cli_view_commands(tmp_path):
     r = run_cli("view-refresh", view, "--num-cpus", "4")
     assert r["refreshed"] >= 1
     assert run_cli("view-status", view)["stale"] == 0
+
+
+def test_cli_cluster_and_ann(tmp_path):
+    """Round-5 operational surface: cluster (full + incremental no-op)
+    and ann-build/ann-query subcommands."""
+    src = fixtures.tokens_parquet(400, seed=7, cache_dir=str(tmp_path),
+                                  row_group_size=100)
+    out = str(tmp_path / "enc")
+    run_cli("encode", src, "--out", out, "--num-cpus", "4",
+            "--token-budget", "30000")
+    r = run_cli("cluster", out, "--by", "doc_id",
+                "--token-budget", "30000", "--num-cpus", "4")
+    assert r["committed"] is True and r["parts_after"] >= 1
+    r2 = run_cli("cluster", out, "--by", "doc_id", "--incremental",
+                 "--token-budget", "30000", "--num-cpus", "4")
+    assert r2["committed"] is False and r2["parts_rewritten"] == 0
+
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    store = str(tmp_path / "ann")
+    b = run_cli("ann-build", emb, "--out", store, "--clusters", "8",
+                "--row-budget", "128", "--num-cpus", "4")
+    assert b["rows"] == 500 and b["partitions"] >= 4
+    q = run_cli("ann-query", store, "--queries", emb,
+                "--query-ids", "0,1", "--k", "5", "--nprobe", "2",
+                "--num-cpus", "4")
+    assert len(q["results"]) == 10  # 2 queries x top-5
+    assert q["io"]["bytes_admitted"] < q["io"]["bytes_total"]
+    # append a rekeyed batch against the committed centroids
+    import pyarrow.parquet as _pq
+    t = _pq.read_table(emb, columns=["vec_id", "embedding"])
+    t = t.set_column(0, "vec_id",
+                     __import__("pyarrow.compute", fromlist=["x"])
+                     .add(t.column("vec_id"), 10_000))
+    emb2 = str(tmp_path / "b2.parquet")
+    _pq.write_table(t, emb2)
+    b2 = run_cli("ann-build", emb2, "--out", store, "--append-tag",
+                 "day2", "--row-budget", "128", "--num-cpus", "4")
+    assert b2["rows"] == 500
