@@ -4486,6 +4486,34 @@ def _q_incremental_cluster_scan(sf_dir: str):
 # round 5: null / validity support (rwcf.format v2 footer)
 # ---------------------------------------------------------------------------
 
+def _q_store_distinct_sketch(sf_dir: str):
+    """Persisted HLL sketch sidecars (rwcf.analytics
+    build_distinct_sketches, round 5): per-partition registers commit
+    once next to the manifest, then COUNT(DISTINCT source) answers from
+    a driver-side register merge with ZERO partition-file IO — the
+    theta-sketch-puffin role at 10^12-row scale. Bound-style oracle:
+    the exact count is DuckDB-checked; sketch_ok asserts the
+    deterministic estimate within 2% of it."""
+    import pandas as pd
+
+    from rwcf import analytics, pipeline, rayenv
+
+    out = _encoded_run(sf_dir)
+    analytics.build_distinct_sketches(out, "source")
+    est = analytics.approx_distinct_from_sketches(out, "source")
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t.column("source").combine_chunks().unique()
+        return pa.table({"source": u})
+
+    uniq = pipeline.decode_job(out, columns=["source"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     **rayenv.remote_args()).to_pandas()
+    n_exact = int(uniq["source"].nunique())
+    ok = abs(est["n_distinct_est"] - n_exact) <= max(1, 0.02 * n_exact)
+    return pd.DataFrame([{"n_exact": n_exact, "sketch_ok": bool(ok)}])
+
+
 def _q_nullable_roundtrip(sf_dir: str):
     """Distributed per-batch round trip of a NULLABLE column through the
     v2 container (rwcf.format: dense values + run-length validity footer;
@@ -4689,6 +4717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "null_filter_scan": _q_null_filter_scan,
         "ann_ivf_store_full": _q_ann_ivf_store_full,
         "ann_ivf_store_filtered": _q_ann_ivf_store_filtered,
+        "store_distinct_sketch": _q_store_distinct_sketch,
         "incremental_cluster_scan": _q_incremental_cluster_scan,
         # -- never-driven until round 4: curation / analytics-tail / joins
         "range_join_events": _q_range_join,
@@ -4971,6 +5000,9 @@ def oracle_sql() -> dict[str, str]:
             "TRUE AS has_null FROM documents"),
         "null_filter_scan": (
             "SELECT doc_id, lang FROM documents WHERE doc_id % 3 = 0"),
+        "store_distinct_sketch": (
+            "SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_exact, "
+            "TRUE AS sketch_ok FROM documents"),
         "ann_ivf_store_full": (
             "SELECT q.vec_id AS qid, e.vec_id AS vec_id, "
             "CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY "

@@ -3549,3 +3549,122 @@ def group_regression_stats(ds, key_col: str = "p_brand",
     return out.map_batches(
         lambda t: t.rename_columns([key_col] + list(t.column_names[1:])),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# persisted HLL sketch sidecars (round 5): metadata-only distinct counts
+# ---------------------------------------------------------------------------
+
+def build_distinct_sketches(out_dir: str, column: str,
+                            concurrency: int | None = None) -> dict:
+    """Materialize one HyperLogLog register sidecar PER PARTITION for
+    ``column`` (``out_dir/sketches/<column>/<pid>.json``) — the sketch
+    analogue of the zone-map stats: pay one column-pruned decode per
+    partition ONCE, then every later ``COUNT(DISTINCT column)`` is a
+    driver-side register merge with ZERO partition-file IO
+    (:func:`approx_distinct_from_sketches`). The pattern Iceberg calls
+    theta-sketch puffin files; at 10^12 rows a distinct-count dashboard
+    cannot re-scan the corpus per refresh.
+
+    Incremental + idempotent: an existing sidecar for a live pid is
+    skipped, so after appending new partitions only THEIR sketches
+    build. Each sidecar records the partition's delete-count at build
+    time; later tombstones flag it stale (distinct counts may shrink)
+    and a rebuild recomputes just that partition. Nulls never enter the
+    registers (SQL COUNT DISTINCT ignores them)."""
+    import json as _json
+    import os as _os
+
+    from . import pipeline
+
+    sdir = _os.path.join(out_dir, "sketches", column)
+    _os.makedirs(sdir, exist_ok=True)
+    rows = pipeline.load_manifest(out_dir)
+    todo = []
+    for r in rows:
+        path = _os.path.join(sdir, f"{r['pid']}.json")
+        n_del = len(r.get("deleted_rows") or ())
+        if _os.path.exists(path):
+            with open(path) as f:
+                side = _json.load(f)
+            if side.get("n_deleted") == n_del:
+                continue  # fresh
+        todo.append(r)
+    if not todo:
+        return {"column": column, "partitions": len(rows), "built": 0}
+
+    def build(batch: pa.Table) -> pa.Table:
+        from . import pipeline as _p
+        pids, counts = [], []
+        for row in _p.manifest_table_to_rows(batch):
+            t = _p.decode_partition(row, columns=[column])
+            arr = t.column(column).combine_chunks().drop_null()
+            vals = arr.to_numpy(zero_copy_only=False)
+            regs = np.zeros(_HLL_M, dtype=np.int64)
+            if vals.size:
+                idx, rank = _hll_hash_ranks(vals)
+                np.maximum.at(regs, idx, rank)
+            nz = np.flatnonzero(regs)
+            side = {"column": column, "p": _HLL_P,
+                    "n_deleted": len(row.get("deleted_rows") or ()),
+                    "nz": [[int(i), int(regs[i])] for i in nz]}
+            path = _os.path.join(sdir, f"{row['pid']}.json")
+            tmp = path + f".tmp{_os.getpid()}"
+            with open(tmp, "w") as f:
+                _json.dump(side, f)
+            _os.replace(tmp, path)
+            pids.append(row["pid"])
+            counts.append(int(nz.size))
+        return pa.table({"pid": pa.array(pids, pa.string()),
+                         "nz_registers": pa.array(counts, pa.int64())})
+
+    from . import pipeline as _p
+    n = concurrency or _p._default_concurrency()
+    ds = _p._sliced_blocks(_p.manifest_rows_to_table(todo),
+                           min(len(todo), n * 2))
+    built = ds.map_batches(build, batch_size=1, batch_format="pyarrow",
+                           num_cpus=1, **rayenv.remote_args()).to_pandas()
+    return {"column": column, "partitions": len(rows),
+            "built": int(len(built))}
+
+
+def approx_distinct_from_sketches(out_dir: str, column: str) -> dict:
+    """COUNT(DISTINCT column) from the committed sidecars alone — a
+    driver-side max-merge of per-partition registers (4 KiB/partition of
+    METADATA; no partition file is ever opened). Raises if any live
+    partition lacks a fresh sidecar: a silent partial merge would
+    undercount — run :func:`build_distinct_sketches` first (it only
+    builds the missing/stale ones)."""
+    import json as _json
+    import os as _os
+
+    from . import pipeline
+
+    sdir = _os.path.join(out_dir, "sketches", column)
+    rows = pipeline.load_manifest(out_dir)
+    regs = np.zeros(_HLL_M, dtype=np.int64)
+    stale = []
+    for r in rows:
+        path = _os.path.join(sdir, f"{r['pid']}.json")
+        n_del = len(r.get("deleted_rows") or ())
+        if not _os.path.exists(path):
+            stale.append(r["pid"])
+            continue
+        with open(path) as f:
+            side = _json.load(f)
+        if side.get("n_deleted") != n_del:
+            stale.append(r["pid"])
+            continue
+        for i, rank in side["nz"]:
+            if rank > regs[i]:
+                regs[i] = rank
+    if stale:
+        raise ValueError(
+            f"{len(stale)} partitions lack a fresh sketch sidecar for "
+            f"{column!r} (e.g. {stale[:3]}) — run "
+            "build_distinct_sketches(out_dir, column) first")
+    return {"column": column, "n_distinct_est": int(round(
+        _hll_estimate(regs))), "partitions": len(rows),
+        "sidecar_bytes": sum(
+            _os.path.getsize(_os.path.join(sdir, f"{r['pid']}.json"))
+            for r in rows)}

@@ -1676,3 +1676,54 @@ def test_moments_per_source_query(ray_session):
     assert out["n_rows"].tolist() == exp["n"].astype("int64").tolist()
     assert out["sum_v"].tolist() == exp["s"].astype("int64").tolist()
     assert out["sum_v2"].tolist() == exp["s2"].astype("int64").tolist()
+
+
+def test_distinct_sketch_sidecars(tmp_path, ray_session):
+    """Round-5 sketch sidecars: per-partition HLL registers persist
+    once, COUNT DISTINCT answers from metadata alone (zero data IO),
+    incremental build touches only new/stale partitions, and tombstones
+    flag staleness."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rwcf import analytics, fixtures, pipeline
+    path = fixtures.tokens_parquet(500, seed=91, cache_dir=str(tmp_path),
+                                   row_group_size=125)
+    out = str(tmp_path / "enc")
+    cfg = pipeline.EncodeConfig(out_dir=out, partition_token_budget=40_000)
+    pipeline.encode_job(path, cfg).materialize()
+
+    r = analytics.build_distinct_sketches(out, "doc_id")
+    assert r["built"] == r["partitions"] > 1
+    est = analytics.approx_distinct_from_sketches(out, "doc_id")
+    exact = 500  # doc_ids unique
+    assert abs(est["n_distinct_est"] - exact) / exact < 0.05
+    # idempotent: nothing rebuilds
+    r2 = analytics.build_distinct_sketches(out, "doc_id")
+    assert r2["built"] == 0
+
+    # append: only the new partitions' sketches build
+    t = pq.read_table(path).slice(0, 40)
+    ids = [f"zz-{i:04d}" for i in range(40)]
+    t = t.set_column(t.schema.get_field_index("doc_id"), "doc_id",
+                     pa.array(ids, pa.string()))
+    newp = str(tmp_path / "new.parquet")
+    pq.write_table(t, newp)
+    pipeline.encode_job(newp, cfg).materialize()
+    r3 = analytics.build_distinct_sketches(out, "doc_id")
+    assert 0 < r3["built"] < r3["partitions"]
+    est2 = analytics.approx_distinct_from_sketches(out, "doc_id")
+    assert abs(est2["n_distinct_est"] - 540) / 540 < 0.05
+
+    # tombstones flag the touched partition stale
+    pipeline.delete_docs(out, ["zz-0000", "zz-0001"])
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="stale|fresh"):
+        analytics.approx_distinct_from_sketches(out, "doc_id")
+    r4 = analytics.build_distinct_sketches(out, "doc_id")
+    assert r4["built"] >= 1
+    est3 = analytics.approx_distinct_from_sketches(out, "doc_id")
+    assert abs(est3["n_distinct_est"] - 538) / 538 < 0.05
