@@ -40,9 +40,27 @@ _MAX_K = 8
 
 
 def _hash2(arr: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
-    """Two independent uint64 hashes per string. The step hash h2 is
-    forced odd so the double-hash probe sequence h1 + i*h2 (mod m, m a
-    power of two) cycles through distinct positions."""
+    """Two independent uint64 hashes per key (string OR integer — round
+    5 extends the sidecar to int key columns, the coverage Parquet's
+    split-block blooms have). The step hash h2 is forced odd so the
+    double-hash probe sequence h1 + i*h2 (mod m, m a power of two)
+    cycles through distinct positions."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_integer(arr.type):
+        v = arr.cast(pa.int64()).to_numpy(zero_copy_only=False) \
+            .view(np.uint64)
+        # two rounds of splitmix64-style finalization per stream —
+        # vectorized, no byte-payload detour for fixed-width keys
+        def mix(x, c1, c2):
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(c1)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(c2)
+            return x ^ (x >> np.uint64(31))
+        h1 = mix(v + np.uint64(0x9E3779B97F4A7C15),
+                 0xBF58476D1CE4E5B9, 0x94D049BB133111EB)
+        h2 = mix(v + np.uint64(0xC2B2AE3D27D4EB4F),
+                 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53) | np.uint64(1)
+        return h1, h2
     lengths, payload = fmt.chunk_from_arrow(arr)
     h1 = textops.segment_poly_hash(lengths, payload, base=_B1)
     h2 = textops.segment_poly_hash(lengths, payload, base=_B2) | np.uint64(1)
@@ -63,6 +81,13 @@ def build(keys: pa.Array | pa.ChunkedArray | list,
     the packed bit array (little-endian within each byte)."""
     if not isinstance(keys, (pa.Array, pa.ChunkedArray)):
         keys = pa.array([str(x) for x in keys], pa.string())
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    # null keys never point-lookup-match (SQL eq), so they don't enter
+    # the filter — and the probe side's might_contain(null)=absent is
+    # then consistent by construction
+    if keys.null_count:
+        keys = keys.drop_null()
     n = len(keys)
     m_bits = 1 << max(6, int(np.ceil(np.log2(max(n, 1) * bits_per_key))))
     k = max(1, min(_MAX_K, int(round(0.6931 * m_bits / max(n, 1)))))
@@ -81,7 +106,11 @@ def might_contain(m_bits: int, k: int, data: np.ndarray,
     """Boolean mask per probe: False = definitely absent, True = maybe
     present (no false negatives)."""
     if not isinstance(probes, (pa.Array, pa.ChunkedArray)):
-        probes = pa.array([str(x) for x in probes], pa.string())
+        probes = list(probes)
+        if probes and isinstance(probes[0], (int, np.integer)):
+            probes = pa.array([int(x) for x in probes], pa.int64())
+        else:
+            probes = pa.array([str(x) for x in probes], pa.string())
     if len(probes) == 0:
         return np.zeros(0, dtype=bool)
     pos = _positions(*_hash2(probes), m_bits, k)

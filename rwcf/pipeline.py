@@ -300,7 +300,10 @@ def encode_partition(tbl: pa.Table, pid: str, cfg: EncodeConfig,
         from . import bloom as _bloom
         boff = offset
         for name in cfg.bloom_columns:
-            if name not in chunks or not fmt.is_string(chunks[name][1]):
+            # string AND integer key columns (round 5 — the coverage
+            # Parquet's split-block blooms have); tokens/n_tok excluded
+            # (value stream / list offsets, not point-lookup keys)
+            if name not in chunks or name in ("tokens", "n_tok"):
                 continue
             bf = _bloom.build(tbl.column(name), cfg.bloom_bits_per_key)
             raw = bf["data"].tobytes()
