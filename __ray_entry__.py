@@ -4389,6 +4389,24 @@ def _q_ann_ivf_store(sf_dir: str):
     return df[["qid", "vec_id", "rank"]]
 
 
+def _q_ann_fetch_vectors(sf_dir: str):
+    """Vector reconstruction by id over the IVF store
+    (annstore.fetch_vectors): vec_id zone maps + int-key Bloom sidecars
+    admit a partition subset (asserted inline), decoded float32s are
+    bit-exact vs source (pytest-pinned); the SQL oracle checks the id
+    set and dimensions."""
+    import pandas as pd
+
+    from rwcf import annstore
+    out = _ivf_store(sf_dir)
+    ids = [3, 77, 411]
+    got, st = annstore.fetch_vectors(out, ids)
+    assert st["partitions_admitted"] < st["partitions_total"], st
+    return pd.DataFrame({
+        "vec_id": got["vec_id"].astype("int64"),
+        "dim": [int(len(v)) for v in got["embedding"]]})
+
+
 def _q_ann_ivf_store_filtered(sf_dir: str):
     """Filtered vector search over the persistent IVF store: a
     vectorized metadata predicate (even vec_id) composes with the
@@ -4717,6 +4735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "null_filter_scan": _q_null_filter_scan,
         "ann_ivf_store_full": _q_ann_ivf_store_full,
         "ann_ivf_store_filtered": _q_ann_ivf_store_filtered,
+        "ann_fetch_vectors": _q_ann_fetch_vectors,
         "store_distinct_sketch": _q_store_distinct_sketch,
         "incremental_cluster_scan": _q_incremental_cluster_scan,
         # -- never-driven until round 4: curation / analytics-tail / joins
@@ -5003,6 +5022,9 @@ def oracle_sql() -> dict[str, str]:
         "store_distinct_sketch": (
             "SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_exact, "
             "TRUE AS sketch_ok FROM documents"),
+        "ann_fetch_vectors": (
+            "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim "
+            "FROM embeddings WHERE vec_id IN (3, 77, 411)"),
         "ann_ivf_store_full": (
             "SELECT q.vec_id AS qid, e.vec_id AS vec_id, "
             "CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY "

@@ -157,7 +157,8 @@ def append_ivf_store(ds, out_dir: str, run_tag: str,
 
     cfg = pipeline.EncodeConfig(
         out_dir=out_dir, columns=["vec_id", "tokens", "n_tok"],
-        partition_token_budget=partition_row_budget * dim)
+        partition_token_budget=partition_row_budget * dim,
+        bloom_bits_per_key=10, bloom_columns=("vec_id",))
     tag = f"{zlib.crc32(str(run_tag).encode()) & 0xFFFFFFFF:08x}"
 
     def encode_list(g: pa.Table) -> pa.Table:
@@ -277,6 +278,76 @@ def query_ivf_store(out_dir: str, queries: np.ndarray,
                           batch_format="pyarrow", num_cpus=1,
                           **rayenv.remote_args()).to_pandas()
     return _rank_topk(cand, k), stats
+
+
+def fetch_vectors(out_dir: str, ids: list[int],
+                  concurrency: int | None = None):
+    """Reconstruct stored vectors BY ID — the ANN store's point-lookup
+    complement to the probe-pruned similarity query. Index-grade IO:
+    manifest vec_id zone maps prune first, then each surviving
+    partition's int-key Bloom sidecar (one ~n*10/8-byte read) rejects
+    unless some probe MAY be present; only admitted partitions decode.
+    Returns ``(DataFrame(vec_id, embedding float32 list), io_stats)``
+    with partition-level admit accounting."""
+    import ray
+
+    from . import bloom as _bloom
+
+    want = sorted(int(i) for i in ids)
+    rows = pipeline.load_manifest(out_dir)
+    admitted = []
+    for r in rows:
+        st = (r.get("stats") or {}).get("vec_id")
+        if st and st.get("min") is not None:
+            if all(v < st["min"] or v > st["max"] for v in want):
+                continue
+        bm = pipeline.read_bloom(r, "vec_id")
+        if bm is not None and not _bloom.might_contain(
+                bm[0], bm[1], bm[2], want).any():
+            continue
+        admitted.append(r)
+    stats = {"partitions_total": len(rows),
+             "partitions_admitted": len(admitted),
+             "bytes_total": int(sum(r["encoded_bytes"] for r in rows)),
+             "bytes_admitted": int(sum(r["encoded_bytes"]
+                                       for r in admitted))}
+    if not admitted:
+        return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                             "embedding": pd.Series(dtype=object)}), stats
+    wref = ray.put(np.asarray(want, dtype=np.int64))
+
+    def gather(batch: pa.Table) -> pa.Table:
+        w = ray.get(wref)
+        out_ids, out_vecs = [], []
+        for row in pipeline.manifest_table_to_rows(batch):
+            t = pipeline.decode_partition(row)
+            vids, mat = _vectors_from(t)
+            pos = np.searchsorted(w, vids)
+            hit = (pos < w.size) & (w[np.minimum(pos, w.size - 1)]
+                                    == vids)
+            if hit.any():
+                out_ids.append(vids[hit])
+                out_vecs.append(mat[hit].astype(np.float32))
+        if not out_ids:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "embedding": pa.array(
+                                 [], pa.list_(pa.float32()))})
+        vids = np.concatenate(out_ids)
+        mat = np.concatenate(out_vecs)
+        offsets = np.arange(0, (vids.size + 1) * mat.shape[1],
+                            mat.shape[1], dtype=np.int64)
+        emb = pa.LargeListArray.from_arrays(
+            offsets, pa.array(mat.ravel(), pa.float32())) \
+            .cast(pa.list_(pa.float32()))
+        return pa.table({"vec_id": pa.array(vids, pa.int64()),
+                         "embedding": emb})
+
+    n = concurrency or pipeline._default_concurrency()
+    ds = pipeline._sliced_blocks(pipeline.manifest_rows_to_table(admitted),
+                                 min(len(admitted), n * 2))
+    df = ds.map_batches(gather, batch_size=1, batch_format="pyarrow",
+                        num_cpus=1, **rayenv.remote_args()).to_pandas()
+    return df.sort_values("vec_id").reset_index(drop=True), stats
 
 
 def query_vectors_from_parquet(path: str, query_ids: list[int],

@@ -190,3 +190,31 @@ def test_filtered_query_composes_with_probe_prune(store):
     b = exact[["qid", "vec_id", "rank"]].astype("int64") \
         .sort_values(["qid", "rank"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_fetch_vectors_by_id(tmp_path_factory, ray_session):
+    """Vector reconstruction by id: zone maps + int-key Bloom sidecars
+    admit a partition subset, decoded floats are bit-exact."""
+    import ray.data as rd
+    out = str(tmp_path_factory.mktemp("ivf2") / "store")
+    ds = rd.read_parquet(EMB, columns=["vec_id", "embedding"])
+    annstore.build_ivf_store(ds, out, n_clusters=16,
+                             partition_row_budget=64).materialize()
+    rows = pipeline.load_manifest(out)
+    assert all("vec_id" in (r.get("bloom") or {}) for r in rows)
+
+    ids = [3, 77, 411]
+    got, st = annstore.fetch_vectors(out, ids)
+    assert got["vec_id"].tolist() == ids
+    src = rd.read_parquet(EMB, columns=["vec_id", "embedding"]) \
+        .to_pandas().set_index("vec_id")
+    for vid in ids:
+        want = np.asarray(src.loc[vid, "embedding"], np.float32)
+        have = np.asarray(got.set_index("vec_id").loc[vid, "embedding"],
+                          np.float32)
+        assert np.array_equal(want, have)
+    # index-grade: the point fetch must not decode the whole store
+    assert st["partitions_admitted"] < st["partitions_total"]
+    # absent id: typed-empty result, nothing decoded beyond the prune
+    got2, _ = annstore.fetch_vectors(out, [999_999])
+    assert len(got2) == 0
