@@ -3222,6 +3222,26 @@ def fsck_store(out_dir: str, deep: bool = False,
                 except Exception:
                     ok_bloom = False
             emit(pid, "bloom_sidecar", ok_bloom)
+            # sketch sidecars (rwcf.analytics HLL distinct, round 5):
+            # for every sketched column, a live partition's sidecar must
+            # exist and record the partition's CURRENT delete count —
+            # a stale sidecar silently skews the metadata-only merge
+            sk_root = os.path.join(out_dir, "sketches")
+            if os.path.isdir(sk_root):
+                ok_sk = True
+                n_del = len(row.get("deleted_rows") or ())
+                for colname in os.listdir(sk_root):
+                    sp = os.path.join(sk_root, colname, f"{pid}.json")
+                    if not os.path.exists(sp):
+                        ok_sk = False
+                        continue
+                    try:
+                        with open(sp) as f:
+                            if json.load(f).get("n_deleted") != n_del:
+                                ok_sk = False
+                    except Exception:
+                        ok_sk = False
+                emit(pid, "sketch_fresh", ok_sk)
             ok_crc = exists
             if deep and exists:
                 try:

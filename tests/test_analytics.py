@@ -1727,3 +1727,26 @@ def test_distinct_sketch_sidecars(tmp_path, ray_session):
     assert r4["built"] >= 1
     est3 = analytics.approx_distinct_from_sketches(out, "doc_id")
     assert abs(est3["n_distinct_est"] - 538) / 538 < 0.05
+
+
+def test_fsck_flags_stale_sketches(tmp_path, ray_session):
+    from rwcf import analytics, fixtures, pipeline
+    path = fixtures.tokens_parquet(300, seed=92, cache_dir=str(tmp_path),
+                                   row_group_size=150)
+    out = str(tmp_path / "enc")
+    cfg = pipeline.EncodeConfig(out_dir=out, partition_token_budget=40_000)
+    pipeline.encode_job(path, cfg).materialize()
+    analytics.build_distinct_sketches(out, "source")
+    ok = pipeline.fsck_store(out, concurrency=2).to_pandas()
+    sk = ok[ok["check"] == "sketch_fresh"]
+    assert len(sk) and bool(sk["ok"].all())
+    # a delete makes the touched partition's sketch stale
+    first = pipeline.decode_job(out, columns=["doc_id"]).take(1)
+    pipeline.delete_docs(out, [first[0]["doc_id"]])
+    bad = pipeline.fsck_store(out, concurrency=2).to_pandas()
+    skb = bad[bad["check"] == "sketch_fresh"]
+    assert not bool(skb["ok"].all())
+    # rebuild restores green
+    analytics.build_distinct_sketches(out, "source")
+    again = pipeline.fsck_store(out, concurrency=2).to_pandas()
+    assert bool(again[again["check"] == "sketch_fresh"]["ok"].all())
