@@ -464,3 +464,37 @@ def test_cdc_scan_nullable_source(tmp_path, ray_session):
     delta = pipeline.cdc_scan(out, s0, s1).to_pandas()
     assert (delta["op"] == "update").all()
     assert len(delta) == res["rows_matched"]
+
+
+def test_spj_pushdown_isnull_through_join(tmp_path, ray_session):
+    """IS NOT NULL pushed THROUGH the zero-shuffle storage-partitioned
+    join: null_count zone maps prune the b-side partitions before any
+    decode, the in-task filter is exact."""
+    import ray.data as rd
+
+    from rwcf import spj
+    n = 160
+    ids = [f"d{i:04d}" for i in range(n)]
+    t_a = pa.table({"doc_id": pa.array(ids, pa.string()),
+                    "val": pa.array(np.arange(n, dtype=np.int64))})
+    score = pa.array(np.arange(n, dtype=np.int64), pa.int64(),
+                     mask=np.arange(n) % 2 == 0)
+    t_b = pa.table({"doc_id": pa.array(ids, pa.string()),
+                    "score": score})
+    pa_p, pb_p = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    pq.write_table(t_a, pa_p)
+    pq.write_table(t_b, pb_p)
+    sa, sb = str(tmp_path / "sa"), str(tmp_path / "sb")
+    spj.bucket_store(pa_p, pipeline.EncodeConfig(
+        out_dir=sa, columns=["doc_id", "val"],
+        partition_token_budget=40), "doc_id", 4).materialize()
+    spj.bucket_store(pb_p, pipeline.EncodeConfig(
+        out_dir=sb, columns=["doc_id", "score"],
+        partition_token_budget=40), "doc_id", 4).materialize()
+    got = spj.storage_partitioned_join(
+        sa, sb, where_b={"col": "score", "isnull": False}) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # inner join after b-side IS NOT NULL filter: odd indices only
+    assert len(got) == n // 2
+    assert got["score"].notna().all()
+    assert (got["val"] % 2 == 1).all()
