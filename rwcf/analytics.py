@@ -3628,14 +3628,43 @@ def build_distinct_sketches(out_dir: str, column: str,
             "built": int(len(built))}
 
 
-def approx_distinct_from_sketches(out_dir: str, column: str) -> dict:
-    """COUNT(DISTINCT column) from the committed sidecars alone — a
-    driver-side max-merge of per-partition registers (4 KiB/partition of
-    METADATA; no partition file is ever opened). Raises if any live
-    partition lacks a fresh sidecar: a silent partial merge would
-    undercount — run :func:`build_distinct_sketches` first (it only
-    builds the missing/stale ones)."""
+#: merge mode cutover: below this many partitions the driver reads the
+#: sidecars itself (one pass, tiny); above it the reads fan out to Ray
+#: tasks that return ONE register-max partial per block, so the driver
+#: sees O(blocks x 32 KiB), not O(partitions) file reads — at 1e6
+#: partitions the driver-side loop would be GBs of sequential JSON IO
+_SKETCH_MERGE_DISTRIBUTED_MIN = 2048
+
+
+def _merge_sidecar(regs: np.ndarray, path: str, n_del: int) -> bool:
+    """Fold one sidecar into ``regs``; False = missing/stale."""
     import json as _json
+    import os as _os
+    if not _os.path.exists(path):
+        return False
+    with open(path) as f:
+        side = _json.load(f)
+    if side.get("n_deleted") != n_del:
+        return False
+    nz = side["nz"]
+    if nz:
+        idx = np.fromiter((p[0] for p in nz), np.int64, len(nz))
+        rk = np.fromiter((p[1] for p in nz), np.int64, len(nz))
+        np.maximum.at(regs, idx, rk)
+    return True
+
+
+def approx_distinct_from_sketches(out_dir: str, column: str,
+                                  concurrency: int | None = None) -> dict:
+    """COUNT(DISTINCT column) from the committed sidecars alone — a
+    max-merge of per-partition registers (4 KiB/partition of METADATA;
+    no partition file is ever opened). Small stores merge on the
+    driver; past ``_SKETCH_MERGE_DISTRIBUTED_MIN`` partitions the
+    sidecar reads fan out to Ray tasks that ship one register partial
+    per block. Raises if any live partition lacks a fresh sidecar: a
+    silent partial merge would undercount — run
+    :func:`build_distinct_sketches` first (it only builds the
+    missing/stale ones)."""
     import os as _os
 
     from . import pipeline
@@ -3643,28 +3672,48 @@ def approx_distinct_from_sketches(out_dir: str, column: str) -> dict:
     sdir = _os.path.join(out_dir, "sketches", column)
     rows = pipeline.load_manifest(out_dir)
     regs = np.zeros(_HLL_M, dtype=np.int64)
-    stale = []
-    for r in rows:
-        path = _os.path.join(sdir, f"{r['pid']}.json")
-        n_del = len(r.get("deleted_rows") or ())
-        if not _os.path.exists(path):
-            stale.append(r["pid"])
-            continue
-        with open(path) as f:
-            side = _json.load(f)
-        if side.get("n_deleted") != n_del:
-            stale.append(r["pid"])
-            continue
-        for i, rank in side["nz"]:
-            if rank > regs[i]:
-                regs[i] = rank
+    stale: list[str] = []
+    sidecar_bytes = 0
+    if len(rows) < _SKETCH_MERGE_DISTRIBUTED_MIN:
+        for r in rows:
+            path = _os.path.join(sdir, f"{r['pid']}.json")
+            if _merge_sidecar(regs, path,
+                              len(r.get("deleted_rows") or ())):
+                sidecar_bytes += _os.path.getsize(path)
+            else:
+                stale.append(r["pid"])
+    else:
+        def partial(batch: pa.Table) -> pa.Table:
+            pregs = np.zeros(_HLL_M, dtype=np.int64)
+            bad, nbytes = [], 0
+            for row in pipeline.manifest_table_to_rows(batch):
+                path = _os.path.join(sdir, f"{row['pid']}.json")
+                if _merge_sidecar(pregs, path,
+                                  len(row.get("deleted_rows") or ())):
+                    nbytes += _os.path.getsize(path)
+                else:
+                    bad.append(row["pid"])
+            return pa.table({
+                "regs": pa.array([pregs.tolist()],
+                                 pa.list_(pa.int64())),
+                "stale": pa.array([bad], pa.list_(pa.string())),
+                "nbytes": pa.array([nbytes], pa.int64())})
+
+        n = concurrency or pipeline._default_concurrency()
+        ds = pipeline._sliced_blocks(pipeline.manifest_rows_to_table(rows),
+                                     n * 2)
+        parts = ds.map_batches(partial, batch_format="pyarrow",
+                               **rayenv.remote_args()).to_pandas()
+        for rl in parts["regs"]:
+            np.maximum(regs, np.asarray(rl, np.int64), out=regs)
+        for b in parts["stale"]:
+            stale.extend(b)
+        sidecar_bytes = int(parts["nbytes"].sum())
     if stale:
         raise ValueError(
             f"{len(stale)} partitions lack a fresh sketch sidecar for "
-            f"{column!r} (e.g. {stale[:3]}) — run "
+            f"{column!r} (e.g. {sorted(stale)[:3]}) — run "
             "build_distinct_sketches(out_dir, column) first")
     return {"column": column, "n_distinct_est": int(round(
         _hll_estimate(regs))), "partitions": len(rows),
-        "sidecar_bytes": sum(
-            _os.path.getsize(_os.path.join(sdir, f"{r['pid']}.json"))
-            for r in rows)}
+        "sidecar_bytes": int(sidecar_bytes)}

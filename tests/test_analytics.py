@@ -1750,3 +1750,21 @@ def test_fsck_flags_stale_sketches(tmp_path, ray_session):
     analytics.build_distinct_sketches(out, "source")
     again = pipeline.fsck_store(out, concurrency=2).to_pandas()
     assert bool(again[again["check"] == "sketch_fresh"]["ok"].all())
+
+
+def test_sketch_merge_distributed_parity(tmp_path, ray_session,
+                                         monkeypatch):
+    """The distributed register merge (forced via threshold=0) returns
+    the identical estimate as the driver-side loop."""
+    from rwcf import analytics, fixtures, pipeline
+    path = fixtures.tokens_parquet(400, seed=93, cache_dir=str(tmp_path),
+                                   row_group_size=100)
+    out = str(tmp_path / "enc")
+    cfg = pipeline.EncodeConfig(out_dir=out, partition_token_budget=30_000)
+    pipeline.encode_job(path, cfg).materialize()
+    analytics.build_distinct_sketches(out, "doc_id")
+    a = analytics.approx_distinct_from_sketches(out, "doc_id")
+    monkeypatch.setattr(analytics, "_SKETCH_MERGE_DISTRIBUTED_MIN", 0)
+    b = analytics.approx_distinct_from_sketches(out, "doc_id")
+    assert a["n_distinct_est"] == b["n_distinct_est"]
+    assert a["sidecar_bytes"] == b["sidecar_bytes"]
