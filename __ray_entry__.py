@@ -4504,6 +4504,48 @@ def _q_incremental_cluster_scan(sf_dir: str):
 # round 5: null / validity support (rwcf.format v2 footer)
 # ---------------------------------------------------------------------------
 
+def _q_exists_orders(sf_dir: str):
+    """TPC-H-Q4-shaped EXISTS subquery as a distributed SEMI join
+    (rwcf.relational.exists_orders_by_priority): lineitem collapses to
+    distinct matching orderkeys in-batch, key-only rows shuffle once."""
+    import ray.data as rd
+
+    from rwcf.relational import exists_orders_by_priority
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_orderpriority"])
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_returnflag"])
+    return exists_orders_by_priority(orders, li)
+
+
+def _q_customer_distribution(sf_dir: str):
+    """TPC-H-Q13-shaped customer distribution INCLUDING the zero
+    bucket: one bucketed LEFT join whose null fill IS the zero-order
+    bucket (rwcf.relational.customer_distribution)."""
+    import ray.data as rd
+
+    from rwcf.relational import customer_distribution
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey"])
+    return customer_distribution(orders, cust)
+
+
+def _q_sole_failure_suppliers(sf_dir: str):
+    """TPC-H-Q21-shaped double quantifier (EXISTS another supplier AND
+    NOT EXISTS another failing supplier) resolved with vectorized
+    segment arithmetic inside one bucketed orderkey shuffle
+    (rwcf.relational.sole_failure_suppliers)."""
+    import ray.data as rd
+
+    from rwcf.relational import sole_failure_suppliers
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_returnflag"])
+    return sole_failure_suppliers(li)
+
+
 def _q_store_distinct_sketch(sf_dir: str):
     """Persisted HLL sketch sidecars (rwcf.analytics
     build_distinct_sketches, round 5): per-partition registers commit
@@ -4737,6 +4779,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_store_filtered": _q_ann_ivf_store_filtered,
         "ann_fetch_vectors": _q_ann_fetch_vectors,
         "store_distinct_sketch": _q_store_distinct_sketch,
+        "exists_orders_priority": _q_exists_orders,
+        "customer_distribution": _q_customer_distribution,
+        "sole_failure_suppliers": _q_sole_failure_suppliers,
         "incremental_cluster_scan": _q_incremental_cluster_scan,
         # -- never-driven until round 4: curation / analytics-tail / joins
         "range_join_events": _q_range_join,
@@ -5025,6 +5070,30 @@ def oracle_sql() -> dict[str, str]:
         "ann_fetch_vectors": (
             "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim "
             "FROM embeddings WHERE vec_id IN (3, 77, 411)"),
+        "exists_orders_priority": (
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS "
+            "order_count FROM orders o WHERE EXISTS (SELECT 1 FROM "
+            "lineitem l WHERE l.l_orderkey = o.o_orderkey AND "
+            "l.l_returnflag = 'R') GROUP BY o_orderpriority"),
+        "customer_distribution": (
+            "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist "
+            "FROM (SELECT c.c_custkey, CAST(count(o.o_orderkey) AS "
+            "BIGINT) AS c_count FROM customer c LEFT JOIN orders o "
+            "ON c.c_custkey = o.o_custkey GROUP BY c.c_custkey) "
+            "GROUP BY c_count"),
+        "sole_failure_suppliers": (
+            "WITH pairs AS (SELECT l_orderkey, l_suppkey, "
+            "sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS "
+            "fails FROM lineitem GROUP BY l_orderkey, l_suppkey), "
+            "ordstats AS (SELECT l_orderkey, count(*) AS n_supp, "
+            "sum(CASE WHEN fails > 0 THEN 1 ELSE 0 END) AS f_tot "
+            "FROM pairs GROUP BY l_orderkey) "
+            "SELECT CAST(p.l_suppkey AS BIGINT) AS s_suppkey, "
+            "CAST(count(*) AS BIGINT) AS numwait "
+            "FROM pairs p JOIN ordstats o ON p.l_orderkey = o.l_orderkey "
+            "WHERE p.fails > 0 AND o.n_supp >= 2 AND o.f_tot = 1 "
+            "GROUP BY p.l_suppkey "
+            "ORDER BY numwait DESC, s_suppkey LIMIT 10"),
         "ann_ivf_store_full": (
             "SELECT q.vec_id AS qid, e.vec_id AS vec_id, "
             "CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY "

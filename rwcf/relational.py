@@ -2232,3 +2232,173 @@ def cheapest_supplier_per_brand(lineitem, supplier, part,
     # partials are <=|brands| rows per batch: the fold is tiny
     return partials.repartition(1).map_batches(
         final, batch_format="pyarrow", **rayenv.remote_args())
+
+
+def exists_orders_by_priority(orders, lineitem, returnflag: str = "R",
+                              buckets: int = 32):
+    """TPC-H-Q4-shaped EXISTS: count orders per priority that have AT
+    LEAST ONE lineitem matching a predicate (here l_returnflag =
+    ``returnflag``) — ``WHERE EXISTS (subquery)`` realized as a
+    distributed SEMI join. Scale shape: the lineitem side collapses to
+    DISTINCT matching orderkeys in-batch (a semi join needs membership,
+    not rows), the semi join ships those key-only rows through one
+    bucketed exchange, and the surviving orders aggregate per priority
+    (priority-domain-sized final)."""
+    from ray.data.aggregate import Sum
+
+    def li_keys(t: pa.Table) -> pa.Table:
+        m = pc.equal(t.column("l_returnflag"), returnflag)
+        keys = t.filter(m).column("l_orderkey").combine_chunks()
+        return pa.table({"l_orderkey": keys.unique()})
+
+    matches = lineitem.map_batches(li_keys, batch_format="pyarrow",
+                                   **rayenv.remote_args())
+    kept = hash_join(orders.select_columns(
+        ["o_orderkey", "o_orderpriority"]), matches,
+        on="o_orderkey", right_on="l_orderkey", buckets=buckets,
+        how="semi")
+
+    def part(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_orderpriority").aggregate([([], "count_all")])
+        return pa.table({"o_orderpriority": g.column("o_orderpriority"),
+                         "n": g.column("count_all")})
+
+    agg = kept.map_batches(part, batch_format="pyarrow",
+                           **rayenv.remote_args()) \
+        .groupby("o_orderpriority").sum("n")
+    import pandas as pd
+    df = agg.to_pandas().rename(columns={"sum(n)": "order_count"})
+    return df.sort_values("o_orderpriority", ignore_index=True)
+
+
+def customer_distribution(orders, customer, buckets: int = 32):
+    """TPC-H-Q13-shaped distribution INCLUDING the zero bucket:
+    ``(c_count, custdist)`` where customers with no orders land in
+    c_count = 0 — the part the inner-join histogram
+    (:func:`customer_order_histogram`) cannot express. Scale shape:
+    per-customer counts collapse in-batch, ONE bucketed LEFT join from
+    the customer table fills the zero bucket null-safely (the join's
+    null fill IS the zero), then a count-domain-sized histogram."""
+    from ray.data.aggregate import Sum
+
+    def ord_part(t: pa.Table) -> pa.Table:
+        ck = t.column("o_custkey").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, counts = _segsum(ck, np.ones(ck.size, dtype=np.int64))
+        return pa.table({"ck": pa.array(keys), "n": pa.array(counts)})
+
+    per_cust = (orders.map_batches(ord_part, batch_format="pyarrow",
+                                   **rayenv.remote_args())
+                .groupby("ck").sum("n"))
+
+    def cnt_proj(t: pa.Table) -> pa.Table:
+        return pa.table({"ck": t.column("ck"),
+                         "n": pc.cast(t.column("sum(n)"), pa.int64())})
+
+    counts = per_cust.map_batches(cnt_proj, batch_format="pyarrow",
+                                  **rayenv.remote_args())
+    j = hash_join(customer.select_columns(["c_custkey"]), counts,
+                  on="c_custkey", right_on="ck", buckets=buckets,
+                  how="left")
+
+    def hist_part(t: pa.Table) -> pa.Table:
+        n = pc.fill_null(t.column("n"), 0).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, counts_ = _segsum(n, np.ones(n.size, dtype=np.int64))
+        return pa.table({"c_count": pa.array(keys),
+                         "custdist": pa.array(counts_)})
+
+    agg = j.map_batches(hist_part, batch_format="pyarrow",
+                        **rayenv.remote_args()) \
+        .groupby("c_count").sum("custdist")
+    import pandas as pd
+    df = agg.to_pandas().rename(columns={"sum(custdist)": "custdist"})
+    df["c_count"] = df["c_count"].astype("int64")
+    df["custdist"] = df["custdist"].astype("int64")
+    return df.sort_values(["custdist", "c_count"],
+                          ascending=[False, False], ignore_index=True)
+
+
+def sole_failure_suppliers(lineitem, returnflag: str = "R",
+                           k: int = 10, buckets: int = 32):
+    """TPC-H-Q21-shaped double-quantifier: suppliers who, on
+    multi-supplier orders, were the ONLY supplier with a failed
+    (``l_returnflag = returnflag``) line — EXISTS(other supplier's
+    line) AND NOT EXISTS(other supplier's failed line), counted per
+    supplier, top-``k`` by count (suppkey tie-break). Scale shape: ONE
+    bucketed shuffle on hash(orderkey); in-bucket both quantifiers
+    resolve with vectorized segment arithmetic over the sorted
+    (orderkey, suppkey) pairs — distinct-supplier counts and per-order
+    failure totals, no per-order Python loop; only (suppkey, 1)
+    partials leave the bucket."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_bucket
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = t.column("l_suppkey").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        fail = pc.equal(t.column("l_returnflag"), returnflag) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        # distinct (order, supplier) with per-pair failure counts
+        key = ok * np.int64(1 << 20) + sk  # suppkey < 2^20 in fixtures
+        ukeys, fsum = _segsum(key, fail)
+        _, ones = _segsum(key, np.ones(key.size, dtype=np.int64))
+        return pa.table({
+            "ok": pa.array(ukeys // (1 << 20)),
+            "sk": pa.array(ukeys % (1 << 20)),
+            "fails": pa.array(fsum)})
+
+    rows = lineitem.select_columns(
+        ["l_orderkey", "l_suppkey", "l_returnflag"]) \
+        .map_batches(pairs, batch_format="pyarrow",
+                     **rayenv.remote_args())
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = hash_bucket(t.column("ok").to_numpy(zero_copy_only=False),
+                        buckets=buckets)
+        return t.append_column("_b", pa.array(b))
+
+    def in_bucket(g: pa.Table) -> pa.Table:
+        ok = g.column("ok").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        sk = g.column("sk").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        fl = g.column("fails").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        key = ok * np.int64(1 << 20) + sk
+        # cross-batch re-distinct (a pair may appear in several batches)
+        ukeys, fsum = _segsum(key, fl)
+        ok = ukeys // (1 << 20)
+        sk = ukeys % (1 << 20)
+        order = np.argsort(ok, kind="stable")
+        ok, sk, fsum = ok[order], sk[order], fsum[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], ok[1:] != ok[:-1])))
+        seg = np.repeat(np.arange(starts.size),
+                        np.diff(np.concatenate((starts, [ok.size]))))
+        n_supp = np.bincount(seg)  # distinct suppliers per order
+        f_tot = np.bincount(seg, weights=(fsum > 0))  # failing suppliers
+        qual = (fsum > 0) & (n_supp[seg] >= 2) & (f_tot[seg] == 1)
+        if not qual.any():
+            return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                             "numwait": pa.array([], pa.int64())})
+        qk, qn = _segsum(sk[qual], np.ones(int(qual.sum()),
+                                           dtype=np.int64))
+        return pa.table({"s_suppkey": pa.array(qk),
+                         "numwait": pa.array(qn)})
+
+    agg = rows.map_batches(add_bucket, batch_format="pyarrow",
+                           **rayenv.remote_args()) \
+        .groupby("_b").map_groups(in_bucket, batch_format="pyarrow",
+                                  **rayenv.remote_args()) \
+        .groupby("s_suppkey").sum("numwait")
+    import pandas as pd
+    df = agg.to_pandas().rename(columns={"sum(numwait)": "numwait"})
+    df["numwait"] = df["numwait"].astype("int64")
+    df = df.sort_values(["numwait", "s_suppkey"],
+                        ascending=[False, True], ignore_index=True)
+    return df.head(k).reset_index(drop=True)
