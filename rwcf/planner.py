@@ -35,7 +35,7 @@ import pyarrow as pa
 
 from . import pipeline, rayenv
 
-_OPS = ("eq", "between", "contains_tokens")
+_OPS = ("eq", "between", "contains_tokens", "isnull")
 
 
 def partition_stats(out_dir: str, snapshot: str | None = None):
@@ -126,6 +126,13 @@ def plan_scan(out_dir: str, column: str, op: str, value=None,
             pids = {r["pid"] for r in rows}
             strategy = "full"
         admitted = [r for r in rows if r["pid"] in pids]
+    elif op == "isnull":
+        # null-count zone map (round 5, v2 validity footers): value is
+        # the bool (True = IS NULL, False = IS NOT NULL)
+        from .update import _zone_admits as _za
+        admitted = [r for r in rows
+                    if _za(r, column, isnull=bool(value))]
+        strategy = ("nullmap" if len(admitted) < total else "full")
     else:
         lo, hi = (value, value) if op == "eq" else (value, value2)
         zone = [r for r in rows if _zone_admits(row=r, column=column,
@@ -135,7 +142,15 @@ def plan_scan(out_dir: str, column: str, op: str, value=None,
         if op == "eq" and any((r.get("bloom") or {}).get(column)
                               for r in zone):
             from . import bloom as _bloom
-            probe = pa.array([str(value)], pa.string())
+            from . import format as _fmt
+            # probe with the COLUMN's dtype: an int-key sidecar hashes
+            # fixed-width keys, so a str(value) probe would hash down
+            # the string path and manufacture false negatives
+            dt = next((c["dtype"] for r in zone for c in r["columns"]
+                       if c["column"] == column), "str")
+            probe = (pa.array([int(value)], pa.int64())
+                     if not _fmt.is_string(dt)
+                     else pa.array([str(value)], pa.string()))
             kept = []
             for r in zone:
                 bm = pipeline.read_bloom(r, column)
@@ -313,6 +328,11 @@ def planned_scan(out_dir: str, column: str, op: str, value=None,
                 else pa.scalar(str(value))
             return t.filter(pc.fill_null(pc.equal(c, v), False)) \
                 .select(columns or need)
+    elif op == "isnull":
+        def filt(t: pa.Table) -> pa.Table:
+            c = t.column(column)
+            m = pc.is_null(c) if value else pc.is_valid(c)
+            return t.filter(m).select(columns or need)
     else:
         def filt(t: pa.Table) -> pa.Table:
             c = t.column(column)

@@ -380,3 +380,72 @@ def test_planned_join_pushdown_all_strategies(join_stores):
         got[cols].sort_values(cols).reset_index(drop=True),
         exp[cols].sort_values(cols).reset_index(drop=True),
         check_dtype=False)
+
+
+def test_plan_eq_probes_int_bloom_with_int(tmp_path, ray_session):
+    """Round-5 regression: an eq-plan over an INT-key bloom column must
+    probe with the int hash path — a str(value) probe would hash down
+    the string path and prune partitions that DO contain the value."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from rwcf import fixtures as fx
+    path = fx.tokens_parquet(300, seed=17, cache_dir=str(tmp_path),
+                             row_group_size=100)
+    t = pq_.read_table(path)
+    uid = pa.array((np.arange(t.num_rows) * 104729 % 10**6)
+                   .astype(np.int64))
+    t = t.append_column("uid", uid)
+    src = str(tmp_path / "u.parquet")
+    pq_.write_table(t, src, row_group_size=100)
+    out = str(tmp_path / "enc")
+    cfg = pipeline.EncodeConfig(
+        out_dir=out, partition_token_budget=30_000,
+        columns=["doc_id", "tokens", "n_tok", "source", "uid"],
+        bloom_bits_per_key=10, bloom_columns=("uid",))
+    pipeline.encode_job(src, cfg).materialize()
+
+    probe = int(uid[137].as_py())
+    ds, plan = planner.planned_scan(out, "uid", "eq", probe,
+                                    columns=["doc_id", "uid"])
+    got = ds.to_pandas()
+    assert len(got) >= 1 and (got["uid"] == probe).all()
+    assert "bloom" in plan["strategy"]
+
+
+def test_plan_isnull_access_path(tmp_path, ray_session):
+    """plan_scan op='isnull' prunes on the null_count zone map and the
+    executed scan filters exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from rwcf import fixtures as fx
+    path = fx.tokens_parquet(400, seed=18, cache_dir=str(tmp_path),
+                             row_group_size=100)
+    t = pq_.read_table(path)
+    idx = np.arange(t.num_rows)
+    # nulls only in the FIRST quarter of rows -> later partitions prune
+    score = pa.array((idx % 50).astype(np.int64), pa.int64(),
+                     mask=(idx < 100) & (idx % 2 == 0))
+    t = t.append_column("score", score)
+    src = str(tmp_path / "n.parquet")
+    pq_.write_table(t, src, row_group_size=100)
+    out = str(tmp_path / "enc")
+    cfg = pipeline.EncodeConfig(
+        out_dir=out, partition_token_budget=25_000,
+        columns=["doc_id", "tokens", "n_tok", "source", "score"])
+    pipeline.encode_job(src, cfg).materialize()
+
+    ds, plan = planner.planned_scan(out, "score", "isnull", True,
+                                    columns=["doc_id", "score"])
+    got = ds.to_pandas()
+    assert len(got) == 50 and got["score"].isna().all()
+    assert plan["strategy"] == "nullmap"
+    assert plan["partitions_read"] < plan["partitions_total"]
+
+    ds2, plan2 = planner.planned_scan(out, "score", "isnull", False,
+                                      columns=["doc_id", "score"])
+    got2 = ds2.to_pandas()
+    assert len(got2) == 350 and got2["score"].notna().all()
