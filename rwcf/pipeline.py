@@ -2794,11 +2794,22 @@ def delete_where(out_dir: str, column: str, values: list | None = None,
                       None)
             if cm is None:  # evolved store: column absent in this version
                 continue
-            if vals is not None and fmt.is_string(cm["dtype"]):
+            if vals is not None:
+                # dtype-correct probes: int-key sidecars hash the
+                # fixed-width path (round 5), string sidecars the
+                # byte-payload path — a mismatched probe type would
+                # manufacture false negatives
                 bm = read_bloom(row, column)
-                if bm is not None and not _bloom.might_contain(
-                        bm[0], bm[1], bm[2], [str(v) for v in vals]).any():
-                    continue
+                if bm is not None:
+                    if fmt.is_string(cm["dtype"]):
+                        probes = pa.array([str(v) for v in vals],
+                                          pa.string())
+                    else:
+                        probes = pa.array([int(v) for v in vals],
+                                          pa.int64())
+                    if not _bloom.might_contain(bm[0], bm[1], bm[2],
+                                                probes).any():
+                        continue
             if cm.get("null_count"):
                 # nullable column: page spans index the DENSE value
                 # stream, so the selective-page path cannot produce
