@@ -61,8 +61,19 @@ def _commit_ivf_spec(out_dir: str, spec: dict) -> None:
 
 def _bits_table(t: pa.Table, id_col: str, vec_col: str) -> pa.Table:
     """(id, list<float32>) -> tokens-schema rows carrying the float32
-    BITS as int32 (lossless; int codecs apply)."""
+    BITS as int32 (lossless; int codecs apply). float64 input is
+    REJECTED, not silently narrowed — the store's bit-exactness claim
+    (full probe == brute force) rides on the cast being identity."""
     la = t.column(vec_col).combine_chunks()
+    elem = la.type.value_type
+    if elem not in (pa.float32(),):
+        raise ValueError(
+            f"{vec_col!r} must be list<float32> (got list<{elem}>): "
+            "float64 would narrow lossily — cast upstream explicitly "
+            "if half-precision storage is acceptable")
+    if la.null_count or la.flatten().null_count:
+        raise ValueError(f"{vec_col!r} contains null rows or elements — "
+                         "the flattened bit stream is position-aligned")
     lens = pa.compute.list_value_length(la).to_numpy(
         zero_copy_only=False).astype(np.int32)
     flat = la.flatten().to_numpy(zero_copy_only=False) \

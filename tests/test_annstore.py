@@ -218,3 +218,27 @@ def test_fetch_vectors_by_id(tmp_path_factory, ray_session):
     # absent id: typed-empty result, nothing decoded beyond the prune
     got2, _ = annstore.fetch_vectors(out, [999_999])
     assert len(got2) == 0
+
+
+def test_build_rejects_float64_and_null_vectors(tmp_path, ray_session):
+    """The bit-exactness claim rides on the float32<->int32 cast being
+    identity: float64 input and null vectors are rejected loudly."""
+    import pyarrow as pa
+    import ray.data as rd
+    t64 = pa.table({"vec_id": pa.array([1, 2], pa.int64()),
+                    "embedding": pa.array([[0.1, 0.2], [0.3, 0.4]],
+                                          pa.list_(pa.float64()))})
+    with pytest.raises(Exception, match="float32"):
+        annstore.build_ivf_store(rd.from_arrow(t64),
+                                 str(tmp_path / "s1"),
+                                 n_clusters=2).materialize()
+    tn = pa.table({"vec_id": pa.array([1, 2], pa.int64()),
+                   "embedding": pa.array([[0.1, 0.2], None],
+                                         pa.list_(pa.float32()))})
+    # null vectors die loudly either in Ray's tensor-extension casting
+    # (before our guard) or in _bits_table's null check — both are
+    # refusals, never silent misalignment
+    with pytest.raises(Exception):
+        annstore.build_ivf_store(rd.from_arrow(tn),
+                                 str(tmp_path / "s2"),
+                                 n_clusters=2).materialize()
