@@ -294,6 +294,19 @@ def cmd_ann_query(args) -> int:
     return 0
 
 
+def cmd_sketch(args) -> int:
+    from . import analytics
+    ray = _init_ray(args.num_cpus)
+    built = analytics.build_distinct_sketches(args.input, args.column)
+    out = dict(built)
+    if args.query:
+        out.update(analytics.approx_distinct_from_sketches(
+            args.input, args.column))
+    print(json.dumps(out))
+    ray.shutdown()
+    return 0
+
+
 def cmd_rebuild_index(args) -> int:
     from . import documents, state
     ray = _init_ray(args.num_cpus)
@@ -470,6 +483,15 @@ def main(argv=None) -> int:
     aq.add_argument("--vec-col", default="embedding")
     aq.add_argument("--num-cpus", type=int, default=None)
     aq.set_defaults(fn=cmd_ann_query)
+
+    sk = sub.add_parser("sketch", help="build per-partition HLL sidecars "
+                                       "(+ --query: metadata-only "
+                                       "approx COUNT DISTINCT)")
+    sk.add_argument("input", help="encode out_dir")
+    sk.add_argument("--column", required=True)
+    sk.add_argument("--query", action="store_true")
+    sk.add_argument("--num-cpus", type=int, default=None)
+    sk.set_defaults(fn=cmd_sketch)
 
     ri = sub.add_parser(
         "rebuild-index",

@@ -185,3 +185,15 @@ def test_cli_cluster_and_ann(tmp_path):
     b2 = run_cli("ann-build", emb2, "--out", store, "--append-tag",
                  "day2", "--row-budget", "128", "--num-cpus", "4")
     assert b2["rows"] == 500
+
+
+def test_cli_sketch(tmp_path):
+    src = fixtures.tokens_parquet(300, seed=8, cache_dir=str(tmp_path),
+                                  row_group_size=100)
+    out = str(tmp_path / "enc")
+    run_cli("encode", src, "--out", out, "--num-cpus", "4",
+            "--token-budget", "30000")
+    r = run_cli("sketch", out, "--column", "doc_id", "--query",
+                "--num-cpus", "4")
+    assert r["built"] == r["partitions"] > 1
+    assert abs(r["n_distinct_est"] - 300) / 300 < 0.05
