@@ -319,8 +319,13 @@ def _parse_footer_fields(buf: np.ndarray, pos: int):
         if version == _V2_VERSION:
             n_logical = r.uvarint()
             n_runs = r.uvarint()
-            runs = np.array([r.uvarint() for _ in range(n_runs)],
-                            dtype=np.int64)
+            # vectorized varint decode: an adversarial alternating-null
+            # pattern makes n_runs == n_rows, and a Python loop here
+            # would be an O(rows) interpreter cliff per partition (the
+            # validity section is the footer's tail, so no end-offset
+            # bookkeeping is needed)
+            runs = varint.decode_uvarint(buf[r.pos:], n_runs) \
+                .astype(np.int64)
             validity = validity_from_runs(runs)
             assert validity.size == n_logical
         return dtype, codec, meta, pages, True, validity
