@@ -4679,32 +4679,9 @@ def _q_null_agg(sf_dir: str):
     store (v2 validity footers on disk), decode_job scatters the nulls
     back, and a per-batch partial + tiny groupby computes COUNT(*) /
     COUNT(col) / SUM(col) with DuckDB's skip-null rules."""
-    import ray.data as rd
     from rwcf import pipeline, rayenv
 
-    work = _workdir("nullagg", sf_dir)
-    src = os.path.join(work, "in")
-
-    def derive(t: pa.Table) -> pa.Table:
-        did = t.column("doc_id")
-        m3 = pc.equal(pc.subtract(did, pc.multiply(pc.divide(did, 3), 3)),
-                      0)  # doc_id % 3 == 0
-        score = pc.if_else(m3, pa.scalar(None, pa.int64()),
-                           t.column("n_chars"))
-        return pa.table({"doc_id": did, "lang": t.column("lang"),
-                         "score": score})
-
-    rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                    columns=["doc_id", "lang", "n_chars"]) \
-        .map_batches(derive, batch_format="pyarrow",
-                     **rayenv.remote_args()) \
-        .write_parquet(src)
-    out = os.path.join(work, "enc")
-    cfg = pipeline.EncodeConfig(out_dir=out,
-                                columns=["doc_id", "lang", "score"],
-                                partition_token_budget=200_000)
-    from rwcf.documents import parquet_files
-    pipeline.encode_job(parquet_files(src), cfg).materialize()
+    out = _null_store_run(sf_dir)  # shared with null_filter_scan
 
     def partial(b: pa.Table) -> pa.Table:
         # Arrow hash aggregate: count skips nulls, count_all doesn't,
